@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared expression helpers enforcing the cross-engine determinism
+  * contract (SURVEY.md §7.4). Every helper has an exact DuckDB-SQL
+  * counterpart spelled out in the oracle strings.
+  */
+object Dsl {
+  /** Exact money/quantity arithmetic: cast BEFORE aggregating so decimal
+    * addition (exact, order-independent) replaces double addition (neither).
+    * At 100 TB this is also what makes partial/final agg merge exact. */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Pin the scale/precision of an aggregate result so Spark's and
+    * DuckDB's differing decimal-widening rules can't leak into the hash. */
+  def asDec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+
+  /** Cross-engine-stable mean: exact decimal sum, one double division,
+    * round 6. (AVG(decimal) widens differently in Spark vs DuckDB.) */
+  def avg6(c: Column): Column =
+    round(sum(dec2(c)).cast(DoubleType) / count(lit(1)), 6)
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    Tables.load(spark, sfDir, name)
+
+  def ts(s: String): Column = to_timestamp(lit(s))
+}

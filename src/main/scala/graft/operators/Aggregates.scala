@@ -1,0 +1,260 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.D aggregations, §2.F sorts/limits, §2.G set operations.
+  *
+  * All money/quantity sums are decimal (exact, merge-order-independent —
+  * the property that makes partial aggregation correct on a real cluster);
+  * double-valued statistics are rounded to 6 dp on both engines.
+  */
+object Aggregates {
+
+  val qAggGlobal = Q(
+    "q_agg_global",
+    """SELECT count(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+      |    AS avg_qty,
+      |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem").agg(
+      count(lit(1)).as("cnt"),
+      asDec(sum(dec2(col("l_quantity"))), 28, 2).as("sum_qty"),
+      avg6(col("l_quantity")).as("avg_qty"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship"))
+  }
+
+  /** TPC-H Q1 shape — the flagship `entry()` query. */
+  val qAggGroupby = Q(
+    "q_agg_groupby",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+      |    AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4))
+      |    AS sum_disc_price,
+      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+      |    AS avg_disc,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        asDec(sum(dec2(col("l_quantity"))), 28, 2).as("sum_qty"),
+        asDec(sum(dec2(col("l_extendedprice"))), 28, 2).as("sum_base_price"),
+        asDec(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))),
+          28, 4).as("sum_disc_price"),
+        avg6(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val qAggHaving = Q(
+    "q_agg_having",
+    """SELECT c_mktsegment, count(*) AS n_cust,
+      |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+      |    AS avg_bal
+      |FROM customer GROUP BY c_mktsegment
+      |HAVING count(*) > 20 ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    t(s, d, "customer")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), avg6(col("c_acctbal")).as("avg_bal"))
+      .filter(col("n_cust") > 20)
+      .orderBy("c_mktsegment")
+  }
+
+  val qAggDistinct = Q(
+    "q_agg_distinct",
+    """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_buyers,
+      |  count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(countDistinct(col("o_custkey")).as("n_buyers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val qAggRollup = Q(
+    "q_agg_rollup",
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+      |    AS revenue,
+      |  CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin) {
+    (s, d) => {
+      // DataFrame-API rollup + grouping() trips Spark's ambiguous-self-join
+      // heuristic on the Expand output; the SQL form builds the identical
+      // plan (Expand + HashAggregate) and resolves cleanly.
+      Tables.registerAll(s, d)
+      s.sql("""SELECT r_name, n_name,
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+              |    AS revenue,
+              |  CAST(GROUPING(r_name) AS INT) AS g_r,
+              |  CAST(GROUPING(n_name) AS INT) AS g_n
+              |FROM orders
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY ROLLUP(r_name, n_name)
+              |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST
+              |""".stripMargin)
+    }
+  }
+
+  val qAggCube = Q(
+    "q_agg_cube",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_p
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        grouping("o_orderstatus").cast(IntegerType).as("g_s"),
+        grouping("o_orderpriority").cast(IntegerType).as("g_p"))
+      .orderBy(col("g_s"), col("g_p"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Polarization (§2.J) IS a variance — this exercises the same kernels. */
+  val qAggStats = Q(
+    "q_agg_stats",
+    """SELECT event_type, ROUND(var_pop(value), 6) AS var_value,
+      |  ROUND(stddev_pop(value), 6) AS stddev_value, count(*) AS cnt,
+      |  (SELECT ROUND(corr(l_quantity, l_extendedprice), 6) FROM lineitem)
+      |    AS corr_qp
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+      val corrQp = t(s, d, "lineitem")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qp"))
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(round(var_pop(col("value")), 6).as("var_value"),
+          round(stddev_pop(col("value")), 6).as("stddev_value"),
+          count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(corrQp))
+        .select("event_type", "var_value", "stddev_value", "cnt", "corr_qp")
+        .orderBy("event_type")
+  }
+
+  /** HLL sketch — not DuckDB-comparable (different sketch); the ScalaTest
+    * suite asserts ±5% of exact NDV instead. */
+  val qAggApproxDistinct = Q.noOracle("q_agg_approx_distinct") { (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_suppkey")
+  }
+
+  val qAggMedianPct = Q(
+    "q_agg_median_pct",
+    """SELECT c_mktsegment, ROUND(median(c_acctbal), 6) AS med_bal,
+      |  ROUND(quantile_cont(c_acctbal, 0.5), 6) AS p50_bal,
+      |  ROUND(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+    (s, d) =>
+      t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(round(median(col("c_acctbal")), 6).as("med_bal"),
+          round(percentile(col("c_acctbal"), lit(0.5)), 6).as("p50_bal"),
+          round(percentile(col("c_acctbal"), lit(0.9)), 6).as("p90_bal"))
+        .orderBy("c_mktsegment")
+  }
+
+  val qOrderbyLimit = Q(
+    "q_orderby_limit",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+
+  val qSortMulti = Q(
+    "q_sort_multi",
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+      |ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey""".stripMargin) {
+    (s, d) =>
+      t(s, d, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy(col("s_nationkey").asc, col("s_acctbal").desc, col("s_suppkey"))
+  }
+
+  /** The antidote append ([R; X]) is exactly a UNION ALL (SURVEY §2.G). */
+  val qUnionAll = Q(
+    "q_union_all",
+    """SELECT custkey, count(*) AS n FROM (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+      |  UNION ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') u
+      |GROUP BY custkey ORDER BY custkey""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders")
+    o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      .unionAll(o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey")))
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("custkey")
+  }
+
+  val qUnionDistinct = Q(
+    "q_union_distinct",
+    """SELECT DISTINCT k FROM (
+      |  SELECT c_nationkey AS k FROM customer
+      |  UNION ALL SELECT s_nationkey FROM supplier) u ORDER BY k""".stripMargin) {
+    (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .union(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .distinct()
+        .orderBy("k")
+  }
+
+  val qIntersect = Q(
+    "q_intersect",
+    """SELECT k FROM (
+      |  SELECT c_nationkey AS k FROM customer
+      |  INTERSECT SELECT s_nationkey FROM supplier) q ORDER BY k""".stripMargin) {
+    (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .intersect(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k")
+  }
+
+  val qExcept = Q(
+    "q_except",
+    """SELECT k FROM (
+      |  SELECT c_nationkey AS k FROM customer
+      |  EXCEPT SELECT s_nationkey FROM supplier) q ORDER BY k""".stripMargin) {
+    (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .except(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+        .orderBy("k")
+  }
+
+  val all: Seq[Q] = Seq(
+    qAggGlobal, qAggGroupby, qAggHaving, qAggDistinct, qAggRollup, qAggCube,
+    qAggStats, qAggApproxDistinct, qAggMedianPct,
+    qOrderbyLimit, qSortMulti,
+    qUnionAll, qUnionDistinct, qIntersect, qExcept)
+}

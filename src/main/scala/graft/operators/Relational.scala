@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.Dsl._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.A scans/sinks, §2.B filters/predicates, §2.C joins.
+  *
+  * Design notes for scale: every query is a declarative DataFrame plan so
+  * Catalyst pushes filters + column pruning into the parquet scan; small
+  * dimension tables (region/nation/part/supplier ≤ ~200 rows × SF) are
+  * explicitly broadcast so the fact-side join never shuffles lineitem.
+  */
+object Relational {
+
+  val qScanProject = Q(
+    "q_scan_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin) {
+    (s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+  }
+
+  val qScanCount = Q(
+    "q_scan_count",
+    "SELECT count(*) AS cnt FROM lineitem") { (s, d) =>
+    t(s, d, "lineitem").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sink round-trip: write a table to parquet, read it back. Exercises the
+    * write path itself (the other sink surface is Verify's per-query dump). */
+  val qSinkParquet = Q(
+    "q_sink_parquet",
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, d) =>
+    val dir = "target/tmp/q_sink_parquet"
+    t(s, d, "region").write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir).select("r_regionkey", "r_name").orderBy("r_regionkey")
+  }
+
+  val qFilterRange = Q(
+    "q_filter_range",
+    """SELECT count(*) AS cnt,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,4)) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.02 AND 0.06
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(
+        count(lit(1)).as("cnt"),
+        asDec(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))), 22, 4)
+          .as("revenue"))
+  }
+
+  val qFilterInLike = Q(
+    "q_filter_in_like",
+    """SELECT p_partkey, p_name, p_brand, p_type FROM part
+      |WHERE p_brand IN ('Brand#1','Brand#2') OR p_type LIKE 'PROMO%'
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    t(s, d, "part")
+      .filter(col("p_brand").isin("Brand#1", "Brand#2") ||
+        col("p_type").like("PROMO%"))
+      .select("p_partkey", "p_name", "p_brand", "p_type")
+      .orderBy("p_partkey")
+  }
+
+  val qFilterNullCase = Q(
+    "q_filter_null_case",
+    """SELECT o_orderkey,
+      |  CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open'
+      |       ELSE 'other' END AS status_word,
+      |  COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS status_np
+      |FROM orders ORDER BY o_orderkey LIMIT 200""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("other").as("status_word"),
+        coalesce(nullif(col("o_orderstatus"), lit("P")), lit("pending"))
+          .as("status_np"))
+      .orderBy("o_orderkey")
+      .limit(200)
+  }
+
+  val qJoinInner = Q(
+    "q_join_inner",
+    """SELECT o_orderkey, o_totalprice, c_name
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey LIMIT 500""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_totalprice", "c_name")
+      .orderBy("o_orderkey")
+      .limit(500)
+  }
+
+  /** Fact ⋈ two small dims: at scale this must be a broadcast hash join on
+    * the lineitem side (no shuffle of the fact table) — hints are explicit. */
+  val qJoinBroadcast = Q(
+    "q_join_broadcast",
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(22,4))
+      |    AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_brand")
+      .agg(
+        asDec(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))),
+          22, 4).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
+  val qJoinLeft = Q(
+    "q_join_left",
+    """SELECT c_custkey, count(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  val qJoinFull = Q(
+    "q_join_full",
+    """SELECT n_nationkey, n_name, c_nationkey, n_cust
+      |FROM nation FULL JOIN
+      |  (SELECT c_nationkey, count(*) AS n_cust FROM customer
+      |   GROUP BY c_nationkey) cust
+      |ON n_nationkey = c_nationkey
+      |ORDER BY n_nationkey NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin) {
+    (s, d) =>
+      val cust = t(s, d, "customer")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+      t(s, d, "nation")
+        .join(cust, col("n_nationkey") === col("c_nationkey"), "full_outer")
+        .select("n_nationkey", "n_name", "c_nationkey", "n_cust")
+        .orderBy(col("n_nationkey").asc_nulls_first,
+          col("c_nationkey").asc_nulls_first)
+  }
+
+  val qJoinSemi = Q(
+    "q_join_semi",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_orderstatus") === "F"),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val qJoinAnti = Q(
+    "q_join_anti",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_orderstatus") === "P"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Non-equi (theta) join — bounded 200×10, so a broadcast nested-loop
+    * join is the correct physical plan and stays correct at any lineitem SF
+    * (both sides are dimension tables). */
+  val qJoinTheta = Q(
+    "q_join_theta",
+    """SELECT p_partkey, s_suppkey FROM part, supplier
+      |WHERE p_retailprice > s_acctbal / 5
+      |ORDER BY p_partkey, s_suppkey""".stripMargin) { (s, d) =>
+    t(s, d, "part")
+      .join(broadcast(t(s, d, "supplier")),
+        col("p_retailprice") > col("s_acctbal") / lit(5))
+      .select("p_partkey", "s_suppkey")
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  /** Range join: equi on user + time-range predicate. At scale Spark turns
+    * this into a shuffled equi-join on user_id with the range condition as a
+    * post-join filter — the equi key bounds the blow-up. */
+  val qJoinRange = Q(
+    "q_join_range",
+    """SELECT e1.user_id AS user_id, count(*) AS n_pairs
+      |FROM events e1 JOIN events e2
+      |  ON e1.user_id = e2.user_id
+      | AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+      |WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+      |GROUP BY e1.user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    val e1 = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("ts1"))
+    val e2 = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("uid2"), col("ts").as("ts2"))
+    e1.join(e2,
+        col("user_id") === col("uid2") && col("ts2") > col("ts1") &&
+          col("ts2") <= col("ts1") + expr("INTERVAL 5 MINUTES"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  /** As-of join (no native Spark primitive): union both sides with a tag,
+    * single pass per user ordered by time, `last(view_ts) ignoreNulls` over
+    * the preceding frame. One shuffle on user_id — same cost shape as a
+    * window, vs. the quadratic range join it replaces. Purchase rows sort
+    * BEFORE view rows at equal ts so the match is strictly preceding. */
+  val qJoinAsof = Q(
+    "q_join_asof",
+    """SELECT user_id, purchase_ts, view_ts FROM (
+      |  SELECT p.user_id AS user_id, p.ts AS purchase_ts,
+      |         (SELECT max(v.ts) FROM events v
+      |          WHERE v.user_id = p.user_id AND v.event_type = 'view'
+      |            AND v.ts < p.ts) AS view_ts
+      |  FROM events p WHERE p.event_type = 'purchase') q
+      |WHERE view_ts IS NOT NULL
+      |ORDER BY user_id, purchase_ts""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "view", col("ts")).as("vts"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("tag_rank"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "tag_rank")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("view_ts", last(col("vts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("view_ts").isNotNull)
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("view_ts"))
+      .orderBy("user_id", "purchase_ts")
+  }
+
+  val qCrossJoin = Q(
+    "q_cross_join",
+    """SELECT r_regionkey, r_name, n_nationkey, n_name
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_regionkey, n_nationkey""".stripMargin) { (s, d) =>
+    t(s, d, "region")
+      .crossJoin(t(s, d, "nation"))
+      .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+      .orderBy("r_regionkey", "n_nationkey")
+  }
+
+  val all: Seq[Q] = Seq(
+    qScanProject, qScanCount, qSinkParquet,
+    qFilterRange, qFilterInLike, qFilterNullCase,
+    qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
+    qJoinTheta, qJoinRange, qJoinAsof, qCrossJoin)
+}
