@@ -13,7 +13,9 @@ object SparkEntry {
   /** Every declared operator (SURVEY.md §2), one registry per family. */
   def registry: Seq[Q] =
     operators.Relational.all ++
-      operators.Aggregates.all
+      operators.Aggregates.all ++
+      operators.Windows.all ++
+      operators.Scalars.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -18,11 +18,15 @@ object Relational {
   val qScanProject = Q(
     "q_scan_project",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin) {
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate
+      |LIMIT 100""".stripMargin) {
     (s, d) =>
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures — order by
+      // every projected column so ties are bit-identical rows.
       t(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
         .limit(100)
   }
 

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.Q
+import graft.Dsl._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.E window functions.
+  *
+  * Every window partitions by a key (customer/user/brand) — at 100 TB the
+  * partitionBy column is the shuffle key and per-key data must fit a task;
+  * all keys here are high-cardinality-safe choices. Window ORDER BYs carry
+  * a unique tiebreak column so rank/lag assignments are total, not
+  * tie-dependent (cross-engine hash-match requirement).
+  */
+object Windows {
+
+  val qWindowRank = Q(
+    "q_window_rank",
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+      |  row_number() OVER w AS rn
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderpriority, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Running decimal sum — exact, so the cumulative value is reduction-
+    * order-independent (same reason partial aggs stay exact at scale). */
+  val qWindowRunning = Q(
+    "q_window_running",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |  AS DECIMAL(28,2)) AS running_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        asDec(sum(dec2(col("o_totalprice"))).over(w), 28, 2).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Integer microsecond gaps — no truncation/boundary-count ambiguity. */
+  val qWindowLeadLag = Q(
+    "q_window_lead_lag",
+    """SELECT user_id, event_id,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+      |  lead(epoch_us(ts)) OVER w - epoch_us(ts) AS next_gap_us
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val us = unix_micros(col("ts"))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        (us - lag(us, 1).over(w)).as("gap_us"),
+        (lead(us, 1).over(w) - us).as("next_gap_us"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** 10-minute trailing mean via RANGE frame over epoch seconds. */
+  val qWindowRangeFrame = Q(
+    "q_window_range_frame",
+    """SELECT user_id, event_id,
+      |  ROUND(avg(value) OVER (
+      |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 6) AS trailing_avg
+      |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts").cast(LongType))
+      .rangeBetween(-600, Window.currentRow)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        round(avg(col("value")).over(w), 6).as("trailing_avg"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val qWindowNtile = Q(
+    "q_window_ntile",
+    """SELECT c_custkey,
+      |  ntile(4) OVER w AS quartile,
+      |  ROUND(percent_rank() OVER w, 6) AS pct_rank
+      |FROM customer
+      |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val w = Window.orderBy("c_acctbal", "c_custkey")
+    t(s, d, "customer")
+      .select(col("c_custkey"), ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+      .orderBy("c_custkey")
+  }
+
+  /** Top-k per group: the scalable pattern (window + filter, no global
+    * sort or collect — one shuffle on the group key). */
+  val qTopkPerGroup = Q(
+    "q_topk_per_group",
+    """SELECT p_brand, p_partkey, revenue, rn FROM (
+      |  SELECT p_brand, p_partkey, revenue,
+      |    row_number() OVER (PARTITION BY p_brand
+      |                       ORDER BY revenue DESC, p_partkey) AS rn
+      |  FROM (SELECT p_brand, p_partkey,
+      |          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                   (1 - CAST(l_discount AS DECIMAL(18,2))))
+      |               AS DECIMAL(28,4)) AS revenue
+      |        FROM lineitem JOIN part ON l_partkey = p_partkey
+      |        GROUP BY p_brand, p_partkey) r) q
+      |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin) { (s, d) =>
+    val rev = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(asDec(sum(dec2(col("l_extendedprice")) *
+        (lit(1) - dec2(col("l_discount")))), 28, 4).as("revenue"))
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    rev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("p_brand", "p_partkey", "revenue", "rn")
+      .orderBy("p_brand", "rn")
+  }
+
+  val all: Seq[Q] = Seq(
+    qWindowRank, qWindowRunning, qWindowLeadLag, qWindowRangeFrame,
+    qWindowNtile, qTopkPerGroup)
+}
