@@ -15,7 +15,9 @@ object SparkEntry {
     operators.Relational.all ++
       operators.Aggregates.all ++
       operators.Windows.all ++
-      operators.Scalars.all
+      operators.Scalars.all ++
+      operators.StreamingQueries.all ++
+      operators.MfQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

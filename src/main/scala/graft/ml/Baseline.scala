@@ -1,0 +1,76 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic closed-form baseline predictor and the paper's three
+  * societal metrics computed on KNOWN cells.
+  *
+  * pred(u,i) = (user_mean(u) + item_mean(i)) / 2 — closed form, no
+  * iteration, cross-engine reproducible; it plays the role of R̂ in the
+  * metric definitions so the metric queries stay DuckDB-checkable (the
+  * ALS-based R̂ is impl-dependent and is tested out-of-band).
+  *
+  * Metrics over known cells only: never materializes the dense n×m matrix,
+  * so every aggregation is linear in |ratings| and shuffles on bounded
+  * keys (user_id / item_id) — the 100 TB-safe formulation.
+  */
+object Baseline {
+
+  /** ratings(user_id, item_id, rating) → (user_id, item_id, rating, p). */
+  def predictions(ratings: DataFrame): DataFrame = {
+    val um = ratings.groupBy("user_id").agg(avg("rating").as("mu"))
+    val im = ratings.groupBy("item_id").agg(avg("rating").as("mi"))
+    ratings.join(um, "user_id").join(im, "item_id")
+      .withColumn("p", (col("mu") + col("mi")) / 2)
+      .select("user_id", "item_id", "rating", "p")
+  }
+
+  /** Per-user mean squared error ℓ_u (paper §3.2). */
+  def userLoss(pred: DataFrame): DataFrame =
+    pred.groupBy("user_id")
+      .agg(avg((col("rating") - col("p")) * (col("rating") - col("p")))
+        .as("l_u"))
+
+  /** Global RMSE over known cells, rounded 6 dp. */
+  def rmse(pred: DataFrame): DataFrame =
+    pred.agg(round(
+      sqrt(avg((col("rating") - col("p")) * (col("rating") - col("p")))), 6)
+      .as("rmse"))
+
+  /** Polarization: mean over items of var_pop across users of predictions
+    * (paper §3.2 — the pairwise-distance form is proportional to this). */
+  def polarization(pred: DataFrame): DataFrame =
+    pred.groupBy("item_id").agg(var_pop(col("p")).as("v"))
+      .agg(round(avg(col("v")), 6).as("polarization"))
+
+  /** Individual unfairness: variance across users of ℓ_u. */
+  def individualUnfairness(pred: DataFrame): DataFrame =
+    userLoss(pred).agg(round(var_pop(col("l_u")), 6).as("ind_unfairness"))
+
+  /** Group unfairness: |mean ℓ_u in group A − mean ℓ_u in group B|. */
+  def groupUnfairness(pred: DataFrame, customer: DataFrame,
+      groupA: String, groupB: String): DataFrame = {
+    val losses = userLoss(pred)
+      .join(customer.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("grp")), "user_id")
+    losses.agg(round(abs(
+      avg(when(col("grp") === groupA, col("l_u"))) -
+        avg(when(col("grp") === groupB, col("l_u")))), 6)
+      .as("grp_unfairness"))
+  }
+
+  /** DuckDB CTEs mirroring predictions/userLoss — appended after
+    * Ratings.cte in oracle SQL. */
+  val cte: String =
+    """um AS (SELECT user_id, avg(rating) AS mu FROM ratings GROUP BY 1),
+      |im AS (SELECT item_id, avg(rating) AS mi FROM ratings GROUP BY 1),
+      |pred AS (
+      |  SELECT r.user_id, r.item_id, r.rating, (um.mu + im.mi) / 2 AS p
+      |  FROM ratings r
+      |  JOIN um ON r.user_id = um.user_id
+      |  JOIN im ON r.item_id = im.item_id),
+      |uerr AS (
+      |  SELECT user_id, avg((rating - p) * (rating - p)) AS l_u
+      |  FROM pred GROUP BY 1)""".stripMargin
+}

@@ -1,0 +1,43 @@
+package graft.ml
+
+import graft.Tables
+import graft.Dsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The derived ratings view (FIXTURES.md "Derived view"): the MF-family
+  * input standing in for the reference's MovieLens triples.
+  *
+  * `rating = avg over duplicate (user,item) pairs of
+  *    least(5.00, 1 + l_quantity * 0.08)`
+  * — the per-row value is computed in exact decimal (l_quantity is
+  * integral, 0.08 is DECIMAL(3,2)), so the SUM is reduction-order-
+  * independent; only the final division is floating point, rounded to
+  * 6 dp on both engines.
+  */
+object Ratings {
+
+  /** DuckDB CTE defining the identical view — prepended to every MF-family
+    * oracle query. */
+  val cte: String =
+    """ratings AS (
+      |  SELECT o_custkey AS user_id, l_partkey AS item_id,
+      |    ROUND(CAST(SUM(least(CAST(5.00 AS DECIMAL(3,2)),
+      |            1 + CAST(l_quantity AS DECIMAL(18,2)) *
+      |                CAST(0.08 AS DECIMAL(3,2)))) AS DOUBLE) / count(*), 6)
+      |      AS rating
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)""".stripMargin
+
+  def view(spark: SparkSession, sfDir: String): DataFrame = {
+    val perRow = least(
+      lit(5.0).cast(DecimalType(3, 2)),
+      lit(1) + dec2(col("l_quantity")) * lit(0.08).cast(DecimalType(3, 2)))
+    Tables.load(spark, sfDir, "orders")
+      .join(Tables.load(spark, sfDir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(round(sum(perRow).cast(DoubleType) / count(lit(1)), 6).as("rating"))
+  }
+}

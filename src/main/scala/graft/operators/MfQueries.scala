@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.Q
+import graft.Dsl._
+import graft.ml.{AlsEngine, Antidote, Baseline, Ratings}
+import org.apache.spark.sql.functions._
+
+/** §2.J — the reference's core MF / societal-metric / antidote family,
+  * over the derived ratings view (FIXTURES.md). Metric queries use the
+  * deterministic closed-form baseline predictor so they stay
+  * DuckDB-checkable; ALS-dependent queries are rows-only here and
+  * semantically tested in the ScalaTest suite (RMSE thresholds, objective
+  * descent).
+  */
+object MfQueries {
+
+  private def withRatings(sql: String): String =
+    s"WITH ${Ratings.cte},\n${Baseline.cte}\n$sql"
+
+  val qRatingsView = Q(
+    "q_ratings_view",
+    s"""WITH ${Ratings.cte}
+       |SELECT user_id, item_id, rating FROM ratings
+       |ORDER BY user_id, item_id""".stripMargin) { (s, d) =>
+    Ratings.view(s, d).orderBy("user_id", "item_id")
+  }
+
+  /** Factor-matrix row counts are deterministic (every user/item with a
+    * rating gets a factor row); factor VALUES are impl-dependent and
+    * tested out-of-band. */
+  val qMfAlsTrain = Q(
+    "q_mf_als_train",
+    s"""WITH ${Ratings.cte}
+       |SELECT count(DISTINCT user_id) AS n_user_factors,
+       |  count(DISTINCT item_id) AS n_item_factors, 8 AS rank
+       |FROM ratings""".stripMargin) { (s, d) =>
+    val model = AlsEngine.train(Ratings.view(s, d))
+    val spark = s
+    import spark.implicits._
+    Seq((model.userFactors.count(), model.itemFactors.count(), model.rank))
+      .toDF("n_user_factors", "n_item_factors", "rank")
+  }
+
+  val qMfPredict = Q.noOracle("q_mf_predict") { (s, d) =>
+    val ratings = Ratings.view(s, d)
+    AlsEngine.predictKnown(AlsEngine.train(ratings), ratings)
+      .select(col("user_id"), col("item_id"), round(col("p"), 4).as("p"))
+      .orderBy("user_id", "item_id")
+  }
+
+  val qMetricRmse = Q(
+    "q_metric_rmse",
+    withRatings(
+      "SELECT ROUND(sqrt(avg((rating - p) * (rating - p))), 6) AS rmse FROM pred")) {
+    (s, d) => Baseline.rmse(Baseline.predictions(Ratings.view(s, d)))
+  }
+
+  val qMetricPolarization = Q(
+    "q_metric_polarization",
+    withRatings(
+      """SELECT ROUND(avg(v), 6) AS polarization FROM
+        |  (SELECT var_pop(p) AS v FROM pred GROUP BY item_id) iv""".stripMargin)) {
+    (s, d) => Baseline.polarization(Baseline.predictions(Ratings.view(s, d)))
+  }
+
+  val qMetricIndUnfairness = Q(
+    "q_metric_ind_unfairness",
+    withRatings(
+      "SELECT ROUND(var_pop(l_u), 6) AS ind_unfairness FROM uerr")) { (s, d) =>
+    Baseline.individualUnfairness(Baseline.predictions(Ratings.view(s, d)))
+  }
+
+  val qMetricGrpUnfairness = Q(
+    "q_metric_grp_unfairness",
+    withRatings(
+      """SELECT ROUND(abs(
+        |  avg(CASE WHEN c_mktsegment = 'BUILDING' THEN l_u END) -
+        |  avg(CASE WHEN c_mktsegment = 'MACHINERY' THEN l_u END)), 6)
+        |  AS grp_unfairness
+        |FROM uerr JOIN customer ON user_id = c_custkey""".stripMargin)) {
+    (s, d) =>
+      Baseline.groupUnfairness(
+        Baseline.predictions(Ratings.view(s, d)),
+        t(s, d, "customer"), "BUILDING", "MACHINERY")
+  }
+
+  /** DuckDB block generating the antidote rows for a budget; `sfx` keeps
+    * per-alpha CTE names distinct. Mirrors Antidote.init exactly. */
+  private def antidoteCte(alpha: Double, sfx: String): String =
+    s"""srs$sfx AS (SELECT s FROM generate_series(1, 100000) t(s), stats
+       |  WHERE s <= CAST(ceil($alpha * n) AS BIGINT)),
+       |antidote$sfx AS (
+       |  SELECT mx + s AS user_id, item_id,
+       |    ROUND(1 + 4 * (((mx + s) * 2654435761 + item_id * 40503) % 1000)
+       |          / 999.0, 6) AS rating
+       |  FROM stats, items, srs$sfx)""".stripMargin
+
+  private val statsCte =
+    """stats AS (SELECT count(DISTINCT user_id) AS n, max(user_id) AS mx
+      |          FROM ratings),
+      |items AS (SELECT DISTINCT item_id FROM ratings)""".stripMargin
+
+  val qAntidoteInit = Q(
+    "q_antidote_init",
+    s"""WITH ${Ratings.cte},
+       |$statsCte,
+       |${antidoteCte(0.01, "a")}
+       |SELECT user_id, item_id, rating FROM ratings
+       |UNION ALL SELECT user_id, item_id, rating FROM antidotea
+       |ORDER BY user_id, item_id""".stripMargin) { (s, d) =>
+    val ratings = Ratings.view(s, d)
+    ratings.unionByName(Antidote.init(s, ratings, 0.01))
+      .orderBy("user_id", "item_id")
+  }
+
+  val qAntidoteStep = Q.noOracle("q_antidote_step") { (s, d) =>
+    val ratings = Ratings.view(s, d)
+    val x0 = Antidote.init(s, ratings, 0.01)
+    Antidote.step(s, ratings, x0).orderBy("user_id", "item_id")
+  }
+
+  private def evalBlock(alpha: Double, sfx: String): String =
+    s"""aug$sfx AS (SELECT * FROM ratings
+       |  UNION ALL SELECT * FROM antidote$sfx),
+       |um$sfx AS (SELECT user_id, avg(rating) AS mu FROM aug$sfx GROUP BY 1),
+       |im$sfx AS (SELECT item_id, avg(rating) AS mi FROM aug$sfx GROUP BY 1),
+       |pred$sfx AS (
+       |  SELECT r.user_id, r.item_id, r.rating, (um$sfx.mu + im$sfx.mi) / 2 AS p
+       |  FROM aug$sfx r
+       |  JOIN um$sfx ON r.user_id = um$sfx.user_id
+       |  JOIN im$sfx ON r.item_id = im$sfx.item_id)""".stripMargin
+
+  private def evalSelect(alpha: Double, sfx: String): String =
+    s"""SELECT $alpha AS alpha,
+       |  (SELECT ROUND(avg(v), 6) FROM
+       |     (SELECT var_pop(p) AS v FROM pred GROUP BY item_id) t) AS pol_before,
+       |  (SELECT ROUND(avg(v), 6) FROM
+       |     (SELECT var_pop(p) AS v FROM pred$sfx GROUP BY item_id) t)
+       |    AS pol_after,
+       |  (SELECT ROUND(sqrt(avg((rating - p) * (rating - p))), 6) FROM pred)
+       |    AS rmse_before,
+       |  (SELECT ROUND(sqrt(avg((rating - p) * (rating - p))), 6) FROM pred$sfx)
+       |    AS rmse_after""".stripMargin
+
+  /** Deterministic end-to-end antidote evaluation: baseline-predictor
+    * metrics before vs after appending the (deterministic) antidote init
+    * at budgets α ∈ {0.01, 0.05}. */
+  val qAntidoteEval = Q(
+    "q_antidote_eval",
+    s"""WITH ${Ratings.cte},
+       |${Baseline.cte},
+       |$statsCte,
+       |${antidoteCte(0.01, "a")},
+       |${evalBlock(0.01, "a")},
+       |${antidoteCte(0.05, "b")},
+       |${evalBlock(0.05, "b")}
+       |${evalSelect(0.01, "a")}
+       |UNION ALL
+       |${evalSelect(0.05, "b")}
+       |ORDER BY alpha""".stripMargin) { (s, d) =>
+    val ratings = Ratings.view(s, d).cache()
+    val predBefore = Baseline.predictions(ratings)
+    val before = Baseline.polarization(predBefore)
+      .crossJoin(Baseline.rmse(predBefore))
+      .select(col("polarization").as("pol_before"),
+        col("rmse").as("rmse_before"))
+    val rows = Seq(0.01, 0.05).map { alpha =>
+      val aug = ratings.unionByName(Antidote.init(s, ratings, alpha))
+      val pred = Baseline.predictions(aug)
+      Baseline.polarization(pred)
+        .crossJoin(Baseline.rmse(pred))
+        .select(lit(alpha).as("alpha"), col("polarization").as("pol_after"),
+          col("rmse").as("rmse_after"))
+        .crossJoin(before)
+    }
+    rows.reduce(_ unionByName _)
+      .select("alpha", "pol_before", "pol_after", "rmse_before", "rmse_after")
+      .orderBy("alpha")
+  }
+
+  val all: Seq[Q] = Seq(
+    qRatingsView, qMfAlsTrain, qMfPredict,
+    qMetricRmse, qMetricPolarization, qMetricIndUnfairness,
+    qMetricGrpUnfairness,
+    qAntidoteInit, qAntidoteStep, qAntidoteEval)
+}

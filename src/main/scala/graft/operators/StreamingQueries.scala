@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.Q
+import graft.Dsl._
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** §2.I streaming family, declared as deterministic batch-shape queries
+  * (Verify executes batch only); true streaming semantics — watermark
+  * drops, stateful timeouts, AvailableNow replay — are covered by the
+  * MemoryStream ScalaTest suite and by q_stream_late, which runs a real
+  * streaming job inside Verify.
+  */
+object StreamingQueries {
+
+  val qStreamTumbling = Q(
+    "q_stream_tumbling",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  count(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin) {
+    (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("cnt"))
+        .orderBy("window_start", "event_type")
+  }
+
+  /** Sliding 1h/30m: each event lands in exactly two windows; the oracle
+    * expands them explicitly (grid aligned to the epoch 30-min boundary,
+    * same as Spark's window() alignment). */
+  val qStreamSliding = Q(
+    "q_stream_sliding",
+    """SELECT w_start, count(*) AS cnt FROM (
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE
+      |  FROM events) w
+      |GROUP BY w_start ORDER BY w_start""".stripMargin) { (s, d) =>
+    t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("cnt"))
+      .orderBy("w_start")
+  }
+
+  /** Session windows (30-min gap); oracle is the classic gaps-and-islands
+    * rewrite. Spark's session end = last event + gap, mirrored in SQL. */
+  val qStreamSession = Q(
+    "q_stream_session",
+    """SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) IS NULL
+      |             OR ts - lag(ts) OVER (PARTITION BY user_id
+      |                                   ORDER BY ts, event_id)
+      |                > INTERVAL 30 MINUTE
+      |           THEN 1 ELSE 0 END AS is_new
+      |    FROM events) flags) sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    StreamOps.sessionize(t(s, d, "events"), "30 minutes")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+  }
+
+  val qStreamDedup = Q(
+    "q_stream_dedup",
+    """SELECT user_id, count(*) AS n_types FROM
+      |  (SELECT DISTINCT user_id, event_type FROM events) u
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    t(s, d, "events")
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_types"))
+      .orderBy("user_id")
+  }
+
+  /** Real streaming execution in the verify path: file-source replay with a
+    * 10-min watermark, tumbling agg, AvailableNow trigger, memory sink.
+    * Watermark semantics (actual late-drop) are asserted in the MemoryStream
+    * test where arrival order is controlled; no DuckDB analog → rows-only. */
+  val qStreamLate = Q.noOracle("q_stream_late") { (s, d) =>
+    val streamed = StreamOps.tumblingCounts(
+      StreamOps.replayEvents(s, d), "1 hour", "10 minutes")
+    StreamOps.runToCompletion(streamed)
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Arbitrary-stateful running count; batch oracle is a plain groupBy
+    * (the streaming mapGroupsWithState path is in the test suite). */
+  val qStreamStateful = Q(
+    "q_stream_stateful",
+    """SELECT user_id, count(*) AS n_events FROM events
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val spark = s
+    import spark.implicits._
+    t(s, d, "events")
+      .select(col("user_id").cast(LongType)).as[Long]
+      .groupByKey(identity)
+      .mapGroups((user, rows) => (user, rows.size.toLong))
+      .toDF("user_id", "n_events")
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
+    qStreamLate, qStreamStateful)
+}

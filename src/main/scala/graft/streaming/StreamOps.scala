@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Structured-Streaming operators (SURVEY.md §2.I).
+  *
+  * All transforms are defined on unbounded DataFrames (readStream) and are
+  * therefore also valid on bounded ones — the batch-shape oracle queries in
+  * `operators.StreamingQueries` reuse the same column expressions. State
+  * stores are keyed by user/window, so at scale state partitions across
+  * executors with the shuffle; watermarks bound state size.
+  */
+object StreamOps {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Replay a fixture events parquet as a file-source stream (ns-long ts
+    * normalized to TimestampType, same as Tables.load). */
+  def replayEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    // The file stream source wants a directory; point it at sfDir with a
+    // glob filter so only the events file is replayed.
+    val raw = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** Tumbling-window counts with a watermark: late rows beyond the delay
+    * are dropped from the aggregation state. */
+  def tumblingCounts(events: DataFrame, size: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"))
+
+  /** Sliding-window counts (size/slide). */
+  def slidingCounts(events: DataFrame, size: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w_start"), col("cnt"))
+
+  /** Per-user session windows with a fixed inactivity gap. */
+  def sessionize(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Streaming exact dedup bounded by a watermark (state is GC'd once the
+    * watermark passes — the only way exact dedup stays feasible unbounded). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Arbitrary stateful op: running per-user event count via
+    * mapGroupsWithState (processing-time timeout disabled — determinism). */
+  def runningUserCounts(events: DataFrame): Dataset[(Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast(LongType)).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.size
+          state.update(next)
+          (user, next)
+      }
+  }
+
+  /** Run a streaming DataFrame to completion over bounded input
+    * (Trigger.AvailableNow) and return the final result as a batch DF. */
+  def runToCompletion(streamed: DataFrame, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    streamed.sparkSession.table(name)
+  }
+}
