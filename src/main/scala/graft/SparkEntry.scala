@@ -17,7 +17,8 @@ object SparkEntry {
       operators.Windows.all ++
       operators.Scalars.all ++
       operators.StreamingQueries.all ++
-      operators.MfQueries.all
+      operators.MfQueries.all ++
+      operators.LlmQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

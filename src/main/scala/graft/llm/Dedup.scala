@@ -1,0 +1,126 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators, ordered by cost/recall trade-off:
+  *  - exact: hash-groupBy, one shuffle on the digest (100 TB-safe).
+  *  - simhash: 64→32-bit sign-aggregated token-hash signature; near-dups
+  *    collide on the signature — linear, one shuffle.
+  *  - minhash LSH: MLlib MinHashLSH banding, subquadratic candidate join.
+  *  - n-gram Jaccard: exact similarity on candidates that share a RARE
+  *    shingle (df-bounded blocking keeps the self-join linear-ish; common
+  *    shingles carry no discriminative signal anyway).
+  *  - embedding cosine: sign-LSH bucketed near-dup join (the scale path —
+  *    a full cross join is quadratic and never acceptable).
+  */
+object Dedup {
+
+  /** Exact dedup summary: survivors keep min(doc_id) per md5(text). */
+  def exactSummary(docs: DataFrame): DataFrame = {
+    val perHash = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    perHash.agg(count(lit(1)).as("n_unique"), sum(col("keeper")).as("keeper_sum"))
+      .crossJoin(total)
+      .select("n_docs", "n_unique", "keeper_sum")
+  }
+
+  /** 32-bit simhash per doc from 60-bit md5 token hashes: bit b of the
+    * signature is the sign of Σ_tokens (±1 by token-hash bit b). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), TextOps.hash60(col("tok")).as("h"))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sig = (0 until 32).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs at the given max Jaccard
+    * distance over word-shingle sets (seeded, deterministic). */
+  def minhashPairs(docs: DataFrame, maxDist: Double = 0.6,
+      numHashTables: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val shingled = docs.select(col("doc_id"),
+      expr("""transform(sequence(1, greatest(size(split(text,' ')) - 2, 1)),
+             |  i -> concat_ws(' ', slice(split(text,' '), i, 3)))""".stripMargin)
+        .as("shingles"))
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feats = tf.transform(shingled)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, maxDist, "dist")
+      .select(col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"), round(col("dist"), 4).as("dist"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
+
+  /** Character-5-gram shingles (positional substrings — expressible
+    * identically in ANSI SQL via a sequence join). */
+  def charShingles(docs: DataFrame, k: Int = 5): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+      explode(sequence(lit(1),
+        greatest(length(col("text")) - (k - 1), lit(1)))).as("p"))
+      .select(col("doc_id"), expr(s"substr(text, p, $k)").as("shingle"))
+      .distinct()
+
+  /** Exact Jaccard over RARE shingles (global doc-frequency ≤ maxDf) for
+    * pairs sharing at least one; near-dup pairs above the threshold. */
+  def rareShingleJaccard(shingles: DataFrame, maxDf: Long = 10,
+      minJaccard: Double = 0.3): DataFrame = {
+    val rare = shingles
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf)
+      .select("doc_id", "shingle")
+    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = rare.as("a")
+      .join(rare.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("jaccard", round(col("inter").cast(DoubleType) /
+        (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "inter", "jaccard")
+  }
+
+  /** 8-bit sign-LSH bucket over the first 8 embedding dims. */
+  def signBucket(e: Column): Column =
+    (0 until 8).map { i =>
+      when(element_at(e, i + 1) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Embedding-cosine near-dup pairs within sign-LSH buckets — linear in
+    * bucket sizes instead of a quadratic cross join. */
+  def embeddingNearDups(embs: DataFrame, minCos: Double = 0.9): DataFrame = {
+    val b = embs.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding")).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column.
+  *
+  * Brute-force cosine top-k is the exact baseline (one pass, no shuffle
+  * until the global top-k, which TakeOrderedAndProject handles without a
+  * full sort). The IVF-ish variant prunes to the probe's sign-LSH bucket —
+  * the 100 TB path where scanning every vector per query is off the table.
+  */
+object SimSearch {
+
+  /** Exact top-k by cosine to the embedding of `probeId` (probe excluded;
+    * scores rounded before ordering so ranking is cross-engine-stable). */
+  def cosineTopK(embs: DataFrame, probeId: Long, k: Int): DataFrame = {
+    val probe = embs.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_e"))
+    embs.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(Dedup.cosine(col("embedding"), col("probe_e")), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-style approximate top-k: search only the probe's sign bucket. */
+  def bucketedTopK(embs: DataFrame, probeId: Long, k: Int): DataFrame = {
+    val withBucket = embs.select(col("vec_id"), col("embedding"),
+      Dedup.signBucket(col("embedding")).as("bucket"))
+    val probe = withBucket.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_e"), col("bucket").as("probe_b"))
+    withBucket.filter(col("vec_id") =!= probeId)
+      .join(broadcast(probe), col("bucket") === col("probe_b"))
+      .select(col("vec_id"),
+        round(Dedup.cosine(col("embedding"), col("probe_e")), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Per-label centroids via posexplode + (label, dim) aggregation. */
+  def labelCentroids(embs: DataFrame): DataFrame =
+    embs.select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))
+      .groupBy("label", "p")
+      .agg(avg(col("v").cast(DoubleType)).as("c"))
+
+  /** For each label: the nearest OTHER label's centroid by L2 distance
+    * (rounded before ranking; label tiebreak). */
+  def nearestOtherCentroid(embs: DataFrame): DataFrame = {
+    val c = labelCentroids(embs)
+    val d = c.as("a").join(c.as("b"),
+        col("a.p") === col("b.p") && col("a.label") =!= col("b.label"))
+      .groupBy(col("a.label").as("label"), col("b.label").as("other"))
+      .agg(round(sqrt(sum((col("a.c") - col("b.c")) * (col("a.c") - col("b.c")))), 4)
+        .as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("dist"), col("other"))
+    d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("label", "other", "dist")
+  }
+}

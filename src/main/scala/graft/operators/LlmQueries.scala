@@ -1,0 +1,354 @@
+package graft.operators
+
+import graft.Q
+import graft.Dsl._
+import graft.llm.{Dedup, Multimodal, SimSearch, TextOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.K + training-data-pipeline extensions: dedup (exact / simhash /
+  * minhash / n-gram / embedding), similarity search (exact + IVF-bucketed),
+  * text analysis (lang-ID, quality, tokens, fingerprint), multimodal
+  * columns. The fixtures contain no near-duplicates, so the near-dup
+  * queries append deterministic mutated copies (doc_id+1e6) to have a
+  * non-vacuous answer — same construction in the oracle SQL.
+  */
+object LlmQueries {
+
+  val qDedupExact = Q(
+    "q_dedup_exact",
+    """SELECT n_docs, n_unique, keeper_sum FROM
+      |  (SELECT count(*) AS n_unique, CAST(sum(keeper) AS BIGINT) AS keeper_sum FROM
+      |    (SELECT md5(text) AS h, min(doc_id) AS keeper FROM documents
+      |     GROUP BY 1) g) a,
+      |  (SELECT count(*) AS n_docs FROM documents) b""".stripMargin) { (s, d) =>
+    Dedup.exactSummary(t(s, d, "documents"))
+  }
+
+  private val simhashBitsSql = (0 until 32)
+    .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+    .mkString(",\n    ")
+  private val simhashSumSql = (0 until 32)
+    .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
+    .mkString(" + ")
+
+  val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents) u),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $simhashBitsSql
+       |  FROM toks GROUP BY doc_id)
+       |SELECT doc_id, CAST($simhashSumSql AS BIGINT) AS simhash
+       |FROM bits ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
+    Dedup.simhash(t(s, d, "documents"))
+      .orderBy("doc_id").limit(200)
+  }
+
+  val qDedupMinhash = Q.noOracle("q_dedup_minhash") { (s, d) =>
+    val docs = t(s, d, "documents")
+    val withDups = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substr(text, 11)").as("text")))
+    Dedup.minhashPairs(withDups)
+      .orderBy("doc_a", "doc_b")
+      .limit(500)
+  }
+
+  private val ngramDocs2 =
+    """docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, substr(text, 11) AS text
+      |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
+
+  val qDedupNgram = Q(
+    "q_dedup_ngram",
+    s"""WITH $ngramDocs2,
+       |sh AS (
+       |  SELECT DISTINCT doc_id, substr(text, p, 5) AS shingle
+       |  FROM docs2, generate_series(1, 2000) t(p)
+       |  WHERE p <= greatest(length(text) - 4, 1)),
+       |rare AS (
+       |  SELECT doc_id, shingle FROM
+       |    (SELECT doc_id, shingle,
+       |       count(*) OVER (PARTITION BY shingle) AS df FROM sh) z
+       |  WHERE df <= 10),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY 1),
+       |ints AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+       |  FROM rare a JOIN rare b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_int AS inter, jaccard FROM (
+       |  SELECT doc_a, doc_b, n_int,
+       |    ROUND(CAST(n_int AS DOUBLE) / (sa.sz + sb.sz - n_int), 4) AS jaccard
+       |  FROM ints
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id) j
+       |WHERE jaccard >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val withDups = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substr(text, 11)").as("text")))
+    Dedup.rareShingleJaccard(Dedup.charShingles(withDups))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val bucketSql = (0 until 8)
+    .map(i => s"(CASE WHEN CAST(embedding[${i + 1}] AS DOUBLE) > 0 " +
+      s"THEN ${1 << i} ELSE 0 END)")
+    .mkString(" + ")
+
+  val qDedupEmbed = Q(
+    "q_dedup_embed",
+    s"""WITH embs2 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1) AS embedding
+       |  FROM embeddings WHERE vec_id % 50 = 0),
+       |b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embs2)
+       |SELECT vec_a, vec_b, cos FROM (
+       |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+       |    ROUND(list_inner_product(a.embedding, b2.embedding) /
+       |          sqrt(list_inner_product(a.embedding, a.embedding)) /
+       |          sqrt(list_inner_product(b2.embedding, b2.embedding)), 4)
+       |      AS cos
+       |  FROM b a JOIN b b2
+       |    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id) p
+       |WHERE cos >= 0.9 ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
+    val embs = t(s, d, "embeddings")
+    val asDouble = transform(col("embedding"),
+      x => x.cast(DoubleType)).as("embedding")
+    val withDups = embs.select(col("vec_id"), asDouble).unionByName(
+      embs.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType) * 1.1)
+            .as("embedding")))
+    Dedup.embeddingNearDups(withDups)
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val qSimSearch = Q(
+    "q_sim_search",
+    """SELECT vec_id, score FROM (
+      |  SELECT e.vec_id,
+      |    ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), p.pe) /
+      |          sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+      |                                  CAST(e.embedding AS DOUBLE[]))) /
+      |          sqrt(list_inner_product(p.pe, p.pe)), 4) AS score
+      |  FROM embeddings e,
+      |    (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings
+      |     WHERE vec_id = 0) p
+      |  WHERE e.vec_id <> 0) q
+      |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    SimSearch.cosineTopK(t(s, d, "embeddings"), 0L, 10)
+  }
+
+  val qSimSearchIvf = Q(
+    "q_sim_search_ivf",
+    s"""WITH b AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+       |    $bucketSql AS bucket
+       |  FROM embeddings)
+       |SELECT vec_id, score FROM (
+       |  SELECT e.vec_id,
+       |    ROUND(list_inner_product(e.embedding, p.embedding) /
+       |          sqrt(list_inner_product(e.embedding, e.embedding)) /
+       |          sqrt(list_inner_product(p.embedding, p.embedding)), 4)
+       |      AS score
+       |  FROM b e JOIN (SELECT * FROM b WHERE vec_id = 0) p
+       |    ON e.bucket = p.bucket
+       |  WHERE e.vec_id <> 0) q
+       |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin) { (s, d) =>
+    SimSearch.bucketedTopK(t(s, d, "embeddings"), 0L, 5)
+  }
+
+  val qKnnPerLabel = Q(
+    "q_knn_per_label",
+    """WITH c AS (
+      |  SELECT label, p, avg(CAST(embedding[p] AS DOUBLE)) AS c
+      |  FROM embeddings, generate_series(1, 64) t(p)
+      |  GROUP BY label, p),
+      |d AS (
+      |  SELECT a.label AS label, b.label AS other,
+      |    ROUND(sqrt(sum((a.c - b.c) * (a.c - b.c))), 4) AS dist
+      |  FROM c a JOIN c b ON a.p = b.p AND a.label <> b.label
+      |  GROUP BY 1, 2)
+      |SELECT label, other, dist FROM (
+      |  SELECT label, other, dist,
+      |    row_number() OVER (PARTITION BY label ORDER BY dist, other) AS rn
+      |  FROM d) r
+      |WHERE rn = 1 ORDER BY label""".stripMargin) { (s, d) =>
+    SimSearch.nearestOtherCentroid(t(s, d, "embeddings"))
+      .orderBy("label")
+  }
+
+  val qTextTokens = Q(
+    "q_text_tokens",
+    """SELECT term, cnt FROM (
+      |  SELECT tok AS term, count(*) AS cnt FROM
+      |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) u
+      |  GROUP BY tok) g
+      |ORDER BY cnt DESC, term LIMIT 20""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(20)
+  }
+
+  val qTextStats = Q(
+    "q_text_stats",
+    """SELECT lang, count(*) AS n_docs,
+      |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+      |  ROUND(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6)
+      |    AS avg_words
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("n_chars")).cast(DoubleType) / count(lit(1)), 6)
+          .as("avg_chars"),
+        round(sum(size(split(col("text"), " "))).cast(DoubleType) /
+          count(lit(1)), 6).as("avg_words"))
+      .orderBy("lang")
+  }
+
+  val qTextSourcePivot = Q(
+    "q_text_source_pivot",
+    """SELECT lang,
+      |  count(*) FILTER (WHERE source = 'src0') AS src0,
+      |  count(*) FILTER (WHERE source = 'src1') AS src1,
+      |  count(*) FILTER (WHERE source = 'src2') AS src2,
+      |  count(*) FILTER (WHERE source = 'src3') AS src3,
+      |  count(*) FILTER (WHERE source = 'src4') AS src4
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .groupBy("lang")
+      .pivot("source", Seq("src0", "src1", "src2", "src3", "src4"))
+      .count()
+      .na.fill(0L)
+      .orderBy("lang")
+  }
+
+  val qTextLangid = Q(
+    "q_text_langid",
+    """SELECT lang, predicted, count(*) AS cnt FROM (
+      |  SELECT lang,
+      |    CASE WHEN vr > 0.34 THEN 'es' WHEN vr > 0.32 THEN 'en'
+      |         WHEN vr > 0.30 THEN 'fr' WHEN vr > 0.28 THEN 'de'
+      |         ELSE 'zh' END AS predicted
+      |  FROM (SELECT lang,
+      |          CAST(length(text) - length(translate(text, 'aeiou', ''))
+      |               AS DOUBLE) / length(text) AS vr
+      |        FROM documents) v) p
+      |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin) {
+    (s, d) =>
+      TextOps.langIdConfusion(t(s, d, "documents"))
+        .orderBy("lang", "predicted")
+  }
+
+  val qTextQuality = Q(
+    "q_text_quality",
+    """SELECT doc_id, n_tokens,
+      |  ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS mean_tok_len,
+      |  ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+      |  ROUND(least(n_tokens / 100.0, 1.0) * 0.5 +
+      |        CAST(n_stop AS DOUBLE) / n_tokens * 0.5, 4) AS quality
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the','a','of','and','to'))) AS n_stop
+      |  FROM documents) f
+      |ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
+    TextOps.qualityScores(t(s, d, "documents"))
+      .select("doc_id", "n_tokens", "mean_tok_len", "stop_ratio", "quality")
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  val qTextTokenCount = Q(
+    "q_text_token_count",
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+      |  len(regexp_extract_all(text, '[0-9]+')) AS num_tokens
+      |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
+    TextOps.tokenCounts(t(s, d, "documents"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  val qTextFingerprint = Q(
+    "q_text_fingerprint",
+    """SELECT doc_id,
+      |  CAST(SUM(CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT)
+      |           % 1099511627776) AS BIGINT) AS fp
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |      FROM documents) u
+      |GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
+    TextOps.fingerprint(t(s, d, "documents"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  val qMultimodalJoin = Q(
+    "q_multimodal_join",
+    """SELECT lang, label, count(*) AS cnt
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |GROUP BY lang, label ORDER BY lang, label""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .join(t(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "label")
+  }
+
+  val qMultimodalMeta = Q(
+    "q_multimodal_meta",
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |       ELSE 'video' END AS modality,
+      |  octet_length(CAST(text AS BLOB)) AS byte_len,
+      |  320 + octet_length(CAST(text AS BLOB)) % 320 AS width,
+      |  240 + octet_length(CAST(text AS BLOB)) % 240 AS height,
+      |  1 + octet_length(CAST(text AS BLOB)) % 16 AS n_frames
+      |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
+    Multimodal.metadata(Multimodal.mediaTable(t(s, d, "documents")))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  val qMultimodalDecode = Q.noOracle("q_multimodal_decode") { (s, d) =>
+    import s.implicits._
+    val media = Multimodal.mediaTable(t(s, d, "documents"))
+      .as[Multimodal.MediaRecord]
+    Multimodal.decodeStub(media)
+      .select(col("doc_id"), col("modality"), col("byte_len"),
+        col("n_frames"), size(col("feature")).as("feature_dim"),
+        round(element_at(col("feature"), 1).cast(DoubleType), 4).as("f0"))
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
+  val all: Seq[Q] = Seq(
+    qDedupExact, qDedupSimhash, qDedupMinhash, qDedupNgram, qDedupEmbed,
+    qSimSearch, qSimSearchIvf, qKnnPerLabel,
+    qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,
+    qTextTokenCount, qTextFingerprint,
+    qMultimodalJoin, qMultimodalMeta, qMultimodalDecode)
+}

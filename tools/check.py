@@ -18,7 +18,8 @@ def canon(v):
             return "NaN"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
+        s = format(v.normalize(), "f")
+        return s.rstrip("0").rstrip(".") if "." in s else s
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, bytes):
