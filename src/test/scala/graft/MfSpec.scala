@@ -1,0 +1,101 @@
+package graft
+
+import graft.ml.{AlsEngine, Antidote, Baseline, Ratings}
+import org.apache.spark.sql.functions._
+
+/** MF-family semantics that can't be DuckDB-checked: ALS correctness vs a
+  * closed form, antidote descent, metric invariants (SURVEY §5.3-5.4). */
+class MfSpec extends SparkTestBase {
+
+  test("ALS recovers a rank-1 fully-observed matrix (closed form)") {
+    import spark.implicits._
+    val a = (1 to 10).map(_.toDouble / 3)
+    val b = (1 to 8).map(_.toDouble / 5)
+    val cells = for (u <- a.indices; i <- b.indices)
+      yield (u.toLong, i.toLong, a(u) * b(i))
+    val ratings = cells.toDF("user_id", "item_id", "rating")
+    val model = AlsEngine.train(ratings,
+      AlsEngine.Config(rank = 2, regParam = 0.01, maxIter = 20, seed = 42))
+    val rmse = AlsEngine.rmse(model, ratings).head().getDouble(0)
+    assert(rmse < 0.05, s"rank-1 rmse $rmse")
+  }
+
+  test("ALS on the ratings view beats the baseline predictor's RMSE") {
+    val ratings = Ratings.view(spark, sf).cache()
+    val baseRmse = Baseline.rmse(Baseline.predictions(ratings))
+      .head().getDouble(0)
+    val model = AlsEngine.train(ratings)
+    val alsRmse = AlsEngine.rmse(model, ratings).head().getDouble(0)
+    assert(alsRmse < baseRmse, s"als $alsRmse vs baseline $baseRmse")
+  }
+
+  test("antidote init: budget size, id range, ratings within [1,5]") {
+    val ratings = Ratings.view(spark, sf).cache()
+    val x = Antidote.init(spark, ratings, 0.01).cache()
+    val nUsers = ratings.select("user_id").distinct().count()
+    val nItems = ratings.select("item_id").distinct().count()
+    assert(x.count() == math.ceil(0.01 * nUsers).toLong * nItems)
+    assert(x.filter(col("rating") < 1 || col("rating") > 5).count() == 0)
+    val maxReal = ratings.agg(max("user_id")).head().getLong(0)
+    assert(x.agg(min("user_id")).head().getLong(0) > maxReal)
+  }
+
+  test("projected GD step stays in [1,5] and does not increase polarization") {
+    val ratings = Ratings.view(spark, sf).cache()
+    val cfg = AlsEngine.Config(maxIter = 5)
+    val x0 = Antidote.init(spark, ratings, 0.01).cache()
+    val before = Antidote.polarization(
+      AlsEngine.train(ratings.unionByName(x0), cfg))
+    val x1 = Antidote.step(spark, ratings, x0, cfg, eta = 1e4).cache()
+    assert(x1.filter(col("rating") < 1 || col("rating") > 5).count() == 0)
+    assert(x1.count() == x0.count())
+    val after = Antidote.polarization(
+      AlsEngine.train(ratings.unionByName(x1), cfg))
+    assert(after <= before * 1.05,
+      s"polarization went $before -> $after")
+  }
+
+  test("metric invariants: perfect predictor, constant matrix, symmetry") {
+    import spark.implicits._
+    val pred = Seq((1L, 1L, 3.0, 3.0), (1L, 2L, 4.0, 4.0),
+      (2L, 1L, 2.0, 2.0), (2L, 2L, 5.0, 5.0))
+      .toDF("user_id", "item_id", "rating", "p")
+    assert(Baseline.rmse(pred).head().getDouble(0) == 0.0)
+
+    val const = Seq((1L, 1L, 3.0, 2.5), (2L, 1L, 4.0, 2.5),
+      (1L, 2L, 1.0, 2.5), (2L, 2L, 2.0, 2.5))
+      .toDF("user_id", "item_id", "rating", "p")
+    assert(Baseline.polarization(const).head().getDouble(0) == 0.0)
+
+    val cust = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val g1 = Baseline.groupUnfairness(pred, cust, "BUILDING", "MACHINERY")
+      .head().getDouble(0)
+    val g2 = Baseline.groupUnfairness(pred, cust, "MACHINERY", "BUILDING")
+      .head().getDouble(0)
+    assert(g1 == g2) // symmetric under group swap
+  }
+
+  test("antidote rating formula lands in [1,5] for any non-negative ids") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    import org.scalatest.matchers.should.Matchers._
+    val ids = Gen.chooseNum(0L, 2000000L)
+    val prop = forAll(ids, ids) { (u, i) =>
+      val h = (u * 2654435761L + i * 40503L) % 1000
+      val r = 1 + 4.0 * h / 999.0
+      r >= 1.0 && r <= 5.0
+    }
+    prop.check(_.withMinSuccessfulTests(500))
+  }
+
+  test("set-operation algebra and dedup idempotence") {
+    val c = Tables.load(spark, sf, "customer").select("c_nationkey")
+    assert(c.except(c).count() == 0)
+    val s = Tables.load(spark, sf, "supplier").select("s_nationkey")
+    assert(c.unionAll(s.toDF("c_nationkey")).count() == c.count() + s.count())
+    val e = Tables.load(spark, sf, "events")
+    val d1 = e.dropDuplicates("user_id", "event_type")
+    assert(d1.dropDuplicates("user_id", "event_type").count() == d1.count())
+  }
+}

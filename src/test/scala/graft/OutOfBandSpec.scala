@@ -1,0 +1,89 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Semantic tests for the Orc=N queries (SURVEY §5.2): sketches, map
+  * functions, MinHash recall, multimodal decode plumbing. */
+class OutOfBandSpec extends SparkTestBase {
+
+  test("approx_count_distinct within 5% of exact per suppkey") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val both = li.groupBy("l_suppkey").agg(
+      approx_count_distinct(col("l_partkey")).as("approx"),
+      countDistinct(col("l_partkey")).as("exact"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, e) = (r.getAs[Long]("approx").toDouble, r.getAs[Long]("exact").toDouble)
+      assert(math.abs(a - e) / e <= 0.05, s"suppkey ${r.get(0)}: $a vs $e")
+    }
+  }
+
+  test("map functions round-trip the source columns") {
+    val rows = operators.Scalars.qMapFuncs.run(spark, sf)
+      .join(Tables.load(spark, sf, "events"), "event_id")
+      .select("type_from_map", "event_type", "n_keys")
+      .collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1))
+      assert(r.getInt(2) == 2)
+    }
+  }
+
+  test("minhash LSH recovers planted near-duplicate pairs (recall >= 0.9)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val found = operators.LlmQueries.qDedupMinhash.run(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recovered = planted.count(id => found.contains((id, id + 1000000)))
+    assert(planted.nonEmpty)
+    assert(recovered.toDouble / planted.size >= 0.9,
+      s"recovered $recovered of ${planted.size}")
+  }
+
+  test("simhash of identical text collides; mutated copy stays close") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the fast key order sort table scan merge part window"),
+      (2L, "the fast key order sort table scan merge part window"),
+      (3L, "zzz qqq xxx vvv completely different tokens here now ok"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("multimodal decode stub: schema, determinism, pruned metadata") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(Tables.load(spark, sf, "documents"))
+      .as[Multimodal.MediaRecord]
+    val out = Multimodal.decodeStub(media)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "modality", "byte_len", "width", "height", "n_frames",
+        "feature"))
+    val r = out.filter(col("doc_id") === 0).head()
+    val r2 = out.filter(col("doc_id") === 0).head()
+    assert(r.feature.toSeq == r2.feature.toSeq &&
+      (r.doc_id, r.byte_len, r.width, r.height, r.n_frames) ==
+        ((r2.doc_id, r2.byte_len, r2.width, r2.height, r2.n_frames)))
+    assert(r.feature.length == 8)
+    // metadata path never deserializes payload
+    val meta = Multimodal.metadata(
+      Multimodal.mediaTable(Tables.load(spark, sf, "documents")))
+    assert(meta.filter(col("byte_len") <= 0).count() == 0)
+  }
+
+  test("embedding near-dup query finds exactly the planted copies") {
+    val pairs = operators.LlmQueries.qDedupEmbed.run(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) + 1000000)
+      assert(r.getDouble(2) >= 0.99)
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** True streaming semantics with controlled arrival order (MemoryStream):
+  * watermark late-drop, stateful dedup, mapGroupsWithState. */
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  case class Evt(event_id: Long, ts: Timestamp, event_type: String)
+
+  test("watermark drops rows arriving later than the delay") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val agg = StreamOps.tumblingCounts(ms.toDF(), "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+    def add(rows: Evt*): Unit = { ms.addData(rows); q.processAllAvailable() }
+
+    add(Evt(1, ts("2024-01-01 10:00:00"), "view"),
+      Evt(2, ts("2024-01-01 10:05:00"), "view"))
+    add(Evt(3, ts("2024-01-01 11:30:00"), "view"))
+    // watermark is now 11:20 — this 10:10 row is late and must be dropped
+    add(Evt(4, ts("2024-01-01 10:10:00"), "view"),
+      Evt(5, ts("2024-01-01 11:40:00"), "view"))
+    add(Evt(6, ts("2024-01-01 13:00:00"), "view"))
+    add(Evt(7, ts("2024-01-01 13:30:00"), "view"))
+    q.stop()
+
+    val counts = spark.table("wm_test")
+      .select(col("window_start").cast("string"), col("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("2024-01-01 10:00:00") == 2, s"late row not dropped: $counts")
+    assert(counts("2024-01-01 11:00:00") == 2)
+  }
+
+  test("dropDuplicatesWithinWatermark emits each event_id once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val q = StreamOps.dedupWithinWatermark(ms.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(Seq(
+      Evt(1, ts("2024-01-01 10:00:00"), "view"),
+      Evt(1, ts("2024-01-01 10:00:30"), "view"),
+      Evt(2, ts("2024-01-01 10:01:00"), "click")))
+    q.processAllAvailable()
+    ms.addData(Seq(Evt(1, ts("2024-01-01 10:02:00"), "view")))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_test").select("event_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L))
+  }
+
+  test("mapGroupsWithState keeps running per-user counts across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val counts = StreamOps.runningUserCounts(
+      ms.toDF().select(col("value").as("user_id")))
+    val q = counts.toDF("user_id", "n").writeStream.format("memory")
+      .queryName("state_test").outputMode(OutputMode.Update()).start()
+    ms.addData(1L, 1L, 2L); q.processAllAvailable()
+    ms.addData(1L, 2L, 2L); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("state_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.contains((1L, 2L)) && rows.contains((1L, 3L)),
+      s"user 1 state not carried: ${rows.toSeq}")
+    assert(rows.contains((2L, 3L)))
+  }
+
+  test("batch session windows match the gaps-and-islands oracle shape") {
+    val sessions = operators.StreamingQueries.qStreamSession.run(spark, sf)
+    val n = sessions.count()
+    assert(n > 0)
+    // session invariant: end - start >= the 30-minute gap
+    val bad = sessions.filter(
+      col("session_end").cast("long") - col("session_start").cast("long") <
+        30 * 60).count()
+    assert(bad == 0)
+  }
+}
