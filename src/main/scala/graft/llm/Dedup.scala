@@ -47,7 +47,7 @@ object Dedup {
   /** MinHash-LSH near-dup candidate pairs at the given max Jaccard
     * distance over word-shingle sets (seeded, deterministic). */
   def minhashPairs(docs: DataFrame, maxDist: Double = 0.6,
-      numHashTables: Int = 5): DataFrame = {
+      numHashTables: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     val shingled = docs.select(col("doc_id"),
       expr("""transform(sequence(1, greatest(size(split(text,' ')) - 2, 1)),

@@ -15,9 +15,25 @@ object AlsEngine {
   case class Config(rank: Int = 8, regParam: Double = 0.1, maxIter: Int = 10,
       seed: Long = 42L)
 
+  /** Memoized model per (sfDir, cfg): the train/predict/metric queries all
+    * need the identical deterministic model — retraining per query would
+    * triple the ALS cost in a bench run. */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Config), ALSModel]
+
+  def trainCachedOnRatingsView(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, cfg: Config = Config()): ALSModel =
+    modelCache.getOrElseUpdate((sfDir, cfg),
+      train(Ratings.view(spark, sfDir), cfg))
+
   /** Train on ratings(user_id BIGINT, item_id BIGINT, rating DOUBLE).
     * ALS wants int ids; fixture keys fit comfortably. */
   def train(ratings: DataFrame, cfg: Config = Config()): ALSModel = {
+    // ALS's iterative lineage needs periodic checkpoints (checkpointInterval
+    // is silently a no-op without a checkpoint dir) — without this, deep
+    // iteration counts overflow task stacks on serialization.
+    val sc = ratings.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir("target/checkpoints")
     val prepared = ratings.select(
       col("user_id").cast(IntegerType).as("user"),
       col("item_id").cast(IntegerType).as("item"),

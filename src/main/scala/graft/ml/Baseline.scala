@@ -60,6 +60,17 @@ object Baseline {
       .as("grp_unfairness"))
   }
 
+  /** Polarization + RMSE in ONE shuffle (per-item partial aggregates,
+    * then a constant-size final reduce): at scale this halves the passes
+    * over pred vs computing the two metrics separately. */
+  def polarizationAndRmse(pred: DataFrame): DataFrame =
+    pred.groupBy("item_id")
+      .agg(var_pop(col("p")).as("v"),
+        count(lit(1)).as("n"),
+        sum((col("rating") - col("p")) * (col("rating") - col("p"))).as("se"))
+      .agg(round(avg(col("v")), 6).as("polarization"),
+        round(sqrt(sum(col("se")) / sum(col("n"))), 6).as("rmse"))
+
   /** DuckDB CTEs mirroring predictions/userLoss — appended after
     * Ratings.cte in oracle SQL. */
   val cte: String =

@@ -34,7 +34,7 @@ object MfQueries {
        |SELECT count(DISTINCT user_id) AS n_user_factors,
        |  count(DISTINCT item_id) AS n_item_factors, 8 AS rank
        |FROM ratings""".stripMargin) { (s, d) =>
-    val model = AlsEngine.train(Ratings.view(s, d))
+    val model = AlsEngine.trainCachedOnRatingsView(s, d)
     val spark = s
     import spark.implicits._
     Seq((model.userFactors.count(), model.itemFactors.count(), model.rank))
@@ -43,7 +43,7 @@ object MfQueries {
 
   val qMfPredict = Q.noOracle("q_mf_predict") { (s, d) =>
     val ratings = Ratings.view(s, d)
-    AlsEngine.predictKnown(AlsEngine.train(ratings), ratings)
+    AlsEngine.predictKnown(AlsEngine.trainCachedOnRatingsView(s, d), ratings)
       .select(col("user_id"), col("item_id"), round(col("p"), 4).as("p"))
       .orderBy("user_id", "item_id")
   }
@@ -116,7 +116,9 @@ object MfQueries {
   val qAntidoteStep = Q.noOracle("q_antidote_step") { (s, d) =>
     val ratings = Ratings.view(s, d)
     val x0 = Antidote.init(s, ratings, 0.01)
-    Antidote.step(s, ratings, x0).orderBy("user_id", "item_id")
+    // 5 ALS sweeps are plenty for the V the gradient linearizes around
+    Antidote.step(s, ratings, x0, AlsEngine.Config(maxIter = 5))
+      .orderBy("user_id", "item_id")
   }
 
   private def evalBlock(alpha: Double, sfx: String): String =
@@ -159,16 +161,13 @@ object MfQueries {
        |${evalSelect(0.05, "b")}
        |ORDER BY alpha""".stripMargin) { (s, d) =>
     val ratings = Ratings.view(s, d).cache()
-    val predBefore = Baseline.predictions(ratings)
-    val before = Baseline.polarization(predBefore)
-      .crossJoin(Baseline.rmse(predBefore))
+    val before = Baseline.polarizationAndRmse(Baseline.predictions(ratings))
       .select(col("polarization").as("pol_before"),
         col("rmse").as("rmse_before"))
+    val stats = Antidote.userStats(ratings)
     val rows = Seq(0.01, 0.05).map { alpha =>
-      val aug = ratings.unionByName(Antidote.init(s, ratings, alpha))
-      val pred = Baseline.predictions(aug)
-      Baseline.polarization(pred)
-        .crossJoin(Baseline.rmse(pred))
+      val aug = ratings.unionByName(Antidote.init(s, ratings, alpha, stats))
+      Baseline.polarizationAndRmse(Baseline.predictions(aug))
         .select(lit(alpha).as("alpha"), col("polarization").as("pol_after"),
           col("rmse").as("rmse_after"))
         .crossJoin(before)
