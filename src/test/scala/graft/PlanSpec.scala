@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators._
+
+/** Physical-plan invariants (the 100 TB posture, regression-checked):
+  * filters reach the parquet scan, projections prune the read schema,
+  * dimension joins broadcast, top-k never globally sorts, aggregations are
+  * partial+final, and range joins never degenerate to cartesian products.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(q: Q): String =
+    q.run(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_filter_range pushes predicates into the parquet scan") {
+    val p = plan(Relational.qFilterRange)
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.matches("(?s).*PushedFilters: \\[\\].*"), p)
+  }
+
+  test("q_scan_project prunes the read schema to the projected columns") {
+    val p = plan(Relational.qScanProject)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .forall(read.contains), read)
+    assert(!read.contains("l_extendedprice"), read)
+  }
+
+  test("q_join_broadcast uses broadcast hash joins for the dimensions") {
+    val p = plan(Relational.qJoinBroadcast)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_orderby_limit fuses into TakeOrderedAndProject (no global sort)") {
+    val p = plan(Aggregates.qOrderbyLimit)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_agg_groupby is a partial+final hash aggregation under codegen") {
+    val df = Aggregates.qAggGroupby.run(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen spans materialize
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("codegen id"), p)
+  }
+
+  test("q_join_range keeps its equi component (no cartesian product)") {
+    val p = plan(Relational.qJoinRange)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_topk_per_group shuffles once on the group key") {
+    val p = plan(Windows.qTopkPerGroup)
+    // broadcast dim join + one exchange for the brand-level agg/window
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("as-of join is a single window pass, not a range self-join") {
+    val p = plan(Relational.qJoinAsof)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
