@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Vector kernels. `dot` dispatches to the native codegen'd DotProduct
+  * when GraftExtensions is installed, else to the bit-identical HOF
+  * formulation — callers (cosine, sim-search, dedup) never notice.
+  */
+object VectorFunctions {
+
+  private def nativeAvailable: Boolean =
+    SparkSession.getActiveSession.exists(
+      _.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("graft_dot")))
+
+  def dot(a: Column, b: Column): Column =
+    if (nativeAvailable) call_function("graft_dot", a, b)
+    else aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+}

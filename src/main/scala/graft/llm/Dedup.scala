@@ -104,12 +104,10 @@ object Dedup {
       when(element_at(e, i + 1) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  /** Cosine over the native codegen'd dot product (HOF fallback when the
+    * extension isn't installed — bit-identical either way). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine(a, b)
 
   /** Embedding-cosine near-dup pairs within sign-LSH buckets — linear in
     * bucket sizes instead of a quadratic cross join. */
