@@ -48,6 +48,18 @@ object MfQueries {
       .orderBy("user_id", "item_id")
   }
 
+  /** The reference's user-facing op (paper §5): top-k recommendations per
+    * user — `recommendForAllUsers` never materializes the dense R̂. */
+  val qMfTopkRecs = Q.noOracle("q_mf_topk_recs") { (s, d) =>
+    val model = AlsEngine.trainCachedOnRatingsView(s, d)
+    model.recommendForAllUsers(3)
+      .select(col("user").cast("long").as("user_id"),
+        posexplode(col("recommendations")).as(Seq("rank", "rec")))
+      .select(col("user_id"), (col("rank") + 1).as("rank"),
+        col("rec.item").cast("long").as("item_id"))
+      .orderBy("user_id", "rank")
+  }
+
   val qMetricRmse = Q(
     "q_metric_rmse",
     withRatings(
@@ -178,7 +190,7 @@ object MfQueries {
   }
 
   val all: Seq[Q] = Seq(
-    qRatingsView, qMfAlsTrain, qMfPredict,
+    qRatingsView, qMfAlsTrain, qMfPredict, qMfTopkRecs,
     qMetricRmse, qMetricPolarization, qMetricIndUnfairness,
     qMetricGrpUnfairness,
     qAntidoteInit, qAntidoteStep, qAntidoteEval)

@@ -267,8 +267,34 @@ object Relational {
       .orderBy("r_regionkey", "n_nationkey")
   }
 
+  /** CSV source/sink round-trip (the reference's native format): schema'd
+    * read-back must reproduce the table exactly. */
+  val qSourceCsv = Q(
+    "q_source_csv",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") {
+    (s, d) =>
+      val dir = "target/tmp/q_source_csv"
+      t(s, d, "nation").write.mode("overwrite")
+        .option("header", "true").csv(dir)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(dir)
+        .orderBy("n_nationkey")
+  }
+
+  /** JSON-lines source/sink round-trip. */
+  val qSourceJson = Q(
+    "q_source_json",
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, d) =>
+    val dir = "target/tmp/q_source_json"
+    t(s, d, "region").write.mode("overwrite").json(dir)
+    s.read.schema("r_regionkey INT, r_name STRING").json(dir)
+      .select("r_regionkey", "r_name")
+      .orderBy("r_regionkey")
+  }
+
   val all: Seq[Q] = Seq(
-    qScanProject, qScanCount, qSinkParquet,
+    qScanProject, qScanCount, qSinkParquet, qSourceCsv, qSourceJson,
     qFilterRange, qFilterInLike, qFilterNullCase,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinTheta, qJoinRange, qJoinAsof, qCrossJoin)

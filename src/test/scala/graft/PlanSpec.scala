@@ -58,6 +58,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("bucketed tables co-locate the fact join without a shuffle") {
+    import org.apache.spark.sql.functions.col
+    Tables.load(spark, sf, "lineitem").write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").saveAsTable("li_bucketed")
+    Tables.load(spark, sf, "orders").write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").saveAsTable("o_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("li_bucketed").join(spark.table("o_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("as-of join is a single window pass, not a range self-join") {
     val p = plan(Relational.qJoinAsof)
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
