@@ -114,17 +114,16 @@ object Antidote {
     val nTot = model.userFactors.count().toDouble
     val m = model.itemFactors.count().toDouble
 
-    // B = VᵀV — k×k reduction over item factors, computed distributedly.
+    // B = VᵀV — k×k reduction over item factors via the typed Gram
+    // aggregator (partial-aggregates map-side; merges associatively).
     val f = col("features")
-    val bSums = model.itemFactors.select(
-      (for (i <- 0 until k; j <- i until k) yield
-        sum(element_at(f, i + 1).cast(DoubleType) *
-          element_at(f, j + 1).cast(DoubleType)).as(s"b${i}_$j")): _*)
-      .head()
+    val gram = udaf(new graft.functions.GramAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    val tri = model.itemFactors.select(gram(f).as("g")).head().getSeq[Double](0)
     val b = DenseMatrix.zeros[Double](k, k)
     var idx = 0
     for (i <- 0 until k; j <- i until k) {
-      b(i, j) = bSums.getDouble(idx); b(j, i) = bSums.getDouble(idx)
+      b(i, j) = tri(idx); b(j, i) = tri(idx)
       idx += 1
     }
     val a = b + (DenseMatrix.eye[Double](k) * (cfg.regParam * m))

@@ -60,6 +60,16 @@ class PlanSpec extends SparkTestBase {
 
   test("bucketed tables co-locate the fact join without a shuffle") {
     import org.apache.spark.sql.functions.col
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // dirs survive — clear both
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(s"target/warehouse/$t"))
+    }
     Tables.load(spark, sf, "lineitem").write.mode("overwrite")
       .bucketBy(8, "l_orderkey").saveAsTable("li_bucketed")
     Tables.load(spark, sf, "orders").write.mode("overwrite")

@@ -1,0 +1,40 @@
+package graft
+
+import graft.plans.SkewJoin
+import org.apache.spark.sql.functions._
+
+/** Salted join must be result-identical to the plain equi-join while
+  * spreading each key over saltFactor partitions. */
+class SkewSpec extends SparkTestBase {
+
+  test("salted join equals the plain join on a skewed key") {
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+    val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment").collect().toSeq
+    val salted = SkewJoin.saltedEquiJoin(orders, customer,
+        "o_custkey", "c_custkey", 8)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment").collect().toSeq
+    assert(plain == salted)
+  }
+
+  test("gram aggregator matches the sum-of-products formulation") {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val embs = Tables.load(spark, sf, "embeddings").limit(50)
+    val k = 4
+    val shortVecs = embs.select(slice(col("embedding"), 1, k).as("v"))
+    val gram = udaf(new graft.functions.GramAggregator(k),
+      ExpressionEncoder[Seq[Float]]())
+    val tri = shortVecs.select(gram(col("v")).as("g")).head().getSeq[Double](0)
+    val expected = shortVecs.select(
+      (for (i <- 0 until k; j <- i until k) yield
+        sum(element_at(col("v"), i + 1).cast("double") *
+          element_at(col("v"), j + 1).cast("double"))): _*)
+      .head()
+    tri.indices.foreach { idx =>
+      assert(math.abs(tri(idx) - expected.getDouble(idx)) < 1e-9)
+    }
+  }
+}
