@@ -91,6 +91,25 @@ object Antidote {
     vals.sum / vals.length
   }
 
+  /** Full Alg. 1 loop: init X, then `steps` projected-GD iterations, each
+    * re-factorizing [R; X] and descending polarization. Returns the final
+    * X and the objective trace (evaluated per iteration). */
+  def optimize(spark: SparkSession, ratings: DataFrame, alpha: Double,
+      steps: Int, cfg: AlsEngine.Config = AlsEngine.Config(),
+      eta: Double = 1e4): (DataFrame, Seq[Double]) = {
+    var x = init(spark, ratings, alpha).cache()
+    val trace = Seq.newBuilder[Double]
+    trace += polarization(AlsEngine.train(ratings.unionByName(x), cfg))
+    for (_ <- 1 to steps) {
+      val next = step(spark, ratings, x, cfg, eta).cache()
+      next.count() // materialize before unpersisting the predecessor
+      x.unpersist()
+      x = next
+      trace += polarization(AlsEngine.train(ratings.unionByName(x), cfg))
+    }
+    (x, trace.result())
+  }
+
   /** One projected-GD step on X (Alg. 1): descend polarization through the
     * ridge closed form u_a = (VᵀV + λ·m·I)⁻¹ Vᵀ x_a (V fixed), then
     * box-project into [1,5]. Returns the updated antidote rows.

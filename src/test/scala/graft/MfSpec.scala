@@ -55,6 +55,17 @@ class MfSpec extends SparkTestBase {
       s"polarization went $before -> $after")
   }
 
+  test("Alg 1 loop: objective trace is non-increasing over 3 iterations") {
+    val ratings = Ratings.view(spark, sf).cache()
+    val cfg = AlsEngine.Config(maxIter = 5)
+    val (_, trace) = Antidote.optimize(spark, ratings, 0.01, 3, cfg, eta = 1e4)
+    assert(trace.length == 4)
+    trace.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * 1.05, s"objective rose: $trace")
+    }
+    assert(trace.last <= trace.head, s"no net improvement: $trace")
+  }
+
   test("metric invariants: perfect predictor, constant matrix, symmetry") {
     import spark.implicits._
     val pred = Seq((1L, 1L, 3.0, 3.0), (1L, 2L, 4.0, 4.0),
