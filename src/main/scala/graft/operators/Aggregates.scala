@@ -181,6 +181,68 @@ object Aggregates {
         .orderBy("c_mktsegment")
   }
 
+  /** GROUPING SETS (beyond rollup/cube): SQL-only surface in Spark, same
+    * Expand-based plan. */
+  val qAggGroupingSets = Q(
+    "q_agg_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+      |    AS revenue,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_p
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.registerAll(s, d)
+    s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+            |    AS revenue,
+            |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+            |  CAST(GROUPING(o_orderpriority) AS INT) AS g_p
+            |FROM orders
+            |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST,
+            |  o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  /** Correlated scalar subquery — Catalyst decorrelates it into a join
+    * (RewriteCorrelatedScalarSubquery), so execution stays set-based. */
+  val qSubqueryScalar = Q(
+    "q_subquery_scalar",
+    """SELECT o_orderkey, o_totalprice, cust_avg FROM (
+      |  SELECT o_orderkey, o_totalprice,
+      |    (SELECT ROUND(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+      |                       AS DOUBLE) / count(*), 6)
+      |     FROM orders o2 WHERE o2.o_custkey = o1.o_custkey) AS cust_avg
+      |  FROM orders o1) q
+      |WHERE o_totalprice > 1.5 * cust_avg
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.registerAll(s, d)
+    s.sql("""SELECT o_orderkey, o_totalprice, cust_avg FROM (
+            |  SELECT o_orderkey, o_totalprice,
+            |    (SELECT ROUND(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+            |                       AS DOUBLE) / count(*), 6)
+            |     FROM orders o2 WHERE o2.o_custkey = o1.o_custkey) AS cust_avg
+            |  FROM orders o1) q
+            |WHERE o_totalprice > 1.5 * cust_avg
+            |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** IN-subquery — rewritten to a left-semi join (RewritePredicateSubquery). */
+  val qSubqueryIn = Q(
+    "q_subquery_in",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN
+      |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.registerAll(s, d)
+    s.sql("""SELECT c_custkey, c_name FROM customer
+            |WHERE c_custkey IN
+            |  (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+            |ORDER BY c_custkey""".stripMargin)
+  }
+
   val qOrderbyLimit = Q(
     "q_orderby_limit",
     """SELECT o_orderkey, o_totalprice FROM orders
@@ -254,6 +316,7 @@ object Aggregates {
 
   val all: Seq[Q] = Seq(
     qAggGlobal, qAggGroupby, qAggHaving, qAggDistinct, qAggRollup, qAggCube,
+    qAggGroupingSets, qSubqueryScalar, qSubqueryIn,
     qAggStats, qAggApproxDistinct, qAggMedianPct,
     qOrderbyLimit, qSortMulti,
     qUnionAll, qUnionDistinct, qIntersect, qExcept)

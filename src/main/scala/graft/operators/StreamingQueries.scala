@@ -113,7 +113,22 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Stream-static join, batch shape (the streaming path — MemoryStream ⋈
+    * static customer — is asserted in StreamingSpec). */
+  val qStreamStaticJoin = Q(
+    "q_stream_static_join",
+    """SELECT c_mktsegment, event_type, count(*) AS cnt
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin) { (s, d) =>
+    StreamOps.enrichWithStatic(t(s, d, "events"),
+        t(s, d, "customer"), "user_id", "c_custkey")
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment", "event_type")
+  }
+
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
-    qStreamLate, qStreamStateful)
+    qStreamLate, qStreamStateful, qStreamStaticJoin)
 }

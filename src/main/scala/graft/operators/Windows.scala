@@ -129,7 +129,37 @@ object Windows {
       .orderBy("p_brand", "rn")
   }
 
+  /** Full-frame value windows: first/last/nth over the whole partition
+    * (frame pinned to UNBOUNDED..UNBOUNDED — last_value's default frame
+    * ends at CURRENT ROW and is a classic cross-engine trap). */
+  val qWindowFirstLast = Q(
+    "q_window_first_last",
+    """SELECT o_orderkey, o_orderpriority,
+      |  first_value(o_orderkey) OVER w AS top_key,
+      |  last_value(o_orderkey) OVER w AS bottom_key,
+      |  nth_value(o_orderkey, 2) OVER w AS second_key,
+      |  ROUND(cume_dist() OVER
+      |    (PARTITION BY o_orderpriority
+      |     ORDER BY o_totalprice DESC, o_orderkey), 6) AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING
+      |               AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (s, d) =>
+    val ord = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        first(col("o_orderkey")).over(w).as("top_key"),
+        last(col("o_orderkey")).over(w).as("bottom_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+        round(cume_dist().over(ord), 6).as("cd"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     qWindowRank, qWindowRunning, qWindowLeadLag, qWindowRangeFrame,
-    qWindowNtile, qTopkPerGroup)
+    qWindowNtile, qWindowFirstLast, qTopkPerGroup)
 }

@@ -78,6 +78,26 @@ object StreamOps {
       }
   }
 
+  /** Stream-static enrichment join: the static dimension is broadcast per
+    * microbatch; stateless, so no watermark needed. */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey))
+
+  /** foreachBatch sink: write each microbatch to `dir/batch=<id>` —
+    * batch-id-keyed paths make replays idempotent (overwrite semantics),
+    * the standard exactly-once pattern for non-transactional sinks. */
+  def runForeachBatchParquet(streamed: DataFrame, dir: String): Unit = {
+    val q = streamed.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion over bounded input
     * (Trigger.AvailableNow) and return the final result as a batch DF. */
   def runToCompletion(streamed: DataFrame, mode: OutputMode = OutputMode.Complete()): DataFrame = {

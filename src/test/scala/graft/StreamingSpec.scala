@@ -78,6 +78,42 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains((2L, 3L)))
   }
 
+  test("stream-static join enriches microbatches with the dimension") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val customer = Tables.load(spark, sf, "customer")
+    val joined = StreamOps.enrichWithStatic(
+      ms.toDF().select(col("value").as("user_id")),
+      customer, "user_id", "c_custkey")
+      .select("user_id", "c_mktsegment")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(0L, 1L, 2L); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getString(1).nonEmpty))
+  }
+
+  test("foreachBatch parquet sink writes idempotent batch-keyed paths") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val dir = "target/tmp/foreachbatch_sink"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+    ms.addData(Seq(Evt(1, ts("2024-01-01 10:00:00"), "view"),
+      Evt(2, ts("2024-01-01 10:05:00"), "click")))
+    StreamOps.runForeachBatchParquet(
+      ms.toDF().groupBy("event_type").count(), dir)
+    val written = spark.read.parquet(s"$dir/batch=0")
+    assert(written.count() == 2)
+  }
+
   test("batch session windows match the gaps-and-islands oracle shape") {
     val sessions = operators.StreamingQueries.qStreamSession.run(spark, sf)
     val n = sessions.count()
