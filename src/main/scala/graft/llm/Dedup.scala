@@ -98,6 +98,33 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "jaccard")
   }
 
+  /** Near-dup pairs → clusters via GraphX connected components (cluster id
+    * = min doc id in the component). The one genuinely graph-shaped step
+    * in the pipeline — RDD-based by necessity (GraphX), everything before
+    * and after stays DataFrame. */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs
+      .select(col("doc_a").cast(LongType), col("doc_b").cast(LongType))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val graph = org.apache.spark.graphx.Graph.fromEdgeTuples(edges, 0)
+    import spark.implicits._
+    graph.connectedComponents().vertices
+      .toDF("doc_id", "cluster_id")
+  }
+
+  /** Final dedup semantics: keep the min doc per near-dup cluster plus
+    * every unclustered doc. */
+  def survivors(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val keepers = clusters.groupBy("cluster_id")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val clustered = clusters.select("doc_id")
+    docs.join(clustered, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .unionByName(keepers)
+  }
+
   /** 8-bit sign-LSH bucket over the first 8 embedding dims. */
   def signBucket(e: Column): Column =
     (0 until 8).map { i =>

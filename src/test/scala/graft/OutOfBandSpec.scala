@@ -78,6 +78,32 @@ class OutOfBandSpec extends SparkTestBase {
     assert(meta.filter(col("byte_len") <= 0).count() == 0)
   }
 
+  test("near-dup clustering keeps one survivor per planted pair") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pairs = operators.LlmQueries.qDedupNgram.run(spark, sf)
+    val nPlanted = docs.filter(col("doc_id") % 50 === 0).count()
+    val clusters = Dedup.nearDupClusters(pairs)
+    val all = docs.select("doc_id").unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id")))
+    val kept = Dedup.survivors(all, clusters)
+    // most planted copies land in their original's cluster (the 0.3
+    // rare-shingle Jaccard threshold may miss a couple)…
+    val cl = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    val recovered = planted.count(id =>
+      cl.get(id + 1000000).isDefined && cl.get(id + 1000000) == cl.get(id))
+    assert(nPlanted > 0)
+    assert(recovered.toDouble / nPlanted >= 0.8,
+      s"recovered $recovered of $nPlanted")
+    // …and survivors keep cluster minima only (clustered copies never
+    // survive; originals may legitimately cluster with each other here)
+    assert(kept.count() > 0 && kept.count() <= all.count() - recovered)
+    val copySurvivors = kept.filter(col("doc_id") >= 1000000).count()
+    assert(copySurvivors == nPlanted - recovered, s"$copySurvivors survived")
+  }
+
   test("embedding near-dup query finds exactly the planted copies") {
     val pairs = operators.LlmQueries.qDedupEmbed.run(spark, sf).collect()
     assert(pairs.nonEmpty)
