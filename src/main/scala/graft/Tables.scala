@@ -23,9 +23,12 @@ object Tables {
     // nanosecond LongType (spark.sql.legacy.parquet.nanosAsLong=true, set
     // in Verify/Bench/tests). Normalize to microsecond TimestampType with
     // integral DIV — floor semantics, matching DuckDB's ns→us truncation.
+    // NTZ keeps parity with the other fixture timestamps (parquet
+    // isAdjustedToUTC=false), so every engine sees naive µs wall-clock.
     if (name == "events" &&
         df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))
+        .cast(org.apache.spark.sql.types.TimestampNTZType))
     else df
   }
 

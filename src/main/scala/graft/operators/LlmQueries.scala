@@ -263,7 +263,7 @@ object LlmQueries {
 
   val qTextQuality = Q(
     "q_text_quality",
-    """SELECT doc_id, n_tokens,
+    """SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
       |  ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS mean_tok_len,
       |  ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
       |  ROUND(least(n_tokens / 100.0, 1.0) * 0.5 +
@@ -284,9 +284,9 @@ object LlmQueries {
   val qTextTokenCount = Q(
     "q_text_token_count",
     """SELECT doc_id,
-      |  len(string_split(text, ' ')) AS ws_tokens,
-      |  len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
-      |  len(regexp_extract_all(text, '[0-9]+')) AS num_tokens
+      |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS alpha_tokens,
+      |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS num_tokens
       |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
     TextOps.tokenCounts(t(s, d, "documents"))
       .orderBy("doc_id")
@@ -323,10 +323,10 @@ object LlmQueries {
     """SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |       ELSE 'video' END AS modality,
-      |  octet_length(CAST(text AS BLOB)) AS byte_len,
-      |  320 + octet_length(CAST(text AS BLOB)) % 320 AS width,
-      |  240 + octet_length(CAST(text AS BLOB)) % 240 AS height,
-      |  1 + octet_length(CAST(text AS BLOB)) % 16 AS n_frames
+      |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
+      |  CAST(320 + octet_length(CAST(text AS BLOB)) % 320 AS INT) AS width,
+      |  CAST(240 + octet_length(CAST(text AS BLOB)) % 240 AS INT) AS height,
+      |  CAST(1 + octet_length(CAST(text AS BLOB)) % 16 AS INT) AS n_frames
       |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
     Multimodal.metadata(Multimodal.mediaTable(t(s, d, "documents")))
       .orderBy("doc_id")

@@ -145,7 +145,7 @@ object MfQueries {
        |  JOIN im$sfx ON r.item_id = im$sfx.item_id)""".stripMargin
 
   private def evalSelect(alpha: Double, sfx: String): String =
-    s"""SELECT $alpha AS alpha,
+    s"""SELECT CAST($alpha AS DOUBLE) AS alpha,
        |  (SELECT ROUND(avg(v), 6) FROM
        |     (SELECT var_pop(p) AS v FROM pred GROUP BY item_id) t) AS pol_before,
        |  (SELECT ROUND(avg(v), 6) FROM

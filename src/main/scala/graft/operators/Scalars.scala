@@ -19,7 +19,7 @@ object Scalars {
     "q_string_funcs",
     """SELECT p_partkey,
       |  upper(p_name) AS name_up, lower(p_brand) AS brand_lo,
-      |  length(p_name) AS name_len,
+      |  CAST(length(p_name) AS INT) AS name_len,
       |  substr(p_name, 1, 5) AS name_pre,
       |  concat(p_brand, '-', p_type) AS brand_type,
       |  trim(concat(' ', p_name, ' ')) AS name_trim,
@@ -61,11 +61,12 @@ object Scalars {
   val qDateFuncs = Q(
     "q_date_funcs",
     """SELECT l_orderkey, l_linenumber,
-      |  year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
-      |  quarter(o_orderdate) AS o_quarter,
+      |  CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(month(o_orderdate) AS INT) AS o_month,
+      |  CAST(quarter(o_orderdate) AS INT) AS o_quarter,
       |  CAST(date_trunc('month', o_orderdate) AS DATE) AS o_month_start,
-      |  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
-      |    AS ship_days,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+      |                 CAST(l_shipdate AS DATE)) AS INT) AS ship_days,
       |  CAST(o_orderdate AS DATE) + 30 AS due_date
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |ORDER BY l_orderkey, l_linenumber, ship_days LIMIT 300""".stripMargin) {
@@ -119,7 +120,7 @@ object Scalars {
   val qArrayFuncs = Q(
     "q_array_funcs",
     """SELECT vec_id,
-      |  len(embedding) AS dim,
+      |  CAST(len(embedding) AS INT) AS dim,
       |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
       |  ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_val,
       |  ROUND(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS min_val

@@ -19,8 +19,9 @@ object Windows {
   val qWindowRank = Q(
     "q_window_rank",
     """SELECT o_orderkey, o_orderpriority, o_totalprice,
-      |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
-      |  row_number() OVER w AS rn
+      |  CAST(rank() OVER w AS INT) AS rnk,
+      |  CAST(dense_rank() OVER w AS INT) AS drnk,
+      |  CAST(row_number() OVER w AS INT) AS rn
       |FROM orders
       |WINDOW w AS (PARTITION BY o_orderpriority
       |             ORDER BY o_totalprice DESC, o_orderkey)
@@ -62,7 +63,7 @@ object Windows {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val us = unix_micros(col("ts"))
+    val us = unix_micros(col("ts").cast(TimestampType))
     t(s, d, "events")
       .select(col("user_id"), col("event_id"),
         (us - lag(us, 1).over(w)).as("gap_us"),
@@ -78,7 +79,8 @@ object Windows {
       |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
       |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW), 6) AS trailing_avg
       |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("user_id").orderBy(col("ts").cast(LongType))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").cast(TimestampType).cast(LongType))
       .rangeBetween(-600, Window.currentRow)
     t(s, d, "events")
       .select(col("user_id"), col("event_id"),
@@ -89,7 +91,7 @@ object Windows {
   val qWindowNtile = Q(
     "q_window_ntile",
     """SELECT c_custkey,
-      |  ntile(4) OVER w AS quartile,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
       |  ROUND(percent_rank() OVER w, 6) AS pct_rank
       |FROM customer
       |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
@@ -105,7 +107,7 @@ object Windows {
     * sort or collect — one shuffle on the group key). */
   val qTopkPerGroup = Q(
     "q_topk_per_group",
-    """SELECT p_brand, p_partkey, revenue, rn FROM (
+    """SELECT p_brand, p_partkey, revenue, CAST(rn AS INT) AS rn FROM (
       |  SELECT p_brand, p_partkey, revenue,
       |    row_number() OVER (PARTITION BY p_brand
       |                       ORDER BY revenue DESC, p_partkey) AS rn

@@ -27,6 +27,7 @@ object StreamOps {
       .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
+    // stays TIMESTAMP (tz-adjusted): watermarks require it
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else raw

@@ -120,8 +120,8 @@ class StreamingSpec extends SparkTestBase {
     assert(n > 0)
     // session invariant: end - start >= the 30-minute gap
     val bad = sessions.filter(
-      col("session_end").cast("long") - col("session_start").cast("long") <
-        30 * 60).count()
+      col("session_end").cast("timestamp").cast("long") -
+        col("session_start").cast("timestamp").cast("long") < 30 * 60).count()
     assert(bad == 0)
   }
 }

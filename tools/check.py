@@ -68,6 +68,12 @@ def main():
             print(f"FAIL {name}: {len(s_rows)} rows vs oracle {len(o_rows)}")
             n_fail += 1
             continue
+        s_types = {f.name: str(f.type) for f in spark_tbl.schema}
+        o_types = {f.name: str(f.type) for f in o_tbl.schema}
+        tdiff = [c for c in s_cols if s_types.get(c) != o_types.get(c)]
+        if tdiff:  # warn-only: value canon below is the authority
+            print(f"  [types] {name}: " + ", ".join(
+                f"{c}: {s_types[c]} vs {o_types[c]}" for c in tdiff))
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b]
         if bad:
             i, a, b = bad[0]
