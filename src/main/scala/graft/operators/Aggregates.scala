@@ -263,6 +263,60 @@ object Aggregates {
         .orderBy(col("s_nationkey").asc, col("s_acctbal").desc, col("s_suppkey"))
   }
 
+  val qAggBitops = Q(
+    "q_agg_bitops",
+    """SELECT l_returnflag,
+      |  CAST(bit_and(CAST(l_orderkey % 256 AS INT)) AS INT) AS band,
+      |  CAST(bit_or(CAST(l_orderkey % 256 AS INT)) AS INT) AS bor,
+      |  CAST(bit_xor(CAST(l_orderkey % 256 AS INT)) AS INT) AS bxor,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      val k = (col("l_orderkey") % 256).cast(IntegerType)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(bit_and(k).as("band"), bit_or(k).as("bor"), bit_xor(k).as("bxor"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+  }
+
+  /** Deterministic string aggregation: collect_list is order-unstable, so
+    * sort_array pins it (oracle: string_agg ... ORDER BY). */
+  val qStringAgg = Q(
+    "q_string_agg",
+    """SELECT c_mktsegment,
+      |  string_agg(c_name, ',' ORDER BY c_name) AS names
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+    (s, d) =>
+      t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(array_join(sort_array(collect_list(col("c_name"))), ",")
+          .as("names"))
+        .orderBy("c_mktsegment")
+  }
+
+  /** arg-min/max + conditional/boolean aggregates (picker keys unique ⇒
+    * deterministic). */
+  val qAggArgminmax = Q(
+    "q_agg_argminmax",
+    """SELECT c_mktsegment,
+      |  max_by(c_name, c_custkey) AS last_cust,
+      |  min_by(c_name, c_custkey) AS first_cust,
+      |  CAST(count_if(c_acctbal > 5000) AS BIGINT) AS n_rich,
+      |  bool_or(c_acctbal > 9000) AS any_very_rich,
+      |  bool_and(c_acctbal > -1000) AS all_above_floor
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+    (s, d) =>
+      t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(max_by(col("c_name"), col("c_custkey")).as("last_cust"),
+          min_by(col("c_name"), col("c_custkey")).as("first_cust"),
+          count_if(col("c_acctbal") > 5000).as("n_rich"),
+          bool_or(col("c_acctbal") > 9000).as("any_very_rich"),
+          bool_and(col("c_acctbal") > -1000).as("all_above_floor"))
+        .orderBy("c_mktsegment")
+  }
+
   /** The antidote append ([R; X]) is exactly a UNION ALL (SURVEY §2.G). */
   val qUnionAll = Q(
     "q_union_all",
@@ -318,6 +372,7 @@ object Aggregates {
     qAggGlobal, qAggGroupby, qAggHaving, qAggDistinct, qAggRollup, qAggCube,
     qAggGroupingSets, qSubqueryScalar, qSubqueryIn,
     qAggStats, qAggApproxDistinct, qAggMedianPct,
+    qAggBitops, qStringAgg, qAggArgminmax,
     qOrderbyLimit, qSortMulti,
     qUnionAll, qUnionDistinct, qIntersect, qExcept)
 }
