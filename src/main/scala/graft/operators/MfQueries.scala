@@ -25,6 +25,28 @@ object MfQueries {
     Ratings.view(s, d).orderBy("user_id", "item_id")
   }
 
+  /** Wide-form pivot of the ratings matrix (the reference's D2 pivot) for
+    * a FIXED small item slice — the dense user×item materialization is
+    * deliberately bounded to the named columns, never all m. */
+  val qRatingsPivot = Q(
+    "q_ratings_pivot",
+    s"""WITH ${Ratings.cte}
+       |SELECT user_id,
+       |  ROUND(avg(CASE WHEN item_id = 1 THEN rating END), 6) AS i1,
+       |  ROUND(avg(CASE WHEN item_id = 2 THEN rating END), 6) AS i2,
+       |  ROUND(avg(CASE WHEN item_id = 3 THEN rating END), 6) AS i3,
+       |  ROUND(avg(CASE WHEN item_id = 4 THEN rating END), 6) AS i4,
+       |  ROUND(avg(CASE WHEN item_id = 5 THEN rating END), 6) AS i5
+       |FROM ratings GROUP BY user_id ORDER BY user_id""".stripMargin) {
+    (s, d) =>
+      Ratings.view(s, d)
+        .groupBy("user_id")
+        .pivot("item_id", Seq(1, 2, 3, 4, 5))
+        .agg(round(avg(col("rating")), 6))
+        .toDF("user_id", "i1", "i2", "i3", "i4", "i5")
+        .orderBy("user_id")
+  }
+
   /** Factor-matrix row counts are deterministic (every user/item with a
     * rating gets a factor row); factor VALUES are impl-dependent and
     * tested out-of-band. */
@@ -190,7 +212,7 @@ object MfQueries {
   }
 
   val all: Seq[Q] = Seq(
-    qRatingsView, qMfAlsTrain, qMfPredict, qMfTopkRecs,
+    qRatingsView, qRatingsPivot, qMfAlsTrain, qMfPredict, qMfTopkRecs,
     qMetricRmse, qMetricPolarization, qMetricIndUnfairness,
     qMetricGrpUnfairness,
     qAntidoteInit, qAntidoteStep, qAntidoteEval)

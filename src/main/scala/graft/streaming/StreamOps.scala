@@ -85,6 +85,25 @@ object StreamOps {
       eventKey: String, dimKey: String): DataFrame =
     events.join(broadcast(dim), events(eventKey) === dim(dimKey))
 
+  /** Stream-stream interval join: views ⋈ clicks of the same user with the
+    * click inside (view_ts, view_ts + window]. BOTH sides carry watermarks
+    * and the join condition bounds event-time distance — that pair is what
+    * lets Spark GC join state, the requirement for unbounded streams. */
+  def viewClickJoin(events: DataFrame, window: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") > col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $window"))
+      .select("user_id", "view_ts", "click_ts")
+  }
+
   /** foreachBatch sink: write each microbatch to `dir/batch=<id>` —
     * batch-id-keyed paths make replays idempotent (overwrite semantics),
     * the standard exactly-once pattern for non-transactional sinks. */

@@ -114,6 +114,30 @@ class StreamingSpec extends SparkTestBase {
     assert(written.count() == 2)
   }
 
+  test("stream-stream interval join pairs views with in-window clicks") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val joined = StreamOps.viewClickJoin(
+      ms.toDF().select(col("event_id").as("user_id"), col("ts"),
+        col("event_type")))
+    val q = joined.writeStream.format("memory").queryName("ss_interval")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(Seq(
+      Evt(1, ts("2024-01-01 10:00:00"), "view"),
+      Evt(1, ts("2024-01-01 10:03:00"), "click"), // in window → match
+      Evt(1, ts("2024-01-01 10:20:00"), "click"), // beyond 5 min → no match
+      Evt(2, ts("2024-01-01 10:01:00"), "click"))) // no prior view
+    q.processAllAvailable()
+    ms.addData(Seq(Evt(9, ts("2024-01-01 12:00:00"), "view")))
+    q.processAllAvailable() // advance watermark so results flush
+    q.stop()
+    val rows = spark.table("ss_interval")
+      .select(col("user_id"), col("click_ts").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "2024-01-01 10:03:00")), rows.toSeq.toString)
+  }
+
   test("batch session windows match the gaps-and-islands oracle shape") {
     val sessions = operators.StreamingQueries.qStreamSession.run(spark, sf)
     val n = sessions.count()
