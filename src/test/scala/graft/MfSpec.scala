@@ -100,6 +100,18 @@ class MfSpec extends SparkTestBase {
     prop.check(_.withMinSuccessfulTests(500))
   }
 
+  test("decimal aggregation is invariant to partition count") {
+    // the determinism contract's core claim: exact decimal sums make
+    // results independent of parallelism / reduction order
+    val li = Tables.load(spark, sf, "lineitem")
+    def run(parts: Int) = li.repartition(parts)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum(
+        graft.Dsl.dec2(col("l_quantity"))).as("s"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(run(1) == run(7) && run(7) == run(32))
+  }
+
   test("set-operation algebra and dedup idempotence") {
     val c = Tables.load(spark, sf, "customer").select("c_nationkey")
     assert(c.except(c).count() == 0)

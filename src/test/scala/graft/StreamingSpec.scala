@@ -138,6 +138,36 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((1L, "2024-01-01 10:03:00")), rows.toSeq.toString)
   }
 
+  test("stateful streaming runs on the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Evt]
+      val agg = ms.toDF().withWatermark("ts", "10 minutes")
+        .groupBy(col("event_type")).count()
+      val q = agg.writeStream.format("memory").queryName("rocksdb_test")
+        .outputMode(OutputMode.Complete()).start()
+      ms.addData(Seq(Evt(1, ts("2024-01-01 10:00:00"), "view"),
+        Evt(2, ts("2024-01-01 10:01:00"), "view")))
+      q.processAllAvailable()
+      ms.addData(Seq(Evt(3, ts("2024-01-01 10:02:00"), "view")))
+      q.processAllAvailable()
+      q.stop()
+      val n = spark.table("rocksdb_test")
+        .filter(col("event_type") === "view")
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      assert(n == 3) // state carried across batches in RocksDB
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("batch session windows match the gaps-and-islands oracle shape") {
     val sessions = operators.StreamingQueries.qStreamSession.run(spark, sf)
     val n = sessions.count()
