@@ -293,8 +293,28 @@ object Relational {
       .orderBy("r_regionkey")
   }
 
+  /** Partitioned-layout sink + pruned scan: the 100 TB table layout in
+    * miniature — writes orders hive-partitioned by year, reads back with a
+    * partition filter (only the matching directory is scanned; PlanSpec
+    * asserts PartitionFilters + dynamic partition pruning on this layout). */
+  val qSinkPartitioned = Q(
+    "q_sink_partitioned",
+    """SELECT count(*) AS cnt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+      |    AS revenue
+      |FROM orders WHERE year(o_orderdate) = 1997""".stripMargin) { (s, d) =>
+    val dir = "target/tmp/q_sink_partitioned"
+    t(s, d, "orders").withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("o_year") === 1997)
+      .agg(count(lit(1)).as("cnt"),
+        asDec(sum(dec2(col("o_totalprice"))), 28, 2).as("revenue"))
+  }
+
   val all: Seq[Q] = Seq(
     qScanProject, qScanCount, qSinkParquet, qSourceCsv, qSourceJson,
+    qSinkPartitioned,
     qFilterRange, qFilterInLike, qFilterNullCase,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinTheta, qJoinRange, qJoinAsof, qCrossJoin)

@@ -58,6 +58,33 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("partitioned layout: static and dynamic partition pruning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "target/tmp/q_sink_partitioned"
+    Tables.load(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    // static pruning: the filter reaches PartitionFilters
+    val pruned = spark.read.parquet(dir).filter(col("o_year") === 1997)
+    val p1 = pruned.queryExecution.executedPlan.toString
+    assert(p1.contains("PartitionFilters: [isnotnull(o_year") ||
+      p1.contains("PartitionFilters: [(o_year"), p1)
+    // dynamic pruning: join key = partition column, selective filter on a
+    // file-source dim (DPP doesn't consider in-memory relations)
+    val dimDir = "target/tmp/dpp_dim"
+    (1995 to 2001).map((_, "x")).toDF("y", "tag")
+      .withColumn("tag", when(col("y") === 1997, "keep").otherwise("drop"))
+      .write.mode("overwrite").parquet(dimDir)
+    val j = spark.read.parquet(dir)
+      .join(broadcast(spark.read.parquet(dimDir)
+        .filter(col("tag") === "keep")),
+        col("o_year") === col("y"))
+    j.collect()
+    val p2 = j.queryExecution.executedPlan.toString
+    assert(p2.toLowerCase.contains("dynamicpruning"), p2)
+  }
+
   test("bucketed tables co-locate the fact join without a shuffle") {
     import org.apache.spark.sql.functions.col
     // the in-memory catalog forgets tables between JVMs but the warehouse
