@@ -256,6 +256,51 @@ object Relational {
       .orderBy("user_id", "purchase_ts")
   }
 
+  /** LATERAL correlated subquery in FROM — per-customer top-2 orders
+    * (decorrelated by Catalyst into a ranked join). */
+  val qLateralTopn = Q(
+    "q_lateral_topn",
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |           WHERE o_custkey = c_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin) {
+    (s, d) =>
+      Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey, o_orderkey, o_totalprice
+              |FROM customer,
+              |  LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+              |           WHERE o_custkey = c_custkey
+              |           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+              |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  /** Unpivot (wide→long): melt per-status counts back into rows. */
+  val qUnpivot = Q(
+    "q_unpivot",
+    """SELECT c_mktsegment, status, cnt FROM (
+      |  SELECT c_mktsegment,
+      |    count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+      |    count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+      |    count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_mktsegment) w,
+      |  (VALUES ('f_cnt'), ('o_cnt'), ('p_cnt')) v(status),
+      |  LATERAL (SELECT CASE status WHEN 'f_cnt' THEN f_cnt
+      |                  WHEN 'o_cnt' THEN o_cnt ELSE p_cnt END AS cnt) c
+      |ORDER BY c_mktsegment, status""".stripMargin) { (s, d) =>
+    val wide = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count().na.fill(0L)
+      .toDF("c_mktsegment", "f_cnt", "o_cnt", "p_cnt")
+    wide.unpivot(Array(col("c_mktsegment")),
+        Array(col("f_cnt"), col("o_cnt"), col("p_cnt")), "status", "cnt")
+      .orderBy("c_mktsegment", "status")
+  }
+
   val qCrossJoin = Q(
     "q_cross_join",
     """SELECT r_regionkey, r_name, n_nationkey, n_name
@@ -317,5 +362,5 @@ object Relational {
     qSinkPartitioned,
     qFilterRange, qFilterInLike, qFilterNullCase,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
-    qJoinTheta, qJoinRange, qJoinAsof, qCrossJoin)
+    qJoinTheta, qJoinRange, qJoinAsof, qCrossJoin, qLateralTopn, qUnpivot)
 }
