@@ -98,6 +98,25 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "jaccard")
   }
 
+  /** Simhash near-dup pairs: banded candidate join (4×8-bit bands — any
+    * pair within hamming ≤ 3 shares at least one band by pigeonhole) then
+    * an exact popcount filter. Subquadratic; collisions bound the join. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = simhash(docs).select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("bidx"))
+      .withColumn("bval", expr("shiftright(simhash, bidx * 8) & 255"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sa"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("sb"))
+      .distinct()
+    cand.withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast(IntegerType))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Near-dup pairs → clusters via GraphX connected components (cluster id
     * = min doc id in the component). The one genuinely graph-shaped step
     * in the pipeline — RDD-based by necessity (GraphX), everything before

@@ -49,6 +49,49 @@ object LlmQueries {
       .orderBy("doc_id").limit(200)
   }
 
+  private val ngramDocs2 =
+    """docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, substr(text, 11) AS text
+      |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
+
+  /** Simhash LSH pairs over docs ∪ planted copies: banded candidates +
+    * exact hamming ≤ 3 — the linear-ish simhash dedup path end-to-end. */
+  val qDedupSimhashPairs = Q(
+    "q_dedup_simhash_pairs",
+    s"""WITH $ngramDocs2,
+       |toks AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM docs2) u),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $simhashBitsSql
+       |  FROM toks GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id, CAST($simhashSumSql AS BIGINT) AS simhash FROM bits),
+       |bands AS (
+       |  SELECT doc_id, simhash, b AS bidx,
+       |    (simhash >> (8 * b)) & 255 AS bval
+       |  FROM sigs, generate_series(0, 3) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+       |    b.doc_id AS doc_b, b.simhash AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val withDups = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substr(text, 11)").as("text")))
+    Dedup.simhashNearDups(withDups).orderBy("doc_a", "doc_b")
+  }
+
   val qDedupMinhash = Q.noOracle("q_dedup_minhash") { (s, d) =>
     val docs = t(s, d, "documents")
     val withDups = docs.select("doc_id", "text").unionByName(
@@ -59,13 +102,6 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
       .limit(500)
   }
-
-  private val ngramDocs2 =
-    """docs2 AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, substr(text, 11) AS text
-      |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
 
   val qDedupNgram = Q(
     "q_dedup_ngram",
@@ -346,7 +382,8 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(
-    qDedupExact, qDedupSimhash, qDedupMinhash, qDedupNgram, qDedupEmbed,
+    qDedupExact, qDedupSimhash, qDedupSimhashPairs, qDedupMinhash,
+    qDedupNgram, qDedupEmbed,
     qSimSearch, qSimSearchIvf, qKnnPerLabel,
     qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,
     qTextTokenCount, qTextFingerprint,

@@ -194,20 +194,37 @@ object MfQueries {
        |UNION ALL
        |${evalSelect(0.05, "b")}
        |ORDER BY alpha""".stripMargin) { (s, d) =>
+    // Single tagged pass: the base matrix and both augmented matrices are
+    // unioned under a `tag` column, so user-means/item-means/metrics for
+    // all three evaluate in ONE shuffle chain instead of three (the tag
+    // joins the grouping keys; per-tag inputs are disjoint, so results are
+    // identical to separate passes).
     val ratings = Ratings.view(s, d).cache()
-    val before = Baseline.polarizationAndRmse(Baseline.predictions(ratings))
-      .select(col("polarization").as("pol_before"),
-        col("rmse").as("rmse_before"))
     val stats = Antidote.userStats(ratings)
-    val rows = Seq(0.01, 0.05).map { alpha =>
-      val aug = ratings.unionByName(Antidote.init(s, ratings, alpha, stats))
-      Baseline.polarizationAndRmse(Baseline.predictions(aug))
-        .select(lit(alpha).as("alpha"), col("polarization").as("pol_after"),
-          col("rmse").as("rmse_after"))
-        .crossJoin(before)
-    }
-    rows.reduce(_ unionByName _)
-      .select("alpha", "pol_before", "pol_after", "rmse_before", "rmse_after")
+    val alphas = Seq(0.01 -> "a1", 0.05 -> "a2")
+    val tagged = ratings.withColumn("tag", lit("base"))
+      .unionByName(alphas.map { case (alpha, tg) =>
+        ratings.unionByName(Antidote.init(s, ratings, alpha, stats))
+          .withColumn("tag", lit(tg))
+      }.reduce(_ unionByName _))
+    val um = tagged.groupBy("tag", "user_id").agg(avg("rating").as("mu"))
+    val im = tagged.groupBy("tag", "item_id").agg(avg("rating").as("mi"))
+    val pred = tagged.join(um, Seq("tag", "user_id"))
+      .join(im, Seq("tag", "item_id"))
+      .withColumn("p", (col("mu") + col("mi")) / 2)
+    val m = pred.groupBy("tag", "item_id")
+      .agg(var_pop(col("p")).as("v"), count(lit(1)).as("n"),
+        sum((col("rating") - col("p")) * (col("rating") - col("p"))).as("se"))
+      .groupBy("tag")
+      .agg(round(avg(col("v")), 6).as("pol"),
+        round(sqrt(sum(col("se")) / sum(col("n"))), 6).as("rmse"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val spark = s
+    import spark.implicits._
+    alphas.map { case (alpha, tg) =>
+      (alpha, m("base")._1, m(tg)._1, m("base")._2, m(tg)._2)
+    }.toDF("alpha", "pol_before", "pol_after", "rmse_before", "rmse_after")
       .orderBy("alpha")
   }
 

@@ -118,6 +118,48 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  case class SessionAgg(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int)
+  case class SessionState(start: Long, last: Long, n: Int)
+
+  /** Custom sessionizer via flatMapGroupsWithState + EventTimeTimeout:
+    * state per user holds the open session; the timeout fires once the
+    * watermark passes last_event + gap, emitting the closed session and
+    * clearing state — session_window's semantics, hand-rolled on the
+    * arbitrary-state API (for when per-session logic outgrows the
+    * built-in, e.g. value-dependent gaps). */
+  def customSessionize(events: DataFrame, gapMinutes: Int,
+      watermark: String = "10 minutes"): Dataset[SessionAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000
+    events.withWatermark("ts", watermark)
+      .select(col("user_id").cast(LongType), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionAgg(user, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.last + gapMs), s.n))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq.sorted
+            val merged = state.getOption match {
+              case Some(s) => SessionState(math.min(s.start, times.min),
+                math.max(s.last, times.max), s.n + times.size)
+              case None => SessionState(times.min, times.max, times.size)
+            }
+            state.update(merged)
+            state.setTimeoutTimestamp(merged.last + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Run a streaming DataFrame to completion over bounded input
     * (Trigger.AvailableNow) and return the final result as a batch DF. */
   def runToCompletion(streamed: DataFrame, mode: OutputMode = OutputMode.Complete()): DataFrame = {

@@ -114,6 +114,33 @@ class StreamingSpec extends SparkTestBase {
     assert(written.count() == 2)
   }
 
+  test("custom flatMapGroupsWithState sessionizer closes on event-time timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val sessions = StreamOps.customSessionize(
+      ms.toDF().select(col("event_id").as("user_id"), col("ts")), 30)
+    val q = sessions.toDF().writeStream.format("memory")
+      .queryName("custom_sess").outputMode(OutputMode.Append()).start()
+    // one session for user 7: events at 10:00 and 10:10
+    ms.addData(Seq(Evt(7, ts("2024-01-01 10:00:00"), "view"),
+      Evt(7, ts("2024-01-01 10:10:00"), "view")))
+    q.processAllAvailable()
+    // push the watermark far past 10:40 so the timeout fires
+    ms.addData(Seq(Evt(8, ts("2024-01-01 14:00:00"), "view")))
+    q.processAllAvailable()
+    ms.addData(Seq(Evt(8, ts("2024-01-01 15:00:00"), "view")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("custom_sess")
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3)))
+    assert(rows.contains((7L, "2024-01-01 10:00:00", "2024-01-01 10:40:00", 2)),
+      rows.toSeq.toString)
+  }
+
   test("stream-stream interval join pairs views with in-window clicks") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
