@@ -136,6 +136,45 @@ object Scalars {
       .limit(100)
   }
 
+  /** Array-manipulation battery (sort/slice/contains/distinct-size —
+    * the subset with identical cross-engine semantics; list_distinct
+    * ORDER and array_position null-vs-0 differ, so those stay out). */
+  val qArrayOps = Q(
+    "q_array_ops",
+    """SELECT doc_id,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+      |    AS n_distinct,
+      |  list_contains(string_split(text, ' '), 'the') AS has_the,
+      |  list_sort(string_split(text, ' '))[1] AS first_sorted,
+      |  array_to_string(string_split(text, ' ')[1:3], ' ') AS head3
+      |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(array_distinct(toks)).as("n_distinct"),
+        array_contains(toks, "the").as("has_the"),
+        element_at(array_sort(toks), 1).as("first_sorted"),
+        array_join(slice(toks, 1, 3), " ").as("head3"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  /** Deterministic date formatting (pattern dialects differ; outputs
+    * must not). */
+  val qDateFormat = Q(
+    "q_date_format",
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m') AS ym,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS ymd
+      |FROM orders ORDER BY o_orderkey LIMIT 300""".stripMargin) { (s, d) =>
+    t(s, d, "orders")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("ymd"))
+      .orderBy("o_orderkey")
+      .limit(300)
+  }
+
   /** L2 norm via higher-order functions — sequential left fold in both
     * engines; round 4 dp absorbs summation-tree differences. */
   val qArrayHof = Q(
@@ -214,6 +253,6 @@ object Scalars {
   }
 
   val all: Seq[Q] = Seq(
-    qStringFuncs, qRegexp, qDateFuncs, qMathFuncs, qArrayFuncs, qArrayHof,
-    qJsonFuncs, qMapFuncs, qCastMatrix)
+    qStringFuncs, qRegexp, qDateFuncs, qDateFormat, qMathFuncs, qArrayFuncs,
+    qArrayOps, qArrayHof, qJsonFuncs, qMapFuncs, qCastMatrix)
 }
