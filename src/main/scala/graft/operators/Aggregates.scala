@@ -166,6 +166,18 @@ object Aggregates {
       .orderBy("l_suppkey")
   }
 
+  /** Sketch-based quantiles — approx algorithm differs per engine, so
+    * rows-only; the test suite bounds error vs the exact percentile. */
+  val qAggApproxQuantile = Q.noOracle("q_agg_approx_quantile") { (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+        .as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
+          .as("p90_approx"))
+      .orderBy("l_returnflag")
+  }
+
   val qAggMedianPct = Q(
     "q_agg_median_pct",
     """SELECT c_mktsegment, ROUND(median(c_acctbal), 6) AS med_bal,
@@ -371,7 +383,7 @@ object Aggregates {
   val all: Seq[Q] = Seq(
     qAggGlobal, qAggGroupby, qAggHaving, qAggDistinct, qAggRollup, qAggCube,
     qAggGroupingSets, qSubqueryScalar, qSubqueryIn,
-    qAggStats, qAggApproxDistinct, qAggMedianPct,
+    qAggStats, qAggApproxDistinct, qAggApproxQuantile, qAggMedianPct,
     qAggBitops, qStringAgg, qAggArgminmax,
     qOrderbyLimit, qSortMulti,
     qUnionAll, qUnionDistinct, qIntersect, qExcept)

@@ -205,6 +205,22 @@ object Scalars {
       .orderBy("k_bucket")
   }
 
+  /** Schema'd JSON parsing (from_json → struct field access) — the typed
+    * counterpart of get_json_object path extraction. */
+  val qJsonStruct = Q(
+    "q_json_struct",
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+      |FROM events ORDER BY event_id LIMIT 200""".stripMargin) { (s, d) =>
+    t(s, d, "events")
+      .select(col("event_id"),
+        from_json(col("props"),
+          StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k_val"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
   /** MapType construction/access — DuckDB map semantics differ, so no
     * oracle; round-trip covered in ScalaTest. */
   val qMapFuncs = Q.noOracle("q_map_funcs") { (s, d) =>
@@ -254,5 +270,5 @@ object Scalars {
 
   val all: Seq[Q] = Seq(
     qStringFuncs, qRegexp, qDateFuncs, qDateFormat, qMathFuncs, qArrayFuncs,
-    qArrayOps, qArrayHof, qJsonFuncs, qMapFuncs, qCastMatrix)
+    qArrayOps, qArrayHof, qJsonFuncs, qJsonStruct, qMapFuncs, qCastMatrix)
 }

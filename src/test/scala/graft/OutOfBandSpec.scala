@@ -20,6 +20,18 @@ class OutOfBandSpec extends SparkTestBase {
     }
   }
 
+  test("approx quantiles land within 10% of exact percentiles") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val both = li.groupBy("l_returnflag").agg(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+        .as("approx"),
+      percentile(col("l_extendedprice"), lit(0.5)).as("exact"))
+    both.collect().foreach { r =>
+      val (a, e) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a - e) / e <= 0.10, s"${r.get(0)}: $a vs $e")
+    }
+  }
+
   test("map functions round-trip the source columns") {
     val rows = operators.Scalars.qMapFuncs.run(spark, sf)
       .join(Tables.load(spark, sf, "events"), "event_id")

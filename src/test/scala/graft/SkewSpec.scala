@@ -20,6 +20,20 @@ class SkewSpec extends SparkTestBase {
     assert(plain == salted)
   }
 
+  test("salted join equals plain join for arbitrary salt factors (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    val orders = Tables.load(spark, sf, "orders").limit(200).cache()
+    val customer = Tables.load(spark, sf, "customer").cache()
+    val plainCnt = orders
+      .join(customer, col("o_custkey") === col("c_custkey")).count()
+    val prop = forAll(Gen.chooseNum(1, 16)) { k =>
+      SkewJoin.saltedEquiJoin(orders, customer, "o_custkey", "c_custkey", k)
+        .count() == plainCnt
+    }
+    prop.check(_.withMinSuccessfulTests(5))
+  }
+
   test("gram aggregator matches the sum-of-products formulation") {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val embs = Tables.load(spark, sf, "embeddings").limit(50)
