@@ -275,6 +275,30 @@ object Aggregates {
         .orderBy(col("s_nationkey").asc, col("s_acctbal").desc, col("s_suppkey"))
   }
 
+  /** Linear-regression aggregates (closed-form moments in both engines;
+    * round-4 absorbs accumulation-order noise at these magnitudes). */
+  val qAggRegression = Q(
+    "q_agg_regression",
+    """SELECT l_returnflag,
+      |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      |  ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+    (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy("l_returnflag")
+  }
+
   val qAggBitops = Q(
     "q_agg_bitops",
     """SELECT l_returnflag,
@@ -384,7 +408,7 @@ object Aggregates {
     qAggGlobal, qAggGroupby, qAggHaving, qAggDistinct, qAggRollup, qAggCube,
     qAggGroupingSets, qSubqueryScalar, qSubqueryIn,
     qAggStats, qAggApproxDistinct, qAggApproxQuantile, qAggMedianPct,
-    qAggBitops, qStringAgg, qAggArgminmax,
+    qAggRegression, qAggBitops, qStringAgg, qAggArgminmax,
     qOrderbyLimit, qSortMulti,
     qUnionAll, qUnionDistinct, qIntersect, qExcept)
 }

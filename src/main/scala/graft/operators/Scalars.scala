@@ -268,7 +268,28 @@ object Scalars {
       .orderBy("n_nationkey")
   }
 
+  /** Error-safe casts: TRY_CAST yields NULL instead of failing — the
+    * ingestion-hardening primitive for dirty data at scale. */
+  val qTryCast = Q(
+    "q_try_cast",
+    """SELECT p_partkey,
+      |  TRY_CAST(p_type AS INT) AS bad_int,
+      |  TRY_CAST(p_size AS TINYINT) AS small_int,
+      |  TRY_CAST('2024-13-45' AS DATE) AS bad_date,
+      |  TRY_CAST('123' AS INT) AS good_int
+      |FROM part ORDER BY p_partkey LIMIT 100""".stripMargin) { (s, d) =>
+    t(s, d, "part")
+      .selectExpr("p_partkey",
+        "TRY_CAST(p_type AS INT) AS bad_int",
+        "TRY_CAST(p_size AS TINYINT) AS small_int",
+        "TRY_CAST('2024-13-45' AS DATE) AS bad_date",
+        "TRY_CAST('123' AS INT) AS good_int")
+      .orderBy("p_partkey")
+      .limit(100)
+  }
+
   val all: Seq[Q] = Seq(
     qStringFuncs, qRegexp, qDateFuncs, qDateFormat, qMathFuncs, qArrayFuncs,
+    qTryCast,
     qArrayOps, qArrayHof, qJsonFuncs, qJsonStruct, qMapFuncs, qCastMatrix)
 }
