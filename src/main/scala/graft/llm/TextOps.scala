@@ -63,6 +63,24 @@ object TextOps {
         .as("quality"))
   }
 
+  /** Deterministic hash sampling: reproducible across runs, engines, and
+    * partitionings — the only sampling that belongs in a training-data
+    * pipeline (TABLESAMPLE is none of those). Keeps ~1/rate of rows. */
+  def hashSample(docs: DataFrame, rate: Int): DataFrame =
+    docs.filter(hash60(col("text")) % rate === 0)
+
+  /** Deterministic train/test split by content hash (holdout fraction =
+    * testBuckets/10). Same doc always lands in the same split. */
+  def trainTestSplit(docs: DataFrame, testBuckets: Int): DataFrame =
+    docs.withColumn("split",
+      when(hash60(col("text")) % 10 < lit(10 - testBuckets), "train")
+        .otherwise("test"))
+
+  /** Reproducible pseudo-random ordering (for shuffling training batches
+    * deterministically): order by content digest. */
+  def deterministicShuffle(docs: DataFrame): DataFrame =
+    docs.orderBy(md5(col("text")), col("doc_id"))
+
   /** Token counts: whitespace split vs a BPE-ish regex segmentation. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

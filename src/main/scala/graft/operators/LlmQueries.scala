@@ -342,6 +342,41 @@ object LlmQueries {
       .limit(200)
   }
 
+  val qSampleHash = Q(
+    "q_sample_hash",
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 20 = 0
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextOps.hashSample(t(s, d, "documents"), 20)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  val qSplitTrainTest = Q(
+    "q_split_train_test",
+    """SELECT split, count(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM (
+      |  SELECT CASE WHEN CAST(concat('0x', substr(md5(text), 1, 15))
+      |                    AS BIGINT) % 10 < 8
+      |              THEN 'train' ELSE 'test' END AS split, n_chars
+      |  FROM documents) s
+      |GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+    TextOps.trainTestSplit(t(s, d, "documents"), 2)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+  }
+
+  val qShuffleDet = Q(
+    "q_shuffle_det",
+    """SELECT doc_id, md5(text) AS h FROM documents
+      |ORDER BY h, doc_id LIMIT 100""".stripMargin) { (s, d) =>
+    TextOps.deterministicShuffle(t(s, d, "documents"))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .limit(100)
+  }
+
   val qMultimodalJoin = Q(
     "q_multimodal_join",
     """SELECT lang, label, count(*) AS cnt
@@ -387,5 +422,6 @@ object LlmQueries {
     qSimSearch, qSimSearchIvf, qKnnPerLabel,
     qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,
     qTextTokenCount, qTextFingerprint,
+    qSampleHash, qSplitTrainTest, qShuffleDet,
     qMultimodalJoin, qMultimodalMeta, qMultimodalDecode)
 }
