@@ -342,6 +342,45 @@ object LlmQueries {
       .limit(200)
   }
 
+  /** Sequence packing: assign docs to fixed-token-budget bins via an exact
+    * integer running sum (deterministic; the distributed stand-in for
+    * greedy context-window packing). */
+  val qPackSequences = Q(
+    "q_pack_sequences",
+    """SELECT bin, count(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+      |FROM (
+      |  SELECT CAST(floor((SUM(toks) OVER (ORDER BY doc_id
+      |                ROWS UNBOUNDED PRECEDING) - toks) / 2048) AS INT) AS bin,
+      |    toks
+      |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS toks
+      |        FROM documents) t) b
+      |GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t(s, d, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("toks"))
+      .withColumn("bin",
+        floor((sum(col("toks")).over(w) - col("toks")) / 2048)
+          .cast(IntegerType))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+      .orderBy("bin")
+  }
+
+  /** Length-bucket histogram (the batching-friendly length distribution). */
+  val qLengthBuckets = Q(
+    "q_length_buckets",
+    """SELECT CAST(floor(len(string_split(text, ' ')) / 16) AS INT) AS bucket,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .select(floor(size(split(col("text"), " ")) / 16).cast(IntegerType)
+        .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket")
+  }
+
   val qSampleHash = Q(
     "q_sample_hash",
     """SELECT doc_id, lang FROM documents
@@ -422,6 +461,6 @@ object LlmQueries {
     qSimSearch, qSimSearchIvf, qKnnPerLabel,
     qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,
     qTextTokenCount, qTextFingerprint,
-    qSampleHash, qSplitTrainTest, qShuffleDet,
+    qSampleHash, qSplitTrainTest, qShuffleDet, qPackSequences, qLengthBuckets,
     qMultimodalJoin, qMultimodalMeta, qMultimodalDecode)
 }
