@@ -88,6 +88,12 @@ class OutOfBandSpec extends SparkTestBase {
     val meta = Multimodal.metadata(
       Multimodal.mediaTable(Tables.load(spark, sf, "documents")))
     assert(meta.filter(col("byte_len") <= 0).count() == 0)
+    // frame sampling: every-2nd-frame indices are even and bounded by the
+    // per-record frame count (1 + byte_len % 16)
+    val frames = Multimodal.sampleFrames(media, every = 2)
+    assert(frames.count() > 0)
+    assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+    assert(frames.filter(col("frame_idx") >= 16).count() == 0)
   }
 
   test("near-dup clustering keeps one survivor per planted pair") {
