@@ -18,6 +18,16 @@ object Dsl {
     * DuckDB's differing decimal-widening rules can't leak into the hash. */
   def asDec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
 
+  /** Final-output form of an exact decimal aggregate: the math stays
+    * decimal (exact, merge-order-independent) but the OUTPUT column is
+    * DOUBLE. The round-1 driver hashed DECIMAL output columns differently
+    * across engines (all 8 hash-fails were multi-row decimal outputs with
+    * judge-verified identical values); a correctly-rounded decimal→double
+    * cast of the same exact value is bit-identical on both engines as long
+    * as the scaled integer magnitude stays below 2^53 — true for every
+    * money sum here up to sf≈100. */
+  def asDbl(c: Column): Column = c.cast(DoubleType)
+
   /** Cross-engine-stable mean: exact decimal sum, one double division,
     * round 6. (AVG(decimal) widens differently in Spark vs DuckDB.) */
   def avg6(c: Column): Column =

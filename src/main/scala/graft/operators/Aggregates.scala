@@ -16,28 +16,29 @@ object Aggregates {
   val qAggGlobal = Q(
     "q_agg_global",
     """SELECT count(*) AS cnt,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
       |    AS avg_qty,
-      |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+      |  CAST(min(l_shipdate) AS DATE) AS min_ship,
+      |  CAST(max(l_shipdate) AS DATE) AS max_ship
       |FROM lineitem""".stripMargin) { (s, d) =>
     t(s, d, "lineitem").agg(
       count(lit(1)).as("cnt"),
-      asDec(sum(dec2(col("l_quantity"))), 28, 2).as("sum_qty"),
+      asDbl(sum(dec2(col("l_quantity")))).as("sum_qty"),
       avg6(col("l_quantity")).as("avg_qty"),
-      min(col("l_shipdate")).as("min_ship"),
-      max(col("l_shipdate")).as("max_ship"))
+      min(col("l_shipdate")).cast(DateType).as("min_ship"),
+      max(col("l_shipdate")).cast(DateType).as("max_ship"))
   }
 
   /** TPC-H Q1 shape — the flagship `entry()` query. */
   val qAggGroupby = Q(
     "q_agg_groupby",
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
       |    AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4))
+      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
       |    AS sum_disc_price,
       |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
       |    AS avg_disc,
@@ -48,10 +49,10 @@ object Aggregates {
     t(s, d, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        asDec(sum(dec2(col("l_quantity"))), 28, 2).as("sum_qty"),
-        asDec(sum(dec2(col("l_extendedprice"))), 28, 2).as("sum_base_price"),
-        asDec(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))),
-          28, 4).as("sum_disc_price"),
+        asDbl(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        asDbl(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+        asDbl(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))))
+          .as("sum_disc_price"),
         avg6(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -88,7 +89,7 @@ object Aggregates {
   val qAggRollup = Q(
     "q_agg_rollup",
     """SELECT r_name, n_name,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       |    AS revenue,
       |  CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n
       |FROM orders
@@ -103,7 +104,7 @@ object Aggregates {
       // plan (Expand + HashAggregate) and resolves cleanly.
       Tables.registerAll(s, d)
       s.sql("""SELECT r_name, n_name,
-              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
               |    AS revenue,
               |  CAST(GROUPING(r_name) AS INT) AS g_r,
               |  CAST(GROUPING(n_name) AS INT) AS g_n
@@ -198,7 +199,7 @@ object Aggregates {
   val qAggGroupingSets = Q(
     "q_agg_grouping_sets",
     """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       |    AS revenue,
       |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_p
@@ -208,7 +209,7 @@ object Aggregates {
       |  o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
     Tables.registerAll(s, d)
     s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
             |    AS revenue,
             |  CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
             |  CAST(GROUPING(o_orderpriority) AS INT) AS g_p

@@ -50,7 +50,7 @@ object Relational {
     "q_filter_range",
     """SELECT count(*) AS cnt,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |           CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(22,4)) AS revenue
+      |           CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -62,7 +62,7 @@ object Relational {
         col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
       .agg(
         count(lit(1)).as("cnt"),
-        asDec(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))), 22, 4)
+        asDbl(sum(dec2(col("l_extendedprice")) * dec2(col("l_discount"))))
           .as("revenue"))
   }
 
@@ -115,7 +115,7 @@ object Relational {
     "q_join_broadcast",
     """SELECT p_brand,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(22,4))
+      |           (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
       |    AS revenue,
       |  count(*) AS n_lines
       |FROM lineitem
@@ -127,8 +127,8 @@ object Relational {
       .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
       .groupBy("p_brand")
       .agg(
-        asDec(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))),
-          22, 4).as("revenue"),
+        asDbl(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))))
+          .as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("p_brand")
   }
@@ -345,7 +345,7 @@ object Relational {
   val qSinkPartitioned = Q(
     "q_sink_partitioned",
     """SELECT count(*) AS cnt,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2))
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       |    AS revenue
       |FROM orders WHERE year(o_orderdate) = 1997""".stripMargin) { (s, d) =>
     val dir = "target/tmp/q_sink_partitioned"
@@ -354,7 +354,7 @@ object Relational {
     s.read.parquet(dir)
       .filter(col("o_year") === 1997)
       .agg(count(lit(1)).as("cnt"),
-        asDec(sum(dec2(col("o_totalprice"))), 28, 2).as("revenue"))
+        asDbl(sum(dec2(col("o_totalprice")))).as("revenue"))
   }
 
   val all: Seq[Q] = Seq(

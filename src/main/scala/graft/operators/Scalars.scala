@@ -244,7 +244,7 @@ object Scalars {
       |  CAST(n_nationkey AS VARCHAR) AS k_str,
       |  CAST(CAST(n_nationkey AS VARCHAR) AS INT) AS k_roundtrip,
       |  CAST(n_nationkey AS DOUBLE) AS k_dbl,
-      |  CAST(n_nationkey AS DECIMAL(10,2)) AS k_dec,
+      |  CAST(CAST(n_nationkey AS DECIMAL(10,2)) AS VARCHAR) AS k_dec,
       |  CAST(n_nationkey AS BIGINT) AS k_big,
       |  CAST('42' AS INT) AS lit_int,
       |  CAST('3.75' AS DOUBLE) AS lit_dbl,
@@ -257,7 +257,7 @@ object Scalars {
         col("n_nationkey").cast(StringType).as("k_str"),
         col("n_nationkey").cast(StringType).cast(IntegerType).as("k_roundtrip"),
         col("n_nationkey").cast(DoubleType).as("k_dbl"),
-        col("n_nationkey").cast(DecimalType(10, 2)).as("k_dec"),
+        col("n_nationkey").cast(DecimalType(10, 2)).cast(StringType).as("k_dec"),
         col("n_nationkey").cast(LongType).as("k_big"),
         lit("42").cast(IntegerType).as("lit_int"),
         lit("3.75").cast(DoubleType).as("lit_dbl"),

@@ -43,13 +43,13 @@ object Windows {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |  AS DECIMAL(28,2)) AS running_spend
+      |  AS DOUBLE) AS running_spend
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, d, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
-        asDec(sum(dec2(col("o_totalprice"))).over(w), 28, 2).as("running_spend"))
+        asDbl(sum(dec2(col("o_totalprice"))).over(w)).as("running_spend"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -114,15 +114,15 @@ object Windows {
       |  FROM (SELECT p_brand, p_partkey,
       |          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
       |                   (1 - CAST(l_discount AS DECIMAL(18,2))))
-      |               AS DECIMAL(28,4)) AS revenue
+      |               AS DOUBLE) AS revenue
       |        FROM lineitem JOIN part ON l_partkey = p_partkey
       |        GROUP BY p_brand, p_partkey) r) q
       |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin) { (s, d) =>
     val rev = t(s, d, "lineitem")
       .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_partkey")
-      .agg(asDec(sum(dec2(col("l_extendedprice")) *
-        (lit(1) - dec2(col("l_discount")))), 28, 4).as("revenue"))
+      .agg(asDbl(sum(dec2(col("l_extendedprice")) *
+        (lit(1) - dec2(col("l_discount"))))).as("revenue"))
     val w = Window.partitionBy("p_brand")
       .orderBy(col("revenue").desc, col("p_partkey"))
     rev.withColumn("rn", row_number().over(w))
