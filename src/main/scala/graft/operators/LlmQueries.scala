@@ -344,7 +344,10 @@ object LlmQueries {
 
   /** Sequence packing: assign docs to fixed-token-budget bins via an exact
     * integer running sum (deterministic; the distributed stand-in for
-    * greedy context-window packing). */
+    * greedy context-window packing). The running sum is the two-pass
+    * range-partitioned form (graft.plans.GlobalRank) — per-partition
+    * running sums shifted by constant-size per-partition totals — so no
+    * single task ever sees the whole table. */
   val qPackSequences = Q(
     "q_pack_sequences",
     """SELECT bin, count(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
@@ -355,13 +358,12 @@ object LlmQueries {
       |  FROM (SELECT doc_id, len(string_split(text, ' ')) AS toks
       |        FROM documents) t) b
       |GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
-    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    t(s, d, "documents")
+    val docs = t(s, d, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).as("toks"))
-      .withColumn("bin",
-        floor((sum(col("toks")).over(w) - col("toks")) / 2048)
-          .cast(IntegerType))
+    val (run, _) = graft.plans.GlobalRank.withGlobalRunningSum(
+      docs, col("toks"), "run_toks", 32, col("doc_id"))
+    run.withColumn("bin",
+        floor((col("run_toks") - col("toks")) / 2048).cast(IntegerType))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
       .orderBy("bin")

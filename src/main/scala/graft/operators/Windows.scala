@@ -88,6 +88,11 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** Global ntile/percent_rank WITHOUT a global window: two-pass
+    * range-partitioned rank (graft.plans.GlobalRank) — per-partition row
+    * numbers shifted by constant-size partition-count offsets, then the
+    * ntile/percent_rank arithmetic applied to the global rank. Scales to
+    * any row count; the old single-task `Window.orderBy` does not. */
   val qWindowNtile = Q(
     "q_window_ntile",
     """SELECT c_custkey,
@@ -96,10 +101,14 @@ object Windows {
       |FROM customer
       |WINDOW w AS (ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
-    val w = Window.orderBy("c_acctbal", "c_custkey")
-    t(s, d, "customer")
-      .select(col("c_custkey"), ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"))
+    val (ranked, n) = graft.plans.GlobalRank.withGlobalRowNumber(
+      t(s, d, "customer").select("c_custkey", "c_acctbal"),
+      "g_rank", 32, col("c_acctbal"), col("c_custkey"))
+    ranked.select(col("c_custkey"),
+      graft.plans.GlobalRank.ntileFromRank(col("g_rank"), n, 4)
+        .cast(IntegerType).as("quartile"),
+      round(graft.plans.GlobalRank.percentRankFromRank(col("g_rank"), n), 6)
+        .as("pct_rank"))
       .orderBy("c_custkey")
   }
 

@@ -113,6 +113,21 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("no window-bearing query plan contains an unpartitioned window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val qs = Seq(Windows.qWindowRank, Windows.qWindowRunning,
+      Windows.qWindowLeadLag, Windows.qWindowRangeFrame, Windows.qWindowNtile,
+      Windows.qWindowFirstLast, Windows.qTopkPerGroup,
+      LlmQueries.qPackSequences, Relational.qLateralTopn, Relational.qJoinAsof)
+    qs.foreach { q =>
+      val bad = q.run(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"${q.name}: global window would single-task at scale:\n${bad.mkString}")
+    }
+  }
+
   test("as-of join is a single window pass, not a range self-join") {
     val p = plan(Relational.qJoinAsof)
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
