@@ -10,13 +10,20 @@ import org.apache.spark.sql.types._
   * embedding dedup.
   *
   * Semantics are IDENTICAL to the HOF formulation
-  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, +)` (same left-to-right
-  * double accumulation, so results are bit-equal and oracle-safe), but the
-  * generated loop avoids per-element lambda invocation and the
-  * intermediate zipped array — it stays inside WholeStageCodegen.
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, +)` on ALL inputs: same
+  * left-to-right double accumulation (bit-equal, oracle-safe), and the
+  * same NULL behavior — unequal lengths (zip_with pads with null) or any
+  * null element poison the sum to NULL.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  private def mayContainNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
 
   private def elemType(e: Expression): DataType = e.dataType match {
     case ArrayType(t, _) => t
@@ -43,10 +50,15 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += get(a, ta, i) * get(b, tb, i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += get(a, ta, i) * get(b, tb, i)
+      i += 1
+    }
     acc
   }
 
@@ -59,14 +71,24 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // per-element null guard only when the schema admits null elements
+      val nullGuard =
+        if (mayContainNull(left) || mayContainNull(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${getter(elemType(left), a, i)} *
-         |          ${getter(elemType(right), b, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullGuard
+         |    $acc += ${getter(elemType(left), a, i)} *
+         |            ${getter(elemType(right), b, i)};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

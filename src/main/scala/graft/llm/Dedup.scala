@@ -66,11 +66,15 @@ object Dedup {
   }
 
   /** Character-5-gram shingles (positional substrings — expressible
-    * identically in ANSI SQL via a sequence join). */
-  def charShingles(docs: DataFrame, k: Int = 5): DataFrame =
+    * identically in ANSI SQL via a sequence join). `maxPos` bounds the
+    * scanned prefix; pass the same bound to the oracle's generate_series
+    * so both engines enumerate identical positions for any doc length. */
+  def charShingles(docs: DataFrame, k: Int = 5,
+      maxPos: Int = Int.MaxValue): DataFrame =
     docs.select(col("doc_id"), col("text"),
       explode(sequence(lit(1),
-        greatest(length(col("text")) - (k - 1), lit(1)))).as("p"))
+        least(greatest(length(col("text")) - (k - 1), lit(1)),
+          lit(maxPos)))).as("p"))
       .select(col("doc_id"), expr(s"substr(text, p, $k)").as("shingle"))
       .distinct()
 
@@ -78,10 +82,15 @@ object Dedup {
     * pairs sharing at least one; near-dup pairs above the threshold. */
   def rareShingleJaccard(shingles: DataFrame, maxDf: Long = 10,
       minJaccard: Double = 0.3): DataFrame = {
-    val rare = shingles
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+    // df via groupBy + semi-join, not count() OVER (PARTITION BY shingle):
+    // the window form materializes a per-row count over every hot common
+    // shingle's partition; the aggregate collapses each shingle to one row
+    // before the join, so skewed shingles cost one partial-agg cell.
+    val rareKeys = shingles.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+      .select("shingle")
+    val rare = shingles.join(rareKeys, "shingle")
       .select("doc_id", "shingle")
     val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = rare.as("a")
@@ -154,6 +163,53 @@ object Dedup {
     * extension isn't installed — bit-identical either way). */
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosine(a, b)
+
+  /** Seeded random-hyperplane directions: `bits` Gaussian vectors over all
+    * `dims` dimensions (deterministic per seed; driver-side constant of
+    * bits×dims doubles — broadcast as literals). */
+  def hyperplanes(dims: Int, bits: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Sign-LSH bucket from explicit hyperplanes: bit b = sign of ⟨e, h_b⟩.
+    * Unlike the fixed 8-bit `signBucket` (kept for the oracle queries),
+    * bucket space scales with `bits`: choose bits ≈ log2(N / B) for a
+    * target within-bucket population B — e.g. N = 10⁹ vectors and B ≈ 2¹⁰
+    * → 20 bits; the within-bucket self-join then stays ~N·B instead of
+    * the N²/2⁸ ceiling of the fixed scheme. */
+  def hyperplaneBucket(e: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(cosSafeDot(e, p) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def cosSafeDot(e: Column, plane: Array[Float]): Column =
+    graft.functions.VectorFunctions.dot(e, typedLit(plane.toSeq))
+
+  /** Scalable embedding near-dup pairs: L independent hyperplane tables of
+    * `bits` bits each (candidate recall 1−(1−p^bits)^tables for per-bit
+    * agreement p = 1−θ/π), exact cosine on the deduped candidate set.
+    * Everything is bucket-joined — no all-pairs stage at any N. */
+  def hyperplaneNearDups(embs: DataFrame, dims: Int, bits: Int = 16,
+      tables: Int = 4, seed: Long = 42L, minCos: Double = 0.9): DataFrame = {
+    val tagged = (0 until tables).map { tbl =>
+      val planes = hyperplanes(dims, bits, seed + tbl)
+      embs.select(col("vec_id"),
+        lit(tbl).as("tbl"),
+        hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cand = tagged.as("a").join(tagged.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val ea = embs.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val eb = embs.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("ea"), col("eb")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
 
   /** Embedding-cosine near-dup pairs within sign-LSH buckets — linear in
     * bucket sizes instead of a quadratic cross join. */

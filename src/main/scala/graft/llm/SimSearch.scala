@@ -40,6 +40,37 @@ object SimSearch {
       .limit(k)
   }
 
+  /** Multi-probe IVF top-k over the scalable hyperplane LSH: compute the
+    * probe's bucket plus the `nProbe−1` neighbor buckets obtained by
+    * flipping the lowest-|margin| sign bits (the bits most likely to
+    * disagree for true neighbors), then exact cosine only within those
+    * buckets. Raising `bits` shrinks buckets (scan cost ~ nProbe·N/2^bits);
+    * raising `nProbe` buys recall — standard multi-probe LSH trade. */
+  def multiProbeTopK(embs: DataFrame, probeId: Long, k: Int, dims: Int,
+      bits: Int = 16, nProbe: Int = 8, seed: Long = 42L): DataFrame = {
+    val planes = Dedup.hyperplanes(dims, bits, seed)
+    val pv = embs.filter(col("vec_id") === probeId)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val margins = planes.map(p =>
+      p.zip(pv).map { case (a, b) => a.toDouble * b.toDouble }.sum)
+    val base = margins.zipWithIndex
+      .map { case (m, i) => if (m > 0) 1L << i else 0L }.sum
+    val flipOrder = margins.zipWithIndex.sortBy { case (m, _) => math.abs(m) }
+    val probeBuckets = base +: flipOrder.take(math.max(nProbe - 1, 0))
+      .map { case (_, i) => base ^ (1L << i) }.toSeq
+    val withBucket = embs.select(col("vec_id"), col("embedding"),
+      Dedup.hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val probe = embs.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_e"))
+    withBucket
+      .filter(col("bucket").isin(probeBuckets: _*) && col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(Dedup.cosine(col("embedding"), col("probe_e")), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-label centroids via posexplode + (label, dim) aggregation. */
   def labelCentroids(embs: DataFrame): DataFrame =
     embs.select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))

@@ -48,6 +48,42 @@ object AlsEngine {
       .fit(prepared)
   }
 
+  /** Stable dense id dictionary: original id → contiguous INT index,
+    * assigned in id order via the two-pass range-partitioned global row
+    * number (no single-task window, no driver collect). The compaction
+    * seam for id spaces beyond 2^31 — MLlib ALS requires Int ids, and the
+    * plain cast in `train` silently corrupts larger keys. */
+  def idDictionary(df: DataFrame, idCol: String, nParts: Int = 32): DataFrame = {
+    val (ranked, n) = graft.plans.GlobalRank.withGlobalRowNumber(
+      df.select(col(idCol)).distinct(), "__idx", nParts, col(idCol))
+    require(n <= Int.MaxValue, s"distinct $idCol count $n exceeds Int range")
+    ranked.select(col(idCol), (col("__idx") - 1).cast(IntegerType).as("idx"))
+  }
+
+  /** Train over arbitrary Long id spaces: compact user/item ids through
+    * dense dictionaries, fit ALS on the Int indexes, and re-key the factor
+    * frames back to the ORIGINAL ids. Returns (model, userFactorsById,
+    * itemFactorsById) where the factor frames carry `user_id` / `item_id`
+    * BIGINT columns. */
+  def trainCompacted(ratings: DataFrame, cfg: Config = Config())
+      : (ALSModel, DataFrame, DataFrame) = {
+    val uDict = idDictionary(ratings, "user_id")
+    val iDict = idDictionary(ratings, "item_id")
+    val compacted = ratings
+      .join(uDict.withColumnRenamed("idx", "__u"), "user_id")
+      .join(iDict.withColumnRenamed("idx", "__i"), "item_id")
+      .select(col("__u").cast(LongType).as("user_id"),
+        col("__i").cast(LongType).as("item_id"), col("rating"))
+    val model = train(compacted, cfg)
+    val uf = model.userFactors
+      .join(uDict, model.userFactors("id") === uDict("idx"))
+      .select(col("user_id"), col("features"))
+    val itf = model.itemFactors
+      .join(iDict, model.itemFactors("id") === iDict("idx"))
+      .select(col("item_id"), col("features"))
+    (model, uf, itf)
+  }
+
   /** Predictions for the known cells (long form — never the dense n×m). */
   def predictKnown(model: ALSModel, ratings: DataFrame): DataFrame =
     model.transform(ratings.select(

@@ -78,41 +78,88 @@ object Antidote {
 
   /** Polarization of the model's predictions over ALL (user,item) pairs in
     * closed form: (1/m) Σ_i [v_iᵀ S v_i − (ūᵀ v_i)²] — no n×m
-    * materialization (SURVEY §2.J / D4). */
+    * materialization (SURVEY §2.J / D4). Fully distributed: S and ū are
+    * k×k / k driver broadcasts and the per-item quadratic form is a
+    * codegen'd column over itemFactors (no m×k collect — at large m the
+    * old driver-side loop was the bottleneck of the Alg-1 trace). */
   def polarization(model: ALSModel): Double = {
     val (uBar, s) = factorMoments(model)
-    val items = model.itemFactors.select("features").collect()
-    val vals = items.map { r =>
-      val v = DenseVector(r.getSeq[Float](0).map(_.toDouble).toArray)
-      val m1 = v dot (s * v)
-      val m2 = uBar dot v
-      m1 - m2 * m2
-    }
-    vals.sum / vals.length
+    val k = model.rank
+    def e(i: Int): Column =
+      element_at(col("features"), i + 1).cast(DoubleType)
+    // v'Sv over the symmetric S: diagonal terms once, off-diagonal twice.
+    val quad = (for (i <- 0 until k; j <- i until k) yield
+      e(i) * e(j) * lit(if (i == j) s(i, j) else 2.0 * s(i, j)))
+      .reduce(_ + _)
+    val mean = (0 until k).map(i => e(i) * lit(uBar(i))).reduce(_ + _)
+    model.itemFactors
+      .agg(avg(quad - mean * mean).as("polarization"))
+      .head().getDouble(0)
   }
 
+  /** One point of the Alg-1 trace: the optimized societal metric plus the
+    * accuracy cost (RMSE on the real known cells) — the paper's
+    * metric-vs-budget deliverable needs both. */
+  final case class TracePoint(objective: Double, rmse: Double)
+
+  /** The chosen metric evaluated on the ALS model, plus RMSE over the real
+    * ratings — all distributed (driver sees two scalars). */
+  def evaluate(model: ALSModel, ratings: DataFrame, metric: Metric): TracePoint = {
+    val rmse = AlsEngine.rmse(model, ratings).head().getDouble(0)
+    val obj = metric match {
+      case Metric.Polarization => polarization(model)
+      case Metric.IndividualUnfairness =>
+        userLosses(model, ratings)
+          .agg(var_pop(col("l_u"))).head().getDouble(0)
+      case Metric.GroupUnfairness(groups, a, b) =>
+        userLosses(model, ratings).join(groups, Seq("user_id"), "left")
+          .agg(abs(avg(when(col("grp") === a, col("l_u"))) -
+            avg(when(col("grp") === b, col("l_u"))))).head().getDouble(0)
+    }
+    TracePoint(obj, rmse)
+  }
+
+  /** Per-user ALS loss ℓ_u = mean squared error over the user's known
+    * cells, with the cell count (needed by the gradient chain rule). */
+  private def userLosses(model: ALSModel, ratings: DataFrame): DataFrame =
+    AlsEngine.predictKnown(model, ratings)
+      .groupBy("user_id")
+      .agg(avg((col("p") - col("rating")) * (col("p") - col("rating")))
+        .as("l_u"), count(lit(1)).as("n_u"))
+
   /** Full Alg. 1 loop: init X, then `steps` projected-GD iterations, each
-    * re-factorizing [R; X] and descending polarization. Returns the final
-    * X and the objective trace (evaluated per iteration). */
+    * re-factorizing [R; X] and descending the chosen metric. Returns the
+    * final X and the (objective, rmse) trace — one point per model, so
+    * metric-vs-budget AND rmse-vs-budget curves fall out of one run. */
   def optimize(spark: SparkSession, ratings: DataFrame, alpha: Double,
       steps: Int, cfg: AlsEngine.Config = AlsEngine.Config(),
-      eta: Double = 1e4): (DataFrame, Seq[Double]) = {
+      eta: Double = 1e4, metric: Metric = Metric.Polarization)
+      : (DataFrame, Seq[TracePoint]) = {
     var x = init(spark, ratings, alpha).cache()
-    val trace = Seq.newBuilder[Double]
-    trace += polarization(AlsEngine.train(ratings.unionByName(x), cfg))
+    val trace = Seq.newBuilder[TracePoint]
+    trace += evaluate(AlsEngine.train(ratings.unionByName(x), cfg), ratings, metric)
     for (_ <- 1 to steps) {
-      val next = step(spark, ratings, x, cfg, eta).cache()
+      val next = step(spark, ratings, x, cfg, eta, metric).cache()
       next.count() // materialize before unpersisting the predecessor
       x.unpersist()
       x = next
-      trace += polarization(AlsEngine.train(ratings.unionByName(x), cfg))
+      trace += evaluate(AlsEngine.train(ratings.unionByName(x), cfg), ratings, metric)
     }
     (x, trace.result())
   }
 
-  /** One projected-GD step on X (Alg. 1): descend polarization through the
-    * ridge closed form u_a = (VᵀV + λ·m·I)⁻¹ Vᵀ x_a (V fixed), then
-    * box-project into [1,5]. Returns the updated antidote rows.
+  /** One projected-GD step on X (Alg. 1) for the chosen metric, then
+    * box-project into [1,5]. Returns the updated antidote rows. */
+  def step(spark: SparkSession, ratings: DataFrame, x: DataFrame,
+      cfg: AlsEngine.Config = AlsEngine.Config(), eta: Double = 1.0,
+      metric: Metric = Metric.Polarization): DataFrame = metric match {
+    case Metric.Polarization => polarizationStep(spark, ratings, x, cfg, eta)
+    case m => unfairnessStep(spark, ratings, x, cfg, eta, m)
+  }
+
+  /** Polarization step: descend through the ridge closed form
+    * u_a = (VᵀV + λ·m·I)⁻¹ Vᵀ x_a (V fixed), then box-project into
+    * [1,5].
     *
     * The m-dimensional chain ∂U/∂x_a = V A⁻¹ Vᵀ · (2/(m·n))(V u_a − V ū)
     * collapses to V·w_a with w_a = (2/(m·n)) A⁻¹ B (u_a − ū), B = VᵀV —
@@ -121,8 +168,8 @@ object Antidote {
     * join + groupBy, the update x−η·v_i·w_a a zip_with). This is what
     * makes the step valid at 100 TB (and ~3× faster than a driver
     * round-trip of X even at sf0.1). */
-  def step(spark: SparkSession, ratings: DataFrame, x: DataFrame,
-      cfg: AlsEngine.Config = AlsEngine.Config(), eta: Double = 1.0): DataFrame = {
+  private def polarizationStep(spark: SparkSession, ratings: DataFrame,
+      x: DataFrame, cfg: AlsEngine.Config, eta: Double): DataFrame = {
     import spark.implicits._
 
     val aug = ratings.unionByName(x).cache()
@@ -176,6 +223,132 @@ object Antidote {
       lit(0.0), (acc, v) => acc + v)
     val out = xi.join(broadcast(vdf), "item_idx")
       .join(broadcast(wdf), "user_id")
+      .select(col("user_id"), col("item_id"),
+        round(least(lit(5.0), greatest(lit(1.0),
+          col("rating") - lit(eta) * dot)), 6).as("rating"))
+    aug.unpersist()
+    out
+  }
+
+  /** Unfairness step (paper Alg. 1 for U_ind / U_grp): the antidote data
+    * reaches the REAL users' losses through the item factors, so the
+    * linearization goes through ALS's item-side ridge stage with user
+    * factors fixed:
+    *
+    *   v_j = M_j⁻¹ (Σ_{i∈Ω_j} R_ij u_i + Σ_a X_aj u_a),
+    *   M_j = Σ_{i∈Ω_j} u_i u_iᵀ + Σ_a u_a u_aᵀ + λ(n_j + k̃)I
+    *   ⇒ ∂v_j/∂X_aj = M_j⁻¹ u_a.
+    *
+    * With per-user loss ℓ_i and metric-specific ∂U/∂ℓ_i =: d_i, the chain
+    * collapses to ∂U/∂X_aj = g_jᵀ M_j⁻¹ u_a with
+    * g_j = Σ_{i∈Ω_j} (2 d_i/|Ω_i|)(p_ij − R_ij) u_i.
+    *
+    * Distribution of labor: per-item B_j/g_j/n_j are ONE groupBy(item) of
+    * codegen'd factor products; the k×k solve M_j⁻¹ g_j runs per item
+    * INSIDE the cluster (typed map — genuine per-row linear algebra, the
+    * documented mapPartitions-class exception); the only driver-held state
+    * is the k̃×k antidote factor block and its k×k Gram — budget-sized,
+    * independent of n, m, and |ratings|. */
+  private def unfairnessStep(spark: SparkSession, ratings: DataFrame,
+      x: DataFrame, cfg: AlsEngine.Config, eta: Double,
+      metric: Metric): DataFrame = {
+    import spark.implicits._
+    val aug = ratings.unionByName(x).cache()
+    val model = AlsEngine.train(aug, cfg)
+    val k = cfg.rank
+
+    // Antidote factor block U_a (k̃×k — budget-sized driver state).
+    val mx = ratings.agg(max(col("user_id"))).head().getLong(0)
+    val uaRows = model.userFactors.filter(col("id") > mx).collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1).map(_.toDouble).toArray))
+    val kTilde = uaRows.length
+    val sa = DenseMatrix.zeros[Double](k, k)
+    uaRows.foreach { case (_, u) =>
+      for (i <- 0 until k; j <- 0 until k) sa(i, j) += u(i) * u(j)
+    }
+
+    // Per-user metric weight d_i = ∂U/∂ℓ_i (constant-size driver scalars).
+    val lu = userLosses(model, ratings)
+    val dDf = metric match {
+      case Metric.IndividualUnfairness =>
+        val g = lu.agg(avg(col("l_u")), count(lit(1))).head()
+        val (lBar, n) = (g.getDouble(0), g.getLong(1).toDouble)
+        lu.select(col("user_id"), col("n_u"),
+          ((col("l_u") - lBar) * (2.0 / n)).as("d_u"))
+      case Metric.GroupUnfairness(groups, a, b) =>
+        val withG = lu.join(groups, Seq("user_id"), "left")
+        val g = withG.agg(
+          avg(when(col("grp") === a, col("l_u"))),
+          avg(when(col("grp") === b, col("l_u"))),
+          count(when(col("grp") === a, lit(1))),
+          count(when(col("grp") === b, lit(1)))).head()
+        // Descend (ℓ̄_A − ℓ̄_B)² rather than |ℓ̄_A − ℓ̄_B|: identical descent
+        // direction, but the magnitude is ∝ the current gap, so steps
+        // self-damp near Δ = 0 instead of oscillating across the zero
+        // crossing the way the constant-magnitude sign(Δ) weight does.
+        val delta = g.getDouble(0) - g.getDouble(1)
+        val (na, nb) = (g.getLong(2).toDouble, g.getLong(3).toDouble)
+        withG.select(col("user_id"), col("n_u"),
+          when(col("grp") === a, 2.0 * delta / na)
+            .when(col("grp") === b, -2.0 * delta / nb)
+            .otherwise(0.0).as("d_u"))
+      case Metric.Polarization =>
+        throw new IllegalArgumentException("use polarizationStep")
+    }
+
+    // Cells with error, weight, and the rating user's factor vector.
+    val uf = model.userFactors
+      .select(col("id").cast(LongType).as("user_id"), col("features").as("u"))
+    val cells = AlsEngine.predictKnown(model, ratings)
+      .join(dDf, "user_id")
+      .join(uf, "user_id")
+      .select(col("item_id"),
+        ((col("p") - col("rating")) * col("d_u") * lit(2.0) / col("n_u"))
+          .as("wgt"),
+        col("u"))
+
+    // One shuffle on item_id: upper-tri of B_j, the k-vector g_j, and n_j.
+    def e(i: Int): Column = element_at(col("u"), i + 1).cast(DoubleType)
+    val triNames = for (i <- 0 until k; j <- i until k) yield s"b${i}_$j"
+    val aggCols =
+      (for (i <- 0 until k; j <- i until k)
+        yield sum(e(i) * e(j)).as(s"b${i}_$j")) ++
+      (0 until k).map(i => sum(col("wgt") * e(i)).as(s"g$i")) :+
+      count(lit(1)).as("nj")
+    val itemAgg = cells.groupBy("item_id")
+      .agg(aggCols.head, aggCols.tail: _*)
+
+    // Per-item ridge solve w_j = M_j⁻¹ g_j — distributed typed map.
+    val saArr = sa.toArray // column-major k×k
+    val lam = cfg.regParam
+    val solved = itemAgg.select(col("item_id"),
+        array(triNames.map(col): _*).as("btri"),
+        array((0 until k).map(i => col(s"g$i")): _*).as("g"),
+        col("nj"))
+      .as[(Long, Seq[Double], Seq[Double], Long)]
+      .map { case (item, bTri, gv, nj) =>
+        val m = new DenseMatrix[Double](k, k, saArr.clone())
+        var idx = 0
+        for (i <- 0 until k; j <- i until k) {
+          m(i, j) += bTri(idx); if (i != j) m(j, i) += bTri(idx)
+          idx += 1
+        }
+        for (i <- 0 until k) m(i, i) += lam * (nj + kTilde)
+        val w = m \ DenseVector(gv.toArray)
+        (item, w.toArray.toSeq)
+      }.toDF("item_id", "w")
+
+    // grad_aj = u_aᵀ w_j; projected update stays fully distributed (items
+    // without real cells keep their rating: left join + zero gradient).
+    val uaDf = uaRows.toSeq.map { case (id, u) => (id, u.toSeq) }
+      .toDF("user_id", "ua")
+    val dot = coalesce(aggregate(
+      zip_with(col("ua"), col("w"), (p, q) => p * q),
+      lit(0.0), (acc, v) => acc + v), lit(0.0))
+    val out = x.select(col("user_id"), col("item_id"),
+        col("rating").cast(DoubleType).as("rating"))
+      .join(solved, Seq("item_id"), "left")
+      .join(broadcast(uaDf), "user_id")
       .select(col("user_id"), col("item_id"),
         round(least(lit(5.0), greatest(lit(1.0),
           col("rating") - lit(eta) * dot)), 6).as("rating"))

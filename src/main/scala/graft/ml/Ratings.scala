@@ -40,4 +40,22 @@ object Ratings {
       .groupBy(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
       .agg(round(sum(perRow).cast(DoubleType) / count(lit(1)), 6).as("rating"))
   }
+
+  /** MovieLens-style delimited ingestion (the reference's native input:
+    * `ratings.dat` with `user::movie::rating::timestamp` lines). Explicit
+    * schema — no inference pass over the data — and a configurable
+    * multi-character separator (Spark's CSV reader accepts multi-char
+    * `sep` natively). Malformed lines become nulls (PERMISSIVE), the
+    * ingestion-hardening default; pair with try_cast-style filters when
+    * the corpus is dirty. */
+  def loadDelimited(spark: SparkSession, path: String,
+      sep: String = "::"): DataFrame =
+    spark.read
+      .option("sep", sep)
+      .schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("item_id", LongType),
+        StructField("rating", DoubleType),
+        StructField("ts", LongType))))
+      .csv(path)
 }

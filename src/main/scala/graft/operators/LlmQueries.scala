@@ -134,7 +134,8 @@ object LlmQueries {
       docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           expr("substr(text, 11)").as("text")))
-    Dedup.rareShingleJaccard(Dedup.charShingles(withDups))
+    // maxPos 2000 mirrors the oracle's generate_series(1, 2000) bound
+    Dedup.rareShingleJaccard(Dedup.charShingles(withDups, maxPos = 2000))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -148,14 +148,36 @@ object StreamOps {
               new java.sql.Timestamp(s.last + gapMs), s.n))
           } else {
             val times = rows.map(_._2.getTime).toSeq.sorted
-            val merged = state.getOption match {
-              case Some(s) => SessionState(math.min(s.start, times.min),
-                math.max(s.last, times.max), s.n + times.size)
-              case None => SessionState(times.min, times.max, times.size)
+            if (times.isEmpty) Iterator.empty
+            else {
+              // Split the batch into gap-delimited runs: a replayed bounded
+              // stream can carry several whole sessions in ONE microbatch,
+              // and merging them (the old behavior) produced one giant
+              // session per user under AvailableNow.
+              val runs = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+              times.foreach { t =>
+                if (runs.nonEmpty && t <= runs.last.last + gapMs) {
+                  val r = runs.last
+                  runs(runs.size - 1) = SessionState(r.start, t, r.n + 1)
+                } else runs += SessionState(t, t, 1)
+              }
+              // The open state session either absorbs the first run (still
+              // within the gap) or closes right now.
+              val all: Seq[SessionState] = state.getOption match {
+                case Some(s) if runs.head.start <= s.last + gapMs =>
+                  val h = runs.head
+                  SessionState(math.min(s.start, h.start),
+                    math.max(s.last, h.last), s.n + h.n) +: runs.tail.toSeq
+                case Some(s) => s +: runs.toSeq
+                case None => runs.toSeq
+              }
+              val open = all.last
+              state.update(open)
+              state.setTimeoutTimestamp(open.last + gapMs)
+              all.init.iterator.map(s =>
+                SessionAgg(user, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.last + gapMs), s.n))
             }
-            state.update(merged)
-            state.setTimeoutTimestamp(merged.last + gapMs)
-            Iterator.empty
           }
       }
   }

@@ -29,6 +29,32 @@ class FunctionsSpec extends SparkTestBase {
     assert(v > 0)
   }
 
+  test("graft_dot matches the HOF on unequal lengths and null elements") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),          // normal
+      (2L, Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 1.0f)),    // unequal length
+      (3L, Seq(1.0f), Seq(1.0f))                        // singleton
+    ).toDF("id", "a", "b")
+      // inject a null element for id 3 (Seq of Option doesn't encode cleanly)
+      .withColumn("a", when(col("id") === 3,
+        array(lit(null).cast("float"))).otherwise(col("a")))
+    val hof = aggregate(
+      zip_with(col("a"), col("b"),
+        (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(col("id"),
+        call_function("graft_dot", col("a"), col("b")).as("native"),
+        hof.as("hof"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch: $r")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) == r.getDouble(2), s"$r")
+    }
+    assert(rows(1).isNullAt(1), "unequal lengths must be NULL")
+    assert(rows(2).isNullAt(1), "null element must poison to NULL")
+  }
+
   test("cosine self-similarity is 1 under the native path") {
     val embs = Tables.load(spark, sf, "embeddings")
     val bad = embs.select(

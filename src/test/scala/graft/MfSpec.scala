@@ -60,10 +60,86 @@ class MfSpec extends SparkTestBase {
     val cfg = AlsEngine.Config(maxIter = 5)
     val (_, trace) = Antidote.optimize(spark, ratings, 0.01, 3, cfg, eta = 1e4)
     assert(trace.length == 4)
-    trace.sliding(2).foreach { case Seq(a, b) =>
+    trace.map(_.objective).sliding(2).foreach { case Seq(a, b) =>
       assert(b <= a * 1.05, s"objective rose: $trace")
     }
-    assert(trace.last <= trace.head, s"no net improvement: $trace")
+    assert(trace.last.objective <= trace.head.objective,
+      s"no net improvement: $trace")
+    // the trace carries BOTH curves of the paper's figure: metric + rmse
+    assert(trace.forall(p => p.rmse > 0 && p.rmse.isFinite), s"$trace")
+  }
+
+  test("U_ind antidote: objective non-increasing over 3 iterations") {
+    val ratings = Ratings.view(spark, sf).cache()
+    val cfg = AlsEngine.Config(maxIter = 5)
+    val (x, trace) = Antidote.optimize(spark, ratings, 0.01, 3, cfg,
+      eta = 1e4, metric = ml.Metric.IndividualUnfairness)
+    assert(x.filter(col("rating") < 1 || col("rating") > 5).count() == 0)
+    assert(trace.length == 4)
+    trace.map(_.objective).sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * 1.05, s"U_ind rose: $trace")
+    }
+    assert(trace.last.objective <= trace.head.objective,
+      s"no net U_ind improvement: $trace")
+  }
+
+  test("U_grp antidote: objective non-increasing over 3 iterations") {
+    val ratings = Ratings.view(spark, sf).cache()
+    val cfg = AlsEngine.Config(maxIter = 5)
+    // A grouping with a STRUCTURAL loss gap (median split on the initial
+    // per-user ALS loss): market segments are random w.r.t. loss, so their
+    // gap is refit noise and no optimizer can descend it monotonically.
+    val model0 = AlsEngine.train(
+      ratings.unionByName(Antidote.init(spark, ratings, 0.01)), cfg)
+    val lu = AlsEngine.predictKnown(model0, ratings)
+      .groupBy("user_id")
+      .agg(avg((col("p") - col("rating")) * (col("p") - col("rating")))
+        .as("l_u"))
+    val medLoss = lu.agg(percentile(col("l_u"), lit(0.5))).head().getDouble(0)
+    val groups = lu.select(col("user_id"),
+      when(col("l_u") > medLoss, "HI").otherwise("LO").as("grp"))
+    val (x, trace) = Antidote.optimize(spark, ratings, 0.01, 3, cfg,
+      eta = 1e4,
+      metric = ml.Metric.GroupUnfairness(groups, "HI", "LO"))
+    assert(x.filter(col("rating") < 1 || col("rating") > 5).count() == 0)
+    assert(trace.length == 4)
+    trace.map(_.objective).sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * 1.05, s"U_grp rose: $trace")
+    }
+    assert(trace.last.objective <= trace.head.objective,
+      s"no net U_grp improvement: $trace")
+  }
+
+  test("delimited ratings loader parses ::-separated MovieLens lines") {
+    val dir = "target/tmp/ratings_dat"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/ratings.dat"),
+      "1::10::4.5::978300760\n2::20::3.0::978302109\n1::20::5.0::978301968\n"
+        .getBytes("UTF-8"))
+    val df = Ratings.loadDelimited(spark, dir)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("user_id", "item_id", "rating", "ts"))
+    assert(df.count() == 3)
+    assert(df.filter(col("user_id") === 1 && col("item_id") === 10 &&
+      col("rating") === 4.5 && col("ts") === 978300760L).count() == 1)
+  }
+
+  test("id compaction trains ALS over Long ids beyond Int range") {
+    import spark.implicits._
+    val big = 5000000000L // > 2^31: the plain Int cast would corrupt these
+    val cells = for (u <- 0 until 10; i <- 0 until 8)
+      yield (big + u * 1000L, big * 2 + i * 77L, ((u * i) % 5 + 1).toDouble)
+    val ratings = cells.toDF("user_id", "item_id", "rating")
+    val (model, uf, itf) =
+      AlsEngine.trainCompacted(ratings, AlsEngine.Config(rank = 2, maxIter = 5))
+    assert(model.rank == 2)
+    assert(uf.count() == 10 && itf.count() == 8)
+    // factor frames are re-keyed to the ORIGINAL Long ids
+    assert(uf.agg(min("user_id")).head().getLong(0) == big)
+    assert(itf.agg(min("item_id")).head().getLong(0) == big * 2)
+    assert(uf.schema("features").dataType.isInstanceOf[
+      org.apache.spark.sql.types.ArrayType])
   }
 
   test("metric invariants: perfect predictor, constant matrix, symmetry") {

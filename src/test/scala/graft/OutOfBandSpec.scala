@@ -130,4 +130,41 @@ class OutOfBandSpec extends SparkTestBase {
       assert(r.getDouble(2) >= 0.99)
     }
   }
+
+  /** Deterministically perturbed copies (±0.4% per component) of every
+    * embedding, planted at vec_id + 10^6 — cosine ≈ 0.9999. */
+  private def withPlantedDups(embs: org.apache.spark.sql.DataFrame) = {
+    val dups = embs.select((col("vec_id") + 1000000L).as("vec_id"),
+      expr("""transform(embedding, (v, i) ->
+             |  CAST(v * (1.0 + 0.002 * ((CAST(vec_id + i AS INT) % 5) - 2))
+             |       AS FLOAT))""".stripMargin).as("embedding"),
+      col("label"))
+    embs.unionByName(dups)
+  }
+
+  test("hyperplane LSH near-dups: recall >= 0.9 on planted copies") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val all = withPlantedDups(embs).cache()
+    val planted = embs.select("vec_id").collect().map(_.getLong(0)).toSet
+    val found = Dedup.hyperplaneNearDups(all, dims = 64, bits = 16,
+        tables = 4, seed = 42L, minCos = 0.99)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recovered = planted.count(id => found.contains((id, id + 1000000L)))
+    assert(planted.nonEmpty)
+    assert(recovered.toDouble / planted.size >= 0.9,
+      s"recovered $recovered of ${planted.size}")
+  }
+
+  test("multi-probe IVF search surfaces the planted nearest neighbor") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val all = withPlantedDups(embs).cache()
+    val probes = (0L until 50L by 5L).toSeq
+    val hits = probes.count { id =>
+      val top = graft.llm.SimSearch.multiProbeTopK(all, id, k = 1,
+        dims = 64, bits = 16, nProbe = 8, seed = 42L).collect()
+      top.nonEmpty && top.head.getLong(0) == id + 1000000L
+    }
+    assert(hits.toDouble / probes.size >= 0.9, s"top-1 hits $hits/${probes.size}")
+  }
 }

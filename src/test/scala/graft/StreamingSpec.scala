@@ -139,6 +139,28 @@ class StreamingSpec extends SparkTestBase {
         r.getInt(3)))
     assert(rows.contains((7L, "2024-01-01 10:00:00", "2024-01-01 10:40:00", 2)),
       rows.toSeq.toString)
+    // gap-split: user 8's 15:00 event exceeds 14:00 + 30min, so the open
+    // 14:00 session closes as its own session instead of merging
+    assert(rows.contains((8L, "2024-01-01 14:00:00", "2024-01-01 14:30:00", 1)),
+      rows.toSeq.toString)
+  }
+
+  test("session_window boundary: an event at exactly last+gap MERGES (verified)") {
+    import spark.implicits._
+    // Verified empirically (round-1 ADVICE raised the question): Spark
+    // merges sessions that touch at exactly last+gap — the boundary event
+    // stays in the SAME session. The q_stream_session oracle's strict
+    // `ts - lag(ts) > INTERVAL 30 MINUTE` flag therefore matches Spark;
+    // this test pins the semantics so a Spark upgrade flipping it fails
+    // loudly here rather than silently in the hash gate.
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:01"))
+    ).toDF("user_id", "ts")
+    val n = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count().count()
+    assert(n == 2, s"exact-gap event must merge, 1s-past-gap must split: $n")
   }
 
   test("stream-stream interval join pairs views with in-window clicks") {
