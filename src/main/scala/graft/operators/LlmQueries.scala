@@ -458,10 +458,36 @@ object LlmQueries {
       .limit(100)
   }
 
+  /** Scalable-path embedding dedup: seeded hyperplane LSH (16 bits × 4
+    * tables — 65k buckets/table vs the oracle variant's fixed 256).
+    * Hyperplanes are driver-seeded Gaussians, not SQL-expressible →
+    * rows-only; recall vs planted dups is asserted in OutOfBandSpec. */
+  val qDedupEmbedLsh = Q.noOracle("q_dedup_embed_lsh") { (s, d) =>
+    val embs = t(s, d, "embeddings")
+    val withDups = embs.unionByName(
+      embs.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(embedding, x -> CAST(x * 1.1 AS FLOAT))")
+            .as("embedding"),
+          col("label")))
+    Dedup.hyperplaneNearDups(withDups, dims = 64, bits = 16, tables = 4,
+        seed = 42L, minCos = 0.99)
+      .filter(col("vec_b") === col("vec_a") + 1000000L)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Multi-probe IVF search (scale path of q_sim_search_ivf): probe the
+    * query bucket plus its lowest-margin bit flips. Seeded hyperplanes →
+    * rows-only; top-1 hit rate is asserted in OutOfBandSpec. */
+  val qSimMultiprobe = Q.noOracle("q_sim_multiprobe") { (s, d) =>
+    SimSearch.multiProbeTopK(t(s, d, "embeddings"), probeId = 7L, k = 10,
+      dims = 64, bits = 10, nProbe = 8, seed = 42L)
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupSimhash, qDedupSimhashPairs, qDedupMinhash,
-    qDedupNgram, qDedupEmbed,
-    qSimSearch, qSimSearchIvf, qKnnPerLabel,
+    qDedupNgram, qDedupEmbed, qDedupEmbedLsh,
+    qSimSearch, qSimSearchIvf, qSimMultiprobe, qKnnPerLabel,
     qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,
     qTextTokenCount, qTextFingerprint,
     qSampleHash, qSplitTrainTest, qShuffleDet, qPackSequences, qLengthBuckets,

@@ -228,9 +228,75 @@ object MfQueries {
       .orderBy("alpha")
   }
 
+  /** The reference's native ingestion path: ::-separated MovieLens-style
+    * lines with an explicit schema (D1). The fixture content is a fixed
+    * literal, so the oracle is the same rows as VALUES. */
+  val qSourceDelimited = Q(
+    "q_source_delimited",
+    """SELECT CAST(u AS BIGINT) AS user_id, CAST(i AS BIGINT) AS item_id,
+      |  CAST(r AS DOUBLE) AS rating, CAST(t AS BIGINT) AS ts
+      |FROM (VALUES (1, 10, 4.5, 978300760), (1, 20, 5.0, 978301968),
+      |             (2, 20, 3.0, 978302109)) v(u, i, r, t)
+      |ORDER BY user_id, item_id""".stripMargin) { (s, _) =>
+    val dir = "target/tmp/q_source_delimited"
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/ratings.dat"),
+      ("1::10::4.5::978300760\n1::20::5.0::978301968\n" +
+        "2::20::3.0::978302109\n").getBytes("UTF-8"))
+    Ratings.loadDelimited(s, dir).orderBy("user_id", "item_id")
+  }
+
+  /** ALS over a >2^31 id space through the dense-rank id dictionaries:
+    * the oracle checks the factor frames are re-keyed to the ORIGINAL
+    * shifted Long ids with one factor row per distinct id. */
+  val qMfCompactTrain = Q(
+    "q_mf_compact_train",
+    s"""WITH ${Ratings.cte}
+       |SELECT count(DISTINCT user_id) AS n_user_factors,
+       |  count(DISTINCT item_id) AS n_item_factors,
+       |  CAST(min(user_id) + 5000000000 AS BIGINT) AS min_user_id,
+       |  CAST(max(item_id) + 6000000000 AS BIGINT) AS max_item_id
+       |FROM ratings""".stripMargin) { (s, d) =>
+    val shifted = Ratings.view(s, d).select(
+      (col("user_id") + 5000000000L).as("user_id"),
+      (col("item_id") + 6000000000L).as("item_id"), col("rating"))
+    val (_, uf, itf) =
+      AlsEngine.trainCompacted(shifted, AlsEngine.Config(maxIter = 3))
+    uf.agg(count(lit(1)).as("n_user_factors"),
+        min(col("user_id")).as("min_user_id"))
+      .crossJoin(itf.agg(count(lit(1)).as("n_item_factors"),
+        max(col("item_id")).as("max_item_id")))
+      .select("n_user_factors", "n_item_factors", "min_user_id",
+        "max_item_id")
+  }
+
+  /** ALS-backed metric-vs-budget sweep (the paper's figure-level
+    * deliverable): polarization + RMSE of the re-factorized model at
+    * α ∈ {0, 0.01, 0.05}. ALS-dependent values → rows-only here; the
+    * gradient-descent trace over iterations is property-tested in MfSpec. */
+  val qAntidoteSweepAls = Q.noOracle("q_antidote_sweep_als") { (s, d) =>
+    val ratings = Ratings.view(s, d).cache()
+    val cfg = AlsEngine.Config(maxIter = 3)
+    val stats = Antidote.userStats(ratings)
+    val spark = s
+    import spark.implicits._
+    Seq(0.0, 0.01, 0.05).map { alpha =>
+      val aug = if (alpha == 0.0) ratings
+        else ratings.unionByName(Antidote.init(s, ratings, alpha, stats))
+      val tp = Antidote.evaluate(AlsEngine.train(aug, cfg), ratings,
+        graft.ml.Metric.Polarization)
+      (alpha, tp.objective, tp.rmse)
+    }.toDF("alpha", "polarization", "rmse")
+      .select(col("alpha"), round(col("polarization"), 6).as("polarization"),
+        round(col("rmse"), 6).as("rmse"))
+      .orderBy("alpha")
+  }
+
   val all: Seq[Q] = Seq(
     qRatingsView, qRatingsPivot, qMfAlsTrain, qMfPredict, qMfTopkRecs,
     qMetricRmse, qMetricPolarization, qMetricIndUnfairness,
     qMetricGrpUnfairness,
-    qAntidoteInit, qAntidoteStep, qAntidoteEval)
+    qAntidoteInit, qAntidoteStep, qAntidoteEval,
+    qSourceDelimited, qMfCompactTrain, qAntidoteSweepAls)
 }
