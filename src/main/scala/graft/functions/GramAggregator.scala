@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed Aggregator accumulating the upper triangle of a Gram matrix
@@ -36,8 +36,10 @@ class GramAggregator(k: Int)
 
   override def finish(buf: Array[Double]): Seq[Double] = buf.toSeq
 
+  // primitive-array ExpressionEncoder: the buffer ser/de on every partial
+  // merge is a flat double-array copy, not Java object serialization
   override def bufferEncoder: Encoder[Array[Double]] =
-    Encoders.javaSerialization[Array[Double]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
   override def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }

@@ -282,10 +282,13 @@ object MfQueries {
     val spark = s
     import spark.implicits._
     Seq(0.0, 0.01, 0.05).map { alpha =>
-      val aug = if (alpha == 0.0) ratings
-        else ratings.unionByName(Antidote.init(s, ratings, alpha, stats))
-      val tp = Antidote.evaluate(AlsEngine.train(aug, cfg), ratings,
-        graft.ml.Metric.Polarization)
+      // α = 0 is the un-augmented baseline — share the memoized model with
+      // the other MF queries instead of re-training it.
+      val model =
+        if (alpha == 0.0) AlsEngine.trainCachedOnRatingsView(s, d)
+        else AlsEngine.train(
+          ratings.unionByName(Antidote.init(s, ratings, alpha, stats)), cfg)
+      val tp = Antidote.evaluate(model, ratings, graft.ml.Metric.Polarization)
       (alpha, tp.objective, tp.rmse)
     }.toDF("alpha", "polarization", "rmse")
       .select(col("alpha"), round(col("polarization"), 6).as("polarization"),
