@@ -232,6 +232,100 @@ object LlmQueries {
       .orderBy("label")
   }
 
+  /** Benchmark decontamination: flag training docs sharing a character
+    * 20-gram with the held-out "benchmark" slice (doc_id % 97 = 0) — the
+    * standard n-gram-overlap eval-leak check. Shuffles on the shingle key
+    * (bounded by distinct 20-grams); the eval side is tiny and the join is
+    * shingle-bucketed, never all-pairs. */
+  val qDecontaminate = Q(
+    "q_decontaminate",
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, substr(text, p, 20) AS shingle
+      |  FROM documents, generate_series(1, 2000) t(p)
+      |  WHERE p <= greatest(length(text) - 19, 1)),
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+      |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT tr.doc_id, count(*) AS n_shared
+      |FROM tr JOIN ev ON tr.shingle = ev.shingle
+      |GROUP BY tr.doc_id
+      |ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          least(greatest(length(col("text")) - 19, lit(1)), lit(2000))))
+          .as("p"))
+      .select(col("doc_id"), expr("substr(text, p, 20)").as("shingle"))
+      .distinct()
+    val ev = sh.filter(col("doc_id") % 97 === 0).select("shingle").distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(ev, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  /** PII scrubbing: regex redaction of emails and phone-shaped strings.
+    * The fixture text is synthetic, so deterministic PII is appended from
+    * doc_id IDENTICALLY in both engines, then scrubbed; the oracle checks
+    * the scrubbed text round-trips. Regexes stay in the RE2 ∩ Java common
+    * subset; DuckDB needs the 'g' flag to match Spark's replace-all. */
+  val qPiiScrub = Q(
+    "q_pii_scrub",
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(withpii,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+', '<EMAIL>', 'g'),
+      |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+      |  length(withpii) AS len_before
+      |FROM (
+      |  SELECT doc_id,
+      |    concat(text, ' contact user', doc_id, '@example.com or +1-555-',
+      |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS withpii
+      |  FROM documents) p
+      |ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1-555-"),
+          lpad((col("doc_id") % 10000).cast(StringType), 4, "0"))
+          .as("withpii"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("withpii"),
+          lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+"), lit("<EMAIL>")),
+          lit("\\+1-555-[0-9]{4}"), lit("<PHONE>")).as("scrubbed"),
+        length(col("withpii")).as("len_before"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
+  /** Repetition scoring: duplicate-fraction of character 5-grams per doc
+    * (1 − distinct/total) — the boilerplate/spam signal used in corpus
+    * quality filtering. Linear explode + per-doc agg. */
+  val qTextRepetition = Q(
+    "q_text_repetition",
+    """SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_grams,
+      |  ROUND(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6)
+      |    AS rep_fraction
+      |FROM (
+      |  SELECT doc_id, substr(text, p, 5) AS g
+      |  FROM documents, generate_series(1, 2000) t(p)
+      |  WHERE p <= greatest(length(text) - 4, 1)) s
+      |GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          least(greatest(length(col("text")) - 4, lit(1)), lit(2000))))
+          .as("p"))
+      .select(col("doc_id"), expr("substr(text, p, 5)").as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        round(lit(1.0) - countDistinct(col("g")).cast(DoubleType) /
+          count(lit(1)), 6).as("rep_fraction"))
+      .orderBy("doc_id")
+      .limit(200)
+  }
+
   val qTextTokens = Q(
     "q_text_tokens",
     """SELECT term, cnt FROM (
@@ -490,6 +584,7 @@ object LlmQueries {
     qSimSearch, qSimSearchIvf, qSimMultiprobe, qKnnPerLabel,
     qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,
     qTextTokenCount, qTextFingerprint,
+    qDecontaminate, qPiiScrub, qTextRepetition,
     qSampleHash, qSplitTrainTest, qShuffleDet, qPackSequences, qLengthBuckets,
     qMultimodalJoin, qMultimodalMeta, qMultimodalDecode)
 }
