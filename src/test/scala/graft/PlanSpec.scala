@@ -113,6 +113,15 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("global-rank offset join broadcasts the constant-size offset table") {
+    // the two-pass global rank must never shuffle the big side against the
+    // per-partition offsets: the offsets are one row per partition
+    val p = plan(Windows.qWindowNtile)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("RangePartitioning") ||
+      p.contains("rangepartitioning"), p)
+  }
+
   test("no window-bearing query plan contains an unpartitioned window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     val qs = Seq(Windows.qWindowRank, Windows.qWindowRunning,
