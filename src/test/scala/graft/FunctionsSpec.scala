@@ -55,6 +55,30 @@ class FunctionsSpec extends SparkTestBase {
     assert(rows(2).isNullAt(1), "null element must poison to NULL")
   }
 
+  test("fused graft_cosine is bit-equal to the composed three-dot form") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val shifted = embs.select(col("vec_id"), col("embedding"),
+      expr("transform(embedding, x -> CAST(x * 0.9 + 0.01 AS FLOAT))")
+        .as("other"))
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+        lit(0.0), (acc, v) => acc + v)
+    val composed = hofDot(col("embedding"), col("other")) /
+      sqrt(hofDot(col("embedding"), col("embedding"))) /
+      sqrt(hofDot(col("other"), col("other")))
+    val both = shifted.select(
+      call_function("graft_cosine", col("embedding"), col("other"))
+        .as("fused"), composed.as("composed"))
+    assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    assert(both.count() > 0)
+    // null semantics follow graft_dot: unequal lengths poison to NULL
+    import spark.implicits._
+    val bad = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+      .select(call_function("graft_cosine", col("a"), col("b")).as("c"))
+      .head()
+    assert(bad.isNullAt(0))
+  }
+
   test("cosine self-similarity is 1 under the native path") {
     val embs = Tables.load(spark, sf, "embeddings")
     val bad = embs.select(
