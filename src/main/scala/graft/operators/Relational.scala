@@ -327,6 +327,20 @@ object Relational {
         .orderBy("n_nationkey")
   }
 
+  /** ORC sink/source round-trip — the second columnar format large
+    * warehouses standardize on; Spark's reader carries the same
+    * pushdown/pruning machinery as parquet. */
+  val qSinkOrc = Q(
+    "q_sink_orc",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") {
+    (s, d) =>
+      val dir = "target/tmp/q_sink_orc"
+      t(s, d, "nation").write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+  }
+
   /** JSON-lines source/sink round-trip. */
   val qSourceJson = Q(
     "q_source_json",
@@ -359,7 +373,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     qScanProject, qScanCount, qSinkParquet, qSourceCsv, qSourceJson,
-    qSinkPartitioned,
+    qSinkOrc, qSinkPartitioned,
     qFilterRange, qFilterInLike, qFilterNullCase,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinTheta, qJoinRange, qJoinAsof, qCrossJoin, qLateralTopn, qUnpivot)

@@ -104,6 +104,28 @@ object StreamOps {
       .select("user_id", "view_ts", "click_ts")
   }
 
+  /** Stream-stream LEFT OUTER interval join: like viewClickJoin, but views
+    * with no click inside the window still emit (click_ts NULL) — once the
+    * watermark passes the view's join window, so unmatched rows appear
+    * only after state can be finalized. The watermark+interval pair is
+    * what lets Spark both GC the state AND prove a view can no longer
+    * match, the prerequisite for outer results on unbounded streams. */
+  def viewClickLeftJoin(events: DataFrame, window: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") > col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $window"),
+        "left_outer")
+      .select("user_id", "view_ts", "click_ts")
+  }
+
   /** foreachBatch sink: write each microbatch to `dir/batch=<id>` —
     * batch-id-keyed paths make replays idempotent (overwrite semantics),
     * the standard exactly-once pattern for non-transactional sinks. */

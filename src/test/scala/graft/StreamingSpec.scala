@@ -187,6 +187,41 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((1L, "2024-01-01 10:03:00")), rows.toSeq.toString)
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched views after watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Evt]
+    val joined = StreamOps.viewClickLeftJoin(
+      ms.toDF().select(col("event_id").as("user_id"), col("ts"),
+        col("event_type")))
+    val q = joined.writeStream.format("memory").queryName("ss_left_outer")
+      .outputMode(OutputMode.Append()).start()
+    ms.addData(Seq(
+      Evt(1, ts("2024-01-01 10:00:00"), "view"),
+      Evt(1, ts("2024-01-01 10:03:00"), "click"), // in window → matched
+      Evt(2, ts("2024-01-01 10:01:00"), "view"))) // no click ever
+    q.processAllAvailable()
+    // the GLOBAL watermark is the min over BOTH inputs, so both the view
+    // and the click side need late events to advance it past the join
+    // window; and since the watermark computed at the END of a batch only
+    // takes effect in the NEXT one, a second nudge batch triggers the
+    // eviction that emits the outer row
+    ms.addData(Seq(Evt(9, ts("2024-01-01 12:00:00"), "view"),
+      Evt(9, ts("2024-01-01 12:00:00"), "click")))
+    q.processAllAvailable()
+    ms.addData(Seq(Evt(10, ts("2024-01-01 12:30:00"), "view"),
+      Evt(10, ts("2024-01-01 12:30:00"), "click")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_left_outer")
+      .select(col("user_id"), col("click_ts").cast("string"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      .toSet
+    assert(rows.contains((1L, Some("2024-01-01 10:03:00"))), rows.toString)
+    assert(rows.contains((2L, None)), // the outer row, emitted on finalize
+      rows.toString)
+  }
+
   test("stateful streaming runs on the RocksDB state store provider") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
