@@ -27,8 +27,17 @@ object AlsEngine {
       train(Ratings.view(spark, sfDir), cfg))
 
   /** Train on ratings(user_id BIGINT, item_id BIGINT, rating DOUBLE).
-    * ALS wants int ids; fixture keys fit comfortably. */
+    * ALS wants int ids; ids outside Int range FAIL LOUDLY here (the cast
+    * would otherwise wrap silently) — route big id spaces through
+    * `trainCompacted`. */
   def train(ratings: DataFrame, cfg: Config = Config()): ALSModel = {
+    val bounds = ratings.agg(
+      max(abs(col("user_id").cast(LongType))),
+      max(abs(col("item_id").cast(LongType)))).head()
+    require(bounds.getLong(0) <= Int.MaxValue &&
+      bounds.getLong(1) <= Int.MaxValue,
+      s"ids exceed Int range (user ${bounds.getLong(0)}, item " +
+        s"${bounds.getLong(1)}) — use AlsEngine.trainCompacted")
     // ALS's iterative lineage needs periodic checkpoints (checkpointInterval
     // is silently a no-op without a checkpoint dir) — without this, deep
     // iteration counts overflow task stacks on serialization.

@@ -125,6 +125,16 @@ class MfSpec extends SparkTestBase {
       col("rating") === 4.5 && col("ts") === 978300760L).count() == 1)
   }
 
+  test("plain train fails loudly on ids beyond Int range") {
+    import spark.implicits._
+    val ratings = Seq((5000000000L, 1L, 3.0), (2L, 2L, 4.0))
+      .toDF("user_id", "item_id", "rating")
+    val e = intercept[IllegalArgumentException] {
+      AlsEngine.train(ratings, AlsEngine.Config(rank = 2, maxIter = 1))
+    }
+    assert(e.getMessage.contains("trainCompacted"), e.getMessage)
+  }
+
   test("id compaction trains ALS over Long ids beyond Int range") {
     import spark.implicits._
     val big = 5000000000L // > 2^31: the plain Int cast would corrupt these
