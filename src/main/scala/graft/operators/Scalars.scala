@@ -221,6 +221,26 @@ object Scalars {
       .limit(200)
   }
 
+  /** VARIANT (Spark 4's open semi-structured type): parse_json into a
+    * variant, typed extraction via variant_get — the schema-on-read path
+    * for heterogeneous JSON at scale (shredded storage, no per-row schema
+    * inference). Values equal the string-path extraction, so the oracle is
+    * plain json_extract. */
+  val qJsonVariant = Q(
+    "q_json_variant",
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_variant,
+      |  CAST(json_extract_string(props, '$.missing') AS INT) AS absent
+      |FROM events ORDER BY event_id LIMIT 200""".stripMargin) { (s, d) =>
+    t(s, d, "events")
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k_variant"),
+        expr("try_variant_get(parse_json(props), '$.missing', 'int')")
+          .as("absent"))
+      .orderBy("event_id")
+      .limit(200)
+  }
+
   /** MapType construction/access — DuckDB map semantics differ, so no
     * oracle; round-trip covered in ScalaTest. */
   val qMapFuncs = Q.noOracle("q_map_funcs") { (s, d) =>
@@ -291,5 +311,6 @@ object Scalars {
   val all: Seq[Q] = Seq(
     qStringFuncs, qRegexp, qDateFuncs, qDateFormat, qMathFuncs, qArrayFuncs,
     qTryCast,
-    qArrayOps, qArrayHof, qJsonFuncs, qJsonStruct, qMapFuncs, qCastMatrix)
+    qArrayOps, qArrayHof, qJsonFuncs, qJsonStruct, qJsonVariant, qMapFuncs,
+    qCastMatrix)
 }
