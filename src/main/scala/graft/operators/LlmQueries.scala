@@ -552,6 +552,25 @@ object LlmQueries {
       .limit(100)
   }
 
+  /** End-to-end near-dup pipeline: simhash-banded candidate pairs →
+    * GraphX connected components → survivor set (min doc per cluster +
+    * all unclustered docs). Deterministic counts, but CC isn't
+    * ANSI-SQL-expressible → rows-only; cluster semantics are asserted in
+    * OutOfBandSpec. */
+  val qDedupClusters = Q.noOracle("q_dedup_clusters") { (s, d) =>
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val withDups = docs.unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val pairs = Dedup.simhashNearDups(withDups)
+    val clusters = Dedup.nearDupClusters(pairs)
+    val survivors = Dedup.survivors(withDups, clusters)
+    val spark = s
+    import spark.implicits._
+    Seq((withDups.count(), clusters.count(), survivors.count()))
+      .toDF("n_docs", "n_clustered", "n_survivors")
+  }
+
   /** Scalable-path embedding dedup: seeded hyperplane LSH (16 bits × 4
     * tables — 65k buckets/table vs the oracle variant's fixed 256).
     * Hyperplanes are driver-seeded Gaussians, not SQL-expressible →
@@ -580,7 +599,7 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupSimhash, qDedupSimhashPairs, qDedupMinhash,
-    qDedupNgram, qDedupEmbed, qDedupEmbedLsh,
+    qDedupNgram, qDedupEmbed, qDedupEmbedLsh, qDedupClusters,
     qSimSearch, qSimSearchIvf, qSimMultiprobe, qKnnPerLabel,
     qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,
     qTextTokenCount, qTextFingerprint,

@@ -43,6 +43,24 @@ class GlobalRankSpec extends SparkTestBase {
     assert(diffs == 0)
   }
 
+  test("constant sort key (worst-case skew) still ranks correctly via the tiebreak") {
+    import spark.implicits._
+    // every row has the SAME key — only the unique id tiebreak orders them;
+    // range partitioning must still split the data across partitions
+    val df = (0L until 300L).map(i => (i, 1.0)).toDF("id", "key")
+      .repartition(7)
+    val (ranked, n) = GlobalRank.withGlobalRowNumber(
+      df, "g_rank", 8, col("key"), col("id"))
+    assert(n == 300)
+    val bad = ranked.filter(col("g_rank") =!= col("id") + 1).count()
+    assert(bad == 0)
+    // ...and the work was actually distributed (more than one partition
+    // carried rows)
+    val parts = df.repartitionByRange(8, col("key"), col("id"))
+      .select(spark_partition_id()).distinct().count()
+    assert(parts > 1, s"range partitioning collapsed to $parts partition(s)")
+  }
+
   test("ntileFromRank and percentRankFromRank match Spark's window forms") {
     val df = fixture
     val (ranked, n) = GlobalRank.withGlobalRowNumber(
