@@ -119,6 +119,32 @@ object Antidote {
     TracePoint(obj, rmse)
   }
 
+  /** All three societal metrics + RMSE from ONE cached pass over the known
+    * cells (plus polarization's constant-size factor-moment reduction) —
+    * what a metric-vs-budget sweep should call instead of three separate
+    * `evaluate`s re-deriving predictions each time. */
+  def evaluateAll(model: ALSModel, ratings: DataFrame, groups: DataFrame,
+      a: String, b: String): Map[String, TracePoint] = {
+    val pred = AlsEngine.predictKnown(model, ratings).cache()
+    val rmse = pred.agg(sqrt(avg((col("rating") - col("p")) *
+      (col("rating") - col("p"))))).head().getDouble(0)
+    val lu = pred.groupBy("user_id")
+      .agg(avg((col("p") - col("rating")) * (col("p") - col("rating")))
+        .as("l_u"))
+      .cache()
+    val ind = lu.agg(var_pop(col("l_u"))).head().getDouble(0)
+    val grp = lu.join(groups, Seq("user_id"), "left")
+      .agg(abs(avg(when(col("grp") === a, col("l_u"))) -
+        avg(when(col("grp") === b, col("l_u"))))).head().getDouble(0)
+    val pol = polarization(model)
+    pred.unpersist()
+    lu.unpersist()
+    Map(
+      "polarization" -> TracePoint(pol, rmse),
+      "ind_unfairness" -> TracePoint(ind, rmse),
+      "grp_unfairness" -> TracePoint(grp, rmse))
+  }
+
   /** Per-user ALS loss ℓ_u = mean squared error over the user's known
     * cells, with the cell count (needed by the gradient chain rule). */
   private def userLosses(model: ALSModel, ratings: DataFrame): DataFrame =

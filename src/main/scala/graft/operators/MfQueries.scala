@@ -272,28 +272,33 @@ object MfQueries {
   }
 
   /** ALS-backed metric-vs-budget sweep (the paper's figure-level
-    * deliverable): polarization + RMSE of the re-factorized model at
-    * α ∈ {0, 0.01, 0.05}. ALS-dependent values → rows-only here; the
-    * gradient-descent trace over iterations is property-tested in MfSpec. */
+    * deliverable): ALL THREE societal metrics + RMSE of the re-factorized
+    * model at α ∈ {0, 0.01, 0.05} — one ALS train per budget, reused for
+    * every metric. ALS-dependent values → rows-only here; the
+    * gradient-descent traces over iterations are property-tested in
+    * MfSpec. */
   val qAntidoteSweepAls = Q.noOracle("q_antidote_sweep_als") { (s, d) =>
     val ratings = Ratings.view(s, d).cache()
     val cfg = AlsEngine.Config(maxIter = 3)
     val stats = Antidote.userStats(ratings)
+    val groups = t(s, d, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("grp"))
     val spark = s
     import spark.implicits._
-    Seq(0.0, 0.01, 0.05).map { alpha =>
+    Seq(0.0, 0.01, 0.05).flatMap { alpha =>
       // α = 0 is the un-augmented baseline — share the memoized model with
       // the other MF queries instead of re-training it.
       val model =
         if (alpha == 0.0) AlsEngine.trainCachedOnRatingsView(s, d)
         else AlsEngine.train(
           ratings.unionByName(Antidote.init(s, ratings, alpha, stats)), cfg)
-      val tp = Antidote.evaluate(model, ratings, graft.ml.Metric.Polarization)
-      (alpha, tp.objective, tp.rmse)
-    }.toDF("alpha", "polarization", "rmse")
-      .select(col("alpha"), round(col("polarization"), 6).as("polarization"),
+      Antidote.evaluateAll(model, ratings, groups, "BUILDING", "MACHINERY")
+        .toSeq.map { case (name, tp) => (alpha, name, tp.objective, tp.rmse) }
+    }.toDF("alpha", "metric", "objective", "rmse")
+      .select(col("alpha"), col("metric"),
+        round(col("objective"), 6).as("objective"),
         round(col("rmse"), 6).as("rmse"))
-      .orderBy("alpha")
+      .orderBy("alpha", "metric")
   }
 
   val all: Seq[Q] = Seq(
