@@ -14,10 +14,6 @@ object Dsl {
     * At 100 TB this is also what makes partial/final agg merge exact. */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** Pin the scale/precision of an aggregate result so Spark's and
-    * DuckDB's differing decimal-widening rules can't leak into the hash. */
-  def asDec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
-
   /** Final-output form of an exact decimal aggregate: the math stays
     * decimal (exact, merge-order-independent) but the OUTPUT column is
     * DOUBLE. The round-1 driver hashed DECIMAL output columns differently
