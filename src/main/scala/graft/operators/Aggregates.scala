@@ -157,6 +157,71 @@ object Aggregates {
         .orderBy("event_type")
   }
 
+  /** Higher central moments (skewness, excess kurtosis) built from raw
+    * power sums with EXPLICIT identical formulas on both engines —
+    * engine-built-in skewness/kurtosis differ in sample-vs-population
+    * correction across engines, so the portable form is the moment
+    * algebra itself. */
+  val qAggMoments = Q(
+    "q_agg_moments",
+    """SELECT l_returnflag,
+      |  ROUND((m3 - 3*m1*m2 + 2*m1*m1*m1)
+      |        / pow(m2 - m1*m1, 1.5), 6) AS skew,
+      |  ROUND((m4 - 4*m1*m3 + 6*m1*m1*m2 - 3*m1*m1*m1*m1)
+      |        / pow(m2 - m1*m1, 2) - 3, 6) AS kurt
+      |FROM (
+      |  SELECT l_returnflag, avg(l_quantity) AS m1,
+      |    avg(l_quantity*l_quantity) AS m2,
+      |    avg(l_quantity*l_quantity*l_quantity) AS m3,
+      |    avg(l_quantity*l_quantity*l_quantity*l_quantity) AS m4
+      |  FROM lineitem GROUP BY l_returnflag) m
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val q = col("l_quantity")
+    val m = t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(avg(q).as("m1"), avg(q * q).as("m2"),
+        avg(q * q * q).as("m3"), avg(q * q * q * q).as("m4"))
+    val (m1, m2, m3, m4) = (col("m1"), col("m2"), col("m3"), col("m4"))
+    m.select(col("l_returnflag"),
+        round((m3 - lit(3) * m1 * m2 + lit(2) * m1 * m1 * m1) /
+          pow(m2 - m1 * m1, 1.5), 6).as("skew"),
+        round((m4 - lit(4) * m1 * m3 + lit(6) * m1 * m1 * m2 -
+          lit(3) * m1 * m1 * m1 * m1) /
+          pow(m2 - m1 * m1, 2) - lit(3), 6).as("kurt"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Time-series gap filling: a generated date spine LEFT JOINed to daily
+    * revenue, absent days coalesced to zero — the resampling primitive
+    * every downstream windowed model needs; the spine is `sequence`-based,
+    * never a driver loop. */
+  val qGapFill = Q(
+    "q_gap_fill",
+    """SELECT d, coalesce(r, 0.0) AS revenue FROM (
+      |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+      |    DATE '1995-01-31', INTERVAL 1 DAY)) AS DATE) AS d) days
+      |LEFT JOIN (
+      |  SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS r
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+      |  GROUP BY 1) rev USING (d)
+      |ORDER BY d""".stripMargin) { (s, d) =>
+    val spine = s.range(1)
+      .select(explode(sequence(
+        to_date(lit("1995-01-01")), to_date(lit("1995-01-31")),
+        expr("interval 1 day"))).as("d"))
+    val rev = t(s, d, "orders")
+      .filter(col("o_orderdate") >= ts("1995-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1995-02-01 00:00:00"))
+      .groupBy(col("o_orderdate").cast(DateType).as("d"))
+      .agg(asDbl(sum(dec2(col("o_totalprice")))).as("r"))
+    spine.join(rev, Seq("d"), "left")
+      .select(col("d"), coalesce(col("r"), lit(0.0)).as("revenue"))
+      .orderBy("d")
+  }
+
   /** HLL sketch — not DuckDB-comparable (different sketch); the ScalaTest
     * suite asserts ±5% of exact NDV instead. */
   val qAggApproxDistinct = Q.noOracle("q_agg_approx_distinct") { (s, d) =>
@@ -408,7 +473,8 @@ object Aggregates {
   val all: Seq[Q] = Seq(
     qAggGlobal, qAggGroupby, qAggHaving, qAggDistinct, qAggRollup, qAggCube,
     qAggGroupingSets, qSubqueryScalar, qSubqueryIn,
-    qAggStats, qAggApproxDistinct, qAggApproxQuantile, qAggMedianPct,
+    qAggStats, qAggMoments, qGapFill,
+    qAggApproxDistinct, qAggApproxQuantile, qAggMedianPct,
     qAggRegression, qAggBitops, qStringAgg, qAggArgminmax,
     qOrderbyLimit, qSortMulti,
     qUnionAll, qUnionDistinct, qIntersect, qExcept)

@@ -341,6 +341,30 @@ object Relational {
         .orderBy("n_nationkey")
   }
 
+  /** binaryFile source — how opaque media payloads (images/audio/video)
+    * enter the engine at scale: whole files as binary rows with path
+    * metadata, payload untouched until an explicit decode stage. Fixture
+    * bytes are fixed literals, so md5/length oracle via VALUES. */
+  val qSourceBinary = Q(
+    "q_source_binary",
+    """SELECT fname, flen, digest FROM (VALUES
+      |  ('a.bin', 5, md5('alpha')),
+      |  ('b.bin', 4, md5('beta')),
+      |  ('c.bin', 5, md5('gamma'))) v(fname, flen, digest)
+      |ORDER BY fname""".stripMargin) { (s, _) =>
+    val dir = "target/tmp/q_source_binary"
+    new java.io.File(dir).mkdirs()
+    Seq("a.bin" -> "alpha", "b.bin" -> "beta", "c.bin" -> "gamma").foreach {
+      case (n, c) => java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/$n"), c.getBytes("UTF-8"))
+    }
+    s.read.format("binaryFile").load(dir)
+      .select(element_at(split(col("path"), "/"), -1).as("fname"),
+        col("length").cast(IntegerType).as("flen"),
+        md5(col("content")).as("digest"))
+      .orderBy("fname")
+  }
+
   /** JSON-lines source/sink round-trip. */
   val qSourceJson = Q(
     "q_source_json",
@@ -373,7 +397,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     qScanProject, qScanCount, qSinkParquet, qSourceCsv, qSourceJson,
-    qSinkOrc, qSinkPartitioned,
+    qSinkOrc, qSourceBinary, qSinkPartitioned,
     qFilterRange, qFilterInLike, qFilterNullCase,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinTheta, qJoinRange, qJoinAsof, qCrossJoin, qLateralTopn, qUnpivot)
