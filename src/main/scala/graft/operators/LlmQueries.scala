@@ -276,7 +276,7 @@ object LlmQueries {
       |  regexp_replace(regexp_replace(withpii,
       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+', '<EMAIL>', 'g'),
       |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
-      |  length(withpii) AS len_before
+      |  CAST(length(withpii) AS INT) AS len_before
       |FROM (
       |  SELECT doc_id,
       |    concat(text, ' contact user', doc_id, '@example.com or +1-555-',
@@ -324,6 +324,52 @@ object LlmQueries {
           count(lit(1)), 6).as("rep_fraction"))
       .orderBy("doc_id")
       .limit(200)
+  }
+
+  /** Edit-distance near-dup scoring on the planted mutated copies —
+    * levenshtein has identical unit-cost semantics in Spark and DuckDB,
+    * so the pair scores oracle exactly. Bounded to 60-char prefixes: the
+    * O(len²) DP is the reason edit distance only ever runs on CANDIDATE
+    * pairs (blocked upstream), never all-pairs. */
+  val qTextLevenshtein = Q(
+    "q_text_levenshtein",
+    """SELECT a.doc_id AS doc_a, a.doc_id + 1000000 AS doc_b,
+      |  CAST(levenshtein(substr(a.text, 1, 60), substr(b.text, 1, 60))
+      |       AS INT) AS dist
+      |FROM documents a
+      |JOIN (SELECT doc_id, substr(text, 11) AS text FROM documents) b
+      |  ON b.doc_id = a.doc_id
+      |WHERE a.doc_id % 50 = 0
+      |ORDER BY doc_a""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val mutated = docs.select(col("doc_id"),
+      expr("substr(text, 11)").as("mtext"))
+    docs.filter(col("doc_id") % 50 === 0)
+      .join(mutated, "doc_id")
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + 1000000L).as("doc_b"),
+        levenshtein(expr("substr(text, 1, 60)"),
+          expr("substr(mtext, 1, 60)")).as("dist"))
+      .orderBy("doc_a")
+  }
+
+  /** Stratified (per-language) deterministic sampling: each stratum keeps
+    * a different hash-threshold fraction — the corpus-rebalancing
+    * primitive (downsample dominant languages, keep rare ones whole).
+    * Content-hash based, so the sample is reproducible across engines
+    * and partitionings. */
+  val qStratifiedSample = Q(
+    "q_stratified_sample",
+    """SELECT lang, count(*) AS n_kept FROM documents
+      |WHERE CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 <
+      |  CASE WHEN lang = 'en' THEN 20 ELSE 80 END
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    val bucket = TextOps.hash60(col("text")) % 100
+    t(s, d, "documents")
+      .filter(bucket < when(col("lang") === "en", 20).otherwise(80))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
   }
 
   val qTextTokens = Q(
@@ -603,7 +649,8 @@ object LlmQueries {
     qSimSearch, qSimSearchIvf, qSimMultiprobe, qKnnPerLabel,
     qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,
     qTextTokenCount, qTextFingerprint,
-    qDecontaminate, qPiiScrub, qTextRepetition,
+    qDecontaminate, qPiiScrub, qTextRepetition, qTextLevenshtein,
+    qStratifiedSample,
     qSampleHash, qSplitTrainTest, qShuffleDet, qPackSequences, qLengthBuckets,
     qMultimodalJoin, qMultimodalMeta, qMultimodalDecode)
 }
