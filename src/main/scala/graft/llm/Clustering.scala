@@ -1,0 +1,87 @@
+package graft.llm
+
+import graft.functions.VectorFunctions.dot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-space clustering primitives for corpus curation (semantic
+  * dedup buckets, topic balancing, diversity sampling).
+  *
+  * Scale shape: the centroid table is k × dim (tiny, broadcast); the
+  * assignment is a map-side broadcast cross join + one shuffle on the
+  * point id — never an all-pairs join, never a global window. The Lloyd
+  * update redistributes by (cluster, dimension position), so its shuffle
+  * cardinality is bounded by k × dim regardless of corpus size.
+  */
+object Clustering {
+
+  /** Rounded squared L2 distance via three dots (‖a‖² − 2a·b + ‖b‖²).
+    * Rounding to 6 dp BEFORE the argmin comparison makes the assignment
+    * reproducible across engines whose float-sum order may differ in the
+    * last ulp; ties then break on the lowest centroid id. */
+  def sqDist(a: Column, b: Column): Column =
+    round(dot(a, a) - lit(2) * dot(a, b) + dot(b, b), 6)
+
+  /** Nearest-centroid assignment. `points` must carry (`idCol`, `vecCol`)
+    * plus any pass-through columns; `centroids` carries (`cid`, `cvec`).
+    * Returns the points' non-vector columns plus (`cluster`, `d2`).
+    * Argmin is a struct-min aggregate (deterministic: distance, then
+    * centroid id), not a window — one shuffle on the point id. */
+  def assign(points: DataFrame, vecCol: String, centroids: DataFrame)
+      : DataFrame = {
+    val keep = points.columns.filterNot(_ == vecCol).map(col)
+    points.crossJoin(broadcast(centroids))
+      .withColumn("graft_d2", sqDist(col(vecCol), col("cvec")))
+      .groupBy(keep: _*)
+      .agg(min(struct(col("graft_d2"), col("cid"))).as("m"))
+      .select(keep :+ col("m").getField("cid").as("cluster") :+
+        col("m").getField("graft_d2").as("d2"): _*)
+  }
+
+  /** Deterministic seed centroids: the k lowest-id points. */
+  def seedCentroids(points: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    points.orderBy(idCol).limit(k)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+
+  /** One distributed Lloyd update: mean of assigned vectors per cluster.
+    * Elementwise mean via posexplode → groupBy(cluster, pos) → re-collect
+    * (sorted by pos), so the shuffle after the explode is bounded by
+    * k × dim groups; no vector ever reaches the driver. Empty clusters
+    * drop out (standard Lloyd behaviour). */
+  def updateCentroids(points: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val assigned = assign(points.select(col(idCol), col(vecCol)),
+      vecCol, centroids)
+      .join(points.select(col(idCol), col(vecCol)), idCol)
+    assigned
+      .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(avg(col("x").cast(DoubleType)).as("m"))
+      .groupBy(col("cluster").as("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("cvec"))
+  }
+
+  /** Fixed-iteration Lloyd k-means with deterministic lowest-id seeding.
+    * Returns the final centroids; callers get assignments via `assign`. */
+  def lloyd(points: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int): DataFrame = {
+    var cents = seedCentroids(points, idCol, vecCol, k)
+    var i = 0
+    while (i < iterations) {
+      cents = updateCentroids(points, idCol, vecCol, cents)
+      i += 1
+    }
+    cents
+  }
+
+  /** Within-cluster sum of squared distances (the Lloyd objective). */
+  def wcss(points: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): Double =
+    assign(points.select(col(idCol), col(vecCol)), vecCol, centroids)
+      .agg(sum(col("d2"))).head.getDouble(0)
+}

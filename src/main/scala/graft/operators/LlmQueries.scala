@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.Dsl._
-import graft.llm.{Dedup, Multimodal, SimSearch, TextOps}
+import graft.llm.{Clustering, Dedup, Multimodal, SimSearch, TextOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -372,6 +372,118 @@ object LlmQueries {
       .orderBy("lang")
   }
 
+  /** Nearest-centroid assignment over the embedding table (centroids =
+    * the 8 lowest-id vectors — deterministic Lloyd seeding). The k × dim
+    * centroid table is broadcast, the squared L2 comes from three dots
+    * (native graft_dot), and the argmin is a struct-min aggregate — one
+    * map-side join + one shuffle, the shape that survives 100 TB. Full
+    * Lloyd iteration lives in llm/Clustering.scala (ClusteringSpec). */
+  val qKmeansAssign = Q(
+    "q_kmeans_assign",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    CAST(embedding[1] AS DOUBLE) AS dim1
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |d AS (
+      |  SELECT e.vec_id, e.dim1, c.cid,
+      |    ROUND(list_inner_product(e.v, e.v)
+      |      - 2 * list_inner_product(e.v, c.cv)
+      |      + list_inner_product(c.cv, c.cv), 6) AS d2
+      |  FROM e CROSS JOIN c),
+      |a AS (
+      |  SELECT vec_id, dim1, cid, d2,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+      |  FROM d)
+      |SELECT cid AS cluster, count(*) AS n_members,
+      |  ROUND(avg(dim1), 6) AS mean_dim1, ROUND(avg(d2), 6) AS mean_d2
+      |FROM a WHERE rk = 1
+      |GROUP BY cid ORDER BY cluster""".stripMargin) { (s, d) =>
+    val e = t(s, d, "embeddings").select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      element_at(col("embedding"), 1).cast(DoubleType).as("dim1"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    Clustering.assign(e, "v", cents)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("dim1")), 6).as("mean_dim1"),
+        round(avg(col("d2")), 6).as("mean_d2"))
+      .orderBy("cluster")
+  }
+
+  /** Per-document TF-IDF top terms (idf = N/df, log-free so the score is
+    * one exact int product + one correctly-rounded double division —
+    * bit-identical across engines; ln() is not). df spans the FULL corpus;
+    * the per-doc branch filters early (rank is per-doc, so pre-filtering
+    * sampled docs is semantics-preserving and prunes the window input).
+    * The toks→df join shuffles on term — at 100 TB, stopword skew there
+    * wants AQE skew-join or plans.SkewJoin.saltedEquiJoin. */
+  val qTfidfTopTerms = Q(
+    "q_tfidf_topterms",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |       WHERE doc_id % 100 = 0 GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT doc_id, term, ROUND(score, 6) AS score, CAST(rk AS INT) AS rk
+      |FROM (
+      |  SELECT t.doc_id, t.term,
+      |    CAST(t.tf * n.n AS DOUBLE) / d.df AS score,
+      |    row_number() OVER (PARTITION BY t.doc_id
+      |      ORDER BY CAST(t.tf * n.n AS DOUBLE) / d.df DESC, t.term) AS rk
+      |  FROM tf t JOIN df d USING (term) CROSS JOIN n) x
+      |WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = toks.filter(col("doc_id") % 100 === 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = t(s, d, "documents").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n")).cast(DoubleType) / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"),
+        col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Mean inverse document frequency per doc — the "how unusual is this
+    * document's vocabulary" quality signal (high = rare/noisy tokens,
+    * low = boilerplate). Same full-corpus df + early per-doc filter as
+    * TF-IDF; the avg is the only cross-engine double sum, rounded 6. */
+  val qTokenRarity = Q(
+    "q_token_rarity",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents)
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |  ROUND(avg(CAST(n.n AS DOUBLE) / d.df), 6) AS rarity
+      |FROM toks t JOIN df d USING (term) CROSS JOIN n
+      |WHERE t.doc_id % 100 = 0
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val df = toks.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = t(s, d, "documents").agg(count(lit(1)).as("n"))
+    toks.filter(col("doc_id") % 100 === 0)
+      .join(df, "term").crossJoin(broadcast(n))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("n").cast(DoubleType) / col("df")), 6).as("rarity"))
+      .orderBy("doc_id")
+  }
+
   val qTextTokens = Q(
     "q_text_tokens",
     """SELECT term, cnt FROM (
@@ -650,7 +762,7 @@ object LlmQueries {
     qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,
     qTextTokenCount, qTextFingerprint,
     qDecontaminate, qPiiScrub, qTextRepetition, qTextLevenshtein,
-    qStratifiedSample,
+    qStratifiedSample, qKmeansAssign, qTfidfTopTerms, qTokenRarity,
     qSampleHash, qSplitTrainTest, qShuffleDet, qPackSequences, qLengthBuckets,
     qMultimodalJoin, qMultimodalMeta, qMultimodalDecode)
 }

@@ -170,7 +170,50 @@ object Windows {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** Batch sessionization: gap > 8 h starts a new session (the batch
+    * analog of q_stream_session). Classic two-window pattern — lag to
+    * flag session starts, running sum to number them — both windows
+    * partitioned by user, so it scales per-user, never globally. Gaps
+    * compare in integer microseconds (no truncation ambiguity); the
+    * HUGEINT running sum is cast to BIGINT on the DuckDB side. */
+  val qSessionizeBatch = Q(
+    "q_sessionize_batch",
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+      |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+      |              > 28800000000 THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |s AS (
+      |  SELECT user_id, us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM g)
+      |SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+      |  count(*) AS n_events, max(us) - min(us) AS dur_us
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    val us = unix_micros(col("ts").cast(TimestampType))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), us.as("us"))
+      .withColumn("is_new",
+        when(lag(col("us"), 1).over(w).isNull, 1)
+          .when(col("us") - lag(col("us"), 1).over(w) > 28800000000L, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("is_new")).over(run))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("dur_us"))
+      .select(col("user_id"), col("sess").as("session_id"),
+        col("n_events"), col("dur_us"))
+      .orderBy("user_id", "session_id")
+  }
+
   val all: Seq[Q] = Seq(
     qWindowRank, qWindowRunning, qWindowLeadLag, qWindowRangeFrame,
-    qWindowNtile, qWindowFirstLast, qTopkPerGroup)
+    qWindowNtile, qWindowFirstLast, qTopkPerGroup, qSessionizeBatch)
 }
