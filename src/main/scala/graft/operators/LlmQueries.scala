@@ -484,6 +484,26 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Frequent-terms via the Space-Saving sketch (functions/TopKSketch):
+    * the token stream reduces map-side to bounded 128-counter buffers
+    * that merge associatively — one narrow shuffle of constant-size
+    * sketches instead of a vocabulary-wide groupBy. Estimates are
+    * guaranteed overestimates and capture every term with frequency
+    * > n/128; exactness guarantees are pinned in SketchSpec, so this is
+    * registered rows-only (a sketch has no ANSI oracle). */
+  val qHeavyHitters = Q.noOracle("q_heavy_hitters") { (s, d) =>
+    val sk = udaf(new graft.functions.TopKSketch(128),
+      org.apache.spark.sql.Encoders.STRING)
+    t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .agg(sk(col("term")).as("sketch"))
+      .select(posexplode(col("sketch")).as(Seq("rank", "entry")))
+      .select((col("rank") + 1).as("rank"),
+        col("entry").getField("_1").as("term"),
+        col("entry").getField("_2").as("est_count"))
+      .limit(20)
+  }
+
   val qTextTokens = Q(
     "q_text_tokens",
     """SELECT term, cnt FROM (
@@ -763,6 +783,7 @@ object LlmQueries {
     qTextTokenCount, qTextFingerprint,
     qDecontaminate, qPiiScrub, qTextRepetition, qTextLevenshtein,
     qStratifiedSample, qKmeansAssign, qTfidfTopTerms, qTokenRarity,
+    qHeavyHitters,
     qSampleHash, qSplitTrainTest, qShuffleDet, qPackSequences, qLengthBuckets,
     qMultimodalJoin, qMultimodalMeta, qMultimodalDecode)
 }

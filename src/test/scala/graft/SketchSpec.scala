@@ -1,0 +1,56 @@
+package graft
+
+import graft.functions.TopKSketch
+import graft.plans.BloomPrune
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+/** Guarantees of the sketch-based scale primitives: Space-Saving
+  * overestimates + heavy-hitter capture, and Bloom pruning's zero
+  * false negatives. */
+class SketchSpec extends SparkTestBase {
+
+  private def toks = Tables.load(spark, sf, "documents")
+    .select(explode(split(col("text"), " ")).as("term"))
+
+  test("space-saving: every estimate >= true count, top-1 captured") {
+    val sk = udaf(new TopKSketch(128), Encoders.STRING)
+    val sketch = toks.agg(sk(col("term")).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e").getField("_1").as("term"),
+        col("e").getField("_2").as("est"))
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val joined = sketch.join(exact, "term")
+    assert(joined.filter(col("est") < col("cnt")).count() == 0,
+      "space-saving must never underestimate")
+    val top1 = exact.orderBy(col("cnt").desc, col("term"))
+      .select("term").head.getString(0)
+    assert(sketch.filter(col("term") === top1).count() == 1,
+      s"top token '$top1' missing from sketch")
+  }
+
+  test("space-saving: capacity bounds the sketch size across partitions") {
+    val sk = udaf(new TopKSketch(16), Encoders.STRING)
+    val n = toks.repartition(8).agg(sk(col("term")).as("s"))
+      .select(size(col("s"))).head.getInt(0)
+    assert(n <= 16 && n > 0)
+  }
+
+  test("bloom prune: no false negatives, join result exact") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val exact = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    val pruned = BloomPrune.prune(li, col("l_orderkey"), ord,
+      col("o_orderkey"), expectedItems = 10000L)
+    assert(pruned.count() <= li.count())
+    val joined = BloomPrune.prunedJoin(li, "l_orderkey", ord, "o_orderkey",
+      expectedItems = 10000L).count()
+    assert(joined == exact, s"pruned join $joined != exact $exact")
+    // every truly-matching row must survive the bloom filter
+    val matches = li.join(ord.select("o_orderkey").distinct(),
+      col("l_orderkey") === col("o_orderkey")).select("l_orderkey", "l_linenumber")
+    val survived = pruned.select("l_orderkey", "l_linenumber")
+    assert(matches.except(survived).isEmpty, "bloom dropped a true match")
+  }
+}
