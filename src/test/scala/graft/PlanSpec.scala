@@ -127,7 +127,9 @@ class PlanSpec extends SparkTestBase {
     val qs = Seq(Windows.qWindowRank, Windows.qWindowRunning,
       Windows.qWindowLeadLag, Windows.qWindowRangeFrame, Windows.qWindowNtile,
       Windows.qWindowFirstLast, Windows.qTopkPerGroup,
-      LlmQueries.qPackSequences, Relational.qLateralTopn, Relational.qJoinAsof)
+      Windows.qSessionizeBatch, LlmQueries.qPackSequences,
+      LlmQueries.qTfidfTopTerms, Relational.qLateralTopn,
+      Relational.qJoinAsof)
     qs.foreach { q =>
       val bad = q.run(spark, sf).queryExecution.optimizedPlan.collect {
         case w: LogicalWindow if w.partitionSpec.isEmpty => w
@@ -135,6 +137,12 @@ class PlanSpec extends SparkTestBase {
       assert(bad.isEmpty,
         s"${q.name}: global window would single-task at scale:\n${bad.mkString}")
     }
+  }
+
+  test("k-means assignment broadcasts the centroid table") {
+    val p = plan(LlmQueries.qKmeansAssign)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("as-of join is a single window pass, not a range self-join") {
