@@ -213,7 +213,53 @@ object Windows {
       .orderBy("user_id", "session_id")
   }
 
+  /** Ordered funnel (view → click → purchase): each stage is the min
+    * event time strictly after the previous stage's time. Three
+    * user-keyed aggregations + two user-keyed joins — everything
+    * co-partitions on user_id, so the funnel costs one shuffle key at
+    * any scale. Times compare in integer microseconds. */
+  val qFunnelStages = Q(
+    "q_funnel_stages",
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+      |  GROUP BY e.user_id)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin) { (s, d) =>
+    val us = unix_micros(col("ts").cast(TimestampType))
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_type"), us.as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").as("e")
+      .join(v.as("v"), col("e.user_id") === col("v.user_id"))
+      .filter(col("e.us") > col("v.t_view"))
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.us")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").as("e")
+      .join(c.as("c"), col("e.user_id") === col("c.user_id"))
+      .filter(col("e.us") > col("c.t_click"))
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.us")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select("user_id", "t_view", "t_click", "t_purchase")
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(
     qWindowRank, qWindowRunning, qWindowLeadLag, qWindowRangeFrame,
-    qWindowNtile, qWindowFirstLast, qTopkPerGroup, qSessionizeBatch)
+    qWindowNtile, qWindowFirstLast, qTopkPerGroup, qSessionizeBatch,
+    qFunnelStages)
 }

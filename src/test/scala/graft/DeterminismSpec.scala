@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators._
+
+/** The driver's correctness gate hashes results cell-by-cell, so every
+  * registered query must produce IDENTICAL rows regardless of physical
+  * parallelism. This spec re-runs the historically sensitive queries
+  * (double aggregation order, windows, argmin ties, global rank) under
+  * two different shuffle parallelisms and requires exact equality —
+  * the regression guard for the determinism contract (SURVEY §7.4).
+  */
+class DeterminismSpec extends SparkTestBase {
+
+  private val sensitive = Seq(
+    Aggregates.qAggGroupby, Aggregates.qAggRollup,
+    Windows.qWindowRunning, Windows.qWindowNtile, Windows.qTopkPerGroup,
+    Windows.qSessionizeBatch, Windows.qFunnelStages,
+    LlmQueries.qTfidfTopTerms, LlmQueries.qTokenRarity,
+    LlmQueries.qKmeansAssign, LlmQueries.qPackSequences)
+
+  test("sensitive queries are exactly invariant to shuffle parallelism") {
+    val conf = spark.conf
+    val orig = conf.get("spark.sql.shuffle.partitions")
+    try {
+      sensitive.foreach { q =>
+        conf.set("spark.sql.shuffle.partitions", "5")
+        val a = q.run(spark, sf).collect().map(_.toString).toSeq
+        conf.set("spark.sql.shuffle.partitions", "13")
+        val b = q.run(spark, sf).collect().map(_.toString).toSeq
+        assert(a == b, s"${q.name}: results differ across partitionings")
+        assert(a.nonEmpty, s"${q.name}: empty result")
+      }
+    } finally conf.set("spark.sql.shuffle.partitions", orig)
+  }
+}
