@@ -258,8 +258,60 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** CDC-style latest-snapshot compaction: keep each user's most recent
+    * event (ties on identical timestamps break by highest event_id).
+    * Same single-shuffle window+filter shape as top-k per group — the
+    * pattern that compacts a 100 TB changelog to current state. */
+  val qLatestSnapshot = Q(
+    "q_latest_snapshot",
+    """SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) x
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, d, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast(TimestampType)).as("us"))
+      .orderBy("user_id")
+  }
+
+  // 8-term exponential-decay weights 2^-j: every weight is a power of two,
+  // so each product is an exact exponent shift and the unrolled left-to-
+  // right sum associates identically in both engines — bit-stable without
+  // any recursive window state.
+  private val decayTerms = 0 until 8
+
+  /** Time-decayed trailing engagement score: Σ_{j<8} value[t−j] · 2^−j
+    * over each user's event sequence (missing history counts 0). The
+    * unrolled-lag form needs no UDF and no recursive state — it stays
+    * inside one per-user window pass under whole-stage codegen. */
+  val qDecayAvg = Q(
+    "q_decay_avg",
+    s"""SELECT user_id, event_id, ${decayTerms.map {
+         case 0 => "value"
+         case j => s"coalesce(lag(value, $j) OVER w, 0) / ${1L << j}"
+       }.mkString(" + ")} AS decayed
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+       |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val us = unix_micros(col("ts").cast(TimestampType))
+    val w = Window.partitionBy("user_id").orderBy(us, col("event_id"))
+    val score = decayTerms.map {
+      case 0 => col("value")
+      case j => coalesce(lag(col("value"), j).over(w), lit(0)) / (1L << j)
+    }.reduceLeft(_ + _)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), score.as("decayed"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(
     qWindowRank, qWindowRunning, qWindowLeadLag, qWindowRangeFrame,
     qWindowNtile, qWindowFirstLast, qTopkPerGroup, qSessionizeBatch,
-    qFunnelStages)
+    qFunnelStages, qLatestSnapshot, qDecayAvg)
 }
