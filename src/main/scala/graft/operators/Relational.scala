@@ -341,6 +341,25 @@ object Relational {
         .orderBy("n_nationkey")
   }
 
+  /** Raw text-lines sink/source round-trip — how unstructured corpora
+    * enter an LLM pipeline (one document per line here; the fixtures
+    * contain no embedded newlines). Line ORDER is not preserved by a
+    * distributed text write, so the query aggregates order-insensitively;
+    * the oracle computes the same aggregates from the original table. */
+  val qSourceText = Q(
+    "q_source_text",
+    """SELECT substr(text, 1, 1) AS c0, count(*) AS n_lines,
+      |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY 1 ORDER BY c0""".stripMargin) { (s, d) =>
+    val dir = "target/tmp/q_source_text"
+    t(s, d, "documents").select("text").write.mode("overwrite").text(dir)
+    s.read.text(dir)
+      .groupBy(substring(col("value"), 1, 1).as("c0"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).as("n_chars"))
+      .orderBy("c0")
+  }
+
   /** binaryFile source — how opaque media payloads (images/audio/video)
     * enter the engine at scale: whole files as binary rows with path
     * metadata, payload untouched until an explicit decode stage. Fixture
@@ -397,7 +416,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     qScanProject, qScanCount, qSinkParquet, qSourceCsv, qSourceJson,
-    qSinkOrc, qSourceBinary, qSinkPartitioned,
+    qSinkOrc, qSourceBinary, qSourceText, qSinkPartitioned,
     qFilterRange, qFilterInLike, qFilterNullCase,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinTheta, qJoinRange, qJoinAsof, qCrossJoin, qLateralTopn, qUnpivot)
