@@ -360,6 +360,35 @@ object Relational {
       .orderBy("c0")
   }
 
+  // DuckDB-side mirror of Layout.spread: same masks/shifts, so the
+  // expression shape (and thus the integer result) is identical.
+  private def spreadSql(e: String): String = {
+    val masks = Seq(
+      0x0000FFFF0000FFFFL, 0x00FF00FF00FF00FFL, 0x0F0F0F0F0F0F0F0FL,
+      0x3333333333333333L, 0x5555555555555555L)
+    val shifts = Seq(16, 8, 4, 2, 1)
+    masks.zip(shifts).foldLeft(s"($e & 2147483647)") {
+      case (prev, (mask, s)) => s"(($prev | ($prev << $s)) & $mask)"
+    }
+  }
+
+  /** 2-D Z-order key (plans.Layout.mortonKey): exact integer bit
+    * interleaving, so it oracle-checks bit-for-bit. The key is what
+    * `Layout.writeZOrdered` clusters files by — multi-dimensional data
+    * skipping for 100 TB scans with 2-D range predicates. */
+  val qZorderKey = Q(
+    "q_zorder_key",
+    s"""SELECT c_custkey, c_nationkey,
+       |  (${spreadSql("c_custkey")} |
+       |   (${spreadSql("c_nationkey")} << 1)) AS zkey
+       |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        graft.plans.Layout.mortonKey(col("c_custkey"), col("c_nationkey"))
+          .as("zkey"))
+      .orderBy("c_custkey")
+  }
+
   /** binaryFile source — how opaque media payloads (images/audio/video)
     * enter the engine at scale: whole files as binary rows with path
     * metadata, payload untouched until an explicit decode stage. Fixture
@@ -416,7 +445,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     qScanProject, qScanCount, qSinkParquet, qSourceCsv, qSourceJson,
-    qSinkOrc, qSourceBinary, qSourceText, qSinkPartitioned,
+    qSinkOrc, qSourceBinary, qSourceText, qSinkPartitioned, qZorderKey,
     qFilterRange, qFilterInLike, qFilterNullCase,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinTheta, qJoinRange, qJoinAsof, qCrossJoin, qLateralTopn, qUnpivot)

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout maintenance for large parquet corpora: the small-files
@@ -28,6 +28,38 @@ object Layout {
       clusterCols: String*): Unit =
     df.repartitionByRange(numFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** Bit-spread for 2-D Morton interleaving: the low 31 bits of `c`
+    * spaced out to even bit positions. Pure built-in bitwise ops —
+    * whole-stage-codegen'd, no UDF. */
+  private def spread(c: Column): Column = {
+    val m = Seq(
+      0x0000FFFF0000FFFFL, 0x00FF00FF00FF00FFL, 0x0F0F0F0F0F0F0F0FL,
+      0x3333333333333333L, 0x5555555555555555L)
+    val shifts = Seq(16, 8, 4, 2, 1)
+    var x: Column = c.cast("long").bitwiseAND(lit(0x7FFFFFFFL))
+    m.zip(shifts).foreach { case (mask, s) =>
+      x = x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(mask))
+    }
+    x
+  }
+
+  /** 2-D Z-order (Morton) key: interleaves the low 31 bits of two
+    * non-negative int columns. Sorting by this key clusters rows that are
+    * close in BOTH dimensions into the same files/row groups, so parquet
+    * min/max statistics skip IO for 2-D range predicates — the multi-
+    * column analog of `writeClustered`. */
+  def mortonKey(a: Column, b: Column): Column =
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+
+  /** Z-order-clustered write over two dimensions. */
+  def writeZOrdered(df: DataFrame, dir: String, numFiles: Int,
+      colA: String, colB: String): Unit =
+    df.withColumn("graft_z", mortonKey(col(colA), col(colB)))
+      .repartitionByRange(numFiles, col("graft_z"))
+      .sortWithinPartitions("graft_z")
+      .drop("graft_z")
       .write.mode(SaveMode.Overwrite).parquet(dir)
 
   /** Number of data files currently backing a parquet directory. */

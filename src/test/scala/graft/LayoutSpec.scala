@@ -21,6 +21,44 @@ class LayoutSpec extends SparkTestBase {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("mortonKey matches a reference bit-interleave on a grid") {
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 31) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    import spark.implicits._
+    val pts = for (a <- 0L to 7L; b <- 0L to 7L) yield (a, b)
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.mortonKey(col("a"), col("b")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (a, b) =>
+      assert(got((a, b)) == ref(a, b), s"morton($a,$b)")
+    }
+    // also spot-check large coordinates near the 31-bit boundary
+    val big = Seq((0x7FFFFFFFL, 0L), (123456789L, 987654321L))
+    val gotBig = big.toDF("a", "b")
+      .select(Layout.mortonKey(col("a"), col("b"))).collect()
+    big.zip(gotBig).foreach { case ((a, b), r) =>
+      assert(r.getLong(0) == ref(a, b), s"morton($a,$b) large")
+    }
+  }
+
+  test("writeZOrdered preserves content") {
+    val dir = "target/tmp/layout_zorder"
+    val cust = Tables.load(spark, sf, "customer")
+    Layout.writeZOrdered(cust, dir, 4, "c_custkey", "c_nationkey")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == cust.count())
+    assert(cust.exceptAll(back).isEmpty && back.exceptAll(cust).isEmpty)
+  }
+
   test("writeClustered preserves content and ranges files by the key") {
     val dir = "target/tmp/layout_clustered"
     val li = Tables.load(spark, sf, "lineitem")
