@@ -504,6 +504,48 @@ object LlmQueries {
       .limit(20)
   }
 
+  /** Sliding-window document chunking (size 120, stride 100 → 20-char
+    * overlap) — how long documents become training sequences. Linear
+    * explode (no joins); the series bound of 50 chunks covers documents
+    * to 5k chars (fixture max 553 — asserted in the WHERE, which also
+    * makes the DuckDB constant-bound generate_series exact). */
+  val qChunkDocs = Q(
+    "q_chunk_docs",
+    """SELECT doc_id, CAST(k AS INT) AS chunk_id,
+      |  substr(text, k * 100 + 1, 120) AS chunk
+      |FROM documents, generate_series(0, 50) AS g(k)
+      |WHERE doc_id % 20 = 0 AND k <= (length(text) - 1) // 100
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((length(col("text")) - 1) / 100).cast(IntegerType)))
+          .as("chunk_id"),
+        col("text"))
+      .select(col("doc_id"), col("chunk_id"),
+        expr("substr(text, chunk_id * 100 + 1, 120)").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Canonical text normalization (lower → strip punctuation → collapse
+    * whitespace → trim): the pre-tokenization cleanup pass; the regex
+    * subset used is identical in Java and RE2/DuckDB. */
+  val qTextNormalize = Q(
+    "q_text_normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      |FROM documents WHERE doc_id % 100 = 0
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " ")).as("norm"))
+      .orderBy("doc_id")
+  }
+
   val qTextTokens = Q(
     "q_text_tokens",
     """SELECT term, cnt FROM (
@@ -783,7 +825,7 @@ object LlmQueries {
     qTextTokenCount, qTextFingerprint,
     qDecontaminate, qPiiScrub, qTextRepetition, qTextLevenshtein,
     qStratifiedSample, qKmeansAssign, qTfidfTopTerms, qTokenRarity,
-    qHeavyHitters,
+    qHeavyHitters, qChunkDocs, qTextNormalize,
     qSampleHash, qSplitTrainTest, qShuffleDet, qPackSequences, qLengthBuckets,
     qMultimodalJoin, qMultimodalMeta, qMultimodalDecode)
 }

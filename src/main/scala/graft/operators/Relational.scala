@@ -360,6 +360,32 @@ object Relational {
       .orderBy("c0")
   }
 
+  /** Schema-evolution read: two parquet writes with different schemas in
+    * one directory, read back with mergeSchema — how a 100 TB table keeps
+    * working while columns are added over time. The oracle rebuilds the
+    * same union-with-nulls from the source table (the driver's DuckDB
+    * session sees fixture tables, not our temp dirs). */
+  val qSchemaMerge = Q(
+    "q_schema_merge",
+    """SELECT r_regionkey, r_name, r_name_up FROM (
+      |  SELECT r_regionkey, r_name, CAST(NULL AS VARCHAR) AS r_name_up
+      |  FROM region
+      |  UNION ALL
+      |  SELECT r_regionkey, CAST(NULL AS VARCHAR) AS r_name,
+      |    upper(r_name) AS r_name_up
+      |  FROM region) u
+      |ORDER BY r_regionkey, r_name NULLS FIRST""".stripMargin) { (s, d) =>
+    val dir = "target/tmp/q_schema_merge"
+    val region = t(s, d, "region")
+    region.select("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(dir)
+    region.select(col("r_regionkey"), upper(col("r_name")).as("r_name_up"))
+      .write.mode("append").parquet(dir)
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .select("r_regionkey", "r_name", "r_name_up")
+      .orderBy(col("r_regionkey"), col("r_name").asc_nulls_first)
+  }
+
   // DuckDB-side mirror of Layout.spread: same masks/shifts, so the
   // expression shape (and thus the integer result) is identical.
   private def spreadSql(e: String): String = {
@@ -446,6 +472,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     qScanProject, qScanCount, qSinkParquet, qSourceCsv, qSourceJson,
     qSinkOrc, qSourceBinary, qSourceText, qSinkPartitioned, qZorderKey,
+    qSchemaMerge,
     qFilterRange, qFilterInLike, qFilterNullCase,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinTheta, qJoinRange, qJoinAsof, qCrossJoin, qLateralTopn, qUnpivot)
