@@ -470,7 +470,42 @@ object Aggregates {
         .orderBy("k")
   }
 
+  /** Percent-of-total done the scale-safe way: the grand total is a
+    * one-row aggregate broadcast back onto the per-group rows — NOT a
+    * `sum() OVER ()` empty-partition window (which funnels every row
+    * through one task). Exact decimal sums; one double division each,
+    * rounded 6. */
+  val qRevenueShare = Q(
+    "q_revenue_share",
+    """WITH rev AS (
+      |  SELECT n_name,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY n_name),
+      |tot AS (SELECT SUM(r) AS t FROM rev)
+      |SELECT n_name, CAST(r AS DOUBLE) AS revenue,
+      |  ROUND(CAST(r AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+      |FROM rev, tot ORDER BY n_name""".stripMargin) { (s, d) =>
+    val rev = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(dec2(col("l_extendedprice")) *
+        (lit(1) - dec2(col("l_discount")))).as("r"))
+    val tot = rev.agg(sum(col("r")).as("t"))
+    rev.crossJoin(broadcast(tot))
+      .select(col("n_name"), asDbl(col("r")).as("revenue"),
+        round(asDbl(col("r")) / asDbl(col("t")), 6).as("share"))
+      .orderBy("n_name")
+  }
+
   val all: Seq[Q] = Seq(
+    qRevenueShare,
     qAggGlobal, qAggGroupby, qAggHaving, qAggDistinct, qAggRollup, qAggCube,
     qAggGroupingSets, qSubqueryScalar, qSubqueryIn,
     qAggStats, qAggMoments, qGapFill,

@@ -310,8 +310,80 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** Winsorized statistics: clip values to the exact rank-defined
+    * [p01, p99] before aggregating (robust to sensor spikes/outliers).
+    * The thresholds come from graft.plans.GlobalRank — the two-pass
+    * range-partitioned rank — NOT a global window, so the exact-quantile
+    * lookup stays distributed at any scale; the two threshold rows are a
+    * broadcast. Rank-based quantiles (value at ceil(q·n)) avoid cross-
+    * engine interpolation semantics entirely. */
+  val qWinsorize = Q(
+    "q_winsorize",
+    """WITH ranked AS (
+      |  SELECT value, event_type,
+      |    row_number() OVER (ORDER BY value, event_id) AS r,
+      |    count(*) OVER () AS n
+      |  FROM events),
+      |cuts AS (
+      |  SELECT
+      |    max(CASE WHEN r = CAST(ceil(0.01 * n) AS BIGINT)
+      |        THEN value END) AS lo,
+      |    max(CASE WHEN r = CAST(ceil(0.99 * n) AS BIGINT)
+      |        THEN value END) AS hi
+      |  FROM ranked)
+      |SELECT event_type, count(*) AS n_events,
+      |  ROUND(avg(least(greatest(value, lo), hi)), 6) AS clipped_avg,
+      |  lo AS clip_lo, hi AS clip_hi
+      |FROM events, cuts
+      |GROUP BY event_type, lo, hi ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+    val ev = t(s, d, "events")
+    val (ranked, n) = graft.plans.GlobalRank.withGlobalRowNumber(
+      ev.select("event_id", "value"), "r", 32, col("value"), col("event_id"))
+    val loRank = math.ceil(0.01 * n).toLong
+    val hiRank = math.ceil(0.99 * n).toLong
+    val cuts = ranked.filter(col("r") === loRank || col("r") === hiRank)
+      .agg(max(when(col("r") === loRank, col("value"))).as("lo"),
+        max(when(col("r") === hiRank, col("value"))).as("hi"))
+    ev.crossJoin(broadcast(cuts))
+      .groupBy("event_type", "lo", "hi")
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(least(greatest(col("value"), col("lo")), col("hi"))), 6)
+          .as("clipped_avg"))
+      .select(col("event_type"), col("n_events"), col("clipped_avg"),
+        col("lo").as("clip_lo"), col("hi").as("clip_hi"))
+      .orderBy("event_type")
+  }
+
+  /** Weekly cohort retention: cohort = each user's first active week
+    * (integer µs floor-division — no calendar/locale semantics to drift
+    * cross-engine), cell = distinct users from that cohort active at
+    * each week offset. Two user-keyed aggs + one broadcast-size join. */
+  val qCohortRetention = Q(
+    "q_cohort_retention",
+    """WITH wk AS (
+      |  SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id)
+      |SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+      |  count(DISTINCT w.user_id) AS n_users
+      |FROM wk w JOIN cohort c ON w.user_id = c.user_id
+      |GROUP BY c.cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+    val wk = t(s, d, "events")
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 604800000000")
+          .as("week"))
+    val cohort = wk.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    wk.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week"))
+        .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val all: Seq[Q] = Seq(
     qWindowRank, qWindowRunning, qWindowLeadLag, qWindowRangeFrame,
     qWindowNtile, qWindowFirstLast, qTopkPerGroup, qSessionizeBatch,
-    qFunnelStages, qLatestSnapshot, qDecayAvg)
+    qFunnelStages, qLatestSnapshot, qDecayAvg, qWinsorize, qCohortRetention)
 }

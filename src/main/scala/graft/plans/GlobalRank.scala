@@ -7,32 +7,48 @@ import org.apache.spark.sql.types.LongType
 
 /** Distributed global ordering primitives — no single-task global window.
   *
-  * Both helpers use the classic two-pass range-partition pattern (the same
-  * shape Spark's own distributed sort builds on): range-partition on the
-  * sort key so partition boundaries respect the global order, compute the
-  * running quantity locally per partition, then shift each partition by
-  * the total of all earlier partitions. The only driver-side data is one
-  * (partition_id, total) pair per partition — constant-size regardless of
-  * table size, so the pattern survives a 100 TB input where
-  * `Window.orderBy(...)` without partitionBy funnels everything through
-  * one task.
+  * Both helpers use the classic two-pass range-bucket pattern (the same
+  * shape Spark's own distributed sort builds on): bucket rows by quantile
+  * boundaries of the leading sort key so bucket boundaries respect the
+  * global order, compute the running quantity locally per bucket, then
+  * shift each bucket by the total of all earlier buckets. The only
+  * driver-side data is the boundary array plus one (bucket, total) pair
+  * per bucket — constant-size regardless of table size, so the pattern
+  * survives a 100 TB input where `Window.orderBy(...)` without
+  * partitionBy funnels everything through one task.
   *
-  * Determinism note: `repartitionByRange` samples with a fixed seed, so
-  * re-executing the ranged child in the second pass reproduces identical
-  * partition boundaries.
+  * Determinism note: the bucket id is a PURE FUNCTION of the row against
+  * boundary values collected once and baked into the plan as literals, so
+  * every re-execution of the (lazily recomputed) bucketed child assigns
+  * identical buckets. The earlier `repartitionByRange` +
+  * `spark_partition_id()` formulation did NOT have this property — its
+  * sampled boundaries could differ between the offset-collection pass and
+  * the ranking pass, silently corrupting ranks (caught by q_winsorize at
+  * sf0.01). NULL keys bucket before all values, matching Spark's
+  * ascending NULLS FIRST.
   */
 object GlobalRank {
 
   private val PID = "__graft_pid"
   private val OFF = "__graft_off"
   private val LOC = "__graft_loc"
+  private val KEY = "__graft_key"
 
-  /** (ranged-with-pid df, broadcastable (pid, offset-of-prior-partitions)
-    * pairs, grand total) for `agg` of the per-partition quantity. */
+  /** (bucketed-with-pid df, broadcastable (pid, offset-of-prior-buckets)
+    * pairs, grand total) for `agg` of the per-bucket quantity. */
   private def offsets(df: DataFrame, nParts: Int, sortCols: Seq[Column],
                       perPartition: Column): (DataFrame, Seq[(Int, Long)], Long) = {
-    val ranged = df.repartitionByRange(nParts, sortCols: _*)
-      .withColumn(PID, spark_partition_id())
+    val keyed = df.withColumn(KEY, sortCols.head.cast("double"))
+    val probs = (1 until nParts).map(_.toDouble / nParts).toArray
+    val bounds = keyed.stat.approxQuantile(KEY, probs, 0.001)
+      .distinct.sorted
+    val bucket = bounds.zipWithIndex
+      .foldRight(lit(bounds.length): Column) { case ((b, i), acc) =>
+        when(col(KEY) <= b, i).otherwise(acc)
+      }
+    val ranged = keyed
+      .withColumn(PID, when(col(KEY).isNull, -1).otherwise(bucket))
+      .drop(KEY)
     val totals = ranged.groupBy(PID).agg(perPartition.cast(LongType).as("t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
     val offs = totals.map(_._1)

@@ -61,6 +61,21 @@ class GlobalRankSpec extends SparkTestBase {
     assert(parts > 1, s"range partitioning collapsed to $parts partition(s)")
   }
 
+  test("regression: real table with duplicate double keys ranks exactly " +
+    "(bucket ids must be execution-independent — the repartitionByRange+" +
+    "spark_partition_id formulation failed here)") {
+    val ev = Tables.load(spark, sf, "events").select("event_id", "value")
+    val (ranked, n) = GlobalRank.withGlobalRowNumber(
+      ev, "g_rank", 32, col("value"), col("event_id"))
+    assert(n == ev.count())
+    val w = Window.orderBy("value", "event_id")
+    val want = ev.withColumn("g_rank", row_number().over(w).cast("long"))
+    assert(ranked.except(want).isEmpty && want.except(ranked).isEmpty)
+    // ranks are a permutation of 1..n: no duplicates, no overshoot
+    assert(ranked.agg(max("g_rank")).head.getLong(0) == n)
+    assert(ranked.select("g_rank").distinct().count() == n)
+  }
+
   test("ntileFromRank and percentRankFromRank match Spark's window forms") {
     val df = fixture
     val (ranked, n) = GlobalRank.withGlobalRowNumber(
