@@ -15,8 +15,11 @@ class DeterminismSpec extends SparkTestBase {
     Aggregates.qAggGroupby, Aggregates.qAggRollup,
     Windows.qWindowRunning, Windows.qWindowNtile, Windows.qTopkPerGroup,
     Windows.qSessionizeBatch, Windows.qFunnelStages,
+    Windows.qWinsorize, Windows.qCohortRetention, Windows.qLatestSnapshot,
+    Windows.qDecayAvg, Aggregates.qRevenueShare,
     LlmQueries.qTfidfTopTerms, LlmQueries.qTokenRarity,
-    LlmQueries.qKmeansAssign, LlmQueries.qPackSequences)
+    LlmQueries.qKmeansAssign, LlmQueries.qPackSequences,
+    LlmQueries.qChunkDocs)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
