@@ -546,6 +546,80 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Bigram LM estimation: count(term → next), keep the top-3 following
+    * tokens with conditional probability for frequent contexts. Positions
+    * come from array indexing (identical 1-based semantics both engines),
+    * so no per-token window is needed; the count shuffle keys on the
+    * bigram. The probability is exact-int division, rounded 6. The
+    * 200-position bound covers fixture docs (max ~100 words). */
+  val qBigramLm = Q(
+    "q_bigram_lm",
+    """WITH big AS (
+      |  SELECT sp[k] AS term, sp[k+1] AS next
+      |  FROM (SELECT string_split(text, ' ') AS sp FROM documents) d,
+      |       generate_series(1, 200) AS g(k)
+      |  WHERE k <= len(sp) - 1),
+      |cnt AS (SELECT term, next, count(*) AS c FROM big GROUP BY 1, 2)
+      |SELECT term, next, c, ROUND(CAST(c AS DOUBLE) / CAST(tot AS BIGINT), 6)
+      |    AS p_next,
+      |  CAST(rk AS INT) AS rk
+      |FROM (
+      |  SELECT term, next, c,
+      |    row_number() OVER (PARTITION BY term ORDER BY c DESC, next) AS rk,
+      |    SUM(c) OVER (PARTITION BY term) AS tot
+      |  FROM cnt) x
+      |WHERE rk <= 3 AND tot >= 50
+      |ORDER BY term, rk""".stripMargin) { (s, d) =>
+    val sp = split(col("text"), " ")
+    val big = t(s, d, "documents")
+      .select(sp.as("sp")).filter(size(col("sp")) >= 2)
+      .select(col("sp"),
+        explode(sequence(lit(1), size(col("sp")) - 1)).as("k"))
+      .select(element_at(col("sp"), col("k")).as("term"),
+        element_at(col("sp"), col("k") + 1).as("next"))
+    val cnt = big.groupBy("term", "next").agg(count(lit(1)).as("c"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("c").desc, col("next"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    cnt.withColumn("rk", row_number().over(wRank))
+      .withColumn("tot", sum(col("c")).over(wTot))
+      .filter(col("rk") <= 3 && col("tot") >= 50)
+      .select(col("term"), col("next"), col("c"),
+        round(col("c").cast(DoubleType) / col("tot"), 6).as("p_next"),
+        col("rk"))
+      .orderBy("term", "rk")
+  }
+
+  /** Deterministic corpus mixing: per-source sampling weights (the
+    * training-mix knob — upsample rare sources, downsample dominant ones
+    * — here: keep fractions per source bucket) applied by content hash,
+    * then a reproducible pseudo-random interleave order, also by hash.
+    * Fully engine/partitioning-independent: same mix, same order,
+    * anywhere. */
+  val qCorpusMix = Q(
+    "q_corpus_mix",
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100
+      |      AS bucket,
+      |    substr(md5(concat('mix', text)), 1, 16) AS ord
+      |  FROM documents) x
+      |WHERE bucket < CASE WHEN source = 'src0' THEN 25
+      |               WHEN source = 'src1' THEN 50 ELSE 90 END
+      |ORDER BY ord, doc_id LIMIT 500""".stripMargin) { (s, d) =>
+    val bucket = TextOps.hash60(col("text")) % 100
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"), bucket.as("bucket"),
+        substring(md5(concat(lit("mix"), col("text"))), 1, 16).as("ord"))
+      .filter(col("bucket") <
+        when(col("source") === "src0", 25)
+          .when(col("source") === "src1", 50).otherwise(90))
+      .select(col("doc_id"), col("source"), col("ord"))
+      .orderBy("ord", "doc_id")
+      .limit(500)
+      .select("doc_id", "source")
+  }
+
   val qTextTokens = Q(
     "q_text_tokens",
     """SELECT term, cnt FROM (
@@ -825,7 +899,7 @@ object LlmQueries {
     qTextTokenCount, qTextFingerprint,
     qDecontaminate, qPiiScrub, qTextRepetition, qTextLevenshtein,
     qStratifiedSample, qKmeansAssign, qTfidfTopTerms, qTokenRarity,
-    qHeavyHitters, qChunkDocs, qTextNormalize,
+    qHeavyHitters, qChunkDocs, qTextNormalize, qBigramLm, qCorpusMix,
     qSampleHash, qSplitTrainTest, qShuffleDet, qPackSequences, qLengthBuckets,
     qMultimodalJoin, qMultimodalMeta, qMultimodalDecode)
 }
