@@ -17,9 +17,19 @@ object BloomPrune {
   /** Build a Bloom filter over `build`'s `key` and return `probe` reduced
     * to rows whose `key` might match. The filter is built distributed
     * (mergeable sketch, one tiny result) and broadcast to the probe scan;
-    * the predicate is a pre-shuffle filter, NOT a join replacement. */
+    * the predicate is a pre-shuffle filter, NOT a join replacement.
+    *
+    * Keys must be integral (the no-false-negative guarantee is the whole
+    * contract): a lossy cast would silently DROP probe rows, so
+    * non-integral key types are rejected up front. NULL probe keys are
+    * filtered — NULL never equi-joins anyway. */
   def prune(probe: DataFrame, probeKey: Column, build: DataFrame,
       buildKey: Column, expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val kt = probe.select(probeKey).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(kt),
+      s"BloomPrune requires an integral key (got $kt): a lossy cast would " +
+        "drop probe rows and break the no-false-negative contract")
     val bf = build.stat.bloomFilter(buildKey, expectedItems, fpp)
     val bc = probe.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: java.lang.Long) =>

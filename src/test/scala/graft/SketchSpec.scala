@@ -36,6 +36,14 @@ class SketchSpec extends SparkTestBase {
     assert(n <= 16 && n > 0)
   }
 
+  test("bloom prune rejects non-integral keys (lossy cast would drop rows)") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val ord = Tables.load(spark, sf, "orders")
+    intercept[IllegalArgumentException] {
+      BloomPrune.prune(li, col("l_returnflag"), ord, col("o_orderkey"), 100L)
+    }
+  }
+
   test("bloom prune: no false negatives, join result exact") {
     val li = Tables.load(spark, sf, "lineitem")
     val ord = Tables.load(spark, sf, "orders")
