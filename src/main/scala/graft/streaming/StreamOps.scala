@@ -79,6 +79,32 @@ object StreamOps {
       }
   }
 
+  /** Streaming per-user heavy hitters: the Space-Saving sketch
+    * (functions.TopKSketch) IS the mapGroupsWithState state transition, so
+    * per-user state is bounded at `capacity` counters forever — the only
+    * way "top behaviors per key" stays feasible on an unbounded stream
+    * with unbounded behavior vocabularies. Emits each user's current top
+    * item + estimate after every microbatch. */
+  def streamingTopBehavior(events: DataFrame, capacity: Int)
+      : Dataset[(Long, String, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sk = new graft.functions.TopKSketch(capacity)
+    events.select(col("user_id").cast(LongType), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], (Long, String, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String)],
+         state: GroupState[Map[String, Long]]) =>
+          var buf = state.getOption.getOrElse(sk.zero)
+          rows.foreach { case (_, et) => buf = sk.reduce(buf, et) }
+          state.update(buf)
+          val (top, est) = sk.finish(buf).head
+          (user, top, est)
+      }
+  }
+
   /** Stream-static enrichment join: the static dimension is broadcast per
     * microbatch; stateless, so no watermark needed. */
   def enrichWithStatic(events: DataFrame, dim: DataFrame,

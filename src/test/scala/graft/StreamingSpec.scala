@@ -78,6 +78,26 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains((2L, 3L)))
   }
 
+  test("streaming top-behavior carries the sketch across microbatches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val top = StreamOps.streamingTopBehavior(
+      ms.toDF().toDF("user_id", "event_type"), capacity = 8)
+    val q = top.toDF("user_id", "top", "est").writeStream.format("memory")
+      .queryName("topk_state_test").outputMode(OutputMode.Update()).start()
+    ms.addData((1L, "view"), (1L, "view"), (1L, "click"))
+    q.processAllAvailable()
+    ms.addData((1L, "click"), (1L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("topk_state_test").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // batch 1: view leads 2-1; batch 2: click overtakes 3-2 via carried state
+    assert(rows.contains((1L, "view", 2L)), rows.toSeq.toString)
+    assert(rows.contains((1L, "click", 3L)), rows.toSeq.toString)
+  }
+
   test("stream-static join enriches microbatches with the dimension") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
