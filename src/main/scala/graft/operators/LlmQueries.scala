@@ -620,6 +620,25 @@ object LlmQueries {
       .select("doc_id", "source")
   }
 
+  /** Re-aggregatable distinct counts: HLL sketches built per (event_type,
+    * day), then UNIONED up to per-type totals — the warehouse pattern that
+    * makes "distinct users" maintainable at 100 TB (pre-aggregate once,
+    * roll up any dimension later without touching raw data). DataSketches
+    * binary images have no DuckDB analog → rows-only here; SketchSpec pins
+    * the union associativity (rollup estimate == whole-table sketch
+    * estimate) and accuracy vs exact. */
+  val qHllReagg = Q.noOracle("q_hll_reagg") { (s, d) =>
+    val ev = t(s, d, "events")
+      .withColumn("day",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("approx_users"))
+      .orderBy("event_type")
+  }
+
   val qTextTokens = Q(
     "q_text_tokens",
     """SELECT term, cnt FROM (
@@ -900,6 +919,7 @@ object LlmQueries {
     qDecontaminate, qPiiScrub, qTextRepetition, qTextLevenshtein,
     qStratifiedSample, qKmeansAssign, qTfidfTopTerms, qTokenRarity,
     qHeavyHitters, qChunkDocs, qTextNormalize, qBigramLm, qCorpusMix,
+    qHllReagg,
     qSampleHash, qSplitTrainTest, qShuffleDet, qPackSequences, qLengthBuckets,
     qMultimodalJoin, qMultimodalMeta, qMultimodalDecode)
 }

@@ -36,6 +36,32 @@ class SketchSpec extends SparkTestBase {
     assert(n <= 16 && n > 0)
   }
 
+  test("hll re-aggregation: daily-sketch rollup == whole-table sketch, " +
+    "and tracks exact distinct counts") {
+    val ev = Tables.load(spark, sf, "events")
+    val rolled = Tables.load(spark, sf, "events")
+      .withColumn("day",
+        expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"))
+      .groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val whole = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+    val j = rolled.withColumnRenamed("est", "rolled")
+      .join(whole.withColumnRenamed("est", "whole"), "event_type")
+      .join(exact, "event_type").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      val (ro, wh, ex) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ro == wh, s"rollup $ro != whole-sketch $wh (not associative?)")
+      assert(math.abs(ro - ex) <= math.max(1, ex / 10),
+        s"estimate $ro too far from exact $ex")
+    }
+  }
+
   test("bloom prune rejects non-integral keys (lossy cast would drop rows)") {
     val li = Tables.load(spark, sf, "lineitem")
     val ord = Tables.load(spark, sf, "orders")
