@@ -58,6 +58,34 @@ object Multimodal {
     }
   }
 
+  /** Batched decode — the exact `mapInPandas` batch shape: the partition
+    * iterator is chopped into fixed-size batches and the (stub) codec is
+    * invoked ONCE PER BATCH over a materialized array, the way a
+    * vectorized codec / model-inference call amortizes at scale
+    * (`grouped(batchSize)` ≙ pandas' batch slices; lazy between batches,
+    * so only one batch is resident per task). Results are identical to
+    * the per-row stub — pinned in OutOfBandSpec. */
+  def decodeBatched(media: Dataset[MediaRecord], batchSize: Int)
+      : Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // >>> codec init once per partition here <<<
+      it.grouped(batchSize).flatMap { batch =>
+        // >>> one vectorized codec call per batch here <<<
+        batch.map { r =>
+          val len = r.payload.length
+          val feature = Array.tabulate(8) { i =>
+            val slice = r.payload.drop(i * len / 8).take(len / 8)
+            if (slice.isEmpty) 0f
+            else slice.map(_.toInt & 0xff).sum.toFloat / (255f * slice.length)
+          }
+          DecodedMedia(r.doc_id, r.modality, len,
+            320 + len % 320, 240 + len % 240, 1 + len % 16, feature)
+        }
+      }
+    }
+  }
+
   /** Frame sampling: every nth byte-block of the payload as a "frame"
     * (slice plumbing is real; decode is the stub above). */
   def sampleFrames(media: Dataset[MediaRecord], every: Int): DataFrame = {

@@ -96,6 +96,21 @@ class OutOfBandSpec extends SparkTestBase {
     assert(frames.filter(col("frame_idx") >= 16).count() == 0)
   }
 
+  test("batched decode equals per-row decode for any batch size") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(Tables.load(spark, sf, "documents"))
+      .as[Multimodal.MediaRecord]
+    val perRow = Multimodal.decodeStub(media)
+      .select("doc_id", "byte_len", "feature")
+    Seq(1, 7, 64).foreach { bs =>
+      val batched = Multimodal.decodeBatched(media, bs)
+        .select("doc_id", "byte_len", "feature")
+      assert(batched.count() == perRow.count(), s"batchSize=$bs")
+      assert(batched.except(perRow).isEmpty && perRow.except(batched).isEmpty,
+        s"batchSize=$bs diverged from per-row decode")
+    }
+  }
+
   test("near-dup clustering keeps one survivor per planted pair") {
     val docs = Tables.load(spark, sf, "documents")
     val pairs = operators.LlmQueries.qDedupNgram.run(spark, sf)
