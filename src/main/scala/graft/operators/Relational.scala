@@ -386,6 +386,27 @@ object Relational {
       .orderBy(col("r_regionkey"), col("r_name").asc_nulls_first)
   }
 
+  /** Salted skew join under the oracle gate: the salted replication join
+    * (plans.SkewJoin — hot keys spread over 8 salt buckets) must produce
+    * EXACTLY the rows of the plain equi-join, so the oracle is simply the
+    * unsalted SQL. This is the static fallback for power-law keys that
+    * AQE's runtime skew split can't always catch. */
+  val qSkewJoin = Q(
+    "q_skew_join",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+    (s, d) =>
+    graft.plans.SkewJoin.saltedEquiJoin(
+        t(s, d, "lineitem"), t(s, d, "orders"),
+        "l_orderkey", "o_orderkey", saltFactor = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        asDbl(sum(dec2(col("l_quantity")))).as("qty"))
+      .orderBy("o_orderpriority")
+  }
+
   // DuckDB-side mirror of Layout.spread: same masks/shifts, so the
   // expression shape (and thus the integer result) is identical.
   private def spreadSql(e: String): String = {
@@ -472,7 +493,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     qScanProject, qScanCount, qSinkParquet, qSourceCsv, qSourceJson,
     qSinkOrc, qSourceBinary, qSourceText, qSinkPartitioned, qZorderKey,
-    qSchemaMerge,
+    qSchemaMerge, qSkewJoin,
     qFilterRange, qFilterInLike, qFilterNullCase,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinTheta, qJoinRange, qJoinAsof, qCrossJoin, qLateralTopn, qUnpivot)
