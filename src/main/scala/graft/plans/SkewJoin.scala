@@ -28,4 +28,31 @@ object SkewJoin {
           salted("_salt") === replicated("_salt"))
       .drop("_salt")
   }
+
+  /** Hybrid salting: replicate the small side ONLY for detected hot keys.
+    * Full salting replicates the whole small side saltFactor× — at 100 TB
+    * that replication dwarfs the skew it cures when only a handful of
+    * keys are hot (the power-law case). Here the top-`hotKeyCount` keys
+    * by large-side frequency (one TakeOrdered aggregate — driver holds
+    * just the key list) are routed through the salted join; everything
+    * else takes the plain join. Result set is identical to the plain
+    * equi-join: the two branches partition the large side by key
+    * membership, and each branch joins exactly. */
+  def hybridSaltedJoin(large: DataFrame, small: DataFrame, largeKey: String,
+      smallKey: String, saltFactor: Int, hotKeyCount: Int): DataFrame = {
+    val hot = large.groupBy(largeKey).count()
+      .orderBy(col("count").desc, col(largeKey))
+      .limit(hotKeyCount)
+      .select(largeKey).collect().map(_.get(0))
+    if (hot.isEmpty) large.join(small, col(largeKey) === col(smallKey))
+    else {
+      val isHot = col(largeKey).isin(hot.toIndexedSeq: _*)
+      val smallHot = small.filter(col(smallKey).isin(hot.toIndexedSeq: _*))
+      val plain = large.filter(!isHot)
+        .join(small, col(largeKey) === col(smallKey))
+      val skewed = saltedEquiJoin(large.filter(isHot), smallHot,
+        largeKey, smallKey, saltFactor)
+      plain.unionByName(skewed)
+    }
+  }
 }

@@ -20,6 +20,21 @@ class SkewSpec extends SparkTestBase {
     assert(plain == salted)
   }
 
+  test("hybrid salted join equals the plain join (hot keys routed salted)") {
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+    val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment").collect().toSeq
+    Seq(0, 3, 50).foreach { hotN =>
+      val hybrid = SkewJoin.hybridSaltedJoin(orders, customer,
+          "o_custkey", "c_custkey", saltFactor = 8, hotKeyCount = hotN)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment").collect().toSeq
+      assert(plain == hybrid, s"hotKeyCount=$hotN")
+    }
+  }
+
   test("salted join equals plain join for arbitrary salt factors (property)") {
     import org.scalacheck.Gen
     import org.scalacheck.Prop.forAll
