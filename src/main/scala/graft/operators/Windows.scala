@@ -382,8 +382,60 @@ object Windows {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Group-mean null imputation: nulls are planted deterministically
+    * (error events lose their value — the realistic telemetry case), then
+    * filled with the user's mean of observed values. One per-user window
+    * over the observed subset — no second scan, no join. */
+  val qImputeNulls = Q(
+    "q_impute_nulls",
+    """SELECT user_id, event_id,
+      |  ROUND(coalesce(v, avg(v) OVER (PARTITION BY user_id), 0), 6)
+      |    AS v_filled,
+      |  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_null
+      |FROM (SELECT user_id, event_id,
+      |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |      FROM events) e
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("value"))
+          .as("v"))
+      .select(col("user_id"), col("event_id"),
+        round(coalesce(col("v"), avg(col("v")).over(w), lit(0)), 6)
+          .as("v_filled"),
+        when(col("v").isNull, 1).otherwise(0).as("was_null"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Per-user min-max feature scaling to [0, 1] — the normalization
+    * staple. min/max are exact; the single division happens identically
+    * in both engines (round 6); constant-valued users scale to 0. */
+  val qMinmaxScale = Q(
+    "q_minmax_scale",
+    """SELECT user_id, event_id,
+      |  ROUND(CASE WHEN mx = mn THEN 0
+      |        ELSE (value - mn) / (mx - mn) END, 6) AS scaled
+      |FROM (SELECT user_id, event_id, value,
+      |        min(value) OVER (PARTITION BY user_id) AS mn,
+      |        max(value) OVER (PARTITION BY user_id) AS mx
+      |      FROM events) e
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        min(col("value")).over(w).as("mn"),
+        max(col("value")).over(w).as("mx"))
+      .select(col("user_id"), col("event_id"),
+        round(when(col("mx") === col("mn"), 0)
+          .otherwise((col("value") - col("mn")) / (col("mx") - col("mn"))), 6)
+          .as("scaled"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(
     qWindowRank, qWindowRunning, qWindowLeadLag, qWindowRangeFrame,
     qWindowNtile, qWindowFirstLast, qTopkPerGroup, qSessionizeBatch,
-    qFunnelStages, qLatestSnapshot, qDecayAvg, qWinsorize, qCohortRetention)
+    qFunnelStages, qLatestSnapshot, qDecayAvg, qWinsorize, qCohortRetention,
+    qImputeNulls, qMinmaxScale)
 }
