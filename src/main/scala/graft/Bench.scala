@@ -42,18 +42,40 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"errors":[${errors.mkString(",")}]}"""
+    // The full 145-entry map is a >4 KB single line; both prior rounds the
+    // driver's bounded stdout-tail capture truncated it mid-line and the
+    // gate went unevaluated ("parsed": null). So the LAST line printed is a
+    // contract-complete JSON line whose "queries" map holds a fixed headline
+    // subset (one per operator family, all the expensive ones) and stays
+    // well under 2 KB; the complete map goes to target/bench_queries.json
+    // and is printed once, earlier, for human eyes.
+    val headline = Seq(
+      "q_scan_project", "q_filter_range", "q_join_inner", "q_join_broadcast",
+      "q_join_asof", "q_lateral_topn", "q_agg_groupby", "q_agg_rollup",
+      "q_agg_stats", "q_window_rank", "q_window_running", "q_topk_per_group",
+      "q_window_ntile", "q_orderby_limit", "q_union_all", "q_string_funcs",
+      "q_json_funcs", "q_array_hof", "q_stream_tumbling", "q_stream_stateful",
+      "q_mf_als_train", "q_antidote_step", "q_antidote_sweep_als",
+      "q_metric_polarization", "q_mf_compact_train", "q_dedup_exact",
+      "q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed_lsh", "q_sim_search",
+      "q_sim_search_ivf", "q_kmeans_assign", "q_tfidf_topterms",
+      "q_pack_sequences", "q_heavy_hitters", "q_decontaminate")
+    val headQs = results.filter { case (k, _) => headline.contains(k.takeWhile(_ != '#')) }
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"sf":"$sfDir","n_queries":${results.size},"queries_full":"target/bench_queries.json","errors":[${errors.mkString(",")}]}"""
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":[${errors.mkString(",")}]}"""
-    // Short line both first and last: whether the driver keeps the head or
-    // the tail of stdout, a complete parseable JSON line survives.
-    println(short)
-    println(full)
-    println(short)
     try {
       val p = java.nio.file.Paths.get("target/bench_queries.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     spark.stop()
+    // Short line both first and last, full map in between: whatever window
+    // of stdout the driver keeps, a complete parseable line survives.
+    // Printed after spark.stop() so no executor/log noise can interleave.
+    println(short)
+    println(full)
+    println(short)
+    Console.out.flush()
   }
 }
