@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Scalars.all ++
       operators.StreamingQueries.all ++
       operators.MfQueries.all ++
-      operators.LlmQueries.all
+      operators.LlmQueries.all ++
+      operators.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

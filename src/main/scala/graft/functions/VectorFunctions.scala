@@ -27,4 +27,15 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     if (nativeAvailable("graft_cosine")) call_function("graft_cosine", a, b)
     else dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+
+  /** Squared L2 distance, one array walk (native) or the bit-equal HOF
+    * fold. NOT interchangeable with the three-dot expansion used where an
+    * `list_inner_product` oracle requires it — different rounding. */
+  def l2sq(a: Column, b: Column): Column =
+    if (nativeAvailable("graft_l2sq")) call_function("graft_l2sq", a, b)
+    else aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast(DoubleType) - y.cast(DoubleType)) *
+          (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
 }

@@ -71,6 +71,22 @@ object SimSearch {
       .limit(k)
   }
 
+  /** Exact top-k by squared L2 distance to `probeId`'s embedding, on the
+    * fused one-walk `graft_l2sq` kernel (HOF fallback bit-equal). Same
+    * shape as [[cosineTopK]]: broadcast probe, TakeOrderedAndProject —
+    * no global sort, no shuffle of the embedding table. */
+  def l2TopK(embs: DataFrame, probeId: Long, k: Int): DataFrame = {
+    val probe = embs.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_e"))
+    embs.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.l2sq(
+          col("embedding"), col("probe_e")), 4).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-label centroids via posexplode + (label, dim) aggregation. */
   def labelCentroids(embs: DataFrame): DataFrame =
     embs.select(col("label"), posexplode(col("embedding")).as(Seq("p", "v")))

@@ -1,0 +1,276 @@
+package graft.operators
+
+import graft.Q
+import graft.Dsl._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-4 pipeline/curation additions: per-source capping, bigram-LM
+  * fluency scoring, robust (median/MAD) anomaly flags, dataset profiling,
+  * mergeable histograms, incremental aggregate maintenance, SCD2 dimension
+  * build, and a Bloom-pruned join under the oracle gate. All follow the
+  * determinism contract (exact int/decimal math where possible, round-6
+  * on unavoidable double reductions, total ORDER BY, no DECIMAL in final
+  * schemas).
+  */
+object PipelineQueries {
+
+  /** Per-source document capping (keep at most K docs per source, chosen
+    * by content-hash rank) — the standard anti-domination knob of web-
+    * scale corpus curation: no single domain may contribute more than its
+    * cap. Hash-rank selection is deterministic across engines and
+    * partitionings (no rand()), and the window partitions by source, so
+    * at 100 TB this is one shuffle keyed on a bounded domain set; a
+    * skewed mega-source is exactly the AQE-skew / salted-topK case and
+    * the cap K bounds what survives. */
+  val qSourceCap = Q(
+    "q_source_cap",
+    """SELECT source, doc_id, CAST(rk AS INT) AS rk FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(text), doc_id) AS rk
+      |  FROM documents) x
+      |WHERE rk <= 10 ORDER BY source, rk""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+    t(s, d, "documents")
+      .select(col("source"), col("doc_id"), col("text"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("source", "doc_id", "rk")
+      .orderBy("source", "rk")
+  }
+
+  /** Per-document bigram-LM fluency score: train conditional bigram
+    * frequencies on the WHOLE corpus (one bigram-keyed count + one
+    * context-keyed rollup), then score a target slice by the mean
+    * conditional probability of its bigrams. The corpus-side model is two
+    * bounded-key aggregations and the scoring side is a broadcast-able
+    * join per bigram — the cheap "does this read like the corpus" filter
+    * used before expensive perplexity models. Probability is one exact
+    * int division per bigram; the per-doc mean is the only double
+    * reduction, rounded 6. */
+  val qLmScore = Q(
+    "q_lm_score",
+    """WITH big AS (
+      |  SELECT doc_id, sp[k] AS term, sp[k+1] AS next
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) d,
+      |       generate_series(1, 200) AS g(k)
+      |  WHERE k <= len(sp) - 1),
+      |cnt AS (SELECT term, next, count(*) AS c FROM big GROUP BY 1, 2),
+      |tot AS (SELECT term, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1)
+      |SELECT b.doc_id, count(*) AS n_bigrams,
+      |  ROUND(avg(CAST(c.c AS DOUBLE) / t.tot), 6) AS fluency
+      |FROM big b
+      |JOIN cnt c ON b.term = c.term AND b.next = c.next
+      |JOIN tot t ON b.term = t.term
+      |WHERE b.doc_id % 100 = 0
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    val sp = split(col("text"), " ")
+    val big = t(s, d, "documents")
+      .select(col("doc_id"), sp.as("sp")).filter(size(col("sp")) >= 2)
+      .select(col("doc_id"), col("sp"),
+        explode(sequence(lit(1), size(col("sp")) - 1)).as("k"))
+      .select(col("doc_id"),
+        element_at(col("sp"), col("k")).as("term"),
+        element_at(col("sp"), col("k") + 1).as("next"))
+    val cnt = big.groupBy("term", "next").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("term").agg(sum(col("c")).as("tot"))
+    big.filter(col("doc_id") % 100 === 0)
+      .join(cnt, Seq("term", "next"))
+      .join(tot, Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("c").cast(DoubleType) / col("tot")), 6).as("fluency"))
+      .orderBy("doc_id")
+  }
+
+  /** Robust per-group anomaly detection: median + MAD (median absolute
+    * deviation) per event_type, flagging |x − med| > 3·MAD. Unlike
+    * mean/stddev, the median/MAD pair doesn't let outliers move their own
+    * threshold. Two grouped medians + two broadcast joins on a 5-value
+    * key — nothing data-sized moves twice. At 100 TB swap the exact
+    * medians for approx_percentile (same shape, sketch-mergeable); exact
+    * here because the oracle demands it. */
+  val qAnomalyMad = Q(
+    "q_anomaly_mad",
+    """WITH med AS (
+      |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY 1)
+      |SELECT d.event_type, count(*) AS n,
+      |  ROUND(max(d.med), 6) AS med, ROUND(max(m.mad), 6) AS mad,
+      |  CAST(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events").select("event_type", "value")
+    val med = ev.groupBy("event_type").agg(median(col("value")).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type").agg(median(col("ad")).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 6).as("med"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(col("ad") > lit(3) * col("mad"), 1).otherwise(0))
+          .cast(LongType).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderpriority", "o_orderdate")
+
+  /** Dataset profiling (deequ-style): per column — row count, null count,
+    * exact distinct count — in ONE pass over the table (Spark expands the
+    * multi-distinct agg internally; the scan happens once). The first
+    * thing run against any new 100 TB drop; at that scale the exact
+    * count_distinct becomes approx_count_distinct (same single-pass
+    * shape, mergeable sketches) — exact here for the oracle. */
+  val qProfileStats = Q(
+    "q_profile_stats",
+    profileCols.map(c =>
+      s"""SELECT '$c' AS col_name, n.n AS n,
+         |  n.n - count($c) AS n_null, count(DISTINCT $c) AS n_distinct
+         |FROM orders, (SELECT count(*) AS n FROM orders) n
+         |GROUP BY n.n""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) { (s, d) =>
+    val orders = t(s, d, "orders")
+    val aggs = count(lit(1)).as("n") +: profileCols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")))
+    val stackExpr = s"stack(${profileCols.length}, " + profileCols
+      .map(c => s"'$c', nn_$c, nd_$c").mkString(", ") +
+      ") AS (col_name, n_nonnull, n_distinct)"
+    orders.agg(aggs.head, aggs.tail: _*)
+      .select(col("n"), expr(stackExpr))
+      .select(col("col_name"), col("n"),
+        (col("n") - col("n_nonnull")).as("n_null"), col("n_distinct"))
+      .orderBy("col_name")
+  }
+
+  /** Mergeable equi-width histogram: per-(event_type, bin) partial counts
+    * re-aggregated to the global per-bin distribution — the histogram
+    * analog of partial/final aggregation. Because equi-width bin counts
+    * merge by addition, per-partition/per-day partials roll up to any
+    * dimension later without touching raw data (same warehouse pattern as
+    * the HLL rollup, exact instead of approximate). Bin id is one IEEE
+    * divide + floor — identical both engines. */
+  val qHistReagg = Q(
+    "q_hist_reagg",
+    """WITH part AS (
+      |  SELECT event_type, CAST(floor(value / 25) AS INT) AS bin,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT bin, CAST(sum(c) AS BIGINT) AS n_events, count(*) AS n_types
+      |FROM part GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    val part = t(s, d, "events")
+      .groupBy(col("event_type"),
+        floor(col("value") / 25).cast(IntegerType).as("bin"))
+      .agg(count(lit(1)).as("c"))
+    part.groupBy("bin")
+      .agg(sum(col("c")).cast(LongType).as("n_events"),
+        count(lit(1)).as("n_types"))
+      .orderBy("bin")
+  }
+
+  /** Incremental aggregate maintenance: a materialized monthly revenue
+    * rollup (history before 1999) merged with a fresh delta (1999+) by
+    * re-aggregating the UNION of partials — proving merge(base, delta) ==
+    * recompute(all), which is exactly why the internal sums stay decimal
+    * (exact, order-independent addition). This is how a 100 TB nightly
+    * pipeline avoids rescanning history: partials are additive, so only
+    * the delta is scanned. The oracle recomputes from scratch. */
+  val qIncrAgg = Q(
+    "q_incr_agg",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1 ORDER BY ym""".stripMargin) { (s, d) =>
+    val orders = t(s, d, "orders")
+    def partial(dfFilter: org.apache.spark.sql.Column) = orders
+      .filter(dfFilter)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("c"), sum(dec2(col("o_totalprice"))).as("rev"))
+    val base = partial(col("o_orderdate") < ts("1999-01-01"))
+    val delta = partial(col("o_orderdate") >= ts("1999-01-01"))
+    base.unionByName(delta)
+      .groupBy("ym")
+      .agg(sum(col("c")).cast(LongType).as("n_orders"),
+        asDbl(sum(col("rev"))).as("revenue"))
+      .orderBy("ym")
+  }
+
+  /** SCD2 dimension build from a changelog: collapse each user's event
+    * stream to state-change rows, then derive [valid_from, valid_to)
+    * intervals with lead() and flag the open interval as current — the
+    * standard slowly-changing-dimension type-2 construction. Both window
+    * passes partition by user_id (one shuffle key, no global window);
+    * times compare in integer microseconds. */
+  val qScd2Dim = Q(
+    "q_scd2_dim",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM events WHERE user_id % 100 = 0),
+      |ch AS (
+      |  SELECT user_id, event_type, us, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id) AS prev
+      |  FROM ev),
+      |scd AS (
+      |  SELECT user_id, event_type AS state, us AS valid_from, event_id,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS valid_to
+      |  FROM ch WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, state, event_id, valid_from, valid_to,
+      |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+      |    AS is_current
+      |FROM scd ORDER BY user_id, valid_from, event_id""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val ev = t(s, d, "events")
+        .filter(col("user_id") % 100 === 0)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts").cast(TimestampType)).as("us"),
+          col("event_id"))
+      ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("us"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("event_id"), col("us").as("valid_from"), col("valid_to"),
+          when(col("valid_to").isNull, 1).otherwise(0)
+            .cast(IntegerType).as("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  /** Bloom-pruned join under the oracle gate: lineitem (probe) is
+    * pre-filtered by a broadcast Bloom filter over the keys of the
+    * selective orders subset (build) BEFORE the shuffle, then joined
+    * exactly — false positives die in the join, so the result is
+    * identical to the plain join the oracle runs. At 100 TB this is the
+    * move when the build side's rows don't fit a broadcast but its key
+    * SET fits a few MB of bits: the probe shuffle shrinks to the hit
+    * fraction. */
+  val qJoinBloom = Q(
+    "q_join_bloom",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_totalprice > 400000
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val big = t(s, d, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select("o_orderkey")
+    graft.plans.BloomPrune
+      .prunedJoin(t(s, d, "lineitem"), "l_orderkey", big, "o_orderkey",
+        expectedItems = 1L << 16)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), asDbl(sum(dec2(col("l_quantity")))).as("qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(
+    qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
+    qIncrAgg, qScd2Dim, qJoinBloom)
+}

@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators.PipelineQueries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Semantics of the round-4 pipeline operators beyond what the DuckDB
+  * oracle proves: invariants (cap bounds, interval chaining, merge ==
+  * recompute, bloom == plain join) and partitioning-independence. */
+class PipelineSpec extends SparkTestBase {
+
+  test("q_source_cap keeps at most 10 docs per source and is deterministic") {
+    val out = PipelineQueries.qSourceCap.run(spark, sf).cache()
+    val perSource = out.groupBy("source").count().collect()
+    assert(perSource.nonEmpty)
+    assert(perSource.forall(_.getLong(1) <= 10))
+    // content-hash rank ⇒ identical selection under a different layout
+    val again = PipelineQueries.qSourceCap.run(spark, sf)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    out.unpersist()
+  }
+
+  test("q_incr_agg merge of base+delta partials equals direct recompute") {
+    val merged = PipelineQueries.qIncrAgg.run(spark, sf)
+    val direct = Tables.load(spark, sf, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n_orders"),
+        Dsl.asDbl(sum(Dsl.dec2(col("o_totalprice")))).as("revenue"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+    assert(merged.count() > 0)
+  }
+
+  test("q_join_bloom result is identical to the plain (unpruned) join") {
+    val pruned = PipelineQueries.qJoinBloom.run(spark, sf)
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders")
+          .filter(col("o_totalprice") > 400000).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        Dsl.asDbl(sum(Dsl.dec2(col("l_quantity")))).as("qty"))
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    assert(pruned.count() > 0)
+  }
+
+  test("q_scd2_dim intervals chain per user with exactly one open interval") {
+    val scd = PipelineQueries.qScd2Dim.run(spark, sf).cache()
+    assert(scd.count() > 0)
+    // exactly one current (NULL valid_to) row per user
+    val open = scd.groupBy("user_id")
+      .agg(sum(col("is_current")).as("n_open")).collect()
+    assert(open.forall(_.getLong(1) == 1))
+    // each interval's valid_to equals the next interval's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from")
+    val chained = scd
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull)
+    assert(chained.filter(col("valid_to") =!= col("next_from")).count() == 0)
+    // consecutive intervals always change state (changelog was collapsed)
+    val states = scd.withColumn("next_state", lead(col("state"), 1).over(w))
+      .filter(col("next_state").isNotNull)
+    assert(states.filter(col("state") === col("next_state")).count() == 0)
+    scd.unpersist()
+  }
+
+  test("q_anomaly_mad flags exactly the rows beyond 3*MAD") {
+    val out = PipelineQueries.qAnomalyMad.run(spark, sf).cache()
+    assert(out.count() > 0)
+    val ev = Tables.load(spark, sf, "events").select("event_type", "value")
+    val med = ev.groupBy("event_type").agg(median(col("value")).as("med"))
+    val dev = ev.join(med, "event_type")
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type").agg(median(col("ad")).as("mad"))
+    val expected = dev.join(mad, "event_type")
+      .filter(col("ad") > lit(3) * col("mad"))
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_outliers")) ==
+        expected.getOrElse(r.getString(0), 0L))
+    }
+    out.unpersist()
+  }
+
+  test("q_hist_reagg merged bins equal a direct global histogram") {
+    val merged = PipelineQueries.qHistReagg.run(spark, sf)
+    val direct = Tables.load(spark, sf, "events")
+      .groupBy(floor(col("value") / 25).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n_events"))
+    val joined = merged.join(direct.withColumnRenamed("n_events", "direct_n"), "bin")
+    assert(joined.filter(col("n_events") =!= col("direct_n")).count() == 0)
+    assert(merged.count() == direct.count())
+  }
+
+  test("q_profile_stats counts match per-column ground truth") {
+    val out = PipelineQueries.qProfileStats.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val orders = Tables.load(spark, sf, "orders").cache()
+    val n = orders.count()
+    val distinctKeys = orders.select("o_orderkey").distinct().count()
+    assert(out("o_orderkey") == ((n, 0L, distinctKeys)))
+    val distinctStatus = orders.select("o_orderstatus").distinct().count()
+    assert(out("o_orderstatus")._3 == distinctStatus)
+    orders.unpersist()
+  }
+
+  test("native graft_l2sq is bit-equal to the HOF fold and handles nulls") {
+    val embs = Tables.load(spark, sf, "embeddings").limit(200)
+    val shifted = embs.select(col("vec_id"),
+      col("embedding"),
+      expr("transform(embedding, x -> CAST(x * 1.5 AS FLOAT))").as("other"))
+    val hof = aggregate(
+      zip_with(col("embedding"), col("other"), (x, y) =>
+        (x.cast(DoubleType) - y.cast(DoubleType)) *
+          (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+    val both = shifted.select(
+      call_function("graft_l2sq", col("embedding"), col("other")).as("native"),
+      hof.as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.filter(col("native").isNull).count() == 0)
+    // unequal lengths -> NULL (matches zip_with padding semantics)
+    import spark.implicits._
+    val bad = Seq((Seq(1.0f, 2.0f), Seq(1.0f))).toDF("a", "b")
+      .select(call_function("graft_l2sq", col("a"), col("b")).as("d"))
+    assert(bad.filter(col("d").isNull).count() == 1)
+  }
+
+  test("SimSearch.l2TopK returns the true k nearest by squared L2") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val out = graft.llm.SimSearch.l2TopK(embs, probeId = 7L, k = 10).collect()
+    assert(out.length == 10)
+    // brute-force ground truth with the same rounding + tiebreak
+    val probe = embs.filter(col("vec_id") === 7L)
+      .select(col("embedding").as("probe_e"))
+    val brute = embs.filter(col("vec_id") =!= 7L)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.l2sq(
+          col("embedding"), col("probe_e")), 4).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10).collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      brute.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // distances are non-decreasing
+    assert(out.map(_.getDouble(1)).sliding(2).forall(s =>
+      s.length < 2 || s(0) <= s(1)))
+  }
+}
