@@ -270,7 +270,261 @@ object PipelineQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Exact top-k by squared L2 distance (oracle-checked variant of
+    * SimSearch.l2TopK): the distance is the three-dot expansion
+    * ‖a‖² − 2a·b + ‖b‖², which is what `list_inner_product` can express
+    * bit-identically on the DuckDB side (the fused one-walk graft_l2sq
+    * rounds differently and stays on the no-oracle paths). Broadcast
+    * probe + TakeOrderedAndProject — no global sort. */
+  val qSimL2 = Q(
+    "q_sim_l2",
+    """SELECT vec_id, d2 FROM (
+      |  SELECT e.vec_id,
+      |    ROUND(list_inner_product(e.v, e.v)
+      |      - 2 * list_inner_product(e.v, p.pv)
+      |      + list_inner_product(p.pv, p.pv), 6) AS d2
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |        FROM embeddings) e,
+      |       (SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings
+      |        WHERE vec_id = 7) p
+      |  WHERE e.vec_id <> 7) q
+      |ORDER BY d2, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = e.filter(col("vec_id") === 7)
+      .select(col("v").as("pv"))
+    e.filter(col("vec_id") =!= 7)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        graft.llm.Clustering.sqDist(col("v"), col("pv")).as("d2"))
+      .orderBy("d2", "vec_id")
+      .limit(10)
+  }
+
+  /** One distributed Lloyd update step, oracle-checked: assign every
+    * vector to its nearest seed centroid (struct-min argmin, same
+    * construction as q_kmeans_assign), then the new centroid is the
+    * per-(cluster, dimension) mean. The shuffle after the posexplode is
+    * bounded by k × dim groups whatever the corpus size — the property
+    * that makes Lloyd iterations feasible at 100 TB. Output is the first
+    * 8 dimensions of each updated centroid, mean rounded 6. */
+  val qKmeansUpdate = Q(
+    "q_kmeans_update",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |d AS (
+      |  SELECT e.vec_id, c.cid,
+      |    ROUND(list_inner_product(e.v, e.v)
+      |      - 2 * list_inner_product(e.v, c.cv)
+      |      + list_inner_product(c.cv, c.cv), 6) AS d2
+      |  FROM e CROSS JOIN c),
+      |a AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+      |  FROM d),
+      |upd AS (
+      |  SELECT a.cid, k AS pos, ROUND(avg(e.v[k]), 6) AS m
+      |  FROM a JOIN e USING (vec_id), generate_series(1, 8) g(k)
+      |  WHERE a.rk = 1
+      |  GROUP BY 1, 2)
+      |SELECT cid AS cluster, CAST(pos AS INT) AS pos, m
+      |FROM upd ORDER BY cluster, pos""".stripMargin) { (s, d) =>
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    graft.llm.Clustering.updateCentroids(e, "vec_id", "v", cents)
+      .select(col("cid").as("cluster"),
+        posexplode(col("cvec")).as(Seq("pos0", "m")))
+      .filter(col("pos0") < 8)
+      .select(col("cluster"), (col("pos0") + 1).cast(IntegerType).as("pos"),
+        round(col("m"), 6).as("m"))
+      .orderBy("cluster", "pos")
+  }
+
+  /** k-anonymity audit over quasi-identifiers (market segment ×
+    * nation): group sizes plus the suppression flag for groups smaller
+    * than k=5 — the governance gate run before releasing user-derived
+    * training data. One exact hash aggregation on a bounded key space
+    * (the quasi-identifier domain), so it scales like any groupBy. */
+  val qKAnonymity = Q(
+    "q_k_anonymity",
+    """SELECT c_mktsegment, c_nationkey, count(*) AS k,
+      |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS INT) AS suppressed
+      |FROM customer GROUP BY 1, 2
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin) { (s, d) =>
+    t(s, d, "customer")
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("k"))
+      .withColumn("suppressed",
+        when(col("k") < 5, 1).otherwise(0).cast(IntegerType))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
+  /** Referential-integrity audit: orphan-foreign-key counts for the two
+    * fact→dim edges, via LEFT joins (a NULL dim key after the join IS the
+    * orphan). Exactness matters — at 100 TB run the same shape with the
+    * dim side bloom-pruned (BloomPrune) or as a shuffled LEFT ANTI count;
+    * the plan here keeps the dim side broadcast. */
+  val qReferentialCheck = Q(
+    "q_referential_check",
+    """SELECT * FROM (
+      |  SELECT 'lineitem->orders' AS fk, count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_orphans
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT 'orders->customer' AS fk, count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_orphans
+      |  FROM orders o2 LEFT JOIN customer c ON o2.o_custkey = c.c_custkey
+      |) ORDER BY fk""".stripMargin) { (s, d) =>
+    def audit(fk: String, fact: org.apache.spark.sql.DataFrame,
+        fkCol: String, dim: org.apache.spark.sql.DataFrame, pkCol: String) =
+      fact.join(broadcast(dim.select(pkCol)),
+          col(fkCol) === col(pkCol), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col(pkCol).isNull, 1).otherwise(0))
+            .cast(LongType).as("n_orphans"))
+        .select(lit(fk).as("fk"), col("n_rows"), col("n_orphans"))
+    audit("lineitem->orders", t(s, d, "lineitem"), "l_orderkey",
+        t(s, d, "orders"), "o_orderkey")
+      .unionByName(audit("orders->customer", t(s, d, "orders"), "o_custkey",
+        t(s, d, "customer"), "c_custkey"))
+      .orderBy("fk")
+  }
+
+  /** Duplicate n-gram span mining (the memorization-risk report of
+    * "Deduplicating Training Data Makes Language Models Better"-style
+    * pipelines): every 8-token span by position, counted across the
+    * corpus; spans occurring ≥3 times are the dup-span inventory. Linear
+    * explode + one span-keyed count; top spans fuse to
+    * TakeOrderedAndProject. The 200-position bound covers fixture docs
+    * and makes the oracle's generate_series exact. */
+  val qDupSpans = Q(
+    "q_dup_spans",
+    """WITH sp AS (
+      |  SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+      |sh AS (
+      |  SELECT doc_id, array_to_string(sp[k:k+7], ' ') AS span
+      |  FROM sp, generate_series(1, 200) g(k)
+      |  WHERE k + 7 <= len(sp))
+      |SELECT span, count(*) AS n_occurrences,
+      |  count(DISTINCT doc_id) AS n_docs
+      |FROM sh GROUP BY span HAVING count(*) >= 3
+      |ORDER BY n_occurrences DESC, span LIMIT 50""".stripMargin) { (s, d) =>
+    val sp = split(col("text"), " ")
+    t(s, d, "documents")
+      .select(col("doc_id"), sp.as("sp"))
+      .filter(size(col("sp")) >= 8)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("sp")) - 7)).as("k"), col("sp"))
+      .select(col("doc_id"),
+        array_join(slice(col("sp"), col("k"), lit(8)), " ").as("span"))
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occurrences") >= 3)
+      .orderBy(col("n_occurrences").desc, col("span"))
+      .limit(50)
+  }
+
+  /** Vocabulary coverage / OOV rate: build the corpus vocabulary (top-20
+    * terms by frequency — TakeOrderedAndProject, NOT a global window),
+    * broadcast it, and score a target slice by the fraction of tokens
+    * outside it. The tokenizer-fit signal checked before committing a
+    * vocab to a training run. One exact int division per doc, rounded 6. */
+  val qVocabCoverage = Q(
+    "q_vocab_coverage",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT term FROM (
+      |    SELECT term, count(*) AS c,
+      |      row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+      |    FROM toks GROUP BY term) v
+      |  WHERE rk <= 20)
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  ROUND(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS oov_rate
+      |FROM toks t LEFT JOIN vocab v USING (term)
+      |WHERE t.doc_id % 100 = 0
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term"))
+      .limit(20)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.filter(col("doc_id") % 100 === 0)
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1).otherwise(0))
+          .cast(LongType).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast(DoubleType) / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** Nearest-event join (both directions): for each purchase, the gap to
+    * the user's closest error event — the generalization of as-of (which
+    * only looks backward) used for attribution features. One per-user
+    * window pass with conditional max/min over row frames: no self-join,
+    * no time-range explosion; times compare in integer microseconds. */
+  val qJoinNearest = Q(
+    "q_join_nearest",
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events WHERE user_id % 50 = 0),
+      |m AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    max(CASE WHEN event_type = 'error' THEN us END) OVER
+      |      (PARTITION BY user_id ORDER BY us, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_err,
+      |    min(CASE WHEN event_type = 'error' THEN us END) OVER
+      |      (PARTITION BY user_id ORDER BY us, event_id
+      |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_err
+      |  FROM ev)
+      |SELECT user_id, event_id, us, prev_err, next_err,
+      |  CASE WHEN prev_err IS NULL AND next_err IS NULL THEN NULL
+      |       WHEN prev_err IS NULL THEN next_err - us
+      |       WHEN next_err IS NULL THEN us - prev_err
+      |       WHEN us - prev_err <= next_err - us THEN us - prev_err
+      |       ELSE next_err - us END AS nearest_gap_us
+      |FROM m WHERE event_type = 'purchase'
+      |ORDER BY user_id, us, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val errUs = when(col("event_type") === "error", col("us"))
+    val ev = t(s, d, "events")
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast(TimestampType)).as("us"))
+    ev.withColumn("prev_err", max(errUs)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_err", min(errUs)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(col("event_type") === "purchase")
+      .withColumn("nearest_gap_us",
+        when(col("prev_err").isNull && col("next_err").isNull,
+          lit(null).cast(LongType))
+          .when(col("prev_err").isNull, col("next_err") - col("us"))
+          .when(col("next_err").isNull, col("us") - col("prev_err"))
+          .when(col("us") - col("prev_err") <= col("next_err") - col("us"),
+            col("us") - col("prev_err"))
+          .otherwise(col("next_err") - col("us")))
+      .select("user_id", "event_id", "us", "prev_err", "next_err",
+        "nearest_gap_us")
+      .orderBy("user_id", "us", "event_id")
+  }
+
   val all: Seq[Q] = Seq(
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
-    qIncrAgg, qScd2Dim, qJoinBloom)
+    qIncrAgg, qScd2Dim, qJoinBloom,
+    qSimL2, qKmeansUpdate, qKAnonymity, qReferentialCheck, qDupSpans,
+    qVocabCoverage, qJoinNearest)
 }

@@ -128,6 +128,72 @@ class PipelineSpec extends SparkTestBase {
     assert(bad.filter(col("d").isNull).count() == 1)
   }
 
+  test("q_dup_spans counts are real: recounting a reported span matches") {
+    val spans = PipelineQueries.qDupSpans.run(spark, sf).limit(5).collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      val span = r.getString(0)
+      assert(span.split(" ").length == 8)
+      val n = Tables.load(spark, sf, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("sp"))
+        .filter(size(col("sp")) >= 8)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("sp")) - 7)).as("k"), col("sp"))
+        .filter(array_join(slice(col("sp"), col("k"), lit(8)), " ") === span)
+        .count()
+      assert(n == r.getLong(1), s"span '$span'")
+    }
+  }
+
+  test("q_join_nearest gap equals the brute-force nearest error event") {
+    val out = PipelineQueries.qJoinNearest.run(spark, sf).cache()
+    assert(out.count() > 0)
+    val ev = Tables.load(spark, sf, "events")
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("eus"),
+        col("event_id").as("eid"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("eus"), col("eid"))
+    // brute force: min |us - err_us| per purchase over all the user's
+    // errors EXCLUDING the row-frame subtlety (no error shares a row with
+    // a purchase in the fixture, so the frames see every error)
+    val brute = out.join(errs, Seq("user_id"), "left")
+      .groupBy("user_id", "event_id", "us", "nearest_gap_us")
+      .agg(min(abs(col("us") - col("eus"))).as("brute_gap"))
+    assert(brute.filter(
+      (col("nearest_gap_us").isNull && col("brute_gap").isNotNull) ||
+      (col("nearest_gap_us").isNotNull &&
+        col("nearest_gap_us") =!= col("brute_gap"))).count() == 0)
+    out.unpersist()
+  }
+
+  test("q_k_anonymity partitions the table and flags small groups") {
+    val out = PipelineQueries.qKAnonymity.run(spark, sf).cache()
+    val total = out.agg(sum(col("k"))).head.getLong(0)
+    assert(total == Tables.load(spark, sf, "customer").count())
+    assert(out.filter(col("k") < 5 && col("suppressed") === 0).count() == 0)
+    assert(out.filter(col("k") >= 5 && col("suppressed") === 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("q_referential_check finds zero orphans on the consistent fixture") {
+    val rows = PipelineQueries.qReferentialCheck.run(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach(r => assert(r.getLong(2) == 0L, r.getString(0)))
+    assert(rows.map(_.getLong(1)).min > 0)
+  }
+
+  test("q_vocab_coverage rates are consistent and bounded") {
+    val out = PipelineQueries.qVocabCoverage.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, oov, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(oov >= 0 && oov <= n)
+      assert(math.abs(rate - oov.toDouble / n) < 1e-6)
+    }
+  }
+
   test("SimSearch.l2TopK returns the true k nearest by squared L2") {
     val embs = Tables.load(spark, sf, "embeddings")
     val out = graft.llm.SimSearch.l2TopK(embs, probeId = 7L, k = 10).collect()
