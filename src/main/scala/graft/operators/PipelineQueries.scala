@@ -202,15 +202,27 @@ object PipelineQueries {
       .orderBy("ym")
   }
 
-  /** SCD2 dimension build from a changelog: collapse each user's event
-    * stream to state-change rows, then derive [valid_from, valid_to)
-    * intervals with lead() and flag the open interval as current — the
-    * standard slowly-changing-dimension type-2 construction. Both window
-    * passes partition by user_id (one shuffle key, no global window);
-    * times compare in integer microseconds. */
-  val qScd2Dim = Q(
-    "q_scd2_dim",
-    """WITH ev AS (
+  /** Shared SCD2 interval build (q_scd2_dim output before its final
+    * ordering): state-change collapse + lead() validity intervals, both
+    * windows partitioned by user_id. */
+  private def scd2Intervals(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t(s, d, "events")
+      .filter(col("user_id") % 100 === 0)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast(TimestampType)).as("us"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("event_id"), col("us").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0)
+          .cast(IntegerType).as("is_current"))
+  }
+
+  private val scd2Sql =
+    """ev AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
       |  FROM events WHERE user_id % 100 = 0),
       |ch AS (
@@ -222,26 +234,56 @@ object PipelineQueries {
       |  SELECT user_id, event_type AS state, us AS valid_from, event_id,
       |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
       |      AS valid_to
-      |  FROM ch WHERE prev IS NULL OR prev <> event_type)
+      |  FROM ch WHERE prev IS NULL OR prev <> event_type)""".stripMargin
+
+  /** SCD2 dimension build from a changelog: collapse each user's event
+    * stream to state-change rows, then derive [valid_from, valid_to)
+    * intervals with lead() and flag the open interval as current — the
+    * standard slowly-changing-dimension type-2 construction. Both window
+    * passes partition by user_id (one shuffle key, no global window);
+    * times compare in integer microseconds. */
+  val qScd2Dim = Q(
+    "q_scd2_dim",
+    s"""WITH $scd2Sql
       |SELECT user_id, state, event_id, valid_from, valid_to,
       |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
       |    AS is_current
       |FROM scd ORDER BY user_id, valid_from, event_id""".stripMargin) {
     (s, d) =>
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      val ev = t(s, d, "events")
-        .filter(col("user_id") % 100 === 0)
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts").cast(TimestampType)).as("us"),
-          col("event_id"))
-      ev.withColumn("prev", lag(col("event_type"), 1).over(w))
-        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-        .withColumn("valid_to", lead(col("us"), 1).over(w))
-        .select(col("user_id"), col("event_type").as("state"),
-          col("event_id"), col("us").as("valid_from"), col("valid_to"),
-          when(col("valid_to").isNull, 1).otherwise(0)
-            .cast(IntegerType).as("is_current"))
-        .orderBy("user_id", "valid_from", "event_id")
+      scd2Intervals(s, d).orderBy("user_id", "valid_from", "event_id")
+  }
+
+  /** SCD2 point-in-time lookup — the consumer side of q_scd2_dim: join
+    * each purchase to the dimension interval active at its timestamp
+    * (`valid_from <= t < valid_to`, open interval = current). The join
+    * keeps its user_id equi component, so the range predicate is a
+    * post-join filter on co-partitioned data — never an unbounded range
+    * explosion; every purchase matches exactly one interval by
+    * construction (the intervals partition the user's timeline). */
+  val qScd2Lookup = Q(
+    "q_scd2_lookup",
+    s"""WITH $scd2Sql,
+      |pur AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us
+      |  FROM events WHERE user_id % 100 = 0 AND event_type = 'purchase')
+      |SELECT p.user_id, p.event_id, p.us, s.state
+      |FROM pur p JOIN scd s ON p.user_id = s.user_id
+      |  AND p.us >= s.valid_from
+      |  AND (s.valid_to IS NULL OR p.us < s.valid_to)
+      |ORDER BY p.user_id, p.us, p.event_id""".stripMargin) { (s, d) =>
+    val scd = scd2Intervals(s, d)
+      .select(col("user_id").as("s_user"), col("state"),
+        col("valid_from"), col("valid_to"))
+    val pur = t(s, d, "events")
+      .filter(col("user_id") % 100 === 0 && col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("us"))
+    pur.join(scd,
+        col("user_id") === col("s_user") &&
+          col("us") >= col("valid_from") &&
+          (col("valid_to").isNull || col("us") < col("valid_to")))
+      .select("user_id", "event_id", "us", "state")
+      .orderBy("user_id", "us", "event_id")
   }
 
   /** Bloom-pruned join under the oracle gate: lineitem (probe) is
@@ -524,7 +566,7 @@ object PipelineQueries {
 
   val all: Seq[Q] = Seq(
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
-    qIncrAgg, qScd2Dim, qJoinBloom,
+    qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,
     qSimL2, qKmeansUpdate, qKAnonymity, qReferentialCheck, qDupSpans,
     qVocabCoverage, qJoinNearest)
 }

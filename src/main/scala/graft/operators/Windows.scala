@@ -433,9 +433,31 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** Distribution-position functions (percent_rank / cume_dist): the
+    * remaining rank-family members. Both are one exact count/rank
+    * division — cross-engine-identical — rounded 6 anyway; the window
+    * partitions by segment like every other window here. */
+  val qWindowCume = Q(
+    "q_window_cume",
+    """SELECT c_mktsegment, c_custkey,
+      |  ROUND(percent_rank() OVER w, 6) AS pr,
+      |  ROUND(cume_dist() OVER w, 6) AS cd
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |             ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, d, "customer")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   val all: Seq[Q] = Seq(
     qWindowRank, qWindowRunning, qWindowLeadLag, qWindowRangeFrame,
-    qWindowNtile, qWindowFirstLast, qTopkPerGroup, qSessionizeBatch,
-    qFunnelStages, qLatestSnapshot, qDecayAvg, qWinsorize, qCohortRetention,
-    qImputeNulls, qMinmaxScale)
+    qWindowNtile, qWindowFirstLast, qWindowCume, qTopkPerGroup,
+    qSessionizeBatch, qFunnelStages, qLatestSnapshot, qDecayAvg, qWinsorize,
+    qCohortRetention, qImputeNulls, qMinmaxScale)
 }

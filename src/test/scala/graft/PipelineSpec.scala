@@ -64,6 +64,19 @@ class PipelineSpec extends SparkTestBase {
     scd.unpersist()
   }
 
+  test("q_scd2_lookup assigns every purchase exactly one active state") {
+    val out = PipelineQueries.qScd2Lookup.run(spark, sf).cache()
+    val purchases = Tables.load(spark, sf, "events")
+      .filter(col("user_id") % 100 === 0 && col("event_type") === "purchase")
+    // exactly one interval per purchase (intervals partition the timeline)
+    assert(out.count() == purchases.count())
+    assert(out.groupBy("event_id").count().filter(col("count") > 1)
+      .count() == 0)
+    // a purchase that IS a state-change row looks itself up
+    assert(out.filter(col("state") === "purchase").count() > 0)
+    out.unpersist()
+  }
+
   test("q_anomaly_mad flags exactly the rows beyond 3*MAD") {
     val out = PipelineQueries.qAnomalyMad.run(spark, sf).cache()
     assert(out.count() > 0)
