@@ -189,6 +189,34 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the semantics CDC merge keys
+    * and optional foreign keys need. Nulls are planted deterministically
+    * (every 10th customer); the probe side is a two-row inline table
+    * (one real key, one NULL), so the plan is a broadcast join. Note the
+    * explicit NULLS FIRST — DuckDB defaults ASC to NULLS LAST, Spark to
+    * NULLS FIRST. */
+  val qJoinNullsafe = Q(
+    "q_join_nullsafe",
+    """WITH c AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS nk
+      |  FROM customer),
+      |k AS (SELECT CAST(v AS BIGINT) AS nk FROM (VALUES (5), (NULL)) t(v))
+      |SELECT k.nk, count(*) AS n
+      |FROM c JOIN k ON c.nk IS NOT DISTINCT FROM k.nk
+      |GROUP BY k.nk ORDER BY k.nk NULLS FIRST""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val c = t(s, d, "customer")
+      .select(when(col("c_custkey") % 10 === 0, lit(null))
+        .otherwise(col("c_nationkey")).as("cnk"))
+    val k = Seq[Option[Long]](Some(5L), None).toDF("nk")
+    c.join(broadcast(k), col("cnk") <=> col("nk"))
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(asc_nulls_first("nk"))
+  }
+
   /** Non-equi (theta) join — bounded 200×10, so a broadcast nested-loop
     * join is the correct physical plan and stays correct at any lineitem SF
     * (both sides are dimension tables). */
@@ -496,5 +524,6 @@ object Relational {
     qSchemaMerge, qSkewJoin,
     qFilterRange, qFilterInLike, qFilterNullCase,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
+    qJoinNullsafe,
     qJoinTheta, qJoinRange, qJoinAsof, qCrossJoin, qLateralTopn, qUnpivot)
 }

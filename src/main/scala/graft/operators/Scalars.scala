@@ -308,9 +308,35 @@ object Scalars {
       .limit(100)
   }
 
+  /** Predicate higher-order functions (filter / exists / forall): count,
+    * any, all over array elements without exploding. Spark evaluates the
+    * native HOFs; the oracle expresses the identical semantics through
+    * `list_filter` lengths (DuckDB's equivalents differ in NULL corner
+    * cases, filter-length does not). Comparisons stay in float→double
+    * promotion, identical both engines. */
+  val qArrayPredicates = Q(
+    "q_array_predicates",
+    """SELECT vec_id,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+      |  CAST(len(list_filter(embedding, x -> abs(x) > 2)) > 0 AS INT)
+      |    AS has_big,
+      |  CAST(len(list_filter(embedding, x -> abs(x) >= 10)) = 0 AS INT)
+      |    AS all_small
+      |FROM embeddings ORDER BY vec_id LIMIT 200""".stripMargin) { (s, d) =>
+    t(s, d, "embeddings")
+      .select(col("vec_id"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        exists(col("embedding"), x => abs(x) > 2)
+          .cast(IntegerType).as("has_big"),
+        forall(col("embedding"), x => abs(x) < 10)
+          .cast(IntegerType).as("all_small"))
+      .orderBy("vec_id")
+      .limit(200)
+  }
+
   val all: Seq[Q] = Seq(
     qStringFuncs, qRegexp, qDateFuncs, qDateFormat, qMathFuncs, qArrayFuncs,
     qTryCast,
-    qArrayOps, qArrayHof, qJsonFuncs, qJsonStruct, qJsonVariant, qMapFuncs,
-    qCastMatrix)
+    qArrayOps, qArrayHof, qArrayPredicates, qJsonFuncs, qJsonStruct,
+    qJsonVariant, qMapFuncs, qCastMatrix)
 }
