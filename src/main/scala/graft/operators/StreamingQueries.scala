@@ -128,7 +128,26 @@ object StreamingQueries {
       .orderBy("c_mktsegment", "event_type")
   }
 
+  /** Real streaming incremental-view maintenance in the verify path: a
+    * 4-micro-batch file replay maintains a (day, event_type) count table
+    * by merging additive partials into versioned parquet state via
+    * foreachBatch — and the final state equals the batch recompute, which
+    * IS the oracle. The streaming counterpart of q_incr_agg. */
+  val qStreamIncrAgg = Q(
+    "q_stream_incr_agg",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |  count(*) AS cnt
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) {
+    (s, d) =>
+      // DATE on both sides: DuckDB's date_trunc('day') is already a DATE,
+      // Spark's is a TIMESTAMP
+      StreamOps.incrementalDailyCounts(s, d,
+          s"target/stream_incr_${math.abs(d.hashCode)}")
+        .withColumn("day", col("day").cast(org.apache.spark.sql.types.DateType))
+        .orderBy("day", "event_type")
+  }
+
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
-    qStreamLate, qStreamStateful, qStreamStaticJoin)
+    qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg)
 }

@@ -230,6 +230,54 @@ object StreamOps {
       }
   }
 
+  /** Streaming incremental aggregate maintenance: replay the events table
+    * file-by-file (maxFilesPerTrigger=1 over a 4-file split → 4 real
+    * micro-batches) and maintain a (day, event_type) count table in
+    * parquet by merging each micro-batch's partials with the previous
+    * state version — the streaming analog of q_incr_agg. Because count
+    * partials are additive (commutative + associative), the FINAL state is
+    * independent of batch boundaries and ordering, which is exactly what
+    * lets the DuckDB batch recompute serve as its oracle. State is
+    * versioned per batch (read v_{prev}, write v_{id}) so a version is
+    * never read and overwritten in the same job; at scale the same loop
+    * writes to a partitioned table and only touches the partitions the
+    * batch contains. Returns the final state. */
+  def incrementalDailyCounts(spark: SparkSession, sfDir: String,
+      workDir: String): DataFrame = {
+    val src = s"$workDir/src"
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val ts = if (events.schema("ts").dataType == LongType)
+      timestamp_micros(expr("ts DIV 1000")) else col("ts")
+    events.select(ts.as("ts"), col("event_type"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val stateBase = s"$workDir/state"
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val merged =
+          if (version < 0) partial
+          else spark.read.parquet(s"$stateBase/v$version")
+            .unionByName(partial)
+            .groupBy("day", "event_type")
+            .agg(sum(col("cnt")).cast(LongType).as("cnt"))
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        version = batchId
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$stateBase/v$version")
+  }
+
   /** Run a streaming DataFrame to completion over bounded input
     * (Trigger.AvailableNow) and return the final result as a batch DF. */
   def runToCompletion(streamed: DataFrame, mode: OutputMode = OutputMode.Complete()): DataFrame = {
