@@ -19,7 +19,8 @@ object SparkEntry {
       operators.StreamingQueries.all ++
       operators.MfQueries.all ++
       operators.LlmQueries.all ++
-      operators.PipelineQueries.all
+      operators.PipelineQueries.all ++
+      operators.AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

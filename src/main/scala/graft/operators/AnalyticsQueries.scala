@@ -1,0 +1,341 @@
+package graft.operators
+
+import graft.Q
+import graft.Dsl._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-4 analytics/warehouse additions: CDC merge-upsert, one-scan
+  * correlation matrix, quantile bucketing, rolling robust statistics,
+  * lexical diversity, iterative PageRank, two-proportion A/B testing, and
+  * blocked fuzzy (entity-resolution) joins. Same determinism contract as
+  * the rest of the registry: exact int/decimal math wherever possible,
+  * identical double op-order on both engines elsewhere, round 6 on the
+  * final double columns, total ORDER BY.
+  */
+object AnalyticsQueries {
+
+  private def eventsUs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"),
+      unix_micros(col("ts").cast(TimestampType)).as("us"))
+
+  /** CDC merge/upsert (MERGE INTO semantics, batch shape): a base snapshot
+    * (latest state per user before the cutoff) upserted with a changelog
+    * delta (events after the cutoff, latest per key wins, unseen keys
+    * insert). The oracle recomputes latest-per-user over ALL events — the
+    * merge must equal the recompute, which is the correctness property a
+    * nightly 100 TB CDC pipeline relies on: only the delta is scanned,
+    * never history. Both windows partition by user_id (one shuffle key);
+    * the final merge is a user_id equi full-outer join of two
+    * already-deduplicated (user-unique) sides. */
+  val qMergeUpsert = Q(
+    "q_merge_upsert",
+    """SELECT user_id, state, us FROM (
+      |  SELECT user_id, event_type AS state, epoch_us(ts) AS us,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+      |  FROM events) x
+      |WHERE rk = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = eventsUs(s, d)
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("state"), col("us"))
+    }
+    // The cutoff is internal to the merge (the oracle recomputes from
+    // scratch); any boundary produces the same merged result.
+    val cut = ts("2024-01-20 00:00:00")
+    val base = latest(ev.filter(col("us") <
+      unix_micros(cut.cast(TimestampType))))
+    val delta = latest(ev.filter(col("us") >=
+      unix_micros(cut.cast(TimestampType))))
+      .select(col("user_id"), col("state").as("d_state"), col("us").as("d_us"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("d_state"), col("state")).as("state"),
+        coalesce(col("d_us"), col("us")).as("us"))
+      .orderBy("user_id")
+  }
+
+  private val corrPairs = Seq(
+    ("disc~tax", "l_discount", "l_tax"),
+    ("price~disc", "l_extendedprice", "l_discount"),
+    ("price~tax", "l_extendedprice", "l_tax"),
+    ("qty~disc", "l_quantity", "l_discount"),
+    ("qty~price", "l_quantity", "l_extendedprice"),
+    ("qty~tax", "l_quantity", "l_tax"))
+
+  /** Pairwise Pearson correlation matrix over the lineitem measures in ONE
+    * scan: a single aggregate computes all six co-moments, then `stack`
+    * unpivots to (pair, r) rows. The oracle recomputes each pair with its
+    * own scan — irrelevant for DuckDB, but on 100 TB the one-scan shape is
+    * the entire point (feature-correlation profiling reads the fact table
+    * once, not C(k,2) times). */
+  val qCorrMatrix = Q(
+    "q_corr_matrix",
+    corrPairs.map { case (name, a, b) =>
+      s"SELECT '$name' AS pair, ROUND(corr($a, $b), 6) AS r FROM lineitem"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY pair")) { (s, d) =>
+    val aggs = corrPairs.map { case (name, a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"r_$name")
+    }
+    val stackExpr = s"stack(${corrPairs.length}, " + corrPairs
+      .map { case (name, _, _) => s"'$name', `r_$name`" }
+      .mkString(", ") + ") AS (pair, r)"
+    t(s, d, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(stackExpr))
+      .orderBy("pair")
+  }
+
+  /** Exact-quantile feature bucketing: quartile cuts of o_totalprice
+    * (computed once, rounded 6 so both engines bucket against the SAME
+    * boundary values), broadcast to every row, per-bucket count + exact
+    * decimal revenue. This is the binning primitive of feature pipelines;
+    * at 100 TB the exact percentile becomes approx_percentile (mergeable
+    * sketch, same broadcast-the-cuts shape) — exact here for the oracle. */
+  val qQuantileBuckets = Q(
+    "q_quantile_buckets",
+    """WITH cuts AS (
+      |  SELECT ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+      |         ROUND(quantile_cont(o_totalprice, 0.50), 6) AS q2,
+      |         ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q3
+      |  FROM orders)
+      |SELECT CAST(CASE WHEN o_totalprice <= q1 THEN 1
+      |            WHEN o_totalprice <= q2 THEN 2
+      |            WHEN o_totalprice <= q3 THEN 3 ELSE 4 END AS INT)
+      |    AS bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders, cuts
+      |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    val orders = t(s, d, "orders")
+    val cuts = orders.agg(
+      round(expr("percentile(o_totalprice, 0.25)"), 6).as("q1"),
+      round(expr("percentile(o_totalprice, 0.50)"), 6).as("q2"),
+      round(expr("percentile(o_totalprice, 0.75)"), 6).as("q3"))
+    orders.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("o_totalprice") <= col("q1"), 1)
+          .when(col("o_totalprice") <= col("q2"), 2)
+          .when(col("o_totalprice") <= col("q3"), 3)
+          .otherwise(4).cast(IntegerType))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        asDbl(sum(dec2(col("o_totalprice")))).as("revenue"))
+      .orderBy("bucket")
+  }
+
+  /** Rolling robust statistic: per-user median of the last 7 event values
+    * (time-series denoising that outliers can't drag, unlike a rolling
+    * mean). One window pass partitioned by user_id with a bounded ROWS
+    * frame — state per group is 7 values regardless of history length, so
+    * the frame never grows with data size. Median of doubles is selection
+    * (+ midpoint average), deterministic on both engines; rounded 6. */
+  val qRollingMedian = Q(
+    "q_rolling_median",
+    """SELECT user_id, event_id, us, ROUND(med7, 6) AS med7 FROM (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    median(value) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+      |  FROM events WHERE user_id % 25 = 0) x
+      |ORDER BY user_id, us, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(-6, Window.currentRow)
+    // median() refuses window frames in Spark; exact percentile(0.5) is
+    // the same statistic and does support ROWS frames.
+    eventsUs(s, d)
+      .filter(col("user_id") % 25 === 0)
+      .withColumn("med7", round(percentile(col("value"), lit(0.5)).over(w), 6))
+      .select("user_id", "event_id", "us", "med7")
+      .orderBy("user_id", "us", "event_id")
+  }
+
+  /** Per-source lexical diversity via the Simpson index, computed with
+    * EXACT integer moments: n = Σc (token count), s2 = Σc² over the term
+    * histogram — simpson = 1 − s2/n², effective vocabulary = n²/s2. Both
+    * are pure integer aggregates with two double divisions at the end, so
+    * the result is bit-identical across engines with no transcendental
+    * (the reason to prefer Simpson over Shannon entropy here: no ln()).
+    * A low effective vocab flags template/boilerplate-dominated sources
+    * before they flood a training mix. */
+  val qSourceDiversity = Q(
+    "q_source_diversity",
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |cnt AS (SELECT source, term, count(*) AS c FROM tok GROUP BY 1, 2)
+      |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_terms,
+      |  ROUND(1 - CAST(sum(c * c) AS DOUBLE)
+      |    / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6)
+      |    AS simpson,
+      |  ROUND(CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)
+      |    / CAST(sum(c * c) AS DOUBLE), 6) AS eff_vocab
+      |FROM cnt GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val cnt = t(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("c"))
+    cnt.groupBy("source")
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("s2"),
+        count(lit(1)).as("n_terms"))
+      .select(col("source"), col("n").cast(LongType).as("n_tokens"),
+        col("n_terms"),
+        round(lit(1) - col("s2").cast(DoubleType)
+          / (col("n").cast(DoubleType) * col("n").cast(DoubleType)), 6)
+          .as("simpson"),
+        round(col("n").cast(DoubleType) * col("n").cast(DoubleType)
+          / col("s2").cast(DoubleType), 6).as("eff_vocab"))
+      .orderBy("source")
+  }
+
+  /** Two damped PageRank iterations over the nation-level trade graph
+    * (customer nation → supplier nation, edge weight = lineitem count),
+    * via `plans.PageRank.iterate` — the iterative-graph-analytics shape:
+    * the edge list aggregates once (the only data-sized shuffle), then
+    * every iteration is broadcast-join + re-aggregate of the TINY edge
+    * table. The oracle unrolls both iterations as CTEs. Rank flows only
+    * through products/divisions of exact integer weights and one uniform
+    * init, rounded 6 at the very end. */
+  val qPagerank = Q(
+    "q_pagerank",
+    """WITH e AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+      |    CAST(count(*) AS DOUBLE) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nation),
+      |r0 AS (SELECT n_nationkey AS id, 1.0 / nn.n AS pr
+      |       FROM nation, nn),
+      |c1 AS (
+      |  SELECT e.dst, sum(r0.pr * e.w / ow.outw) AS inflow
+      |  FROM e JOIN r0 ON e.src = r0.id JOIN ow ON e.src = ow.src
+      |  GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT nt.n_nationkey AS id,
+      |    0.15 / nn.n + 0.85 * coalesce(c1.inflow, 0) AS pr
+      |  FROM nation nt CROSS JOIN nn
+      |  LEFT JOIN c1 ON c1.dst = nt.n_nationkey),
+      |c2 AS (
+      |  SELECT e.dst, sum(r1.pr * e.w / ow.outw) AS inflow
+      |  FROM e JOIN r1 ON e.src = r1.id JOIN ow ON e.src = ow.src
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT nt.n_nationkey AS id,
+      |    0.15 / nn.n + 0.85 * coalesce(c2.inflow, 0) AS pr
+      |  FROM nation nt CROSS JOIN nn
+      |  LEFT JOIN c2 ON c2.dst = nt.n_nationkey)
+      |SELECT id AS nation_id, ROUND(pr, 6) AS pagerank
+      |FROM r2 ORDER BY nation_id""".stripMargin) { (s, d) =>
+    val edges = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).cast(DoubleType).as("w"))
+      .persist()
+    val nodes = t(s, d, "nation").select(col("n_nationkey").as("id"))
+    graft.plans.PageRank.iterate(nodes, edges, iters = 2, damping = 0.85)
+      .select(col("id").as("nation_id"), round(col("rank"), 6).as("pagerank"))
+      .orderBy("nation_id")
+  }
+
+  /** Two-proportion z-test per market segment (segment vs all other
+    * segments): conversion = the customer has at least one purchase
+    * event. Every input to the statistic is an exact integer count, and
+    * the z formula applies the identical operation order on both engines
+    * (division, subtraction, sqrt — all correctly-rounded IEEE ops), so
+    * the result is bit-stable before the final round 6. The experiment-
+    * readout primitive of product analytics, one scan + one broadcast. */
+  val qAbtestZtest = Q(
+    "q_abtest_ztest",
+    """WITH conv AS (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |seg AS (
+      |  SELECT c_mktsegment AS segment, count(*) AS n,
+      |    CAST(sum(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x
+      |  FROM customer c LEFT JOIN conv p ON c.c_custkey = p.user_id
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+      |               CAST(sum(x) AS BIGINT) AS tx FROM seg)
+      |SELECT segment, n, x,
+      |  ROUND(CAST(x AS DOUBLE) / n, 6) AS rate,
+      |  ROUND((CAST(x AS DOUBLE) / n
+      |      - CAST(tx - x AS DOUBLE) / (tn - n))
+      |    / sqrt((CAST(tx AS DOUBLE) / tn) * (1 - CAST(tx AS DOUBLE) / tn)
+      |        * (1.0 / n + 1.0 / (tn - n))), 6) AS z
+      |FROM seg, tot ORDER BY segment""".stripMargin) { (s, d) =>
+    val conv = t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    val seg = t(s, d, "customer")
+      .join(broadcast(conv), col("c_custkey") === col("user_id"), "left")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("user_id").isNotNull, 1).otherwise(0))
+          .cast(LongType).as("x"))
+    val tot = seg.agg(sum(col("n")).cast(LongType).as("tn"),
+      sum(col("x")).cast(LongType).as("tx"))
+    val xD = col("x").cast(DoubleType)
+    val restX = (col("tx") - col("x")).cast(DoubleType)
+    val pPool = col("tx").cast(DoubleType) / col("tn")
+    seg.crossJoin(broadcast(tot))
+      .select(col("segment"), col("n"), col("x"),
+        round(xD / col("n"), 6).as("rate"),
+        round((xD / col("n") - restX / (col("tn") - col("n")))
+          / sqrt(pPool * (lit(1) - pPool)
+            * (lit(1.0) / col("n") + lit(1.0) / (col("tn") - col("n")))), 6)
+          .as("z"))
+      .orderBy("segment")
+  }
+
+  /** Blocked fuzzy join (entity resolution): candidate part pairs share a
+    * (brand, size mod 10) blocking key, survivors have name edit distance
+    * ≤ 3. Blocking is what makes fuzzy matching subquadratic — the
+    * self-join is equi on the block key, so at 100 TB it's one
+    * co-partitioned shuffle and the quadratic levenshtein work is
+    * confined to each (small) block; a skewed mega-block is the standard
+    * AQE-skew / salting case. */
+  val qFuzzyJoin = Q(
+    "q_fuzzy_join",
+    """SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_size % 10 = b.p_size % 10
+      |  AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |ORDER BY pk_a, pk_b""".stripMargin) { (s, d) =>
+    val part = t(s, d, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        (col("p_size") % 10).as("blk"), col("p_name"))
+    val a = part.select(col("p_partkey").as("pk_a"), col("p_brand"),
+      col("blk"), col("p_name").as("name_a"))
+    val b = part.select(col("p_partkey").as("pk_b"), col("p_brand"),
+      col("blk"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "blk"))
+      .filter(col("pk_a") < col("pk_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+      .select("pk_a", "pk_b", "dist")
+      .orderBy("pk_a", "pk_b")
+  }
+
+  val all: Seq[Q] = Seq(
+    qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
+    qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin)
+}

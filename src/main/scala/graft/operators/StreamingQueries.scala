@@ -147,7 +147,47 @@ object StreamingQueries {
         .orderBy("day", "event_type")
   }
 
+  /** Stream-stream interval join, batch shape: each view joined to the
+    * same user's clicks within the following 10 minutes (LEFT, so views
+    * with no click survive with zero). The true streaming execution —
+    * watermarked MemoryStream inner/left interval joins with
+    * watermark-finalized null emission — is `StreamOps.viewClickJoin` /
+    * `viewClickLeftJoin`, asserted in StreamingSpec; this registers the
+    * equivalent deterministic batch semantics under the oracle gate. The
+    * join keeps its user_id equi component, so the time predicate filters
+    * co-partitioned data instead of exploding a pure range join. */
+  val qStreamIntervalJoin = Q(
+    "q_stream_interval_join",
+    """WITH v AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'view' AND user_id % 50 = 0),
+      |c AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events
+      |  WHERE event_type = 'click' AND user_id % 50 = 0)
+      |SELECT v.user_id, v.event_id AS view_id, v.us,
+      |  count(c.us) AS n_clicks_10m
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |  AND c.us >= v.us AND c.us < v.us + 600000000
+      |GROUP BY 1, 2, 3 ORDER BY v.user_id, v.us, view_id""".stripMargin) {
+    (s, d) =>
+      def slice(tpe: String) = t(s, d, "events")
+        .filter(col("event_type") === tpe && col("user_id") % 50 === 0)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast(
+            org.apache.spark.sql.types.TimestampType)).as("us"))
+      val v = slice("view")
+      val c = slice("click")
+        .select(col("user_id").as("c_user"), col("us").as("c_us"))
+      v.join(c,
+          col("user_id") === col("c_user") && col("c_us") >= col("us") &&
+            col("c_us") < col("us") + lit(600000000L), "left")
+        .groupBy(col("user_id"), col("event_id").as("view_id"), col("us"))
+        .agg(count(col("c_us")).as("n_clicks_10m"))
+        .orderBy("user_id", "us", "view_id")
+  }
+
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
-    qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg)
+    qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg,
+    qStreamIntervalJoin)
 }

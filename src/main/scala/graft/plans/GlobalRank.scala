@@ -34,10 +34,12 @@ object GlobalRank {
   private val LOC = "__graft_loc"
   private val KEY = "__graft_key"
 
-  /** (bucketed-with-pid df, broadcastable (pid, offset-of-prior-buckets)
-    * pairs, grand total) for `agg` of the per-bucket quantity. */
-  private def offsets(df: DataFrame, nParts: Int, sortCols: Seq[Column],
-                      perPartition: Column): (DataFrame, Seq[(Int, Long)], Long) = {
+  /** (bucketed-with-pid df, per-quantity broadcastable (pid,
+    * offset-of-prior-buckets) pairs, per-quantity grand totals) for the
+    * given per-bucket quantities — ONE bucket-totals pass however many
+    * running quantities are layered on the same global order. */
+  private def offsetsMulti(df: DataFrame, nParts: Int, sortCols: Seq[Column],
+      perPartition: Seq[Column]): (DataFrame, Seq[Seq[(Int, Long)]], Seq[Long]) = {
     val keyed = df.withColumn(KEY, sortCols.head.cast("double"))
     val probs = (1 until nParts).map(_.toDouble / nParts).toArray
     val bounds = keyed.stat.approxQuantile(KEY, probs, 0.001)
@@ -49,11 +51,24 @@ object GlobalRank {
     val ranged = keyed
       .withColumn(PID, when(col(KEY).isNull, -1).otherwise(bucket))
       .drop(KEY)
-    val totals = ranged.groupBy(PID).agg(perPartition.cast(LongType).as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
-    val offs = totals.map(_._1)
-      .zip(totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
-    (ranged, offs, totals.map(_._2).sum)
+    val aggs = perPartition.zipWithIndex
+      .map { case (c, i) => c.cast(LongType).as(s"t$i") }
+    val rows = ranged.groupBy(PID).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), perPartition.indices.map(i => r.getLong(i + 1))))
+      .sortBy(_._1).toSeq
+    val offs = perPartition.indices.map { i =>
+      val ts = rows.map(_._2(i))
+      rows.map(_._1).zip(ts.scanLeft(0L)(_ + _).dropRight(1))
+    }
+    (ranged, offs, perPartition.indices.map(i => rows.map(_._2(i)).sum))
+  }
+
+  private def offsets(df: DataFrame, nParts: Int, sortCols: Seq[Column],
+                      perPartition: Column): (DataFrame, Seq[(Int, Long)], Long) = {
+    val (ranged, offs, totals) =
+      offsetsMulti(df, nParts, sortCols, Seq(perPartition))
+    (ranged, offs.head, totals.head)
   }
 
   private def withOffset(ranged: DataFrame, offs: Seq[(Int, Long)],
@@ -86,6 +101,40 @@ object GlobalRank {
     val w = Window.partitionBy(PID).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     (withOffset(ranged, offs, sum(value.cast(LongType)).over(w), out), n)
+  }
+
+  /** Adds the inclusive global running sums of SEVERAL integral value
+    * columns along the same global order in one pass (one bucket-totals
+    * collect however many quantities) — e.g. the two per-group cumulative
+    * counts a Kolmogorov–Smirnov statistic compares. Returns the
+    * augmented frame and each quantity's grand total, in input order. */
+  def withGlobalRunningSums(df: DataFrame, values: Seq[(Column, String)],
+      nParts: Int, sortCols: Column*): (DataFrame, Seq[Long]) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val (ranged, offs, totals) =
+      offsetsMulti(df, nParts, sortCols, values.map(v => sum(v._1)))
+    val spark = ranged.sparkSession
+    val pids = offs.head.map(_._1)
+    val offRows = pids.indices
+      .map(j => Row.fromSeq(pids(j) +: offs.map(o => o(j)._2)))
+    val offSchema = StructType(StructField(PID, IntegerType, nullable = false)
+      +: values.indices.map(i => StructField(s"$OFF$i", LongType, nullable = false)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    val w = Window.partitionBy(PID).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val locals = values.zipWithIndex.map { case ((v, _), i) =>
+      sum(v.cast(LongType)).over(w).as(s"$LOC$i")
+    }
+    val joined = ranged.select(col("*") +: locals: _*)
+      .join(broadcast(offDf), PID)
+    val out = values.zipWithIndex.foldLeft(joined) {
+      case (acc, ((_, name), i)) =>
+        acc.withColumn(name, col(s"$OFF$i") + col(s"$LOC$i"))
+    }
+    val drop = Seq(PID) ++ values.indices.flatMap(i => Seq(s"$OFF$i", s"$LOC$i"))
+    (out.drop(drop: _*), totals)
   }
 
   /** Standard NTILE(k) bucket from a 1-based unique global rank: the first

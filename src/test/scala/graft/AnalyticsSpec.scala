@@ -1,0 +1,160 @@
+package graft
+
+import graft.operators.AnalyticsQueries
+import org.apache.spark.sql.functions._
+
+/** Semantics of the analytics/warehouse family beyond the DuckDB oracle:
+  * merge == recompute, PageRank invariants (and a closed-form graph),
+  * bucket balance, brute-force cross-checks for the rolling median, the
+  * diversity moments, the z-test, and the blocked fuzzy join. */
+class AnalyticsSpec extends SparkTestBase {
+
+  test("q_merge_upsert equals the direct latest-per-user recompute") {
+    val merged = AnalyticsQueries.qMergeUpsert.run(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)
+    val direct = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("state"), col("us"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+    assert(merged.count() > 0)
+  }
+
+  test("PageRank.iterate on a 2-node cycle stays uniform at every iteration") {
+    val nodes = spark.range(2).toDF("id")
+    val edges = spark.createDataFrame(Seq((0L, 1L, 1.0), (1L, 0L, 1.0)))
+      .toDF("src", "dst", "w")
+    val ranks = plans.PageRank.iterate(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // symmetric cycle ⇒ the uniform distribution is the fixed point
+    assert(math.abs(ranks(0L) - 0.5) < 1e-12)
+    assert(math.abs(ranks(1L) - 0.5) < 1e-12)
+  }
+
+  test("q_pagerank ranks are a (sub-)distribution above the teleport floor") {
+    val out = AnalyticsQueries.qPagerank.run(spark, sf).cache()
+    val n = Tables.load(spark, sf, "nation").count().toDouble
+    val ranks = out.collect().map(_.getDouble(1))
+    assert(ranks.length == n.toInt)
+    // every node keeps at least the teleport mass
+    assert(ranks.forall(_ >= 0.15 / n - 1e-9))
+    // dangling simplification only DECAYS mass: sum in (0, 1]
+    val total = ranks.sum
+    assert(total > 0.5 && total <= 1.0 + 1e-6)
+    out.unpersist()
+  }
+
+  test("q_quantile_buckets partitions all orders into 4 nonempty buckets") {
+    val out = AnalyticsQueries.qQuantileBuckets.run(spark, sf).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val total = Tables.load(spark, sf, "orders").count()
+    assert(out.map(_.getLong(1)).sum == total)
+    // exact quartile cuts ⇒ roughly balanced buckets
+    assert(out.forall(r => r.getLong(1) > total / 8))
+  }
+
+  test("q_rolling_median matches a brute-force 7-row frame median") {
+    val rows = AnalyticsQueries.qRollingMedian.run(spark, sf).collect()
+    val byUser = Tables.load(spark, sf, "events")
+      .filter(col("user_id") % 25 === 0)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(t => (t._3, t._2))).toMap
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (user, eid, med) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      val seq = byUser(user)
+      val i = seq.indexWhere(_._2 == eid)
+      val frame = seq.slice(math.max(0, i - 6), i + 1).map(_._4)
+      assert(math.abs(med - BigDecimal(median(frame))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"user=$user event=$eid")
+    }
+  }
+
+  test("q_source_diversity moments match a brute-force recount") {
+    val out = AnalyticsQueries.qSourceDiversity.run(spark, sf).collect()
+    assert(out.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+      .select("source", "text").collect()
+    out.foreach { r =>
+      val (src, n, v) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val terms = docs.filter(_.getString(0) == src)
+        .flatMap(_.getString(1).split(" ", -1))
+      val hist = terms.groupBy(identity).view.mapValues(_.length.toLong)
+      assert(n == terms.length, s"n_tokens $src")
+      assert(v == hist.size, s"n_terms $src")
+      val s2 = hist.values.map(c => c * c).sum
+      val simpson = 1 - s2.toDouble / (n.toDouble * n.toDouble)
+      assert(math.abs(r.getDouble(3) - simpson) < 1e-6, s"simpson $src")
+    }
+  }
+
+  test("q_abtest_ztest z-score matches a hand recompute per segment") {
+    val out = AnalyticsQueries.qAbtestZtest.run(spark, sf).collect()
+    assert(out.length >= 2)
+    val tn = out.map(_.getLong(1)).sum
+    val tx = out.map(_.getLong(2)).sum
+    out.foreach { r =>
+      val (n, x, z) = (r.getLong(1), r.getLong(2), r.getDouble(4))
+      val p1 = x.toDouble / n
+      val p2 = (tx - x).toDouble / (tn - n)
+      val pp = tx.toDouble / tn
+      val zz = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1.0 / n + 1.0 / (tn - n)))
+      assert(math.abs(z - zz) < 1e-6, s"segment=${r.getString(0)}")
+    }
+  }
+
+  test("q_fuzzy_join equals the brute-force blocked edit-distance pairs") {
+    val got = AnalyticsQueries.qFuzzyJoin.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val parts = Tables.load(spark, sf, "part")
+      .select("p_partkey", "p_brand", "p_size", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- parts; b <- parts
+      if a._1 < b._1 && a._2 == b._2 && a._3 % 10 == b._3 % 10
+      dist = lev(a._4, b._4) if dist <= 3
+    } yield (a._1, b._1, dist)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("q_stream_interval_join counts match a brute-force window scan") {
+    val out = operators.StreamingQueries.qStreamIntervalJoin.run(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    val ev = Tables.load(spark, sf, "events")
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = ev.filter(_._3 == "view")
+    val clicks = ev.filter(_._3 == "click")
+    assert(views.nonEmpty && out.size == views.length)
+    views.foreach { v =>
+      val n = clicks.count(c =>
+        c._1 == v._1 && c._4 >= v._4 && c._4 < v._4 + 600000000L)
+      assert(out(v._2) == n.toLong, s"view=${v._2}")
+    }
+  }
+}

@@ -150,4 +150,34 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("pagerank iterations broadcast the rank vector (no data-sized rejoin)") {
+    val p = plan(AnalyticsQueries.qPagerank)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("fuzzy join keeps its equi blocking key (no cartesian explosion)") {
+    val p = plan(AnalyticsQueries.qFuzzyJoin)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("interval join keeps its user_id equi component (no pure range join)") {
+    val p = plan(operators.StreamingQueries.qStreamIntervalJoin)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("new window queries partition by a key (merge-upsert, rolling median)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val qs = Seq(AnalyticsQueries.qMergeUpsert, AnalyticsQueries.qRollingMedian)
+    qs.foreach { q =>
+      val bad = q.run(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"${q.name}: global window would single-task at scale:\n${bad.mkString}")
+    }
+  }
 }
