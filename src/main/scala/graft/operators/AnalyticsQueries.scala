@@ -335,7 +335,137 @@ object AnalyticsQueries {
       .orderBy("pk_a", "pk_b")
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the value
+    * distributions of purchase vs view events: D = max |F₁(v) − F₂(v)|
+    * over all observed values. The cumulative counts are GLOBAL running
+    * sums over the value order — computed via
+    * `plans.GlobalRank.withGlobalRunningSums` (range-bucket two-pass, both
+    * cumulative counts in ONE bucket pass), NOT an unpartitioned window,
+    * so the distribution comparison survives 100 TB. Every input is an
+    * exact integer count; the per-row |a1/n1 − a2/n2| involves no
+    * summation of doubles, so D is bit-stable before the final round. */
+  val qKsTest = Q(
+    "q_ks_test",
+    """WITH pv AS (
+      |  SELECT value,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c2
+      |  FROM events WHERE event_type IN ('purchase', 'view')
+      |  GROUP BY value),
+      |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+      |               CAST(sum(c2) AS BIGINT) AS n2 FROM pv),
+      |cum AS (
+      |  SELECT sum(c1) OVER (ORDER BY value) AS a1,
+      |         sum(c2) OVER (ORDER BY value) AS a2
+      |  FROM pv)
+      |SELECT ROUND(max(abs(CAST(a1 AS DOUBLE) / n1
+      |  - CAST(a2 AS DOUBLE) / n2)), 6) AS ks_d, n1, n2
+      |FROM cum, tot GROUP BY n1, n2""".stripMargin) { (s, d) =>
+    val pv = t(s, d, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy("value")
+      .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .cast(LongType).as("c1"),
+        sum(when(col("event_type") === "view", 1).otherwise(0))
+          .cast(LongType).as("c2"))
+    val (cum, totals) = graft.plans.GlobalRank.withGlobalRunningSums(
+      pv, Seq(col("c1") -> "a1", col("c2") -> "a2"), 8, col("value"))
+    val Seq(n1, n2) = totals
+    cum.agg(round(max(abs(col("a1").cast(DoubleType) / lit(n1)
+        - col("a2").cast(DoubleType) / lit(n2))), 6).as("ks_d"))
+      .select(col("ks_d"), lit(n1).as("n1"), lit(n2).as("n2"))
+  }
+
+  /** Time-weighted average (TWAP): per user, each event's value weighted
+    * by the µs gap to the user's next event (last event carries no
+    * weight). The irregular-sampling average of sensor/price/telemetry
+    * analytics — a plain mean over-counts burst periods. One per-user
+    * window pass (lead) + one grouped agg; weights are exact integer µs;
+    * per-user double reductions rounded 6. */
+  val qTimeWeightedAvg = Q(
+    "q_time_weighted_avg",
+    """WITH g AS (
+      |  SELECT user_id, value, epoch_us(ts) AS us,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS next_us
+      |  FROM events WHERE user_id % 20 = 0)
+      |SELECT user_id, count(*) AS n_segments,
+      |  ROUND(CAST(sum(value * (next_us - us)) AS DOUBLE)
+      |    / CAST(sum(next_us - us) AS DOUBLE), 6) AS twap
+      |FROM g WHERE next_us IS NOT NULL
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    eventsUs(s, d)
+      .filter(col("user_id") % 20 === 0)
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_segments"),
+        round(sum(col("value") * (col("next_us") - col("us")))
+            .cast(DoubleType)
+          / sum(col("next_us") - col("us")).cast(DoubleType), 6).as("twap"))
+      .orderBy("user_id")
+  }
+
+  /** Deterministic importance-weighted sampling: keep a document with
+    * probability min(1, n_chars/500) — longer docs kept whole, short ones
+    * thinned — decided by content hash against an integer threshold
+    * (hash % 1e6 < n_chars·2000), so the sample is reproducible across
+    * engines, runs, and partitionings (the corpus-mixing upsample/
+    * downsample knob; rand() would be none of those). Pure filter + one
+    * bounded-key agg; zero shuffles of the unsampled corpus. */
+  val qWeightedSample = Q(
+    "q_weighted_sample",
+    """SELECT source, count(*) AS n_kept,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
+      |FROM documents
+      |WHERE CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+      |    % 1000000 < least(1000000, n_chars * 2000)
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .filter(graft.llm.TextOps.hash60(col("text")) % 1000000L <
+        least(lit(1000000L), col("n_chars") * 2000L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast(LongType).as("chars_kept"))
+      .orderBy("source")
+  }
+
+  /** Cumulative distinct count over a window — "how many distinct event
+    * types has this user touched so far" — WITHOUT a distinct window
+    * aggregate (neither engine supports one): a row is flagged on its
+    * first (user, type) occurrence, and the running sum of flags IS the
+    * cumulative distinct count. Both windows partition by user; the
+    * first-touch-attribution shape of funnel analytics. */
+  val qWindowCumdistinct = Q(
+    "q_window_cumdistinct",
+    """WITH f AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts), event_id) = 1 THEN 1 ELSE 0 END
+      |      AS first_flag
+      |  FROM events WHERE user_id % 50 = 0)
+      |SELECT user_id, event_id, us,
+      |  CAST(sum(first_flag) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id) AS BIGINT) AS n_types_so_far
+      |FROM f ORDER BY user_id, us, event_id""".stripMargin) { (s, d) =>
+    val wFirst = Window.partitionBy("user_id", "event_type")
+      .orderBy("us", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("us", "event_id")
+    eventsUs(s, d)
+      .filter(col("user_id") % 50 === 0)
+      .withColumn("first_flag",
+        when(row_number().over(wFirst) === 1, 1).otherwise(0))
+      .withColumn("n_types_so_far",
+        sum(col("first_flag")).over(wRun).cast(LongType))
+      .select("user_id", "event_id", "us", "n_types_so_far")
+      .orderBy("user_id", "us", "event_id")
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
-    qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin)
+    qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
+    qKsTest, qTimeWeightedAvg, qWeightedSample, qWindowCumdistinct)
 }

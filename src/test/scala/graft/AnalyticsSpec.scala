@@ -139,6 +139,86 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("q_ks_test equals the brute-force two-sample KS statistic") {
+    val row = AnalyticsQueries.qKsTest.run(spark, sf).collect().head
+    val ev = Tables.load(spark, sf, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val g1 = ev.filter(_._1 == "purchase").map(_._2).sorted
+    val g2 = ev.filter(_._1 == "view").map(_._2).sorted
+    val points = (g1 ++ g2).distinct.sorted
+    val d = points.map { v =>
+      math.abs(g1.count(_ <= v).toDouble / g1.length
+        - g2.count(_ <= v).toDouble / g2.length)
+    }.max
+    assert(row.getLong(1) == g1.length && row.getLong(2) == g2.length)
+    assert(math.abs(row.getDouble(0) - d) < 1e-6)
+  }
+
+  test("q_time_weighted_avg matches a brute-force gap-weighted mean") {
+    val out = AnalyticsQueries.qTimeWeightedAvg.run(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val byUser = Tables.load(spark, sf, "events")
+      .filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    assert(out.nonEmpty)
+    byUser.foreach { case (user, rows) =>
+      val seq = rows.sortBy(t => (t._3, t._2))
+      if (seq.length >= 2) {
+        val segs = seq.sliding(2).map { case Array(a, b) =>
+          (a._4, b._3 - a._3)
+        }.toSeq
+        val twap = segs.map { case (v, dt) => v * dt }.sum /
+          segs.map(_._2).sum.toDouble
+        val (n, got) = out(user)
+        assert(n == segs.length, s"user=$user")
+        assert(math.abs(got - twap) < 1e-5, s"user=$user")
+      }
+    }
+  }
+
+  test("q_weighted_sample keeps exactly the hash-under-weight documents") {
+    val kept = AnalyticsQueries.qWeightedSample.run(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("n_chars"),
+        llm.TextOps.hash60(col("text")).as("h"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter { case (_, nc, h) =>
+        (h % 1000000L) < math.min(1000000L, nc * 2000L) }
+      .groupBy(_._1)
+      .view.mapValues(v => (v.length.toLong, v.map(_._2).sum)).toMap
+    assert(kept == want)
+    assert(kept.values.map(_._1).sum > 0)
+  }
+
+  test("q_window_cumdistinct is the running count of first-seen types") {
+    val out = AnalyticsQueries.qWindowCumdistinct.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val byUser = Tables.load(spark, sf, "events")
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(out.nonEmpty)
+    byUser.foreach { case (user, rows) =>
+      val seen = scala.collection.mutable.Set[String]()
+      rows.sortBy(t => (t._4, t._2)).foreach { e =>
+        seen += e._3
+        assert(out((user, e._2)) == seen.size.toLong,
+          s"user=$user event=${e._2}")
+      }
+    }
+  }
+
   test("q_stream_interval_join counts match a brute-force window scan") {
     val out = operators.StreamingQueries.qStreamIntervalJoin.run(spark, sf)
       .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
