@@ -19,7 +19,12 @@ class DeterminismSpec extends SparkTestBase {
     Windows.qDecayAvg, Aggregates.qRevenueShare,
     LlmQueries.qTfidfTopTerms, LlmQueries.qTokenRarity,
     LlmQueries.qKmeansAssign, LlmQueries.qPackSequences,
-    LlmQueries.qChunkDocs)
+    LlmQueries.qChunkDocs,
+    // analytics family: global running sums (KS), percentile cuts,
+    // iterated double sums (pagerank), window-tie merges, TWAP reductions
+    AnalyticsQueries.qKsTest, AnalyticsQueries.qQuantileBuckets,
+    AnalyticsQueries.qPagerank, AnalyticsQueries.qMergeUpsert,
+    AnalyticsQueries.qTimeWeightedAvg)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
