@@ -71,6 +71,23 @@ object Baseline {
       .agg(round(avg(col("v")), 6).as("polarization"),
         round(sqrt(sum(col("se")) / sum(col("n"))), 6).as("rmse"))
 
+  /** Memoized (polarization, rmse) of the baseline predictor per
+    * (session, sfDir) — the metric queries and the antidote evaluation all
+    * need these exact scalars; computing the shared pass once mirrors the
+    * ALS model memoization (AlsEngine.trainCachedOnRatingsView). Values
+    * come from `polarizationAndRmse`, i.e. already rounded to 6 dp with
+    * the same arithmetic the oracle uses. */
+  private val polRmseCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), (Double, Double)]
+
+  def polRmseCached(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): (Double, Double) =
+    polRmseCache.getOrElseUpdate((spark, sfDir), {
+      val r = polarizationAndRmse(
+        predictions(Ratings.viewCached(spark, sfDir))).head()
+      (r.getDouble(0), r.getDouble(1))
+    })
+
   /** DuckDB CTEs mirroring predictions/userLoss — appended after
     * Ratings.cte in oracle SQL. */
   val cte: String =

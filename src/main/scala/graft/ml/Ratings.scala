@@ -30,6 +30,23 @@ object Ratings {
       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Memoized, Spark-cached ratings view. Every MF/antidote-family query
+    * needs the identical orders⋈lineitem aggregate; deriving it once per
+    * (session, sfDir) and sharing a single cache entry removes both the
+    * repeated derivation and the per-query `.cache()` storage leak from a
+    * bench run. Keyed by session (not just sfDir) so suites that probe
+    * conf-sensitivity (DeterminismSpec's parallelism sweep) still derive
+    * under their own session's configuration. */
+  private val viewCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def viewCached(spark: SparkSession, sfDir: String): DataFrame =
+    viewCache.getOrElseUpdate((spark, sfDir), {
+      val df = view(spark, sfDir).cache()
+      df.count() // materialize eagerly so first consumer gets a warm cache
+      df
+    })
+
   def view(spark: SparkSession, sfDir: String): DataFrame = {
     val perRow = least(
       lit(5.0).cast(DecimalType(3, 2)),

@@ -194,19 +194,19 @@ object MfQueries {
        |UNION ALL
        |${evalSelect(0.05, "b")}
        |ORDER BY alpha""".stripMargin) { (s, d) =>
-    // Single tagged pass: the base matrix and both augmented matrices are
-    // unioned under a `tag` column, so user-means/item-means/metrics for
-    // all three evaluate in ONE shuffle chain instead of three (the tag
-    // joins the grouping keys; per-tag inputs are disjoint, so results are
-    // identical to separate passes).
-    val ratings = Ratings.view(s, d).cache()
+    // The "before" metrics are the memoized baseline-predictor scalars
+    // shared with q_metric_* (same pass, same rounding); only the two
+    // AUGMENTED matrices are evaluated here, in one tagged shuffle chain
+    // (the tag joins the grouping keys; per-tag inputs are disjoint, so
+    // results are identical to separate passes).
+    val ratings = Ratings.viewCached(s, d)
+    val (polB, rmseB) = Baseline.polRmseCached(s, d)
     val stats = Antidote.userStats(ratings)
     val alphas = Seq(0.01 -> "a1", 0.05 -> "a2")
-    val tagged = ratings.withColumn("tag", lit("base"))
-      .unionByName(alphas.map { case (alpha, tg) =>
-        ratings.unionByName(Antidote.init(s, ratings, alpha, stats))
-          .withColumn("tag", lit(tg))
-      }.reduce(_ unionByName _))
+    val tagged = alphas.map { case (alpha, tg) =>
+      ratings.unionByName(Antidote.init(s, ratings, alpha, stats))
+        .withColumn("tag", lit(tg))
+    }.reduce(_ unionByName _)
     val um = tagged.groupBy("tag", "user_id").agg(avg("rating").as("mu"))
     val im = tagged.groupBy("tag", "item_id").agg(avg("rating").as("mi"))
     val pred = tagged.join(um, Seq("tag", "user_id"))
@@ -223,7 +223,7 @@ object MfQueries {
     val spark = s
     import spark.implicits._
     alphas.map { case (alpha, tg) =>
-      (alpha, m("base")._1, m(tg)._1, m("base")._2, m(tg)._2)
+      (alpha, polB, m(tg)._1, rmseB, m(tg)._2)
     }.toDF("alpha", "pol_before", "pol_after", "rmse_before", "rmse_after")
       .orderBy("alpha")
   }
