@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, L2SquaredDistance}
+import graft.functions.{BloomMightContain, CosineSimilarity, DotProduct, L2SquaredDistance}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -27,5 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[L2SquaredDistance].getName, "graft_l2sq"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         L2SquaredDistance(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BloomMightContain(children(0), children(1))))
   }
 }

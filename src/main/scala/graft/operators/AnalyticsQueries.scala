@@ -238,7 +238,7 @@ object AnalyticsQueries {
       |  LEFT JOIN c2 ON c2.dst = nt.n_nationkey)
       |SELECT id AS nation_id, ROUND(pr, 6) AS pagerank
       |FROM r2 ORDER BY nation_id""".stripMargin) { (s, d) =>
-    val edges = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+    val edgesDist = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
       .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
@@ -247,7 +247,14 @@ object AnalyticsQueries {
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).cast(DoubleType).as("w"))
-      .persist()
+    // The aggregated edge list is bounded by nations² (≤625 rows) but is
+    // re-read every PageRank iteration; materialize it to a local relation
+    // once instead of persist() (which would leak a CacheManager entry —
+    // the query result is consumed by callers we don't control, so there
+    // is no safe unpersist point).
+    val edges = s.createDataFrame(
+      s.sparkContext.parallelize(edgesDist.collect().toIndexedSeq, 1),
+      edgesDist.schema)
     val nodes = t(s, d, "nation").select(col("n_nationkey").as("id"))
     graft.plans.PageRank.iterate(nodes, edges, iters = 2, damping = 0.85)
       .select(col("id").as("nation_id"), round(col("rank"), 6).as("pagerank"))
@@ -422,7 +429,7 @@ object AnalyticsQueries {
       |  CAST(sum(n_chars) AS BIGINT) AS chars_kept
       |FROM documents
       |WHERE CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
-      |    % 1000000 < least(1000000, n_chars * 2000)
+      |    % 1000000 < least(1000000, CAST(n_chars AS BIGINT) * 2000)
       |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
     t(s, d, "documents")
       .filter(graft.llm.TextOps.hash60(col("text")) % 1000000L <

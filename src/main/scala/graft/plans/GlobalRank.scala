@@ -51,8 +51,12 @@ object GlobalRank {
     val ranged = keyed
       .withColumn(PID, when(col(KEY).isNull, -1).otherwise(bucket))
       .drop(KEY)
+    require(perPartition.nonEmpty, "offsetsMulti needs at least one per-partition aggregate")
+    // coalesce: a bucket whose aggregated column is all-NULL (e.g. a
+    // sum over nothing but NULLs) must contribute 0 to the running
+    // offsets, not NPE in getLong.
     val aggs = perPartition.zipWithIndex
-      .map { case (c, i) => c.cast(LongType).as(s"t$i") }
+      .map { case (c, i) => coalesce(c.cast(LongType), lit(0L)).as(s"t$i") }
     val rows = ranged.groupBy(PID).agg(aggs.head, aggs.tail: _*)
       .collect()
       .map(r => (r.getInt(0), perPartition.indices.map(i => r.getLong(i + 1))))

@@ -24,7 +24,10 @@ class DeterminismSpec extends SparkTestBase {
     // iterated double sums (pagerank), window-tie merges, TWAP reductions
     AnalyticsQueries.qKsTest, AnalyticsQueries.qQuantileBuckets,
     AnalyticsQueries.qPagerank, AnalyticsQueries.qMergeUpsert,
-    AnalyticsQueries.qTimeWeightedAvg)
+    AnalyticsQueries.qTimeWeightedAvg,
+    // corr(): co-moment merge order is partitioning-dependent; the
+    // round-6 mask must absorb it at any parallelism
+    AnalyticsQueries.qCorrMatrix)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

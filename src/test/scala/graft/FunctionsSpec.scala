@@ -86,4 +86,35 @@ class FunctionsSpec extends SparkTestBase {
       .filter(abs(col("c") - 1.0) > 1e-9)
     assert(bad.count() == 0)
   }
+
+  test("native graft_might_contain is bit-equal to the UDF fallback") {
+    val ord = Tables.load(spark, sf, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val bf = ord.stat.bloomFilter(col("o_orderkey"), 10000L, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bytes = bos.toByteArray
+    val bc = spark.sparkContext.broadcast(bf)
+    val fallback = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    val li = Tables.load(spark, sf, "lineitem")
+    val both = li.select(
+      call_function("graft_might_contain",
+        lit(bytes), col("l_orderkey").cast("long")).as("native"),
+      fallback(col("l_orderkey").cast("long")).as("udf"))
+    assert(both.filter(col("native") =!= col("udf")).count() == 0)
+    assert(both.filter(col("native")).count() > 0, "nothing matched")
+    // no false negatives: every build key probes true
+    val bad = ord.select(
+      call_function("graft_might_contain",
+        lit(bytes), col("o_orderkey").cast("long")).as("hit"))
+      .filter(!col("hit"))
+    assert(bad.count() == 0, "bloom false negative")
+    // NULL key yields NULL (a Filter drops it — NULL never equi-joins)
+    import spark.implicits._
+    val nullRow = Seq(Tuple1(null: java.lang.Long)).toDF("k")
+      .select(call_function("graft_might_contain",
+        lit(bytes), col("k")).as("hit")).head()
+    assert(nullRow.isNullAt(0))
+  }
 }

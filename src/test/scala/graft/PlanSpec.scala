@@ -180,4 +180,20 @@ class PlanSpec extends SparkTestBase {
         s"${q.name}: global window would single-task at scale:\n${bad.mkString}")
     }
   }
+
+  test("q_join_bloom's probe filter stays inside WholeStageCodegen") {
+    val df = PipelineQueries.qJoinBloom.run(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen ids materialize
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the membership probe must be the native expression, not a UDF...
+    assert(p.contains("graft_might_contain"), p)
+    assert(!p.contains("UDF("), p)
+    // ...and the Filter hosting it must carry a codegen id (i.e. sit
+    // inside a WholeStageCodegen span, which the old UDF broke)
+    val filterOp = p.linesIterator
+      .find(l => l.contains("Filter") && l.contains("codegen id"))
+    assert(filterOp.isDefined,
+      s"no codegen'd Filter found in q_join_bloom plan:\n$p")
+  }
 }
