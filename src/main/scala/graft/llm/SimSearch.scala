@@ -71,6 +71,43 @@ object SimSearch {
       .limit(k)
   }
 
+  /** Trained-IVF top-k — the standard IVF index (a k-means coarse
+    * quantizer), as opposed to the sign-LSH bucketing of [[bucketedTopK]]:
+    * Lloyd centroids define the inverted lists, every vector is assigned
+    * to its nearest centroid, and the probe searches only its `nProbe`
+    * nearest lists with exact cosine. Trained centroids adapt to the data
+    * distribution, so recall holds on anisotropic embeddings where random
+    * sign-LSH degrades.
+    *
+    * Scale shape: training + assignment is the INDEX BUILD — at 100 TB it
+    * runs once and is amortized over all queries (persist the assigned
+    * table, ideally partitioned by `cluster` so a probe's lists are
+    * partition-pruned). Per-query work is ranking the nLists×dim centroid
+    * table (bounded driver collect, same posture as SkewJoin's hot keys)
+    * plus an exact scan of ~nProbe/nLists of the corpus. */
+  def trainedIvfTopK(embs: DataFrame, probeId: Long, k: Int,
+      nLists: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val pts = embs.select(col("vec_id"), col("embedding"))
+    val cents = Clustering.lloyd(pts, "vec_id", "embedding", nLists,
+      lloydIters)
+    val probe = pts.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_e"))
+    val lists = cents.crossJoin(broadcast(probe))
+      .select(col("cid"),
+        Clustering.sqDist(col("cvec"), col("probe_e")).as("d2"))
+      .orderBy(col("d2"), col("cid"))
+      .limit(nProbe)
+      .collect().map(_.get(0)).toSeq
+    Clustering.assign(pts, "embedding", cents)
+      .filter(col("cluster").isin(lists: _*) && col("vec_id") =!= probeId)
+      .join(pts, "vec_id")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(Dedup.cosine(col("embedding"), col("probe_e")), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact top-k by squared L2 distance to `probeId`'s embedding, on the
     * fused one-walk `graft_l2sq` kernel (HOF fallback bit-equal). Same
     * shape as [[cosineTopK]]: broadcast probe, TakeOrderedAndProject —

@@ -51,6 +51,28 @@ object Antidote {
         ratingFormula(col("user_id"), col("item_id")).as("rating"))
   }
 
+  /** Heuristic antidote initializer (paper §4.3's cheap alternative to
+    * gradient search): each of the k̃ synthetic users rates every item at
+    * the item's MEAN observed rating (clipped to [1,5], rounded 6 dp so
+    * the frame is reproducible across engines and partitionings). Rating
+    * at the consensus pulls the re-factorization toward the mean
+    * prediction, which shrinks prediction variance — i.e. it descends
+    * polarization before any ALS-in-the-loop gradient step, at the cost
+    * of ONE item-mean aggregate. Use it as the warm start for
+    * [[optimize]] via `initFn = Antidote.initHeuristic`. */
+  def initHeuristic(spark: SparkSession, ratings: DataFrame,
+      alpha: Double): DataFrame = {
+    val (n, mx) = userStats(ratings)
+    val k = math.ceil(alpha * n).toLong
+    val itemMeans = ratings.groupBy("item_id")
+      .agg(round(least(lit(5.0), greatest(lit(1.0), avg(col("rating")))), 6)
+        .as("rating"))
+    spark.range(1, k + 1)
+      .select((lit(mx) + col("id")).as("user_id"))
+      .crossJoin(broadcast(itemMeans))
+      .select(col("user_id"), col("item_id"), col("rating"))
+  }
+
   /** Mean user factor ū and mean outer-product second moment S = E[u uᵀ],
     * computed distributedly (k and k² cells — constant-size reductions). */
   def factorMoments(model: ALSModel): (DenseVector[Double], DenseMatrix[Double]) = {
@@ -159,9 +181,10 @@ object Antidote {
     * metric-vs-budget AND rmse-vs-budget curves fall out of one run. */
   def optimize(spark: SparkSession, ratings: DataFrame, alpha: Double,
       steps: Int, cfg: AlsEngine.Config = AlsEngine.Config(),
-      eta: Double = 1e4, metric: Metric = Metric.Polarization)
+      eta: Double = 1e4, metric: Metric = Metric.Polarization,
+      initFn: (SparkSession, DataFrame, Double) => DataFrame = init)
       : (DataFrame, Seq[TracePoint]) = {
-    var x = init(spark, ratings, alpha).cache()
+    var x = initFn(spark, ratings, alpha).cache()
     val trace = Seq.newBuilder[TracePoint]
     trace += evaluate(AlsEngine.train(ratings.unionByName(x), cfg), ratings, metric)
     for (_ <- 1 to steps) {

@@ -60,6 +60,46 @@ object Baseline {
       .as("grp_unfairness"))
   }
 
+  /** Deterministic 80/20 held-out split of the known cells: a cell goes
+    * to train iff md5("user:item") lands under 8/10 — content-addressed
+    * (the q_split_train_test idiom applied to the ratings matrix), so the
+    * split is identical across engines, runs, and partitionings. This is
+    * the paper's actual evaluation protocol (WSDM'19 §5 evaluates RMSE on
+    * a held-out test set, not on training cells). */
+  def holdoutSplit(ratings: DataFrame): (DataFrame, DataFrame) = {
+    val key = concat(col("user_id").cast("string"), lit(":"),
+      col("item_id").cast("string"))
+    val isTrain = graft.llm.TextOps.hash60(key) % 10 < 8
+    (ratings.filter(isTrain), ratings.filter(!isTrain))
+  }
+
+  /** Score arbitrary (user, item, rating) cells with means fit on `train`
+    * ONLY; users/items unseen in train back off to the global train mean
+    * (standard cold-start fallback — every test cell stays scored). The
+    * global mean is a one-row broadcast; the mean tables join on their
+    * natural keys. */
+  def predictionsFrom(train: DataFrame, cells: DataFrame): DataFrame = {
+    val g = train.agg(avg("rating").as("g"))
+    val um = train.groupBy("user_id").agg(avg("rating").as("mu"))
+    val im = train.groupBy("item_id").agg(avg("rating").as("mi"))
+    cells.crossJoin(broadcast(g))
+      .join(um, Seq("user_id"), "left")
+      .join(im, Seq("item_id"), "left")
+      .withColumn("p",
+        (coalesce(col("mu"), col("g")) + coalesce(col("mi"), col("g"))) / 2)
+      .select("user_id", "item_id", "rating", "p")
+  }
+
+  /** Held-out RMSE: fit the baseline on the 80% train slice, evaluate on
+    * the unseen 20%. Returns (rmse_holdout, n_test). */
+  def holdoutRmse(ratings: DataFrame): DataFrame = {
+    val (tr, te) = holdoutSplit(ratings)
+    predictionsFrom(tr, te).agg(
+      round(sqrt(avg((col("rating") - col("p")) * (col("rating") - col("p")))),
+        6).as("rmse_holdout"),
+      count(lit(1)).as("n_test"))
+  }
+
   /** Polarization + RMSE in ONE shuffle (per-item partial aggregates,
     * then a constant-size final reduce): at scale this halves the passes
     * over pred vs computing the two metrics separately. */

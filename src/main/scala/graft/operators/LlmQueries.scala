@@ -910,10 +910,21 @@ object LlmQueries {
       dims = 64, bits = 10, nProbe = 8, seed = 42L)
   }
 
+  /** Trained-IVF ANN: k-means coarse quantizer (Lloyd centroids as the
+    * inverted lists) + exact cosine within the probe's nProbe nearest
+    * lists — the standard IVF index, robust where sign-LSH recall
+    * degrades on anisotropic embeddings. Lloyd's double-mean centroids
+    * aren't SQL-reproducible → rows-only; recall@10 vs exact top-k is
+    * asserted in OutOfBandSpec. */
+  val qSimTrainedIvf = Q.noOracle("q_sim_trained_ivf") { (s, d) =>
+    SimSearch.trainedIvfTopK(t(s, d, "embeddings"), probeId = 7L, k = 10,
+      nLists = 8, nProbe = 3, lloydIters = 2)
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupSimhash, qDedupSimhashPairs, qDedupMinhash,
     qDedupNgram, qDedupEmbed, qDedupEmbedLsh, qDedupClusters,
-    qSimSearch, qSimSearchIvf, qSimMultiprobe, qKnnPerLabel,
+    qSimSearch, qSimSearchIvf, qSimMultiprobe, qSimTrainedIvf, qKnnPerLabel,
     qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,
     qTextTokenCount, qTextFingerprint,
     qDecontaminate, qPiiScrub, qTextRepetition, qTextLevenshtein,

@@ -147,6 +147,37 @@ object MfQueries {
       .orderBy("user_id", "item_id")
   }
 
+  /** Held-out evaluation (the paper's actual protocol — WSDM'19 §5
+    * evaluates on a test split, not train cells): deterministic
+    * hash-80/20 split of the known cells, baseline means fit on train
+    * only, RMSE on the unseen 20% with global-mean cold-start backoff.
+    * The ALS variant of the same protocol is asserted in MfSpec. */
+  val qMetricRmseHoldout = Q(
+    "q_metric_rmse_holdout",
+    s"""WITH ${Ratings.cte},
+       |sp AS (
+       |  SELECT user_id, item_id, rating,
+       |    CAST(concat('0x', substr(md5(concat(user_id, ':', item_id)),
+       |      1, 15)) AS BIGINT) % 10 < 8 AS is_train
+       |  FROM ratings),
+       |gm AS (SELECT avg(rating) AS g FROM sp WHERE is_train),
+       |um2 AS (SELECT user_id, avg(rating) AS mu FROM sp
+       |        WHERE is_train GROUP BY 1),
+       |im2 AS (SELECT item_id, avg(rating) AS mi FROM sp
+       |        WHERE is_train GROUP BY 1)
+       |SELECT ROUND(sqrt(avg((rating - p) * (rating - p))), 6)
+       |    AS rmse_holdout,
+       |  count(*) AS n_test
+       |FROM (
+       |  SELECT te.rating,
+       |    (coalesce(um2.mu, gm.g) + coalesce(im2.mi, gm.g)) / 2 AS p
+       |  FROM sp te CROSS JOIN gm
+       |  LEFT JOIN um2 ON te.user_id = um2.user_id
+       |  LEFT JOIN im2 ON te.item_id = im2.item_id
+       |  WHERE NOT te.is_train) q""".stripMargin) { (s, d) =>
+    Baseline.holdoutRmse(Ratings.view(s, d))
+  }
+
   val qAntidoteStep = Q.noOracle("q_antidote_step") { (s, d) =>
     val ratings = Ratings.view(s, d)
     val x0 = Antidote.init(s, ratings, 0.01)
@@ -304,7 +335,7 @@ object MfQueries {
   val all: Seq[Q] = Seq(
     qRatingsView, qRatingsPivot, qMfAlsTrain, qMfPredict, qMfTopkRecs,
     qMetricRmse, qMetricPolarization, qMetricIndUnfairness,
-    qMetricGrpUnfairness,
+    qMetricGrpUnfairness, qMetricRmseHoldout,
     qAntidoteInit, qAntidoteStep, qAntidoteEval,
     qSourceDelimited, qMfCompactTrain, qAntidoteSweepAls)
 }

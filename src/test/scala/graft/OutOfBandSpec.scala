@@ -171,6 +171,21 @@ class OutOfBandSpec extends SparkTestBase {
       s"recovered $recovered of ${planted.size}")
   }
 
+  test("trained-IVF search: recall@10 >= 0.9 vs exact top-k") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val probes = (0L until 30L by 10L).toSeq
+    val recalls = probes.map { id =>
+      val exact = graft.llm.SimSearch.cosineTopK(embs, id, 10)
+        .collect().map(_.getLong(0)).toSet
+      val ivf = graft.llm.SimSearch.trainedIvfTopK(embs, id, 10,
+        nLists = 8, nProbe = 5, lloydIters = 3)
+        .collect().map(_.getLong(0)).toSet
+      (ivf & exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean (per-probe: $recalls)")
+  }
+
   test("multi-probe IVF search surfaces the planted nearest neighbor") {
     val embs = Tables.load(spark, sf, "embeddings")
     val all = withPlantedDups(embs).cache()
