@@ -27,16 +27,47 @@ object Bench {
     // SPARK_GRAFT_REPEAT) — for isolating noisy measurements.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
-    val selected = SparkEntry.queries
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = (1 to repeat).flatMap(i => selected.map {
-      case (n, f) => (if (repeat > 1) s"$n#$i" else n) -> f
-    }).map { case (name, fn) =>
+    // Cold/warm attribution (PERF.md "Bench semantics"): the MF family
+    // shares three memos (ratings view, ALS model, baseline scalars).
+    // Warm mode (default) materializes each memo UP FRONT as its own
+    // timed `warm:` line, so no query's number silently includes a
+    // shared build and per-query times are reproducible across runs.
+    // SPARK_GRAFT_COLD=1 instead clears all memos before every query —
+    // each number then bills the full cost of computing from parquet.
+    val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
+    def clearMemos(): Unit = {
+      ml.Ratings.clearCache(); ml.AlsEngine.clearCache()
+      ml.Baseline.clearCache()
+    }
+    val mfSelected = only.forall(_.exists(n => n.startsWith("q_mf") ||
+      n.startsWith("q_antidote") || n.startsWith("q_metric") ||
+      n.startsWith("q_ratings")))
+    val warmups: Seq[(String, () => Unit)] =
+      if (cold || !mfSelected) Seq.empty
+      else Seq(
+        "warm:ratings_view" ->
+          (() => { ml.Ratings.viewCached(spark, sfDir); () }),
+        "warm:als_model" ->
+          (() => { ml.AlsEngine.trainCachedOnRatingsView(spark, sfDir); () }),
+        "warm:baseline_pol_rmse" ->
+          (() => { ml.Baseline.polRmseCached(spark, sfDir); () }))
+    val warmResults = warmups.map { case (name, f) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch { case _: Throwable => false }
+      val ok = try { f(); true } catch { case _: Throwable => false }
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val selected = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = warmResults ++
+      (1 to repeat).flatMap(i => selected.map {
+        case (n, f) => (if (repeat > 1) s"$n#$i" else n) -> f
+      }).map { case (name, fn) =>
+        if (cold) clearMemos()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum

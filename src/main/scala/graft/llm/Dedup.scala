@@ -78,6 +78,25 @@ object Dedup {
       .select(col("doc_id"), expr(s"substr(text, p, $k)").as("shingle"))
       .distinct()
 
+  /** Benchmark decontamination: per train doc, how many distinct char
+    * `k`-gram shingles it shares with the eval set (the standard
+    * n-gram-overlap eval-leak check). `maxPos` caps the shingle positions
+    * examined per document — the registered q_decontaminate pins 2000 as
+    * its oracle determinism/cost bound, but the DEFAULT examines every
+    * position, which is the correct production setting: a capped scan
+    * misses contamination in the tail of documents longer than the cap
+    * (LlmSpec pins both behaviours). Shuffles on the shingle key
+    * (bounded by distinct k-grams); the join is shingle-bucketed, never
+    * all-pairs. */
+  def contamination(train: DataFrame, evalDocs: DataFrame, k: Int = 20,
+      maxPos: Int = Int.MaxValue): DataFrame = {
+    val ev = charShingles(evalDocs, k, maxPos).select("shingle").distinct()
+    charShingles(train, k, maxPos)
+      .join(ev, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Exact Jaccard over RARE shingles (global doc-frequency ≤ maxDf) for
     * pairs sharing at least one; near-dup pairs above the threshold. */
   def rareShingleJaccard(shingles: DataFrame, maxDf: Long = 10,

@@ -17,14 +17,23 @@ object AlsEngine {
 
   /** Memoized model per (sfDir, cfg): the train/predict/metric queries all
     * need the identical deterministic model — retraining per query would
-    * triple the ALS cost in a bench run. */
+    * triple the ALS cost in a bench run. Assumes immutable fixture data
+    * under sfDir; [[clearCache]] resets. Bench bills the first training
+    * as its own `warm:` line (see Bench.scala). */
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[(String, Config), ALSModel]
 
   def trainCachedOnRatingsView(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, cfg: Config = Config()): ALSModel =
-    modelCache.getOrElseUpdate((sfDir, cfg),
-      train(Ratings.view(spark, sfDir), cfg))
+    // synchronized: getOrElseUpdate may otherwise train twice under
+    // concurrent first access
+    modelCache.synchronized {
+      modelCache.getOrElseUpdate((sfDir, cfg),
+        train(Ratings.view(spark, sfDir), cfg))
+    }
+
+  /** Drop memoized models (cold benchmarking / data changed). */
+  def clearCache(): Unit = modelCache.synchronized(modelCache.clear())
 
   /** Train on ratings(user_id BIGINT, item_id BIGINT, rating DOUBLE).
     * ALS wants int ids; ids outside Int range FAIL LOUDLY here (the cast

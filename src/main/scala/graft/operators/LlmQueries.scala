@@ -249,18 +249,14 @@ object LlmQueries {
       |FROM tr JOIN ev ON tr.shingle = ev.shingle
       |GROUP BY tr.doc_id
       |ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
-    val sh = t(s, d, "documents")
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1),
-          least(greatest(length(col("text")) - 19, lit(1)), lit(2000))))
-          .as("p"))
-      .select(col("doc_id"), expr("substr(text, p, 20)").as("shingle"))
-      .distinct()
-    val ev = sh.filter(col("doc_id") % 97 === 0).select("shingle").distinct()
-    sh.filter(col("doc_id") % 97 =!= 0)
-      .join(ev, "shingle")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
+    // maxPos = 2000 is this query's oracle determinism/cost bound, NOT a
+    // library constant — Dedup.contamination defaults to scanning every
+    // position (tail contamination beyond any cap is covered in LlmSpec)
+    val docs = t(s, d, "documents")
+    Dedup.contamination(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        k = 20, maxPos = 2000)
       .orderBy("doc_id")
       .limit(200)
   }

@@ -171,6 +171,24 @@ class OutOfBandSpec extends SparkTestBase {
       s"recovered $recovered of ${planted.size}")
   }
 
+  test("contamination cap: tail shingles beyond maxPos are found once the cap is raised") {
+    import spark.implicits._
+    // eval doc holds a unique 20-gram; the train doc embeds it at
+    // position ~2500 of a 3000-char body — past q_decontaminate's 2000
+    val needle = "XYZZY-EVAL-NEEDLE-20"
+    assert(needle.length == 20)
+    val train = Seq((1L, ("a" * 2500) + needle + ("b" * 480)))
+      .toDF("doc_id", "text")
+    val ev = Seq((2L, "prefix " + needle + " suffix")).toDF("doc_id", "text")
+    val capped = graft.llm.Dedup.contamination(train, ev, k = 20,
+      maxPos = 2000).count()
+    assert(capped == 0, s"cap 2000 should miss the tail needle, got $capped")
+    val uncapped = graft.llm.Dedup.contamination(train, ev, k = 20)
+      .collect()
+    assert(uncapped.length == 1 && uncapped.head.getLong(0) == 1L,
+      s"uncapped scan must find the tail needle: ${uncapped.mkString}")
+  }
+
   test("trained-IVF search: recall@10 >= 0.9 vs exact top-k") {
     val embs = Tables.load(spark, sf, "embeddings")
     val probes = (0L until 30L by 10L).toSeq
