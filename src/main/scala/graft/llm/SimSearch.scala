@@ -87,20 +87,44 @@ object SimSearch {
     * plus an exact scan of ~nProbe/nLists of the corpus. */
   def trainedIvfTopK(embs: DataFrame, probeId: Long, k: Int,
       nLists: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val index = buildIvfIndex(embs, nLists, lloydIters)
+    val probe = embs.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_e"))
+    ivfTopK(index, probe, k, nProbe, exclude = Some(probeId))
+  }
+
+  /** A built trained-IVF index: the nLists×dim centroid table and the
+    * full assignment table (vec_id, cluster, d2, embedding). Build ONCE,
+    * search many — at scale, persist `assigned` partitioned by `cluster`
+    * so a probe's nProbe lists are pruned at the file level and the
+    * per-query scan is ~nProbe/nLists of the corpus. */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame)
+
+  /** Index build: Lloyd centroids as the coarse quantizer + one
+    * nearest-centroid assignment pass over the corpus. */
+  def buildIvfIndex(embs: DataFrame, nLists: Int,
+      lloydIters: Int = 2): IvfIndex = {
     val pts = embs.select(col("vec_id"), col("embedding"))
     val cents = Clustering.lloyd(pts, "vec_id", "embedding", nLists,
       lloydIters)
-    val probe = pts.filter(col("vec_id") === probeId)
-      .select(col("embedding").as("probe_e"))
-    val lists = cents.crossJoin(broadcast(probe))
+    val assigned = Clustering.assign(pts, "embedding", cents)
+      .join(pts, "vec_id")
+    IvfIndex(cents, assigned)
+  }
+
+  /** Search a built index: rank the centroid table against the one-row
+    * `probe` frame (column `probe_e`) — a bounded driver collect of the
+    * nProbe list ids — then exact cosine only within those lists. */
+  def ivfTopK(index: IvfIndex, probe: DataFrame, k: Int, nProbe: Int,
+      exclude: Option[Long] = None): DataFrame = {
+    val lists = index.centroids.crossJoin(broadcast(probe))
       .select(col("cid"),
         Clustering.sqDist(col("cvec"), col("probe_e")).as("d2"))
       .orderBy(col("d2"), col("cid"))
       .limit(nProbe)
       .collect().map(_.get(0)).toSeq
-    Clustering.assign(pts, "embedding", cents)
-      .filter(col("cluster").isin(lists: _*) && col("vec_id") =!= probeId)
-      .join(pts, "vec_id")
+    val cand = index.assigned.filter(col("cluster").isin(lists: _*))
+    exclude.fold(cand)(id => cand.filter(col("vec_id") =!= id))
       .crossJoin(broadcast(probe))
       .select(col("vec_id"),
         round(Dedup.cosine(col("embedding"), col("probe_e")), 4).as("score"))

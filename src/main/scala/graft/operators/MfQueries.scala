@@ -309,7 +309,10 @@ object MfQueries {
     * gradient-descent traces over iterations are property-tested in
     * MfSpec. */
   val qAntidoteSweepAls = Q.noOracle("q_antidote_sweep_als") { (s, d) =>
-    val ratings = Ratings.view(s, d).cache()
+    // viewCached, not view().cache(): a second cache() of the identical
+    // plan dedupes onto the memo's entry with a CacheManager WARN and
+    // leaves an unpaired cache registration behind
+    val ratings = Ratings.viewCached(s, d)
     val cfg = AlsEngine.Config(maxIter = 3)
     val stats = Antidote.userStats(ratings)
     val groups = t(s, d, "customer")

@@ -33,10 +33,20 @@ class DeterminismSpec extends SparkTestBase {
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
     try {
+      // memoized views/models materialize under the FIRST conf and would
+      // silently defeat the sweep for any query that touches them —
+      // clear them at each flip so every derivation is under its own conf
+      def clearMemos(): Unit = {
+        graft.ml.Ratings.clearCache()
+        graft.ml.AlsEngine.clearCache()
+        graft.ml.Baseline.clearCache()
+      }
       sensitive.foreach { q =>
         conf.set("spark.sql.shuffle.partitions", "5")
+        clearMemos()
         val a = q.run(spark, sf).collect().map(_.toString).toSeq
         conf.set("spark.sql.shuffle.partitions", "13")
+        clearMemos()
         val b = q.run(spark, sf).collect().map(_.toString).toSeq
         assert(a == b, s"${q.name}: results differ across partitionings")
         assert(a.nonEmpty, s"${q.name}: empty result")

@@ -204,6 +204,27 @@ class OutOfBandSpec extends SparkTestBase {
     assert(mean >= 0.9, s"mean recall@10 $mean (per-probe: $recalls)")
   }
 
+  test("shared IVF index: per-probe searches equal the compose-per-query form") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val index = graft.llm.SimSearch.buildIvfIndex(embs, nLists = 8,
+      lloydIters = 2)
+    index.assigned.cache()
+    try {
+      for (id <- Seq(0L, 10L)) {
+        val probe = embs.filter(col("vec_id") === id)
+          .select(col("embedding").as("probe_e"))
+        val viaIndex = graft.llm.SimSearch
+          .ivfTopK(index, probe, k = 10, nProbe = 5, exclude = Some(id))
+          .collect().map(_.toString).toSeq
+        val perQuery = graft.llm.SimSearch
+          .trainedIvfTopK(embs, id, 10, nLists = 8, nProbe = 5,
+            lloydIters = 2)
+          .collect().map(_.toString).toSeq
+        assert(viaIndex == perQuery, s"probe $id: index reuse diverged")
+      }
+    } finally { index.assigned.unpersist(); () }
+  }
+
   test("multi-probe IVF search surfaces the planted nearest neighbor") {
     val embs = Tables.load(spark, sf, "embeddings")
     val all = withPlantedDups(embs).cache()
