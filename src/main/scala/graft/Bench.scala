@@ -89,8 +89,9 @@ object Bench {
       "q_mf_als_train", "q_antidote_step", "q_antidote_sweep_als",
       "q_metric_polarization", "q_mf_compact_train", "q_dedup_exact",
       "q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed_lsh", "q_sim_search",
-      "q_sim_search_ivf", "q_kmeans_assign", "q_tfidf_topterms",
-      "q_pack_sequences", "q_heavy_hitters", "q_decontaminate")
+      "q_sim_search_ivf", "q_sim_trained_ivf", "q_kmeans_assign",
+      "q_tfidf_topterms", "q_pack_sequences", "q_heavy_hitters",
+      "q_decontaminate", "q_metric_rmse_holdout", "q_join_bloom")
     // In repeat mode every headline query matches `repeat` keys; keep only
     // the last repeat (warm steady-state) so the short line stays bounded.
     val headQs = results.filter { case (k, _) => headline.contains(k.takeWhile(_ != '#')) }
