@@ -116,5 +116,14 @@ class FunctionsSpec extends SparkTestBase {
       .select(call_function("graft_might_contain",
         lit(bytes), col("k")).as("hit")).head()
     assert(nullRow.isNullAt(0))
+    // a NON-constant filter argument must fail analysis loudly (the
+    // expression deserializes the filter once; a per-row filter column
+    // would silently probe the wrong bits)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      li.select(call_function("graft_might_contain",
+        col("l_returnflag").cast("binary"),
+        col("l_orderkey").cast("long"))).head()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable"), err.getMessage)
   }
 }
