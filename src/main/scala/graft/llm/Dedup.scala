@@ -65,6 +65,89 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
   }
 
+  /** Prime modulus for the deterministic-MinHash hash family (2^31 − 1).
+    * Token hashes are reduced mod P before the affine map, so every
+    * product a·h stays below 2^62 — exact int64 arithmetic in any engine. */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic affine-hash coefficients (a_i, b_i) for the MinHash
+    * family — fixed LCG-derived constants, identical in the oracle SQL.
+    * No RNG object: reproducibility across engines and partitionings is
+    * the point (MLlib's MinHashLSH is seeded but not SQL-expressible). */
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] =
+    (1 to k).map { i =>
+      val a = (1103515245L * i + 12345L) % MinhashP
+      val b = (69069L * i + 1013904223L) % MinhashP
+      (if (a == 0L) 1L else a, b)
+    }
+
+  /** Deterministic k-permutation MinHash signature per doc over its
+    * distinct 3-word-shingle hashes: m_i = min over shingles of
+    * (a_i·h + b_i) mod P. Shingles, not raw tokens: a shared small
+    * vocabulary makes token-set Jaccard high between UNRELATED docs
+    * (measured: ≥0.5 estimated similarity for ~1/3 of all fixture pairs,
+    * which collapses banding toward all-pairs), while 3-shingles key on
+    * local word ORDER and stay discriminative. One explode + one groupBy
+    * carrying k min-aggregates — a single shuffle on doc_id regardless
+    * of corpus size. `maxShingles` caps the positions enumerated per doc
+    * (pass the same cap to the oracle's generate_series). */
+  def minhashSignature(docs: DataFrame, k: Int = 12,
+      maxShingles: Int = Int.MaxValue): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(expr(
+          s"""transform(
+             |  sequence(1, least(greatest(size(split(text, ' ')) - 2, 1),
+             |                    $maxShingles)),
+             |  i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""
+            .stripMargin)).as("sh"))
+      .select(col("doc_id"),
+        (TextOps.hash60(col("sh")) % MinhashP).as("h"))
+      .distinct()
+    val mins = minhashCoeffs(k).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"m$i")
+    }
+    toks.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Deterministic MinHash near-dup pairs: band the k-hash signature into
+    * k/bandSize bands, equi-join on (band index, band value) — candidates
+    * are pairs agreeing on at least one full band — then estimate Jaccard
+    * as the fraction of agreeing hashes. Subquadratic end to end (the
+    * banded equi-join is the only pair generator) and, unlike the MLlib
+    * path, exactly reproducible in ANSI SQL, so this variant sits under
+    * the oracle gate. */
+  def minhashDetPairs(docs: DataFrame, k: Int = 12, bandSize: Int = 3,
+      minEst: Double = 0.5, maxShingles: Int = Int.MaxValue): DataFrame = {
+    require(k % bandSize == 0, "bandSize must divide k")
+    val nBands = k / bandSize
+    val sig = minhashSignature(docs, k, maxShingles)
+    val bandCols = (0 until nBands).map { bIdx =>
+      struct(lit(bIdx).as("bidx"),
+        concat_ws("_",
+          (0 until bandSize).map(j => col(s"m${bIdx * bandSize + j}")): _*)
+          .as("bval"))
+    }
+    val mCols = (0 until k).map(i => col(s"m$i"))
+    val bands = sig.select(col("doc_id") +: mCols :+
+        explode(array(bandCols: _*)).as("band"): _*)
+      .select(col("doc_id") +: mCols :+
+        col("band.bidx").as("bidx") :+ col("band.bval").as("bval"): _*)
+    // The same pair surfacing from several bands carries an identical
+    // signature-agreement vector, so distinct() after projecting the
+    // per-hash equality flags collapses band duplicates exactly.
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a") +: col("b.doc_id").as("doc_b") +:
+        (0 until k).map(i =>
+          (col(s"a.m$i") === col(s"b.m$i")).cast(IntegerType).as(s"eq$i")): _*)
+      .distinct()
+    cand.select(col("doc_a"), col("doc_b"),
+        round((0 until k).map(i => col(s"eq$i")).reduce(_ + _)
+          .cast(DoubleType) / k, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+  }
+
   /** Character-5-gram shingles (positional substrings — expressible
     * identically in ANSI SQL via a sequence join). `maxPos` bounds the
     * scanned prefix; pass the same bound to the oracle's generate_series

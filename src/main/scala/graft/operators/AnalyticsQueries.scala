@@ -471,8 +471,180 @@ object AnalyticsQueries {
       .orderBy("user_id", "us", "event_id")
   }
 
+  /** Snapshot diff / changelog generation (the inverse of q_merge_upsert):
+    * per (user, event_type) activity counts of two time slices, each key
+    * classified added / removed / changed / same — the table-regression
+    * audit run before promoting a new pipeline drop. Both sides are
+    * pre-aggregated before the full-outer join, so the join shuffles one
+    * row per key, never raw rows; at 100 TB each slice scan is
+    * partition-pruned by the time predicate and the diff cost is bounded
+    * by the key domain. */
+  val qSnapshotDiff = Q(
+    "q_snapshot_diff",
+    """WITH a AS (
+      |  SELECT user_id, event_type, count(*) AS c FROM events
+      |  WHERE epoch_us(ts) < epoch_us(TIMESTAMP '2024-01-16 00:00:00')
+      |  GROUP BY 1, 2),
+      |b AS (
+      |  SELECT user_id, event_type, count(*) AS c FROM events
+      |  WHERE epoch_us(ts) >= epoch_us(TIMESTAMP '2024-01-16 00:00:00')
+      |  GROUP BY 1, 2)
+      |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+      |  coalesce(a.event_type, b.event_type) AS event_type,
+      |  CAST(coalesce(a.c, 0) AS BIGINT) AS cnt_a,
+      |  CAST(coalesce(b.c, 0) AS BIGINT) AS cnt_b,
+      |  CASE WHEN a.user_id IS NULL THEN 'added'
+      |       WHEN b.user_id IS NULL THEN 'removed'
+      |       WHEN a.c = b.c THEN 'same' ELSE 'changed' END AS status
+      |FROM a FULL JOIN b
+      |  ON a.user_id = b.user_id AND a.event_type = b.event_type
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    val ev = eventsUs(s, d)
+    val cut = unix_micros(ts("2024-01-16 00:00:00").cast(TimestampType))
+    val a = ev.filter(col("us") < cut)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("ca"))
+    val b = ev.filter(col("us") >= cut)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("cb"))
+    a.join(b, Seq("user_id", "event_type"), "full_outer")
+      .select(col("user_id"), col("event_type"),
+        coalesce(col("ca"), lit(0L)).as("cnt_a"),
+        coalesce(col("cb"), lit(0L)).as("cnt_b"),
+        when(col("ca").isNull, "added")
+          .when(col("cb").isNull, "removed")
+          .when(col("ca") === col("cb"), "same")
+          .otherwise("changed").as("status"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Two-sample chi-square drift per event_type (categorical counterpart
+    * of q_ks_test's numeric KS): expected counts e = n_slice·row_total/
+    * grand from EXACT int64 products with a single double division each,
+    * so every per-category term is bit-stable cross-engine before the
+    * final round. One conditional-sum agg over a bounded category domain
+    * plus a broadcast one-row totals frame — no second scan, no window. */
+  val qChi2Drift = Q(
+    "q_chi2_drift",
+    """WITH m AS (
+      |  SELECT event_type,
+      |    sum(CASE WHEN epoch_us(ts) <
+      |          epoch_us(TIMESTAMP '2024-01-16 00:00:00')
+      |        THEN 1 ELSE 0 END) AS oa,
+      |    sum(CASE WHEN epoch_us(ts) >=
+      |          epoch_us(TIMESTAMP '2024-01-16 00:00:00')
+      |        THEN 1 ELSE 0 END) AS ob
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(sum(oa) AS BIGINT) AS na,
+      |               CAST(sum(ob) AS BIGINT) AS nb FROM m)
+      |SELECT event_type, CAST(oa AS BIGINT) AS cnt_a,
+      |  CAST(ob AS BIGINT) AS cnt_b,
+      |  ROUND(
+      |    (oa - CAST(na * (oa + ob) AS DOUBLE) / (na + nb))
+      |      * (oa - CAST(na * (oa + ob) AS DOUBLE) / (na + nb))
+      |      / (CAST(na * (oa + ob) AS DOUBLE) / (na + nb))
+      |    + (ob - CAST(nb * (oa + ob) AS DOUBLE) / (na + nb))
+      |      * (ob - CAST(nb * (oa + ob) AS DOUBLE) / (na + nb))
+      |      / (CAST(nb * (oa + ob) AS DOUBLE) / (na + nb)), 6)
+      |    AS chi2_term
+      |FROM m, tot ORDER BY event_type""".stripMargin) { (s, d) =>
+    val ev = eventsUs(s, d)
+    val cut = unix_micros(ts("2024-01-16 00:00:00").cast(TimestampType))
+    val m = ev.groupBy("event_type").agg(
+      sum(when(col("us") < cut, 1L).otherwise(0L)).as("oa"),
+      sum(when(col("us") >= cut, 1L).otherwise(0L)).as("ob"))
+    val tot = m.agg(sum(col("oa")).as("na"), sum(col("ob")).as("nb"))
+    val ea = (col("na") * (col("oa") + col("ob"))).cast(DoubleType) /
+      (col("na") + col("nb"))
+    val eb = (col("nb") * (col("oa") + col("ob"))).cast(DoubleType) /
+      (col("na") + col("nb"))
+    m.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("oa").as("cnt_a"), col("ob").as("cnt_b"),
+        round((col("oa") - ea) * (col("oa") - ea) / ea +
+          (col("ob") - eb) * (col("ob") - eb) / eb, 6).as("chi2_term"))
+      .orderBy("event_type")
+  }
+
+  /** Peak concurrency by sweep-line: each event opens a 30-minute
+    * activity interval [ts, ts+30m); boundary deltas (+1 open, −1 close)
+    * are pre-aggregated per boundary instant, then the GLOBAL running sum
+    * runs through `GlobalRank.withGlobalRunningSums` (two-pass range
+    * bucketing) — never an unpartitioned window, so the capacity-planning
+    * staple survives 100 TB of telemetry. Exact integer µs and counts
+    * throughout. */
+  val qIntervalOverlap = Q(
+    "q_interval_overlap",
+    """WITH b AS (
+      |  SELECT epoch_us(ts) AS t, 1 AS delta FROM events
+      |  UNION ALL
+      |  SELECT epoch_us(ts) + 1800000000 AS t, -1 AS delta FROM events),
+      |n AS (SELECT t, sum(delta) AS net FROM b GROUP BY t),
+      |c AS (SELECT t, sum(net) OVER (ORDER BY t) AS cum FROM n)
+      |SELECT CAST(x.mx AS BIGINT) AS max_concurrent,
+      |  CAST(y.t0 AS BIGINT) AS at_us
+      |FROM (SELECT max(cum) AS mx FROM c) x,
+      |  (SELECT min(t) AS t0 FROM c
+      |   WHERE cum = (SELECT max(cum) FROM c)) y""".stripMargin) { (s, d) =>
+    val ev = eventsUs(s, d)
+    val bounds = ev.select(col("us").as("t"), lit(1L).as("delta"))
+      .unionByName(ev.select((col("us") + 1800000000L).as("t"),
+        lit(-1L).as("delta")))
+    val net = bounds.groupBy("t").agg(sum(col("delta")).as("net"))
+    val (cum, _) = graft.plans.GlobalRank.withGlobalRunningSums(
+      net, Seq(col("net") -> "cum"), 8, col("t"))
+    cum.agg(max(struct(col("cum").as("c"), (-col("t")).as("negt"))).as("s"))
+      .select(col("s.c").cast(LongType).as("max_concurrent"),
+        (-col("s.negt")).cast(LongType).as("at_us"))
+  }
+
+  /** One unrolled min-label CC sweep for the oracle (see
+    * `plans.LabelProp.iterate` for the Spark side). */
+  private def ccSweepSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT l.v, least(l.lbl, coalesce(m.nmin, l.lbl)) AS lbl
+       |  FROM $prev l LEFT JOIN (
+       |    SELECT s.src AS v, min(x.lbl) AS nmin
+       |    FROM sym s JOIN $prev x ON s.dst = x.v
+       |    GROUP BY s.src) m ON l.v = m.v)""".stripMargin
+
+  /** Connected components under the oracle gate: min-label propagation
+    * (`plans.LabelProp`) on a deterministically sparsified part
+    * co-occurrence graph (parts sharing an order, ~5% of edges kept by
+    * content hash so the fixture decomposes into many components instead
+    * of one giant one). Exactly 3 synchronous sweeps — a FIXED sweep
+    * count is what unrolls to ANSI CTEs; the convergence-loop variant is
+    * `LabelProp.run`, asserted against GraphX CC in AnalyticsSpec. Each
+    * sweep shuffles O(|E|) rows on vertex ids — no all-pairs stage. */
+  val qCcLabelprop = Q(
+    "q_cc_labelprop",
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (
+       |  SELECT src, dst FROM (
+       |    SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk) p
+       |  WHERE (CAST(concat('0x', substr(md5(concat(src, '_', dst)), 1, 15))
+       |           AS BIGINT) % 20) = 0),
+       |sym AS (SELECT src, dst FROM e
+       |        UNION ALL SELECT dst AS src, src AS dst FROM e),
+       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym),
+       |${ccSweepSql("l0", "l1")},
+       |${ccSweepSql("l1", "l2")},
+       |${ccSweepSql("l2", "l3")}
+       |SELECT v, CAST(lbl AS BIGINT) AS lbl FROM l3 ORDER BY v""".stripMargin) {
+    (s, d) =>
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+        .filter(conv(substring(md5(concat(col("src").cast(StringType),
+          lit("_"), col("dst").cast(StringType))), 1, 15), 16, 10)
+          .cast(LongType) % 20 === 0)
+      graft.plans.LabelProp.iterate(edges, 3).orderBy("v")
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
-    qKsTest, qTimeWeightedAvg, qWeightedSample, qWindowCumdistinct)
+    qKsTest, qTimeWeightedAvg, qWeightedSample, qWindowCumdistinct,
+    qSnapshotDiff, qChi2Drift, qIntervalOverlap, qCcLabelprop)
 }

@@ -92,6 +92,66 @@ object LlmQueries {
     Dedup.simhashNearDups(withDups).orderBy("doc_a", "doc_b")
   }
 
+  private val minhashSigSql = Dedup.minhashCoeffs(12).zipWithIndex
+    .map { case ((a, b), i) => s"min(($a * h + $b) % 2147483647) AS m$i" }
+    .mkString(",\n    ")
+  private val minhashMCols = (0 until 12).map(i => s"m$i").mkString(", ")
+  private val minhashBandSql = (0 until 4)
+    .map { bIdx =>
+      val parts = (0 until 3).map(j => s"m${bIdx * 3 + j}")
+        .mkString(", '_', ")
+      s"WHEN $bIdx THEN concat($parts)"
+    }.mkString(" ")
+  private val minhashEqSql = (0 until 12)
+    .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
+  /** Deterministic MinHash near-dup pairs under the oracle gate: the
+    * affine-hash family (fixed constants mod 2^31−1) over 3-word-shingle
+    * hashes is exact int64 arithmetic both engines compute identically,
+    * so — unlike the seeded MLlib variant below — banding, candidate
+    * generation and the Jaccard estimate all hash-match DuckDB. 12
+    * hashes, 4 bands × 3 rows; shingle positions capped at 2000 per doc
+    * as the oracle determinism/cost bound (the library default is
+    * uncapped — see Dedup.minhashSignature). */
+  val qDedupMinhashDet = Q(
+    "q_dedup_minhash_det",
+    s"""WITH $ngramDocs2,
+       |toks AS (
+       |  SELECT DISTINCT doc_id,
+       |    (CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)
+       |       % 2147483647) AS h
+       |  FROM (
+       |    SELECT doc_id,
+       |      array_to_string(
+       |        list_slice(string_split(text, ' '), s, s + 2), ' ') AS sh
+       |    FROM docs2, generate_series(1, 2000) t(s)
+       |    WHERE s <= greatest(len(string_split(text, ' ')) - 2, 1)) u),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $minhashSigSql
+       |  FROM toks GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, $minhashMCols, b AS bidx,
+       |    CASE b $minhashBandSql END AS bval
+       |  FROM sigs, generate_series(0, 3) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    ($minhashEqSql) AS neq
+       |  FROM bands a JOIN bands b
+       |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, round(neq / 12.0, 4) AS est_jaccard
+       |FROM cand WHERE neq >= 6
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val withDups = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substr(text, 11)").as("text")))
+    Dedup.minhashDetPairs(withDups, maxShingles = 2000)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val qDedupMinhash = Q.noOracle("q_dedup_minhash") { (s, d) =>
     val docs = t(s, d, "documents")
     val withDups = docs.select("doc_id", "text").unionByName(
@@ -919,6 +979,7 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupSimhash, qDedupSimhashPairs, qDedupMinhash,
+    qDedupMinhashDet,
     qDedupNgram, qDedupEmbed, qDedupEmbedLsh, qDedupClusters,
     qSimSearch, qSimSearchIvf, qSimMultiprobe, qSimTrainedIvf, qKnnPerLabel,
     qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,

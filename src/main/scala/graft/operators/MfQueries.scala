@@ -3,7 +3,9 @@ package graft.operators
 import graft.Q
 import graft.Dsl._
 import graft.ml.{AlsEngine, Antidote, Baseline, Ratings}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** §2.J — the reference's core MF / societal-metric / antidote family,
   * over the derived ratings view (FIXTURES.md). Metric queries use the
@@ -116,6 +118,70 @@ object MfQueries {
       Baseline.groupUnfairness(
         Baseline.predictions(Ratings.view(s, d)),
         t(s, d, "customer"), "BUILDING", "MACHINERY")
+  }
+
+  /** Recommendation-quality profile of the baseline predictor: each user's
+    * top-3 OBSERVED items re-ranked by predicted score, then catalog
+    * coverage and top-10 concentration of the recommended slots — the
+    * rec-sys eval battery (paper §5's user-facing deliverable is exactly
+    * a per-user top-k) in its scalable form. Ranking over observed items
+    * avoids the n×m crossJoin by construction (the D4 anti-pattern); and
+    * because the baseline score (user_mean+item_mean)/2 shifts every item
+    * of a user by the same constant, ranking by item_mean alone is
+    * EXACTLY the baseline-score ranking — item_mean is one double
+    * division of an exact decimal sum, so the sort key is bit-identical
+    * cross-engine. Two shuffles (item agg, user window) + TakeOrdered
+    * top-10; the totals are broadcast one-row frames. */
+  val qRecCoverage = Q(
+    "q_rec_coverage",
+    s"""WITH ${Ratings.cte},
+       |im AS (
+       |  SELECT item_id,
+       |    CAST(SUM(CAST(rating AS DECIMAL(9,6))) AS DOUBLE) / count(*)
+       |      AS item_mean
+       |  FROM ratings GROUP BY 1),
+       |recs AS (
+       |  SELECT user_id, item_id FROM (
+       |    SELECT r.user_id, r.item_id,
+       |      row_number() OVER (PARTITION BY r.user_id
+       |        ORDER BY im.item_mean DESC, r.item_id) AS rk
+       |    FROM ratings r JOIN im ON r.item_id = im.item_id) z
+       |  WHERE rk <= 3),
+       |cat AS (SELECT CAST(count(DISTINCT item_id) AS BIGINT) AS n_catalog,
+       |               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |        FROM ratings),
+       |ri AS (SELECT CAST(count(DISTINCT item_id) AS BIGINT) AS n_rec_items,
+       |              CAST(count(*) AS BIGINT) AS n_slots FROM recs),
+       |t10 AS (SELECT CAST(sum(c) AS BIGINT) AS top10_slots FROM (
+       |  SELECT item_id, count(*) AS c FROM recs GROUP BY 1
+       |  ORDER BY c DESC, item_id LIMIT 10) z)
+       |SELECT n_users, n_catalog, n_rec_items,
+       |  ROUND(CAST(n_rec_items AS DOUBLE) / n_catalog, 6) AS coverage,
+       |  ROUND(CAST(top10_slots AS DOUBLE) / n_slots, 6) AS top10_share
+       |FROM cat, ri, t10""".stripMargin) { (s, d) =>
+    val r = Ratings.view(s, d)
+    val itemScore = r.groupBy("item_id").agg(
+      (sum(col("rating").cast(DecimalType(9, 6))).cast(DoubleType) /
+        count(lit(1))).as("item_mean"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("item_mean").desc, col("item_id"))
+    val recs = r.join(itemScore, "item_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("user_id", "item_id")
+    val cat = r.agg(countDistinct(col("item_id")).as("n_catalog"),
+      countDistinct(col("user_id")).as("n_users"))
+    val ri = recs.agg(countDistinct(col("item_id")).as("n_rec_items"),
+      count(lit(1)).as("n_slots"))
+    val t10 = recs.groupBy("item_id").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("item_id")).limit(10)
+      .agg(sum(col("c")).as("top10_slots"))
+    cat.crossJoin(ri).crossJoin(t10)
+      .select(col("n_users"), col("n_catalog"), col("n_rec_items"),
+        round(col("n_rec_items").cast(DoubleType) / col("n_catalog"), 6)
+          .as("coverage"),
+        round(col("top10_slots").cast(DoubleType) / col("n_slots"), 6)
+          .as("top10_share"))
   }
 
   /** DuckDB block generating the antidote rows for a budget; `sfx` keeps
@@ -338,7 +404,7 @@ object MfQueries {
   val all: Seq[Q] = Seq(
     qRatingsView, qRatingsPivot, qMfAlsTrain, qMfPredict, qMfTopkRecs,
     qMetricRmse, qMetricPolarization, qMetricIndUnfairness,
-    qMetricGrpUnfairness, qMetricRmseHoldout,
+    qMetricGrpUnfairness, qMetricRmseHoldout, qRecCoverage,
     qAntidoteInit, qAntidoteStep, qAntidoteEval,
     qSourceDelimited, qMfCompactTrain, qAntidoteSweepAls)
 }

@@ -564,9 +564,57 @@ object PipelineQueries {
       .orderBy("user_id", "us", "event_id")
   }
 
+  /** URL parsing / domain extraction — the web-corpus curation primitive
+    * behind domain blocklists, per-domain caps and provenance stats. The
+    * fixtures carry no URL column, so deterministic URLs are synthesized
+    * identically in both engines (the q_pii_scrub pattern), then parsed
+    * with Spark's native `parse_url` (HOST / PATH / QUERY-key) — the
+    * oracle reproduces the extraction with equivalent anchored regexes.
+    * Registered-domain rollup is one hash agg on a bounded domain set;
+    * at 100 TB the domain key is the canonical skewed-key case (a
+    * mega-domain ≫ the rest), handled by AQE skew split since the agg is
+    * partial+final. */
+  val qUrlExtract = Q(
+    "q_url_extract",
+    """WITH urls AS (
+      |  SELECT doc_id, lang,
+      |    concat('https://www.', source, '.example.com/', lang,
+      |           '/doc-', doc_id, '?ref=r', doc_id % 7) AS url
+      |  FROM documents),
+      |parsed AS (
+      |  SELECT doc_id, lang,
+      |    regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+      |    regexp_extract(url, 'https?://[^/]+(/[^?#]*)', 1) AS path,
+      |    regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+      |  FROM urls)
+      |SELECT regexp_replace(host, '^www\.', '') AS domain,
+      |  count(*) AS n_docs,
+      |  count(DISTINCT lang) AS n_langs,
+      |  count(DISTINCT ref) AS n_refs,
+      |  count(DISTINCT path) AS n_paths
+      |FROM parsed GROUP BY 1 ORDER BY domain""".stripMargin) { (s, d) =>
+    val urls = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      concat(lit("https://www."), col("source"), lit(".example.com/"),
+        col("lang"), lit("/doc-"), col("doc_id").cast(StringType),
+        lit("?ref=r"), (col("doc_id") % 7).cast(StringType)).as("url"))
+    val parsed = urls.select(col("doc_id"), col("lang"),
+      expr("parse_url(url, 'HOST')").as("host"),
+      expr("parse_url(url, 'PATH')").as("path"),
+      expr("parse_url(url, 'QUERY', 'ref')").as("ref"))
+    parsed
+      .select(regexp_replace(col("host"), "^www\\.", "").as("domain"),
+        col("lang"), col("ref"), col("path"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("ref")).as("n_refs"),
+        countDistinct(col("path")).as("n_paths"))
+      .orderBy("domain")
+  }
+
   val all: Seq[Q] = Seq(
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
     qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,
     qSimL2, qKmeansUpdate, qKAnonymity, qReferentialCheck, qDupSpans,
-    qVocabCoverage, qJoinNearest)
+    qVocabCoverage, qJoinNearest, qUrlExtract)
 }

@@ -237,4 +237,93 @@ class AnalyticsSpec extends SparkTestBase {
       assert(out(v._2) == n.toLong, s"view=${v._2}")
     }
   }
+
+  test("LabelProp.run converges to GraphX connected components") {
+    // the registered query's own graph: sparsified part co-occurrence
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+      .filter(conv(substring(md5(concat(col("src").cast("string"),
+        lit("_"), col("dst").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 20 === 0)
+      .cache()
+    val lp = plans.LabelProp.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = llm.Dedup.nearDupClusters(
+        edges.select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    edges.unpersist()
+    assert(lp.nonEmpty && lp.keySet == gx.keySet)
+    // same partition of the vertex set: equal labels ⟺ equal components
+    lp.keys.foreach { v =>
+      lp.keys.foreach { u =>
+        assert((lp(v) == lp(u)) == (gx(v) == gx(u)), s"pair ($v,$u)")
+      }
+    }
+    // min-label invariant: every component is labeled by its min vertex
+    lp.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl)
+    }
+  }
+
+  test("LabelProp.iterate pre-convergence state is the k-hop min") {
+    // path 1-2-3-4-5 plus isolated edge 10-11
+    val edges = spark.createDataFrame(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L)))
+      .toDF("src", "dst")
+    val one = plans.LabelProp.iterate(edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // after one sweep each vertex holds the min id within one hop
+    assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      10L -> 10L, 11L -> 10L))
+    val conv = plans.LabelProp.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("q_interval_overlap equals a brute-force concurrency scan") {
+    val Array(row) = AnalyticsQueries.qIntervalOverlap.run(spark, sf).collect()
+    val (mx, at) = (row.getLong(0), row.getLong(1))
+    val starts = Tables.load(spark, sf, "events")
+      .select(unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(_.getLong(0))
+    // concurrency just after each boundary instant, intervals [s, s+30m)
+    val bounds = (starts ++ starts.map(_ + 1800000000L)).distinct.sorted
+    val conc = bounds.map(t =>
+      t -> starts.count(s => s <= t && t < s + 1800000000L))
+    assert(conc.map(_._2).max == mx)
+    assert(conc.filter(_._2 == mx).map(_._1).min == at)
+  }
+
+  test("q_snapshot_diff statuses are consistent and slices add up") {
+    val rows = AnalyticsQueries.qSnapshotDiff.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cut = 1705363200000000L // 2024-01-16 00:00:00 UTC in µs
+    val ev = Tables.load(spark, sf, "events")
+      .select(unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(_.getLong(0))
+    assert(rows.map(_.getLong(2)).sum == ev.count(_ < cut))
+    assert(rows.map(_.getLong(3)).sum == ev.count(_ >= cut))
+    rows.foreach { r =>
+      val (a, b, st) = (r.getLong(2), r.getLong(3), r.getString(4))
+      st match {
+        case "added"   => assert(a == 0 && b > 0)
+        case "removed" => assert(a > 0 && b == 0)
+        case "same"    => assert(a == b && a > 0)
+        case "changed" => assert(a > 0 && b > 0 && a != b)
+      }
+    }
+  }
+
+  test("q_chi2_drift terms are nonnegative and keys cover observed types") {
+    val rows = AnalyticsQueries.qChi2Drift.run(spark, sf).collect()
+    val types = Tables.load(spark, sf, "events")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet == types)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
 }

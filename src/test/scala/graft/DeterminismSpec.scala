@@ -27,7 +27,11 @@ class DeterminismSpec extends SparkTestBase {
     AnalyticsQueries.qTimeWeightedAvg,
     // corr(): co-moment merge order is partitioning-dependent; the
     // round-6 mask must absorb it at any parallelism
-    AnalyticsQueries.qCorrMatrix)
+    AnalyticsQueries.qCorrMatrix,
+    // round 7: global running sum (sweep-line), iterated label joins,
+    // banded minhash candidate generation, ranked-recs tie handling
+    AnalyticsQueries.qIntervalOverlap, AnalyticsQueries.qCcLabelprop,
+    LlmQueries.qDedupMinhashDet, MfQueries.qRecCoverage)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

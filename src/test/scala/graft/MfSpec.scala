@@ -261,4 +261,19 @@ class MfSpec extends SparkTestBase {
     val d1 = e.dropDuplicates("user_id", "event_type")
     assert(d1.dropDuplicates("user_id", "event_type").count() == d1.count())
   }
+
+  test("q_rec_coverage invariants: bounded coverage and concentration") {
+    val Array(r) = operators.MfQueries.qRecCoverage.run(spark, sf).collect()
+    val (nUsers, nCatalog, nRec) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (cov, share) = (r.getDouble(3), r.getDouble(4))
+    assert(nUsers > 0 && nCatalog > 0 && nRec > 0 && nRec <= nCatalog)
+    assert(cov > 0.0 && cov <= 1.0)
+    assert(share > 0.0 && share <= 1.0)
+    // distinct recommended items can't exceed the recommendation slots:
+    // at most min(3, items rated) per user
+    val slots = graft.ml.Ratings.view(spark, sf)
+      .groupBy("user_id").count().collect()
+      .map(r2 => math.min(3L, r2.getLong(1))).sum
+    assert(slots >= nRec)
+  }
 }

@@ -57,6 +57,25 @@ class OutOfBandSpec extends SparkTestBase {
       s"recovered $recovered of ${planted.size}")
   }
 
+  test("deterministic minhash recovers every planted pair (recall = 1.0)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val out = operators.LlmQueries.qDedupMinhashDet.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val found = out.map(p => (p._1, p._2)).toSet
+    assert(planted.nonEmpty)
+    // a 10-token prefix drop preserves nearly all 3-shingles, so every
+    // planted copy must band-collide with its source and score >= 0.5
+    planted.foreach(id =>
+      assert(found.contains((id, id + 1000000)), s"missing pair for $id"))
+    out.foreach(p => assert(p._3 >= 0.5 && p._3 <= 1.0))
+    // discriminative signatures: candidates stay FAR below all-pairs
+    // (the raw-token variant degenerated to ~1/3 of all pairs)
+    val n = docs.count() + planted.size
+    assert(out.length < n, s"${out.length} pairs from $n docs")
+  }
+
   test("simhash of identical text collides; mutated copy stays close") {
     import spark.implicits._
     val docs = Seq(

@@ -227,4 +227,14 @@ class PipelineSpec extends SparkTestBase {
     assert(out.map(_.getDouble(1)).sliding(2).forall(s =>
       s.length < 2 || s(0) <= s(1)))
   }
+
+  test("q_url_extract domains partition the corpus by source") {
+    val docs = Tables.load(spark, sf, "documents")
+    val rows = PipelineQueries.qUrlExtract.run(spark, sf).collect()
+    val sources = docs.select("source").distinct().count()
+    assert(rows.length == sources)
+    // every parsed domain is '<source>.example.com' and doc counts add up
+    rows.foreach(r => assert(r.getString(0).endsWith(".example.com")))
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+  }
 }
