@@ -37,6 +37,25 @@ object Multimodal {
       .withColumn("height", lit(240) + col("byte_len") % 240)
       .withColumn("n_frames", lit(1) + col("byte_len") % 16)
 
+  /** Metadata-only frame sampling for video media: emit every `stride`-th
+    * frame index with its byte offset — pure arithmetic on the metadata
+    * columns. Unlike [[sampleFrames]] (the typed Dataset plumbing demo,
+    * which deserializes payload rows), the payload column is never
+    * referenced, so column pruning keeps it out of the scan entirely;
+    * that is the point of the pattern: at 100 TB, frame selection runs on
+    * metadata alone and only the SELECTED frames' byte ranges are fetched
+    * and decoded downstream. Frame offset models a fixed-size-frame
+    * container (byte_len div n_frames per frame). */
+  def sampleFrameOffsets(media: DataFrame, stride: Int): DataFrame =
+    metadata(media)
+      .filter(col("modality") === "video")
+      .select(col("doc_id"), col("byte_len"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * expr("byte_len div n_frames"))
+          .cast(LongType).as("frame_offset"))
+
   /** STUB decode: a real implementation would call an image/audio codec
     * here (per partition, so codec init is amortized). The fake derives
     * an 8-dim "feature" from payload bytes deterministically. */

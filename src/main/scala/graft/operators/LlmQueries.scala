@@ -909,6 +909,29 @@ object LlmQueries {
       .limit(200)
   }
 
+  /** Metadata-only frame sampling (every 4th frame of each video): the
+    * payload never enters the plan — PlanSpec-class pruning by
+    * construction — and the sampled (index, byte offset) list is exact
+    * integer arithmetic, so the op sits under the oracle gate. The
+    * oracle's generate_series uses the constant-bound+WHERE trick
+    * (n_frames ≤ 16 by the metadata formula). */
+  val qMediaFrames = Q(
+    "q_media_frames",
+    """SELECT doc_id, CAST(f AS INT) AS frame_idx,
+      |  CAST(f * (byte_len // n_frames) AS BIGINT) AS frame_offset
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
+      |    CAST(1 + octet_length(CAST(text AS BLOB)) % 16 AS INT) AS n_frames
+      |  FROM documents WHERE doc_id % 3 = 2) m,
+      |  generate_series(0, 15, 4) t(f)
+      |WHERE f <= n_frames - 1
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    Multimodal.sampleFrameOffsets(
+      Multimodal.mediaTable(t(s, d, "documents")), stride = 4)
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val qMultimodalDecode = Q.noOracle("q_multimodal_decode") { (s, d) =>
     import s.implicits._
     val media = Multimodal.mediaTable(t(s, d, "documents"))
@@ -1013,5 +1036,5 @@ object LlmQueries {
     qHeavyHitters, qChunkDocs, qTextNormalize, qBigramLm, qCorpusMix,
     qHllReagg,
     qSampleHash, qSplitTrainTest, qShuffleDet, qPackSequences, qLengthBuckets,
-    qMultimodalJoin, qMultimodalMeta, qMultimodalDecode)
+    qMultimodalJoin, qMultimodalMeta, qMultimodalDecode, qMediaFrames)
 }

@@ -612,9 +612,47 @@ object PipelineQueries {
       .orderBy("domain")
   }
 
+  /** Cross-engine / cross-copy table fingerprints: per-group row counts
+    * plus ORDER-INDEPENDENT row-hash digests (a bounded sum mod 2^40 and
+    * a bit_xor of 60-bit md5 row hashes) — the migration/backfill
+    * validation audit. Because the digests are commutative and exact,
+    * ANY engine, partitioning, or row order over the same logical content
+    * produces identical values, and per-group rows localize which slice
+    * of a 100 TB table diverged (compare digests, not data). Only
+    * integer / string / epoch-µs columns enter the canonical row
+    * encoding here; doubles would need a canonical decimal rendering
+    * first (engine float-to-string formats differ). One hash aggregate —
+    * a single scan, no joins. */
+  val qTableChecksum = Q(
+    "q_table_checksum",
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  CAST(sum(h % 1099511627776) AS BIGINT) AS sum_hash,
+      |  CAST(bit_xor(h) AS BIGINT) AS xor_hash
+      |FROM (
+      |  SELECT l_returnflag,
+      |    CAST(concat('0x', substr(md5(concat_ws('|',
+      |      l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      |      l_returnflag, l_linestatus, epoch_us(l_shipdate))), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM lineitem) z
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+    val h = conv(substring(md5(concat_ws("|",
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+      unix_micros(col("l_shipdate").cast(TimestampType)))), 1, 15), 16, 10)
+      .cast(LongType)
+    li.select(col("l_returnflag"), h.as("h"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h") % 1099511627776L).cast(LongType).as("sum_hash"),
+        bit_xor(col("h")).as("xor_hash"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
     qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,
     qSimL2, qKmeansUpdate, qKAnonymity, qReferentialCheck, qDupSpans,
-    qVocabCoverage, qJoinNearest, qUrlExtract)
+    qVocabCoverage, qJoinNearest, qUrlExtract, qTableChecksum)
 }

@@ -31,7 +31,8 @@ class DeterminismSpec extends SparkTestBase {
     // round 7: global running sum (sweep-line), iterated label joins,
     // banded minhash candidate generation, ranked-recs tie handling
     AnalyticsQueries.qIntervalOverlap, AnalyticsQueries.qCcLabelprop,
-    LlmQueries.qDedupMinhashDet, MfQueries.qRecCoverage)
+    LlmQueries.qDedupMinhashDet, MfQueries.qRecCoverage,
+    PipelineQueries.qTableChecksum)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
