@@ -215,6 +215,52 @@ object SimSearch {
       .limit(k)
   }
 
+  /** IVF×PQ composition — the standard large-scale ANN architecture
+    * (inverted lists prune WHICH vectors are considered, product codes
+    * compress HOW each considered vector is scored): the probe ranks the
+    * IVF centroid table to pick its nProbe lists, the ADC scan then runs
+    * only over the code rows of vectors in those lists, and the
+    * shortlist re-ranks exactly. Per query: a bounded centroid collect +
+    * a compressed scan of ~nProbe/nLists of the code table + `rerank`
+    * raw-vector reads — at a billion vectors, both the candidate count
+    * and the bytes touched per candidate shrink multiplicatively. */
+  def ivfPqTopK(ivf: IvfIndex, pq: PqIndex, embs: DataFrame, probeId: Long,
+      k: Int, nProbe: Int = 4, rerank: Int = 50): DataFrame = {
+    val probe = embs.filter(col("vec_id") === probeId)
+      .select(col("embedding").as("probe_e"))
+    val lists = ivf.centroids.crossJoin(broadcast(probe))
+      .select(col("cid"),
+        Clustering.sqDist(col("cvec"), col("probe_e")).as("d2"))
+      .orderBy(col("d2"), col("cid"))
+      .limit(nProbe)
+      .collect().map(_.get(0)).toSeq
+    val inLists = ivf.assigned.filter(col("cluster").isin(lists: _*))
+      .select("vec_id")
+    val probeN = probe.select(unitNorm(col("probe_e")).as("probe_e"))
+    val tables: Seq[Map[Long, Double]] = (0 until pq.m).map { j =>
+      val probeSub = probeN.select(
+        slice(col("probe_e"), j * pq.subDim + 1, pq.subDim).as("probe_sub"))
+      pq.codebooks(j).crossJoin(broadcast(probeSub))
+        .select(col("cid"),
+          Clustering.sqDist(col("cvec"), col("probe_sub")).as("d2"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val approx = (0 until pq.m).map { j =>
+      element_at(typedLit(tables(j)), col(s"c$j"))
+    }.reduce(_ + _)
+    val cand = pq.codes.join(inLists, "vec_id")
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"), approx.as("approx_d2"))
+      .orderBy(col("approx_d2"), col("vec_id"))
+      .limit(rerank)
+    cand.join(embs, "vec_id")
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(Dedup.cosine(col("embedding"), col("probe_e")), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Build-and-search convenience form of [[pqTopK]]. */
   def pqSearch(embs: DataFrame, probeId: Long, k: Int, dims: Int,
       m: Int = 8, codebookSize: Int = 16, lloydIters: Int = 2,

@@ -147,6 +147,28 @@ object StreamingQueries {
         .orderBy("day", "event_type")
   }
 
+  /** Real streaming checksum maintenance in the verify path: the
+    * q_table_checksum digests (count / modular hash sum / hash xor per
+    * event_type) maintained incrementally over a 4-micro-batch file
+    * replay — commutative digests make the final state batch-boundary-
+    * independent, so the DuckDB batch recompute is the oracle. */
+  val qStreamChecksum = Q(
+    "q_stream_checksum",
+    """SELECT event_type, count(*) AS n_rows,
+      |  CAST(sum(h % 1099511627776) % 1099511627776 AS BIGINT) AS sum_hash,
+      |  CAST(bit_xor(h) AS BIGINT) AS xor_hash
+      |FROM (
+      |  SELECT event_type,
+      |    CAST(concat('0x', substr(md5(concat_ws('|',
+      |      event_id, user_id, event_type, epoch_us(ts))), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM events) z
+      |GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    StreamOps.incrementalChecksum(s, d,
+        s"target/stream_cksum_${math.abs(d.hashCode)}")
+      .orderBy("event_type")
+  }
+
   /** Stream-stream interval join, batch shape: each view joined to the
     * same user's clicks within the following 10 minutes (LEFT, so views
     * with no click survive with zero). The true streaming execution —
@@ -189,5 +211,5 @@ object StreamingQueries {
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg,
-    qStreamIntervalJoin)
+    qStreamIntervalJoin, qStreamChecksum)
 }

@@ -278,6 +278,62 @@ object StreamOps {
     spark.read.parquet(s"$stateBase/v$version")
   }
 
+  /** Streaming fingerprint maintenance: replay events as a 4-file stream
+    * and maintain per-event_type table checksums (row count, sum of
+    * 60-bit md5 row hashes mod 2^40, bit_xor of row hashes) by merging
+    * each micro-batch's digest partials into versioned parquet state —
+    * the q_table_checksum audit carried into incremental maintenance.
+    * All three digests are commutative and associative (modular sums
+    * re-mod after each merge; xor is associative), so the final state is
+    * independent of batch boundaries and ordering and the batch
+    * recompute IS the oracle. At 100 TB this is how a validation
+    * pipeline keeps table fingerprints current while digesting only each
+    * day's delta. */
+  def incrementalChecksum(spark: SparkSession, sfDir: String,
+      workDir: String): DataFrame = {
+    val src = s"$workDir/src"
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val ts = if (events.schema("ts").dataType == LongType)
+      timestamp_micros(expr("ts DIV 1000")) else col("ts")
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(ts).as("us"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val stateBase = s"$workDir/state"
+    val mod = 1099511627776L // 2^40
+    val h = conv(substring(md5(concat_ws("|", col("event_id"),
+      col("user_id"), col("event_type"), col("us"))), 1, 15), 16, 10)
+      .cast(LongType)
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch.select(col("event_type"), h.as("h"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(col("h") % mod) % mod).cast(LongType).as("sum_hash"),
+            bit_xor(col("h")).as("xor_hash"))
+        val merged =
+          if (version < 0) partial
+          else spark.read.parquet(s"$stateBase/v$version")
+            .unionByName(partial)
+            .groupBy("event_type")
+            .agg(sum(col("n_rows")).cast(LongType).as("n_rows"),
+              (sum(col("sum_hash")) % mod).cast(LongType).as("sum_hash"),
+              bit_xor(col("xor_hash")).as("xor_hash"))
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        version = batchId
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$stateBase/v$version")
+  }
+
   /** Run a streaming DataFrame to completion over bounded input
     * (Trigger.AvailableNow) and return the final result as a batch DF. */
   def runToCompletion(streamed: DataFrame, mode: OutputMode = OutputMode.Complete()): DataFrame = {

@@ -245,6 +245,30 @@ class OutOfBandSpec extends SparkTestBase {
     } finally index.codes.unpersist()
   }
 
+  test("IVF×PQ composed search keeps recall@10 >= 0.8 at a fraction of the scan") {
+    val embs = Tables.load(spark, sf, "embeddings")
+    val ivf = graft.llm.SimSearch.buildIvfIndex(embs, nLists = 8,
+      lloydIters = 2)
+    val pq = graft.llm.SimSearch.buildPqIndex(embs, dims = 64, m = 16,
+      codebookSize = 32, lloydIters = 2)
+    ivf.assigned.cache(); pq.codes.cache()
+    try {
+      val probes = (0L until 30L by 10L).toSeq
+      val recalls = probes.map { id =>
+        val exact = graft.llm.SimSearch.cosineTopK(embs, id, 10)
+          .collect().map(_.getLong(0)).toSet
+        val got = graft.llm.SimSearch
+          .ivfPqTopK(ivf, pq, embs, id, 10, nProbe = 5, rerank = 100)
+          .collect().map(_.getLong(0)).toSet
+        (got & exact).size.toDouble / exact.size
+      }
+      val mean = recalls.sum / recalls.size
+      // list pruning caps recall at the IVF stage (nProbe 5 of 8 lists);
+      // within the scanned lists the PQ+rerank stage is near-lossless
+      assert(mean >= 0.8, s"mean recall@10 $mean (per-probe: $recalls)")
+    } finally { ivf.assigned.unpersist(); pq.codes.unpersist() }
+  }
+
   test("shared IVF index: per-probe searches equal the compose-per-query form") {
     val embs = Tables.load(spark, sf, "embeddings")
     val index = graft.llm.SimSearch.buildIvfIndex(embs, nLists = 8,

@@ -297,4 +297,24 @@ class StreamingSpec extends SparkTestBase {
     val versions = new java.io.File(s"$dir/state").list()
     assert(versions != null && versions.count(_.startsWith("v")) >= 2)
   }
+
+  test("incrementalChecksum's streamed digests equal the one-shot batch digest") {
+    val dir = "target/test_stream_cksum"
+    val out = StreamOps.incrementalChecksum(spark, sf, dir)
+    val h = conv(substring(md5(concat_ws("|", col("event_id"),
+      col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")))), 1, 15), 16, 10)
+      .cast("long")
+    val mod = 1099511627776L
+    val direct = Tables.load(spark, sf, "events")
+      .select(col("event_type"), h.as("h"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("h") % mod) % mod).cast("long").as("sum_hash"),
+        bit_xor(col("h")).as("xor_hash"))
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty)
+    assert(out.count() > 0)
+    val versions = new java.io.File(s"$dir/state").list()
+    assert(versions != null && versions.count(_.startsWith("v")) >= 2)
+  }
 }
