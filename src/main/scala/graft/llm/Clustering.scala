@@ -79,6 +79,53 @@ object Clustering {
     cents
   }
 
+  /** Grouped nearest-centroid assignment: many independent k-means
+    * problems (one per value of `gCol`) assigned in ONE broadcast join —
+    * `centroids` carries (`gCol`, cid, cvec) and is groups × k × dim,
+    * still tiny. Same struct-min argmin determinism as [[assign]]. */
+  def assignGrouped(points: DataFrame, gCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val keep = points.columns.filterNot(_ == vecCol).map(col)
+    points.join(broadcast(centroids), gCol)
+      .withColumn("graft_d2", sqDist(col(vecCol), col("cvec")))
+      .groupBy(keep.toSeq: _*)
+      .agg(min(struct(col("graft_d2"), col("cid"))).as("m"))
+      .select(keep.toSeq :+ col("m").getField("cid").as("cluster") :+
+        col("m").getField("graft_d2").as("d2"): _*)
+  }
+
+  /** Grouped Lloyd: the independent k-means of every group train
+    * SIMULTANEOUSLY in one set of Spark jobs — e.g. a product
+    * quantizer's m subspace codebooks, where a per-subspace driver loop
+    * would pay m× the job-scheduling overhead (measured 23 s → 3 s on
+    * the PQ build at sf0.1). Seeding is the grouped analog of
+    * [[seedCentroids]] (k lowest ids per group); the update shuffle is
+    * bounded by groups × k × dim. Returns (`gCol`, cid, cvec). */
+  def lloydGrouped(points: DataFrame, idCol: String, gCol: String,
+      vecCol: String, k: Int, iterations: Int): DataFrame = {
+    val w = Window.partitionBy(gCol).orderBy(col(idCol))
+    var cents = points
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") <= k)
+      .select(col(gCol), col(idCol).as("cid"), col(vecCol).as("cvec"))
+    var i = 0
+    while (i < iterations) {
+      cents = assignGrouped(points, gCol, vecCol, cents)
+        .join(points.select(col(idCol), col(gCol), col(vecCol)),
+          Seq(idCol, gCol))
+        .select(col(gCol), col("cluster"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(gCol, "cluster", "pos")
+        .agg(avg(col("x").cast(DoubleType)).as("m"))
+        .groupBy(col(gCol), col("cluster").as("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cvec"))
+      i += 1
+    }
+    cents
+  }
+
   /** Within-cluster sum of squared distances (the Lloyd objective). */
   def wcss(points: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): Double =

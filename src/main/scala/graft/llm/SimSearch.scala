@@ -132,73 +132,90 @@ object SimSearch {
       .limit(k)
   }
 
-  /** A built product-quantization index: per-subspace codebooks (each
-    * `codebookSize`×`subDim`, tiny) plus the code table storing every
-    * vector as `m` small codes. The code table is the ONLY per-vector
-    * state a query scans — m codes instead of dim floats (64-dim float =
-    * 256 B → 8 B at m=8, codebookSize ≤ 256), which is what lets a
-    * billion-vector corpus sit in memory. Build once, search many. */
-  final case class PqIndex(codebooks: Seq[DataFrame], codes: DataFrame,
+  /** A built product-quantization index: the grouped codebook table
+    * (s, cid, cvec — m × `codebookSize` × `subDim`, tiny) plus the code
+    * table storing every vector as `m` small codes. The code table is
+    * the ONLY per-vector state a query scans — m codes instead of dim
+    * floats (64-dim float = 256 B → 16 B at m=16, codebookSize ≤ 256),
+    * which is what lets a billion-vector corpus sit in memory. Build
+    * once, search many. */
+  final case class PqIndex(codebooks: DataFrame, codes: DataFrame,
       m: Int, subDim: Int)
 
-  /** Index build: slice each embedding into `m` contiguous subvectors,
-    * learn a Lloyd codebook per subspace, and encode every vector as its
-    * per-subspace nearest codeword. m small Lloyd trainings + m
-    * broadcast-assign passes; the m code frames equi-join back on
-    * vec_id. */
   /** Unit-normalize an embedding column (zero vectors stay zero). PQ
     * quantizes NORMALIZED vectors so that ADC's L2 ordering coincides
     * with the cosine ordering of the final ranking (‖a−b‖² = 2−2cosθ on
     * the unit sphere) — without this, vectors with large norms crowd the
-    * codebooks and the shortlist diverges from the cosine top-k
-    * (measured: recall@10 0.73 unnormalized → ≥0.9 normalized). */
+    * codebooks and the shortlist diverges from the cosine top-k. */
   private def unitNorm(e: Column): Column = {
     val n = sqrt(graft.functions.VectorFunctions.dot(e, e))
     transform(e, v => when(n > 0, v / n).otherwise(lit(0.0)))
   }
 
+  /** Index build: slice each embedding into `m` contiguous subvectors
+    * with ONE explode (every subspace in the same frame), train all m
+    * codebooks simultaneously via `Clustering.lloydGrouped`, and encode
+    * every vector by pivoting its per-subspace nearest codewords to m
+    * code columns in one aggregate. The grouped layout is a wall-clock
+    * matter, not a semantic one: a per-subspace driver loop schedules
+    * m × (iters + 1) tiny jobs (measured 23 s at sf0.1 for m=16); this
+    * shape runs the identical math in a handful. */
   def buildPqIndex(embs: DataFrame, dims: Int, m: Int = 8,
       codebookSize: Int = 16, lloydIters: Int = 2): PqIndex = {
     require(dims % m == 0, s"m=$m must divide dims=$dims")
     val subDim = dims / m
-    val pts = embs.select(col("vec_id"), unitNorm(col("embedding")).as("embedding"))
-    val subs = (0 until m).map { j =>
-      pts.select(col("vec_id"),
+    val subStructs = (0 until m).map { j =>
+      struct(lit(j).as("s"),
         slice(col("embedding"), j * subDim + 1, subDim).as("sub"))
     }
-    val books = subs.map(s =>
-      Clustering.lloyd(s, "vec_id", "sub", codebookSize, lloydIters))
-    val codes = (0 until m).map { j =>
-      Clustering.assign(subs(j), "sub", books(j))
-        .select(col("vec_id"), col("cluster").as(s"c$j"))
-    }.reduce(_.join(_, "vec_id"))
+    val subpts = embs
+      .select(col("vec_id"), unitNorm(col("embedding")).as("embedding"))
+      .select(col("vec_id"), explode(array(subStructs: _*)).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sub").as("sub"))
+    val books = Clustering.lloydGrouped(subpts, "vec_id", "s", "sub",
+      codebookSize, lloydIters)
+    val codeCols = (0 until m).map(j =>
+      max(when(col("s") === j, col("cluster"))).as(s"c$j"))
+    val codes = Clustering.assignGrouped(subpts, "s", "sub", books)
+      .groupBy("vec_id")
+      .agg(codeCols.head, codeCols.tail: _*)
     PqIndex(books, codes, m, subDim)
   }
 
+  /** Per-subspace ADC tables for a normalized probe frame: ONE job joins
+    * the grouped codebooks to the probe's m subvectors and collects
+    * m × codebookSize distances. */
+  private def adcTables(pq: PqIndex, probeN: DataFrame)
+      : Seq[Map[Long, Double]] = {
+    val probeSubs = probeN.select(explode(array((0 until pq.m).map { j =>
+        struct(lit(j).as("s"),
+          slice(col("probe_e"), j * pq.subDim + 1, pq.subDim).as("psub"))
+      }: _*)).as("e"))
+      .select(col("e.s").as("s"), col("e.psub").as("psub"))
+    val rows = pq.codebooks.join(broadcast(probeSubs), "s")
+      .select(col("s"), col("cid"),
+        Clustering.sqDist(col("cvec"), col("psub")).as("d2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (0 until pq.m).map(j =>
+      rows.collect { case ((s, cid), d) if s == j => cid -> d }.toMap)
+  }
+
   /** PQ search with asymmetric-distance computation (ADC): squared L2
-    * decomposes exactly across subspaces, so per subspace the probe's
-    * distance to every codeword is precomputed (m×codebookSize values —
-    * a bounded driver collect broadcast as map literals) and a vector's
-    * approximate distance is m map lookups summed — a codegen'd linear
-    * scan of the compressed code table, touching no raw vectors. The
-    * top-`rerank` candidates are then re-ranked with exact cosine on the
-    * raw embeddings (the standard recall repair: only `rerank` vectors
-    * are ever decompressed). */
+    * decomposes exactly across subspaces, so the probe's distance to
+    * every codeword is precomputed ([[adcTables]], broadcast as map
+    * literals) and a vector's approximate distance is m map lookups
+    * summed — a codegen'd linear scan of the compressed code table,
+    * touching no raw vectors. The top-`rerank` candidates are then
+    * re-ranked with exact cosine on the raw embeddings (the standard
+    * recall repair: only `rerank` vectors are ever decompressed). */
   def pqTopK(index: PqIndex, embs: DataFrame, probeId: Long, k: Int,
       rerank: Int = 50): DataFrame = {
     val probe = embs.filter(col("vec_id") === probeId)
       .select(col("embedding").as("probe_e"))
     // ADC runs in the same normalized space the codebooks were trained in
-    val probeN = probe.select(unitNorm(col("probe_e")).as("probe_e"))
-    val tables: Seq[Map[Long, Double]] = (0 until index.m).map { j =>
-      val probeSub = probeN.select(
-        slice(col("probe_e"), j * index.subDim + 1, index.subDim)
-          .as("probe_sub"))
-      index.codebooks(j).crossJoin(broadcast(probeSub))
-        .select(col("cid"),
-          Clustering.sqDist(col("cvec"), col("probe_sub")).as("d2"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    }
+    val tables = adcTables(index,
+      probe.select(unitNorm(col("probe_e")).as("probe_e")))
     val approx = (0 until index.m).map { j =>
       element_at(typedLit(tables(j)), col(s"c$j"))
     }.reduce(_ + _)
@@ -236,15 +253,8 @@ object SimSearch {
       .collect().map(_.get(0)).toSeq
     val inLists = ivf.assigned.filter(col("cluster").isin(lists: _*))
       .select("vec_id")
-    val probeN = probe.select(unitNorm(col("probe_e")).as("probe_e"))
-    val tables: Seq[Map[Long, Double]] = (0 until pq.m).map { j =>
-      val probeSub = probeN.select(
-        slice(col("probe_e"), j * pq.subDim + 1, pq.subDim).as("probe_sub"))
-      pq.codebooks(j).crossJoin(broadcast(probeSub))
-        .select(col("cid"),
-          Clustering.sqDist(col("cvec"), col("probe_sub")).as("d2"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    }
+    val tables = adcTables(pq,
+      probe.select(unitNorm(col("probe_e")).as("probe_e")))
     val approx = (0 until pq.m).map { j =>
       element_at(typedLit(tables(j)), col(s"c$j"))
     }.reduce(_ + _)
