@@ -650,9 +650,37 @@ object PipelineQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Data-freshness SLA audit: each key's last-seen event time, its lag
+    * behind the dataset's high-water mark, and a staleness flag (> 7
+    * days behind) — the monitoring gate that catches a silently stalled
+    * upstream partition. One grouped max + a broadcast one-row global
+    * max; exact integer µs throughout. */
+  val qFreshnessAudit = Q(
+    "q_freshness_audit",
+    """SELECT user_id, CAST(last_us AS BIGINT) AS last_us,
+      |  CAST(gmax - last_us AS BIGINT) AS lag_us,
+      |  CASE WHEN gmax - last_us > 604800000000 THEN 1 ELSE 0 END AS stale
+      |FROM (SELECT user_id, max(epoch_us(ts)) AS last_us
+      |      FROM events GROUP BY 1) u,
+      |     (SELECT max(epoch_us(ts)) AS gmax FROM events) g
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+      .select(col("user_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("us"))
+    val perUser = ev.groupBy("user_id").agg(max(col("us")).as("last_us"))
+    val gmax = ev.agg(max(col("us")).as("gmax"))
+    perUser.crossJoin(broadcast(gmax))
+      .select(col("user_id"), col("last_us"),
+        (col("gmax") - col("last_us")).as("lag_us"),
+        when(col("gmax") - col("last_us") > 604800000000L, 1)
+          .otherwise(0).as("stale"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
     qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,
     qSimL2, qKmeansUpdate, qKAnonymity, qReferentialCheck, qDupSpans,
-    qVocabCoverage, qJoinNearest, qUrlExtract, qTableChecksum)
+    qVocabCoverage, qJoinNearest, qUrlExtract, qTableChecksum,
+    qFreshnessAudit)
 }

@@ -169,6 +169,32 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** Per-user top behavior, batch shape: each user's most frequent event
+    * type (count desc, type tiebreak). The true streaming form is
+    * `StreamOps.streamingTopBehavior` — a Space-Saving sketch as the
+    * mapGroupsWithState transition, state bounded at `capacity` counters
+    * per user on an unbounded stream (StreamingSpec); this registers the
+    * equivalent deterministic batch semantics under the oracle gate. */
+  val qStreamTopk = Q(
+    "q_stream_topk",
+    """SELECT user_id, event_type AS top_type, cnt FROM (
+      |  SELECT user_id, event_type, count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY count(*) DESC, event_type) AS rk
+      |  FROM events GROUP BY 1, 2) z
+      |WHERE rk = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("cnt").desc, col("event_type"))
+    t(s, d, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"), col("cnt"))
+      .orderBy("user_id")
+  }
+
   /** Stream-stream interval join, batch shape: each view joined to the
     * same user's clicks within the following 10 minutes (LEFT, so views
     * with no click survive with zero). The true streaming execution —
@@ -211,5 +237,5 @@ object StreamingQueries {
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg,
-    qStreamIntervalJoin, qStreamChecksum)
+    qStreamIntervalJoin, qStreamChecksum, qStreamTopk)
 }
