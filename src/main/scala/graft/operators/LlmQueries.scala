@@ -963,6 +963,88 @@ object LlmQueries {
       .toDF("n_docs", "n_clustered", "n_survivors")
   }
 
+  /** One unrolled min-label sweep (the q_cc_labelprop helper, local copy
+    * for this file's oracle). */
+  private def ccSweep(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT l.v, least(l.lbl, coalesce(m.nmin, l.lbl)) AS lbl
+       |  FROM $prev l LEFT JOIN (
+       |    SELECT s.src AS v, min(x.lbl) AS nmin
+       |    FROM sym s JOIN $prev x ON s.dst = x.v
+       |    GROUP BY s.src) m ON l.v = m.v)""".stripMargin
+
+  /** The END-TO-END near-dup pipeline UNDER THE ORACLE GATE: simhash
+    * banded pairs → 3 min-label CC sweeps (`plans.LabelProp.iterate`) →
+    * survivor set (min doc per label + every unclustered doc). The
+    * GraphX variant above stays the deep-graph path; this one exists
+    * because every stage — signature, banding, candidate join, label
+    * sweeps, survivor selection — is ANSI-expressible, so the WHOLE
+    * dedup pipeline hash-matches DuckDB instead of stopping at pair
+    * generation. The fixed-sweep labels are a deterministic REFINEMENT
+    * of the true components (each label group is a subset of a
+    * component; the banded fixture graph chains deeper than 3 hops, so
+    * this keeps MORE survivors than full convergence — measured 201 vs
+    * 174 at sf0.001). Dedup-safe in the conservative direction: a
+    * survivor set from refined clusters never drops a doc that full CC
+    * would keep. The converged forms are `LabelProp.run` / the GraphX
+    * variant above; OutOfBandSpec pins the refinement relation. */
+  val qDedupClustersDet = Q(
+    "q_dedup_clusters_det",
+    s"""WITH $ngramDocs2,
+       |toks AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM docs2) u),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $simhashBitsSql
+       |  FROM toks GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id, CAST($simhashSumSql AS BIGINT) AS simhash FROM bits),
+       |bands AS (
+       |  SELECT doc_id, simhash, b AS bidx,
+       |    (simhash >> (8 * b)) & 255 AS bval
+       |  FROM sigs, generate_series(0, 3) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
+       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym),
+       |${ccSweep("l0", "l1")},
+       |${ccSweep("l1", "l2")},
+       |${ccSweep("l2", "l3")},
+       |surv AS (
+       |  SELECT doc_id FROM docs2
+       |  WHERE doc_id NOT IN (SELECT v FROM l3)
+       |  UNION ALL
+       |  SELECT min(v) AS doc_id FROM l3 GROUP BY lbl)
+       |SELECT (SELECT count(*) FROM docs2) AS n_docs,
+       |  (SELECT count(*) FROM l3) AS n_clustered,
+       |  count(*) AS n_survivors,
+       |  CAST(sum(doc_id) AS BIGINT) AS survivor_sum
+       |FROM surv""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val withDups = docs.unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substr(text, 11)").as("text")))
+    val pairs = Dedup.simhashNearDups(withDups)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = graft.plans.LabelProp.iterate(pairs, 3)
+    val survivors = Dedup.survivors(withDups,
+      labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id")))
+    val a = withDups.agg(count(lit(1)).as("n_docs"))
+    val b = labels.agg(count(lit(1)).as("n_clustered"))
+    val c = survivors.agg(count(lit(1)).as("n_survivors"),
+      sum(col("doc_id")).cast(LongType).as("survivor_sum"))
+    a.crossJoin(b).crossJoin(c)
+      .select("n_docs", "n_clustered", "n_survivors", "survivor_sum")
+  }
+
   /** Scalable-path embedding dedup: seeded hyperplane LSH (16 bits × 4
     * tables — 65k buckets/table vs the oracle variant's fixed 256).
     * Hyperplanes are driver-seeded Gaussians, not SQL-expressible →
@@ -1027,6 +1109,7 @@ object LlmQueries {
     qDedupExact, qDedupSimhash, qDedupSimhashPairs, qDedupMinhash,
     qDedupMinhashDet,
     qDedupNgram, qDedupEmbed, qDedupEmbedLsh, qDedupClusters,
+    qDedupClustersDet,
     qSimSearch, qSimSearchIvf, qSimMultiprobe, qSimTrainedIvf, qSimPq,
     qBpeTrain, qKnnPerLabel,
     qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,

@@ -84,6 +84,34 @@ object MfQueries {
       .orderBy("user_id", "rank")
   }
 
+  /** Item-item similarity from the ALS item factors (the other classic
+    * rec-sys deliverable beside per-user top-k: "customers who bought X
+    * also bought"): top-5 most similar items per seed item by factor
+    * cosine. The k×rank factor table is tiny relative to the corpus that
+    * trained it — similarity runs on factors, never on the ratings
+    * matrix, so this is broadcast-probe TakeOrdered per seed at any
+    * scale. Rows-only (ALS-dependent); invariants in MfSpec. */
+  val qMfItemSim = Q.noOracle("q_mf_item_sim") { (s, d) =>
+    val model = AlsEngine.trainCachedOnRatingsView(s, d)
+    val f = model.itemFactors
+      .select(col("id").cast("long").as("item_id"),
+        col("features").as("f"))
+    val seeds = f.orderBy("item_id").limit(5)
+      .select(col("item_id").as("seed_id"), col("f").as("seed_f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seed_id")
+      .orderBy(col("score").desc, col("item_id"))
+    f.crossJoin(broadcast(seeds))
+      .filter(col("item_id") =!= col("seed_id"))
+      .select(col("seed_id"), col("item_id"),
+        round(graft.functions.VectorFunctions.cosine(col("f"),
+          col("seed_f")), 4).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("seed_id", "item_id", "score", "rk")
+      .orderBy("seed_id", "rk")
+  }
+
   val qMetricRmse = Q(
     "q_metric_rmse",
     withRatings(
@@ -403,6 +431,7 @@ object MfQueries {
 
   val all: Seq[Q] = Seq(
     qRatingsView, qRatingsPivot, qMfAlsTrain, qMfPredict, qMfTopkRecs,
+    qMfItemSim,
     qMetricRmse, qMetricPolarization, qMetricIndUnfairness,
     qMetricGrpUnfairness, qMetricRmseHoldout, qRecCoverage,
     qAntidoteInit, qAntidoteStep, qAntidoteEval,

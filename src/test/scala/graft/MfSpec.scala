@@ -262,6 +262,23 @@ class MfSpec extends SparkTestBase {
     assert(d1.dropDuplicates("user_id", "event_type").count() == d1.count())
   }
 
+  test("q_mf_item_sim: 5 ranked similar items per seed, scores in [-1,1]") {
+    val rows = operators.MfQueries.qMfItemSim.run(spark, sf).collect()
+    assert(rows.length == 25)
+    val bySeed = rows.groupBy(_.getLong(0))
+    assert(bySeed.size == 5)
+    bySeed.values.foreach { g =>
+      assert(g.map(_.getInt(3)).sorted.toSeq == (1 to 5))
+      // ranked by score desc within a seed
+      val scores = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(scores.sliding(2).forall(s => s.length < 2 || s(0) >= s(1)))
+      g.foreach { r =>
+        assert(r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001)
+        assert(r.getLong(1) != r.getLong(0))
+      }
+    }
+  }
+
   test("q_rec_coverage invariants: bounded coverage and concentration") {
     val Array(r) = operators.MfQueries.qRecCoverage.run(spark, sf).collect()
     val (nUsers, nCatalog, nRec) = (r.getLong(0), r.getLong(1), r.getLong(2))

@@ -76,6 +76,33 @@ class OutOfBandSpec extends SparkTestBase {
     assert(out.length < n, s"${out.length} pairs from $n docs")
   }
 
+  test("oracle-gated dedup pipeline is a conservative refinement of GraphX CC") {
+    // q_dedup_clusters_det runs 3 FIXED label sweeps (what the oracle can
+    // unroll); its label groups are subsets of true components, so its
+    // survivors must be a SUPERSET of the converged (GraphX) survivors —
+    // and LabelProp.run, the converged form, must match GraphX exactly.
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val withDups = docs.unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substr(text, 11)").as("text")))
+    val pairs = Dedup.simhashNearDups(withDups)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    def survSet(clusters: org.apache.spark.sql.DataFrame) =
+      Dedup.survivors(withDups, clusters).collect().map(_.getLong(0)).toSet
+    val gx = survSet(Dedup.nearDupClusters(pairs))
+    val det = survSet(plans.LabelProp.iterate(edges, 3)
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id")))
+    val conv = survSet(plans.LabelProp.run(edges)
+      .select(col("v").as("doc_id"), col("lbl").as("cluster_id")))
+    assert(conv == gx, "converged LabelProp must equal GraphX CC")
+    assert(gx.subsetOf(det), "fixed-sweep survivors must cover converged")
+    val Array(row) = operators.LlmQueries.qDedupClustersDet.run(spark, sf)
+      .collect()
+    assert(row.getLong(2) == det.size)
+    assert(row.getLong(3) == det.sum)
+  }
+
   test("simhash of identical text collides; mutated copy stays close") {
     import spark.implicits._
     val docs = Seq(
