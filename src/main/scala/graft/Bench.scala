@@ -91,7 +91,11 @@ object Bench {
       "q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed_lsh", "q_sim_search",
       "q_sim_search_ivf", "q_sim_trained_ivf", "q_kmeans_assign",
       "q_tfidf_topterms", "q_pack_sequences", "q_heavy_hitters",
-      "q_decontaminate", "q_metric_rmse_holdout", "q_join_bloom")
+      "q_decontaminate", "q_metric_rmse_holdout", "q_join_bloom",
+      // round 7: the expensive/new-family representatives
+      "q_sim_pq", "q_cc_labelprop", "q_dedup_minhash_det", "q_bpe_train",
+      "q_stream_checksum", "q_rec_coverage", "q_interval_overlap",
+      "q_dedup_clusters_det", "q_table_checksum")
     // In repeat mode every headline query matches `repeat` keys; keep only
     // the last repeat (warm steady-state) so the short line stays bounded.
     val headQs = results.filter { case (k, _) => headline.contains(k.takeWhile(_ != '#')) }

@@ -32,7 +32,8 @@ class DeterminismSpec extends SparkTestBase {
     // banded minhash candidate generation, ranked-recs tie handling
     AnalyticsQueries.qIntervalOverlap, AnalyticsQueries.qCcLabelprop,
     LlmQueries.qDedupMinhashDet, MfQueries.qRecCoverage,
-    PipelineQueries.qTableChecksum)
+    PipelineQueries.qTableChecksum, LlmQueries.qDedupClustersDet,
+    StreamingQueries.qStreamTopk, PipelineQueries.qFreshnessAudit)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
