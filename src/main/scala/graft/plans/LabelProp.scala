@@ -40,12 +40,19 @@ object LabelProp {
     * deterministic for any partitioning (and possibly pre-convergence on
     * graphs deeper than `n`; that partial state is itself well-defined,
     * which is what lets the oracle SQL unroll it). Vertex set = edge
-    * endpoints; edges are treated as undirected. */
+    * endpoints; edges are treated as undirected.
+    *
+    * Each sweep references the previous labels twice (neighbor-min join
+    * + the left-join merge), so without truncation the edge-generation
+    * lineage doubles per sweep — 2^n recomputes of what is often an
+    * expensive candidate-pair pipeline upstream. `sym` and each sweep's
+    * labels are therefore localCheckpoint'ed (same guard `run` uses);
+    * the values are unchanged, only the recompute disappears. */
   def iterate(edges: DataFrame, n: Int): DataFrame = {
-    val sym = symmetrize(edges)
+    val sym = symmetrize(edges).localCheckpoint()
     var labels = sym.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
-    for (_ <- 0 until n) labels = sweep(sym, labels)
+    for (_ <- 0 until n) labels = sweep(sym, labels).localCheckpoint()
     labels
   }
 
