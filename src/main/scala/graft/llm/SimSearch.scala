@@ -300,6 +300,30 @@ object SimSearch {
       .groupBy("label", "p")
       .agg(avg(col("v").cast(DoubleType)).as("c"))
 
+  /** Per-label outliers (prototypicality pruning, the SemDeDup-style
+    * curation filter): each vector's L2 distance to its OWN label
+    * centroid, top `topN` farthest per label. The centroid table is
+    * k×dim (broadcast-sized); the distance pass is one fan-out join on
+    * the bounded (label, dim) key plus a per-vector aggregate, and the
+    * per-label top-N is a label-partitioned window — never a global
+    * sort. Distances round 4 before ranking (vec_id tiebreak) so the
+    * ranking is engine-stable. */
+  def labelOutliers(embs: DataFrame, topN: Int): DataFrame = {
+    val c = labelCentroids(embs)
+    val d = embs
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("p", "v")))
+      .join(c, Seq("label", "p"))
+      .groupBy("vec_id", "label")
+      .agg(round(sqrt(sum((col("v").cast(org.apache.spark.sql.types.DoubleType) - col("c")) *
+        (col("v").cast(org.apache.spark.sql.types.DoubleType) - col("c")))), 4).as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("dist").desc, col("vec_id"))
+    d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select("label", "vec_id", "dist")
+  }
+
   /** For each label: the nearest OTHER label's centroid by L2 distance
     * (rounded before ranking; label tiebreak). */
   def nearestOtherCentroid(embs: DataFrame): DataFrame = {

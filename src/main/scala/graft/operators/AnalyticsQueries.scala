@@ -642,9 +642,140 @@ object AnalyticsQueries {
       graft.plans.LabelProp.iterate(edges, 3).orderBy("v")
   }
 
+  /** Item-item co-occurrence similarity (market-basket "also bought"):
+    * parts sharing an order, Jaccard = co / (nA + nB − co) from EXACT
+    * integer supports, ranked by (support, Jaccard). The count-based
+    * complement of q_mf_item_sim's ALS-factor similarity — no training,
+    * directly auditable. The self-join is BLOCKED BY ORDER KEY, so pair
+    * volume is Σ basket² (bounded basket size), never catalog²; the
+    * per-part support join is a bounded-key dimension join AQE broadcasts
+    * when small. Exact ints + one double division + round 6 = oracle. */
+  val qItemCooccur = Q(
+    "q_item_cooccur",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT pk, count(*) AS n_ok FROM li GROUP BY pk),
+      |co AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_co
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT pa, pb, n_co,
+      |    ROUND(CAST(n_co AS DOUBLE) / (na.n_ok + nb.n_ok - n_co), 6)
+      |      AS jaccard
+      |  FROM co JOIN n na ON co.pa = na.pk JOIN n nb ON co.pb = nb.pk
+      |  WHERE n_co >= 2)
+      |SELECT pa, pb, n_co, jaccard FROM j
+      |ORDER BY n_co DESC, jaccard DESC, pa, pb LIMIT 100""".stripMargin) {
+    (s, d) =>
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val n = li.groupBy("pk").agg(count(lit(1)).as("n_ok"))
+      val co = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+      co.join(n.select(col("pk").as("pa"), col("n_ok").as("na")), Seq("pa"))
+        .join(n.select(col("pk").as("pb"), col("n_ok").as("nb")), Seq("pb"))
+        .select(col("pa"), col("pb"), col("n_co"),
+          round(col("n_co").cast(DoubleType) /
+            (col("na") + col("nb") - col("n_co")), 6).as("jaccard"))
+        .orderBy(col("n_co").desc, col("jaccard").desc, col("pa"), col("pb"))
+        .limit(100)
+  }
+
+  /** Event-path mining: per-user ordered event-type trigrams (two lead()
+    * taps on ONE user-partitioned window pass — no self-joins) → global
+    * path frequencies. The product-analytics "what do users do next"
+    * staple; the only shuffles are the user-keyed window and the
+    * bounded-domain (≤ types³) path groupBy. */
+  val qEventPaths = Q(
+    "q_event_paths",
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+      |SELECT e1, e2, e3, count(*) AS n_paths
+      |FROM seq WHERE e3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    eventsUs(s, d)
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  /** Triangle counting on the co-purchase graph (edges = part pairs with
+    * co-occurrence support ≥ 2, canonical src < dst): per-node triangle
+    * participation + the global count — the clustering/community-density
+    * primitive. One wedge join (e⋈e on the shared vertex) closed by an
+    * edge-existence join: Σ deg² work, never vertex³; the support filter
+    * is what keeps degrees bounded on a reference-scale graph (at 100 TB
+    * you additionally hash-sparsify edges, the q_cc_labelprop dial). The
+    * edge list is derived once and localCheckpoint'ed because the closure
+    * join references it three times. */
+  val qTriangleCount = Q(
+    "q_triangle_count",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT pa AS src, pb AS dst FROM (
+      |    SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_co
+      |    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |    GROUP BY 1, 2) c
+      |  WHERE n_co >= 2),
+      |tri AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+      |    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |pern AS (
+      |  SELECT v, count(*) AS n_tri FROM (
+      |    SELECT a AS v FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri) u
+      |  GROUP BY v)
+      |SELECT v, n_tri, tot.total_triangles
+      |FROM pern, (SELECT CAST(sum(n_tri) / 3 AS BIGINT)
+      |            AS total_triangles FROM pern) tot
+      |ORDER BY n_tri DESC, v LIMIT 20""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select("src", "dst")
+      .localCheckpoint()
+    val tri = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .localCheckpoint()
+    val pern = tri.select(col("a").as("v"))
+      .unionByName(tri.select(col("b").as("v")))
+      .unionByName(tri.select(col("c").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    pern.crossJoin(pern.agg((sum(col("n_tri")) / 3).cast(LongType)
+        .as("total_triangles")))
+      .orderBy(col("n_tri").desc, col("v"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
     qKsTest, qTimeWeightedAvg, qWeightedSample, qWindowCumdistinct,
-    qSnapshotDiff, qChi2Drift, qIntervalOverlap, qCcLabelprop)
+    qSnapshotDiff, qChi2Drift, qIntervalOverlap, qCcLabelprop,
+    qItemCooccur, qEventPaths, qTriangleCount)
 }

@@ -292,6 +292,36 @@ object LlmQueries {
       .orderBy("label")
   }
 
+  /** Per-label embedding outliers (SemDeDup-style prototypicality
+    * pruning): distance to the OWN-label centroid, top-5 farthest per
+    * label — the curation filter that drops least-representative samples
+    * per semantic cluster. Same centroid machinery as q_knn_per_label
+    * (k×dim centroid table, bounded (label, dim) fan-out join, label-
+    * partitioned top-N window — no global sort); round-4 distances with
+    * vec_id tiebreak keep the ranking engine-stable. */
+  val qEmbedOutlier = Q(
+    "q_embed_outlier",
+    """WITH c AS (
+      |  SELECT label, p, avg(CAST(embedding[p] AS DOUBLE)) AS c
+      |  FROM embeddings, generate_series(1, 64) t(p)
+      |  GROUP BY label, p),
+      |d AS (
+      |  SELECT e.vec_id, e.label,
+      |    ROUND(sqrt(sum((CAST(e.embedding[c.p] AS DOUBLE) - c.c)
+      |      * (CAST(e.embedding[c.p] AS DOUBLE) - c.c))), 4) AS dist
+      |  FROM embeddings e JOIN c ON e.label = c.label
+      |  GROUP BY e.vec_id, e.label)
+      |SELECT label, vec_id, dist FROM (
+      |  SELECT label, vec_id, dist,
+      |    row_number() OVER (PARTITION BY label
+      |      ORDER BY dist DESC, vec_id) AS rn
+      |  FROM d) r
+      |WHERE rn <= 5 ORDER BY label, dist DESC, vec_id""".stripMargin) {
+    (s, d) =>
+      SimSearch.labelOutliers(t(s, d, "embeddings"), topN = 5)
+        .orderBy(col("label"), col("dist").desc, col("vec_id"))
+  }
+
   /** Benchmark decontamination: flag training docs sharing a character
     * 20-gram with the held-out "benchmark" slice (doc_id % 97 = 0) — the
     * standard n-gram-overlap eval-leak check. Shuffles on the shingle key
@@ -1111,7 +1141,7 @@ object LlmQueries {
     qDedupNgram, qDedupEmbed, qDedupEmbedLsh, qDedupClusters,
     qDedupClustersDet,
     qSimSearch, qSimSearchIvf, qSimMultiprobe, qSimTrainedIvf, qSimPq,
-    qBpeTrain, qKnnPerLabel,
+    qBpeTrain, qKnnPerLabel, qEmbedOutlier,
     qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,
     qTextTokenCount, qTextFingerprint,
     qDecontaminate, qPiiScrub, qTextRepetition, qTextLevenshtein,

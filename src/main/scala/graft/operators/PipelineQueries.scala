@@ -677,10 +677,121 @@ object PipelineQueries {
       .orderBy("user_id")
   }
 
+  /** Deterministic approximate distinct counting via the KMV sketch
+    * (functions/KmvSketch): 60-bit md5 hashes of the values, keep the 32
+    * smallest per group, estimate distinct = 31·2^60/h_32. The sketch is
+    * a bounded mergeable Aggregator — partial-aggregates map-side, one
+    * narrow shuffle of 32-long buffers regardless of input size — and,
+    * unlike HLL (q_hll_reagg, rows-only), fully DETERMINISTIC given the
+    * hash, so the estimate itself sits under the oracle gate: DuckDB
+    * reproduces the exact k minima by sorting. Exact distincts ride the
+    * same output for error inspection; SketchSpec pins mergeability
+    * (union of per-slice sketches == whole-table sketch). */
+  val qKmvDistinct = Q(
+    "q_kmv_distinct",
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag AS grp,
+      |    CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS hv
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT grp, hv,
+      |    row_number() OVER (PARTITION BY grp ORDER BY hv) AS rk
+      |  FROM h),
+      |kth AS (SELECT grp, hv AS hk FROM r WHERE rk = 32),
+      |ex AS (SELECT grp, count(*) AS exact_distinct FROM h GROUP BY grp)
+      |SELECT ex.grp, exact_distinct,
+      |  ROUND(31.0 * 1152921504606846976 / hk, 4) AS kmv_estimate
+      |FROM ex JOIN kth ON ex.grp = kth.grp
+      |ORDER BY ex.grp""".stripMargin) { (s, d) =>
+    val kmv = udaf(new graft.functions.KmvSketch(32),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val h = t(s, d, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        conv(substring(md5(col("l_orderkey").cast(StringType)), 1, 15),
+          16, 10).cast(LongType).as("hv"))
+    // The sketch dedups internally; countDistinct supplies the exact side.
+    h.groupBy("grp")
+      .agg(countDistinct(col("hv")).as("exact_distinct"),
+        kmv(col("hv")).as("mins"))
+      // parity with the oracle's INNER join on rank 32: a group with
+      // fewer than k distinct values has no estimate
+      .filter(size(col("mins")) === 32)
+      .select(col("grp"), col("exact_distinct"),
+        round(lit(31.0) * lit(1152921504606846976L) /
+          element_at(col("mins"), 32), 4).as("kmv_estimate"))
+      .orderBy("grp")
+  }
+
+  /** URL canonicalization dedup: two deterministic raw variants per doc
+    * (the clean form; an uppercased form with :443, a utm_ tracking
+    * param, a trailing slash, and a fragment) collapse to one canonical
+    * URL — lowercase, strip default port / tracking params / fragments /
+    * trailing slashes. The web-curation companion of q_url_extract:
+    * crawl dedup happens on canonical URLs, not raw strings. Chained
+    * regexp_replace stays in the RE2∩Java subset (the q_pii_scrub rule);
+    * per-domain aggregation is a bounded-key hash agg. */
+  val qUrlCanon = Q(
+    "q_url_canon",
+    """WITH raw AS (
+      |  SELECT doc_id, concat('https://www.', source, '.example.com/',
+      |    lang, '/doc-', doc_id, '?ref=r', doc_id % 7) AS url
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, concat('HTTPS://WWW.', upper(source),
+      |    '.EXAMPLE.COM:443/', lang, '/Doc-', doc_id,
+      |    '/?ref=r', doc_id % 7, '&utm_source=feed#top') AS url
+      |  FROM documents),
+      |canon AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(lower(url), '#.*$', '', 'g'),
+      |          '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
+      |        ':443/', '/', 'g'),
+      |      '/\?', '?', 'g') AS curl
+      |  FROM raw),
+      |agg AS (SELECT curl, count(*) AS n_raw FROM canon GROUP BY curl)
+      |SELECT regexp_extract(curl, 'https://www\.([^/]+)\.example\.com', 1)
+      |    AS domain,
+      |  count(*) AS n_canonical,
+      |  CAST(sum(n_raw) AS BIGINT) AS n_raw_total,
+      |  CAST(sum(CASE WHEN n_raw >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_merged
+      |FROM agg GROUP BY 1 ORDER BY domain""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val clean = docs.select(col("doc_id"),
+      concat(lit("https://www."), col("source"), lit(".example.com/"),
+        col("lang"), lit("/doc-"), col("doc_id").cast(StringType),
+        lit("?ref=r"), (col("doc_id") % 7).cast(StringType)).as("url"))
+    val messy = docs.select(col("doc_id"),
+      concat(lit("HTTPS://WWW."), upper(col("source")),
+        lit(".EXAMPLE.COM:443/"), col("lang"), lit("/Doc-"),
+        col("doc_id").cast(StringType), lit("/?ref=r"),
+        (col("doc_id") % 7).cast(StringType),
+        lit("&utm_source=feed#top")).as("url"))
+    val canon = clean.unionByName(messy).select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(col("url")), "#.*$", ""),
+            "[?&]utm_[a-z_]+=[^&#]*", ""),
+          ":443/", "/"),
+        "/\\?", "?").as("curl"))
+    canon.groupBy("curl").agg(count(lit(1)).as("n_raw"))
+      .groupBy(regexp_extract(col("curl"),
+        "https://www\\.([^/]+)\\.example\\.com", 1).as("domain"))
+      .agg(count(lit(1)).as("n_canonical"),
+        sum(col("n_raw")).as("n_raw_total"),
+        sum(when(col("n_raw") >= 2, 1).otherwise(0)).as("n_merged"))
+      .orderBy("domain")
+  }
+
   val all: Seq[Q] = Seq(
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
     qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,
     qSimL2, qKmeansUpdate, qKAnonymity, qReferentialCheck, qDupSpans,
     qVocabCoverage, qJoinNearest, qUrlExtract, qTableChecksum,
-    qFreshnessAudit)
+    qFreshnessAudit, qKmvDistinct, qUrlCanon)
 }

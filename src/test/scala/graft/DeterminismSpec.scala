@@ -33,7 +33,9 @@ class DeterminismSpec extends SparkTestBase {
     AnalyticsQueries.qIntervalOverlap, AnalyticsQueries.qCcLabelprop,
     LlmQueries.qDedupMinhashDet, MfQueries.qRecCoverage,
     PipelineQueries.qTableChecksum, LlmQueries.qDedupClustersDet,
-    StreamingQueries.qStreamTopk, PipelineQueries.qFreshnessAudit)
+    StreamingQueries.qStreamTopk, PipelineQueries.qFreshnessAudit,
+    AnalyticsQueries.qItemCooccur, AnalyticsQueries.qTriangleCount,
+    PipelineQueries.qKmvDistinct, LlmQueries.qEmbedOutlier)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

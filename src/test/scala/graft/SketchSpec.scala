@@ -62,6 +62,32 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("kmv: slice-sketch merge == whole-table sketch == sorted bottom-k, " +
+    "estimate within 25% of exact") {
+    val k = 32
+    val sk = udaf(new graft.functions.KmvSketch(k), Encoders.scalaLong)
+    val h = Tables.load(spark, sf, "lineitem")
+      .select(conv(substring(md5(col("l_orderkey").cast("string")), 1, 15),
+        16, 10).cast("long").as("hv"))
+    // mergeability: per-slice sketches (hash-sliced 4 ways) re-aggregated
+    // must equal the single-pass sketch — the property that makes the
+    // sketch partial-aggregate map-side and re-aggregate across days
+    val whole = h.agg(sk(col("hv")).as("mins")).head.getSeq[Long](0)
+    val merged = h.withColumn("slice", pmod(col("hv"), lit(4)))
+      .groupBy("slice").agg(sk(col("hv")).as("mins"))
+      .select(explode(col("mins")).as("hv"))
+      .agg(sk(col("hv")).as("mins")).head.getSeq[Long](0)
+    assert(merged == whole, "slice-merged sketch != whole-table sketch")
+    // ground truth: the k smallest distinct hashes by explicit sort
+    val sorted = h.distinct().orderBy("hv").limit(k)
+      .collect().map(_.getLong(0)).toSeq
+    assert(whole == sorted, "sketch minima != sorted bottom-k")
+    val exact = h.distinct().count()
+    val est = (k - 1).toDouble * math.pow(2, 60) / whole.last
+    assert(math.abs(est - exact) <= 0.25 * exact,
+      s"KMV estimate $est too far from exact $exact")
+  }
+
   test("bloom prune rejects non-integral keys (lossy cast would drop rows)") {
     val li = Tables.load(spark, sf, "lineitem")
     val ord = Tables.load(spark, sf, "orders")
