@@ -95,7 +95,10 @@ object Bench {
       // round 7: the expensive/new-family representatives
       "q_sim_pq", "q_cc_labelprop", "q_dedup_minhash_det", "q_bpe_train",
       "q_stream_checksum", "q_rec_coverage", "q_interval_overlap",
-      "q_dedup_clusters_det", "q_table_checksum")
+      "q_dedup_clusters_det", "q_table_checksum",
+      "q_item_cooccur", "q_triangle_count", "q_kmv_distinct",
+      "q_embed_outlier", "q_dedup_containment", "q_join_bucketed",
+      "q_mf_foldin", "q_sim_ivfpq")
     // In repeat mode every headline query matches `repeat` keys; keep only
     // the last repeat (warm steady-state) so the short line stays bounded.
     val headQs = results.filter { case (k, _) => headline.contains(k.takeWhile(_ != '#')) }

@@ -209,6 +209,35 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "jaccard")
   }
 
+  /** Containment (asymmetric Jaccard) over rare-shingle-blocked pairs:
+    * C(A→B) = |A∩B| / |A| — the doc-INSIDE-doc detector symmetric Jaccard
+    * misses (a 120-char excerpt of a 500-char doc has Jaccard ≈ 0.25 but
+    * containment ≈ 1.0). Same blocked skeleton as [[rareShingleJaccard]]
+    * (df-filtered shingles, candidate pairs share a rare shingle, never
+    * all-pairs); reports both directions, filtered on the max. */
+  def rareShingleContainment(shingles: DataFrame, maxDf: Long = 10,
+      minCont: Double = 0.9): DataFrame = {
+    val rareKeys = shingles.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    val rare = shingles.join(rareKeys, "shingle")
+      .select("doc_id", "shingle")
+    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = rare.as("a")
+      .join(rare.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("cont_a", round(col("inter").cast(DoubleType) / col("sz_a"), 4))
+      .withColumn("cont_b", round(col("inter").cast(DoubleType) / col("sz_b"), 4))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minCont)
+      .select("doc_a", "doc_b", "inter", "cont_a", "cont_b")
+  }
+
   /** Simhash near-dup pairs: banded candidate join (4×8-bit bands — any
     * pair within hamming ≤ 3 shares at least one band by pigeonhole) then
     * an exact popcount filter. Subquadratic; collisions bound the join. */

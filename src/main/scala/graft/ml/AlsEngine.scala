@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.ml.recommendation.{ALS, ALSModel}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -100,6 +100,82 @@ object AlsEngine {
       .join(iDict, model.itemFactors("id") === iDict("idx"))
       .select(col("item_id"), col("features"))
     (model, uf, itf)
+  }
+
+  /** Fold-in: factors for NEW users from a trained model's item factors,
+    * without retraining — the cold-start path of a production recommender
+    * (ALS retrains nightly; sessions that arrived since fold in live).
+    * Solves the same per-user ridge system ALS's user half-step solves,
+    * with MLlib's ALS-WR weighting (λ scaled by the user's rating count):
+    *
+    *   u_a = (YᵀY + λ n_a I)⁻¹ Yᵀ r_a   over the items Y the user rated
+    *
+    * Distributed shape: broadcast-join ratings with item factors, ONE
+    * user-keyed aggregate of the rank×rank upper triangle + rank-vector
+    * right-hand side (bounded payload per user regardless of history),
+    * then a typed map solves the tiny system per user — the same
+    * per-key-ridge pattern as Antidote's item-side step. Users whose
+    * final ALS half-step computed user factors reproduce the model's own
+    * factors to float precision (pinned in MfSpec).
+    *
+    * Returns (user_id BIGINT, features ARRAY<DOUBLE>). */
+  def foldInUsers(model: ALSModel, ratings: DataFrame,
+      regParam: Double = Config().regParam): DataFrame = {
+    val spark = ratings.sparkSession
+    import spark.implicits._
+    val k = model.rank
+    val vdf = model.itemFactors.select(col("id").as("item_idx"),
+      col("features").as("u"))
+    val cells = ratings.select(
+        col("user_id").cast(LongType).as("user_id"),
+        col("item_id").cast(IntegerType).as("item_idx"),
+        col("rating").cast(DoubleType).as("rating"))
+      .join(broadcast(vdf), "item_idx")
+    def e(i: Int): Column = element_at(col("u"), i + 1).cast(DoubleType)
+    val triNames = for (i <- 0 until k; j <- i until k) yield s"b${i}_$j"
+    val aggCols =
+      (for (i <- 0 until k; j <- i until k)
+        yield sum(e(i) * e(j)).as(s"b${i}_$j")) ++
+      (0 until k).map(i => sum(col("rating") * e(i)).as(s"g$i")) :+
+      count(lit(1)).as("na")
+    val userAgg = cells.groupBy("user_id").agg(aggCols.head, aggCols.tail: _*)
+    userAgg.select(col("user_id"),
+        array(triNames.map(col): _*).as("btri"),
+        array((0 until k).map(i => col(s"g$i")): _*).as("g"),
+        col("na"))
+      .as[(Long, Seq[Double], Seq[Double], Long)]
+      .map { case (user, bTri, gv, na) =>
+        val m = breeze.linalg.DenseMatrix.zeros[Double](k, k)
+        var idx = 0
+        for (i <- 0 until k; j <- i until k) {
+          m(i, j) += bTri(idx); if (i != j) m(j, i) += bTri(idx)
+          idx += 1
+        }
+        for (i <- 0 until k) m(i, i) += regParam * na
+        val u = m \ breeze.linalg.DenseVector(gv.toArray)
+        (user, u.toArray.toSeq)
+      }
+      .toDF("user_id", "features")
+  }
+
+  /** Fold-in predictions on known cells: dot(folded user factor, item
+    * factor) per rated cell — broadcast item factors, one zip_with/
+    * aggregate dot, no shuffle beyond the user-keyed factor join. */
+  def foldInPredict(model: ALSModel, ratings: DataFrame,
+      regParam: Double = Config().regParam): DataFrame = {
+    val uf = foldInUsers(model, ratings, regParam)
+    val vdf = model.itemFactors.select(col("id").as("item_idx"),
+      col("features").as("v"))
+    ratings.select(col("user_id").cast(LongType).as("user_id"),
+        col("item_id").cast(IntegerType).as("item_idx"),
+        col("rating").cast(DoubleType).as("rating"))
+      .join(broadcast(vdf), "item_idx")
+      .join(uf, "user_id")
+      .select(col("user_id"), col("item_idx").cast(LongType).as("item_id"),
+        col("rating"),
+        aggregate(zip_with(col("features"), col("v"),
+            (p, q) => p * q.cast(DoubleType)),
+          lit(0.0), (acc, v) => acc + v).as("p"))
   }
 
   /** Predictions for the known cells (long form — never the dense n×m). */

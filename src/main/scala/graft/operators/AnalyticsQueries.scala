@@ -772,10 +772,42 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** Incremental JOIN-view maintenance (the join analog of q_incr_agg):
+    * the maintained view = per-segment order counts + revenue from
+    * orders⋈customer. The incremental path joins ONLY the delta slice
+    * (orders after the cutoff) with the dimension, then re-aggregates
+    * base partials ⊕ delta partials — equal, by the oracle's full
+    * recompute, to scanning all of history. This is what lets a nightly
+    * 100 TB pipeline pay join cost proportional to the delta: decimal
+    * partials are additive/exact, the dimension join broadcasts, and the
+    * base's partials would be a stored table, not a rescan. */
+  val qIncrJoin = Q(
+    "q_incr_join",
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val cust = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+    val cut = ts("1995-06-01 00:00:00")
+    def partials(orders: DataFrame): DataFrame = orders
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("pn"), sum(dec2(col("o_totalprice"))).as("pr"))
+    val ord = t(s, d, "orders")
+      .select("o_custkey", "o_totalprice", "o_orderdate")
+    val base = partials(ord.filter(col("o_orderdate") < cut))
+    val delta = partials(ord.filter(col("o_orderdate") >= cut))
+    base.unionByName(delta)
+      .groupBy("c_mktsegment")
+      .agg(sum(col("pn")).as("n_orders"), asDbl(sum(col("pr"))).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
     qKsTest, qTimeWeightedAvg, qWeightedSample, qWindowCumdistinct,
     qSnapshotDiff, qChi2Drift, qIntervalOverlap, qCcLabelprop,
-    qItemCooccur, qEventPaths, qTriangleCount)
+    qItemCooccur, qEventPaths, qTriangleCount, qIncrJoin)
 }

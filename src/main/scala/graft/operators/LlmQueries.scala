@@ -56,6 +56,55 @@ object LlmQueries {
       |  SELECT doc_id + 1000000 AS doc_id, substr(text, 11) AS text
       |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
 
+  /** Containment dedup (asymmetric Jaccard) over docs ∪ planted TRUNCATED
+    * copies (120-char prefixes): C(A→B) = |A∩B|/|A| on rare-shingle-
+    * blocked candidate pairs — catches excerpt-inside-document duplication
+    * that symmetric Jaccard scores far below any dedup threshold. Same
+    * subquadratic blocking as q_dedup_ngram; the planted direction
+    * (copy ⊂ original) must surface with containment ≈ 1. */
+  val qDedupContainment = Q(
+    "q_dedup_containment",
+    """WITH docsc AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, substr(text, 1, 120) AS text
+      |  FROM documents WHERE doc_id % 40 = 0),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, substr(text, p, 5) AS shingle
+      |  FROM docsc, generate_series(1, 2000) t(p)
+      |  WHERE p <= greatest(length(text) - 4, 1)),
+      |rarekeys AS (
+      |  SELECT shingle FROM (
+      |    SELECT shingle, count(*) AS df FROM sh GROUP BY shingle) z
+      |  WHERE df <= 10),
+      |rare AS (
+      |  SELECT doc_id, sh.shingle FROM sh
+      |  JOIN rarekeys ON sh.shingle = rarekeys.shingle),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY 1),
+      |ints AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_int
+      |  FROM rare a JOIN rare b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_int AS inter, cont_a, cont_b FROM (
+      |  SELECT doc_a, doc_b, n_int,
+      |    ROUND(CAST(n_int AS DOUBLE) / sa.sz, 4) AS cont_a,
+      |    ROUND(CAST(n_int AS DOUBLE) / sb.sz, 4) AS cont_b
+      |  FROM ints
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id) c
+      |WHERE greatest(cont_a, cont_b) >= 0.9
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val withDups = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          expr("substr(text, 1, 120)").as("text")))
+    Dedup.rareShingleContainment(
+        Dedup.charShingles(withDups, maxPos = 2000))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Simhash LSH pairs over docs ∪ planted copies: banded candidates +
     * exact hamming ≤ 3 — the linear-ish simhash dedup path end-to-end. */
   val qDedupSimhashPairs = Q(
@@ -1122,6 +1171,20 @@ object LlmQueries {
       dims = 64, m = 16, codebookSize = 32, lloydIters = 2, rerank = 100)
   }
 
+  /** IVF×PQ composed ANN (the billion-vector configuration: coarse list
+    * pruning × compressed ADC scan × exact re-rank) as a registered
+    * query — `SimSearch.ivfPqTopK` over indexes built in-query. Rows-only
+    * (Lloyd centroids + codebooks); recall vs exact top-k is pinned in
+    * OutOfBandSpec. */
+  val qSimIvfPq = Q.noOracle("q_sim_ivfpq") { (s, d) =>
+    val embs = t(s, d, "embeddings")
+    val ivf = SimSearch.buildIvfIndex(embs, nLists = 8, lloydIters = 2)
+    val pq = SimSearch.buildPqIndex(embs, dims = 64, m = 16,
+      codebookSize = 32, lloydIters = 2)
+    SimSearch.ivfPqTopK(ivf, pq, embs, probeId = 7L, k = 10,
+      nProbe = 5, rerank = 100)
+  }
+
   /** BPE merge learning over the corpus (llm/Bpe.scala): the learned
     * merge table in application order. Rows-only: 10 iterations of
     * vocabulary rewriting do not unroll to tractable ANSI SQL; the exact
@@ -1135,13 +1198,31 @@ object LlmQueries {
       .toDF("rank", "left", "right", "merged")
   }
 
+  /** Tokenizer APPLICATION at corpus scale: learn 10 BPE merges, then
+    * encode every document — per-doc BPE token counts + compression
+    * ratio vs characters. The apply side costs one join against the
+    * vocabulary-sized segmentation table (never re-segmenting per
+    * occurrence); rows-only like q_bpe_train (iterative merge learning),
+    * exact encode semantics pinned in BpeSpec. */
+  val qBpeEncode = Q.noOracle("q_bpe_encode") { (s, d) =>
+    val docs = t(s, d, "documents")
+    val merges = Bpe.train(docs, numMerges = 10)
+    Bpe.encodeCounts(docs, merges)
+      .select(col("doc_id"), col("n_bpe_tokens"), col("n_chars"),
+        round(col("n_chars").cast(DoubleType) / col("n_bpe_tokens"), 4)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupSimhash, qDedupSimhashPairs, qDedupMinhash,
     qDedupMinhashDet,
-    qDedupNgram, qDedupEmbed, qDedupEmbedLsh, qDedupClusters,
-    qDedupClustersDet,
+    qDedupNgram, qDedupContainment, qDedupEmbed, qDedupEmbedLsh,
+    qDedupClusters, qDedupClustersDet,
     qSimSearch, qSimSearchIvf, qSimMultiprobe, qSimTrainedIvf, qSimPq,
-    qBpeTrain, qKnnPerLabel, qEmbedOutlier,
+    qSimIvfPq,
+    qBpeTrain, qBpeEncode, qKnnPerLabel, qEmbedOutlier,
     qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,
     qTextTokenCount, qTextFingerprint,
     qDecontaminate, qPiiScrub, qTextRepetition, qTextLevenshtein,

@@ -112,6 +112,24 @@ object MfQueries {
       .orderBy("seed_id", "rk")
   }
 
+  /** ALS fold-in (cold-start path): per-user factors for a "newly
+    * arrived" user slice solved from the trained model's item factors
+    * alone (AlsEngine.foldInUsers — one user-keyed ridge aggregate, no
+    * retrain), evaluated as per-user prediction RMSE on the slice's known
+    * cells. Rows-only (factor values are ALS-dependent); the
+    * reproduces-model-factors property is pinned in MfSpec. */
+  val qMfFoldin = Q.noOracle("q_mf_foldin") { (s, d) =>
+    val model = AlsEngine.trainCachedOnRatingsView(s, d)
+    val slice = Ratings.view(s, d).filter(col("user_id") % 10 === 3)
+    AlsEngine.foldInPredict(model, slice)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ratings"),
+        round(sqrt(avg((col("rating") - col("p")) *
+          (col("rating") - col("p")))), 4).as("rmse_foldin"))
+      .orderBy("user_id")
+      .limit(50)
+  }
+
   val qMetricRmse = Q(
     "q_metric_rmse",
     withRatings(
@@ -431,7 +449,7 @@ object MfQueries {
 
   val all: Seq[Q] = Seq(
     qRatingsView, qRatingsPivot, qMfAlsTrain, qMfPredict, qMfTopkRecs,
-    qMfItemSim,
+    qMfItemSim, qMfFoldin,
     qMetricRmse, qMetricPolarization, qMetricIndUnfairness,
     qMetricGrpUnfairness, qMetricRmseHoldout, qRecCoverage,
     qAntidoteInit, qAntidoteStep, qAntidoteEval,

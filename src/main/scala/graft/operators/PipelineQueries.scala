@@ -788,10 +788,40 @@ object PipelineQueries {
       .orderBy("domain")
   }
 
+  /** Bucketed-layout join UNDER THE ORACLE GATE: lineitem and orders are
+    * rewritten as catalog tables bucketed (and bucket-sorted) on their
+    * join keys, then joined — the scan's bucketing satisfies the join's
+    * hash-partitioning requirement, so the join runs with ZERO shuffle
+    * exchanges on either side (plan asserted in LayoutSpec; here the
+    * oracle proves the bucketed path changes no values vs a plain join).
+    * At 100 TB this is the recurring fact⋈fact pattern: pay one bucketed
+    * write, then every nightly join on that key is a co-located merge.
+    * Exact decimal sum → DOUBLE output (the q1 idiom). */
+  val qJoinBucketed = Q(
+    "q_join_bucketed",
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_quantity")
+    val ord = t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+    graft.plans.Layout.writeBucketed(li, "graft_li_bucketed", 8,
+      "l_orderkey")
+    graft.plans.Layout.writeBucketed(ord, "graft_ord_bucketed", 8,
+      "o_orderkey")
+    s.table("graft_li_bucketed")
+      .join(s.table("graft_ord_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        asDbl(sum(dec2(col("l_quantity")))).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[Q] = Seq(
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
     qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,
     qSimL2, qKmeansUpdate, qKAnonymity, qReferentialCheck, qDupSpans,
     qVocabCoverage, qJoinNearest, qUrlExtract, qTableChecksum,
-    qFreshnessAudit, qKmvDistinct, qUrlCanon)
+    qFreshnessAudit, qKmvDistinct, qUrlCanon, qJoinBucketed)
 }

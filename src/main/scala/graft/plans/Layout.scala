@@ -62,6 +62,35 @@ object Layout {
       .drop("graft_z")
       .write.mode(SaveMode.Overwrite).parquet(dir)
 
+  /** Bucketed table write: hash-partition rows into `buckets` files by
+    * `bucketCol` and sort within each bucket. A pair of tables bucketed
+    * on their join keys with the same bucket count joins WITHOUT ANY
+    * SHUFFLE — the scan's bucketing IS the join's required hash
+    * partitioning, so Catalyst elides both exchanges (and with sorted
+    * buckets, both sorts). At 100 TB this converts every recurring
+    * fact⋈fact join on the bucket key from the dominant shuffle into a
+    * co-located merge — the single biggest plan-shape lever for a
+    * repeatedly-joined table. Spark's bucketing metadata lives in the
+    * catalog, hence saveAsTable (path-only parquet has nowhere to record
+    * it); LayoutSpec proves the exchange-free plan + result identity. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCol: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // An in-memory catalog forgets managed tables between sessions while
+    // the warehouse directory persists; Overwrite cannot replace a
+    // location the catalog has no entry for, so clear any orphan first.
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Number of data files currently backing a parquet directory. */
   def dataFileCount(dir: String): Int = {
     val d = new java.io.File(dir)

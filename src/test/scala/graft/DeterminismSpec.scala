@@ -35,7 +35,8 @@ class DeterminismSpec extends SparkTestBase {
     PipelineQueries.qTableChecksum, LlmQueries.qDedupClustersDet,
     StreamingQueries.qStreamTopk, PipelineQueries.qFreshnessAudit,
     AnalyticsQueries.qItemCooccur, AnalyticsQueries.qTriangleCount,
-    PipelineQueries.qKmvDistinct, LlmQueries.qEmbedOutlier)
+    PipelineQueries.qKmvDistinct, LlmQueries.qEmbedOutlier,
+    LlmQueries.qDedupContainment)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

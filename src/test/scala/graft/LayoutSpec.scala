@@ -75,4 +75,30 @@ class LayoutSpec extends SparkTestBase {
       .head.getString(0)
     assert(minF != maxF, "range clustering produced overlapping extremes")
   }
+
+  test("bucketed tables join with zero shuffle exchanges, result identical") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val ord = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Layout.writeBucketed(li, "li_bkt", 4, "l_orderkey")
+    Layout.writeBucketed(ord, "ord_bkt", 4, "o_orderkey")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.table("li_bkt")
+      val b = spark.table("ord_bkt")
+      val joined = a.join(b, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() == plain.count())
+      assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS li_bkt")
+      spark.sql("DROP TABLE IF EXISTS ord_bkt")
+    }
+  }
 }

@@ -50,6 +50,36 @@ class MfSpec extends SparkTestBase {
       s"ALS held-out rmse $alsRmse")
   }
 
+  test("fold-in: training users' folded factors reproduce model factors " +
+    "and predictions") {
+    import org.apache.spark.sql.functions._
+    val ratings = Ratings.view(spark, sf).cache()
+    val model = AlsEngine.train(ratings)
+    val slice = ratings.filter(col("user_id") % 10 === 3)
+    val folded = AlsEngine.foldInUsers(model, slice)
+    // ALS's final half-step solves user factors exactly from item factors
+    // (same ridge system fold-in solves), so folded factors of TRAINING
+    // users must match the model's own — up to the model's float storage.
+    val uf = model.userFactors.select(col("id").cast("long").as("user_id"),
+      col("features").as("mf"))
+    val maxDiff = folded.join(uf, "user_id")
+      .select(aggregate(zip_with(col("features"), col("mf"),
+          (a, b) => abs(a - b.cast("double"))),
+        lit(0.0), (acc, v) => greatest(acc, v)).as("d"))
+      .agg(max(col("d"))).head.getDouble(0)
+    assert(maxDiff < 1e-4,
+      s"fold-in factor deviates from model factor by $maxDiff")
+    // predictions through the folded factors match model.transform
+    val fp = AlsEngine.foldInPredict(model, slice)
+      .select(col("user_id"), col("item_id"), col("p").as("fp"))
+    val mp = AlsEngine.predictKnown(model, slice)
+      .select(col("user_id"), col("item_id"), col("p").as("mp"))
+    val maxPredDiff = fp.join(mp, Seq("user_id", "item_id"))
+      .agg(max(abs(col("fp") - col("mp")))).head.getDouble(0)
+    assert(maxPredDiff < 1e-3,
+      s"fold-in prediction deviates by $maxPredDiff")
+  }
+
   test("antidote init: budget size, id range, ratings within [1,5]") {
     val ratings = Ratings.view(spark, sf).cache()
     val x = Antidote.init(spark, ratings, 0.01).cache()
