@@ -804,10 +804,225 @@ object AnalyticsQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** RFM customer segmentation (the CRM workhorse): per customer —
+    * recency (days since last order, vs the corpus high-water date),
+    * frequency (order count), monetary (exact decimal revenue) — each
+    * scored into NTILE(4) quartiles (1 = best: most recent / most
+    * frequent / highest spend), then profiled per (r,f,m) cell. The
+    * ranking runs over the PER-CUSTOMER AGGREGATE (|customers| rows,
+    * orders never sorted globally) and each quartile comes from
+    * `GlobalRank.withGlobalRowNumber` + `ntileFromRank` — two-pass range
+    * buckets, never an unpartitioned window, so the scoring pass survives
+    * a customer dimension that no longer fits one task. Output domain is
+    * ≤ 4³ cells; all cell stats are exact ints/decimals. */
+  val qRfm = Q(
+    "q_rfm",
+    """WITH cust AS (
+      |  SELECT o_custkey AS ck,
+      |    date_diff('day', CAST(max(o_orderdate) AS DATE),
+      |      (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS rec_days,
+      |    count(*) AS freq,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      |  FROM orders GROUP BY 1),
+      |scored AS (
+      |  SELECT ck, monetary,
+      |    NTILE(4) OVER (ORDER BY rec_days ASC,      ck) AS r_score,
+      |    NTILE(4) OVER (ORDER BY freq DESC,         ck) AS f_score,
+      |    NTILE(4) OVER (ORDER BY monetary DESC,     ck) AS m_score
+      |  FROM cust)
+      |SELECT r_score, f_score, m_score, count(*) AS n_cust,
+      |  CAST(sum(monetary) AS DOUBLE) AS cell_revenue
+      |FROM scored GROUP BY 1, 2, 3
+      |ORDER BY r_score, f_score, m_score""".stripMargin) { (s, d) =>
+    import graft.plans.GlobalRank
+    val refDate = t(s, d, "orders").agg(max(col("o_orderdate").cast(DateType)).as("ref"))
+    val cust = t(s, d, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(max(col("o_orderdate").cast(DateType)).as("last_d"),
+        count(lit(1)).as("freq"), sum(dec2(col("o_totalprice"))).as("monetary"))
+      .crossJoin(broadcast(refDate))
+      .withColumn("rec_days", datediff(col("ref"), col("last_d")))
+      .select("ck", "rec_days", "freq", "monetary")
+    // GlobalRank takes plain ascending sort columns (the head doubles as
+    // the range-bucket key), so DESC orders ride in as negated metrics.
+    val (r1, n1) = GlobalRank.withGlobalRowNumber(cust, "rn_r", 8,
+      col("rec_days"), col("ck"))
+    val (r2, n2) = GlobalRank.withGlobalRowNumber(r1, "rn_f", 8,
+      -col("freq"), col("ck"))
+    val (r3, n3) = GlobalRank.withGlobalRowNumber(r2, "rn_m", 8,
+      -col("monetary"), col("ck"))
+    r3.withColumn("r_score", GlobalRank.ntileFromRank(col("rn_r"), n1, 4))
+      .withColumn("f_score", GlobalRank.ntileFromRank(col("rn_f"), n2, 4))
+      .withColumn("m_score", GlobalRank.ntileFromRank(col("rn_m"), n3, 4))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_cust"),
+        asDbl(sum(col("monetary"))).as("cell_revenue"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Market-basket association rules (directed a→b): support, confidence
+    * = co/n_a, lift = N·co/(n_a·n_b) over order baskets. Candidate pairs
+    * are BLOCKED BY ORDER KEY (Σ basket², never catalog²) exactly as in
+    * q_item_cooccur; every score is one double division of exact int64
+    * products, so the ranking is bit-stable across engines and partition
+    * counts. The classic retail/recommendation rule miner. */
+  val qAssocRules = Q(
+    "q_assoc_rules",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM li),
+      |sup AS (SELECT pk, count(*) AS n_ok FROM li GROUP BY pk),
+      |co AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_co
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |dir AS (
+      |  SELECT pa AS ante, pb AS cons, n_co FROM co
+      |  UNION ALL SELECT pb, pa, n_co FROM co),
+      |rules AS (
+      |  SELECT ante, cons, n_co,
+      |    ROUND(CAST(n_co AS DOUBLE) / sa.n_ok, 6) AS confidence,
+      |    ROUND(CAST(nb.n * n_co AS DOUBLE) / (sa.n_ok * sb.n_ok), 6)
+      |      AS lift
+      |  FROM dir JOIN sup sa ON dir.ante = sa.pk
+      |           JOIN sup sb ON dir.cons = sb.pk
+      |           CROSS JOIN nb)
+      |SELECT ante, cons, n_co, confidence, lift FROM rules
+      |ORDER BY lift DESC, confidence DESC, ante, cons LIMIT 50""".stripMargin) {
+    (s, d) =>
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nBaskets = li.agg(countDistinct(col("ok")).as("n"))
+      val sup = li.groupBy("pk").agg(count(lit(1)).as("n_ok"))
+      val co = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+      val dir = co.select(col("pa").as("ante"), col("pb").as("cons"), col("n_co"))
+        .unionByName(co.select(col("pb").as("ante"), col("pa").as("cons"),
+          col("n_co")))
+      dir.join(sup.select(col("pk").as("ante"), col("n_ok").as("na")), Seq("ante"))
+        .join(sup.select(col("pk").as("cons"), col("n_ok").as("nb")), Seq("cons"))
+        .crossJoin(broadcast(nBaskets))
+        .select(col("ante"), col("cons"), col("n_co"),
+          round(col("n_co").cast(DoubleType) / col("na"), 6).as("confidence"),
+          round((col("n") * col("n_co")).cast(DoubleType) /
+            (col("na") * col("nb")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("confidence").desc, col("ante"),
+          col("cons"))
+        .limit(50)
+  }
+
+  /** Per-nation Gini coefficient of customer revenue — the inequality /
+    * concentration metric (suppliers-vs-long-tail, data-source skew). All
+    * math is exact int64 cents: per-customer revenue ranks come from a
+    * NATION-PARTITIONED window (bounded partitions — no global sort), the
+    * Gini numerator 2·Σ rank·x − (n+1)·Σx and denominator n·Σx stay
+    * integral, and the single double division + round 6 at the end is
+    * bit-stable on both engines. Customers with no orders count as zero
+    * revenue (LEFT join), which is what makes the metric honest. */
+  val qGini = Q(
+    "q_gini",
+    """WITH rev AS (
+      |  SELECT c_custkey AS ck, c_nationkey AS nk,
+      |    CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) * 100
+      |      AS BIGINT) AS cents
+      |  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT nk, cents,
+      |    row_number() OVER (PARTITION BY nk ORDER BY cents, ck) AS rn
+      |  FROM rev),
+      |agg AS (
+      |  SELECT nk, count(*) AS n_cust, sum(cents) AS sx,
+      |    sum(rn * cents) AS srx
+      |  FROM ranked GROUP BY nk)
+      |SELECT nk AS nation, n_cust,
+      |  ROUND(CAST(2 * srx - (n_cust + 1) * sx AS DOUBLE)
+      |    / CAST(n_cust * sx AS DOUBLE), 6) AS gini
+      |FROM agg ORDER BY nation""".stripMargin) { (s, d) =>
+    val rev = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      .join(t(s, d, "orders").select("o_custkey", "o_totalprice"),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+      .agg((coalesce(sum(dec2(col("o_totalprice"))), lit(0)) * 100)
+        .cast(LongType).as("cents"))
+    val w = Window.partitionBy("nk").orderBy(col("cents"), col("ck"))
+    rev.withColumn("rn", row_number().over(w).cast(LongType))
+      .groupBy("nk")
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("sx"),
+        sum(col("rn") * col("cents")).as("srx"))
+      .select(col("nk").as("nation"), col("n_cust"),
+        round((lit(2) * col("srx") - (col("n_cust") + 1) * col("sx"))
+          .cast(DoubleType) /
+          (col("n_cust") * col("sx")).cast(DoubleType), 6).as("gini"))
+      .orderBy("nation")
+  }
+
+  /** Lag-k autocorrelation of the daily revenue series (1 / 7 / 28-day
+    * lags — trend + weekly + monthly seasonality probes). The series is
+    * the per-day exact-cents aggregate (|days| rows — the fact table is
+    * reduced before anything quadratic-ish happens); lag pairs come from
+    * a date-shifted self-equi-join (never a global window), and Pearson r
+    * is assembled from EXACT wide-decimal sums (Σx, Σy, Σxy, Σx², Σy² —
+    * products cast to DECIMAL(38,0)/HUGEINT before multiplying so nothing
+    * overflows or rounds), with doubles entering only in the final
+    * num/√·√ expression, identically ordered on both engines, round 6. */
+  val qAutocorr = Q(
+    "q_autocorr",
+    """WITH series AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |lags(lag) AS (VALUES (1), (7), (28)),
+      |pairs AS (
+      |  SELECT l.lag, CAST(a.cents AS HUGEINT) AS x,
+      |         CAST(b.cents AS HUGEINT) AS y
+      |  FROM series a CROSS JOIN lags l
+      |  JOIN series b ON b.day = a.day - l.lag),
+      |m AS (
+      |  SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM pairs GROUP BY lag)
+      |SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+      |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS r
+      |FROM m ORDER BY lag""".stripMargin) { (s, d) =>
+    val big = DecimalType(38, 0)
+    val series = t(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("day"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
+    import s.implicits._
+    val lags = Seq(1, 7, 28).toDF("lag")
+    val a = series.select(col("day"), col("cents").cast(big).as("x"))
+      .crossJoin(broadcast(lags))
+    val b = series.select(col("day").as("bday"), col("cents").cast(big).as("y"))
+    val pairs = a.join(b, date_sub(col("day"), col("lag")) === col("bday"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).cast(big).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n").cast(LongType).as("n_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast(DoubleType))), 6).as("r"))
+      .orderBy("lag")
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
     qKsTest, qTimeWeightedAvg, qWeightedSample, qWindowCumdistinct,
     qSnapshotDiff, qChi2Drift, qIntervalOverlap, qCcLabelprop,
-    qItemCooccur, qEventPaths, qTriangleCount, qIncrJoin)
+    qItemCooccur, qEventPaths, qTriangleCount, qIncrJoin,
+    qRfm, qAssocRules, qGini, qAutocorr)
 }

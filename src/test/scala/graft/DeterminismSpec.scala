@@ -36,7 +36,11 @@ class DeterminismSpec extends SparkTestBase {
     StreamingQueries.qStreamTopk, PipelineQueries.qFreshnessAudit,
     AnalyticsQueries.qItemCooccur, AnalyticsQueries.qTriangleCount,
     PipelineQueries.qKmvDistinct, LlmQueries.qEmbedOutlier,
-    LlmQueries.qDedupContainment)
+    LlmQueries.qDedupContainment,
+    // round 7 (cont.): GlobalRank-quartile scoring, exact-int rule
+    // scores, rank×value integer sums, wide-decimal moment sums
+    AnalyticsQueries.qRfm, AnalyticsQueries.qAssocRules,
+    AnalyticsQueries.qGini, AnalyticsQueries.qAutocorr)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
