@@ -76,6 +76,13 @@ object TextOps {
       when(hash60(col("text")) % 10 < lit(10 - testBuckets), "train")
         .otherwise("test"))
 
+  /** Deterministic k-fold assignment for cross-validation: fold id is a
+    * pure function of content (same md5 primitive as trainTestSplit), so
+    * folds are reproducible across engines, runs, and partitionings, and
+    * re-ingesting a document lands it in the same fold. */
+  def kFolds(docs: DataFrame, k: Int): DataFrame =
+    docs.withColumn("fold", (hash60(col("text")) % k).cast(IntegerType))
+
   /** Reproducible pseudo-random ordering (for shuffling training batches
     * deterministically): order by content digest. */
   def deterministicShuffle(docs: DataFrame): DataFrame =

@@ -1018,11 +1018,56 @@ object AnalyticsQueries {
       .orderBy("lag")
   }
 
+  /** Degree distribution of the co-purchase graph (same support ≥ 2 edge
+    * derivation as q_triangle_count): per-vertex degree, then the degree
+    * histogram with a cumulative node count — the first thing to look at
+    * before running any graph algorithm (skew / hub detection; it is what
+    * tells you whether q_cc_labelprop needs sparsification). The
+    * cumulative window runs over the HISTOGRAM (|distinct degrees| rows —
+    * a bounded post-aggregation domain), never over vertices. */
+  val qDegreeHist = Q(
+    "q_degree_hist",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT pa AS src, pb AS dst FROM (
+      |    SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_co
+      |    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |    GROUP BY 1, 2) c
+      |  WHERE n_co >= 2),
+      |deg AS (
+      |  SELECT v, count(*) AS degree FROM (
+      |    SELECT src AS v FROM e UNION ALL SELECT dst FROM e) u
+      |  GROUP BY v),
+      |hist AS (SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree)
+      |SELECT degree, n_nodes,
+      |  CAST(sum(n_nodes) OVER (ORDER BY degree) AS BIGINT) AS cum_nodes
+      |FROM hist ORDER BY degree""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select("src", "dst")
+    val deg = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+    // bounded-domain cumulative: |distinct degrees| rows, not vertices
+    val w = Window.orderBy("degree")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum_nodes", sum(col("n_nodes")).over(w).cast(LongType))
+      .orderBy("degree")
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
     qKsTest, qTimeWeightedAvg, qWeightedSample, qWindowCumdistinct,
     qSnapshotDiff, qChi2Drift, qIntervalOverlap, qCcLabelprop,
     qItemCooccur, qEventPaths, qTriangleCount, qIncrJoin,
-    qRfm, qAssocRules, qGini, qAutocorr)
+    qRfm, qAssocRules, qGini, qAutocorr, qDegreeHist)
 }

@@ -1215,7 +1215,93 @@ object LlmQueries {
       .limit(100)
   }
 
+  /** Deterministic k-fold cross-validation assignment (`TextOps.kFolds`):
+    * fold = content-hash % 5, so the same document lands in the same fold
+    * on ANY engine, run, or partitioning — the reproducibility property a
+    * training pipeline needs to compare model runs. Output profiles each
+    * fold (size, chars, source spread, corpus share) so imbalance is
+    * visible; one groupBy on a 5-value key + a broadcast one-row total. */
+  val qCrossvalFolds = Q(
+    "q_crossval_folds",
+    """WITH f AS (
+      |  SELECT CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+      |           % 5 AS INT) AS fold,
+      |         n_chars, source
+      |  FROM documents),
+      |per AS (
+      |  SELECT fold, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    count(DISTINCT source) AS n_sources
+      |  FROM f GROUP BY fold)
+      |SELECT fold, n_docs, total_chars, n_sources,
+      |  ROUND(CAST(n_docs AS DOUBLE)
+      |    / (SELECT count(*) FROM documents), 6) AS share
+      |FROM per ORDER BY fold""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val tot = docs.agg(count(lit(1)).as("n_tot"))
+    TextOps.kFolds(docs, 5)
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .crossJoin(broadcast(tot))
+      .select(col("fold"), col("n_docs"), col("total_chars"),
+        col("n_sources"),
+        round(col("n_docs").cast(DoubleType) / col("n_tot"), 6).as("share"))
+      .orderBy("fold")
+  }
+
+  /** Pointwise mutual information for token bigrams — the collocation
+    * miner (multi-word expressions, tokenizer-merge candidates). PMI =
+    * ln(N·c_ab / (c_a·c_b)) with every count an exact int64 widened to
+    * DECIMAL(38,0)/HUGEINT before multiplying (no overflow at corpus
+    * scale), ONE double division and ONE per-row ln at the end (the same
+    * per-row-ln discipline as q_math_funcs — ln never sits inside an
+    * aggregate). Bigrams and unigrams are two linear explode passes; the
+    * c_ab ≥ 20 support floor bounds the ranked output. */
+  val qPmiBigrams = Q(
+    "q_pmi_bigrams",
+    """WITH toks AS (
+      |  SELECT sp[k] AS term, sp[k+1] AS next, len(sp) AS n_sp, k
+      |  FROM (SELECT string_split(text, ' ') AS sp FROM documents) d,
+      |       generate_series(1, 4000) AS g(k)
+      |  WHERE k <= len(sp)),
+      |uni AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+      |n AS (SELECT CAST(sum(c) AS HUGEINT) AS n_tok FROM uni),
+      |big AS (
+      |  SELECT term, next, count(*) AS c_ab FROM toks
+      |  WHERE next IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= 20)
+      |SELECT big.term, big.next, c_ab,
+      |  ROUND(ln(CAST(n.n_tok * c_ab AS DOUBLE)
+      |    / CAST(CAST(ua.c AS HUGEINT) * ub.c AS DOUBLE)), 6) AS pmi
+      |FROM big JOIN uni ua ON big.term = ua.term
+      |         JOIN uni ub ON big.next = ub.term
+      |         CROSS JOIN n
+      |ORDER BY pmi DESC, big.term, big.next LIMIT 50""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val toks = t(s, d, "documents")
+      .select(split(col("text"), " ").as("sp"))
+      .select(col("sp"), explode(sequence(lit(1), size(col("sp")))).as("k"))
+      .select(element_at(col("sp"), col("k")).as("term"),
+        when(col("k") < size(col("sp")),
+          element_at(col("sp"), col("k") + 1)).as("next"))
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).cast(big38).as("n_tok"))
+    val big = toks.filter(col("next").isNotNull)
+      .groupBy("term", "next").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 20)
+    big.join(uni.select(col("term"), col("c").as("ca")), Seq("term"))
+      .join(uni.select(col("term").as("next"), col("c").as("cb")), Seq("next"))
+      .crossJoin(broadcast(nTok))
+      .select(col("term"), col("next"), col("c_ab"),
+        round(log((col("n_tok") * col("c_ab")).cast(DoubleType) /
+          (col("ca").cast(big38) * col("cb")).cast(DoubleType)), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("term"), col("next"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(
+    qCrossvalFolds, qPmiBigrams,
     qDedupExact, qDedupSimhash, qDedupSimhashPairs, qDedupMinhash,
     qDedupMinhashDet,
     qDedupNgram, qDedupContainment, qDedupEmbed, qDedupEmbedLsh,

@@ -818,10 +818,44 @@ object PipelineQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** l-diversity audit — k-anonymity's stronger sibling: a
+    * quasi-identifier group can be large (k high) yet still leak if every
+    * member shares the same sensitive value. Sensitive attribute here is
+    * the account-balance band (fixed thresholds, deterministic); l =
+    * distinct bands per (mktsegment, nation) group, flagged when l < 3.
+    * One groupBy on the bounded QI domain — the same shuffle shape as
+    * q_k_anonymity, so the audit pair runs at identical cost. */
+  val qLDiversity = Q(
+    "q_l_diversity",
+    """WITH banded AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    CASE WHEN c_acctbal < 0 THEN 'debt'
+      |         WHEN c_acctbal < 5000 THEN 'mid'
+      |         ELSE 'high' END AS band
+      |  FROM customer)
+      |SELECT c_mktsegment, c_nationkey, count(*) AS k,
+      |  count(DISTINCT band) AS l,
+      |  CAST(CASE WHEN count(DISTINCT band) < 3 THEN 1 ELSE 0 END AS INT)
+      |    AS leaky
+      |FROM banded GROUP BY 1, 2
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin) { (s, d) =>
+    t(s, d, "customer")
+      .withColumn("band",
+        when(col("c_acctbal") < 0, "debt")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high"))
+      .groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("k"), countDistinct(col("band")).as("l"))
+      .withColumn("leaky",
+        when(col("l") < 3, 1).otherwise(0).cast(IntegerType))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
   val all: Seq[Q] = Seq(
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
     qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,
     qSimL2, qKmeansUpdate, qKAnonymity, qReferentialCheck, qDupSpans,
     qVocabCoverage, qJoinNearest, qUrlExtract, qTableChecksum,
-    qFreshnessAudit, qKmvDistinct, qUrlCanon, qJoinBucketed)
+    qFreshnessAudit, qKmvDistinct, qUrlCanon, qJoinBucketed,
+    qLDiversity)
 }

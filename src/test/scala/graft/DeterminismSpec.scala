@@ -40,7 +40,9 @@ class DeterminismSpec extends SparkTestBase {
     // round 7 (cont.): GlobalRank-quartile scoring, exact-int rule
     // scores, rank×value integer sums, wide-decimal moment sums
     AnalyticsQueries.qRfm, AnalyticsQueries.qAssocRules,
-    AnalyticsQueries.qGini, AnalyticsQueries.qAutocorr)
+    AnalyticsQueries.qGini, AnalyticsQueries.qAutocorr,
+    LlmQueries.qPmiBigrams, LlmQueries.qCrossvalFolds,
+    AnalyticsQueries.qDegreeHist)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
