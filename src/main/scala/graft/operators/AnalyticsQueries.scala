@@ -1063,11 +1063,68 @@ object AnalyticsQueries {
       .orderBy("degree")
   }
 
+  /** Rolling 7-day OLS trend slope of per-nation daily revenue — the
+    * per-entity trend detector (is this source/segment growing?), ranked
+    * to the 20 steepest windows. The fact table reduces to the
+    * (nation, day) series first; the rolling frame is a NATION-keyed row
+    * window (bounded partitions); the slope (nΣxy−ΣxΣy)/(nΣx²−(Σx)²)
+    * is assembled from exact int64 sums inside the frame (x = epoch day,
+    * y = cents), with one double division + round 6 at the end. */
+  val qRollingSlope = Q(
+    "q_rolling_slope",
+    """WITH series AS (
+      |  SELECT c_nationkey AS nk, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |xy AS (
+      |  SELECT nk, day, CAST(day - DATE '1970-01-01' AS BIGINT) AS x,
+      |    cents AS y FROM series),
+      |roll AS (
+      |  SELECT nk, day,
+      |    count(*)   OVER w AS n,
+      |    sum(x)     OVER w AS sx,  sum(y)     OVER w AS sy,
+      |    sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+      |  FROM xy
+      |  WINDOW w AS (PARTITION BY nk ORDER BY day
+      |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT nk AS nation, day,
+      |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+      |FROM roll WHERE n = 7
+      |ORDER BY slope DESC, nation, day LIMIT 20""".stripMargin) { (s, d) =>
+    val series = t(s, d, "orders")
+      .join(t(s, d, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        col("o_orderdate").cast(DateType).as("day"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
+    val xy = series.select(col("nk"), col("day"),
+      datediff(col("day"), lit("1970-01-01").cast(DateType))
+        .cast(LongType).as("x"),
+      col("cents").as("y"))
+    val w = Window.partitionBy("nk").orderBy("day").rowsBetween(-6, 0)
+    xy.select(col("nk"), col("day"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("y")).over(w).as("sxy"),
+        sum(col("x") * col("x")).over(w).as("sxx"))
+      .filter(col("n") === 7)
+      .select(col("nk").as("nation"), col("day"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast(DoubleType) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType), 6).as("slope"))
+      .orderBy(col("slope").desc, col("nation"), col("day"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
     qKsTest, qTimeWeightedAvg, qWeightedSample, qWindowCumdistinct,
     qSnapshotDiff, qChi2Drift, qIntervalOverlap, qCcLabelprop,
     qItemCooccur, qEventPaths, qTriangleCount, qIncrJoin,
-    qRfm, qAssocRules, qGini, qAutocorr, qDegreeHist)
+    qRfm, qAssocRules, qGini, qAutocorr, qDegreeHist, qRollingSlope)
 }

@@ -1300,8 +1300,35 @@ object LlmQueries {
       .limit(50)
   }
 
+  /** Class-balance profile + inverse-frequency reweighting factors over
+    * the labeled embedding corpus — the imbalance check run before any
+    * classifier/contrastive training, and the per-class weights N/(K·n_c)
+    * a weighted loss consumes. Exact integer counts; the weight is one
+    * double division, round 6. One groupBy on the bounded label domain. */
+  val qLabelBalance = Q(
+    "q_label_balance",
+    """WITH per AS (
+      |  SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+      |tot AS (SELECT count(*) AS n_tot, count(DISTINCT label) AS k
+      |        FROM embeddings)
+      |SELECT label, n,
+      |  ROUND(CAST(n AS DOUBLE) / n_tot, 6) AS share,
+      |  ROUND(CAST(n_tot AS DOUBLE) / (k * n), 6) AS weight
+      |FROM per, tot ORDER BY label""".stripMargin) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    val tot = emb.agg(count(lit(1)).as("n_tot"),
+      countDistinct(col("label")).as("k"))
+    emb.groupBy("label").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("label"), col("n"),
+        round(col("n").cast(DoubleType) / col("n_tot"), 6).as("share"),
+        round(col("n_tot").cast(DoubleType) / (col("k") * col("n")), 6)
+          .as("weight"))
+      .orderBy("label")
+  }
+
   val all: Seq[Q] = Seq(
-    qCrossvalFolds, qPmiBigrams,
+    qCrossvalFolds, qPmiBigrams, qLabelBalance,
     qDedupExact, qDedupSimhash, qDedupSimhashPairs, qDedupMinhash,
     qDedupMinhashDet,
     qDedupNgram, qDedupContainment, qDedupEmbed, qDedupEmbedLsh,

@@ -5,7 +5,7 @@ import graft.Dsl._
 import graft.ml.{AlsEngine, Antidote, Baseline, Ratings}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, StringType}
 
 /** §2.J — the reference's core MF / societal-metric / antidote family,
   * over the derived ratings view (FIXTURES.md). Metric queries use the
@@ -447,11 +447,66 @@ object MfQueries {
       .orderBy("alpha", "metric")
   }
 
+  /** Deterministic negative sampling — the training-example generator
+    * every implicit-feedback recommender (BPR, ALS-implicit, two-tower)
+    * needs: for each purchasing customer, 4 items they did NOT buy, drawn
+    * by content hash so the samples are reproducible across engines, runs
+    * and partitionings (no rand()). Candidates are an 8-way oversample
+    * (hash(user#j) mod max item key), observed pairs are removed with one
+    * user+item anti-join, and the keep-first-4 window partitions BY USER
+    * — every stage is an equi-join or bounded window, nothing quadratic.
+    * The oversample factor bounds the miss probability: a user would need
+    * ≥ 5 of 8 hash draws to land on already-bought items to come up
+    * short. */
+  val qNegativeSample = Q(
+    "q_negative_sample",
+    """WITH obs AS (
+      |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |mx AS (SELECT max(p_partkey) AS maxpk FROM part),
+      |cand AS (
+      |  SELECT u, j,
+      |    1 + CAST(CAST(concat('0x', substr(md5(
+      |      concat(CAST(u AS VARCHAR), '#', CAST(j AS VARCHAR))), 1, 15))
+      |      AS BIGINT) % maxpk AS BIGINT) AS i
+      |  FROM (SELECT DISTINCT u FROM obs) us
+      |  CROSS JOIN generate_series(1, 8) AS g(j), mx),
+      |neg AS (
+      |  SELECT c.u, c.j, c.i FROM cand c
+      |  LEFT JOIN obs ON obs.u = c.u AND obs.i = c.i
+      |  WHERE obs.u IS NULL),
+      |ranked AS (
+      |  SELECT u, i,
+      |    CAST(row_number() OVER (PARTITION BY u ORDER BY j) AS INT) AS slot
+      |  FROM neg)
+      |SELECT u, slot, i FROM ranked WHERE slot <= 4
+      |ORDER BY u, slot""".stripMargin) { (s, d) =>
+    import graft.llm.TextOps.hash60
+    val obs = t(s, d, "orders").select(col("o_custkey").as("u"), col("o_orderkey"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey").as("i")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("u", "i").distinct()
+    val mx = t(s, d, "part").agg(max(col("p_partkey")).as("maxpk"))
+    val cand = obs.select("u").distinct()
+      .crossJoin(broadcast(mx))
+      .select(col("u"), explode(sequence(lit(1), lit(8))).as("j"), col("maxpk"))
+      .select(col("u"), col("j"),
+        (lit(1) + hash60(concat(col("u").cast(StringType), lit("#"),
+          col("j").cast(StringType))) % col("maxpk")).as("i"))
+    val neg = cand.join(obs, Seq("u", "i"), "left_anti")
+    val w = Window.partitionBy("u").orderBy("j")
+    neg.withColumn("slot", row_number().over(w).cast(IntegerType))
+      .filter(col("slot") <= 4)
+      .select("u", "slot", "i")
+      .orderBy("u", "slot")
+  }
+
   val all: Seq[Q] = Seq(
     qRatingsView, qRatingsPivot, qMfAlsTrain, qMfPredict, qMfTopkRecs,
     qMfItemSim, qMfFoldin,
     qMetricRmse, qMetricPolarization, qMetricIndUnfairness,
     qMetricGrpUnfairness, qMetricRmseHoldout, qRecCoverage,
     qAntidoteInit, qAntidoteStep, qAntidoteEval,
-    qSourceDelimited, qMfCompactTrain, qAntidoteSweepAls)
+    qSourceDelimited, qMfCompactTrain, qAntidoteSweepAls,
+    qNegativeSample)
 }

@@ -851,11 +851,30 @@ object PipelineQueries {
       .orderBy("c_mktsegment", "c_nationkey")
   }
 
+  /** Small-file compaction PLANNING from metadata alone
+    * (`Layout.compactionPlan`): the sfDir's parquet files laddered by
+    * (size desc, name) and packed into ~256 KiB output bins by global
+    * running sum — which merges happen, what each rewrite task costs,
+    * before reading a single data byte. binaryFile listing with ONLY
+    * (path, length) selected, so the content column never loads; the
+    * cumulative sum is GlobalRank's two-pass form because a 100 TB
+    * table's file listing is itself millions of rows. No oracle (DuckDB's
+    * parquet metadata exposes no file sizes and oracle SQL cannot embed
+    * the per-run sfDir); the packing invariants are pinned in
+    * LayoutSpec. */
+  val qCompactionPlan = Q.noOracle("q_compaction_plan") { (s, d) =>
+    val files = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet").load(d)
+      .select(element_at(split(col("path"), "/"), -1).as("path"),
+        col("length"))
+    graft.plans.Layout.compactionPlan(files, 256L * 1024)
+  }
+
   val all: Seq[Q] = Seq(
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
     qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,
     qSimL2, qKmeansUpdate, qKAnonymity, qReferentialCheck, qDupSpans,
     qVocabCoverage, qJoinNearest, qUrlExtract, qTableChecksum,
     qFreshnessAudit, qKmvDistinct, qUrlCanon, qJoinBucketed,
-    qLDiversity)
+    qLDiversity, qCompactionPlan)
 }

@@ -91,6 +91,29 @@ object Layout {
       .saveAsTable(table)
   }
 
+  /** Compaction PLAN over a (path, length) file listing: which small
+    * files merge into which target-sized output, decided from metadata
+    * alone — the planning half of `compactParquet`, separated so a 100 TB
+    * table's nightly maintenance job can cost the rewrite before touching
+    * a byte of data. Files are laddered by (size desc, path) and packed
+    * sequentially: bin = floor(cumulative-bytes-before / targetBytes).
+    * The cumulative sum runs through `GlobalRank.withGlobalRunningSum`
+    * (two-pass range buckets — a 100 TB table's file listing is itself
+    * millions of rows, which is exactly when a single-task global window
+    * dies). Deterministic: pure function of (path, length). */
+  def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame = {
+    val (cum, _) = GlobalRank.withGlobalRunningSum(
+      files.select(col("path"), col("length")),
+      col("length"), "cum", 8, -col("length"), col("path"))
+    cum.withColumn("bin",
+        floor((col("cum") - col("length")).cast("double") / targetBytes)
+          .cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("length")).as("bin_bytes"),
+        min(col("path")).as("first_file"), max(col("path")).as("last_file"))
+      .orderBy("bin")
+  }
+
   /** Number of data files currently backing a parquet directory. */
   def dataFileCount(dir: String): Int = {
     val d = new java.io.File(dir)

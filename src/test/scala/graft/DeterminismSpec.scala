@@ -42,7 +42,9 @@ class DeterminismSpec extends SparkTestBase {
     AnalyticsQueries.qRfm, AnalyticsQueries.qAssocRules,
     AnalyticsQueries.qGini, AnalyticsQueries.qAutocorr,
     LlmQueries.qPmiBigrams, LlmQueries.qCrossvalFolds,
-    AnalyticsQueries.qDegreeHist)
+    AnalyticsQueries.qDegreeHist,
+    MfQueries.qNegativeSample, AnalyticsQueries.qRollingSlope,
+    PipelineQueries.qCompactionPlan)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

@@ -76,6 +76,45 @@ class LayoutSpec extends SparkTestBase {
     assert(minF != maxF, "range clustering produced overlapping extremes")
   }
 
+  test("compactionPlan packs every byte once into near-target bins") {
+    import spark.implicits._
+    val sizes = Seq(
+      "a" -> 500L, "b" -> 120L, "c" -> 80L, "d" -> 300L, "e" -> 40L,
+      "f" -> 260L, "g" -> 10L, "h" -> 90L, "i" -> 200L, "j" -> 70L)
+    val files = sizes.toDF("path", "length")
+    val target = 400L
+    val plan = Layout.compactionPlan(files, target).collect()
+    // conservation: every file in exactly one bin, every byte accounted
+    assert(plan.map(_.getAs[Long]("n_files")).sum == sizes.length)
+    assert(plan.map(_.getAs[Long]("bin_bytes")).sum == sizes.map(_._2).sum)
+    // bins are dense 0..k
+    assert(plan.map(_.getAs[Long]("bin")).toSeq ==
+      (0L until plan.length).toSeq)
+    // packing bound: a bin STARTS before its boundary, so it can exceed
+    // the target only by (a tail chunk of) one file — never by more than
+    // the largest single file
+    val maxFile = sizes.map(_._2).max
+    plan.foreach { r =>
+      assert(r.getAs[Long]("bin_bytes") <= target + maxFile,
+        s"bin ${r.getAs[Long]("bin")} overpacked")
+    }
+    // deterministic across parallelism
+    val p5 = {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      try Layout.compactionPlan(files, target).collect().map(_.toString).toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+    }
+    assert(p5 == plan.map(_.toString).toSeq)
+  }
+
+  test("q_compaction_plan lists the fixture dir without loading content") {
+    val out = operators.PipelineQueries.qCompactionPlan.run(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_files")).sum ==
+      Layout.dataFileCount(sf).toLong)
+  }
+
   test("bucketed tables join with zero shuffle exchanges, result identical") {
     val li = Tables.load(spark, sf, "lineitem")
       .select("l_orderkey", "l_partkey", "l_quantity")
