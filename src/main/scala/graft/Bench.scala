@@ -98,7 +98,10 @@ object Bench {
       "q_dedup_clusters_det", "q_table_checksum",
       "q_item_cooccur", "q_triangle_count", "q_kmv_distinct",
       "q_embed_outlier", "q_dedup_containment", "q_join_bucketed",
-      "q_mf_foldin", "q_sim_ivfpq")
+      "q_mf_foldin", "q_sim_ivfpq",
+      // round 7 (cont.): basket-pair joins, GlobalRank scoring, explodes
+      "q_assoc_rules", "q_rfm", "q_autocorr", "q_pmi_bigrams",
+      "q_negative_sample", "q_degree_hist")
     // In repeat mode every headline query matches `repeat` keys; keep only
     // the last repeat (warm steady-state) so the short line stays bounded.
     val headQs = results.filter { case (k, _) => headline.contains(k.takeWhile(_ != '#')) }

@@ -843,6 +843,11 @@ object AnalyticsQueries {
       .crossJoin(broadcast(refDate))
       .withColumn("rec_days", datediff(col("ref"), col("last_d")))
       .select("ck", "rec_days", "freq", "monetary")
+      // three GlobalRank passes each re-derive their input; materialize
+      // the |customers|-sized aggregate once so the fact table is scanned
+      // once, not once per pass (the remaining ~2.7 s at sf0.1 is the
+      // fixed job-count cost of 3 rank passes, not data volume)
+      .localCheckpoint()
     // GlobalRank takes plain ascending sort columns (the head doubles as
     // the range-bucket key), so DESC orders ride in as negated metrics.
     val (r1, n1) = GlobalRank.withGlobalRowNumber(cust, "rn_r", 8,
@@ -1120,11 +1125,149 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** Spearman rank correlation between line-item price and quantity —
+    * the monotone-association complement of q_corr_matrix's Pearson (and
+    * robust to outliers, which is why feature-screening pipelines prefer
+    * it). Ranks are TOTAL-ORDER row numbers (value, orderkey, linenumber
+    * tiebreak — the deterministic-variant convention both engines share
+    * bit-for-bit), so ρ = 1 − 6Σd²/(n(n²−1)) holds exactly; Σd² is an
+    * exact DECIMAL(38)/HUGEINT sum and doubles appear only in the final
+    * division. Both rankings run through `GlobalRank.withGlobalRowNumber`
+    * — a 600k-row (or 600-billion-row) fact table is never funnelled
+    * through a single-task window. */
+  val qSpearman = Q(
+    "q_spearman",
+    """WITH r AS (
+      |  SELECT
+      |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+      |                       l_linenumber) AS rx,
+      |    row_number() OVER (ORDER BY l_quantity, l_orderkey,
+      |                       l_linenumber) AS ry
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST((rx - ry) AS HUGEINT) * (rx - ry)) AS sd2
+      |  FROM r)
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      |  ROUND(1.0 - CAST(6 * sd2 AS DOUBLE)
+      |    / CAST(n * (n * n - 1) AS DOUBLE), 6) AS rho
+      |FROM m""".stripMargin) { (s, d) =>
+    import graft.plans.GlobalRank
+    val big38 = DecimalType(38, 0)
+    val li = t(s, d, "lineitem")
+      .select("l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber")
+    val (rx, _) = GlobalRank.withGlobalRowNumber(li, "rx", 16,
+      col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val (rxy, _) = GlobalRank.withGlobalRowNumber(rx, "ry", 16,
+      col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    rxy.agg(count(lit(1)).cast(big38).as("n"),
+        sum((col("rx") - col("ry")).cast(big38)
+          * (col("rx") - col("ry"))).as("sd2"))
+      .select(col("n").cast(LongType).as("n_rows"),
+        round(lit(1.0) - (lit(6) * col("sd2")).cast(DoubleType) /
+          (col("n") * (col("n") * col("n") - 1)).cast(DoubleType), 6)
+          .as("rho"))
+  }
+
+  /** Benford first-digit audit of order totals — the classic
+    * fraud/synthetic-data screen: observed first-significant-digit shares
+    * vs the Benford expectation log10(1+1/d), with the per-digit χ²
+    * deviation term. Counts are exact ints from ONE bounded-domain (9
+    * keys) aggregate; the expectation and deviation are per-row double
+    * expressions (never double sums), round 6. */
+  val qBenford = Q(
+    "q_benford",
+    """WITH digits AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders WHERE o_totalprice >= 1),
+      |obs AS (SELECT digit, count(*) AS n_obs FROM digits GROUP BY digit),
+      |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+      |SELECT digit, n_obs,
+      |  ROUND(CAST(n_obs AS DOUBLE) / n, 6) AS obs_share,
+      |  ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+      |  ROUND(
+      |    (n_obs - n * log10(1.0 + 1.0 / digit))
+      |    * (n_obs - n * log10(1.0 + 1.0 / digit))
+      |    / (n * log10(1.0 + 1.0 / digit)), 6) AS chi2_term
+      |FROM obs, tot ORDER BY digit""".stripMargin) { (s, d) =>
+    val obs = t(s, d, "orders")
+      .filter(col("o_totalprice") >= 1)
+      .select(substring(floor(col("o_totalprice")).cast(LongType)
+        .cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).cast(LongType).as("n"))
+    val p = log10(lit(1.0) + lit(1.0) / col("digit"))
+    obs.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast(DoubleType) / col("n"), 6).as("obs_share"),
+        round(p, 6).as("benford_p"),
+        round((col("n_obs") - col("n") * p) * (col("n_obs") - col("n") * p)
+          / (col("n") * p), 6).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** CUSUM change-point detection on the daily revenue series: the five
+    * days maximizing |S_t| where S_t = n·(Σ_{i≤t} x_i) − t·Σx (the
+    * mean-free cumulative deviation, SCALED BY n so it stays integral —
+    * no running double drift). The fact table reduces to the |days|
+    * series first; the running sums of (cents, 1) ride ONE
+    * `GlobalRank.withGlobalRunningSums` pass; candidates are ranked by
+    * the EXACT integer |S_t| (ties broken by day) and only the
+    * normalized score is a rounded double. The regime-shift detector for
+    * revenue, traffic, or ingest-volume monitoring. */
+  val qChangepoint = Q(
+    "q_changepoint",
+    """WITH series AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |cum AS (
+      |  SELECT day,
+      |    CAST(sum(cents) OVER (ORDER BY day) AS HUGEINT) AS cum_cents,
+      |    CAST(row_number() OVER (ORDER BY day) AS HUGEINT) AS t
+      |  FROM series),
+      |tot AS (SELECT CAST(sum(cents) AS HUGEINT) AS sx,
+      |               CAST(count(*) AS HUGEINT) AS n FROM series),
+      |s AS (
+      |  SELECT day, CAST(t AS BIGINT) AS t,
+      |    abs(n * cum_cents - t * sx) AS s_abs, n, sx
+      |  FROM cum, tot)
+      |SELECT day, t,
+      |  ROUND(CAST(s_abs AS DOUBLE) / CAST(n * sx AS DOUBLE), 6) AS score
+      |FROM s ORDER BY s_abs DESC, day LIMIT 5""".stripMargin) { (s, d) =>
+    import graft.plans.GlobalRank
+    val big38 = DecimalType(38, 0)
+    val series = t(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("day"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
+      // GlobalRank's range-bucket key must be numeric — ride the epoch
+      // day alongside the DATE output column
+      .withColumn("eday",
+        datediff(col("day"), lit("1970-01-01").cast(DateType)).cast(LongType))
+    val (cum, totals) = GlobalRank.withGlobalRunningSums(series,
+      Seq((col("cents"), "cum_cents"), (lit(1L), "t")), 8, col("eday"))
+    val sx = lit(totals.head).cast(big38)
+    val n = lit(totals(1)).cast(big38)
+    cum.select(col("day"), col("t"),
+        abs(n * col("cum_cents").cast(big38) - col("t").cast(big38) * sx)
+          .as("s_abs"))
+      .select(col("day"), col("t"),
+        col("s_abs"),
+        round(col("s_abs").cast(DoubleType) / (n * sx).cast(DoubleType), 6)
+          .as("score"))
+      .orderBy(col("s_abs").desc, col("day"))
+      .limit(5)
+      .drop("s_abs")
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
     qKsTest, qTimeWeightedAvg, qWeightedSample, qWindowCumdistinct,
     qSnapshotDiff, qChi2Drift, qIntervalOverlap, qCcLabelprop,
     qItemCooccur, qEventPaths, qTriangleCount, qIncrJoin,
-    qRfm, qAssocRules, qGini, qAutocorr, qDegreeHist, qRollingSlope)
+    qRfm, qAssocRules, qGini, qAutocorr, qDegreeHist, qRollingSlope,
+    qSpearman, qBenford, qChangepoint)
 }

@@ -44,7 +44,8 @@ class DeterminismSpec extends SparkTestBase {
     LlmQueries.qPmiBigrams, LlmQueries.qCrossvalFolds,
     AnalyticsQueries.qDegreeHist,
     MfQueries.qNegativeSample, AnalyticsQueries.qRollingSlope,
-    PipelineQueries.qCompactionPlan)
+    PipelineQueries.qCompactionPlan,
+    AnalyticsQueries.qSpearman, AnalyticsQueries.qChangepoint)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
