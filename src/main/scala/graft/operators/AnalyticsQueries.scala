@@ -1262,6 +1262,133 @@ object AnalyticsQueries {
       .drop("s_abs")
   }
 
+  /** Mann–Whitney U rank-sum test: do AUTOMOBILE-segment orders have a
+    * different price distribution than the rest? The nonparametric
+    * two-sample test completing the stats battery (z-test = proportions,
+    * KS = numeric shape, chi² = categorical, this = ordinal shift).
+    * Ranks are total-order row numbers (price, orderkey tiebreak — the
+    * same deterministic-variant convention as q_spearman) assigned by
+    * `GlobalRank.withGlobalRowNumber`; the rank sum is an exact
+    * DECIMAL(38)/HUGEINT aggregate and doubles enter only in the final
+    * z expression, round 6. */
+  val qMannwhitney = Q(
+    "q_mannwhitney",
+    """WITH lab AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS grp
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |r AS (
+      |  SELECT grp,
+      |    CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+      |      AS HUGEINT) AS rk
+      |  FROM lab),
+      |m AS (
+      |  SELECT
+      |    sum(CASE WHEN grp = 1 THEN rk ELSE CAST(0 AS HUGEINT) END) AS r1,
+      |    CAST(sum(grp) AS HUGEINT) AS n1,
+      |    CAST(sum(1 - grp) AS HUGEINT) AS n2
+      |  FROM r)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(r1 - (n1 * (n1 + 1)) // 2 AS BIGINT) AS u1,
+      |  ROUND((CAST(r1 - (n1 * (n1 + 1)) // 2 AS DOUBLE)
+      |         - CAST(n1 * n2 AS DOUBLE) / 2)
+      |    / sqrt(CAST(n1 * n2 * (n1 + n2 + 1) AS DOUBLE) / 12), 6) AS z
+      |FROM m""".stripMargin) { (s, d) =>
+    import graft.plans.GlobalRank
+    val big38 = DecimalType(38, 0)
+    val lab = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        when(col("c_mktsegment") === "AUTOMOBILE", 1).otherwise(0).as("grp"))
+    val (ranked, _) = GlobalRank.withGlobalRowNumber(lab, "rk", 16,
+      col("o_totalprice"), col("o_orderkey"))
+    val m = ranked.agg(
+      sum(when(col("grp") === 1, col("rk")).otherwise(0L).cast(big38)).as("r1"),
+      sum(col("grp")).cast(big38).as("n1"),
+      sum(lit(1) - col("grp")).cast(big38).as("n2"))
+    val u1 = col("r1") - col("n1") * (col("n1") + 1) / 2
+    m.select(col("n1").cast(LongType).as("n1"),
+      col("n2").cast(LongType).as("n2"),
+      u1.cast(LongType).as("u1"),
+      round((u1.cast(DoubleType)
+          - (col("n1") * col("n2")).cast(DoubleType) / 2)
+        / sqrt((col("n1") * col("n2") * (col("n1") + col("n2") + 1))
+          .cast(DoubleType) / 12), 6).as("z"))
+  }
+
+  /** Day-of-week seasonality profile of order revenue (ISO numbering,
+    * 1 = Monday): order counts, exact-decimal revenue, revenue share —
+    * the weekly-rhythm readout feeding capacity planning and the lag-7
+    * peak q_autocorr detects. One bounded-domain (7-key) aggregate +
+    * broadcast one-row total. */
+  val qSeasonality = Q(
+    "q_seasonality",
+    """WITH per AS (
+      |  SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS dow,
+      |    count(*) AS n_orders,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT sum(rev) AS tot_rev FROM per)
+      |SELECT dow, n_orders, CAST(rev AS DOUBLE) AS revenue,
+      |  ROUND(CAST(rev AS DOUBLE) / CAST(tot_rev AS DOUBLE), 6) AS share
+      |FROM per, tot ORDER BY dow""".stripMargin) { (s, d) =>
+    val per = t(s, d, "orders")
+      .groupBy((weekday(col("o_orderdate").cast(DateType)) + 1).as("dow"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).as("rev"))
+    val tot = per.agg(sum(col("rev")).as("tot_rev"))
+    per.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_orders"), asDbl(col("rev")).as("revenue"),
+        round(asDbl(col("rev")) / asDbl(col("tot_rev")), 6).as("share"))
+      .orderBy("dow")
+  }
+
+  /** Herfindahl–Hirschman concentration index per market segment: how
+    * concentrated is a segment's revenue across nations? HHI = Σ sᵢ² is
+    * computed as (Σ revᵢ²)/(Σ revᵢ)² over EXACT integer cents widened to
+    * DECIMAL(38)/HUGEINT — never a sum of per-share doubles (whose
+    * addition order differs across engines/partitionings) — with one
+    * double division at the end, round 6. The concentration screen for
+    * revenue, supplier, or data-source dependence (1/HHI = effective
+    * source count, the same diagnostic q_source_diversity's Simpson
+    * index gives for documents). */
+  val qHhi = Q(
+    "q_hhi",
+    """WITH per AS (
+      |  SELECT c_mktsegment AS seg, c_nationkey AS nk,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT seg, count(*) AS n_nations,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS s2,
+      |    CAST(sum(cents) AS HUGEINT) AS s1
+      |  FROM per GROUP BY seg)
+      |SELECT seg, n_nations,
+      |  ROUND(CAST(s2 AS DOUBLE) / CAST(s1 * s1 AS DOUBLE), 6) AS hhi,
+      |  ROUND(CAST(s1 * s1 AS DOUBLE) / CAST(s2 AS DOUBLE), 6)
+      |    AS effective_sources
+      |FROM agg ORDER BY seg""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val per = t(s, d, "orders").select("o_custkey", "o_totalprice")
+      .join(broadcast(t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("c_nationkey").as("nk"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
+    per.groupBy("seg")
+      .agg(count(lit(1)).as("n_nations"),
+        sum(col("cents").cast(big38) * col("cents")).as("s2"),
+        sum(col("cents")).cast(big38).as("s1"))
+      .select(col("seg"), col("n_nations"),
+        round(col("s2").cast(DoubleType) /
+          (col("s1") * col("s1")).cast(DoubleType), 6).as("hhi"),
+        round((col("s1") * col("s1")).cast(DoubleType) /
+          col("s2").cast(DoubleType), 6).as("effective_sources"))
+      .orderBy("seg")
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
@@ -1269,5 +1396,6 @@ object AnalyticsQueries {
     qSnapshotDiff, qChi2Drift, qIntervalOverlap, qCcLabelprop,
     qItemCooccur, qEventPaths, qTriangleCount, qIncrJoin,
     qRfm, qAssocRules, qGini, qAutocorr, qDegreeHist, qRollingSlope,
-    qSpearman, qBenford, qChangepoint)
+    qSpearman, qBenford, qChangepoint,
+    qMannwhitney, qSeasonality, qHhi)
 }

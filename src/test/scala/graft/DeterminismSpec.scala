@@ -45,7 +45,8 @@ class DeterminismSpec extends SparkTestBase {
     AnalyticsQueries.qDegreeHist,
     MfQueries.qNegativeSample, AnalyticsQueries.qRollingSlope,
     PipelineQueries.qCompactionPlan,
-    AnalyticsQueries.qSpearman, AnalyticsQueries.qChangepoint)
+    AnalyticsQueries.qSpearman, AnalyticsQueries.qChangepoint,
+    AnalyticsQueries.qMannwhitney, AnalyticsQueries.qHhi)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
