@@ -1389,6 +1389,338 @@ object AnalyticsQueries {
       .orderBy("seg")
   }
 
+  /** Welch's unequal-variance t-test (segment vs rest on order totals):
+    * the parametric counterpart of q_mannwhitney's rank test. All moment
+    * sums (n, Σcents, Σcents²) are exact DECIMAL(38)/HUGEINT — cents² is
+    * widened BEFORE multiplying so the squares never overflow — and
+    * doubles enter only in the closing mean/variance/t/df expressions,
+    * computed in the identical operation order on both engines, round 6.
+    * One fact scan, one broadcast dim join, one global aggregate. */
+  val qTtestWelch = Q(
+    "q_ttest_welch",
+    """WITH x AS (
+      |  SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS grp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |m AS (
+      |  SELECT CAST(sum(grp) AS HUGEINT) AS n1,
+      |    CAST(sum(1 - grp) AS HUGEINT) AS n2,
+      |    sum(CASE WHEN grp = 1 THEN CAST(cents AS HUGEINT)
+      |        ELSE CAST(0 AS HUGEINT) END) AS s1,
+      |    sum(CASE WHEN grp = 0 THEN CAST(cents AS HUGEINT)
+      |        ELSE CAST(0 AS HUGEINT) END) AS s2,
+      |    sum(CASE WHEN grp = 1 THEN CAST(cents AS HUGEINT) * cents
+      |        ELSE CAST(0 AS HUGEINT) END) AS q1,
+      |    sum(CASE WHEN grp = 0 THEN CAST(cents AS HUGEINT) * cents
+      |        ELSE CAST(0 AS HUGEINT) END) AS q2
+      |  FROM x),
+      |se AS (
+      |  SELECT n1, n2,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1c,
+      |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2c,
+      |    CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+      |      / CAST(n1 * n1 * (n1 - 1) AS DOUBLE) AS se1,
+      |    CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+      |      / CAST(n2 * n2 * (n2 - 1) AS DOUBLE) AS se2
+      |  FROM m)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  ROUND((m1c - m2c) / 100, 6) AS mean_diff,
+      |  ROUND((m1c - m2c) / sqrt(se1 + se2), 6) AS t,
+      |  ROUND((se1 + se2) * (se1 + se2)
+      |    / (se1 * se1 / CAST(n1 - 1 AS DOUBLE)
+      |     + se2 * se2 / CAST(n2 - 1 AS DOUBLE)), 6) AS df
+      |FROM se""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val x = t(s, d, "orders").select("o_custkey", "o_totalprice")
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(when(col("c_mktsegment") === "AUTOMOBILE", 1).otherwise(0).as("grp"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val m = x.agg(
+      sum(col("grp")).cast(big38).as("n1"),
+      sum(lit(1) - col("grp")).cast(big38).as("n2"),
+      sum(when(col("grp") === 1, col("cents")).otherwise(0L).cast(big38)).as("s1"),
+      sum(when(col("grp") === 0, col("cents")).otherwise(0L).cast(big38)).as("s2"),
+      sum(when(col("grp") === 1, col("cents").cast(big38) * col("cents"))
+        .otherwise(lit(0).cast(big38))).as("q1"),
+      sum(when(col("grp") === 0, col("cents").cast(big38) * col("cents"))
+        .otherwise(lit(0).cast(big38))).as("q2"))
+    val se = m.select(col("n1"), col("n2"),
+      (col("s1").cast(DoubleType) / col("n1").cast(DoubleType)).as("m1c"),
+      (col("s2").cast(DoubleType) / col("n2").cast(DoubleType)).as("m2c"),
+      ((col("n1") * col("q1") - col("s1") * col("s1")).cast(DoubleType)
+        / (col("n1") * col("n1") * (col("n1") - 1)).cast(DoubleType)).as("se1"),
+      ((col("n2") * col("q2") - col("s2") * col("s2")).cast(DoubleType)
+        / (col("n2") * col("n2") * (col("n2") - 1)).cast(DoubleType)).as("se2"))
+    se.select(col("n1").cast(LongType).as("n1"),
+      col("n2").cast(LongType).as("n2"),
+      round((col("m1c") - col("m2c")) / 100, 6).as("mean_diff"),
+      round((col("m1c") - col("m2c")) / sqrt(col("se1") + col("se2")), 6).as("t"),
+      round((col("se1") + col("se2")) * (col("se1") + col("se2"))
+        / (col("se1") * col("se1") / (col("n1") - 1).cast(DoubleType)
+         + col("se2") * col("se2") / (col("n2") - 1).cast(DoubleType)), 6).as("df"))
+  }
+
+  /** Shared contingency table for the categorical-association tests
+    * (q_cramers_v, q_mutual_info): segment × priority cell counts with
+    * broadcast row/column marginals and the grand total. Cells are a
+    * bounded domain (|segments|×|priorities|), so everything after the
+    * one fact aggregate is driver-scale regardless of input size. */
+  private def contingency(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "orders").select("o_custkey", "o_orderpriority")
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("o"))
+    val r = cells.groupBy("seg").agg(sum("o").as("r"))
+    val c0 = cells.groupBy("prio").agg(sum("o").as("c"))
+    val n = cells.agg(sum("o").as("n"))
+    cells.join(broadcast(r), "seg").join(broadcast(c0), "prio")
+      .crossJoin(broadcast(n))
+  }
+
+  private val contingencySql =
+    """cell AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS prio, count(*) AS o
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      |marg AS (
+      |  SELECT seg, prio, CAST(o AS HUGEINT) AS o,
+      |    CAST(sum(o) OVER (PARTITION BY seg) AS HUGEINT) AS r,
+      |    CAST(sum(o) OVER (PARTITION BY prio) AS HUGEINT) AS c,
+      |    CAST(sum(o) OVER () AS HUGEINT) AS n
+      |  FROM cell)""".stripMargin
+
+  /** Cramér's V association between market segment and order priority —
+    * the categorical-vs-categorical member of the stats battery. The χ²
+    * total is a sum of per-cell doubles, which is reduction-order-
+    * sensitive; to keep it engine- and partitioning-independent each
+    * cell's term is QUANTIZED to an exact integer micro-unit
+    * (round(term·10⁶)) and the integers are summed exactly — the ½µ/cell
+    * quantization error is invisible at the round-6 output. The cell
+    * statistic (N·O−r·c) is computed exactly in DECIMAL(38)/HUGEINT and
+    * only then cast to double, and the denominator divides by N, r, c
+    * sequentially (never forming N·r·c, which could overflow at extreme
+    * scale). */
+  val qCramersV = Q(
+    "q_cramers_v",
+    s"""WITH $contingencySql,
+      |term AS (
+      |  SELECT n,
+      |    CAST(ROUND(CAST(n * o - r * c AS DOUBLE) * CAST(n * o - r * c AS DOUBLE)
+      |      / CAST(n AS DOUBLE) / CAST(r AS DOUBLE) / CAST(c AS DOUBLE)
+      |      * 1000000) AS HUGEINT) AS t6
+      |  FROM marg),
+      |agg AS (SELECT max(n) AS n, sum(t6) AS chi6 FROM term),
+      |dims AS (SELECT count(DISTINCT seg) AS nr, count(DISTINCT prio) AS nc
+      |  FROM cell)
+      |SELECT CAST(a.n AS BIGINT) AS n, nr, nc,
+      |  ROUND(CAST(chi6 AS DOUBLE) / 1000000, 6) AS chi2,
+      |  ROUND(sqrt(CAST(chi6 AS DOUBLE) / 1000000
+      |    / (CAST(a.n AS DOUBLE) * (least(nr, nc) - 1))), 6) AS v
+      |FROM agg a, dims""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val full = contingency(s, d)
+    val dd = (col("n").cast(big38) * col("o")
+      - col("r").cast(big38) * col("c")).cast(DoubleType)
+    val term = full.select(col("n"),
+      round(dd * dd / col("n").cast(DoubleType) / col("r").cast(DoubleType)
+        / col("c").cast(DoubleType) * 1000000).cast(big38).as("t6"))
+    val agg = term.agg(max("n").as("n"), sum("t6").as("chi6"))
+    val dims = contingency(s, d)
+      .agg(countDistinct("seg").as("nr"), countDistinct("prio").as("nc"))
+    agg.crossJoin(broadcast(dims))
+      .select(col("n").cast(LongType).as("n"), col("nr"), col("nc"),
+        round(col("chi6").cast(DoubleType) / 1000000, 6).as("chi2"),
+        round(sqrt(col("chi6").cast(DoubleType) / 1000000
+          / (col("n").cast(DoubleType) * (least(col("nr"), col("nc")) - 1))), 6)
+          .as("v"))
+  }
+
+  /** Mutual information (nats) between market segment and order priority,
+    * with the marginal entropies and normalized MI — the feature-
+    * selection / redundancy screen for categorical columns. Same
+    * quantize-then-sum determinism pattern as q_cramers_v, at 10⁻⁹
+    * resolution (MI terms are O(1)); ln appears only in per-cell
+    * expressions, never inside a floating-point reduction. */
+  val qMutualInfo = Q(
+    "q_mutual_info",
+    s"""WITH $contingencySql,
+      |mi AS (
+      |  SELECT max(n) AS n, sum(CAST(ROUND(
+      |    CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * ln(CAST(n AS DOUBLE) * CAST(o AS DOUBLE)
+      |           / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+      |    * 1000000000) AS HUGEINT)) AS mi9
+      |  FROM marg),
+      |hs AS (
+      |  SELECT sum(CAST(ROUND(
+      |    -(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * 1000000000) AS HUGEINT)) AS h9
+      |  FROM (SELECT DISTINCT seg, r, n FROM marg)),
+      |hp AS (
+      |  SELECT sum(CAST(ROUND(
+      |    -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * 1000000000) AS HUGEINT)) AS h9
+      |  FROM (SELECT DISTINCT prio, c, n FROM marg))
+      |SELECT CAST(mi.n AS BIGINT) AS n,
+      |  ROUND(CAST(mi.mi9 AS DOUBLE) / 1000000000, 6) AS mi,
+      |  ROUND(CAST(hs.h9 AS DOUBLE) / 1000000000, 6) AS h_seg,
+      |  ROUND(CAST(hp.h9 AS DOUBLE) / 1000000000, 6) AS h_prio,
+      |  ROUND(CAST(mi.mi9 AS DOUBLE) / 1000000000
+      |    / sqrt(CAST(hs.h9 AS DOUBLE) / 1000000000
+      |         * (CAST(hp.h9 AS DOUBLE) / 1000000000)), 6) AS nmi
+      |FROM mi, hs, hp""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val full = contingency(s, d)
+    val mi = full.agg(max("n").as("n"),
+      sum(round(col("o").cast(DoubleType) / col("n").cast(DoubleType)
+        * log(col("n").cast(DoubleType) * col("o").cast(DoubleType)
+          / (col("r").cast(DoubleType) * col("c").cast(DoubleType)))
+        * 1000000000).cast(big38)).as("mi9"))
+    def marginalH(keyCol: String, cntCol: String): DataFrame =
+      contingency(s, d).select(col(keyCol), col(cntCol), col("n")).distinct()
+        .agg(sum(round(-(col(cntCol).cast(DoubleType) / col("n").cast(DoubleType))
+          * log(col(cntCol).cast(DoubleType) / col("n").cast(DoubleType))
+          * 1000000000).cast(big38)).as("h9"))
+    val hs = marginalH("seg", "r")
+    val hp = marginalH("prio", "c")
+    mi.crossJoin(broadcast(hs.select(col("h9").as("hs9"))))
+      .crossJoin(broadcast(hp.select(col("h9").as("hp9"))))
+      .select(col("n").cast(LongType).as("n"),
+        round(col("mi9").cast(DoubleType) / 1000000000, 6).as("mi"),
+        round(col("hs9").cast(DoubleType) / 1000000000, 6).as("h_seg"),
+        round(col("hp9").cast(DoubleType) / 1000000000, 6).as("h_prio"),
+        round(col("mi9").cast(DoubleType) / 1000000000
+          / sqrt(col("hs9").cast(DoubleType) / 1000000000
+               * (col("hp9").cast(DoubleType) / 1000000000)), 6).as("nmi"))
+  }
+
+  /** Pareto (80/20) concentration curve: for revenue thresholds 50/80/
+    * 90/95%, the number and share of top customers needed to cover that
+    * share — the "how concentrated is the business" readout behind
+    * q_gini/q_hhi's scalar indices. Facts reduce to one row per
+    * customer; the ranked running revenue comes from ONE
+    * `GlobalRank.withGlobalRunningSums` pass (cumulative cents + rank
+    * together, never an unpartitioned window), and each threshold's
+    * answer is the unique CROSSING row (cum ≥ thr·total, cum−own <
+    * thr·total) — an exact integer predicate in DECIMAL(38)/HUGEINT, so
+    * no quantile approximation and no second pass. */
+  val qPareto = Q(
+    "q_pareto",
+    """WITH pc AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT cents,
+      |    CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+      |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum,
+      |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk
+      |  FROM pc),
+      |tot AS (SELECT CAST(sum(cents) AS HUGEINT) AS trev, count(*) AS ncust
+      |  FROM pc)
+      |SELECT t.thr, CAST(r.rk AS BIGINT) AS n_customers,
+      |  ROUND(CAST(r.rk AS DOUBLE) / CAST(ncust AS DOUBLE), 6)
+      |    AS pct_customers,
+      |  ROUND(CAST(cum AS DOUBLE) / CAST(trev AS DOUBLE), 6) AS share
+      |FROM r, tot, (VALUES (50), (80), (90), (95)) AS t(thr)
+      |WHERE cum * 100 >= t.thr * trev
+      |  AND (cum - cents) * 100 < t.thr * trev
+      |ORDER BY t.thr""".stripMargin) { (s, d) =>
+    import graft.plans.GlobalRank
+    import s.implicits._
+    val big38 = DecimalType(38, 0)
+    val pc = t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType))
+        .cast(LongType).as("cents"))
+    // GlobalRank buckets on the leading sort key's VALUE (it casts it to
+    // double), so descending revenue is expressed as ascending -cents.
+    val (ranked, totals) = GlobalRank.withGlobalRunningSums(pc,
+      Seq((col("cents"), "cum"), (lit(1), "rk")), 16,
+      -col("cents"), col("o_custkey"))
+    val Seq(trev, ncust) = totals
+    val thresholds = Seq(50, 80, 90, 95).toDF("thr")
+    ranked.crossJoin(broadcast(thresholds))
+      .filter(col("cum").cast(big38) * 100
+          >= col("thr").cast(big38) * lit(trev)
+        && (col("cum") - col("cents")).cast(big38) * 100
+          < col("thr").cast(big38) * lit(trev))
+      .select(col("thr"), col("rk").cast(LongType).as("n_customers"),
+        round(col("rk").cast(DoubleType) / lit(ncust).cast(DoubleType), 6)
+          .as("pct_customers"),
+        round(col("cum").cast(DoubleType) / lit(trev).cast(DoubleType), 6)
+          .as("share"))
+      .orderBy("thr")
+  }
+
+  /** First-touch / last-touch marketing attribution: for every user who
+    * converted (has a purchase), credit the user's FIRST event overall
+    * and the last non-purchase event strictly before the first purchase
+    * ('(direct)' if the purchase had no preceding touch); count users
+    * per (first, last) pair. Every window and join is keyed on user_id —
+    * one shuffle key end-to-end, the canonical sessionized-events
+    * layout at 100 TB. */
+  val qAttribution = Q(
+    "q_attribution",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |fp AS (
+      |  SELECT user_id, us AS pus, event_id AS pid FROM (
+      |    SELECT user_id, us, event_id,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id) AS rk
+      |    FROM e WHERE event_type = 'purchase') x WHERE rk = 1),
+      |ft AS (
+      |  SELECT user_id, event_type AS first_touch FROM (
+      |    SELECT user_id, event_type,
+      |      row_number() OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id) AS rk
+      |    FROM e) x WHERE rk = 1),
+      |lt AS (
+      |  SELECT user_id, event_type AS last_touch FROM (
+      |    SELECT e.user_id, e.event_type,
+      |      row_number() OVER (PARTITION BY e.user_id
+      |        ORDER BY e.us DESC, e.event_id DESC) AS rk
+      |    FROM e JOIN fp ON e.user_id = fp.user_id
+      |    WHERE e.event_type <> 'purchase'
+      |      AND (e.us < fp.pus OR (e.us = fp.pus AND e.event_id < fp.pid))
+      |    ) x WHERE rk = 1)
+      |SELECT ft.first_touch,
+      |  coalesce(lt.last_touch, '(direct)') AS last_touch,
+      |  count(*) AS users
+      |FROM fp JOIN ft USING (user_id) LEFT JOIN lt USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val e = eventsUs(s, d).select("user_id", "event_type", "us", "event_id")
+    val byUserAsc = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val fp = e.filter(col("event_type") === "purchase")
+      .withColumn("rk", row_number().over(byUserAsc))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("us").as("pus"), col("event_id").as("pid"))
+    val ft = e.withColumn("rk", row_number().over(byUserAsc))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("first_touch"))
+    val byUserDesc = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("event_id").desc)
+    val lt = e.filter(col("event_type") =!= "purchase")
+      .join(fp, "user_id")
+      .filter(col("us") < col("pus")
+        || (col("us") === col("pus") && col("event_id") < col("pid")))
+      .withColumn("rk", row_number().over(byUserDesc))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("last_touch"))
+    fp.join(ft, "user_id").join(lt, Seq("user_id"), "left")
+      .groupBy(col("first_touch"),
+        coalesce(col("last_touch"), lit("(direct)")).as("last_touch"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy("first_touch", "last_touch")
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
@@ -1397,5 +1729,6 @@ object AnalyticsQueries {
     qItemCooccur, qEventPaths, qTriangleCount, qIncrJoin,
     qRfm, qAssocRules, qGini, qAutocorr, qDegreeHist, qRollingSlope,
     qSpearman, qBenford, qChangepoint,
-    qMannwhitney, qSeasonality, qHhi)
+    qMannwhitney, qSeasonality, qHhi,
+    qTtestWelch, qCramersV, qMutualInfo, qPareto, qAttribution)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.Dsl._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -870,11 +871,219 @@ object PipelineQueries {
     graft.plans.Layout.compactionPlan(files, 256L * 1024)
   }
 
+  /** Leave-one-out mean target encoding of customer nation onto orders —
+    * the standard high-cardinality categorical feature for gradient-
+    * boosting / linear models, in its leakage-free LOO form:
+    * encode(row) = (Σ_nation target − own target) / (n_nation − 1).
+    * The per-nation sums are exact integer cents (DECIMAL(38)/HUGEINT —
+    * a nation's revenue exceeds int64 cents at warehouse scale) reduced
+    * to a bounded domain and BROADCAST back, so the fact table never
+    * shuffles; division is the only double op, identical on both
+    * engines. Output is the top-200 orders by (price, key) — a
+    * TakeOrdered, not a global sort. */
+  val qTargetEncode = Q(
+    "q_target_encode",
+    """WITH x AS (
+      |  SELECT o_orderkey, c_nationkey AS nk,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |agg AS (
+      |  SELECT nk, CAST(sum(cents) AS HUGEINT) AS s, count(*) AS cnt
+      |  FROM x GROUP BY nk)
+      |SELECT o_orderkey, CAST(nk AS INT) AS nationkey,
+      |  ROUND(CAST(s - cents AS DOUBLE) / CAST(cnt - 1 AS DOUBLE) / 100, 6)
+      |    AS target_loo
+      |FROM x JOIN agg USING (nk)
+      |ORDER BY cents DESC, o_orderkey LIMIT 200""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val x = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey").as("nk"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val agg = x.groupBy("nk")
+      .agg(sum(col("cents")).cast(big38).as("s"), count(lit(1)).as("cnt"))
+    x.join(broadcast(agg), "nk")
+      .select(col("o_orderkey"), col("nk").cast(IntegerType).as("nationkey"),
+        round((col("s") - col("cents")).cast(DoubleType)
+          / (col("cnt") - 1).cast(DoubleType) / 100, 6).as("target_loo"),
+        col("cents"))
+      .orderBy(col("cents").desc, col("o_orderkey"))
+      .limit(200)
+      .drop("cents")
+  }
+
+  /** Weight-of-evidence / information-value screen: how well does order
+    * priority separate high-value orders (≥ $150k) from the rest? The
+    * credit-scoring-style univariate feature ranking. Per-category WoE
+    * and IV terms are per-row doubles from exact HUGEINT counts; the IV
+    * TOTAL is a float reduction, so it uses the quantize-then-sum
+    * pattern (round(term·10⁹) summed exactly) to stay reduction-order-
+    * independent — see q_cramers_v. */
+  val qWoeIv = Q(
+    "q_woe_iv",
+    """WITH x AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CASE WHEN CAST(o_totalprice AS DECIMAL(18,2)) >= 150000
+      |      THEN 1 ELSE 0 END AS hi
+      |  FROM orders),
+      |cat AS (SELECT prio, CAST(sum(hi) AS HUGEINT) AS good,
+      |    CAST(sum(1 - hi) AS HUGEINT) AS bad FROM x GROUP BY prio),
+      |tot AS (SELECT CAST(sum(good) AS HUGEINT) AS gt,
+      |    CAST(sum(bad) AS HUGEINT) AS bt FROM cat),
+      |term AS (
+      |  SELECT prio, good, bad,
+      |    ln((CAST(good AS DOUBLE) / CAST(gt AS DOUBLE))
+      |     / (CAST(bad AS DOUBLE) / CAST(bt AS DOUBLE))) AS woe,
+      |    (CAST(good AS DOUBLE) / CAST(gt AS DOUBLE)
+      |     - CAST(bad AS DOUBLE) / CAST(bt AS DOUBLE))
+      |    * ln((CAST(good AS DOUBLE) / CAST(gt AS DOUBLE))
+      |       / (CAST(bad AS DOUBLE) / CAST(bt AS DOUBLE))) AS term
+      |  FROM cat, tot),
+      |iv AS (SELECT sum(CAST(ROUND(term * 1000000000) AS HUGEINT)) AS iv9
+      |  FROM term)
+      |SELECT prio, CAST(good AS BIGINT) AS good, CAST(bad AS BIGINT) AS bad,
+      |  ROUND(woe, 6) AS woe, ROUND(term, 6) AS iv_term,
+      |  ROUND(CAST(iv9 AS DOUBLE) / 1000000000, 6) AS iv_total
+      |FROM term, iv ORDER BY prio""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val x = t(s, d, "orders").select(col("o_orderpriority").as("prio"),
+      when(dec2(col("o_totalprice")) >= 150000, 1).otherwise(0).as("hi"))
+    val cat = x.groupBy("prio").agg(
+      sum(col("hi")).cast(big38).as("good"),
+      sum(lit(1) - col("hi")).cast(big38).as("bad"))
+    val tot = cat.agg(sum("good").cast(big38).as("gt"),
+      sum("bad").cast(big38).as("bt"))
+    val gr = col("good").cast(DoubleType) / col("gt").cast(DoubleType)
+    val br = col("bad").cast(DoubleType) / col("bt").cast(DoubleType)
+    val term = cat.crossJoin(broadcast(tot))
+      .select(col("prio"), col("good"), col("bad"),
+        log(gr / br).as("woe"), ((gr - br) * log(gr / br)).as("term"))
+    val iv = term.agg(
+      sum(round(col("term") * 1000000000).cast(big38)).as("iv9"))
+    term.crossJoin(broadcast(iv))
+      .select(col("prio"), col("good").cast(LongType).as("good"),
+        col("bad").cast(LongType).as("bad"),
+        round(col("woe"), 6).as("woe"), round(col("term"), 6).as("iv_term"),
+        round(col("iv9").cast(DoubleType) / 1000000000, 6).as("iv_total"))
+      .orderBy("prio")
+  }
+
+  /** Population stability index between the 1995 and 1996 order cohorts
+    * over 10 fixed $50k price buckets — the model-monitoring drift metric
+    * (PSI < 0.1 stable, > 0.25 shifted) complementing q_chi2_drift's
+    * hypothesis test. Laplace-smoothed shares ((c+1)/(n+10)) keep empty
+    * buckets finite and deterministic; the PSI total uses the
+    * quantize-then-sum pattern (q_cramers_v). Facts reduce to ≤10×2
+    * counts in one aggregate — nothing downstream scales with input. */
+  val qPsi = Q(
+    "q_psi",
+    """WITH x AS (
+      |  SELECT CAST(least(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) // 5000000, 9) AS INT) AS bucket,
+      |    CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr
+      |  FROM orders
+      |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)),
+      |b AS (
+      |  SELECT bucket,
+      |    CAST(sum(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+      |    CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+      |  FROM x GROUP BY bucket),
+      |tot AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+      |    CAST(sum(cb) AS HUGEINT) AS nb FROM b),
+      |term AS (
+      |  SELECT bucket, ca, cb,
+      |    (CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)
+      |     - CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))
+      |    * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))
+      |       / (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))) AS term
+      |  FROM b, tot),
+      |psi AS (SELECT sum(CAST(ROUND(term * 1000000000) AS HUGEINT)) AS p9
+      |  FROM term)
+      |SELECT bucket, CAST(ca AS BIGINT) AS n_1995, CAST(cb AS BIGINT) AS n_1996,
+      |  ROUND(term, 6) AS psi_term,
+      |  ROUND(CAST(p9 AS DOUBLE) / 1000000000, 6) AS psi_total
+      |FROM term, psi ORDER BY bucket""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val cents = (dec2(col("o_totalprice")) * 100).cast(LongType)
+    val x = t(s, d, "orders")
+      .select(least(floor(cents / 5000000), lit(9)).cast(IntegerType)
+          .as("bucket"),
+        year(col("o_orderdate").cast(DateType)).as("yr"))
+      .filter(col("yr").isin(1995, 1996))
+    val b = x.groupBy("bucket").agg(
+      sum(when(col("yr") === 1995, 1).otherwise(0)).cast(big38).as("ca"),
+      sum(when(col("yr") === 1996, 1).otherwise(0)).cast(big38).as("cb"))
+    val tot = b.agg(sum("ca").cast(big38).as("na"),
+      sum("cb").cast(big38).as("nb"))
+    val pa = (col("ca") + 1).cast(DoubleType) / (col("na") + 10).cast(DoubleType)
+    val pb = (col("cb") + 1).cast(DoubleType) / (col("nb") + 10).cast(DoubleType)
+    val term = b.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("ca"), col("cb"),
+        ((pa - pb) * log(pa / pb)).as("term"))
+    val psi = term.agg(
+      sum(round(col("term") * 1000000000).cast(big38)).as("p9"))
+    term.crossJoin(broadcast(psi))
+      .select(col("bucket"), col("ca").cast(LongType).as("n_1995"),
+        col("cb").cast(LongType).as("n_1996"),
+        round(col("term"), 6).as("psi_term"),
+        round(col("p9").cast(DoubleType) / 1000000000, 6).as("psi_total"))
+      .orderBy("bucket")
+  }
+
+  /** Functional-dependency violation profiling: for a panel of candidate
+    * FDs (determinant → dependent), count groups, violating groups
+    * (>1 distinct dependent value), and the worst fan-out — the
+    * data-quality probe that distinguishes a true key (c_custkey →
+    * c_mktsegment: 0 violations) from a spurious dependency a schema
+    * designer might wrongly assume (l_orderkey → l_shipdate: lines of
+    * one order ship on different days). Each FD is one distinct-
+    * aggregate shuffled on its determinant; results union to a 4-row
+    * frame. */
+  val qFdCheck = Q(
+    "q_fd_check",
+    """WITH g1 AS (SELECT l_partkey AS k, count(DISTINCT l_returnflag) AS nd
+      |  FROM lineitem GROUP BY 1),
+      |g2 AS (SELECT l_orderkey AS k, count(DISTINCT l_shipdate) AS nd
+      |  FROM lineitem GROUP BY 1),
+      |g3 AS (SELECT o_custkey AS k, count(DISTINCT o_orderpriority) AS nd
+      |  FROM orders GROUP BY 1),
+      |g4 AS (SELECT c_custkey AS k, count(DISTINCT c_mktsegment) AS nd
+      |  FROM customer GROUP BY 1),
+      |u AS (
+      |  SELECT 'customer.c_custkey->c_mktsegment' AS fd, * FROM g4
+      |  UNION ALL SELECT 'lineitem.l_orderkey->l_shipdate' AS fd, * FROM g2
+      |  UNION ALL SELECT 'lineitem.l_partkey->l_returnflag' AS fd, * FROM g1
+      |  UNION ALL SELECT 'orders.o_custkey->o_orderpriority' AS fd, * FROM g3)
+      |SELECT fd, count(*) AS n_groups,
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating,
+      |  CAST(max(nd) AS BIGINT) AS max_distinct,
+      |  ROUND(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS violation_rate
+      |FROM u GROUP BY fd ORDER BY fd""".stripMargin) { (s, d) =>
+    def fd(table: String, det: String, dep: String): DataFrame =
+      t(s, d, table).groupBy(col(det).as("k"))
+        .agg(countDistinct(col(dep)).as("nd"))
+        .select(lit(s"$table.$det->$dep").as("fd"), col("k"), col("nd"))
+    fd("lineitem", "l_partkey", "l_returnflag")
+      .unionAll(fd("lineitem", "l_orderkey", "l_shipdate"))
+      .unionAll(fd("orders", "o_custkey", "o_orderpriority"))
+      .unionAll(fd("customer", "c_custkey", "c_mktsegment"))
+      .groupBy("fd")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("nd") > 1, 1).otherwise(0)).cast(LongType).as("violating"),
+        max(col("nd")).cast(LongType).as("max_distinct"),
+        round(sum(when(col("nd") > 1, 1).otherwise(0)).cast(DoubleType)
+          / count(lit(1)).cast(DoubleType), 6).as("violation_rate"))
+      .orderBy("fd")
+  }
+
   val all: Seq[Q] = Seq(
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
     qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,
     qSimL2, qKmeansUpdate, qKAnonymity, qReferentialCheck, qDupSpans,
     qVocabCoverage, qJoinNearest, qUrlExtract, qTableChecksum,
     qFreshnessAudit, qKmvDistinct, qUrlCanon, qJoinBucketed,
-    qLDiversity, qCompactionPlan)
+    qLDiversity, qCompactionPlan,
+    qTargetEncode, qWoeIv, qPsi, qFdCheck)
 }

@@ -46,7 +46,11 @@ class DeterminismSpec extends SparkTestBase {
     MfQueries.qNegativeSample, AnalyticsQueries.qRollingSlope,
     PipelineQueries.qCompactionPlan,
     AnalyticsQueries.qSpearman, AnalyticsQueries.qChangepoint,
-    AnalyticsQueries.qMannwhitney, AnalyticsQueries.qHhi)
+    AnalyticsQueries.qMannwhitney, AnalyticsQueries.qHhi,
+    AnalyticsQueries.qTtestWelch, AnalyticsQueries.qCramersV,
+    AnalyticsQueries.qMutualInfo, AnalyticsQueries.qPareto,
+    PipelineQueries.qTargetEncode, PipelineQueries.qWoeIv,
+    PipelineQueries.qPsi)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
