@@ -102,7 +102,8 @@ object Bench {
       // round 7 (cont.): basket-pair joins, GlobalRank scoring, explodes
       "q_assoc_rules", "q_rfm", "q_autocorr", "q_pmi_bigrams",
       "q_negative_sample", "q_degree_hist", "q_spearman", "q_mannwhitney",
-      "q_pareto", "q_target_encode", "q_attribution")
+      "q_pareto", "q_target_encode", "q_attribution",
+      "q_zipf", "q_bm25", "q_graph_2hop", "q_cuped")
     // In repeat mode every headline query matches `repeat` keys; keep only
     // the last repeat (warm steady-state) so the short line stays bounded.
     val headQs = results.filter { case (k, _) => headline.contains(k.takeWhile(_ != '#')) }

@@ -1721,6 +1721,258 @@ object AnalyticsQueries {
       .orderBy("first_touch", "last_touch")
   }
 
+  /** One-way ANOVA F-test across ALL market segments on order totals —
+    * the k-group generalization of q_ttest_welch (does ANY segment's mean
+    * differ?). Per-group moment sums (n, Σcents, Σcents²) are exact
+    * DECIMAL(38)/HUGEINT; SSB/SSW are sums of k per-group double terms,
+    * which is reduction-order-sensitive, so each term keeps an EXACT
+    * integer numerator (n·q−s² and s² never leave decimal) with one
+    * division, then quantize-then-sum (round to the integer cent² unit —
+    * the terms are O(10¹⁴), so unit quantization sits far below double
+    * epsilon, let alone the round-6 output). One fact scan, one broadcast
+    * dim join, one bounded-domain (k=|segments|) aggregate. */
+  val qAnova = Q(
+    "q_anova",
+    """WITH x AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |g AS (
+      |  SELECT seg, CAST(count(*) AS HUGEINT) AS ng,
+      |    CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS sg,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS qg
+      |  FROM x GROUP BY seg),
+      |tot AS (
+      |  SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s,
+      |    sum(CAST(ROUND(CAST(sg * sg AS DOUBLE) / CAST(ng AS DOUBLE))
+      |        AS HUGEINT)) AS ssb_part,
+      |    sum(CAST(ROUND(CAST(ng * qg - sg * sg AS DOUBLE)
+      |        / CAST(ng AS DOUBLE)) AS HUGEINT)) AS ssw
+      |  FROM g),
+      |f AS (
+      |  SELECT k, n,
+      |    CAST(ssb_part AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      AS ssb,
+      |    CAST(ssw AS DOUBLE) AS ssw
+      |  FROM tot)
+      |SELECT CAST(k AS INT) AS k, CAST(n AS BIGINT) AS n,
+      |  ROUND(ssb / (k - 1) / (ssw / (n - k)), 6) AS f_stat,
+      |  ROUND(ssb / (ssb + ssw), 6) AS eta_sq
+      |FROM f""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val x = t(s, d, "orders").select("o_custkey", "o_totalprice")
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val g = x.groupBy("seg").agg(
+      count(lit(1)).cast(big38).as("ng"),
+      sum(col("cents").cast(big38)).as("sg"),
+      sum(col("cents").cast(big38) * col("cents")).as("qg"))
+    val tot = g.agg(count(lit(1)).as("k"),
+      sum(col("ng")).as("n"), sum(col("sg")).as("s"),
+      sum(round((col("sg") * col("sg")).cast(DoubleType)
+        / col("ng").cast(DoubleType)).cast(big38)).as("ssb_part"),
+      sum(round((col("ng") * col("qg") - col("sg") * col("sg"))
+        .cast(DoubleType) / col("ng").cast(DoubleType)).cast(big38)).as("ssw"))
+    val f = tot.select(col("k"), col("n"),
+      (col("ssb_part").cast(DoubleType)
+        - col("s").cast(DoubleType) * col("s").cast(DoubleType)
+          / col("n").cast(DoubleType)).as("ssb"),
+      col("ssw").cast(DoubleType).as("ssw"))
+    f.select(col("k").cast(IntegerType).as("k"),
+      col("n").cast(LongType).as("n"),
+      round(col("ssb") / (col("k") - 1) / (col("ssw") / (col("n") - col("k"))), 6)
+        .as("f_stat"),
+      round(col("ssb") / (col("ssb") + col("ssw")), 6).as("eta_sq"))
+  }
+
+  /** CUPED variance reduction (controlled experiments at scale): units are
+    * ALL customers, Y = 1996 spend, X = 1995 pre-period spend (0 when
+    * absent), arms assigned by content hash (md5 — engine- and
+    * partitioning-independent). θ = cov(X,Y)/var(X) and the adjusted
+    * treatment effect diff_adj = diff_raw − θ·(x̄_t − x̄_c) are assembled
+    * ALGEBRAICALLY from one pass of exact DECIMAL(38)/HUGEINT moment sums
+    * — the per-unit adjusted metric is never materialized, so there is no
+    * double reduction anywhere; ρ² (the variance-reduction fraction) comes
+    * from the same sums. One fact scan + one custkey-keyed join. */
+  val qCuped = Q(
+    "q_cuped",
+    """WITH per AS (
+      |  SELECT o_custkey AS ck,
+      |    sum(CASE WHEN o_orderdate >= DATE '1995-01-01'
+      |        AND o_orderdate < DATE '1996-01-01'
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS x,
+      |    sum(CASE WHEN o_orderdate >= DATE '1996-01-01'
+      |        AND o_orderdate < DATE '1997-01-01'
+      |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS y
+      |  FROM orders GROUP BY o_custkey),
+      |u AS (
+      |  SELECT CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)),
+      |      1, 15)) AS BIGINT) % 2 AS grp,
+      |    CAST(coalesce(x, 0) AS HUGEINT) AS x,
+      |    CAST(coalesce(y, 0) AS HUGEINT) AS y
+      |  FROM customer LEFT JOIN per ON c_custkey = ck),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(grp) AS HUGEINT) AS n1,
+      |    CAST(count(*) - sum(grp) AS HUGEINT) AS n0,
+      |    sum(CASE WHEN grp = 1 THEN x ELSE CAST(0 AS HUGEINT) END) AS sx1,
+      |    sum(CASE WHEN grp = 0 THEN x ELSE CAST(0 AS HUGEINT) END) AS sx0,
+      |    sum(CASE WHEN grp = 1 THEN y ELSE CAST(0 AS HUGEINT) END) AS sy1,
+      |    sum(CASE WHEN grp = 0 THEN y ELSE CAST(0 AS HUGEINT) END) AS sy0,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM u),
+      |c AS (
+      |  SELECT n, n1, n0, sx1, sx0, sy1, sy0,
+      |    CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+      |    CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+      |    CAST(n * syy - sy * sy AS DOUBLE) AS varyn
+      |  FROM m)
+      |SELECT CAST(n1 AS BIGINT) AS n_t, CAST(n0 AS BIGINT) AS n_c,
+      |  ROUND((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |    - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100, 6) AS diff_raw,
+      |  ROUND(covn / varxn, 6) AS theta,
+      |  ROUND((CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100
+      |    - covn / varxn
+      |      * ((CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |        - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100), 6)
+      |    AS diff_adj,
+      |  ROUND((covn / varxn) * (covn / varyn), 6) AS rho_sq
+      |FROM c""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    def yearCents(lo: String, hi: String): Column =
+      sum(when(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi),
+        (dec2(col("o_totalprice")) * 100).cast(LongType)).otherwise(0L))
+    val per = t(s, d, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(yearCents("1995-01-01", "1996-01-01").as("x"),
+        yearCents("1996-01-01", "1997-01-01").as("y"))
+    val u = t(s, d, "customer").select("c_custkey")
+      .join(per, col("c_custkey") === col("ck"), "left")
+      .select(
+        (graft.llm.TextOps.hash60(col("c_custkey").cast(StringType)) % 2)
+          .as("grp"),
+        coalesce(col("x"), lit(0L)).cast(big38).as("x"),
+        coalesce(col("y"), lit(0L)).cast(big38).as("y"))
+    val m = u.agg(count(lit(1)).cast(big38).as("n"),
+      sum(col("grp")).cast(big38).as("n1"),
+      (count(lit(1)) - sum(col("grp"))).cast(big38).as("n0"),
+      sum(when(col("grp") === 1, col("x")).otherwise(lit(0).cast(big38))).as("sx1"),
+      sum(when(col("grp") === 0, col("x")).otherwise(lit(0).cast(big38))).as("sx0"),
+      sum(when(col("grp") === 1, col("y")).otherwise(lit(0).cast(big38))).as("sy1"),
+      sum(when(col("grp") === 0, col("y")).otherwise(lit(0).cast(big38))).as("sy0"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val c = m.select(col("n"), col("n1"), col("n0"),
+      col("sx1"), col("sx0"), col("sy1"), col("sy0"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType).as("covn"),
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType).as("varxn"),
+      (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType).as("varyn"))
+    def mean(sc: String, nc: String): Column =
+      col(sc).cast(DoubleType) / col(nc).cast(DoubleType)
+    c.select(col("n1").cast(LongType).as("n_t"),
+      col("n0").cast(LongType).as("n_c"),
+      round((mean("sy1", "n1") - mean("sy0", "n0")) / 100, 6).as("diff_raw"),
+      round(col("covn") / col("varxn"), 6).as("theta"),
+      round((mean("sy1", "n1") - mean("sy0", "n0")) / 100
+        - col("covn") / col("varxn")
+          * ((mean("sx1", "n1") - mean("sx0", "n0")) / 100), 6).as("diff_adj"),
+      round((col("covn") / col("varxn")) * (col("covn") / col("varyn")), 6)
+        .as("rho_sq"))
+  }
+
+  /** Dwell-time profiling: per event type, the distribution of time until
+    * the SAME user's next event (n, mean, p50, p90, max seconds) — the
+    * latency/engagement readout behind sessionization and funnel timing.
+    * One user-keyed window pass (lead on the same (us, event_id) order
+    * every event query uses); percentiles run per event type over integer
+    * µs deltas (Spark exact `percentile` ≡ DuckDB `quantile_cont`, the
+    * q_agg_median_pct-proven pairing); the mean is an exact integer sum
+    * with one double division. */
+  val qDwellTime = Q(
+    "q_dwell_time",
+    """WITH dx AS (
+      |  SELECT event_type,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS d_us
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  ROUND(CAST(sum(d_us) AS DOUBLE) / count(*) / 1000000, 6)
+      |    AS mean_sec,
+      |  ROUND(quantile_cont(d_us, 0.5) / 1000000, 6) AS p50_sec,
+      |  ROUND(quantile_cont(d_us, 0.9) / 1000000, 6) AS p90_sec,
+      |  ROUND(CAST(max(d_us) AS DOUBLE) / 1000000, 6) AS max_sec
+      |FROM dx WHERE d_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    eventsUs(s, d)
+      .select(col("event_type"), (lead(col("us"), 1).over(w) - col("us")).as("d_us"))
+      .filter(col("d_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("d_us")).cast(DoubleType) / count(lit(1)) / 1000000, 6)
+          .as("mean_sec"),
+        round(percentile(col("d_us"), lit(0.5)) / 1000000, 6).as("p50_sec"),
+        round(percentile(col("d_us"), lit(0.9)) / 1000000, 6).as("p90_sec"),
+        round(max(col("d_us")).cast(DoubleType) / 1000000, 6).as("max_sec"))
+      .orderBy("event_type")
+  }
+
+  /** 2-hop recommendation on the co-purchase graph ("customers who bought
+    * items you bought also bought"): pairs reachable through a shared
+    * neighbor, ranked by the number of distinct connecting items, with
+    * DIRECT edges removed (those are q_item_cooccur's output, not a
+    * recommendation). Same support ≥ 2 edge derivation as
+    * q_triangle_count; the wedge join on the shared vertex is Σ deg²
+    * work (never vertex³), the direct-edge removal is a canonical-key
+    * LEFT ANTI join, and at 100 TB the hub dial is the same edge
+    * sparsification q_cc_labelprop documents. */
+  val qGraph2hop = Q(
+    "q_graph_2hop",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT pa AS src, pb AS dst FROM (
+      |    SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_co
+      |    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |    GROUP BY 1, 2) c
+      |  WHERE n_co >= 2),
+      |sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+      |hop2 AS (
+      |  SELECT s1.src AS a, s2.dst AS b, count(DISTINCT s1.dst) AS n_via
+      |  FROM sym s1 JOIN sym s2 ON s1.dst = s2.src AND s1.src < s2.dst
+      |  GROUP BY 1, 2)
+      |SELECT a, b, n_via FROM hop2
+      |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = hop2.a AND e.dst = hop2.b)
+      |ORDER BY n_via DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select("src", "dst")
+      .localCheckpoint() // referenced three times (two wedge sides + anti)
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val hop2 = sym.as("s1").join(sym.as("s2"),
+        col("s1.dst") === col("s2.src") && col("s1.src") < col("s2.dst"))
+      .groupBy(col("s1.src").as("a"), col("s2.dst").as("b"))
+      .agg(countDistinct(col("s1.dst")).as("n_via"))
+    hop2.join(e, hop2("a") === e("src") && hop2("b") === e("dst"), "left_anti")
+      .orderBy(col("n_via").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
@@ -1730,5 +1982,6 @@ object AnalyticsQueries {
     qRfm, qAssocRules, qGini, qAutocorr, qDegreeHist, qRollingSlope,
     qSpearman, qBenford, qChangepoint,
     qMannwhitney, qSeasonality, qHhi,
-    qTtestWelch, qCramersV, qMutualInfo, qPareto, qAttribution)
+    qTtestWelch, qCramersV, qMutualInfo, qPareto, qAttribution,
+    qAnova, qCuped, qDwellTime, qGraph2hop)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Q
 import graft.Dsl._
 import graft.llm.{Bpe, Clustering, Dedup, Multimodal, SimSearch, TextOps}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1327,8 +1328,205 @@ object LlmQueries {
       .orderBy("label")
   }
 
+  /** Zipf rank-frequency fit over the token distribution: global rank of
+    * every term by frequency, then the log-log OLS slope/intercept/R² over
+    * the top 1000 terms — the "is this corpus natural-language-shaped"
+    * screen (natural text ⇒ slope ≈ −1; synthetic/boilerplate corpora
+    * bend). The rank is a GlobalRank total order (no unpartitioned
+    * window — at 100 TB the vocabulary is 10⁸ terms); ln() appears only
+    * in per-row expressions, and every regression moment (Σx, Σy, Σxy,
+    * Σx², Σy²) is quantize-then-summed at 10⁻⁹ so the reduction is exact
+    * integer addition on both engines. */
+  val qZipf = Q(
+    "q_zipf",
+    """WITH cnt AS (
+      |  SELECT term, count(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term FROM documents) x
+      |  GROUP BY term),
+      |rk AS (
+      |  SELECT row_number() OVER (ORDER BY c DESC, term) AS r, c
+      |  FROM cnt),
+      |pts AS (
+      |  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      |  FROM rk WHERE r <= 1000),
+      |q AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(ROUND(x * 1000000000) AS HUGEINT)) AS sx9,
+      |    sum(CAST(ROUND(y * 1000000000) AS HUGEINT)) AS sy9,
+      |    sum(CAST(ROUND(x * y * 1000000000) AS HUGEINT)) AS sxy9,
+      |    sum(CAST(ROUND(x * x * 1000000000) AS HUGEINT)) AS sxx9,
+      |    sum(CAST(ROUND(y * y * 1000000000) AS HUGEINT)) AS syy9
+      |  FROM pts),
+      |m AS (
+      |  SELECT CAST(n AS DOUBLE) AS n,
+      |    CAST(sx9 AS DOUBLE) / 1000000000 AS sx,
+      |    CAST(sy9 AS DOUBLE) / 1000000000 AS sy,
+      |    CAST(sxy9 AS DOUBLE) / 1000000000 AS sxy,
+      |    CAST(sxx9 AS DOUBLE) / 1000000000 AS sxx,
+      |    CAST(syy9 AS DOUBLE) / 1000000000 AS syy
+      |  FROM q)
+      |SELECT CAST(n AS BIGINT) AS n_terms,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+      |    AS intercept,
+      |  ROUND(((n * sxy - sx * sy) / (n * sxx - sx * sx))
+      |    * ((n * sxy - sx * sy) / (n * syy - sy * sy)), 6) AS r_sq
+      |FROM m""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val cnt = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    // GlobalRank range-buckets on sortCols.head, so the descending
+    // frequency order is expressed as ascending −c (SortOrder columns
+    // don't cast); term breaks ties into a total order.
+    val (ranked, _) = graft.plans.GlobalRank.withGlobalRowNumber(
+      cnt.withColumn("negc", -col("c").cast(LongType)), "r", 32,
+      col("negc"), col("term"))
+    val pts = ranked.filter(col("r") <= 1000)
+      .select(log(col("r").cast(DoubleType)).as("x"),
+        log(col("c").cast(DoubleType)).as("y"))
+    def q9(c: Column): Column = sum(round(c * 1000000000).cast(big38))
+    val q = pts.agg(count(lit(1)).cast(big38).as("n"),
+      q9(col("x")).as("sx9"), q9(col("y")).as("sy9"),
+      q9(col("x") * col("y")).as("sxy9"),
+      q9(col("x") * col("x")).as("sxx9"),
+      q9(col("y") * col("y")).as("syy9"))
+    def dq(name: String): Column = col(name).cast(DoubleType) / 1000000000
+    val m = q.select(col("n").cast(DoubleType).as("n"),
+      dq("sx9").as("sx"), dq("sy9").as("sy"), dq("sxy9").as("sxy"),
+      dq("sxx9").as("sxx"), dq("syy9").as("syy"))
+    val num = m("n") * m("sxy") - m("sx") * m("sy")
+    val denx = m("n") * m("sxx") - m("sx") * m("sx")
+    val deny = m("n") * m("syy") - m("sy") * m("sy")
+    m.select(col("n").cast(LongType).as("n_terms"),
+      round(num / denx, 6).as("slope"),
+      round((m("sy") - num / denx * m("sx")) / m("n"), 6).as("intercept"),
+      round((num / denx) * (num / deny), 6).as("r_sq"))
+  }
+
+  /** BM25 relevance ranking of the corpus against a fixed term set — the
+    * lexical-retrieval half of a RAG/eval pipeline (the embedding half is
+    * the q_sim_* family). One token scan feeds doc lengths, per-term df,
+    * and the query-term tf; idf/avglen are a ≤|query|-row broadcast. The
+    * per-document score sums ≤|query| double contributions, so it is
+    * quantize-then-summed at 10⁻⁹ and the top-20 ranks on the exact
+    * INTEGER quantized score (deterministic under any reduction order);
+    * k1 = 1.2, b = 0.75. */
+  val qBm25 = Q(
+    "q_bm25",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |len AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM len),
+      |qt AS (SELECT unnest(['hash', 'vector', 'stream', 'spark']) AS term),
+      |df AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+      |idf AS (
+      |  SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+      |  FROM df CROSS JOIN stats),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    sum(CAST(ROUND(idf.idf * tf.tf * 2.2
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * len.dl / idf.avgdl))
+      |      * 1000000000) AS HUGEINT)) AS score9,
+      |    count(*) AS n_hit
+      |  FROM tf JOIN idf USING (term) JOIN len USING (doc_id)
+      |  GROUP BY tf.doc_id)
+      |SELECT doc_id, CAST(n_hit AS BIGINT) AS n_hit,
+      |  ROUND(CAST(score9 AS DOUBLE) / 1000000000, 6) AS score
+      |FROM scored
+      |ORDER BY score9 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val big38 = DecimalType(38, 0)
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val len = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = len.agg(count(lit(1)).cast(DoubleType).as("n"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val qt = Seq("hash", "vector", "stream", "spark").toDF("term")
+    val df = toks.join(broadcast(qt), "term")
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+          .as("idf"),
+        col("avgdl"))
+    val tf = toks.join(broadcast(qt), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(broadcast(idf), "term").join(len, "doc_id")
+      .groupBy("doc_id")
+      .agg(sum(round(col("idf") * col("tf") * 2.2
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+          * 1000000000).cast(big38)).as("score9"),
+        count(lit(1)).as("n_hit"))
+    scored
+      .select(col("doc_id"), col("n_hit").cast(LongType).as("n_hit"),
+        round(col("score9").cast(DoubleType) / 1000000000, 6).as("score"),
+        col("score9"))
+      .orderBy(col("score9").desc, col("doc_id"))
+      .limit(20)
+      .drop("score9")
+  }
+
+  /** Temperature-based corpus re-balancing (the multilingual-sampling
+    * p_i^τ rule, τ = 0.5): per-source sampling weights w_i ∝ √p_i from
+    * exact token counts, plus the boost each source gets over natural
+    * sampling (w_i/p_i > 1 ⇒ upsampled). This computes the MIX — the knob
+    * q_corpus_mix then applies by content hash. The fact table reduces to
+    * ≤|sources| rows in one exact aggregate; √ appears per-source only
+    * (sqrt is IEEE correctly-rounded on both engines, unlike pow), and
+    * the weight normalizer is quantize-then-summed at 10⁻⁹ over the
+    * bounded source domain. */
+  val qMixWeights = Q(
+    "q_mix_weights",
+    """WITH src AS (
+      |  SELECT source, count(*) AS n_toks FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS term
+      |    FROM documents) x
+      |  GROUP BY source),
+      |tot AS (SELECT sum(n_toks) AS total FROM src),
+      |w AS (
+      |  SELECT source, n_toks,
+      |    CAST(n_toks AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+      |    sqrt(CAST(n_toks AS DOUBLE) / CAST(total AS DOUBLE)) AS wraw
+      |  FROM src CROSS JOIN tot),
+      |z AS (
+      |  SELECT sum(CAST(ROUND(wraw * 1000000000) AS HUGEINT)) AS z9 FROM w)
+      |SELECT source, n_toks, ROUND(p, 6) AS share,
+      |  ROUND(wraw / (CAST(z9 AS DOUBLE) / 1000000000), 6) AS weight,
+      |  ROUND(wraw / (CAST(z9 AS DOUBLE) / 1000000000) / p, 6) AS boost
+      |FROM w CROSS JOIN z
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val src = t(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source").agg(count(lit(1)).as("n_toks"))
+    val tot = src.agg(sum(col("n_toks")).as("total"))
+    val w = src.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_toks"),
+        (col("n_toks").cast(DoubleType) / col("total").cast(DoubleType)).as("p"),
+        sqrt(col("n_toks").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("wraw"))
+    val z = w.agg(sum(round(col("wraw") * 1000000000).cast(big38)).as("z9"))
+    w.crossJoin(broadcast(z))
+      .select(col("source"), col("n_toks"), round(col("p"), 6).as("share"),
+        round(col("wraw") / (col("z9").cast(DoubleType) / 1000000000), 6)
+          .as("weight"),
+        round(col("wraw") / (col("z9").cast(DoubleType) / 1000000000)
+          / col("p"), 6).as("boost"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
-    qCrossvalFolds, qPmiBigrams, qLabelBalance,
+    qCrossvalFolds, qPmiBigrams, qLabelBalance, qZipf, qBm25, qMixWeights,
     qDedupExact, qDedupSimhash, qDedupSimhashPairs, qDedupMinhash,
     qDedupMinhashDet,
     qDedupNgram, qDedupContainment, qDedupEmbed, qDedupEmbedLsh,

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.Dsl._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1078,6 +1078,125 @@ object PipelineQueries {
       .orderBy("fd")
   }
 
+  /** Data-contract expectations panel (the Great-Expectations-style
+    * suite runner): six named assertions — key uniqueness, numeric range,
+    * enum membership, a second numeric range, referential integrity,
+    * non-null — each reduced to (n_checked, n_violations, pass) in its
+    * own column-pruned single-aggregate pass, unioned into one report.
+    * Complements q_fd_check (dependency discovery) and
+    * q_referential_check (FK drill-down): this is the nightly gate a
+    * 100 TB ingest runs BEFORE publishing a partition, so every check is
+    * a full scan of exactly one or two columns and nothing else. */
+  val qExpectations = Q(
+    "q_expectations",
+    """WITH checks AS (
+      |  SELECT 'orders.o_orderkey unique' AS check_name,
+      |    count(*) AS n_checked,
+      |    count(*) - count(DISTINCT o_orderkey) AS n_violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.o_totalprice in (0, 1e6)', count(*),
+      |    sum(CASE WHEN o_totalprice <= 0 OR o_totalprice >= 1000000
+      |        THEN 1 ELSE 0 END)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.o_orderpriority enum', count(*),
+      |    sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH',
+      |        '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 0 ELSE 1 END)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.l_quantity in [1, 50]', count(*),
+      |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey fk customer', count(*),
+      |    sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+      |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |  UNION ALL
+      |  SELECT 'customer.c_acctbal not null', count(*),
+      |    sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+      |  FROM customer)
+      |SELECT check_name, n_checked, CAST(n_violations AS BIGINT)
+      |    AS n_violations,
+      |  CAST(n_violations = 0 AS BOOLEAN) AS pass
+      |FROM checks ORDER BY check_name""".stripMargin) { (s, d) =>
+    def one(name: String, df: DataFrame, bad: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_checked"),
+          sum(when(bad, 1).otherwise(0)).cast(LongType).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_checked"),
+          col("n_violations"))
+    val orders = t(s, d, "orders")
+    val keyUnique = orders.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .cast(LongType).as("n_violations"))
+      .select(lit("orders.o_orderkey unique").as("check_name"),
+        col("n_checked"), col("n_violations"))
+    val priceRange = one("orders.o_totalprice in (0, 1e6)",
+      orders.select("o_totalprice"),
+      col("o_totalprice") <= 0 || col("o_totalprice") >= 1000000)
+    val prioEnum = one("orders.o_orderpriority enum",
+      orders.select("o_orderpriority"),
+      !col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM",
+        "4-NOT SPECIFIED", "5-LOW"))
+    val qtyRange = one("lineitem.l_quantity in [1, 50]",
+      t(s, d, "lineitem").select("l_quantity"),
+      col("l_quantity") < 1 || col("l_quantity") > 50)
+    val fk = one("orders.o_custkey fk customer",
+      orders.select("o_custkey")
+        .join(broadcast(t(s, d, "customer").select("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left"),
+      col("c_custkey").isNull)
+    val notNull = one("customer.c_acctbal not null",
+      t(s, d, "customer").select("c_acctbal"), col("c_acctbal").isNull)
+    keyUnique.unionByName(priceRange).unionByName(prioEnum)
+      .unionByName(qtyRange).unionByName(fk).unionByName(notNull)
+      .select(col("check_name"), col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0).as("pass"))
+      .orderBy("check_name")
+  }
+
+  /** Feature-matrix assembly: one-hot market segment + exact behavioral
+    * aggregates (order count, lifetime spend) per customer — the last
+    * mile before any ML trainer, built leakage-free from exact integer
+    * sums. The behavioral side aggregates the fact table BEFORE joining
+    * (one custkey-keyed shuffle each, never a fact-×-dim shuffle); the
+    * one-hot columns are plain projections Catalyst folds into the scan.
+    * Top 100 by custkey keeps the dump bounded. */
+  val qOnehotFeatures = Q(
+    "q_onehot_features",
+    """WITH beh AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS cents
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c_custkey,
+      |  CAST(c_mktsegment = 'AUTOMOBILE' AS INT) AS seg_automobile,
+      |  CAST(c_mktsegment = 'BUILDING' AS INT) AS seg_building,
+      |  CAST(c_mktsegment = 'FURNITURE' AS INT) AS seg_furniture,
+      |  CAST(c_mktsegment = 'HOUSEHOLD' AS INT) AS seg_household,
+      |  CAST(c_mktsegment = 'MACHINERY' AS INT) AS seg_machinery,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  ROUND(CAST(coalesce(cents, 0) AS DOUBLE) / 100, 6) AS spend
+      |FROM customer LEFT JOIN beh ON c_custkey = o_custkey
+      |ORDER BY c_custkey LIMIT 100""".stripMargin) { (s, d) =>
+    val beh = t(s, d, "orders").select("o_custkey", "o_totalprice")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("cents"))
+    def seg(v: String): Column =
+      (col("c_mktsegment") === v).cast(IntegerType)
+        .as("seg_" + v.toLowerCase)
+    t(s, d, "customer").select("c_custkey", "c_mktsegment")
+      .join(beh, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), seg("AUTOMOBILE"), seg("BUILDING"),
+        seg("FURNITURE"), seg("HOUSEHOLD"), seg("MACHINERY"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        round(coalesce(col("cents"), lit(0L)).cast(DoubleType) / 100, 6)
+          .as("spend"))
+      .orderBy("c_custkey")
+      .limit(100)
+  }
+
   val all: Seq[Q] = Seq(
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
     qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,
@@ -1085,5 +1204,5 @@ object PipelineQueries {
     qVocabCoverage, qJoinNearest, qUrlExtract, qTableChecksum,
     qFreshnessAudit, qKmvDistinct, qUrlCanon, qJoinBucketed,
     qLDiversity, qCompactionPlan,
-    qTargetEncode, qWoeIv, qPsi, qFdCheck)
+    qTargetEncode, qWoeIv, qPsi, qFdCheck, qExpectations, qOnehotFeatures)
 }

@@ -50,7 +50,10 @@ class DeterminismSpec extends SparkTestBase {
     AnalyticsQueries.qTtestWelch, AnalyticsQueries.qCramersV,
     AnalyticsQueries.qMutualInfo, AnalyticsQueries.qPareto,
     PipelineQueries.qTargetEncode, PipelineQueries.qWoeIv,
-    PipelineQueries.qPsi)
+    PipelineQueries.qPsi,
+    AnalyticsQueries.qAnova, AnalyticsQueries.qCuped,
+    AnalyticsQueries.qDwellTime, AnalyticsQueries.qGraph2hop,
+    LlmQueries.qZipf, LlmQueries.qBm25, LlmQueries.qMixWeights)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
