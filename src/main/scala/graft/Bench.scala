@@ -103,7 +103,8 @@ object Bench {
       "q_assoc_rules", "q_rfm", "q_autocorr", "q_pmi_bigrams",
       "q_negative_sample", "q_degree_hist", "q_spearman", "q_mannwhitney",
       "q_pareto", "q_target_encode", "q_attribution",
-      "q_zipf", "q_bm25", "q_graph_2hop", "q_cuped")
+      "q_zipf", "q_bm25", "q_graph_2hop", "q_cuped",
+      "q_auc", "q_lift_deciles", "q_doc_entropy", "q_skew_audit")
     // In repeat mode every headline query matches `repeat` keys; keep only
     // the last repeat (warm steady-state) so the short line stays bounded.
     val headQs = results.filter { case (k, _) => headline.contains(k.takeWhile(_ != '#')) }

@@ -20,7 +20,8 @@ object SparkEntry {
       operators.MfQueries.all ++
       operators.LlmQueries.all ++
       operators.PipelineQueries.all ++
-      operators.AnalyticsQueries.all
+      operators.AnalyticsQueries.all ++
+      operators.EvalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1973,6 +1973,68 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** Classical seasonal decomposition of daily revenue (trend +
+    * day-of-week seasonal + residual), shown for the last 10 full-window
+    * days. EVERYTHING stays exact-integer until the final per-row
+    * expressions: the trend is a centered 7-day window SUM of cents
+    * (exact — never an avg of doubles), the detrended series is scaled by
+    * 7 so it stays integral (7·cents − trendSum), and the seasonal index
+    * is an exact integer sum per dow with one double division. The rolling
+    * frame is a date-ordered window over the POST-AGGREGATION daily series
+    * (365·years rows) — q_rolling_slope's posture, not a fact-table
+    * window; at 100 TB the series is still tiny. */
+  val qDecompose = Q(
+    "q_decompose",
+    """WITH series AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    isodow(CAST(o_orderdate AS DATE)) AS dow,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT day, dow, cents,
+      |    sum(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |      AND 3 FOLLOWING) AS tsum,
+      |    count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |      AND 3 FOLLOWING) AS tn
+      |  FROM series),
+      |full7 AS (
+      |  SELECT day, dow, cents, tsum, 7 * cents - tsum AS det7
+      |  FROM tr WHERE tn = 7),
+      |seas AS (
+      |  SELECT dow, CAST(sum(det7) AS DOUBLE) / count(*) / 700 AS seasonal
+      |  FROM full7 GROUP BY dow)
+      |SELECT day, ROUND(CAST(cents AS DOUBLE) / 100, 6) AS revenue,
+      |  ROUND(CAST(tsum AS DOUBLE) / 700, 6) AS trend,
+      |  ROUND(seasonal, 6) AS seasonal,
+      |  ROUND(CAST(det7 AS DOUBLE) / 700 - seasonal, 6) AS residual
+      |FROM full7 JOIN seas USING (dow)
+      |ORDER BY day DESC LIMIT 10""".stripMargin) { (s, d) =>
+    val series = t(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("day"),
+        (weekday(col("o_orderdate").cast(DateType)) + 1).as("dow"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("cents"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val tr = series
+      .withColumn("tsum", sum(col("cents")).over(w))
+      .withColumn("tn", count(lit(1)).over(w))
+    val full7 = tr.filter(col("tn") === 7)
+      .withColumn("det7", lit(7) * col("cents") - col("tsum"))
+      .localCheckpoint() // small daily series, referenced twice
+    val seas = full7.groupBy("dow")
+      .agg((sum(col("det7")).cast(DoubleType) / count(lit(1)) / 700)
+        .as("seasonal"))
+    full7.join(broadcast(seas), "dow")
+      .select(col("day"),
+        round(col("cents").cast(DoubleType) / 100, 6).as("revenue"),
+        round(col("tsum").cast(DoubleType) / 700, 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("det7").cast(DoubleType) / 700 - col("seasonal"), 6)
+          .as("residual"))
+      .orderBy(col("day").desc)
+      .limit(10)
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
@@ -1983,5 +2045,5 @@ object AnalyticsQueries {
     qSpearman, qBenford, qChangepoint,
     qMannwhitney, qSeasonality, qHhi,
     qTtestWelch, qCramersV, qMutualInfo, qPareto, qAttribution,
-    qAnova, qCuped, qDwellTime, qGraph2hop)
+    qAnova, qCuped, qDwellTime, qGraph2hop, qDecompose)
 }

@@ -1525,8 +1525,55 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** Per-document token entropy (nats) + type-token ratio — the lexical
+    * diversity/quality pair (low entropy = repetitive boilerplate, the
+    * per-doc complement of q_text_repetition's n-gram screen). H(doc) =
+    * ln n − (Σ c·ln c)/n: n and the term counts are exact; the only
+    * floating-point reduction (Σ c·ln c over the doc's distinct terms) is
+    * quantize-then-summed at 10⁻⁹. Same doc_id % 100 evaluation slice as
+    * q_tfidf_topterms — per-doc metrics are embarrassingly parallel, so
+    * the slice prunes before the groupBy. */
+  val qDocEntropy = Q(
+    "q_doc_entropy",
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents WHERE doc_id % 100 = 0) x
+      |  GROUP BY doc_id, term),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_types,
+      |    sum(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+      |      * 1000000000) AS HUGEINT)) AS clc9
+      |  FROM tf GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_types,
+      |  ROUND(ln(CAST(n_tokens AS DOUBLE))
+      |    - CAST(clc9 AS DOUBLE) / 1000000000 / CAST(n_tokens AS DOUBLE), 6)
+      |    AS entropy,
+      |  ROUND(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val tf = t(s, d, "documents")
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val agg = tf.groupBy("doc_id")
+      .agg(sum(col("c")).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(round(col("c").cast(DoubleType) * log(col("c").cast(DoubleType))
+          * 1000000000).cast(big38)).as("clc9"))
+    agg.select(col("doc_id"), col("n_tokens"), col("n_types"),
+      round(log(col("n_tokens").cast(DoubleType))
+        - col("clc9").cast(DoubleType) / 1000000000
+          / col("n_tokens").cast(DoubleType), 6).as("entropy"),
+      round(col("n_types").cast(DoubleType) / col("n_tokens").cast(DoubleType), 6)
+        .as("ttr"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qCrossvalFolds, qPmiBigrams, qLabelBalance, qZipf, qBm25, qMixWeights,
+    qDocEntropy,
     qDedupExact, qDedupSimhash, qDedupSimhashPairs, qDedupMinhash,
     qDedupMinhashDet,
     qDedupNgram, qDedupContainment, qDedupEmbed, qDedupEmbedLsh,

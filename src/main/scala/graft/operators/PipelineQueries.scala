@@ -1197,6 +1197,48 @@ object PipelineQueries {
       .limit(100)
   }
 
+  /** Join-key skew audit: per candidate key, the distinct-key count and
+    * the max/median/mean rows-per-key with the skew factor (max/mean) —
+    * the pre-join screen that decides whether a 100 TB join needs AQE
+    * skew handling or plans.SkewJoin salting (the > 4–5× rule of thumb).
+    * Each key's profile is the SAME shuffle the join itself would do,
+    * reduced to one row; medians use the exact percentile ≡ quantile_cont
+    * pairing over integer counts. */
+  val qSkewAudit = Q(
+    "q_skew_audit",
+    """WITH prof AS (
+      |  SELECT 'lineitem.l_partkey' AS key_name, count(*) AS rows_per_key
+      |  FROM lineitem GROUP BY l_partkey
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey', count(*) FROM lineitem GROUP BY l_suppkey
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey', count(*) FROM orders GROUP BY o_custkey)
+      |SELECT key_name, count(*) AS n_keys,
+      |  CAST(max(rows_per_key) AS BIGINT) AS max_rows,
+      |  ROUND(quantile_cont(rows_per_key, 0.5), 6) AS median_rows,
+      |  ROUND(CAST(sum(rows_per_key) AS DOUBLE) / count(*), 6) AS mean_rows,
+      |  ROUND(CAST(max(rows_per_key) AS DOUBLE)
+      |    / (CAST(sum(rows_per_key) AS DOUBLE) / count(*)), 6) AS skew
+      |FROM prof GROUP BY key_name ORDER BY key_name""".stripMargin) { (s, d) =>
+    def prof(name: String, df: DataFrame, key: String): DataFrame =
+      df.select(key).groupBy(col(key))
+        .agg(count(lit(1)).as("rows_per_key"))
+        .select(lit(name).as("key_name"), col("rows_per_key"))
+    prof("lineitem.l_partkey", t(s, d, "lineitem"), "l_partkey")
+      .unionByName(prof("lineitem.l_suppkey", t(s, d, "lineitem"), "l_suppkey"))
+      .unionByName(prof("orders.o_custkey", t(s, d, "orders"), "o_custkey"))
+      .groupBy("key_name")
+      .agg(count(lit(1)).as("n_keys"),
+        max(col("rows_per_key")).cast(LongType).as("max_rows"),
+        round(percentile(col("rows_per_key"), lit(0.5)), 6).as("median_rows"),
+        round(sum(col("rows_per_key")).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_rows"),
+        round(max(col("rows_per_key")).cast(DoubleType)
+          / (sum(col("rows_per_key")).cast(DoubleType) / count(lit(1))), 6)
+          .as("skew"))
+      .orderBy("key_name")
+  }
+
   val all: Seq[Q] = Seq(
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
     qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,
@@ -1204,5 +1246,6 @@ object PipelineQueries {
     qVocabCoverage, qJoinNearest, qUrlExtract, qTableChecksum,
     qFreshnessAudit, qKmvDistinct, qUrlCanon, qJoinBucketed,
     qLDiversity, qCompactionPlan,
-    qTargetEncode, qWoeIv, qPsi, qFdCheck, qExpectations, qOnehotFeatures)
+    qTargetEncode, qWoeIv, qPsi, qFdCheck, qExpectations, qOnehotFeatures,
+    qSkewAudit)
 }

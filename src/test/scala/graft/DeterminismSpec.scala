@@ -53,7 +53,10 @@ class DeterminismSpec extends SparkTestBase {
     PipelineQueries.qPsi,
     AnalyticsQueries.qAnova, AnalyticsQueries.qCuped,
     AnalyticsQueries.qDwellTime, AnalyticsQueries.qGraph2hop,
-    LlmQueries.qZipf, LlmQueries.qBm25, LlmQueries.qMixWeights)
+    LlmQueries.qZipf, LlmQueries.qBm25, LlmQueries.qMixWeights,
+    EvalQueries.qAuc, EvalQueries.qLiftDeciles,
+    AnalyticsQueries.qDecompose, LlmQueries.qDocEntropy,
+    PipelineQueries.qSkewAudit)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
