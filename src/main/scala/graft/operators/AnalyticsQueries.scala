@@ -2035,6 +2035,117 @@ object AnalyticsQueries {
       .limit(10)
   }
 
+  /** Longest consecutive-day activity streak per user (gaps-and-islands):
+    * distinct active epoch-days, island id = day − row_number (constant
+    * within a run of consecutive days), longest island per user — the
+    * engagement/retention primitive. Pure integer arithmetic on epoch
+    * days; every window and groupBy is user-keyed (one shuffle key end to
+    * end); top 20 by (streak, active days, user) is a TakeOrdered. */
+  val qStreak = Q(
+    "q_streak",
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id, day,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+      |      AS island
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, island, count(*) AS run_len
+      |  FROM isl GROUP BY user_id, island),
+      |per AS (
+      |  SELECT user_id, max(run_len) AS longest_streak,
+      |    CAST(sum(run_len) AS BIGINT) AS n_active_days
+      |  FROM runs GROUP BY user_id)
+      |SELECT user_id, longest_streak, n_active_days FROM per
+      |ORDER BY longest_streak DESC, n_active_days DESC, user_id
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val days = eventsUs(s, d)
+      .select(col("user_id"), (col("us") / 86400000000L).cast(LongType).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val runs = days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy("user_id")
+      .agg(max(col("run_len")).as("longest_streak"),
+        sum(col("run_len")).cast(LongType).as("n_active_days"))
+      .orderBy(col("longest_streak").desc, col("n_active_days").desc,
+        col("user_id"))
+      .limit(20)
+  }
+
+  /** Year-over-year rank shift of part revenue (1995 vs 1996): each
+    * year's parts ranked by exact-cent revenue through GlobalRank (two
+    * range-bucketed total orders — no unpartitioned window over the
+    * catalog), full-outer joined on part, biggest movers among either
+    * year's top 100. The "what's trending" merchandising readout; rank
+    * deltas are exact integers end to end. */
+  val qTopnShift = Q(
+    "q_topn_shift",
+    """WITH rev AS (
+      |  SELECT l_partkey AS pk, year(CAST(o_orderdate AS DATE)) AS yr,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS cents
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+      |  GROUP BY 1, 2),
+      |r95 AS (
+      |  SELECT pk, row_number() OVER (ORDER BY -cents, pk) AS r
+      |  FROM rev WHERE yr = 1995),
+      |r96 AS (
+      |  SELECT pk, row_number() OVER (ORDER BY -cents, pk) AS r
+      |  FROM rev WHERE yr = 1996),
+      |j AS (
+      |  SELECT coalesce(r95.pk, r96.pk) AS pk, r95.r AS rank_1995,
+      |    r96.r AS rank_1996
+      |  FROM r95 FULL OUTER JOIN r96 ON r95.pk = r96.pk
+      |  WHERE coalesce(r95.r, 999999999) <= 100
+      |     OR coalesce(r96.r, 999999999) <= 100)
+      |SELECT pk, CAST(rank_1995 AS BIGINT) AS rank_1995,
+      |  CAST(rank_1996 AS BIGINT) AS rank_1996,
+      |  CAST(coalesce(rank_1995, 999999999)
+      |    - coalesce(rank_1996, 999999999) AS BIGINT) AS rank_gain
+      |FROM j
+      |ORDER BY abs(coalesce(rank_1995, 999999999)
+      |  - coalesce(rank_1996, 999999999)) DESC, pk
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    import graft.plans.GlobalRank
+    val rev = t(s, d, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_extendedprice")
+      .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("yr", year(col("o_orderdate").cast(DateType)))
+      .filter(col("yr").isin(1995, 1996))
+      .groupBy(col("l_partkey").as("pk"), col("yr"))
+      .agg(sum((dec2(col("l_extendedprice")) * 100).cast(LongType)).as("cents"))
+      .withColumn("negc", -col("cents"))
+      .localCheckpoint() // two rank passes read the same small per-year table
+    def rankYear(y: Int, out: String): DataFrame = {
+      val (r, _) = GlobalRank.withGlobalRowNumber(
+        rev.filter(col("yr") === y).select("pk", "negc"), out, 16,
+        col("negc"), col("pk"))
+      r.select(col("pk").as(s"pk_$y"), col(out))
+    }
+    val far = lit(999999999L)
+    val j = rankYear(1995, "rank_1995")
+      .join(rankYear(1996, "rank_1996"),
+        col("pk_1995") === col("pk_1996"), "full_outer")
+      .select(coalesce(col("pk_1995"), col("pk_1996")).as("pk"),
+        col("rank_1995"), col("rank_1996"))
+      .filter(coalesce(col("rank_1995"), far) <= 100
+        || coalesce(col("rank_1996"), far) <= 100)
+    j.select(col("pk"), col("rank_1995"), col("rank_1996"),
+        (coalesce(col("rank_1995"), far) - coalesce(col("rank_1996"), far))
+          .cast(LongType).as("rank_gain"))
+      .orderBy(abs(coalesce(col("rank_1995"), far)
+        - coalesce(col("rank_1996"), far)).desc, col("pk"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
@@ -2045,5 +2156,6 @@ object AnalyticsQueries {
     qSpearman, qBenford, qChangepoint,
     qMannwhitney, qSeasonality, qHhi,
     qTtestWelch, qCramersV, qMutualInfo, qPareto, qAttribution,
-    qAnova, qCuped, qDwellTime, qGraph2hop, qDecompose)
+    qAnova, qCuped, qDwellTime, qGraph2hop, qDecompose,
+    qStreak, qTopnShift)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Q
 import graft.Dsl._
 import graft.ml.{AlsEngine, Antidote, Baseline, Ratings}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, StringType}
@@ -501,7 +502,78 @@ object MfQueries {
       .orderBy("u", "slot")
   }
 
+  /** NDCG@5 of the POPULARITY baseline ranking (rank a user's items by
+    * global rater count — the non-personalized floor every personalized
+    * model must beat; the ALS ranking itself is value-dependent and lives
+    * out-of-band in MfSpec). Deterministic end-to-end: the ranking sorts
+    * on an exact INTEGER key (popularity, item_id), the per-position
+    * discounts 1/log₂(pos+1) are hardcoded double literals (identical
+    * bits on both engines — no libm ln/log2 call crosses the engine
+    * boundary), and both the ≤5-term per-user DCG sums and the final
+    * per-user NDCG mean are quantize-then-summed at 10⁻⁹. The user
+    * window is user-keyed; popularity is one item-keyed aggregate. */
+  val qNdcg = Q(
+    "q_ndcg",
+    s"""WITH ${Ratings.cte},
+       |pop AS (SELECT item_id, count(*) AS n_raters FROM ratings GROUP BY 1),
+       |ranked AS (
+       |  SELECT r.user_id, r.rating,
+       |    row_number() OVER (PARTITION BY r.user_id
+       |      ORDER BY p.n_raters DESC, r.item_id) AS pos,
+       |    row_number() OVER (PARTITION BY r.user_id
+       |      ORDER BY r.rating DESC, r.item_id) AS ipos
+       |  FROM ratings r JOIN pop p ON r.item_id = p.item_id),
+       |disc AS (
+       |  SELECT * FROM (VALUES (1, 1.0), (2, 0.6309297535714575), (3, 0.5),
+       |    (4, 0.43067655807339306), (5, 0.38685280723454163)) d(pos, w)),
+       |dcg AS (
+       |  SELECT user_id, sum(CASE WHEN dw.w IS NOT NULL THEN
+       |      CAST(ROUND(rating * dw.w * 1000000000) AS HUGEINT)
+       |      ELSE CAST(0 AS HUGEINT) END) AS dcg9,
+       |    sum(CASE WHEN iw.w IS NOT NULL THEN
+       |      CAST(ROUND(rating * iw.w * 1000000000) AS HUGEINT)
+       |      ELSE CAST(0 AS HUGEINT) END) AS idcg9
+       |  FROM ranked
+       |  LEFT JOIN disc dw ON ranked.pos = dw.pos
+       |  LEFT JOIN disc iw ON ranked.ipos = iw.pos
+       |  GROUP BY user_id)
+       |SELECT count(*) AS n_users,
+       |  ROUND(CAST(sum(CAST(ROUND(CAST(dcg9 AS DOUBLE)
+       |      / CAST(idcg9 AS DOUBLE) * 1000000000) AS HUGEINT)) AS DOUBLE)
+       |    / 1000000000 / count(*), 6) AS mean_ndcg
+       |FROM dcg""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val ratings = Ratings.view(s, d)
+    val pop = ratings.groupBy("item_id").agg(count(lit(1)).as("n_raters"))
+    val wPop = Window.partitionBy("user_id")
+      .orderBy(col("n_raters").desc, col("item_id"))
+    val wIdeal = Window.partitionBy("user_id")
+      .orderBy(col("rating").desc, col("item_id"))
+    val ranked = ratings.join(pop, "item_id")
+      .withColumn("pos", row_number().over(wPop))
+      .withColumn("ipos", row_number().over(wIdeal))
+    import s.implicits._
+    val disc = Seq((1, 1.0), (2, 0.6309297535714575), (3, 0.5),
+      (4, 0.43067655807339306), (5, 0.38685280723454163)).toDF("dpos", "w")
+    def q9(posCol: String, w: Column): Column =
+      sum(when(w.isNotNull,
+        round(col("rating") * w * 1000000000).cast(big38))
+        .otherwise(lit(0).cast(big38)))
+    val dcg = ranked
+      .join(broadcast(disc.select(col("dpos").as("pd"), col("w").as("wd"))),
+        col("pos") === col("pd"), "left")
+      .join(broadcast(disc.select(col("dpos").as("pi"), col("w").as("wi"))),
+        col("ipos") === col("pi"), "left")
+      .groupBy("user_id")
+      .agg(q9("pos", col("wd")).as("dcg9"), q9("ipos", col("wi")).as("idcg9"))
+    dcg.agg(count(lit(1)).as("n_users"),
+      round(sum(round(col("dcg9").cast(DoubleType)
+          / col("idcg9").cast(DoubleType) * 1000000000).cast(big38))
+        .cast(DoubleType) / 1000000000 / count(lit(1)), 6).as("mean_ndcg"))
+  }
+
   val all: Seq[Q] = Seq(
+    qNdcg,
     qRatingsView, qRatingsPivot, qMfAlsTrain, qMfPredict, qMfTopkRecs,
     qMfItemSim, qMfFoldin,
     qMetricRmse, qMetricPolarization, qMetricIndUnfairness,

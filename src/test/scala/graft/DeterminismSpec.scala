@@ -56,7 +56,8 @@ class DeterminismSpec extends SparkTestBase {
     LlmQueries.qZipf, LlmQueries.qBm25, LlmQueries.qMixWeights,
     EvalQueries.qAuc, EvalQueries.qLiftDeciles,
     AnalyticsQueries.qDecompose, LlmQueries.qDocEntropy,
-    PipelineQueries.qSkewAudit)
+    PipelineQueries.qSkewAudit,
+    MfQueries.qNdcg, AnalyticsQueries.qStreak, AnalyticsQueries.qTopnShift)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
