@@ -1012,6 +1012,41 @@ object LlmQueries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Exact binary-payload dedup per modality: md5 over the payload bytes'
+    * hex encoding (computed from the binary column itself; DuckDB's md5
+    * takes VARCHAR, so both engines hash the identical hex string), the
+    * dedup posture for image/audio/video assets where near-dup semantics
+    * don't apply until decode. Per modality: payload count, distinct
+    * payloads, duplicate rows, and the largest duplicate group. The
+    * payload groupBy shuffles 16-byte digests, never payloads (Catalyst
+    * computes md5 map-side); at 100 TB this is the first pass before any
+    * expensive perceptual hashing. */
+  val qMediaDedup = Q(
+    "q_media_dedup",
+    """WITH m AS (
+      |  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |      WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    md5(hex(CAST(text AS BLOB))) AS h
+      |  FROM documents),
+      |g AS (SELECT modality, h, count(*) AS c FROM m GROUP BY modality, h)
+      |SELECT modality, CAST(sum(c) AS BIGINT) AS n_payloads,
+      |  count(*) AS n_distinct,
+      |  CAST(sum(c - 1) AS BIGINT) AS n_dup_rows,
+      |  CAST(max(c) AS BIGINT) AS max_group
+      |FROM g GROUP BY modality ORDER BY modality""".stripMargin) { (s, d) =>
+    val media = Multimodal.mediaTable(t(s, d, "documents"))
+    val g = media
+      .select(col("modality"), md5(hex(col("payload"))).as("h"))
+      .groupBy("modality", "h")
+      .agg(count(lit(1)).as("c"))
+    g.groupBy("modality")
+      .agg(sum(col("c")).cast(LongType).as("n_payloads"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") - 1).cast(LongType).as("n_dup_rows"),
+        max(col("c")).cast(LongType).as("max_group"))
+      .orderBy("modality")
+  }
+
   val qMultimodalDecode = Q.noOracle("q_multimodal_decode") { (s, d) =>
     import s.implicits._
     val media = Multimodal.mediaTable(t(s, d, "documents"))
@@ -1588,5 +1623,6 @@ object LlmQueries {
     qHeavyHitters, qChunkDocs, qTextNormalize, qBigramLm, qCorpusMix,
     qHllReagg,
     qSampleHash, qSplitTrainTest, qShuffleDet, qPackSequences, qLengthBuckets,
-    qMultimodalJoin, qMultimodalMeta, qMultimodalDecode, qMediaFrames)
+    qMultimodalJoin, qMultimodalMeta, qMultimodalDecode, qMediaFrames,
+    qMediaDedup)
 }

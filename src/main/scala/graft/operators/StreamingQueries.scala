@@ -152,6 +152,26 @@ object StreamingQueries {
     * event_type) maintained incrementally over a 4-micro-batch file
     * replay — commutative digests make the final state batch-boundary-
     * independent, so the DuckDB batch recompute is the oracle. */
+  /** Streaming CDC upsert: the latest-state-per-user table maintained
+    * INCREMENTALLY over a real 4-micro-batch replay
+    * (StreamOps.incrementalUpsert — foreachBatch versioned state, each
+    * merge touching |state| + |batch| rows). Keep-latest is idempotent /
+    * commutative across batch boundaries, so the final state equals the
+    * whole-history recompute — which is exactly this oracle (the same
+    * window q_merge_upsert's batch MERGE checks against). */
+  val qStreamUpsert = Q(
+    "q_stream_upsert",
+    """SELECT user_id, state, us FROM (
+      |  SELECT user_id, event_type AS state, epoch_us(ts) AS us,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+      |  FROM events) x
+      |WHERE rk = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    StreamOps.incrementalUpsert(s, d,
+        s"target/stream_upsert_${math.abs(d.hashCode)}")
+      .orderBy("user_id")
+  }
+
   val qStreamChecksum = Q(
     "q_stream_checksum",
     """SELECT event_type, count(*) AS n_rows,
@@ -237,5 +257,5 @@ object StreamingQueries {
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg,
-    qStreamIntervalJoin, qStreamChecksum, qStreamTopk)
+    qStreamIntervalJoin, qStreamChecksum, qStreamTopk, qStreamUpsert)
 }

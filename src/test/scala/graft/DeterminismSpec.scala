@@ -57,7 +57,8 @@ class DeterminismSpec extends SparkTestBase {
     EvalQueries.qAuc, EvalQueries.qLiftDeciles,
     AnalyticsQueries.qDecompose, LlmQueries.qDocEntropy,
     PipelineQueries.qSkewAudit,
-    MfQueries.qNdcg, AnalyticsQueries.qStreak, AnalyticsQueries.qTopnShift)
+    MfQueries.qNdcg, AnalyticsQueries.qStreak, AnalyticsQueries.qTopnShift,
+    LlmQueries.qMediaDedup)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

@@ -317,4 +317,21 @@ class StreamingSpec extends SparkTestBase {
     val versions = new java.io.File(s"$dir/state").list()
     assert(versions != null && versions.count(_.startsWith("v")) >= 2)
   }
+
+  test("incrementalUpsert's final state is independent of batch boundaries") {
+    // keep-latest is idempotent+commutative across micro-batches: the
+    // 4-batch replay, a 2-batch replay, and the single-batch replay must
+    // all land on the identical latest-per-user table.
+    val out4 = StreamOps.incrementalUpsert(spark, sf, "target/test_upsert4", 4)
+    val out2 = StreamOps.incrementalUpsert(spark, sf, "target/test_upsert2", 2)
+    val out1 = StreamOps.incrementalUpsert(spark, sf, "target/test_upsert1", 1)
+    assert(out4.exceptAll(out2).isEmpty && out2.exceptAll(out4).isEmpty)
+    assert(out4.exceptAll(out1).isEmpty && out1.exceptAll(out4).isEmpty)
+    assert(out4.count() > 0)
+    // one state row per user — the table is fully deduplicated
+    assert(out4.count() == out4.select("user_id").distinct().count())
+    // ≥2 versions on disk proves the merge path executed in the 4-batch run
+    val versions = new java.io.File("target/test_upsert4/state").list()
+    assert(versions != null && versions.count(_.startsWith("v")) >= 2)
+  }
 }
