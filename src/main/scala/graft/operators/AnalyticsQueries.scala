@@ -1467,11 +1467,16 @@ object AnalyticsQueries {
     * bounded domain (|segments|×|priorities|), so everything after the
     * one fact aggregate is driver-scale regardless of input size. */
   private def contingency(s: SparkSession, d: String): DataFrame = {
+    // The cells table is bounded (|segments|×|priorities| ≤ 25 rows), but
+    // marginals + callers reference it several times — localCheckpoint so
+    // the ONE fact-scale aggregate runs once, not once per consumer
+    // (pre-fix the plan re-scanned orders 3-4× per test statistic).
     val cells = t(s, d, "orders").select("o_custkey", "o_orderpriority")
       .join(broadcast(t(s, d, "customer").select("c_custkey", "c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     val r = cells.groupBy("seg").agg(sum("o").as("r"))
     val c0 = cells.groupBy("prio").agg(sum("o").as("c"))
     val n = cells.agg(sum("o").as("n"))
@@ -1526,7 +1531,7 @@ object AnalyticsQueries {
       round(dd * dd / col("n").cast(DoubleType) / col("r").cast(DoubleType)
         / col("c").cast(DoubleType) * 1000000).cast(big38).as("t6"))
     val agg = term.agg(max("n").as("n"), sum("t6").as("chi6"))
-    val dims = contingency(s, d)
+    val dims = full
       .agg(countDistinct("seg").as("nr"), countDistinct("prio").as("nc"))
     agg.crossJoin(broadcast(dims))
       .select(col("n").cast(LongType).as("n"), col("nr"), col("nc"),
@@ -1580,7 +1585,7 @@ object AnalyticsQueries {
           / (col("r").cast(DoubleType) * col("c").cast(DoubleType)))
         * 1000000000).cast(big38)).as("mi9"))
     def marginalH(keyCol: String, cntCol: String): DataFrame =
-      contingency(s, d).select(col(keyCol), col(cntCol), col("n")).distinct()
+      full.select(col(keyCol), col(cntCol), col("n")).distinct()
         .agg(sum(round(-(col(cntCol).cast(DoubleType) / col("n").cast(DoubleType))
           * log(col(cntCol).cast(DoubleType) / col("n").cast(DoubleType))
           * 1000000000).cast(big38)).as("h9"))

@@ -96,14 +96,14 @@ object EvalQueries {
       |  ROUND(CAST(cum_pos AS DOUBLE) / CAST(cum_rows AS DOUBLE)
       |    / (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cum_lift
       |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin) { (s, d) =>
-    val (ranked, _) = graft.plans.GlobalRank.withGlobalRowNumber(
+    val (ranked, nTotal) = graft.plans.GlobalRank.withGlobalRowNumber(
       scored(s, d).withColumn("negc", -col("cents")), "rn", 32,
       col("negc"), col("o_orderkey"))
-    val withN = ranked.crossJoin(
-      broadcast(scored(s, d).agg(count(lit(1)).as("n"))))
-    val dec = withN
+    // GlobalRank already counted the table — no second fact aggregate
+    val dec = ranked
       .select(
-        (expr("(rn - 1) * 10 DIV n").cast(IntegerType) + 1).as("decile"),
+        (expr(s"(rn - 1) * 10 DIV ${nTotal}L").cast(IntegerType) + 1)
+          .as("decile"),
         col("label"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_rows"), sum(col("label")).as("n_pos"))

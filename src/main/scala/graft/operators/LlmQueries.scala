@@ -1481,21 +1481,27 @@ object LlmQueries {
       |ORDER BY score9 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
     import s.implicits._
     val big38 = DecimalType(38, 0)
-    val toks = t(s, d, "documents")
+    // ONE tokenize+aggregate pass feeds all three consumers (doc lengths,
+    // per-term df, query-term tf) — materialized because they'd otherwise
+    // each replay the corpus-wide explode+shuffle. At 100 TB the (doc,
+    // term) frequency table is the artifact you persist anyway (it also
+    // backs tfidf/rarity/entropy).
+    val tfAll = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-    val len = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val len = tfAll.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val stats = len.agg(count(lit(1)).cast(DoubleType).as("n"),
       (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
     val qt = Seq("hash", "vector", "stream", "spark").toDF("term")
-    val df = toks.join(broadcast(qt), "term")
-      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val df = tfAll.join(broadcast(qt), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val idf = df.crossJoin(broadcast(stats))
       .select(col("term"),
         log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
           .as("idf"),
         col("avgdl"))
-    val tf = toks.join(broadcast(qt), "term")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = tfAll.join(broadcast(qt), "term")
     val scored = tf.join(broadcast(idf), "term").join(len, "doc_id")
       .groupBy("doc_id")
       .agg(sum(round(col("idf") * col("tf") * 2.2
@@ -1541,9 +1547,12 @@ object LlmQueries {
       |FROM w CROSS JOIN z
       |ORDER BY source""".stripMargin) { (s, d) =>
     val big38 = DecimalType(38, 0)
+    // ≤|sources| rows after the one corpus-scale aggregate; checkpointed
+    // because tot and w both consume it (one explode pass, not two)
     val src = t(s, d, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("term"))
       .groupBy("source").agg(count(lit(1)).as("n_toks"))
+      .localCheckpoint()
     val tot = src.agg(sum(col("n_toks")).as("total"))
     val w = src.crossJoin(broadcast(tot))
       .select(col("source"), col("n_toks"),

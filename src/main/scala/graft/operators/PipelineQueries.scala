@@ -949,9 +949,12 @@ object PipelineQueries {
     val big38 = DecimalType(38, 0)
     val x = t(s, d, "orders").select(col("o_orderpriority").as("prio"),
       when(dec2(col("o_totalprice")) >= 150000, 1).otherwise(0).as("hi"))
+    // 5-row post-agg domain, two consumers (tot + term): checkpoint so
+    // the fact scan runs once
     val cat = x.groupBy("prio").agg(
       sum(col("hi")).cast(big38).as("good"),
       sum(lit(1) - col("hi")).cast(big38).as("bad"))
+      .localCheckpoint()
     val tot = cat.agg(sum("good").cast(big38).as("gt"),
       sum("bad").cast(big38).as("bt"))
     val gr = col("good").cast(DoubleType) / col("gt").cast(DoubleType)
@@ -1011,9 +1014,12 @@ object PipelineQueries {
           .as("bucket"),
         year(col("o_orderdate").cast(DateType)).as("yr"))
       .filter(col("yr").isin(1995, 1996))
+    // <=10-row post-agg domain, two consumers (tot + term): checkpoint
+    // so the fact scan runs once
     val b = x.groupBy("bucket").agg(
       sum(when(col("yr") === 1995, 1).otherwise(0)).cast(big38).as("ca"),
       sum(when(col("yr") === 1996, 1).otherwise(0)).cast(big38).as("cb"))
+      .localCheckpoint()
     val tot = b.agg(sum("ca").cast(big38).as("na"),
       sum("cb").cast(big38).as("nb"))
     val pa = (col("ca") + 1).cast(DoubleType) / (col("na") + 10).cast(DoubleType)
