@@ -470,6 +470,34 @@ object Aggregates {
         .orderBy("k")
   }
 
+  /** Bag-semantics INTERSECT ALL (multiplicity = min of the two sides) —
+    * the multiset complement of q_intersect's set form; Spark's
+    * intersectAll plans the same aggregate+join shape DuckDB executes. */
+  val qIntersectAll = Q(
+    "q_intersect_all",
+    """SELECT k FROM (
+      |  SELECT c_nationkey AS k FROM customer
+      |  INTERSECT ALL SELECT s_nationkey FROM supplier) q
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    t(s, d, "customer").select(col("c_nationkey").as("k"))
+      .intersectAll(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+  }
+
+  /** Bag-semantics EXCEPT ALL (multiplicity = left − right, floored at
+    * zero) — the multiset difference used for "remove one occurrence per
+    * match" reconciliation jobs. */
+  val qExceptAll = Q(
+    "q_except_all",
+    """SELECT k FROM (
+      |  SELECT c_nationkey AS k FROM customer
+      |  EXCEPT ALL SELECT s_nationkey FROM supplier) q
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    t(s, d, "customer").select(col("c_nationkey").as("k"))
+      .exceptAll(t(s, d, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+  }
+
   /** Percent-of-total done the scale-safe way: the grand total is a
     * one-row aggregate broadcast back onto the per-group rows — NOT a
     * `sum() OVER ()` empty-partition window (which funnels every row
@@ -512,5 +540,6 @@ object Aggregates {
     qAggApproxDistinct, qAggApproxQuantile, qAggMedianPct,
     qAggRegression, qAggBitops, qStringAgg, qAggArgminmax,
     qOrderbyLimit, qSortMulti,
-    qUnionAll, qUnionDistinct, qIntersect, qExcept)
+    qUnionAll, qUnionDistinct, qIntersect, qExcept,
+    qIntersectAll, qExceptAll)
 }

@@ -2151,6 +2151,109 @@ object AnalyticsQueries {
       .limit(20)
   }
 
+  /** Rolling z-score anomaly detection on per-nation daily revenue: each
+    * day scored against its own trailing 28-day window (self excluded —
+    * the standard "today vs its baseline" monitor), top 20 |z|. The
+    * rolling moments are EXACT integer frame sums (Σcents, Σcents² with
+    * cents² widened to DECIMAL(38) before multiplying); mean/std/z are
+    * assembled per row from those exact sums in identical op order on
+    * both engines. Windows are nation-keyed; ties broken by (day,
+    * nation) into a total order. */
+  val qRollingZscore = Q(
+    "q_rolling_zscore",
+    """WITH series AS (
+      |  SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |w AS (
+      |  SELECT n_name, day, cents,
+      |    count(*) OVER fr AS n,
+      |    sum(CAST(cents AS HUGEINT)) OVER fr AS s1,
+      |    sum(CAST(cents AS HUGEINT) * cents) OVER fr AS s2
+      |  FROM series
+      |  WINDOW fr AS (PARTITION BY n_name ORDER BY day
+      |    ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT n_name, day, cents, n,
+      |    (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+      |             / CAST(n * n AS DOUBLE)) AS zs
+      |  FROM w WHERE n >= 14)
+      |SELECT n_name, day, ROUND(CAST(cents AS DOUBLE) / 100, 6) AS revenue,
+      |  CAST(n AS BIGINT) AS baseline_days, ROUND(zs, 6) AS z
+      |FROM z ORDER BY abs(zs) DESC, day, n_name LIMIT 20""".stripMargin) {
+    (s, d) =>
+      val big38 = DecimalType(38, 0)
+      val series = t(s, d, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+        .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_orderdate").cast(DateType).as("day"))
+        .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("cents"))
+      val fr = Window.partitionBy("n_name").orderBy("day")
+        .rowsBetween(-28, -1)
+      val w = series
+        .withColumn("n", count(lit(1)).over(fr))
+        .withColumn("s1", sum(col("cents").cast(big38)).over(fr))
+        .withColumn("s2", sum(col("cents").cast(big38) * col("cents")).over(fr))
+        .filter(col("n") >= 14)
+      val z = w.select(col("n_name"), col("day"), col("cents"), col("n"),
+        ((col("cents").cast(DoubleType)
+          - col("s1").cast(DoubleType) / col("n").cast(DoubleType))
+          / sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast(DoubleType)
+            / (col("n") * col("n")).cast(DoubleType))).as("zs"))
+      z.select(col("n_name"), col("day"),
+          round(col("cents").cast(DoubleType) / 100, 6).as("revenue"),
+          col("n").cast(LongType).as("baseline_days"),
+          round(col("zs"), 6).as("z"))
+        .orderBy(abs(col("zs")).desc, col("day"), col("n_name"))
+        .limit(20)
+  }
+
+  /** Weekly/monthly active users + stickiness (WAU/MAU) — the product-
+    * analytics engagement headline. Distinct users per ISO week and per
+    * month are EXACT distinct aggregates over (period, user) pairs (the
+    * events table reduces to distinct pairs first, so each count is a
+    * bounded second-stage aggregate); the week→month mapping takes the
+    * week's FIRST day so every week lands in exactly one month. */
+  val qWeeklyActive = Q(
+    "q_weekly_active",
+    """WITH wk AS (
+      |  SELECT date_trunc('week', CAST(ts AS DATE)) AS week_start,
+      |    count(DISTINCT user_id) AS wau
+      |  FROM events GROUP BY 1),
+      |mo AS (
+      |  SELECT date_trunc('month', CAST(ts AS DATE)) AS month_start,
+      |    count(DISTINCT user_id) AS mau
+      |  FROM events GROUP BY 1)
+      |SELECT CAST(week_start AS DATE) AS week_start, wau, mau,
+      |  ROUND(CAST(wau AS DOUBLE) / mau, 6) AS stickiness
+      |FROM wk JOIN mo
+      |  ON date_trunc('month', week_start) = month_start
+      |ORDER BY week_start""".stripMargin) { (s, d) =>
+    val ev = eventsUs(s, d)
+      .select(col("user_id"),
+        timestamp_micros(col("us")).cast(DateType).as("day"))
+    val wk = ev.select(date_trunc("week", col("day")).as("week_start"),
+        col("user_id"))
+      .groupBy("week_start")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val mo = ev.select(date_trunc("month", col("day")).as("month_start"),
+        col("user_id"))
+      .groupBy("month_start")
+      .agg(countDistinct(col("user_id")).as("mau"))
+    wk.join(broadcast(mo),
+        date_trunc("month", col("week_start")) === col("month_start"))
+      .select(col("week_start").cast(DateType).as("week_start"),
+        col("wau"), col("mau"),
+        round(col("wau").cast(DoubleType) / col("mau"), 6).as("stickiness"))
+      .orderBy("week_start")
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
@@ -2162,5 +2265,5 @@ object AnalyticsQueries {
     qMannwhitney, qSeasonality, qHhi,
     qTtestWelch, qCramersV, qMutualInfo, qPareto, qAttribution,
     qAnova, qCuped, qDwellTime, qGraph2hop, qDecompose,
-    qStreak, qTopnShift)
+    qStreak, qTopnShift, qRollingZscore, qWeeklyActive)
 }
