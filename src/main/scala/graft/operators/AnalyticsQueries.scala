@@ -2254,6 +2254,224 @@ object AnalyticsQueries {
       .orderBy("week_start")
   }
 
+  /** First-order Markov transition matrix over the per-user event stream:
+    * (src → dst) counts from each user's time-ordered event sequence
+    * (lead within the user partition — one shuffle key, no global sort),
+    * normalized into transition probabilities by the src row total. The
+    * counts are exact int64; the only double is the final per-row
+    * division, round 6. The src totals are a bounded second-stage
+    * aggregate (≤ |event_type|² rows) broadcast back onto the pairs. */
+  val qMarkovTransitions = Q(
+    "q_markov_transitions",
+    """WITH seq AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS dst
+      |  FROM events),
+      |pairs AS (
+      |  SELECT src, dst, count(*) AS n FROM seq
+      |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT src, sum(n) AS tn FROM pairs GROUP BY 1)
+      |SELECT p.src, p.dst, p.n,
+      |  ROUND(CAST(p.n AS DOUBLE) / tn, 6) AS prob
+      |FROM pairs p JOIN tot USING (src)
+      |ORDER BY src, dst""".stripMargin) { (s, d) =>
+    val seqW = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = eventsUs(s, d)
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(seqW).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("src").agg(sum(col("n")).as("tn"))
+    pairs.join(broadcast(tot), Seq("src"))
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast(DoubleType) / col("tn"), 6).as("prob"))
+      .orderBy("src", "dst")
+  }
+
+  /** Cohort lifetime-value curves: customers grouped by first-order month,
+    * cumulative revenue tracked by cohort age in months. The per-(cohort,
+    * age) revenue is an exact cents aggregate; the cumulative curve is a
+    * cohort-partitioned running sum over those exact ints (bounded rows —
+    * months², never the fact table); dollars appear only in the final
+    * cast. The first-order month comes from a grouped MIN, broadcast back
+    * onto orders. */
+  val qCohortLtv = Q(
+    "q_cohort_ltv",
+    """WITH first_o AS (
+      |  SELECT o_custkey,
+      |    date_trunc('month', MIN(CAST(o_orderdate AS DATE))) AS cohort
+      |  FROM orders GROUP BY 1),
+      |rev AS (
+      |  SELECT f.cohort,
+      |    datediff('month', f.cohort,
+      |      date_trunc('month', CAST(o.o_orderdate AS DATE))) AS age,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS cents,
+      |    count(*) AS orders
+      |  FROM orders o JOIN first_o f ON o.o_custkey = f.o_custkey
+      |  GROUP BY 1, 2)
+      |SELECT CAST(cohort AS DATE) AS cohort_month,
+      |  CAST(age AS BIGINT) AS age_months, orders,
+      |  ROUND(CAST(sum(CAST(cents AS HUGEINT))
+      |    OVER (PARTITION BY cohort ORDER BY age) AS DOUBLE) / 100, 6)
+      |    AS cum_revenue
+      |FROM rev ORDER BY cohort_month, age_months""".stripMargin) { (s, d) =>
+    val orders = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val firstO = orders.groupBy("o_custkey")
+      .agg(date_trunc("month", min(col("o_orderdate").cast(DateType)))
+        .as("cohort"))
+    val rev = orders
+      .join(firstO, Seq("o_custkey"))
+      .groupBy(col("cohort"),
+        months_between(date_trunc("month", col("o_orderdate").cast(DateType)),
+          col("cohort")).cast(LongType).as("age"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("cents"),
+        count(lit(1)).as("orders"))
+    val cum = Window.partitionBy("cohort").orderBy("age")
+    rev.select(col("cohort").cast(DateType).as("cohort_month"),
+        col("age").as("age_months"), col("orders"),
+        round(sum(col("cents").cast(DecimalType(38, 0))).over(cum)
+          .cast(DoubleType) / 100, 6).as("cum_revenue"))
+      .orderBy("cohort_month", "age_months")
+  }
+
+  /** Two-feature OLS by normal equations, closed form: extendedprice ~
+    * quantity + discount. Every moment (Σx, Σx², Σxy …) is an exact
+    * scaled-integer sum widened to DECIMAL(38)/HUGEINT BEFORE multiplying,
+    * so the single aggregation scan is exact and merge-order-independent;
+    * the centered S-terms and the 2×2 solve happen in doubles AFTER the
+    * exact sums, in identical op order on both engines. One pass over the
+    * fact table computes all nine moments (the k-feature generalization
+    * of q_agg_regression's simple OLS). */
+  val qRegressionMulti = Q(
+    "q_regression_multi",
+    """WITH m AS (
+      |  SELECT count(*) AS n,
+      |    sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT)) AS sx1,
+      |    sum(CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT)) AS sx2,
+      |    sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) AS HUGEINT)) AS sy,
+      |    sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT)
+      |      * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS sx1x1,
+      |    sum(CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT)
+      |      * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS sx2x2,
+      |    sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT)
+      |      * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS sx1x2,
+      |    sum(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT)
+      |      * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS sx1y,
+      |    sum(CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT)
+      |      * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS sx2y,
+      |    sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) AS HUGEINT)
+      |      * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS syy
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT n,
+      |    CAST(n * sx1x1 - sx1 * sx1 AS DOUBLE) AS s11,
+      |    CAST(n * sx2x2 - sx2 * sx2 AS DOUBLE) AS s22,
+      |    CAST(n * sx1x2 - sx1 * sx2 AS DOUBLE) AS s12,
+      |    CAST(n * sx1y - sx1 * sy AS DOUBLE) AS s1y,
+      |    CAST(n * sx2y - sx2 * sy AS DOUBLE) AS s2y,
+      |    CAST(n * syy - sy * sy AS DOUBLE) AS syy_c,
+      |    CAST(sx1 AS DOUBLE) AS dx1, CAST(sx2 AS DOUBLE) AS dx2,
+      |    CAST(sy AS DOUBLE) AS dy
+      |  FROM m)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  ROUND((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12), 6) AS b_qty,
+      |  ROUND((s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12), 6)
+      |    AS b_disc,
+      |  ROUND((dy - (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) * dx1
+      |    - (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) * dx2)
+      |    / CAST(n AS DOUBLE) / 100, 6) AS b0,
+      |  ROUND(((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) * s1y
+      |    + (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) * s2y)
+      |    / syy_c, 6) AS r2
+      |FROM s""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    def c100(name: String): Column =
+      (dec2(col(name)) * 100).cast(LongType)
+    val m = t(s, d, "lineitem")
+      .select(c100("l_quantity").as("x1"), c100("l_discount").as("x2"),
+        c100("l_extendedprice").as("y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1").cast(big38)).as("sx1"),
+        sum(col("x2").cast(big38)).as("sx2"),
+        sum(col("y").cast(big38)).as("sy"),
+        sum(col("x1").cast(big38) * col("x1")).as("sx1x1"),
+        sum(col("x2").cast(big38) * col("x2")).as("sx2x2"),
+        sum(col("x1").cast(big38) * col("x2")).as("sx1x2"),
+        sum(col("x1").cast(big38) * col("y")).as("sx1y"),
+        sum(col("x2").cast(big38) * col("y")).as("sx2y"),
+        sum(col("y").cast(big38) * col("y")).as("syy"))
+    val st = m.select(col("n"),
+      (col("n") * col("sx1x1") - col("sx1") * col("sx1"))
+        .cast(DoubleType).as("s11"),
+      (col("n") * col("sx2x2") - col("sx2") * col("sx2"))
+        .cast(DoubleType).as("s22"),
+      (col("n") * col("sx1x2") - col("sx1") * col("sx2"))
+        .cast(DoubleType).as("s12"),
+      (col("n") * col("sx1y") - col("sx1") * col("sy"))
+        .cast(DoubleType).as("s1y"),
+      (col("n") * col("sx2y") - col("sx2") * col("sy"))
+        .cast(DoubleType).as("s2y"),
+      (col("n") * col("syy") - col("sy") * col("sy"))
+        .cast(DoubleType).as("syy_c"),
+      col("sx1").cast(DoubleType).as("dx1"),
+      col("sx2").cast(DoubleType).as("dx2"),
+      col("sy").cast(DoubleType).as("dy"))
+    val den = col("s11") * col("s22") - col("s12") * col("s12")
+    val b1 = (col("s22") * col("s1y") - col("s12") * col("s2y")) / den
+    val b2 = (col("s11") * col("s2y") - col("s12") * col("s1y")) / den
+    st.select(col("n").cast(LongType).as("n"),
+      round(b1, 6).as("b_qty"),
+      round(b2, 6).as("b_disc"),
+      round((col("dy") - b1 * col("dx1") - b2 * col("dx2"))
+        / col("n").cast(DoubleType) / 100, 6).as("b0"),
+      round((b1 * col("s1y") + b2 * col("s2y")) / col("syy_c"), 6).as("r2"))
+  }
+
+  /** 2-D histogram (quantity × discount) with a revenue measure per cell —
+    * the density grid behind pricing heatmaps. Bucket ids are exact
+    * integer arithmetic on the scaled values (floor division for the
+    * quantity axis, the cent value itself for discount); one hash
+    * aggregate, cells bounded by the grid size regardless of fact rows. */
+  val qHist2d = Q(
+    "q_hist2d",
+    """SELECT CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    // 500 AS BIGINT) AS qty_bucket,
+      |  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS disc_pct,
+      |  count(*) AS n,
+      |  ROUND(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |    AS BIGINT)) AS DOUBLE) / 100, 6) AS revenue
+      |FROM lineitem GROUP BY 1, 2
+      |ORDER BY qty_bucket, disc_pct""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy(
+        floor((dec2(col("l_quantity")) * 100).cast(LongType) / 500)
+          .cast(LongType).as("qty_bucket"),
+        (dec2(col("l_discount")) * 100).cast(LongType).as("disc_pct"))
+      .agg(count(lit(1)).as("n"),
+        round(sum((dec2(col("l_extendedprice")) * 100).cast(LongType))
+          .cast(DoubleType) / 100, 6).as("revenue"))
+      .orderBy("qty_bucket", "disc_pct")
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
@@ -2265,5 +2483,6 @@ object AnalyticsQueries {
     qMannwhitney, qSeasonality, qHhi,
     qTtestWelch, qCramersV, qMutualInfo, qPareto, qAttribution,
     qAnova, qCuped, qDwellTime, qGraph2hop, qDecompose,
-    qStreak, qTopnShift, qRollingZscore, qWeeklyActive)
+    qStreak, qTopnShift, qRollingZscore, qWeeklyActive,
+    qMarkovTransitions, qCohortLtv, qRegressionMulti, qHist2d)
 }
