@@ -2472,6 +2472,137 @@ object AnalyticsQueries {
       .orderBy("qty_bucket", "disc_pct")
   }
 
+  /** Kaplan–Meier survival over customer activity lifetimes: duration =
+    * days between a customer's first and last order; customers whose last
+    * order is within 60 days of the global max date are right-censored
+    * (still active). The fact table reduces to one row per customer, then
+    * to one row per distinct duration (d churned, c censored) — a BOUNDED
+    * table (≤ calendar days), so the at-risk reverse-cumulative and the
+    * survival log-sum run as single-partition windows over that aggregate
+    * like q_degree_hist/q_decompose, never over fact rows. at-risk counts
+    * are exact ints; ln((ar−d)/ar) is per-row on exact ints and its
+    * running sum is sequential in the same total order on both engines;
+    * the ar=d terminal row (ln 0 diverges, and Spark ln(0) is NULL where
+    * DuckDB's is -inf) is emitted as survival 0 directly. */
+  val qKaplanMeier = Q(
+    "q_kaplan_meier",
+    """WITH cust AS (
+      |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d,
+      |    MAX(CAST(o_orderdate AS DATE)) AS last_d
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT MAX(last_d) AS m FROM cust),
+      |durs AS (
+      |  SELECT datediff('day', first_d, last_d) AS t,
+      |    CASE WHEN datediff('day', last_d, m) > 60 THEN 1 ELSE 0 END AS ev
+      |  FROM cust, mx),
+      |g AS (
+      |  SELECT t, sum(ev) AS d, sum(1 - ev) AS c, count(*) AS nrow
+      |  FROM durs GROUP BY t),
+      |ar AS (
+      |  SELECT t, d,
+      |    sum(nrow) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS at_risk
+      |  FROM g),
+      |sv AS (
+      |  SELECT t, d, at_risk,
+      |    sum(CASE WHEN d < at_risk
+      |      THEN ln(CAST(at_risk - d AS DOUBLE) / CAST(at_risk AS DOUBLE))
+      |      ELSE 0 END) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum
+      |  FROM ar)
+      |SELECT CAST(t AS BIGINT) AS t_days, CAST(at_risk AS BIGINT) AS at_risk,
+      |  CAST(d AS BIGINT) AS churned,
+      |  CASE WHEN d >= at_risk THEN 0.0 ELSE ROUND(exp(lsum), 6) END
+      |    AS survival
+      |FROM sv WHERE d > 0 ORDER BY t_days""".stripMargin) { (s, d) =>
+    val cust = t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(min(col("o_orderdate").cast(DateType)).as("first_d"),
+        max(col("o_orderdate").cast(DateType)).as("last_d"))
+    val mx = cust.agg(max(col("last_d")).as("m"))
+    val durs = cust.crossJoin(broadcast(mx))
+      .select(datediff(col("last_d"), col("first_d")).as("t"),
+        when(datediff(col("m"), col("last_d")) > 60, 1L).otherwise(0L)
+          .as("ev"))
+    val g = durs.groupBy("t")
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("nrow"))
+    // Bounded post-aggregation table (≤ distinct day-durations): the
+    // single-partition windows below run over ≤ ~10³ rows, never facts.
+    val wAr = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wSv = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ar = g.withColumn("at_risk", sum(col("nrow")).over(wAr))
+    val sv = ar.withColumn("lsum",
+      sum(when(col("d") < col("at_risk"),
+        log((col("at_risk") - col("d")).cast(DoubleType)
+          / col("at_risk").cast(DoubleType))).otherwise(lit(0.0))).over(wSv))
+    sv.filter(col("d") > 0)
+      .select(col("t").cast(LongType).as("t_days"),
+        col("at_risk").cast(LongType).as("at_risk"),
+        col("d").cast(LongType).as("churned"),
+        when(col("d") >= col("at_risk"), 0.0)
+          .otherwise(round(exp(col("lsum")), 6)).as("survival"))
+      .orderBy("t_days")
+  }
+
+  /** Per-user inter-arrival burstiness rolled up by event type — the
+    * bot/burst-traffic detector. Gaps are exact µs int64 (lag within the
+    * (user, type) partition — user_id is the shuffle key, so per-type
+    * volume never concentrates on one task); Σgap and Σgap² widen to
+    * DECIMAL(38)/HUGEINT before multiplying so the moment sums are exact
+    * and merge-order-independent. Burstiness B = (σ−µ)/(σ+µ) ∈ [−1, 1]
+    * (σ, µ in seconds) is assembled from the exact sums in identical op
+    * order on both engines. */
+  val qBurstiness = Q(
+    "q_burstiness",
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts), event_id) AS gap
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(gap AS HUGEINT)) AS s1,
+      |    sum(CAST(gap AS HUGEINT) * gap) AS s2
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6)
+      |    AS mean_gap_s,
+      |  ROUND(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+      |    / CAST(n * n AS DOUBLE)) / 1e6, 6) AS sd_gap_s,
+      |  ROUND((sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+      |      / CAST(n * n AS DOUBLE))
+      |    - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+      |      / CAST(n * n AS DOUBLE))
+      |    + CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS burstiness
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val seqW = Window.partitionBy("user_id", "event_type")
+      .orderBy("us", "event_id")
+    val g = eventsUs(s, d)
+      .select(col("event_type"),
+        (col("us") - lag(col("us"), 1).over(seqW)).as("gap"))
+      .filter(col("gap").isNotNull)
+    val m = g.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("gap").cast(big38)).as("s1"),
+        sum(col("gap").cast(big38) * col("gap")).as("s2"))
+    val mean = col("s1").cast(DoubleType) / col("n").cast(DoubleType) / 1e6
+    val sd = sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+      .cast(DoubleType) / (col("n") * col("n")).cast(DoubleType)) / 1e6
+    val meanUs = col("s1").cast(DoubleType) / col("n").cast(DoubleType)
+    val sdUs = sqrt((col("n") * col("s2") - col("s1") * col("s1"))
+      .cast(DoubleType) / (col("n") * col("n")).cast(DoubleType))
+    m.select(col("event_type"), col("n").cast(LongType).as("n"),
+        round(mean, 6).as("mean_gap_s"),
+        round(sd, 6).as("sd_gap_s"),
+        round((sdUs - meanUs) / (sdUs + meanUs), 6).as("burstiness"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
@@ -2484,5 +2615,6 @@ object AnalyticsQueries {
     qTtestWelch, qCramersV, qMutualInfo, qPareto, qAttribution,
     qAnova, qCuped, qDwellTime, qGraph2hop, qDecompose,
     qStreak, qTopnShift, qRollingZscore, qWeeklyActive,
-    qMarkovTransitions, qCohortLtv, qRegressionMulti, qHist2d)
+    qMarkovTransitions, qCohortLtv, qRegressionMulti, qHist2d,
+    qKaplanMeier, qBurstiness)
 }

@@ -1615,7 +1615,110 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Quality-filter cascade audit: the per-rule drop accounting every
+    * training-data pipeline publishes alongside its corpus. Four rules
+    * applied in FIXED order (min length → language allowlist → min words →
+    * max length); each stage reports input, dropped, survivors, and drop
+    * rate GIVEN the earlier stages. One scan computes every stage's
+    * conditional count (exact int64); the cascade itself is a 4-row
+    * unpivot of the single aggregate row — fact-table work is one pass no
+    * matter how many rules. Word count is exact integer arithmetic on
+    * space positions. */
+  val qFilterCascade = Q(
+    "q_filter_cascade",
+    """WITH f AS (
+      |  SELECT (n_chars >= 100) AS f1,
+      |    lang IN ('en', 'de', 'fr', 'es') AS f2,
+      |    (length(text) - length(replace(text, ' ', '')) + 1) >= 15 AS f3,
+      |    (n_chars <= 500) AS f4
+      |  FROM documents),
+      |a AS (
+      |  SELECT count(*) AS n0,
+      |    sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS n1,
+      |    sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS n2,
+      |    sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS n3,
+      |    sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS n4
+      |  FROM f)
+      |SELECT stage, rule, CAST(input AS BIGINT) AS input,
+      |  CAST(input - survivors AS BIGINT) AS dropped,
+      |  CAST(survivors AS BIGINT) AS survivors,
+      |  ROUND(CAST(input - survivors AS DOUBLE) / input, 6) AS drop_rate
+      |FROM (
+      |  SELECT 1 AS stage, 'min_length' AS rule, n0 AS input,
+      |    n1 AS survivors FROM a
+      |  UNION ALL SELECT 2, 'lang_allowlist', n1, n2 FROM a
+      |  UNION ALL SELECT 3, 'min_words', n2, n3 FROM a
+      |  UNION ALL SELECT 4, 'max_length', n3, n4 FROM a) s
+      |ORDER BY stage""".stripMargin) { (s, d) =>
+    val f = t(s, d, "documents").select(
+      (col("n_chars") >= 100).as("f1"),
+      col("lang").isin("en", "de", "fr", "es").as("f2"),
+      ((length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+        + 1) >= 15).as("f3"),
+      (col("n_chars") <= 500).as("f4"))
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val a = f.agg(count(lit(1)).as("n0"),
+      cnt(col("f1")).as("n1"),
+      cnt(col("f1") && col("f2")).as("n2"),
+      cnt(col("f1") && col("f2") && col("f3")).as("n3"),
+      cnt(col("f1") && col("f2") && col("f3") && col("f4")).as("n4"))
+    a.select(expr(
+        """stack(4,
+          |  1, 'min_length', n0, n1,
+          |  2, 'lang_allowlist', n1, n2,
+          |  3, 'min_words', n2, n3,
+          |  4, 'max_length', n3, n4) AS (stage, rule, input, survivors)"""
+          .stripMargin))
+      .select(col("stage"), col("rule"), col("input"),
+        (col("input") - col("survivors")).as("dropped"), col("survivors"),
+        round((col("input") - col("survivors")).cast(DoubleType)
+          / col("input"), 6).as("drop_rate"))
+      .orderBy("stage")
+  }
+
+  /** Contrastive hard-negative mining: for each query vector, the top-3
+    * nearest neighbors with a DIFFERENT label — the negatives that teach a
+    * contrastive model the most. The 8 query vectors broadcast against a
+    * single linear scan of the corpus (same shape as exact top-k search:
+    * no shuffle of the big side, ~km flops per row); scores are rounded
+    * BEFORE ranking so the per-query top-3 is cross-engine-stable. */
+  val qHardNegatives = Q(
+    "q_hard_negatives",
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings)
+      |SELECT qid, rk, vec_id AS neg_id, label AS neg_label, score FROM (
+      |  SELECT q.vec_id AS qid, e.vec_id, e.label,
+      |    ROUND(list_inner_product(q.v, e.v)
+      |      / sqrt(list_inner_product(q.v, q.v))
+      |      / sqrt(list_inner_product(e.v, e.v)), 4) AS score,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY ROUND(list_inner_product(q.v, e.v)
+      |        / sqrt(list_inner_product(q.v, q.v))
+      |        / sqrt(list_inner_product(e.v, e.v)), 4) DESC, e.vec_id)
+      |      AS rk
+      |  FROM (SELECT * FROM e WHERE vec_id < 8) q
+      |  JOIN e ON e.label <> q.label) x
+      |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin) { (s, d) =>
+    val embs = t(s, d, "embeddings")
+    val queries = embs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("embedding").as("q_e"))
+    val scored = embs
+      .join(broadcast(queries), col("label") =!= col("q_label"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(Dedup.cosine(col("embedding"), col("q_e")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("score"))
+      .orderBy("qid", "rk")
+  }
+
   val all: Seq[Q] = Seq(
+    qFilterCascade, qHardNegatives,
     qCrossvalFolds, qPmiBigrams, qLabelBalance, qZipf, qBm25, qMixWeights,
     qDocEntropy,
     qDedupExact, qDedupSimhash, qDedupSimhashPairs, qDedupMinhash,
