@@ -56,6 +56,24 @@ object Bench {
       val ok = try { f(); true } catch { case _: Throwable => false }
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // Storage hygiene across a 267-query single-JVM run: queries pin
+    // blocks (localCheckpoint lineage barriers, Antidote/GraphX internal
+    // caches) that a multi-job cluster would drop with the app — but here
+    // they accumulate and squeeze execution memory for every later query
+    // (round 6: 9× driver-run inflation on the iterative tail). After each
+    // query's terminal action its result is never touched again, so every
+    // persistent RDD created by the query is released. The keep-set is
+    // snapshotted AFTER warmup so the three shared memos survive; cached
+    // (non-checkpointed) frames that do get evicted recompute from
+    // lineage, so this is a perf lever, never a correctness one.
+    // SPARK_GRAFT_RELEASE=0 restores the round-6 accumulate-forever mode.
+    val release = !sys.env.get("SPARK_GRAFT_RELEASE").contains("0")
+    val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def releaseNew(): Unit = if (release)
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keep.contains(id) }
+        .values.foreach(r => try r.unpersist(blocking = false)
+          catch { case _: Throwable => () })
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = warmResults ++
@@ -66,7 +84,9 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseNew()
+        (name, if (ok) dt else -1.0)
       }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -113,7 +133,13 @@ object Bench {
     val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"sf":"$sfDir","n_queries":${results.size},"queries_full":"target/bench_queries.json","errors":[${errors.mkString(",")}]}"""
     val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":[${errors.mkString(",")}]}"""
     try {
-      val p = java.nio.file.Paths.get("target/bench_queries.json")
+      // Subset runs (SPARK_GRAFT_ONLY) go to a separate file so they can
+      // never clobber the last full-registry map — round 6's full map was
+      // superseded by a 6-query subset run and its numbers became
+      // unauditable (ADVICE.md).
+      val fname = if (only.isEmpty) "bench_queries.json"
+                  else "bench_queries_subset.json"
+      val p = java.nio.file.Paths.get(s"target/$fname")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table-loading conventions for the graft engine.
   *
@@ -19,18 +19,41 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // nanosecond LongType (spark.sql.legacy.parquet.nanosAsLong=true, set
-    // in Verify/Bench/tests). Normalize to microsecond TimestampType with
-    // integral DIV — floor semantics, matching DuckDB's ns→us truncation.
-    // NTZ keeps parity with the other fixture timestamps (parquet
-    // isAdjustedToUTC=false), so every engine sees naive µs wall-clock.
-    if (name == "events" &&
-        df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))
-        .cast(org.apache.spark.sql.types.TimestampNTZType))
+    if (name == "events" && df.schema.fieldNames.contains("ts")) tsAsNtz(df)
     else df
   }
+
+  /** Normalize `events.ts` to TIMESTAMP_NTZ regardless of how the fixture
+    * encodes it. Fixture generations have carried three encodings: parquet
+    * TIMESTAMP(NANOS) (Spark reads it as nanosecond LongType under
+    * spark.sql.legacy.parquet.nanosAsLong=true), parquet timestamp[us]
+    * with isAdjustedToUTC=false (TIMESTAMP_NTZ), and tz-adjusted
+    * TIMESTAMP. NTZ is the batch-side canon: naive µs wall-clock, exactly
+    * what DuckDB sees, so oracle hashes agree. ns→µs uses integral DIV —
+    * floor semantics, matching DuckDB's truncation. The session TZ is
+    * pinned UTC everywhere, so TIMESTAMP↔NTZ casts are wall-clock
+    * identities and both normalizers are total. */
+  def tsAsNtz(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType => df.withColumn(colName,
+        timestamp_micros(expr(s"`$colName` DIV 1000")).cast(TimestampNTZType))
+      case TimestampType => df.withColumn(colName, col(colName).cast(TimestampNTZType))
+      case _ => df
+    }
+
+  /** Normalize an event-time column to tz-adjusted TimestampType — the
+    * streaming-side canon: `withWatermark` and `unix_micros` both require
+    * TIMESTAMP and reject TIMESTAMP_NTZ. Same three encodings as
+    * [[tsAsNtz]]; UTC session TZ makes the NTZ→TIMESTAMP cast a wall-clock
+    * identity, so streaming results remain hash-comparable with the NTZ
+    * batch oracles. */
+  def tsAsTimestamp(df: DataFrame, colName: String = "ts"): DataFrame =
+    df.schema(colName).dataType match {
+      case LongType => df.withColumn(colName,
+        timestamp_micros(expr(s"`$colName` DIV 1000")))
+      case TimestampNTZType => df.withColumn(colName, col(colName).cast(TimestampType))
+      case _ => df
+    }
 
   /** Register all fixture tables as temp views so SQL-first operators can
     * refer to them by bare name (mirrors the DuckDB oracle convention). */

@@ -403,12 +403,16 @@ object Relational {
       |    upper(r_name) AS r_name_up
       |  FROM region) u
       |ORDER BY r_regionkey, r_name NULLS FIRST""".stripMargin) { (s, d) =>
-    val dir = "target/tmp/q_schema_merge"
+    // Per-run tmp dir: reusing one path across sf runs left stale committer
+    // metadata to reconcile, and two 5-row writes fanned out over the full
+    // shuffle-partition count — 28 s at sf0.1 in round 6. coalesce(1)
+    // writes one file per schema variant; a fresh dir has nothing to clear.
+    val dir = s"target/tmp/q_schema_merge_${java.util.UUID.randomUUID}"
     val region = t(s, d, "region")
     region.select("r_regionkey", "r_name")
-      .write.mode("overwrite").parquet(dir)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
     region.select(col("r_regionkey"), upper(col("r_name")).as("r_name_up"))
-      .write.mode("append").parquet(dir)
+      .coalesce(1).write.mode("append").parquet(dir)
     s.read.option("mergeSchema", "true").parquet(dir)
       .select("r_regionkey", "r_name", "r_name_up")
       .orderBy(col("r_regionkey"), col("r_name").asc_nulls_first)

@@ -18,8 +18,10 @@ object StreamOps {
 
   private val nameCounter = new AtomicInteger(0)
 
-  /** Replay a fixture events parquet as a file-source stream (ns-long ts
-    * normalized to TimestampType, same as Tables.load). */
+  /** Replay a fixture events parquet as a file-source stream. `ts` is
+    * normalized to tz-adjusted TimestampType via [[graft.Tables.tsAsTimestamp]]
+    * (watermarks require TIMESTAMP and reject TIMESTAMP_NTZ), whatever
+    * encoding the fixture carries. */
   def replayEvents(spark: SparkSession, sfDir: String): DataFrame = {
     // The file stream source wants a directory; point it at sfDir with a
     // glob filter so only the events file is replayed.
@@ -27,10 +29,7 @@ object StreamOps {
       .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    // stays TIMESTAMP (tz-adjusted): watermarks require it
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    graft.Tables.tsAsTimestamp(raw)
   }
 
   /** Tumbling-window counts with a watermark: late rows beyond the delay
@@ -245,10 +244,9 @@ object StreamOps {
   def incrementalDailyCounts(spark: SparkSession, sfDir: String,
       workDir: String): DataFrame = {
     val src = s"$workDir/src"
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-    val ts = if (events.schema("ts").dataType == LongType)
-      timestamp_micros(expr("ts DIV 1000")) else col("ts")
-    events.select(ts.as("ts"), col("event_type"))
+    val events = graft.Tables.tsAsTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    events.select(col("ts"), col("event_type"))
       .repartition(4)
       .write.mode("overwrite").parquet(src)
     val stream = spark.readStream
@@ -292,11 +290,10 @@ object StreamOps {
   def incrementalChecksum(spark: SparkSession, sfDir: String,
       workDir: String): DataFrame = {
     val src = s"$workDir/src"
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-    val ts = if (events.schema("ts").dataType == LongType)
-      timestamp_micros(expr("ts DIV 1000")) else col("ts")
+    val events = graft.Tables.tsAsTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     events.select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(ts).as("us"))
+        unix_micros(col("ts")).as("us"))
       .repartition(4)
       .write.mode("overwrite").parquet(src)
     val stream = spark.readStream
@@ -348,11 +345,10 @@ object StreamOps {
   def incrementalUpsert(spark: SparkSession, sfDir: String,
       workDir: String, nBatches: Int = 4): DataFrame = {
     val src = s"$workDir/src"
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-    val ts = if (events.schema("ts").dataType == LongType)
-      timestamp_micros(expr("ts DIV 1000")) else col("ts")
+    val events = graft.Tables.tsAsTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     events.select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(ts).as("us"))
+        unix_micros(col("ts")).as("us"))
       .repartition(nBatches)
       .write.mode("overwrite").parquet(src)
     val stream = spark.readStream

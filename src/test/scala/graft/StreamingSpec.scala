@@ -334,4 +334,23 @@ class StreamingSpec extends SparkTestBase {
     val versions = new java.io.File("target/test_upsert4/state").list()
     assert(versions != null && versions.count(_.startsWith("v")) >= 2)
   }
+
+  test("replayEvents + watermark runs against the REAL events fixture") {
+    // Round-6 regression guard: the fixture's ts encoding changed
+    // (ns-as-Long → timestamp[us] NTZ) and withWatermark rejects NTZ, so
+    // q_stream_late broke only in the driver's Verify run — this exercises
+    // the exact q_stream_late path (file-source replay, watermark,
+    // tumbling agg, AvailableNow) on the fixture, whatever its encoding.
+    val streamed = StreamOps.tumblingCounts(
+      StreamOps.replayEvents(spark, sf), "1 hour", "10 minutes")
+    val out = StreamOps.runToCompletion(streamed) // Complete, as q_stream_late
+    assert(out.count() > 0)
+    // replay is a bounded in-order pass, so nothing is late: totals must
+    // equal the batch recompute's row count over the same windows
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .count()
+    assert(out.agg(sum("cnt")).head.getLong(0) ==
+      batch.agg(sum("count")).head.getLong(0))
+  }
 }
