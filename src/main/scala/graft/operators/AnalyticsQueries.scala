@@ -2603,7 +2603,126 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  /** Tukey-fence outlier audit per order priority: exact quartiles of the
+    * order total (rounded 6 so both engines fence against identical cuts,
+    * the q_quantile_buckets idiom), fences at q1/q3 ∓ 1.5·IQR computed
+    * with the same literal op order on both sides, then per-group counts
+    * below/above. The per-group robust-outlier profile every ingestion
+    * pipeline reports. Two fact passes (quartile agg + conditional
+    * count) joined on the 5-row broadcast cut table; at 100 TB the first
+    * pass swaps to approx_percentile, documented like
+    * q_quantile_buckets. */
+  val qOutlierIqr = Q(
+    "q_outlier_iqr",
+    """WITH cuts AS (
+      |  SELECT o_orderpriority,
+      |    ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+      |    ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q3
+      |  FROM orders GROUP BY 1)
+      |SELECT o.o_orderpriority, count(*) AS n,
+      |  CAST(sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(sum(CASE WHEN o_totalprice > q3 + 1.5 * (q3 - q1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+      |  ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo_fence,
+      |  ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi_fence
+      |FROM orders o JOIN cuts c ON o.o_orderpriority = c.o_orderpriority
+      |GROUP BY o.o_orderpriority, q1, q3
+      |ORDER BY o.o_orderpriority""".stripMargin) { (s, d) =>
+    val orders = t(s, d, "orders")
+    val cuts = orders.groupBy(col("o_orderpriority").as("prio"))
+      .agg(round(expr("percentile(o_totalprice, 0.25)"), 6).as("q1"),
+        round(expr("percentile(o_totalprice, 0.75)"), 6).as("q3"))
+    val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
+    val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
+    orders.join(broadcast(cuts), col("o_orderpriority") === col("prio"))
+      .groupBy("o_orderpriority", "q1", "q3")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") < lo, 1).otherwise(0))
+          .cast(LongType).as("n_low"),
+        sum(when(col("o_totalprice") > hi, 1).otherwise(0))
+          .cast(LongType).as("n_high"))
+      .select(col("o_orderpriority"), col("n"), col("n_low"), col("n_high"),
+        round(lo, 6).as("lo_fence"), round(hi, 6).as("hi_fence"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Leakage-aware churn-label generation: for every (user, active-day)
+    * observation, churn_14 = 1 iff the user has NO activity in the next
+    * 14 days — and observations whose 14-day horizon extends past the end
+    * of the data are EXCLUDED (right-censoring guard: labeling them 1
+    * would teach the model that the dataset ends, the classic
+    * label-leakage bug). Pure epoch-day integer arithmetic (the q_streak
+    * idiom); one user-keyed lead() window + a broadcast one-row max. */
+  val qChurnLabel = Q(
+    "q_churn_label",
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |mx AS (SELECT max(day) AS max_day FROM days),
+      |lab AS (
+      |  SELECT user_id, day,
+      |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      |  FROM days)
+      |SELECT user_id, CAST(day AS BIGINT) AS day,
+      |  CASE WHEN next_day IS NOT NULL AND next_day - day <= 14
+      |    THEN 0 ELSE 1 END AS churn_14
+      |FROM lab CROSS JOIN mx
+      |WHERE day <= max_day - 14
+      |ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    val days = eventsUs(s, d)
+      .select(col("user_id"), expr("us DIV 86400000000").as("day"))
+      .distinct()
+    val mx = days.agg(max(col("day")).as("max_day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    days.withColumn("next_day", lead(col("day"), 1).over(w))
+      .crossJoin(broadcast(mx))
+      .filter(col("day") <= col("max_day") - 14)
+      .select(col("user_id"), col("day").cast(LongType).as("day"),
+        when(col("next_day").isNotNull && col("next_day") - col("day") <= 14,
+          0).otherwise(1).as("churn_14"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Sample-ratio-mismatch (SRM) check: the experiment-health gate run
+    * before reading any A/B result. Users are assigned to arms by content
+    * hash (the q_split_train_test idiom — deterministic, engine- and
+    * partition-independent), observed arm sizes are compared to the 50/50
+    * design with a one-df chi-square, and the flag trips at p<0.05
+    * (χ² > 3.841). Exact integer counts into one final double
+    * expression. */
+  val qAbSrm = Q(
+    "q_ab_srm",
+    """WITH arms AS (
+      |  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1,
+      |      15)) AS BIGINT) % 2 AS arm
+      |  FROM (SELECT DISTINCT user_id FROM events) u),
+      |m AS (
+      |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM arms)
+      |SELECT n_a, n_b,
+      |  ROUND(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+      |    / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+      |  CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+      |    / CAST(n_a + n_b AS DOUBLE) > 3.841 THEN 1 ELSE 0 END AS srm_flag
+      |FROM m""".stripMargin) { (s, d) =>
+    // χ² for 50/50: Σ(obs−exp)²/exp over 2 cells = (n_a−n_b)²/(n_a+n_b)
+    val arms = t(s, d, "events").select(col("user_id")).distinct()
+      .select((conv(substring(md5(col("user_id").cast(StringType)), 1, 15),
+        16, 10).cast(LongType) % 2).as("arm"))
+    val m = arms.agg(
+      sum(when(col("arm") === 0, 1).otherwise(0)).cast(LongType).as("n_a"),
+      sum(when(col("arm") === 1, 1).otherwise(0)).cast(LongType).as("n_b"))
+    val chi2 = ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+      .cast(DoubleType) / (col("n_a") + col("n_b")).cast(DoubleType)
+    m.select(col("n_a"), col("n_b"), round(chi2, 6).as("chi2"),
+      when(chi2 > 3.841, 1).otherwise(0).as("srm_flag"))
+  }
+
   val all: Seq[Q] = Seq(
+    qOutlierIqr, qChurnLabel, qAbSrm,
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
     qKsTest, qTimeWeightedAvg, qWeightedSample, qWindowCumdistinct,

@@ -179,5 +179,165 @@ object EvalQueries {
       .orderBy("thr")
   }
 
-  val all: Seq[Q] = Seq(qAuc, qLiftDeciles, qConfusionMatrix)
+  /** Calibration (reliability) table + Brier score per bin: predicted
+    * probability = score scaled into [0,1] by the global max (exact
+    * integer ppm arithmetic: p_ppm = cents·10⁶ DIV max_cents, so binning
+    * and all sums are exact int/decimal — no double accumulates anywhere).
+    * Per decile-of-predicted-probability: mean predicted vs empirical
+    * positive rate (the reliability curve a scored pipeline publishes) and
+    * the per-bin Brier term Σ(p−y)²/n from exact DECIMAL(38) squares.
+    * ONE fact scan + a broadcast one-row max; the 10-row output domain is
+    * post-aggregation. */
+  val qCalibration = Q(
+    "q_calibration",
+    """WITH x AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+      |  FROM orders),
+      |mx AS (SELECT max(cents) AS maxc FROM x),
+      |p AS (
+      |  SELECT label, cents * 1000000 // maxc AS p_ppm,
+      |    LEAST(cents * 1000000 // maxc * 10 // 1000000, 9) AS bin
+      |  FROM x CROSS JOIN mx),
+      |b AS (
+      |  SELECT bin, count(*) AS n, CAST(sum(label) AS BIGINT) AS n_pos,
+      |    sum(CAST(p_ppm AS HUGEINT)) AS sum_ppm,
+      |    sum(CAST(p_ppm - label * 1000000 AS HUGEINT)
+      |      * CAST(p_ppm - label * 1000000 AS HUGEINT)) AS sumsq
+      |  FROM p GROUP BY bin)
+      |SELECT CAST(bin AS INT) AS bin, n, n_pos,
+      |  ROUND(CAST(sum_ppm AS DOUBLE) / CAST(n AS DOUBLE) / 1000000, 6)
+      |    AS mean_pred,
+      |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+      |  ROUND(CAST(sumsq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000, 6)
+      |    AS brier
+      |FROM b ORDER BY bin""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val x = scored(s, d)
+    val mx = x.agg(max(col("cents")).as("maxc"))
+    val p = x.crossJoin(broadcast(mx))
+      .select(col("label"),
+        expr("cents * 1000000 DIV maxc").as("p_ppm"),
+        least(expr("cents * 1000000 DIV maxc * 10 DIV 1000000"), lit(9L))
+          .as("bin"))
+    val dev = (col("p_ppm") - col("label") * 1000000L).cast(big38)
+    p.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("label")).cast(LongType).as("n_pos"),
+        sum(col("p_ppm").cast(big38)).as("sum_ppm"),
+        sum(dev * dev).as("sumsq"))
+      .select(col("bin").cast(IntegerType).as("bin"), col("n"), col("n_pos"),
+        round(col("sum_ppm").cast(DoubleType) / col("n").cast(DoubleType)
+          / 1000000L, 6).as("mean_pred"),
+        round(col("n_pos").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("frac_pos"),
+        round(col("sumsq").cast(DoubleType) / col("n").cast(DoubleType)
+          / 1000000000000L, 6).as("brier"))
+      .orderBy("bin")
+  }
+
+  /** Mean reciprocal rank of label-relevance retrieval over the embedding
+    * corpus: every 25th vector is a query; candidates are ranked by cosine
+    * (µ-quantized to 4 dp BEFORE ranking, vec_id tie-break — the
+    * q_hard_negatives cross-engine rank idiom); the first same-label hit's
+    * rank gives rr = 1/rank. The mean is exact: 10⁹ DIV rank is integer,
+    * so Σrr is reduction-order-independent and the single division
+    * happens on the final row. The query panel is bounded (broadcast) and
+    * candidate scoring is one scan of the corpus per panel — the eval
+    * harness shape; production retrieval goes through the ANN family. */
+  val qMrr = Q(
+    "q_mrr",
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |ranked AS (
+      |  SELECT q.vec_id AS qid, q.label AS q_label, e.label,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY ROUND(list_inner_product(q.v, e.v)
+      |        / sqrt(list_inner_product(q.v, q.v))
+      |        / sqrt(list_inner_product(e.v, e.v)), 4) DESC, e.vec_id)
+      |      AS rk
+      |  FROM (SELECT * FROM e WHERE vec_id % 25 = 0) q
+      |  JOIN e ON e.vec_id <> q.vec_id),
+      |firsts AS (
+      |  SELECT qid, min(rk) AS first_rank FROM ranked
+      |  WHERE label = q_label GROUP BY qid)
+      |SELECT count(*) AS n_queries,
+      |  ROUND(CAST(sum(1000000000 // first_rank) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) / 1000000000, 6) AS mrr,
+      |  ROUND(CAST(sum(CASE WHEN first_rank <= 10 THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS hit_at_10,
+      |  ROUND(CAST(sum(first_rank) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |    AS mean_first_rank
+      |FROM firsts""".stripMargin) { (s, d) =>
+    val embs = t(s, d, "embeddings")
+    val queries = embs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("embedding").as("q_e"))
+    val scored = embs
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("q_label"), col("label"), col("vec_id"),
+        round(graft.llm.Dedup.cosine(col("embedding"), col("q_e")), 4)
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("vec_id"))
+    val firsts = scored.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("label") === col("q_label"))
+      .groupBy("qid").agg(min(col("rk")).as("first_rank"))
+    firsts.agg(
+      count(lit(1)).as("n_queries"),
+      round(sum(expr("1000000000 DIV first_rank")).cast(DoubleType)
+        / count(lit(1)).cast(DoubleType) / 1000000000L, 6).as("mrr"),
+      round(sum(when(col("first_rank") <= 10, 1).otherwise(0))
+        .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6).as("hit_at_10"),
+      round(sum(col("first_rank")).cast(DoubleType)
+        / count(lit(1)).cast(DoubleType), 6).as("mean_first_rank"))
+  }
+
+  /** Inverse-propensity-score (IPS) off-policy estimate: what would the
+    * UNIFORM policy's mean reward have been, estimated from logs produced
+    * by the empirical (frequency-skewed) logging policy — the standard
+    * counterfactual-eval primitive for recommender/ranking changes. The
+    * logging propensity of an action is its empirical frequency c/n and
+    * the target propensity 1/K, so each log row's importance weight is
+    * the exact-integer ratio n/(K·c); the weighted-reward accumulation
+    * quantizes each double term at 10⁻⁶ and sums HUGEINT (reduction-order
+    * proof). One fact scan + a broadcast K-row action-frequency table. */
+  val qIpsEstimate = Q(
+    "q_ips_estimate",
+    """WITH freq AS (
+      |  SELECT event_type, count(*) AS c FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS k FROM freq),
+      |w AS (
+      |  SELECT e.value, f.c, t.n, t.k,
+      |    CAST(ROUND(e.value * (CAST(t.n AS DOUBLE)
+      |      / CAST(t.k * f.c AS DOUBLE)) * 1000000) AS HUGEINT) AS term6
+      |  FROM events e
+      |  JOIN freq f ON e.event_type = f.event_type
+      |  CROSS JOIN tot t)
+      |SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS INT) AS k,
+      |  ROUND(CAST(sum(term6) AS DOUBLE) / 1000000
+      |    / CAST(max(n) AS DOUBLE), 6) AS ips_value
+      |FROM w""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val events = t(s, d, "events")
+    val freq = events.groupBy("event_type").agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum("c").cast(LongType).as("n"),
+      count(lit(1)).as("k"))
+    val term6 = round(col("value") * (col("n").cast(DoubleType)
+      / (col("k") * col("c")).cast(DoubleType)) * 1000000L).cast(big38)
+    events.join(broadcast(freq.withColumnRenamed("event_type", "ft")),
+        col("event_type") === col("ft"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n")).cast(LongType).as("n_out"),
+        max(col("k")).cast(IntegerType).as("k_out"),
+        sum(term6).as("s6"))
+      .select(col("n_out").as("n"), col("k_out").as("k"),
+        round(col("s6").cast(DoubleType) / 1000000L
+          / col("n_out").cast(DoubleType), 6).as("ips_value"))
+  }
+
+  val all: Seq[Q] = Seq(qAuc, qLiftDeciles, qConfusionMatrix,
+    qCalibration, qMrr, qIpsEstimate)
 }

@@ -1717,7 +1717,133 @@ object LlmQueries {
       .orderBy("qid", "rk")
   }
 
+  /** Jensen-Shannon divergence between the token distributions of two
+    * corpus halves (even vs odd source index) — the bounded, symmetric
+    * drift measure a mixing pipeline tracks between snapshots or sources
+    * (0 = identical, ln 2 = disjoint). All inputs are exact integer term
+    * counts; each term's contribution is one double expression with
+    * IDENTICAL op order on both engines, quantized at 10⁻⁹ and summed as
+    * HUGEINT/DECIMAL(38) (the q_doc_entropy reduction-order proof). One
+    * corpus scan → vocabulary-bounded term table → broadcast one-row
+    * totals. */
+  val qJsDivergence = Q(
+    "q_js_divergence",
+    """WITH tf AS (
+      |  SELECT term,
+      |    sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS ca,
+      |    sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS cb
+      |  FROM (
+      |    SELECT CAST(substr(source, 4) AS INT) % 2 AS grp,
+      |      unnest(string_split(text, ' ')) AS term
+      |    FROM documents) x
+      |  GROUP BY term),
+      |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |               CAST(sum(cb) AS BIGINT) AS nb FROM tf),
+      |terms AS (
+      |  SELECT count(*) AS n_terms, na, nb,
+      |    sum(CAST(ROUND(0.5 * (
+      |      CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+      |        * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+      |          / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+      |            + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2))
+      |        ELSE 0 END
+      |      + CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |        * ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |          / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+      |            + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2))
+      |        ELSE 0 END) * 1000000000) AS HUGEINT)) AS js9
+      |  FROM tf CROSS JOIN tot GROUP BY na, nb)
+      |SELECT n_terms, na AS tokens_a, nb AS tokens_b,
+      |  ROUND(CAST(js9 AS DOUBLE) / 1000000000, 6) AS js
+      |FROM terms""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val tf = t(s, d, "documents")
+      .select((substring(col("source"), 4, 10).cast(IntegerType) % 2)
+          .as("grp"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("term")
+      .agg(sum(when(col("grp") === 0, 1).otherwise(0)).as("ca"),
+        sum(when(col("grp") === 1, 1).otherwise(0)).as("cb"))
+    val tot = tf.agg(sum("ca").cast(LongType).as("na"),
+      sum("cb").cast(LongType).as("nb"))
+    val p = col("ca").cast(DoubleType) / col("na").cast(DoubleType)
+    val q = col("cb").cast(DoubleType) / col("nb").cast(DoubleType)
+    val m = (p + q) / 2
+    val contrib = lit(0.5) * (
+      when(col("ca") > 0, p * log(p / m)).otherwise(0.0) +
+        when(col("cb") > 0, q * log(q / m)).otherwise(0.0))
+    tf.crossJoin(broadcast(tot))
+      .groupBy("na", "nb")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(round(contrib * 1000000000L).cast(big38)).as("js9"))
+      .select(col("n_terms"), col("na").as("tokens_a"),
+        col("nb").as("tokens_b"),
+        round(col("js9").cast(DoubleType) / 1000000000L, 6).as("js"))
+  }
+
+  /** Per-document perplexity under the corpus-trained bigram MLE language
+    * model — the LM-based quality score (high perplexity = the document's
+    * transitions are atypical for the corpus: boilerplate, gibberish, or
+    * off-domain). The LM is q_bigram_lm's count table (every scored bigram
+    * exists in it by construction, so no smoothing is needed for
+    * self-scoring); each bigram's ln p is one double expression of two
+    * exact integers, quantized at 10⁻⁹ and HUGEINT-summed per document
+    * (reduction-order-proof), with exp only in the final rounded
+    * expression. Scoring slice doc_id % 20 = 0 — per-doc scoring is
+    * embarrassingly parallel, the slice prunes the probe side while the
+    * LM still trains on the full corpus. The (term,next)-keyed LM join is
+    * vocabulary²-bounded, never corpus-sized. */
+  val qPerplexity = Q(
+    "q_perplexity",
+    """WITH big AS (
+      |  SELECT doc_id, sp[k] AS term, sp[k+1] AS next
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents) d,
+      |       generate_series(1, 200) AS g(k)
+      |  WHERE k <= len(sp) - 1),
+      |lm AS (SELECT term, next, count(*) AS c FROM big GROUP BY 1, 2),
+      |lt AS (
+      |  SELECT term, next, c,
+      |    CAST(SUM(c) OVER (PARTITION BY term) AS BIGINT) AS tot
+      |  FROM lm),
+      |scored AS (
+      |  SELECT b.doc_id, count(*) AS n_bigrams,
+      |    sum(CAST(ROUND(ln(CAST(l.c AS DOUBLE) / CAST(l.tot AS DOUBLE))
+      |      * 1000000000) AS HUGEINT)) AS lp9
+      |  FROM (SELECT * FROM big WHERE doc_id % 20 = 0) b
+      |  JOIN lt l ON b.term = l.term AND b.next = l.next
+      |  GROUP BY b.doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  ROUND(exp(-(CAST(lp9 AS DOUBLE) / 1000000000)
+      |    / CAST(n_bigrams AS DOUBLE)), 6) AS ppl
+      |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val sp = split(col("text"), " ")
+    val big = t(s, d, "documents")
+      .select(col("doc_id"), sp.as("sp")).filter(size(col("sp")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("sp")) - 1)).as("k"),
+        col("sp"))
+      .select(col("doc_id"), element_at(col("sp"), col("k")).as("term"),
+        element_at(col("sp"), col("k") + 1).as("next"))
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val lt = big.groupBy("term", "next").agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(wTot).cast(LongType))
+      .select(col("term").as("l_term"), col("next").as("l_next"),
+        col("c"), col("tot"))
+    val lnp = log(col("c").cast(DoubleType) / col("tot").cast(DoubleType))
+    big.filter(col("doc_id") % 20 === 0)
+      .join(lt, col("term") === col("l_term") && col("next") === col("l_next"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(lnp * 1000000000L).cast(big38)).as("lp9"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(exp(-(col("lp9").cast(DoubleType) / 1000000000L)
+          / col("n_bigrams").cast(DoubleType)), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
+    qJsDivergence, qPerplexity,
     qFilterCascade, qHardNegatives,
     qCrossvalFolds, qPmiBigrams, qLabelBalance, qZipf, qBm25, qMixWeights,
     qDocEntropy,

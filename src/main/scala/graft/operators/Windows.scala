@@ -455,9 +455,74 @@ object Windows {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** Forward-fill (LOCF) imputation: the time-series counterpart of
+    * q_impute_nulls' group-mean fill — each missing value takes the LAST
+    * observed value in that user's event-time order (the standard sensor/
+    * telemetry gap treatment; no look-ahead leakage by construction).
+    * Same deterministic null-planting convention as q_impute_nulls (error
+    * events lose their value). Pure selection — no floating-point
+    * accumulation at all — over one user-keyed ordered window with a
+    * unique (us, event_id) tiebreak. */
+  val qLocfImpute = Q(
+    "q_locf_impute",
+    """SELECT user_id, event_id,
+      |  ROUND(last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled,
+      |  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_null
+      |FROM (SELECT user_id, event_id, ts,
+      |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |      FROM events) e
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_micros(col("ts").cast(TimestampType)), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("value"))
+          .as("v"))
+      .select(col("user_id"), col("event_id"),
+        round(last(col("v"), ignoreNulls = true).over(w), 6).as("v_filled"),
+        when(col("v").isNull, 1).otherwise(0).as("was_null"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Robust (median/IQR) feature scaling — the outlier-insensitive
+    * companion to q_minmax_scale: scaled = (x − median)/IQR with the
+    * per-user cuts computed exactly, rounded 6, and broadcast back (the
+    * q_quantile_buckets idiom), so both engines scale against identical
+    * constants. Constant-valued users (IQR 0) scale to 0. Per-user cut
+    * table is |users|-bounded — broadcast side; the fact scan stays one
+    * pass. */
+  val qRobustScale = Q(
+    "q_robust_scale",
+    """WITH cuts AS (
+      |  SELECT user_id AS cu,
+      |    ROUND(quantile_cont(value, 0.50), 6) AS med,
+      |    ROUND(quantile_cont(value, 0.75)
+      |      - quantile_cont(value, 0.25), 6) AS iqr
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, event_id,
+      |  ROUND(CASE WHEN iqr = 0 THEN 0 ELSE (value - med) / iqr END, 6)
+      |    AS scaled
+      |FROM events JOIN cuts ON user_id = cu
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val events = t(s, d, "events")
+    val cuts = events.groupBy(col("user_id").as("cu"))
+      .agg(round(expr("percentile(value, 0.50)"), 6).as("med"),
+        round(expr("percentile(value, 0.75) - percentile(value, 0.25)"), 6)
+          .as("iqr"))
+    events.join(broadcast(cuts), col("user_id") === col("cu"))
+      .select(col("user_id"), col("event_id"),
+        round(when(col("iqr") === 0, 0)
+          .otherwise((col("value") - col("med")) / col("iqr")), 6)
+          .as("scaled"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(
     qWindowRank, qWindowRunning, qWindowLeadLag, qWindowRangeFrame,
     qWindowNtile, qWindowFirstLast, qWindowCume, qTopkPerGroup,
     qSessionizeBatch, qFunnelStages, qLatestSnapshot, qDecayAvg, qWinsorize,
-    qCohortRetention, qImputeNulls, qMinmaxScale)
+    qCohortRetention, qImputeNulls, qMinmaxScale, qLocfImpute, qRobustScale)
 }

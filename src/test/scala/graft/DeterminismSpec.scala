@@ -58,7 +58,13 @@ class DeterminismSpec extends SparkTestBase {
     AnalyticsQueries.qDecompose, LlmQueries.qDocEntropy,
     PipelineQueries.qSkewAudit,
     MfQueries.qNdcg, AnalyticsQueries.qStreak, AnalyticsQueries.qTopnShift,
-    LlmQueries.qMediaDedup)
+    LlmQueries.qMediaDedup,
+    // round 8: quantized-reciprocal rank sums, 1e-9-quantized JS terms,
+    // percentile-cut broadcast scaling, ppm-integer calibration bins
+    EvalQueries.qMrr, EvalQueries.qCalibration, LlmQueries.qJsDivergence,
+    AnalyticsQueries.qOutlierIqr, Windows.qRobustScale,
+    LlmQueries.qPerplexity, EvalQueries.qIpsEstimate,
+    AnalyticsQueries.qChurnLabel, AnalyticsQueries.qAbSrm)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
