@@ -71,24 +71,79 @@ object AnalyticsQueries {
     ("qty~tax", "l_quantity", "l_tax"))
 
   /** Pairwise Pearson correlation matrix over the lineitem measures in ONE
-    * scan: a single aggregate computes all six co-moments, then `stack`
+    * scan: a single aggregate computes all co-moments, then `stack`
     * unpivots to (pair, r) rows. The oracle recomputes each pair with its
     * own scan — irrelevant for DuckDB, but on 100 TB the one-scan shape is
     * the entire point (feature-correlation profiling reads the fact table
-    * once, not C(k,2) times). */
+    * once, not C(k,2) times).
+    *
+    * Co-moments are EXACT integers (measures quantized to cents, per-row
+    * products ≤10¹⁴ in int64, sums in DECIMAL(38)/HUGEINT), so unlike the
+    * built-in corr() the merge order of partial aggregates cannot perturb
+    * the result at ANY parallelism or data size — r is assembled from the
+    * exact sums in one fixed-op-order double expression (the
+    * q_regression_multi normal-equations idiom, closing the round-5
+    * DeterminismSpec flag on double co-moment merges). */
   val qCorrMatrix = Q(
-    "q_corr_matrix",
-    corrPairs.map { case (name, a, b) =>
-      s"SELECT '$name' AS pair, ROUND(corr($a, $b), 6) AS r FROM lineitem"
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY pair")) { (s, d) =>
-    val aggs = corrPairs.map { case (name, a, b) =>
-      round(corr(col(a), col(b)), 6).as(s"r_$name")
+    "q_corr_matrix", {
+    val ints = Seq("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "dd" -> "l_discount", "t" -> "l_tax")
+    val abbrev = Map("l_quantity" -> "q", "l_extendedprice" -> "p",
+      "l_discount" -> "dd", "l_tax" -> "t")
+    val xCols = ints.map { case (k, c) =>
+      s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT) AS $k" }
+      .mkString(",\n    ")
+    val sums = ints.map { case (k, _) =>
+      s"CAST(sum(CAST($k AS HUGEINT)) AS HUGEINT) AS s_$k" } ++
+      ints.map { case (k, _) =>
+        s"CAST(sum(CAST($k AS HUGEINT) * $k) AS HUGEINT) AS s_${k}${k}" } ++
+      corrPairs.map { case (_, a, b) =>
+        val (ka, kb) = (abbrev(a), abbrev(b))
+        s"CAST(sum(CAST($ka AS HUGEINT) * $kb) AS HUGEINT) AS s_${ka}${kb}" }
+    val rs = corrPairs.map { case (name, a, b) =>
+      val (ka, kb) = (abbrev(a), abbrev(b))
+      s"""SELECT '$name' AS pair,
+         |  ROUND(CAST(n * s_${ka}${kb} - s_$ka * s_$kb AS DOUBLE)
+         |    / (sqrt(CAST(n * s_${ka}${ka} - s_$ka * s_$ka AS DOUBLE))
+         |      * sqrt(CAST(n * s_${kb}${kb} - s_$kb * s_$kb AS DOUBLE))), 6)
+         |    AS r FROM m""".stripMargin }
+    s"""WITH x AS (
+       |  SELECT $xCols
+       |  FROM lineitem),
+       |m AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |    ${sums.mkString(",\n    ")}
+       |  FROM x)
+       |${rs.mkString("\nUNION ALL\n")}
+       |ORDER BY pair""".stripMargin
+    }) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val abbrev = Map("l_quantity" -> "q", "l_extendedprice" -> "p",
+      "l_discount" -> "dd", "l_tax" -> "t")
+    val x = t(s, d, "lineitem").select(abbrev.toSeq.sortBy(_._2).map {
+      case (c, k) => (dec2(col(c)) * 100).cast(LongType).as(k) }: _*)
+    val keys = abbrev.values.toSeq.sorted
+    val aggs =
+      Seq(count(lit(1)).cast(big38).as("n")) ++
+        keys.map(k => sum(col(k).cast(big38)).as(s"s_$k")) ++
+        keys.map(k => sum((col(k) * col(k)).cast(big38)).as(s"s_$k$k")) ++
+        corrPairs.map { case (_, a, b) =>
+          val (ka, kb) = (abbrev(a), abbrev(b))
+          sum((col(ka) * col(kb)).cast(big38)).as(s"s_$ka$kb") }
+    val m = x.agg(aggs.head, aggs.tail: _*)
+    val rCols = corrPairs.map { case (name, a, b) =>
+      val (ka, kb) = (abbrev(a), abbrev(b))
+      round((col("n") * col(s"s_$ka$kb") - col(s"s_$ka") * col(s"s_$kb"))
+        .cast(DoubleType)
+        / (sqrt((col("n") * col(s"s_$ka$ka") - col(s"s_$ka") * col(s"s_$ka"))
+            .cast(DoubleType))
+          * sqrt((col("n") * col(s"s_$kb$kb") - col(s"s_$kb") * col(s"s_$kb"))
+            .cast(DoubleType))), 6).as(s"r_$name")
     }
     val stackExpr = s"stack(${corrPairs.length}, " + corrPairs
       .map { case (name, _, _) => s"'$name', `r_$name`" }
       .mkString(", ") + ") AS (pair, r)"
-    t(s, d, "lineitem")
-      .agg(aggs.head, aggs.tail: _*)
+    m.select(rCols: _*)
       .select(expr(stackExpr))
       .orderBy("pair")
   }
