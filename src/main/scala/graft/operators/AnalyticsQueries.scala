@@ -2776,8 +2776,112 @@ object AnalyticsQueries {
       when(chi2 > 3.841, 1).otherwise(0).as("srm_flag"))
   }
 
+  /** Theil-Sen robust trend estimator over monthly revenue: the median of
+    * all pairwise slopes (and the Conover median intercept) — the
+    * outlier-proof alternative to OLS trend (q_rolling_slope /
+    * q_regression_multi) that a single bad month cannot drag. The
+    * pairwise stage runs on the BOUNDED post-aggregation monthly series
+    * (|months|² pairs, never the fact table), each slope is one double
+    * division of exact integers, and the median is selection —
+    * deterministic on both engines. */
+  val qTheilSen = Q(
+    "q_theil_sen",
+    """WITH m AS (
+      |  SELECT (CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) * 12
+      |      + CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT)) AS mo,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |pairs AS (
+      |  SELECT CAST(b.cents - a.cents AS DOUBLE)
+      |      / CAST(b.mo - a.mo AS DOUBLE) AS slope
+      |  FROM m a JOIN m b ON b.mo > a.mo),
+      |sl AS (
+      |  SELECT count(*) AS n_pairs,
+      |    ROUND(quantile_cont(slope, 0.5), 6) AS slope_med
+      |  FROM pairs)
+      |SELECT (SELECT count(*) FROM m) AS n_months, n_pairs, slope_med,
+      |  ROUND((SELECT quantile_cont(CAST(cents AS DOUBLE)
+      |    - slope_med * CAST(mo AS DOUBLE), 0.5) FROM m), 6) AS intercept_med
+      |FROM sl""".stripMargin) { (s, d) =>
+    val m = t(s, d, "orders")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast(LongType).as("mo"))
+      .agg(sum((dec2(col("o_totalprice")) * 100).cast(LongType)).as("cents"))
+    val a = m.select(col("mo").as("mo_a"), col("cents").as("c_a"))
+    val b = m.select(col("mo").as("mo_b"), col("cents").as("c_b"))
+    val pairs = a.join(b, col("mo_b") > col("mo_a"))
+      .select(((col("c_b") - col("c_a")).cast(DoubleType)
+        / (col("mo_b") - col("mo_a")).cast(DoubleType)).as("slope"))
+    val sl = pairs.agg(count(lit(1)).as("n_pairs"),
+      round(expr("percentile(slope, 0.5)"), 6).as("slope_med"))
+    val nm = m.agg(count(lit(1)).as("n_months"))
+    val ic = m.crossJoin(broadcast(sl))
+      .agg(round(expr(
+        "percentile(CAST(cents AS DOUBLE) - slope_med * CAST(mo AS DOUBLE), 0.5)"),
+        6).as("intercept_med"))
+    nm.crossJoin(broadcast(sl)).crossJoin(broadcast(ic))
+      .select(col("n_months"), col("n_pairs"), col("slope_med"),
+        col("intercept_med"))
+  }
+
+  /** Link-prediction features on the item co-purchase graph: Jaccard
+    * neighbor similarity |N(a)∩N(b)| / |N(a)∪N(b)| for item pairs sharing
+    * at least one neighbor. The adjacency is the support-thresholded
+    * co-occurrence edge list (bounded, q_item_cooccur's shape); common
+    * neighbors come from a wedge self-join on the shared-neighbor key
+    * (the q_triangle_count pattern — never all item pairs), degrees from
+    * a broadcast degree table; top-50 by similarity with a total
+    * tie-break. */
+  val qJaccardNeighbors = Q(
+    "q_jaccard_neighbors",
+    """WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |edges AS (
+      |  SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2),
+      |adj AS (
+      |  SELECT pa AS node, pb AS nbr FROM edges
+      |  UNION ALL SELECT pb, pa FROM edges),
+      |deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+      |wedge AS (
+      |  SELECT x.node AS a, y.node AS b, count(*) AS common
+      |  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+      |  GROUP BY x.node, y.node)
+      |SELECT a, b, common,
+      |  ROUND(CAST(common AS DOUBLE)
+      |    / CAST(da.d + db.d - common AS DOUBLE), 6) AS jaccard
+      |FROM wedge JOIN deg da ON a = da.node JOIN deg db ON b = db.node
+      |ORDER BY jaccard DESC, a, b LIMIT 50""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
+        col("l_orderkey") === col("ok2") && col("pa") < col("pb"))
+    val edges = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select("pa", "pb")
+    val adj = edges.select(col("pa").as("node"), col("pb").as("nbr"))
+      .unionByName(edges.select(col("pb").as("node"), col("pa").as("nbr")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
+    val wedge = adj.select(col("node").as("a"), col("nbr"))
+      .join(adj.select(col("node").as("b"), col("nbr").as("nbr2")),
+        col("nbr") === col("nbr2") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    wedge
+      .join(broadcast(deg.select(col("node").as("na"), col("d").as("da"))),
+        col("a") === col("na"))
+      .join(broadcast(deg.select(col("node").as("nb"), col("d").as("db"))),
+        col("b") === col("nb"))
+      .select(col("a"), col("b"), col("common"),
+        round(col("common").cast(DoubleType)
+          / (col("da") + col("db") - col("common")).cast(DoubleType), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(
-    qOutlierIqr, qChurnLabel, qAbSrm,
+    qOutlierIqr, qChurnLabel, qAbSrm, qTheilSen, qJaccardNeighbors,
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
     qKsTest, qTimeWeightedAvg, qWeightedSample, qWindowCumdistinct,

@@ -1842,8 +1842,62 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source readability profile (Flesch reading-ease): words from
+    * space positions, sentences from terminal punctuation, syllables from
+    * vowel-group runs (the standard heuristic) — ALL exact integer counts
+    * via length arithmetic on regexp_replace marks, identical on both
+    * engines. Per-document Flesch is one fixed-op-order double
+    * expression, quantized at 10⁻⁶ and HUGEINT-summed per source
+    * (reduction-order-proof); the readability band every corpus-quality
+    * dashboard reports next to q_text_quality's surface stats. */
+  val qReadability = Q(
+    "q_readability",
+    """WITH m AS (
+      |  SELECT source,
+      |    length(text) - length(replace(text, ' ', '')) + 1 AS words,
+      |    GREATEST(length(regexp_replace(text, '[^.!?]', '', 'g')), 1)
+      |      AS sents,
+      |    GREATEST(length(regexp_replace(lower(text), '[aeiouy]+', 'V',
+      |      'g')) - length(replace(regexp_replace(lower(text), '[aeiouy]+',
+      |      'V', 'g'), 'V', '')), 1) AS sylls
+      |  FROM documents),
+      |f AS (
+      |  SELECT source, words,
+      |    CAST(ROUND((206.835
+      |      - 1.015 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE))
+      |      - 84.6 * (CAST(sylls AS DOUBLE) / CAST(words AS DOUBLE)))
+      |      * 1000000) AS HUGEINT) AS flesch6
+      |  FROM m)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(words) AS BIGINT) AS total_words,
+      |  ROUND(CAST(sum(flesch6) AS DOUBLE) / 1000000
+      |    / CAST(count(*) AS DOUBLE), 6) AS mean_flesch
+      |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val marked = regexp_replace(lower(col("text")), "[aeiouy]+", "V")
+    val m = t(s, d, "documents").select(col("source"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+        + 1).as("words"),
+      greatest(length(regexp_replace(col("text"), "[^.!?]", "")), lit(1))
+        .as("sents"),
+      greatest(length(marked) - length(regexp_replace(marked, "V", "")),
+        lit(1)).as("sylls"))
+    val flesch6 = round((lit(206.835)
+      - lit(1.015) * (col("words").cast(DoubleType)
+        / col("sents").cast(DoubleType))
+      - lit(84.6) * (col("sylls").cast(DoubleType)
+        / col("words").cast(DoubleType))) * 1000000L).cast(big38)
+    m.select(col("source"), col("words"), flesch6.as("flesch6"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).cast(LongType).as("total_words"),
+        round(sum(col("flesch6")).cast(DoubleType) / 1000000L
+          / count(lit(1)).cast(DoubleType), 6).as("mean_flesch"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
-    qJsDivergence, qPerplexity,
+    qJsDivergence, qPerplexity, qReadability,
     qFilterCascade, qHardNegatives,
     qCrossvalFolds, qPmiBigrams, qLabelBalance, qZipf, qBm25, qMixWeights,
     qDocEntropy,

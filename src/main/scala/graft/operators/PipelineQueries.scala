@@ -1245,7 +1245,66 @@ object PipelineQueries {
       .orderBy("key_name")
   }
 
+  /** t-closeness audit — the third member of the privacy triad
+    * (q_k_anonymity: group size; q_l_diversity: sensitive-value variety;
+    * here: sensitive-value DISTRIBUTION distance). For each quasi-group
+    * (same (mktsegment, nationkey) grouping and acctbal banding as
+    * q_l_diversity), the Earth-Mover's Distance between the group's band
+    * distribution and the global one over the ORDERED {debt<mid<high}
+    * domain: EMD = Σ|cum_g − cum_glob| / (m−1). Inputs are exact integer
+    * counts (cross-multiplied so cumulative shares never divide until the
+    * final expression); flag trips at the conventional t = 0.2. Bounded
+    * group×band domain + broadcast one-row globals. */
+  val qTCloseness = Q(
+    "q_t_closeness",
+    """WITH banded AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    CASE WHEN c_acctbal < 0 THEN 0
+      |         WHEN c_acctbal < 5000 THEN 1 ELSE 2 END AS band
+      |  FROM customer),
+      |g AS (
+      |  SELECT c_mktsegment, c_nationkey, count(*) AS k,
+      |    CAST(sum(CASE WHEN band <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(sum(CASE WHEN band <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM banded GROUP BY 1, 2),
+      |overall AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN band <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+      |    CAST(sum(CASE WHEN band <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1
+      |  FROM banded)
+      |SELECT c_mktsegment, c_nationkey, k,
+      |  ROUND((abs(CAST(c0 * n - g0 * k AS DOUBLE))
+      |    + abs(CAST(c1 * n - g1 * k AS DOUBLE)))
+      |    / CAST(k * n AS DOUBLE) / 2, 6) AS emd,
+      |  CASE WHEN (abs(CAST(c0 * n - g0 * k AS DOUBLE))
+      |    + abs(CAST(c1 * n - g1 * k AS DOUBLE)))
+      |    / CAST(k * n AS DOUBLE) / 2 > 0.2 THEN 1 ELSE 0 END AS leaky
+      |FROM g CROSS JOIN overall
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin) { (s, d) =>
+    val banded = t(s, d, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        when(col("c_acctbal") < 0, 0)
+          .when(col("c_acctbal") < 5000, 1).otherwise(2).as("band"))
+    val g = banded.groupBy("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("band") <= 0, 1).otherwise(0)).cast(LongType).as("c0"),
+        sum(when(col("band") <= 1, 1).otherwise(0)).cast(LongType).as("c1"))
+    val glob = banded.agg(count(lit(1)).cast(LongType).as("n"),
+      sum(when(col("band") <= 0, 1).otherwise(0)).cast(LongType).as("g0"),
+      sum(when(col("band") <= 1, 1).otherwise(0)).cast(LongType).as("g1"))
+    val emd = (abs((col("c0") * col("n") - col("g0") * col("k"))
+        .cast(DoubleType))
+      + abs((col("c1") * col("n") - col("g1") * col("k")).cast(DoubleType))) /
+      (col("k") * col("n")).cast(DoubleType) / 2
+    g.crossJoin(broadcast(glob))
+      .select(col("c_mktsegment"), col("c_nationkey"), col("k"),
+        round(emd, 6).as("emd"),
+        when(emd > 0.2, 1).otherwise(0).as("leaky"))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
   val all: Seq[Q] = Seq(
+    qTCloseness,
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
     qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,
     qSimL2, qKmeansUpdate, qKAnonymity, qReferentialCheck, qDupSpans,

@@ -64,7 +64,9 @@ class DeterminismSpec extends SparkTestBase {
     EvalQueries.qMrr, EvalQueries.qCalibration, LlmQueries.qJsDivergence,
     AnalyticsQueries.qOutlierIqr, Windows.qRobustScale,
     LlmQueries.qPerplexity, EvalQueries.qIpsEstimate,
-    AnalyticsQueries.qChurnLabel, AnalyticsQueries.qAbSrm)
+    AnalyticsQueries.qChurnLabel, AnalyticsQueries.qAbSrm,
+    AnalyticsQueries.qTheilSen, AnalyticsQueries.qJaccardNeighbors,
+    PipelineQueries.qTCloseness, LlmQueries.qReadability)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
