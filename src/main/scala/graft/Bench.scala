@@ -124,7 +124,11 @@ object Bench {
       "q_negative_sample", "q_degree_hist", "q_spearman", "q_mannwhitney",
       "q_pareto", "q_target_encode", "q_attribution",
       "q_zipf", "q_bm25", "q_graph_2hop", "q_cuped",
-      "q_auc", "q_lift_deciles", "q_doc_entropy", "q_skew_audit")
+      "q_auc", "q_lift_deciles", "q_doc_entropy", "q_skew_audit",
+      // round 8: eval/imputation/divergence + graph/robust-stats batch
+      "q_perplexity", "q_mrr", "q_calibration", "q_js_divergence",
+      "q_jaccard_neighbors", "q_theil_sen", "q_churn_label",
+      "q_t_closeness", "q_locf_impute")
     // In repeat mode every headline query matches `repeat` keys; keep only
     // the last repeat (warm steady-state) so the short line stays bounded.
     val headQs = results.filter { case (k, _) => headline.contains(k.takeWhile(_ != '#')) }
