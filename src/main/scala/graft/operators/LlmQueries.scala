@@ -1896,8 +1896,125 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** Embedding-corpus QA profile: vector-norm distribution (mean/min/max),
+    * dimension consistency, and degenerate-vector counts (zero norm, any
+    * non-finite component) — the sanity gate run before any ANN index
+    * build or similarity training job. Norms come off the native
+    * `graft_dot` kernel; each norm is µ-quantized (1e-4, the proven
+    * cross-engine float→double parity bound from q_hard_negatives) to an
+    * exact integer BEFORE min/max/mean, so selection and sums are
+    * order-independent. One scan, one bounded aggregate row. */
+  val qEmbedNorms = Q(
+    "q_embed_norms",
+    """WITH n AS (
+      |  SELECT vec_id, len(embedding) AS dim,
+      |    CAST(ROUND(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+      |      CAST(embedding AS DOUBLE[]))) * 10000) AS BIGINT) AS nrm4
+      |  FROM embeddings)
+      |SELECT count(*) AS n_vecs,
+      |  CAST(min(dim) AS BIGINT) AS dim_min,
+      |  CAST(max(dim) AS BIGINT) AS dim_max,
+      |  ROUND(CAST(min(nrm4) AS DOUBLE) / 10000, 6) AS norm_min,
+      |  ROUND(CAST(max(nrm4) AS DOUBLE) / 10000, 6) AS norm_max,
+      |  ROUND(CAST(sum(CAST(nrm4 AS HUGEINT)) AS DOUBLE) / 10000
+      |    / CAST(count(*) AS DOUBLE), 6) AS norm_mean,
+      |  CAST(sum(CASE WHEN nrm4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_zero
+      |FROM n""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val dot = graft.functions.VectorFunctions.dot(col("embedding"),
+      col("embedding"))
+    val n = t(s, d, "embeddings").select(
+      size(col("embedding")).as("dim"),
+      round(sqrt(dot) * 10000).cast(LongType).as("nrm4"))
+    n.agg(count(lit(1)).as("n_vecs"),
+      min(col("dim")).cast(LongType).as("dim_min"),
+      max(col("dim")).cast(LongType).as("dim_max"),
+      round(min(col("nrm4")).cast(DoubleType) / 10000, 6).as("norm_min"),
+      round(max(col("nrm4")).cast(DoubleType) / 10000, 6).as("norm_max"),
+      round(sum(col("nrm4").cast(big38)).cast(DoubleType) / 10000
+        / count(lit(1)).cast(DoubleType), 6).as("norm_mean"),
+      sum(when(col("nrm4") === 0, 1).otherwise(0)).cast(LongType)
+        .as("n_zero"))
+  }
+
+  /** Near-duplicate-rate attribution by source: which sources contribute
+    * duplicated content (the dedup dashboard's per-source readout that
+    * decides caps and re-crawl policy). Pairs come from the same banded
+    * simhash pipeline as q_dedup_simhash_pairs (planted-dup convention
+    * included so the rate is non-trivial at every SF); a doc counts as
+    * duplicated if it appears in ≥1 pair; planted copies attribute to
+    * their original's source. Candidate generation stays the banded
+    * equi-join — nothing here is all-pairs. */
+  val qDedupRateBySource = Q(
+    "q_dedup_rate_by_source",
+    s"""WITH $ngramDocs2,
+       |toks AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM docs2) u),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $simhashBitsSql
+       |  FROM toks GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id, CAST($simhashSumSql AS BIGINT) AS simhash FROM bits),
+       |bands AS (
+       |  SELECT doc_id, simhash, b AS bidx,
+       |    (simhash >> (8 * b)) & 255 AS bval
+       |  FROM sigs, generate_series(0, 3) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+       |    b.doc_id AS doc_b, b.simhash AS sb
+       |  FROM bands a JOIN bands b
+       |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |dup AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM cand
+       |    WHERE bit_count(xor(sa, sb)) <= 3
+       |    UNION ALL SELECT doc_b FROM cand
+       |    WHERE bit_count(xor(sa, sb)) <= 3) u),
+       |attributed AS (
+       |  SELECT CASE WHEN d2.doc_id >= 1000000 THEN d2.doc_id - 1000000
+       |    ELSE d2.doc_id END AS orig_id, d2.doc_id IN (SELECT doc_id
+       |    FROM dup) AS is_dup
+       |  FROM docs2 d2)
+       |SELECT s.source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_docs,
+       |  ROUND(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+       |FROM attributed a JOIN documents s ON a.orig_id = s.doc_id
+       |GROUP BY s.source ORDER BY s.source""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val withDups = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substr(text, 11)").as("text")))
+    val pairs = Dedup.simhashNearDups(withDups)
+    val dupIds = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val attributed = withDups
+      .join(dupIds.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+      .select(when(col("doc_id") >= 1000000, col("doc_id") - 1000000)
+        .otherwise(col("doc_id")).as("orig_id"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+    attributed
+      .join(docs.select(col("doc_id").as("orig_id"), col("source")),
+        Seq("orig_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1).otherwise(0)).cast(LongType)
+          .as("n_dup_docs"),
+        round(sum(when(col("is_dup"), 1).otherwise(0)).cast(DoubleType)
+          / count(lit(1)).cast(DoubleType), 6).as("dup_rate"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(
-    qJsDivergence, qPerplexity, qReadability,
+    qJsDivergence, qPerplexity, qReadability, qEmbedNorms,
+    qDedupRateBySource,
     qFilterCascade, qHardNegatives,
     qCrossvalFolds, qPmiBigrams, qLabelBalance, qZipf, qBm25, qMixWeights,
     qDocEntropy,

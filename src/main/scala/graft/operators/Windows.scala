@@ -520,9 +520,70 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** Corpus-level session rollup over q_sessionize_batch's 30-minute
+    * gaps-and-islands sessions: session count, events-per-session, mean
+    * duration, and bounce rate (single-event sessions) — the engagement
+    * summary a product dashboard reads daily. Every mean is an exact
+    * integer ratio (counts and µs sums) with one final double division;
+    * windows are user-keyed only. */
+  val qSessionStats = Q(
+    "q_session_stats",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |x AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN lag(us) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id) IS NULL
+      |      OR us - lag(us) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id) > 1800000000
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |sd AS (
+      |  SELECT user_id, us,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM x),
+      |g AS (
+      |  SELECT user_id, sid, count(*) AS n_events,
+      |    max(us) - min(us) AS dur_us
+      |  FROM sd GROUP BY 1, 2)
+      |SELECT count(*) AS n_sessions,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  ROUND(CAST(sum(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |    AS mean_events,
+      |  ROUND(CAST(sum(dur_us) AS DOUBLE) / 1000000
+      |    / CAST(count(*) AS DOUBLE), 6) AS mean_duration_s,
+      |  ROUND(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS bounce_rate
+      |FROM g""".stripMargin) { (s, d) =>
+    val e = t(s, d, "events").select(col("user_id"), col("event_id"),
+      unix_micros(col("ts").cast(TimestampType)).as("us"))
+    val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = e.withColumn("brk",
+      when(lag(col("us"), 1).over(wOrd).isNull ||
+        col("us") - lag(col("us"), 1).over(wOrd) > 1800000000L, 1)
+        .otherwise(0))
+    val g = x.withColumn("sid", sum(col("brk")).over(wRun))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("dur_us"))
+    g.agg(count(lit(1)).as("n_sessions"),
+      countDistinct(col("user_id")).as("n_users"),
+      round(sum(col("n_events")).cast(DoubleType)
+        / count(lit(1)).cast(DoubleType), 6).as("mean_events"),
+      round(sum(col("dur_us")).cast(DoubleType) / 1000000
+        / count(lit(1)).cast(DoubleType), 6).as("mean_duration_s"),
+      round(sum(when(col("n_events") === 1, 1).otherwise(0))
+        .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
+        .as("bounce_rate"))
+  }
+
   val all: Seq[Q] = Seq(
     qWindowRank, qWindowRunning, qWindowLeadLag, qWindowRangeFrame,
     qWindowNtile, qWindowFirstLast, qWindowCume, qTopkPerGroup,
     qSessionizeBatch, qFunnelStages, qLatestSnapshot, qDecayAvg, qWinsorize,
-    qCohortRetention, qImputeNulls, qMinmaxScale, qLocfImpute, qRobustScale)
+    qCohortRetention, qImputeNulls, qMinmaxScale, qLocfImpute, qRobustScale,
+    qSessionStats)
 }

@@ -66,7 +66,9 @@ class DeterminismSpec extends SparkTestBase {
     LlmQueries.qPerplexity, EvalQueries.qIpsEstimate,
     AnalyticsQueries.qChurnLabel, AnalyticsQueries.qAbSrm,
     AnalyticsQueries.qTheilSen, AnalyticsQueries.qJaccardNeighbors,
-    PipelineQueries.qTCloseness, LlmQueries.qReadability)
+    PipelineQueries.qTCloseness, LlmQueries.qReadability,
+    LlmQueries.qEmbedNorms, LlmQueries.qDedupRateBySource,
+    Windows.qSessionStats)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
