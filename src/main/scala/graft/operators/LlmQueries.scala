@@ -2012,9 +2012,111 @@ object LlmQueries {
       .orderBy("source")
   }
 
+  /** n-gram novelty of the test split vs the train split (the
+    * hash-deterministic q_split_train_test partition): what fraction of
+    * the held-out split's distinct 3-gram shingles never occur in
+    * training data — the generalization/memorization audit run before
+    * trusting any eval number. Novelty too LOW means the split leaks
+    * (near-identical docs straddle it, see q_decontaminate); the overlap
+    * check is a LEFT ANTI join on the shingle hash — one shuffle on a
+    * 64-bit key, never document pairs. */
+  val qNgramNovelty = Q(
+    "q_ngram_novelty",
+    """WITH sp AS (
+      |  SELECT CASE WHEN CAST(concat('0x', substr(md5(text), 1, 15))
+      |      AS BIGINT) % 10 < 8 THEN 'train' ELSE 'test' END AS split,
+      |    string_split(text, ' ') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT split,
+      |    CAST(concat('0x', substr(md5(concat(toks[k], ' ', toks[k+1], ' ',
+      |      toks[k+2])), 1, 15)) AS BIGINT) AS h
+      |  FROM sp, generate_series(1, 200) g(k)
+      |  WHERE k <= len(toks) - 2),
+      |te AS (SELECT h FROM sh WHERE split = 'test'),
+      |tr AS (SELECT h FROM sh WHERE split = 'train'),
+      |m AS (
+      |  SELECT (SELECT count(*) FROM te) AS n_test,
+      |    (SELECT count(*) FROM te WHERE h NOT IN (SELECT h FROM tr))
+      |      AS n_novel)
+      |SELECT CAST(n_test AS BIGINT) AS n_test_shingles,
+      |  CAST(n_novel AS BIGINT) AS n_novel,
+      |  ROUND(CAST(n_novel AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+      |    AS novelty
+      |FROM m""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    val sp = t(s, d, "documents").select(
+      when(conv(substring(md5(col("text")), 1, 15), 16, 10)
+        .cast(LongType) % 10 < 8, "train").otherwise("test").as("split"),
+      toks.as("toks")).filter(size(col("toks")) >= 3)
+    val sh = sp
+      .select(col("split"),
+        explode(sequence(lit(1), least(size(col("toks")) - 2, lit(200))))
+          .as("k"), col("toks"))
+      .select(col("split"),
+        conv(substring(md5(concat_ws(" ",
+          element_at(col("toks"), col("k")),
+          element_at(col("toks"), col("k") + 1),
+          element_at(col("toks"), col("k") + 2))), 1, 15), 16, 10)
+          .cast(LongType).as("h"))
+      .distinct()
+    val te = sh.filter(col("split") === "test").select("h")
+    val tr = sh.filter(col("split") === "train").select(col("h").as("h2"))
+    val novel = te.join(tr, col("h") === col("h2"), "left_anti")
+    val nTest = te.agg(count(lit(1)).as("n_test_shingles"))
+    val nNovel = novel.agg(count(lit(1)).as("n_novel"))
+    nTest.crossJoin(broadcast(nNovel))
+      .select(col("n_test_shingles"), col("n_novel"),
+        round(col("n_novel").cast(DoubleType)
+          / col("n_test_shingles").cast(DoubleType), 6).as("novelty"))
+  }
+
+  /** Context-length fit planner: against a panel of candidate sequence
+    * lengths (512 / 2048 / 8192 tokens), what fraction of documents fit
+    * whole, and how many tokens the overflow would truncate — the
+    * capacity study behind choosing max_seq_len and the input to
+    * q_pack_sequences. Token counts are exact space-split integers; the
+    * panel is a 3-row broadcast crossed into ONE corpus scan (the
+    * q_confusion_matrix sweep shape). */
+  val qContextFit = Q(
+    "q_context_fit",
+    """WITH panel AS (SELECT unnest([512, 2048, 8192]) AS max_len),
+      |x AS (
+      |  SELECT max_len,
+      |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+      |  FROM documents CROSS JOIN panel)
+      |SELECT CAST(max_len AS INT) AS max_len, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_tokens <= max_len THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_fit,
+      |  ROUND(CAST(sum(CASE WHEN n_tokens <= max_len THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fit_rate,
+      |  CAST(sum(CASE WHEN n_tokens > max_len THEN n_tokens - max_len
+      |    ELSE 0 END) AS BIGINT) AS truncated_tokens
+      |FROM x GROUP BY max_len ORDER BY max_len""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val panel = Seq(512, 2048, 8192).toDF("max_len")
+    val x = t(s, d, "documents")
+      .select((length(col("text"))
+        - length(regexp_replace(col("text"), " ", "")) + 1).as("n_tokens"))
+      .crossJoin(broadcast(panel))
+    x.groupBy("max_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") <= col("max_len"), 1).otherwise(0))
+          .cast(LongType).as("n_fit"),
+        round(sum(when(col("n_tokens") <= col("max_len"), 1).otherwise(0))
+          .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
+          .as("fit_rate"),
+        sum(when(col("n_tokens") > col("max_len"),
+          col("n_tokens") - col("max_len")).otherwise(0))
+          .cast(LongType).as("truncated_tokens"))
+      .select(col("max_len").cast(IntegerType).as("max_len"), col("n_docs"),
+        col("n_fit"), col("fit_rate"), col("truncated_tokens"))
+      .orderBy("max_len")
+  }
+
   val all: Seq[Q] = Seq(
     qJsDivergence, qPerplexity, qReadability, qEmbedNorms,
-    qDedupRateBySource,
+    qDedupRateBySource, qNgramNovelty, qContextFit,
     qFilterCascade, qHardNegatives,
     qCrossvalFolds, qPmiBigrams, qLabelBalance, qZipf, qBm25, qMixWeights,
     qDocEntropy,

@@ -68,7 +68,7 @@ class DeterminismSpec extends SparkTestBase {
     AnalyticsQueries.qTheilSen, AnalyticsQueries.qJaccardNeighbors,
     PipelineQueries.qTCloseness, LlmQueries.qReadability,
     LlmQueries.qEmbedNorms, LlmQueries.qDedupRateBySource,
-    Windows.qSessionStats)
+    Windows.qSessionStats, LlmQueries.qNgramNovelty, LlmQueries.qContextFit)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
