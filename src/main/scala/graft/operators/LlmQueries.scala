@@ -2114,9 +2114,63 @@ object LlmQueries {
       .orderBy("max_len")
   }
 
+  /** Quantile normalization of document lengths across sources — the
+    * batch-effect correction that maps every source's length distribution
+    * onto the POOLED distribution (so "long for src3" and "long for
+    * src17" mean the same thing before length-based filtering or
+    * curriculum bucketing). Entirely exact integer rank arithmetic: the
+    * within-source rank rk (source-keyed window), the pooled global rank
+    * (plans.GlobalRank — no unpartitioned window), and the rank→pooled
+    * position map pos = 1 + round((rk−1)(N−1)/(ns−1)) computed as one
+    * integer-division expression — NO quantile interpolation anywhere, so
+    * cross-engine parity is structural. The position lookup is an
+    * equi-join against the pooled rank table. */
+  val qQuantileNorm = Q(
+    "q_quantile_norm",
+    """WITH src AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS ns
+      |  FROM documents),
+      |pooled AS (
+      |  SELECT n_chars AS pooled_chars,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS gr
+      |  FROM documents),
+      |n AS (SELECT count(*) AS nn FROM documents),
+      |mapped AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN ns = 1 THEN (nn + 1) // 2
+      |      ELSE 1 + ((rk - 1) * (nn - 1) * 2 + (ns - 1))
+      |        // ((ns - 1) * 2) END AS pos
+      |  FROM src CROSS JOIN n)
+      |SELECT m.doc_id, m.source, m.n_chars, p.pooled_chars AS norm_chars
+      |FROM mapped m JOIN pooled p ON m.pos = p.gr
+      |ORDER BY m.doc_id""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents").select("doc_id", "source", "n_chars")
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy("n_chars", "doc_id")
+    val wCnt = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val src = docs
+      .withColumn("rk", row_number().over(wSrc).cast(LongType))
+      .withColumn("ns", count(lit(1)).over(wCnt).cast(LongType))
+    val (pooled0, nn) = graft.plans.GlobalRank.withGlobalRowNumber(
+      docs.select(col("n_chars"), col("doc_id").as("p_doc")), "gr", 32,
+      col("n_chars"), col("p_doc"))
+    val pooled = pooled0.select(col("n_chars").as("pooled_chars"), col("gr"))
+    val mapped = src.withColumn("pos",
+      when(col("ns") === 1, lit((nn + 1) / 2))
+        .otherwise(expr(
+          s"1L + ((rk - 1) * ${nn - 1}L * 2 + (ns - 1)) DIV ((ns - 1) * 2)")))
+    mapped.join(pooled, col("pos") === col("gr"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("pooled_chars").as("norm_chars"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qJsDivergence, qPerplexity, qReadability, qEmbedNorms,
-    qDedupRateBySource, qNgramNovelty, qContextFit,
+    qDedupRateBySource, qNgramNovelty, qContextFit, qQuantileNorm,
     qFilterCascade, qHardNegatives,
     qCrossvalFolds, qPmiBigrams, qLabelBalance, qZipf, qBm25, qMixWeights,
     qDocEntropy,

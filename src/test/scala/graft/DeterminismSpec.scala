@@ -68,7 +68,8 @@ class DeterminismSpec extends SparkTestBase {
     AnalyticsQueries.qTheilSen, AnalyticsQueries.qJaccardNeighbors,
     PipelineQueries.qTCloseness, LlmQueries.qReadability,
     LlmQueries.qEmbedNorms, LlmQueries.qDedupRateBySource,
-    Windows.qSessionStats, LlmQueries.qNgramNovelty, LlmQueries.qContextFit)
+    Windows.qSessionStats, LlmQueries.qNgramNovelty, LlmQueries.qContextFit,
+    LlmQueries.qQuantileNorm)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
