@@ -254,8 +254,43 @@ object StreamingQueries {
         .orderBy("user_id", "us", "view_id")
   }
 
+  /** Streaming quantile maintenance: per-event_type p50/p90/p99 of the
+    * value column maintained INCREMENTALLY over a real 4-micro-batch
+    * replay (StreamOps.incrementalQuantiles — centi-bin histograms merged
+    * per batch, quantiles read off the final state). Bin counts are
+    * additive so the final histogram is batch-boundary-independent and
+    * the batch recompute IS the oracle; the state is value-domain-
+    * bounded, never row-bounded — the streaming latency-monitoring
+    * pattern. */
+  val qStreamQuantile = Q(
+    "q_stream_quantile",
+    """WITH h AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS bin,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |x AS (
+      |  SELECT event_type, bin, cnt,
+      |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(cnt) OVER (PARTITION BY event_type) AS n
+      |  FROM h)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |  ROUND(CAST(min(CASE WHEN cum * 100 >= n * 50 THEN bin END)
+      |    AS DOUBLE) / 100, 6) AS p50,
+      |  ROUND(CAST(min(CASE WHEN cum * 100 >= n * 90 THEN bin END)
+      |    AS DOUBLE) / 100, 6) AS p90,
+      |  ROUND(CAST(min(CASE WHEN cum * 100 >= n * 99 THEN bin END)
+      |    AS DOUBLE) / 100, 6) AS p99
+      |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+      StreamOps.incrementalQuantiles(s, d,
+          s"target/stream_quant_${math.abs(d.hashCode)}")
+        .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg,
-    qStreamIntervalJoin, qStreamChecksum, qStreamTopk, qStreamUpsert)
+    qStreamIntervalJoin, qStreamChecksum, qStreamTopk, qStreamUpsert,
+    qStreamQuantile)
 }

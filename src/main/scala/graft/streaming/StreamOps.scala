@@ -384,6 +384,75 @@ object StreamOps {
       .select(col("user_id"), col("event_type").as("state"), col("us"))
   }
 
+  /** Streaming quantile maintenance: replay events as a 4-file stream and
+    * maintain per-event_type value histograms (centi-bins: bin =
+    * floor(value·100)) by merging each micro-batch's (type, bin, count)
+    * partials into versioned parquet state — then read p50/p90/p99 off
+    * the final histogram as the smallest bin whose cumulative count
+    * reaches ⌈q·n⌉. Counts are additive, so the final state is
+    * independent of batch boundaries (the batch recompute IS the
+    * oracle); the histogram is value-domain-bounded, not row-bounded —
+    * the monitoring-quantile pattern that never stores raw values.
+    * Returns (event_type, n, p50, p90, p99) with bin lower edges as the
+    * quantile values. */
+  def incrementalQuantiles(spark: SparkSession, sfDir: String,
+      workDir: String): DataFrame = {
+    val src = s"$workDir/src"
+    val events = graft.Tables.tsAsTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    events.select(col("event_type"),
+        floor(col("value") * 100).cast(LongType).as("bin"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val stateBase = s"$workDir/state"
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch.groupBy("event_type", "bin")
+          .agg(count(lit(1)).as("cnt"))
+        val merged =
+          if (version < 0) partial
+          else spark.read.parquet(s"$stateBase/v$version")
+            .unionByName(partial)
+            .groupBy("event_type", "bin")
+            .agg(sum(col("cnt")).cast(LongType).as("cnt"))
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        version = batchId
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    histogramQuantiles(spark.read.parquet(s"$stateBase/v$version"))
+  }
+
+  /** p50/p90/p99 off a (event_type, bin, cnt) histogram: smallest bin
+    * whose running count reaches ⌈q·n⌉ — integer arithmetic only; the
+    * window runs over the bounded per-type bin domain. */
+  def histogramQuantiles(hist: DataFrame): DataFrame = {
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    val x = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum).cast(LongType))
+      .withColumn("n", sum(col("cnt")).over(wAll).cast(LongType))
+    def qBin(num: Int, den: Int): org.apache.spark.sql.Column =
+      (min(when(col("cum") * den >= col("n") * num, col("bin")))
+        .cast(org.apache.spark.sql.types.DoubleType) / 100).as(s"p$num")
+    x.groupBy("event_type")
+      .agg(max(col("n")).as("n"), qBin(50, 100), qBin(90, 100),
+        qBin(99, 100))
+      .select(col("event_type"), col("n"), round(col("p50"), 6).as("p50"),
+        round(col("p90"), 6).as("p90"), round(col("p99"), 6).as("p99"))
+  }
+
   /** Run a streaming DataFrame to completion over bounded input
     * (Trigger.AvailableNow) and return the final result as a batch DF. */
   def runToCompletion(streamed: DataFrame, mode: OutputMode = OutputMode.Complete()): DataFrame = {

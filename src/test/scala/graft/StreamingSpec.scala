@@ -335,6 +335,19 @@ class StreamingSpec extends SparkTestBase {
     assert(versions != null && versions.count(_.startsWith("v")) >= 2)
   }
 
+  test("incrementalQuantiles matches the one-shot histogram quantiles") {
+    val out = StreamOps.incrementalQuantiles(spark, sf, "target/test_quant")
+    val direct = StreamOps.histogramQuantiles(
+      Tables.load(spark, sf, "events")
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt")))
+    assert(out.exceptAll(direct).isEmpty && direct.exceptAll(out).isEmpty)
+    assert(out.count() > 0)
+    val versions = new java.io.File("target/test_quant/state").list()
+    assert(versions != null && versions.count(_.startsWith("v")) >= 2)
+  }
+
   test("replayEvents + watermark runs against the REAL events fixture") {
     // Round-6 regression guard: the fixture's ts encoding changed
     // (ns-as-Long → timestamp[us] NTZ) and withWatermark rejects NTZ, so
