@@ -2880,8 +2880,54 @@ object AnalyticsQueries {
       .limit(50)
   }
 
+  /** A/B experiment power analysis: the minimum detectable effect (MDE)
+    * on conversion per market segment at 80% power / 5% two-sided alpha,
+    * from the segment's observed arm sizes and baseline rate — the
+    * "can this experiment even see the lift we care about" readout next
+    * to q_abtest_ztest (the result) and q_ab_srm (the health gate).
+    * Inputs are exact integer counts; MDE = (z_α/2+z_β)·√(2p̂(1−p̂)/n̄)
+    * is one fixed-op-order double expression with hardcoded z literals
+    * (no cross-engine distribution functions). */
+  val qAbPower = Q(
+    "q_ab_power",
+    """WITH conv AS (
+      |  SELECT c.c_custkey, c.c_mktsegment,
+      |    CASE WHEN p.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS converted
+      |  FROM customer c LEFT JOIN (
+      |    SELECT DISTINCT o_custkey FROM orders) p
+      |    ON c.c_custkey = p.o_custkey),
+      |m AS (
+      |  SELECT c_mktsegment, count(*) AS n,
+      |    CAST(sum(converted) AS BIGINT) AS n_conv
+      |  FROM conv GROUP BY 1)
+      |SELECT c_mktsegment, n, n_conv,
+      |  ROUND(CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS base_rate,
+      |  ROUND((1.959964 + 0.841621)
+      |    * sqrt(2 * (CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (1 - CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) / 2)), 6) AS mde
+      |FROM m ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val purchasers = t(s, d, "orders").select(col("o_custkey")).distinct()
+    val conv = t(s, d, "customer")
+      .join(broadcast(purchasers), col("c_custkey") === col("o_custkey"),
+        "left")
+      .select(col("c_mktsegment"),
+        when(col("o_custkey").isNotNull, 1).otherwise(0).as("converted"))
+    val m = conv.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("converted")).cast(LongType).as("n_conv"))
+    val p = col("n_conv").cast(DoubleType) / col("n").cast(DoubleType)
+    m.select(col("c_mktsegment"), col("n"), col("n_conv"),
+      round(p, 6).as("base_rate"),
+      round(lit(1.959964 + 0.841621)
+        * sqrt(lit(2) * p * (lit(1) - p)
+          / (col("n").cast(DoubleType) / 2)), 6).as("mde"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Seq[Q] = Seq(
     qOutlierIqr, qChurnLabel, qAbSrm, qTheilSen, qJaccardNeighbors,
+    qAbPower,
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
     qKsTest, qTimeWeightedAvg, qWeightedSample, qWindowCumdistinct,

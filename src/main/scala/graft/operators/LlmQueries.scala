@@ -2168,9 +2168,153 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Dedup self-evaluation: precision/recall of the banded-simhash
+    * pipeline against the planted ground truth (every doc_id % 50 == 0
+    * gets a known truncated copy at doc_id + 10⁶, the same convention as
+    * q_dedup_simhash_pairs) — the tuning readout that justifies a
+    * threshold before running dedup over 100 TB. Recovered pairs come
+    * from the same banded candidate equi-join; truth is a bounded derived
+    * set; both sides of precision/recall are exact counts from one
+    * anti-join-free comparison. */
+  val qNearDupEval = Q(
+    "q_near_dup_eval",
+    s"""WITH $ngramDocs2,
+       |toks AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM docs2) u),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $simhashBitsSql
+       |  FROM toks GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id, CAST($simhashSumSql AS BIGINT) AS simhash FROM bits),
+       |bands AS (
+       |  SELECT doc_id, simhash, b AS bidx,
+       |    (simhash >> (8 * b)) & 255 AS bval
+       |  FROM sigs, generate_series(0, 3) t(b)),
+       |found AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |truth AS (
+       |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |m AS (
+       |  SELECT (SELECT count(*) FROM found) AS n_found,
+       |    (SELECT count(*) FROM truth) AS n_truth,
+       |    (SELECT count(*) FROM found f JOIN truth t
+       |      ON f.doc_a = t.doc_a AND f.doc_b = t.doc_b) AS n_hit)
+       |SELECT CAST(n_found AS BIGINT) AS n_found,
+       |  CAST(n_truth AS BIGINT) AS n_truth,
+       |  CAST(n_hit AS BIGINT) AS n_hit,
+       |  ROUND(CAST(n_hit AS DOUBLE) / nullif(n_found, 0), 6) AS precision,
+       |  ROUND(CAST(n_hit AS DOUBLE) / nullif(n_truth, 0), 6) AS recall
+       |FROM m""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val withDups = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substr(text, 11)").as("text")))
+    val found = Dedup.simhashNearDups(withDups).select("doc_a", "doc_b")
+    val truth = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("t_a"), (col("doc_id") + 1000000).as("t_b"))
+    val nFound = found.agg(count(lit(1)).as("n_found"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nHit = found.join(broadcast(truth),
+        col("doc_a") === col("t_a") && col("doc_b") === col("t_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nFound.crossJoin(broadcast(nTruth)).crossJoin(broadcast(nHit))
+      .select(col("n_found"), col("n_truth"), col("n_hit"),
+        round(col("n_hit").cast(DoubleType)
+          / nullif(col("n_found"), lit(0L)).cast(DoubleType), 6)
+          .as("precision"),
+        round(col("n_hit").cast(DoubleType)
+          / nullif(col("n_truth"), lit(0L)).cast(DoubleType), 6)
+          .as("recall"))
+  }
+
+  /** Simhash threshold tuning curve: candidate-pair volume and planted-
+    * pair recall at every hamming cutoff 0..8 — the sweep a dedup owner
+    * reads before fixing the threshold (q_near_dup_eval evaluates ONE
+    * point; this is the whole curve from the SAME single candidate
+    * generation, no re-run per threshold). Cumulative counts over the
+    * bounded 9-row threshold domain. Candidates come from the 4×8-bit
+    * banding, which pigeonhole-guarantees every pair with hamming ≤ 3 —
+    * curve points above 3 count only banded collisions (documented
+    * banding-limited recall: exactly what the production pipeline would
+    * see at that cutoff without adding bands). */
+  val qDedupThresholdSweep = Q(
+    "q_dedup_threshold_sweep",
+    s"""WITH $ngramDocs2,
+       |toks AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM docs2) u),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $simhashBitsSql
+       |  FROM toks GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id, CAST($simhashSumSql AS BIGINT) AS simhash FROM bits),
+       |bands AS (
+       |  SELECT doc_id, simhash, b AS bidx,
+       |    (simhash >> (8 * b)) & 255 AS bval
+       |  FROM sigs, generate_series(0, 3) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM bands a JOIN bands b
+       |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |hist AS (
+       |  SELECT hamming, count(*) AS n_pairs,
+       |    CAST(sum(CASE WHEN doc_b - doc_a = 1000000
+       |      AND doc_a % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
+       |  FROM cand GROUP BY hamming),
+       |grid AS (SELECT unnest(generate_series(0, 8)) AS thr),
+       |tot AS (SELECT count(*) AS n_truth FROM documents
+       |        WHERE doc_id % 50 = 0)
+       |SELECT CAST(thr AS INT) AS thr,
+       |  CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS n_pairs,
+       |  ROUND(CAST(coalesce(sum(n_planted), 0) AS DOUBLE)
+       |    / CAST(n_truth AS DOUBLE), 6) AS recall
+       |FROM grid LEFT JOIN hist ON hamming <= thr CROSS JOIN tot
+       |GROUP BY thr, n_truth ORDER BY thr""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    val withDups = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substr(text, 11)").as("text")))
+    // all candidates at the loosest cutoff ONCE; the sweep is arithmetic
+    val cand = Dedup.simhashNearDups(withDups, maxHamming = 8)
+    val hist = cand.groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("doc_b") - col("doc_a") === 1000000 &&
+          col("doc_a") % 50 === 0, 1).otherwise(0)).cast(LongType)
+          .as("n_planted"))
+    val grid = (0 to 8).toDF("thr")
+    val tot = docs.filter(col("doc_id") % 50 === 0)
+      .agg(count(lit(1)).as("n_truth"))
+    grid.join(hist, col("hamming") <= col("thr"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy("thr", "n_truth")
+      .agg(coalesce(sum(col("n_pairs")), lit(0L)).cast(LongType)
+          .as("n_pairs"),
+        round(coalesce(sum(col("n_planted")), lit(0L)).cast(DoubleType)
+          / col("n_truth").cast(DoubleType), 6).as("recall"))
+      .select(col("thr").cast(IntegerType).as("thr"), col("n_pairs"),
+        col("recall"))
+      .orderBy("thr")
+  }
+
   val all: Seq[Q] = Seq(
     qJsDivergence, qPerplexity, qReadability, qEmbedNorms,
     qDedupRateBySource, qNgramNovelty, qContextFit, qQuantileNorm,
+    qNearDupEval, qDedupThresholdSweep,
     qFilterCascade, qHardNegatives,
     qCrossvalFolds, qPmiBigrams, qLabelBalance, qZipf, qBm25, qMixWeights,
     qDocEntropy,

@@ -69,7 +69,8 @@ class DeterminismSpec extends SparkTestBase {
     PipelineQueries.qTCloseness, LlmQueries.qReadability,
     LlmQueries.qEmbedNorms, LlmQueries.qDedupRateBySource,
     Windows.qSessionStats, LlmQueries.qNgramNovelty, LlmQueries.qContextFit,
-    LlmQueries.qQuantileNorm)
+    LlmQueries.qQuantileNorm, LlmQueries.qNearDupEval,
+    LlmQueries.qDedupThresholdSweep, AnalyticsQueries.qAbPower)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
