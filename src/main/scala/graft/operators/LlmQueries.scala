@@ -2311,10 +2311,105 @@ object LlmQueries {
       .orderBy("thr")
   }
 
+  /** Cohen's kappa agreement between two deterministic quality labelers
+    * (char-length rule vs word-count rule) — the chance-corrected
+    * agreement readout used to decide whether two filter heuristics are
+    * redundant or complementary (and, with human labels, to QA
+    * annotation). All four confusion cells are exact counts; kappa =
+    * (pₒ−pₑ)/(1−pₑ) is one fixed-op-order double expression over
+    * exact-integer cross products. */
+  val qCohensKappa = Q(
+    "q_cohens_kappa",
+    """WITH l AS (
+      |  SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 40
+      |      THEN 1 ELSE 0 END AS b
+      |  FROM documents),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(a * b) AS BIGINT) AS n11,
+      |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+      |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+      |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      |  FROM l)
+      |SELECT n, n11, n10, n01, n00,
+      |  ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      |    AS observed_agreement,
+      |  ROUND((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+      |        AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (1 - CAST((n11 + n10) * (n11 + n01) + (n01 + n00)
+      |        * (n10 + n00) AS DOUBLE) / CAST(n AS DOUBLE)
+      |        / CAST(n AS DOUBLE)), 6) AS kappa
+      |FROM m""".stripMargin) { (s, d) =>
+    val l = t(s, d, "documents").select(
+      when(col("n_chars") >= 200, 1).otherwise(0).as("a"),
+      when(length(col("text"))
+        - length(regexp_replace(col("text"), " ", "")) + 1 >= 40, 1)
+        .otherwise(0).as("b"))
+    val m = l.agg(count(lit(1)).cast(LongType).as("n"),
+      sum(col("a") * col("b")).cast(LongType).as("n11"),
+      sum(col("a") * (lit(1) - col("b"))).cast(LongType).as("n10"),
+      sum((lit(1) - col("a")) * col("b")).cast(LongType).as("n01"),
+      sum((lit(1) - col("a")) * (lit(1) - col("b"))).cast(LongType)
+        .as("n00"))
+    val po = (col("n11") + col("n00")).cast(DoubleType) /
+      col("n").cast(DoubleType)
+    val pe = ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+      + (col("n01") + col("n00")) * (col("n10") + col("n00")))
+      .cast(DoubleType) / col("n").cast(DoubleType) /
+      col("n").cast(DoubleType)
+    m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 6).as("observed_agreement"),
+      round((po - pe) / (lit(1) - pe), 6).as("kappa"))
+  }
+
+  /** Effective sample size of the weighted corpus mix: ESS = (Σw)²/Σw²
+    * over q_mix_weights-style per-source sampling weights applied to
+    * every document — how many "equivalent unweighted documents" the
+    * weighted mix actually trains on (heavy upweighting collapses ESS
+    * long before token counts show it). Weights are exact integer ppm
+    * (keep-fraction per source bucket), so both sums are exact
+    * DECIMAL(38) and the ratio is one final double expression. */
+  val qEssWeights = Q(
+    "q_ess_weights",
+    """WITH w AS (
+      |  SELECT CASE CAST(substr(source, 4) AS INT) % 4
+      |    WHEN 0 THEN 1000000 WHEN 1 THEN 500000
+      |    WHEN 2 THEN 250000 ELSE 2000000 END AS w_ppm
+      |  FROM documents),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CAST(w_ppm AS HUGEINT)) AS HUGEINT) AS sw,
+      |    CAST(sum(CAST(w_ppm AS HUGEINT) * w_ppm) AS HUGEINT) AS sw2
+      |  FROM w)
+      |SELECT n, CAST(sw AS BIGINT) AS sum_w_ppm,
+      |  ROUND(CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 6) AS ess,
+      |  ROUND(CAST(sw * sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+      |    / CAST(n AS DOUBLE), 6) AS ess_ratio
+      |FROM m""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val w = t(s, d, "documents").select(
+      (substring(col("source"), 4, 10).cast(IntegerType) % 4).as("k"))
+      .select(when(col("k") === 0, 1000000L)
+        .when(col("k") === 1, 500000L)
+        .when(col("k") === 2, 250000L)
+        .otherwise(2000000L).as("w_ppm"))
+    val m = w.agg(count(lit(1)).as("n"),
+      sum(col("w_ppm").cast(big38)).as("sw"),
+      sum((col("w_ppm") * col("w_ppm")).cast(big38)).as("sw2"))
+    m.select(col("n"), col("sw").cast(LongType).as("sum_w_ppm"),
+      round((col("sw") * col("sw")).cast(DoubleType)
+        / col("sw2").cast(DoubleType), 6).as("ess"),
+      round((col("sw") * col("sw")).cast(DoubleType)
+        / col("sw2").cast(DoubleType) / col("n").cast(DoubleType), 6)
+        .as("ess_ratio"))
+  }
+
   val all: Seq[Q] = Seq(
     qJsDivergence, qPerplexity, qReadability, qEmbedNorms,
     qDedupRateBySource, qNgramNovelty, qContextFit, qQuantileNorm,
-    qNearDupEval, qDedupThresholdSweep,
+    qNearDupEval, qDedupThresholdSweep, qCohensKappa, qEssWeights,
     qFilterCascade, qHardNegatives,
     qCrossvalFolds, qPmiBigrams, qLabelBalance, qZipf, qBm25, qMixWeights,
     qDocEntropy,

@@ -70,7 +70,8 @@ class DeterminismSpec extends SparkTestBase {
     LlmQueries.qEmbedNorms, LlmQueries.qDedupRateBySource,
     Windows.qSessionStats, LlmQueries.qNgramNovelty, LlmQueries.qContextFit,
     LlmQueries.qQuantileNorm, LlmQueries.qNearDupEval,
-    LlmQueries.qDedupThresholdSweep, AnalyticsQueries.qAbPower)
+    LlmQueries.qDedupThresholdSweep, AnalyticsQueries.qAbPower,
+    LlmQueries.qCohensKappa, LlmQueries.qEssWeights)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
