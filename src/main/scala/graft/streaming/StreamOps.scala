@@ -396,13 +396,13 @@ object StreamOps {
     * Returns (event_type, n, p50, p90, p99) with bin lower edges as the
     * quantile values. */
   def incrementalQuantiles(spark: SparkSession, sfDir: String,
-      workDir: String): DataFrame = {
+      workDir: String, nBatches: Int = 4): DataFrame = {
     val src = s"$workDir/src"
     val events = graft.Tables.tsAsTimestamp(
       spark.read.parquet(s"$sfDir/events.parquet"))
     events.select(col("event_type"),
         floor(col("value") * 100).cast(LongType).as("bin"))
-      .repartition(4)
+      .repartition(nBatches)
       .write.mode("overwrite").parquet(src)
     val stream = spark.readStream
       .schema(spark.read.parquet(src).schema)

@@ -346,6 +346,10 @@ class StreamingSpec extends SparkTestBase {
     assert(out.count() > 0)
     val versions = new java.io.File("target/test_quant/state").list()
     assert(versions != null && versions.count(_.startsWith("v")) >= 2)
+    // additive bins => the final state is independent of batch boundaries
+    val out2 = StreamOps.incrementalQuantiles(spark, sf,
+      "target/test_quant2", 2)
+    assert(out2.exceptAll(out).isEmpty && out.exceptAll(out2).isEmpty)
   }
 
   test("replayEvents + watermark runs against the REAL events fixture") {
