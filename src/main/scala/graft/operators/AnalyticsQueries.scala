@@ -2925,9 +2925,978 @@ object AnalyticsQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Kendall's tau-b rank correlation between monthly order volume and
+    * monthly revenue — the outlier-proof, tie-aware alternative to
+    * q_spearman for monotone-association checks on aggregate series.
+    * The pairwise stage runs on the BOUNDED post-agg monthly table only
+    * (the q_theil_sen shape — never on raw facts); concordant /
+    * discordant / tie counts are exact integers and the one double
+    * expression is the final tau-b. */
+  val qKendallTau = Q(
+    "q_kendall_tau",
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS mth, count(*) AS x,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+      |  FROM m a JOIN m b ON a.mth < b.mth),
+      |c AS (
+      |  SELECT count(*) AS n0,
+      |    CAST(sum(CASE WHEN (x1 - x2) * (y1 - y2) > 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS conc,
+      |    CAST(sum(CASE WHEN (x1 - x2) * (y1 - y2) < 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS disc,
+      |    CAST(sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS tie_x,
+      |    CAST(sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS tie_y
+      |  FROM p)
+      |SELECT n0, conc, disc, tie_x, tie_y,
+      |  ROUND(CAST(conc - disc AS DOUBLE)
+      |    / sqrt(CAST(n0 - tie_x AS DOUBLE) * CAST(n0 - tie_y AS DOUBLE)),
+      |    6) AS tau_b
+      |FROM c""".stripMargin) { (s, d) =>
+    val m = t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mth"))
+      .agg(count(lit(1)).as("x"),
+        sum(dec2(col("o_totalprice")) * 100).cast(LongType).as("y"))
+    val p = m.select(col("mth"), col("x").as("x1"), col("y").as("y1"))
+      .join(broadcast(m.select(col("mth").as("mth2"), col("x").as("x2"),
+        col("y").as("y2"))), col("mth") < col("mth2"))
+    val prod = (col("x1") - col("x2")) * (col("y1") - col("y2"))
+    val c = p.agg(
+      count(lit(1)).as("n0"),
+      sum(when(prod > 0, 1).otherwise(0)).as("conc"),
+      sum(when(prod < 0, 1).otherwise(0)).as("disc"),
+      sum(when(col("x1") === col("x2"), 1).otherwise(0)).as("tie_x"),
+      sum(when(col("y1") === col("y2"), 1).otherwise(0)).as("tie_y"))
+    c.select(col("n0"), col("conc"), col("disc"), col("tie_x"), col("tie_y"),
+      round((col("conc") - col("disc")).cast(DoubleType)
+        / sqrt((col("n0") - col("tie_x")).cast(DoubleType)
+          * (col("n0") - col("tie_y")).cast(DoubleType)), 6).as("tau_b"))
+  }
+
+  /** Grubbs' outlier statistic per market segment: the max studentized
+    * deviate G = max|x−x̄|/s over account balances — the single-outlier
+    * screen run before q_anomaly_mad-style per-row flags. All moment
+    * inputs are exact integers (cents, DECIMAL(38) sums); the max
+    * deviation is computed as the exact integer max|x·n − Σx| (scaling by
+    * n avoids materializing the fractional mean), and doubles appear only
+    * in the final fixed-op-order expression. Two passes over the fact
+    * (moments, then deviations against the broadcast moment table). */
+  val qGrubbs = Q(
+    "q_grubbs",
+    """WITH x AS (
+      |  SELECT c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |m AS (
+      |  SELECT c_mktsegment, count(*) AS n,
+      |    CAST(sum(cents) AS HUGEINT) AS s,
+      |    sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS ss
+      |  FROM x GROUP BY 1),
+      |d AS (
+      |  SELECT x.c_mktsegment, max(m.n) AS n, max(m.s) AS s, max(m.ss) AS ss,
+      |    max(abs(CAST(x.cents AS HUGEINT) * m.n - m.s)) AS maxdev
+      |  FROM x JOIN m ON x.c_mktsegment = m.c_mktsegment
+      |  GROUP BY x.c_mktsegment)
+      |SELECT c_mktsegment, n,
+      |  ROUND(CAST(s AS DOUBLE) / n / 100, 6) AS mean_bal,
+      |  ROUND(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |    / n) / (n - 1)) / 100, 6) AS sd_bal,
+      |  ROUND((CAST(maxdev AS DOUBLE) / n / 100)
+      |    / (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |      / n) / (n - 1)) / 100), 6) AS g
+      |FROM d ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val x = t(s, d, "customer").select(col("c_mktsegment"),
+      (dec2(col("c_acctbal")) * 100).cast(LongType).as("cents"))
+    val m = x.groupBy("c_mktsegment").agg(
+      count(lit(1)).as("n"),
+      sum(col("cents").cast(big38)).as("s"),
+      sum(col("cents").cast(big38) * col("cents").cast(big38)).as("ss"))
+    val dd = x.join(broadcast(m.withColumnRenamed("c_mktsegment", "seg")),
+        col("c_mktsegment") === col("seg"))
+      .groupBy("c_mktsegment")
+      .agg(max(col("n")).as("n"), max(col("s")).as("s"),
+        max(col("ss")).as("ss"),
+        max(abs(col("cents").cast(big38) * col("n") - col("s")))
+          .as("maxdev"))
+    val sd = sqrt((col("ss").cast(DoubleType)
+      - col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("n"))
+      / (col("n") - 1)) / 100
+    dd.select(col("c_mktsegment"), col("n"),
+      round(col("s").cast(DoubleType) / col("n") / 100, 6).as("mean_bal"),
+      round(sd, 6).as("sd_bal"),
+      round((col("maxdev").cast(DoubleType) / col("n") / 100) / sd, 6)
+        .as("g"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Difference-in-differences: the BUILDING segment's order-value change
+    * across the 1998-01-01 policy cutoff net of the control segments'
+    * change — the observational-causal companion to q_cuped /
+    * q_abtest_ztest when there was no randomized assignment. One
+    * conditional-aggregation pass over orders with the broadcast customer
+    * dim; cell sums are exact cents (DECIMAL 38), the four means and the
+    * DiD estimate are one fixed-op-order double expression each. */
+  val qDiffInDiff = Q(
+    "q_diff_in_diff",
+    """WITH o AS (
+      |  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+      |      AS treat,
+      |    CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0
+      |      END AS post,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+      |SELECT
+      |  CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_pre_t,
+      |  CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_post_t,
+      |  CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_pre_c,
+      |  CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_post_c,
+      |  ROUND(CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN cents ELSE 0
+      |      END) AS DOUBLE)
+      |    / sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) / 100,
+      |    6) AS pre_treat_mean,
+      |  ROUND(CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN cents ELSE 0
+      |      END) AS DOUBLE)
+      |    / sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) / 100,
+      |    6) AS post_treat_mean,
+      |  ROUND(CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN cents ELSE 0
+      |      END) AS DOUBLE)
+      |    / sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) / 100,
+      |    6) AS pre_ctrl_mean,
+      |  ROUND(CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN cents ELSE 0
+      |      END) AS DOUBLE)
+      |    / sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) / 100,
+      |    6) AS post_ctrl_mean,
+      |  ROUND((CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN cents ELSE 0
+      |      END) AS DOUBLE)
+      |    / sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) / 100
+      |    - CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN cents ELSE 0
+      |      END) AS DOUBLE)
+      |    / sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) / 100)
+      |    - (CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN cents ELSE 0
+      |      END) AS DOUBLE)
+      |    / sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) / 100
+      |    - CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN cents ELSE 0
+      |      END) AS DOUBLE)
+      |    / sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) / 100),
+      |    6) AS did
+      |FROM o""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val cust = t(s, d, "customer").select(col("c_custkey"),
+      when(col("c_mktsegment") === "BUILDING", 1).otherwise(0).as("treat"))
+    val o = t(s, d, "orders")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select(col("treat"),
+        when(col("o_orderdate") >= ts("1998-01-01"), 1).otherwise(0)
+          .as("post"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    def nCell(tr: Int, po: Int) =
+      sum(when(col("treat") === tr && col("post") === po, 1).otherwise(0))
+    def sCell(tr: Int, po: Int) =
+      sum(when(col("treat") === tr && col("post") === po, col("cents"))
+        .otherwise(0L).cast(big38))
+    def meanCell(tr: Int, po: Int) =
+      sCell(tr, po).cast(DoubleType) / nCell(tr, po) / 100
+    o.agg(
+      nCell(1, 0).as("n_pre_t"), nCell(1, 1).as("n_post_t"),
+      nCell(0, 0).as("n_pre_c"), nCell(0, 1).as("n_post_c"),
+      round(meanCell(1, 0), 6).as("pre_treat_mean"),
+      round(meanCell(1, 1), 6).as("post_treat_mean"),
+      round(meanCell(0, 0), 6).as("pre_ctrl_mean"),
+      round(meanCell(0, 1), 6).as("post_ctrl_mean"),
+      round((meanCell(1, 1) - meanCell(1, 0))
+        - (meanCell(0, 1) - meanCell(0, 0)), 6).as("did"))
+  }
+
+  /** Adamic-Adar link prediction on the thresholded co-purchase graph:
+    * common neighbors weighted by 1/ln(degree) so hub-mediated
+    * connections count less — the standard refinement of
+    * q_jaccard_neighbors. Same wedge equi-join shape (shared-neighbor
+    * key, never all-pairs); each wedge's 1/ln(deg) term is quantized to
+    * an exact 10⁻⁹ integer before summing (reduction-order-proof; shared
+    * neighbors always have degree ≥ 2 so ln is never 0), and the degree
+    * table broadcasts. */
+  val qAdamicAdar = Q(
+    "q_adamic_adar",
+    """WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |edges AS (
+      |  SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2),
+      |adj AS (
+      |  SELECT pa AS node, pb AS nbr FROM edges
+      |  UNION ALL SELECT pb, pa FROM edges),
+      |deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+      |aa AS (
+      |  SELECT x.node AS a, y.node AS b, count(*) AS common,
+      |    sum(CAST(ROUND(1000000000 / ln(CAST(dn.d AS DOUBLE))) AS BIGINT))
+      |      AS aa9
+      |  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+      |  JOIN deg dn ON x.nbr = dn.node
+      |  GROUP BY x.node, y.node)
+      |SELECT a, b, common,
+      |  ROUND(CAST(aa9 AS DOUBLE) / 1000000000, 6) AS adamic_adar
+      |FROM aa ORDER BY adamic_adar DESC, a, b LIMIT 50""".stripMargin) {
+    (s, d) =>
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
+        col("l_orderkey") === col("ok2") && col("pa") < col("pb"))
+    val edges = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select("pa", "pb")
+    val adj = edges.select(col("pa").as("node"), col("pb").as("nbr"))
+      .unionByName(edges.select(col("pb").as("node"), col("pa").as("nbr")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
+    val term9 = round(lit(1000000000L)
+      / log(col("d").cast(DoubleType))).cast(LongType)
+    adj.select(col("node").as("a"), col("nbr"))
+      .join(adj.select(col("node").as("b"), col("nbr").as("nbr2")),
+        col("nbr") === col("nbr2") && col("a") < col("b"))
+      .join(broadcast(deg.withColumnRenamed("node", "dn")),
+        col("nbr") === col("dn"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"), sum(term9).as("aa9"))
+      .select(col("a"), col("b"), col("common"),
+        round(col("aa9").cast(DoubleType) / 1000000000L, 6)
+          .as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  /** Regularize an irregular daily series onto a complete day grid with
+    * linear interpolation — the resampling step before any fixed-step
+    * time-series model. The grid is the BOUNDED day domain (sequence
+    * from min to max day, broadcast); daily sums are exact 10⁻⁶-unit
+    * integers; gap days take prev + (next−prev)·(d−pd)/(nd−pd) as one
+    * fixed-op-order double expression. Forward/backward fills cover the
+    * (impossible on this grid) open ends. */
+  val qResampleInterp = Q(
+    "q_resample_interp",
+    """WITH e AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(ROUND(value * 1000000) AS BIGINT) AS v6
+      |  FROM events),
+      |agg AS (SELECT day, CAST(sum(v6) AS BIGINT) AS s6 FROM e GROUP BY 1),
+      |b AS (SELECT min(day) AS lo, max(day) AS hi FROM agg),
+      |grid AS (
+      |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+      |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+      |j AS (SELECT g.day, a.s6 FROM grid g
+      |  LEFT JOIN agg a ON g.day = a.day),
+      |f AS (
+      |  SELECT day, s6,
+      |    last_value(s6 IGNORE NULLS) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev6,
+      |    max(CASE WHEN s6 IS NOT NULL THEN day END) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pday,
+      |    first_value(s6 IGNORE NULLS) OVER (ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next6,
+      |    min(CASE WHEN s6 IS NOT NULL THEN day END) OVER (ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nday
+      |  FROM j)
+      |SELECT day,
+      |  CASE WHEN s6 IS NOT NULL THEN ROUND(CAST(s6 AS DOUBLE) / 1000000, 6)
+      |    WHEN prev6 IS NULL THEN ROUND(CAST(next6 AS DOUBLE) / 1000000, 6)
+      |    WHEN next6 IS NULL THEN ROUND(CAST(prev6 AS DOUBLE) / 1000000, 6)
+      |    ELSE ROUND((CAST(prev6 AS DOUBLE) + CAST(next6 - prev6 AS DOUBLE)
+      |      * (day - pday) / (nday - pday)) / 1000000, 6) END AS value_filled,
+      |  CASE WHEN s6 IS NULL THEN 1 ELSE 0 END AS interpolated
+      |FROM f ORDER BY day""".stripMargin) { (s, d) =>
+    val e = t(s, d, "events").select(
+      to_date(date_trunc("day", col("ts"))).as("day"),
+      round(col("value") * 1000000L).cast(LongType).as("v6"))
+    val agg = e.groupBy("day").agg(sum(col("v6")).cast(LongType).as("s6"))
+    val b = agg.agg(min("day").as("lo"), max("day").as("hi"))
+    val grid = b.select(explode(sequence(col("lo"), col("hi"),
+      expr("interval 1 day"))).as("day"))
+    val j = grid.join(agg.withColumnRenamed("day", "aday"),
+        col("day") === col("aday"), "left")
+      .select(col("day"), col("s6"))
+    val wp = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val f = j.select(col("day"), col("s6"),
+      last(col("s6"), ignoreNulls = true).over(wp).as("prev6"),
+      max(when(col("s6").isNotNull, col("day"))).over(wp).as("pday"),
+      first(col("s6"), ignoreNulls = true).over(wn).as("next6"),
+      min(when(col("s6").isNotNull, col("day"))).over(wn).as("nday"))
+    f.select(col("day"),
+      when(col("s6").isNotNull,
+        round(col("s6").cast(DoubleType) / 1000000L, 6))
+        .when(col("prev6").isNull,
+          round(col("next6").cast(DoubleType) / 1000000L, 6))
+        .when(col("next6").isNull,
+          round(col("prev6").cast(DoubleType) / 1000000L, 6))
+        .otherwise(round((col("prev6").cast(DoubleType)
+          + (col("next6") - col("prev6")).cast(DoubleType)
+          * datediff(col("day"), col("pday"))
+          / datediff(col("nday"), col("pday"))) / 1000000L, 6))
+        .as("value_filled"),
+      when(col("s6").isNull, 1).otherwise(0).as("interpolated"))
+      .orderBy("day")
+  }
+
+  /** Wald-Wolfowitz runs test on the signs of month-over-month revenue
+    * changes — "is this series trending/mean-reverting or random?", the
+    * model-free serial-dependence check next to q_autocorr. The sign
+    * sequence lives on the BOUNDED post-agg monthly series; run/up/down
+    * counts are exact integers and the normal-approximation z is one
+    * fixed-op-order double expression. */
+  val qRunsTest = Q(
+    "q_runs_test",
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS mth,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |d AS (SELECT mth, rev - lag(rev) OVER (ORDER BY mth) AS chg FROM m),
+      |sgn AS (
+      |  SELECT mth, CASE WHEN chg > 0 THEN 1 ELSE -1 END AS sg
+      |  FROM d WHERE chg IS NOT NULL AND chg <> 0),
+      |r AS (
+      |  SELECT mth, sg,
+      |    CASE WHEN lag(sg) OVER (ORDER BY mth) IS NULL
+      |      OR lag(sg) OVER (ORDER BY mth) <> sg THEN 1 ELSE 0 END AS newrun
+      |  FROM sgn),
+      |c AS (
+      |  SELECT CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_up,
+      |    CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_down,
+      |    CAST(sum(newrun) AS BIGINT) AS runs
+      |  FROM r)
+      |SELECT n_up, n_down, runs,
+      |  ROUND((CAST(runs AS DOUBLE)
+      |    - (2.0 * n_up * n_down / (n_up + n_down) + 1))
+      |    / sqrt(2.0 * n_up * n_down * (2.0 * n_up * n_down - n_up - n_down)
+      |      / (CAST(n_up + n_down AS DOUBLE) * (n_up + n_down)
+      |        * (n_up + n_down - 1))), 6) AS z
+      |FROM c""".stripMargin) { (s, d) =>
+    val m = t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mth"))
+      .agg(sum(dec2(col("o_totalprice")) * 100).cast(LongType).as("rev"))
+    val wm = Window.orderBy("mth")
+    val sgn = m.select(col("mth"),
+        (col("rev") - lag(col("rev"), 1).over(wm)).as("chg"))
+      .filter(col("chg").isNotNull && col("chg") =!= 0)
+      .select(col("mth"), when(col("chg") > 0, 1).otherwise(-1).as("sg"))
+    val r = sgn.select(col("mth"), col("sg"),
+      when(lag(col("sg"), 1).over(wm).isNull
+        || lag(col("sg"), 1).over(wm) =!= col("sg"), 1).otherwise(0)
+        .as("newrun"))
+    val c = r.agg(
+      sum(when(col("sg") === 1, 1).otherwise(0)).cast(LongType).as("n_up"),
+      sum(when(col("sg") === -1, 1).otherwise(0)).cast(LongType)
+        .as("n_down"),
+      sum(col("newrun")).cast(LongType).as("runs"))
+    val nU = col("n_up"); val nD = col("n_down")
+    c.select(nU, nD, col("runs"),
+      round((col("runs").cast(DoubleType)
+        - (lit(2.0) * nU * nD / (nU + nD) + 1))
+        / sqrt(lit(2.0) * nU * nD * (lit(2.0) * nU * nD - nU - nD)
+          / ((nU + nD).cast(DoubleType) * (nU + nD) * (nU + nD - 1))), 6)
+        .as("z"))
+  }
+
+  /** Local clustering coefficient per node on the thresholded co-purchase
+    * graph: 2·triangles/(d·(d−1)) — how clique-like each item's
+    * neighborhood is, the per-node refinement of q_triangle_count (whose
+    * wedge-closure equi-join pipeline this reuses; never all-pairs).
+    * Exact integer triangle and degree counts; one final double per node;
+    * top-25 by coefficient with total tiebreak. */
+  val qClusteringCoeff = Q(
+    "q_clustering_coeff",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT pa AS src, pb AS dst FROM (
+      |    SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_co
+      |    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |    GROUP BY 1, 2) c
+      |  WHERE n_co >= 2),
+      |adj AS (
+      |  SELECT src AS node, dst AS nbr FROM e
+      |  UNION ALL SELECT dst, src FROM e),
+      |deg AS (SELECT node, count(*) AS d FROM adj GROUP BY node),
+      |tri AS (
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+      |    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |pern AS (
+      |  SELECT v, count(*) AS n_tri FROM (
+      |    SELECT a AS v FROM tri
+      |    UNION ALL SELECT b FROM tri
+      |    UNION ALL SELECT c FROM tri) u
+      |  GROUP BY v)
+      |SELECT p.v, p.n_tri, g.d,
+      |  ROUND(2.0 * p.n_tri / (g.d * (g.d - 1)), 6) AS coeff
+      |FROM pern p JOIN deg g ON p.v = g.node
+      |WHERE g.d >= 2
+      |ORDER BY coeff DESC, p.v LIMIT 25""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select("src", "dst")
+      .localCheckpoint()
+    val adj = e.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionByName(e.select(col("dst").as("node"), col("src").as("nbr")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
+    val tri = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+    val pern = tri.select(col("a").as("v"))
+      .unionByName(tri.select(col("b").as("v")))
+      .unionByName(tri.select(col("c").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("n_tri"))
+    pern.join(broadcast(deg), col("v") === col("node"))
+      .filter(col("d") >= 2)
+      .select(col("v"), col("n_tri"), col("d"),
+        round(lit(2.0) * col("n_tri") / (col("d") * (col("d") - 1)), 6)
+          .as("coeff"))
+      .orderBy(col("coeff").desc, col("v"))
+      .limit(25)
+  }
+
+  /** Nelson-Aalen cumulative hazard over the same churn durations as
+    * q_kaplan_meier: H(t) = Σ d_i/n_i — the additive companion to KM's
+    * multiplicative survival (its slope reads off WHEN churn risk
+    * concentrates). Same bounded duration domain; each d/n increment is
+    * an exact (d·10⁹) DIV n integer so the cumulative sum is
+    * reduction-order-proof; windows run over the bounded post-agg
+    * table only. */
+  val qHazardRate = Q(
+    "q_hazard_rate",
+    """WITH cust AS (
+      |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d,
+      |    MAX(CAST(o_orderdate AS DATE)) AS last_d
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT MAX(last_d) AS m FROM cust),
+      |durs AS (
+      |  SELECT datediff('day', first_d, last_d) AS t,
+      |    CASE WHEN datediff('day', last_d, m) > 60 THEN 1 ELSE 0 END AS ev
+      |  FROM cust, mx),
+      |g AS (
+      |  SELECT t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS nrow
+      |  FROM durs GROUP BY t),
+      |ar AS (
+      |  SELECT t, d,
+      |    sum(nrow) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS at_risk
+      |  FROM g),
+      |ha AS (
+      |  SELECT t, d, at_risk,
+      |    sum((d * 1000000000) // at_risk) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch9
+      |  FROM ar)
+      |SELECT CAST(t AS BIGINT) AS t_days, CAST(at_risk AS BIGINT) AS at_risk,
+      |  CAST(d AS BIGINT) AS churned,
+      |  ROUND(CAST((d * 1000000000) // at_risk AS DOUBLE) / 1000000000, 6)
+      |    AS hazard,
+      |  ROUND(CAST(ch9 AS DOUBLE) / 1000000000, 6) AS cum_hazard
+      |FROM ha WHERE d > 0 ORDER BY t_days""".stripMargin) { (s, d) =>
+    val cust = t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(min(col("o_orderdate").cast(DateType)).as("first_d"),
+        max(col("o_orderdate").cast(DateType)).as("last_d"))
+    val mx = cust.agg(max(col("last_d")).as("m"))
+    val durs = cust.crossJoin(broadcast(mx))
+      .select(datediff(col("last_d"), col("first_d")).as("t"),
+        when(datediff(col("m"), col("last_d")) > 60, 1L).otherwise(0L)
+          .as("ev"))
+    val g = durs.groupBy("t")
+      .agg(sum(col("ev")).cast(LongType).as("d"), count(lit(1)).as("nrow"))
+    // Bounded post-agg duration domain: single-partition windows are fine.
+    val wAr = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCh = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ar = g.withColumn("at_risk", sum(col("nrow")).over(wAr))
+    val ha = ar.withColumn("ch9",
+      sum(expr("(d * 1000000000) DIV at_risk")).over(wCh))
+    ha.filter(col("d") > 0)
+      .select(col("t").cast(LongType).as("t_days"),
+        col("at_risk").cast(LongType).as("at_risk"),
+        col("d").cast(LongType).as("churned"),
+        round(expr("(d * 1000000000) DIV at_risk").cast(DoubleType)
+          / 1000000000L, 6).as("hazard"),
+        round(col("ch9").cast(DoubleType) / 1000000000L, 6).as("cum_hazard"))
+      .orderBy("t_days")
+  }
+
+  /** Inter-purchase gap statistics per market segment: consecutive-order
+    * day gaps per customer rolled up to count / mean / min / max — the
+    * repurchase-cadence profile feeding churn-horizon choices (the 60-day
+    * cutoff q_kaplan_meier/q_churn_label assume). Gaps come from one
+    * customer-keyed lag window with the (date, orderkey) total tiebreak;
+    * day counts are exact integers. */
+  val qOrderGapStats = Q(
+    "q_order_gap_stats",
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey
+      |  FROM orders),
+      |gaps AS (
+      |  SELECT o_custkey,
+      |    datediff('day', lag(d) OVER (PARTITION BY o_custkey
+      |      ORDER BY d, o_orderkey), d) AS gap
+      |  FROM o),
+      |gc AS (
+      |  SELECT g.o_custkey, c.c_mktsegment, g.gap
+      |  FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+      |  WHERE g.gap IS NOT NULL)
+      |SELECT c_mktsegment, count(*) AS n_gaps,
+      |  ROUND(CAST(sum(gap) AS DOUBLE) / count(*), 6) AS mean_gap_days,
+      |  CAST(min(gap) AS BIGINT) AS min_gap_days,
+      |  CAST(max(gap) AS BIGINT) AS max_gap_days
+      |FROM gc GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
+    (s, d) =>
+    val o = t(s, d, "orders").select(col("o_custkey"),
+      col("o_orderdate").cast(DateType).as("d"), col("o_orderkey"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("d"), col("o_orderkey"))
+    val gaps = o.select(col("o_custkey"),
+        datediff(col("d"), lag(col("d"), 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+    val cust = t(s, d, "customer").select(col("c_custkey"),
+      col("c_mktsegment"))
+    gaps.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("gap")).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_gap_days"),
+        min(col("gap")).cast(LongType).as("min_gap_days"),
+        max(col("gap")).cast(LongType).as("max_gap_days"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Basket-composition profile per order priority: lines, distinct
+    * parts, and total quantity per order rolled up to per-priority means —
+    * the order-shape distribution behind capacity planning and the
+    * co-occurrence graph density. One lineitem aggregation keyed by
+    * order, then a bounded 5-row rollup; quantities are exact cents
+    * before the final divisions. */
+  val qBasketStats = Q(
+    "q_basket_stats",
+    """WITH b AS (
+      |  SELECT l_orderkey, count(*) AS n_lines,
+      |    count(DISTINCT l_partkey) AS n_parts,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS qty_c
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o.o_orderpriority, b.n_lines, b.n_parts, b.qty_c
+      |  FROM b JOIN orders o ON b.l_orderkey = o.o_orderkey)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  ROUND(CAST(sum(n_lines) AS DOUBLE) / count(*), 6) AS mean_lines,
+      |  ROUND(CAST(sum(n_parts) AS DOUBLE) / count(*), 6) AS mean_parts,
+      |  ROUND(CAST(sum(qty_c) AS DOUBLE) / count(*) / 100, 6) AS mean_qty,
+      |  CAST(max(n_lines) AS BIGINT) AS max_lines
+      |FROM j GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val b = t(s, d, "lineitem").groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        sum(dec2(col("l_quantity")) * 100).cast(LongType).as("qty_c"))
+    val o = t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+    b.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("n_lines")).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_lines"),
+        round(sum(col("n_parts")).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_parts"),
+        round(sum(col("qty_c")).cast(DoubleType) / count(lit(1)) / 100, 6)
+          .as("mean_qty"),
+        max(col("n_lines")).cast(LongType).as("max_lines"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Event-time disorder audit: per event type, how many events arrive
+    * with an event time EARLIER than some already-arrived event of the
+    * same user (arrival order ≈ event_id), and by how much — the
+    * out-of-orderness measurement that justifies a watermark delay before
+    * anyone turns on q_stream_late. One user-keyed running-max window
+    * (µs-exact); lateness sums are exact integers with one final
+    * division; NULL mean when a type has no disorder. */
+  val qDisorderAudit = Q(
+    "q_disorder_audit",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, us,
+      |    max(us) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      |  FROM e)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN prevmax IS NOT NULL AND us < prevmax THEN 1
+      |    ELSE 0 END) AS BIGINT) AS n_disordered,
+      |  ROUND(CAST(sum(CASE WHEN prevmax IS NOT NULL AND us < prevmax
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS frac_disordered,
+      |  CASE WHEN sum(CASE WHEN prevmax IS NOT NULL AND us < prevmax
+      |      THEN 1 ELSE 0 END) = 0 THEN NULL
+      |    ELSE ROUND(CAST(sum(CASE WHEN prevmax IS NOT NULL AND us < prevmax
+      |      THEN prevmax - us ELSE 0 END) AS DOUBLE) / 1000000
+      |      / sum(CASE WHEN prevmax IS NOT NULL AND us < prevmax THEN 1
+      |        ELSE 0 END), 6) END AS mean_lateness_s
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+    val e = t(s, d, "events").select(col("event_id"), col("user_id"),
+      col("event_type"),
+      unix_micros(col("ts").cast(TimestampType)).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = e.select(col("event_type"), col("us"),
+      max(col("us")).over(w).as("prevmax"))
+    val isDis = col("prevmax").isNotNull && col("us") < col("prevmax")
+    val disCnt = sum(when(isDis, 1).otherwise(0))
+    r.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        disCnt.cast(LongType).as("n_disordered"),
+        round(disCnt.cast(DoubleType) / count(lit(1)), 6)
+          .as("frac_disordered"),
+        when(disCnt === 0, lit(null))
+          .otherwise(round(sum(when(isDis, col("prevmax") - col("us"))
+            .otherwise(0L)).cast(DoubleType) / 1000000L / disCnt, 6))
+          .as("mean_lateness_s"))
+      .orderBy("event_type")
+  }
+
+  /** Full percentile profile (p1/p5/p25/p50/p75/p95/p99, nearest-rank)
+    * of order values per market segment — the distribution summary a
+    * dashboard reads where q_quantile_buckets only cuts quartiles.
+    * Nearest-rank on exact cent integers with a (cents, orderkey) total
+    * tiebreak makes every percentile a pure SELECTION — no interpolation,
+    * bit-identical on any engine; ranks come from one segment-keyed
+    * window pass. */
+  val qPercentileProfile = Q(
+    "q_percentile_profile",
+    """WITH oc AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    o.o_orderkey
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |r AS (
+      |  SELECT seg, cents,
+      |    row_number() OVER (PARTITION BY seg ORDER BY cents, o_orderkey)
+      |      AS rk,
+      |    count(*) OVER (PARTITION BY seg) AS n
+      |  FROM oc)
+      |SELECT seg, max(n) AS n,
+      |  ROUND(CAST(max(CASE WHEN rk = ((n - 1) * 1) // 100 + 1
+      |    THEN cents END) AS DOUBLE) / 100, 6) AS p01,
+      |  ROUND(CAST(max(CASE WHEN rk = ((n - 1) * 5) // 100 + 1
+      |    THEN cents END) AS DOUBLE) / 100, 6) AS p05,
+      |  ROUND(CAST(max(CASE WHEN rk = ((n - 1) * 25) // 100 + 1
+      |    THEN cents END) AS DOUBLE) / 100, 6) AS p25,
+      |  ROUND(CAST(max(CASE WHEN rk = ((n - 1) * 50) // 100 + 1
+      |    THEN cents END) AS DOUBLE) / 100, 6) AS p50,
+      |  ROUND(CAST(max(CASE WHEN rk = ((n - 1) * 75) // 100 + 1
+      |    THEN cents END) AS DOUBLE) / 100, 6) AS p75,
+      |  ROUND(CAST(max(CASE WHEN rk = ((n - 1) * 95) // 100 + 1
+      |    THEN cents END) AS DOUBLE) / 100, 6) AS p95,
+      |  ROUND(CAST(max(CASE WHEN rk = ((n - 1) * 99) // 100 + 1
+      |    THEN cents END) AS DOUBLE) / 100, 6) AS p99
+      |FROM r GROUP BY seg ORDER BY seg""".stripMargin) { (s, d) =>
+    val oc = t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("seg"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+        col("o_orderkey"))
+    val wr = Window.partitionBy("seg").orderBy(col("cents"), col("o_orderkey"))
+    val wn = Window.partitionBy("seg")
+    val r = oc.select(col("seg"), col("cents"),
+      row_number().over(wr).cast(LongType).as("rk"),
+      count(lit(1)).over(wn).as("n"))
+    def pct(p: Int) = round(
+      max(when(col("rk") === expr(s"((n - 1) * $p) DIV 100 + 1"),
+        col("cents"))).cast(DoubleType) / 100, 6)
+    r.groupBy("seg")
+      .agg(max(col("n")).as("n"),
+        pct(1).as("p01"), pct(5).as("p05"), pct(25).as("p25"),
+        pct(50).as("p50"), pct(75).as("p75"), pct(95).as("p95"),
+        pct(99).as("p99"))
+      .orderBy("seg")
+  }
+
+  /** New-vs-returning decomposition per month: how much of each month's
+    * order volume and revenue comes from first-ever customers vs repeat
+    * buyers — the warehouse growth-accounting readout next to
+    * q_cohort_retention. First-order month per customer is one
+    * aggregation; the split is a conditional pass with exact distinct
+    * customer counts and exact cent sums. */
+  val qNewVsReturning = Q(
+    "q_new_vs_returning",
+    """WITH fo AS (
+      |  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS first_m
+      |  FROM orders GROUP BY 1),
+      |o AS (
+      |  SELECT date_trunc('month', o.o_orderdate) AS mth,
+      |    CASE WHEN date_trunc('month', o.o_orderdate) = f.first_m THEN 1
+      |      ELSE 0 END AS is_new,
+      |    o.o_custkey,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey)
+      |SELECT CAST(mth AS DATE) AS month,
+      |  CAST(count(DISTINCT CASE WHEN is_new = 1 THEN o_custkey END)
+      |    AS BIGINT) AS new_customers,
+      |  CAST(count(DISTINCT CASE WHEN is_new = 0 THEN o_custkey END)
+      |    AS BIGINT) AS returning_customers,
+      |  ROUND(CAST(sum(CASE WHEN is_new = 1 THEN cents ELSE 0 END)
+      |    AS DOUBLE) / 100, 6) AS new_revenue,
+      |  ROUND(CAST(sum(CASE WHEN is_new = 0 THEN cents ELSE 0 END)
+      |    AS DOUBLE) / 100, 6) AS returning_revenue
+      |FROM o GROUP BY mth ORDER BY month""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val orders = t(s, d, "orders")
+    val fo = orders.groupBy("o_custkey")
+      .agg(min(date_trunc("month", col("o_orderdate"))).as("first_m"))
+    val o = orders.join(fo.withColumnRenamed("o_custkey", "ck"),
+        col("o_custkey") === col("ck"))
+      .select(date_trunc("month", col("o_orderdate")).as("mth"),
+        when(date_trunc("month", col("o_orderdate")) === col("first_m"), 1)
+          .otherwise(0).as("is_new"),
+        col("o_custkey"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    o.groupBy("mth")
+      .agg(
+        countDistinct(when(col("is_new") === 1, col("o_custkey")))
+          .as("new_customers"),
+        countDistinct(when(col("is_new") === 0, col("o_custkey")))
+          .as("returning_customers"),
+        round(sum(when(col("is_new") === 1, col("cents")).otherwise(0L)
+          .cast(big38)).cast(DoubleType) / 100, 6).as("new_revenue"),
+        round(sum(when(col("is_new") === 0, col("cents")).otherwise(0L)
+          .cast(big38)).cast(DoubleType) / 100, 6).as("returning_revenue"))
+      .select(to_date(col("mth")).as("month"), col("new_customers"),
+        col("returning_customers"), col("new_revenue"),
+        col("returning_revenue"))
+      .orderBy("month")
+  }
+
+  /** 6-month rolling correlation between order volume and revenue — the
+    * stability-over-time view of the q_corr_matrix relationship (a
+    * changing sign flags a mix shift). Window co-moments are sums of
+    * exact integers (counts; revenue quantized to 10⁴-cent units so y²
+    * sums stay in range at any SF); r is one fixed-op-order double
+    * expression with integer-exact degenerate-variance guards; windows
+    * run over the bounded monthly series only. */
+  val qRollingCorr = Q(
+    "q_rolling_corr",
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS mth, count(*) AS x,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      // 10000 AS y
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT mth,
+      |    count(*) OVER win AS cnt,
+      |    sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+      |    sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy,
+      |    sum(x * y) OVER win AS sxy
+      |  FROM m
+      |  WINDOW win AS (ORDER BY mth ROWS BETWEEN 5 PRECEDING
+      |    AND CURRENT ROW))
+      |SELECT CAST(mth AS DATE) AS month, CAST(cnt AS BIGINT) AS n_months,
+      |  CASE WHEN cnt < 3 OR cnt * sxx - sx * sx = 0
+      |      OR cnt * syy - sy * sy = 0 THEN NULL
+      |    ELSE ROUND((CAST(cnt AS DOUBLE) * sxy
+      |        - CAST(sx AS DOUBLE) * sy)
+      |      / sqrt((CAST(cnt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |        * (CAST(cnt AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+      |    END AS rolling_r
+      |FROM w ORDER BY month""".stripMargin) { (s, d) =>
+    val m = t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mth"))
+      .agg(count(lit(1)).as("x"),
+        sum(dec2(col("o_totalprice")) * 100).cast(LongType).as("yc"))
+      .select(col("mth"), col("x"), expr("yc DIV 10000").as("y"))
+    // Bounded post-agg monthly series: single-partition window is fine.
+    val win = Window.orderBy("mth").rowsBetween(-5, Window.currentRow)
+    val w = m.select(col("mth"),
+      count(lit(1)).over(win).as("cnt"),
+      sum(col("x")).over(win).as("sx"),
+      sum(col("y")).over(win).as("sy"),
+      sum(col("x") * col("x")).over(win).as("sxx"),
+      sum(col("y") * col("y")).over(win).as("syy"),
+      sum(col("x") * col("y")).over(win).as("sxy"))
+    w.select(to_date(col("mth")).as("month"),
+      col("cnt").cast(LongType).as("n_months"),
+      when(col("cnt") < 3
+          || col("cnt") * col("sxx") - col("sx") * col("sx") === 0
+          || col("cnt") * col("syy") - col("sy") * col("sy") === 0,
+          lit(null))
+        .otherwise(round((col("cnt").cast(DoubleType) * col("sxy")
+          - col("sx").cast(DoubleType) * col("sy"))
+          / sqrt((col("cnt").cast(DoubleType) * col("sxx")
+            - col("sx").cast(DoubleType) * col("sx"))
+            * (col("cnt").cast(DoubleType) * col("syy")
+              - col("sy").cast(DoubleType) * col("sy"))), 6))
+        .as("rolling_r"))
+      .orderBy("month")
+  }
+
+  /** HITS hub/authority ranking on the bipartite customer→part purchase
+    * graph, two unnormalized iterations: authority(i) = Σ h(u) over
+    * buyers, hub(u) = Σ a(i) over basket — the mutual-reinforcement
+    * alternative to raw popularity (an item bought by broad-basket
+    * customers outranks one bought as often by narrow ones). Every score
+    * is an exact integer path count (no fp until the final normalize);
+    * each iteration is one edge-keyed equi-join of the bounded degree /
+    * score tables. */
+  val qHitsRank = Q(
+    "q_hits_rank",
+    """WITH ui AS (
+      |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |h1 AS (SELECT u, count(*) AS h FROM ui GROUP BY u),
+      |a1 AS (
+      |  SELECT i, CAST(sum(h) AS BIGINT) AS a
+      |  FROM ui JOIN h1 USING (u) GROUP BY i),
+      |h2 AS (
+      |  SELECT u, CAST(sum(a) AS BIGINT) AS h
+      |  FROM ui JOIN a1 USING (i) GROUP BY u),
+      |a2 AS (
+      |  SELECT i, CAST(sum(h) AS BIGINT) AS a
+      |  FROM ui JOIN h2 USING (u) GROUP BY i),
+      |mx AS (SELECT max(a) AS m FROM a2)
+      |SELECT i AS partkey, a AS authority,
+      |  ROUND(CAST(a AS DOUBLE) / m, 6) AS authority_norm
+      |FROM a2, mx ORDER BY a DESC, i LIMIT 20""".stripMargin) { (s, d) =>
+    val ui = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, d, "lineitem").select("l_orderkey", "l_partkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .distinct()
+    val h1 = ui.groupBy("u").agg(count(lit(1)).as("h"))
+    val a1 = ui.join(h1, Seq("u"))
+      .groupBy("i").agg(sum(col("h")).cast(LongType).as("a"))
+    val h2 = ui.join(a1, Seq("i"))
+      .groupBy("u").agg(sum(col("a")).cast(LongType).as("h"))
+    val a2 = ui.join(h2, Seq("u"))
+      .groupBy("i").agg(sum(col("h")).cast(LongType).as("a"))
+    val mx = a2.agg(max(col("a")).as("m"))
+    a2.crossJoin(broadcast(mx))
+      .select(col("i").as("partkey"), col("a").as("authority"),
+        round(col("a").cast(DoubleType) / col("m"), 6).as("authority_norm"))
+      .orderBy(col("authority").desc, col("partkey"))
+      .limit(20)
+  }
+
+  /** Cold-start (new-item) velocity per month: how many items recorded
+    * their first-ever sale, and what revenue share they captured — the
+    * catalog-side twin of q_new_vs_returning that tells a recommender
+    * how much cold-start inventory it must serve. First-sale month is
+    * one item-keyed aggregation; the monthly split is a conditional
+    * pass with exact distinct counts and cent sums. */
+  val qColdStartItems = Q(
+    "q_cold_start_items",
+    """WITH li AS (
+      |  SELECT l_partkey, date_trunc('month', o_orderdate) AS mth,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |fi AS (SELECT l_partkey, min(mth) AS first_m FROM li GROUP BY 1)
+      |SELECT CAST(li.mth AS DATE) AS month,
+      |  CAST(count(DISTINCT CASE WHEN li.mth = fi.first_m
+      |    THEN li.l_partkey END) AS BIGINT) AS new_items,
+      |  ROUND(CAST(sum(CASE WHEN li.mth = fi.first_m THEN cents ELSE 0
+      |    END) AS DOUBLE) / 100, 6) AS new_item_revenue,
+      |  ROUND(CAST(sum(CASE WHEN li.mth = fi.first_m THEN cents ELSE 0
+      |    END) AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 6) AS new_share
+      |FROM li JOIN fi ON li.l_partkey = fi.l_partkey
+      |GROUP BY li.mth ORDER BY month""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey",
+        "l_extendedprice")
+      .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"),
+        date_trunc("month", col("o_orderdate")).as("mth"),
+        (dec2(col("l_extendedprice")) * 100).cast(LongType).as("cents"))
+    val fi = li.groupBy("l_partkey").agg(min(col("mth")).as("first_m"))
+    val isNew = col("mth") === col("first_m")
+    li.join(fi.withColumnRenamed("l_partkey", "pk"),
+        col("l_partkey") === col("pk"))
+      .groupBy("mth")
+      .agg(
+        countDistinct(when(isNew, col("l_partkey"))).as("new_items"),
+        round(sum(when(isNew, col("cents")).otherwise(0L).cast(big38))
+          .cast(DoubleType) / 100, 6).as("new_item_revenue"),
+        round(sum(when(isNew, col("cents")).otherwise(0L).cast(big38))
+          .cast(DoubleType)
+          / sum(col("cents").cast(big38)).cast(DoubleType), 6)
+          .as("new_share"))
+      .select(to_date(col("mth")).as("month"), col("new_items"),
+        col("new_item_revenue"), col("new_share"))
+      .orderBy("month")
+  }
+
+  /** Month-over-month revenue growth per market segment — the dashboard
+    * growth panel (NULL on each segment's first month and on zero-base
+    * months). Exact cent sums; growth is one fixed-op-order double
+    * expression off a segment-keyed lag window over the bounded monthly
+    * series. */
+  val qMomGrowth = Q(
+    "q_mom_growth",
+    """WITH m AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |    date_trunc('month', o.o_orderdate) AS mth,
+      |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS rev
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT seg, CAST(mth AS DATE) AS month,
+      |  ROUND(CAST(rev AS DOUBLE) / 100, 6) AS revenue,
+      |  CASE WHEN lag(rev) OVER w IS NULL OR lag(rev) OVER w = 0 THEN NULL
+      |    ELSE ROUND((CAST(rev AS DOUBLE) - CAST(lag(rev) OVER w AS DOUBLE))
+      |      / CAST(lag(rev) OVER w AS DOUBLE), 6) END AS mom_growth
+      |FROM m
+      |WINDOW w AS (PARTITION BY seg ORDER BY mth)
+      |ORDER BY seg, month""".stripMargin) { (s, d) =>
+    val m = t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("seg"), date_trunc("month", col("o_orderdate")).as("mth"))
+      .agg(sum(dec2(col("o_totalprice")) * 100).cast(LongType).as("rev"))
+    val w = Window.partitionBy("seg").orderBy("mth")
+    val lagRev = lag(col("rev"), 1).over(w)
+    m.select(col("seg"), to_date(col("mth")).as("month"),
+        round(col("rev").cast(DoubleType) / 100, 6).as("revenue"),
+        when(lagRev.isNull || lagRev === 0, lit(null))
+          .otherwise(round((col("rev").cast(DoubleType)
+            - lagRev.cast(DoubleType)) / lagRev.cast(DoubleType), 6))
+          .as("mom_growth"))
+      .orderBy("seg", "month")
+  }
+
   val all: Seq[Q] = Seq(
     qOutlierIqr, qChurnLabel, qAbSrm, qTheilSen, qJaccardNeighbors,
-    qAbPower,
+    qAbPower, qKendallTau, qGrubbs, qDiffInDiff, qAdamicAdar,
+    qResampleInterp, qRunsTest, qClusteringCoeff,
+    qHazardRate, qOrderGapStats, qBasketStats, qDisorderAudit,
+    qPercentileProfile, qNewVsReturning, qRollingCorr, qHitsRank,
+    qColdStartItems, qMomGrowth,
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
     qKsTest, qTimeWeightedAvg, qWeightedSample, qWindowCumdistinct,

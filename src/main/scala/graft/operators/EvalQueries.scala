@@ -338,6 +338,161 @@ object EvalQueries {
           / col("n_out").cast(DoubleType), 6).as("ips_value"))
   }
 
+  /** Mean average precision / precision / recall at k=10 over the same
+    * label-relevance retrieval panel as q_mrr (every 25th vector queries
+    * the corpus, same-label = relevant). AP@10 sums hits@i/i at each
+    * relevant position, normalized by min(R,10) with R the query's
+    * relevant-corpus size; every per-position term is the exact integer
+    * (hits·10⁹) DIV i, and the per-query normalization is another integer
+    * DIV, so the panel mean is a reduction-order-proof integer sum with
+    * one final division. The panel is bounded (broadcast) and candidate
+    * scoring is ONE corpus scan — same eval-harness shape as q_mrr. */
+  val qMapAtK = Q(
+    "q_map_at_k",
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |nl AS (SELECT label, count(*) AS n_label FROM e GROUP BY label),
+      |ranked AS (
+      |  SELECT q.vec_id AS qid, q.label AS q_label,
+      |    CASE WHEN e.label = q.label THEN 1 ELSE 0 END AS is_rel,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY ROUND(list_inner_product(q.v, e.v)
+      |        / sqrt(list_inner_product(q.v, q.v))
+      |        / sqrt(list_inner_product(e.v, e.v)), 4) DESC, e.vec_id)
+      |      AS rk
+      |  FROM (SELECT * FROM e WHERE vec_id % 25 = 0) q
+      |  JOIN e ON e.vec_id <> q.vec_id),
+      |top10 AS (
+      |  SELECT qid, q_label, rk, is_rel,
+      |    sum(is_rel) OVER (PARTITION BY qid ORDER BY rk) AS hits
+      |  FROM ranked WHERE rk <= 10),
+      |perq AS (
+      |  SELECT t.qid,
+      |    sum(CASE WHEN t.is_rel = 1
+      |        THEN (t.hits * 1000000000) // t.rk ELSE 0 END) AS ap9_num,
+      |    max(t.hits) AS hits10,
+      |    LEAST(max(n.n_label) - 1, 10) AS r10
+      |  FROM top10 t JOIN nl n ON t.q_label = n.label
+      |  GROUP BY t.qid)
+      |SELECT count(*) AS n_queries,
+      |  ROUND(CAST(sum(ap9_num // r10) AS DOUBLE) / count(*)
+      |    / 1000000000, 6) AS map_at_10,
+      |  ROUND(CAST(sum(hits10) AS DOUBLE) / count(*) / 10, 6)
+      |    AS precision_at_10,
+      |  ROUND(CAST(sum((hits10 * 1000000000) // r10) AS DOUBLE) / count(*)
+      |    / 1000000000, 6) AS recall_at_10
+      |FROM perq""".stripMargin) { (s, d) =>
+    val embs = t(s, d, "embeddings")
+    val nl = embs.groupBy("label").agg(count(lit(1)).as("n_label"))
+    val queries = embs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("embedding").as("q_e"))
+    val scored = embs
+      .join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("q_label"), col("vec_id"),
+        when(col("label") === col("q_label"), 1).otherwise(0).as("is_rel"),
+        round(graft.llm.Dedup.cosine(col("embedding"), col("q_e")), 4)
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("vec_id"))
+    val cum = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy("rk")
+    val top10 = scored.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 10)
+      .withColumn("hits", sum(col("is_rel")).over(cum))
+    val perq = top10
+      .join(broadcast(nl.withColumnRenamed("label", "nl_label")),
+        col("q_label") === col("nl_label"))
+      .groupBy("qid")
+      .agg(
+        sum(when(col("is_rel") === 1,
+          expr("(hits * 1000000000) DIV rk")).otherwise(0L)).as("ap9_num"),
+        max(col("hits")).as("hits10"),
+        least(max(col("n_label")) - 1, lit(10)).as("r10"))
+    perq.agg(
+      count(lit(1)).as("n_queries"),
+      round(sum(expr("ap9_num DIV r10")).cast(DoubleType)
+        / count(lit(1)) / 1000000000L, 6).as("map_at_10"),
+      round(sum(col("hits10")).cast(DoubleType) / count(lit(1)) / 10, 6)
+        .as("precision_at_10"),
+      round(sum(expr("(hits10 * 1000000000) DIV r10")).cast(DoubleType)
+        / count(lit(1)) / 1000000000L, 6).as("recall_at_10"))
+  }
+
+  /** Feature screening: point-biserial correlation of each candidate
+    * numeric feature (order value, line count, total quantity) with the
+    * urgent-priority label — the one-pass filter ranking features before
+    * any model sees them. Each feature's Σx/Σx²/Σxy are exact integers
+    * (cents / counts; Σxy = Σx over positives since y∈{0,1}), stacked via
+    * UNION so one aggregation computes all features; r is one
+    * fixed-op-order double expression per feature. */
+  val qFeatureCorrTarget = Q(
+    "q_feature_corr_target",
+    """WITH b AS (
+      |  SELECT l_orderkey, count(*) AS n_lines,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS qty_c
+      |  FROM lineitem GROUP BY 1),
+      |o AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+      |    b.n_lines, b.qty_c
+      |  FROM orders JOIN b ON o_orderkey = b.l_orderkey),
+      |f AS (
+      |  SELECT 'price_cents' AS feature, cents AS x, y FROM o
+      |  UNION ALL SELECT 'n_lines', n_lines, y FROM o
+      |  UNION ALL SELECT 'qty_cents', qty_c, y FROM o),
+      |m AS (
+      |  SELECT feature, count(*) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx,
+      |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |    CAST(sum(y) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN y = 1 THEN x ELSE 0 END) AS HUGEINT) AS sxy
+      |  FROM f GROUP BY feature)
+      |SELECT feature, n, n1 AS n_pos,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * n1)
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * n1 - CAST(n1 AS DOUBLE) * n1)), 6)
+      |    AS r_pb
+      |FROM m ORDER BY feature""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val b = t(s, d, "lineitem").groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec2(col("l_quantity")) * 100).cast(LongType).as("qty_c"))
+    val o = t(s, d, "orders")
+      .join(b, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+        when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("y"),
+        col("n_lines"), col("qty_c"))
+    val f = o.select(lit("price_cents").as("feature"),
+        col("cents").as("x"), col("y"))
+      .unionByName(o.select(lit("n_lines").as("feature"),
+        col("n_lines").as("x"), col("y")))
+      .unionByName(o.select(lit("qty_cents").as("feature"),
+        col("qty_c").as("x"), col("y")))
+    val m = f.groupBy("feature").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(big38)).as("sx"),
+      sum(col("x").cast(big38) * col("x").cast(big38)).as("sxx"),
+      sum(col("y")).cast(LongType).as("n1"),
+      sum(when(col("y") === 1, col("x")).otherwise(0L).cast(big38))
+        .as("sxy"))
+    m.select(col("feature"), col("n"), col("n1").as("n_pos"),
+      round((col("n").cast(DoubleType) * col("sxy").cast(DoubleType)
+        - col("sx").cast(DoubleType) * col("n1"))
+        / sqrt((col("n").cast(DoubleType) * col("sxx").cast(DoubleType)
+          - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+          * (col("n").cast(DoubleType) * col("n1")
+            - col("n1").cast(DoubleType) * col("n1"))), 6).as("r_pb"))
+      .orderBy("feature")
+  }
+
   val all: Seq[Q] = Seq(qAuc, qLiftDeciles, qConfusionMatrix,
-    qCalibration, qMrr, qIpsEstimate)
+    qCalibration, qMrr, qIpsEstimate, qMapAtK, qFeatureCorrTarget)
 }

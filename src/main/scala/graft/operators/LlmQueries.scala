@@ -2406,7 +2406,233 @@ object LlmQueries {
         .as("ess_ratio"))
   }
 
+  /** Lexical diversity per source: corpus type-token ratio (distinct
+    * terms / total tokens) plus the mean per-document TTR — the
+    * template/boilerplate detector that separates "many documents, few
+    * phrasings" sources from genuinely diverse ones. Token explodes are
+    * linear; distincts key on (source, term); the per-doc mean is an
+    * exact (distinct·10⁹) DIV tokens integer sum with one final
+    * division. */
+  val qTypeTokenRatio = Q(
+    "q_type_token_ratio",
+    """WITH tok AS (
+      |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |perdoc AS (
+      |  SELECT source, doc_id, count(*) AS n_tok,
+      |    count(DISTINCT term) AS n_distinct
+      |  FROM tok GROUP BY source, doc_id),
+      |src AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS toks,
+      |    CAST(sum((n_distinct * 1000000000) // n_tok) AS BIGINT) AS ttr9
+      |  FROM perdoc GROUP BY source),
+      |srcd AS (
+      |  SELECT source, count(DISTINCT term) AS distinct_terms
+      |  FROM tok GROUP BY source)
+      |SELECT s.source, s.n_docs, s.toks, d.distinct_terms,
+      |  ROUND(CAST(d.distinct_terms AS DOUBLE) / s.toks, 6) AS corpus_ttr,
+      |  ROUND(CAST(s.ttr9 AS DOUBLE) / s.n_docs / 1000000000, 6)
+      |    AS mean_doc_ttr
+      |FROM src s JOIN srcd d ON s.source = d.source
+      |ORDER BY s.source""".stripMargin) { (s, d) =>
+    val tok = t(s, d, "documents").select(col("source"), col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val perdoc = tok.groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("term")).as("n_distinct"))
+    val src = perdoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("toks"),
+        sum(expr("(n_distinct * 1000000000) DIV n_tok")).cast(LongType)
+          .as("ttr9"))
+    val srcd = tok.groupBy("source")
+      .agg(countDistinct(col("term")).as("distinct_terms"))
+    src.join(srcd.withColumnRenamed("source", "s2"),
+        col("source") === col("s2"))
+      .select(col("source"), col("n_docs"), col("toks"),
+        col("distinct_terms"),
+        round(col("distinct_terms").cast(DoubleType) / col("toks"), 6)
+          .as("corpus_ttr"),
+        round(col("ttr9").cast(DoubleType) / col("n_docs") / 1000000000L, 6)
+          .as("mean_doc_ttr"))
+      .orderBy("source")
+  }
+
+  /** Vocabulary growth (Heaps-law) curve: cumulative distinct terms vs
+    * cumulative tokens at every-50-documents checkpoints in doc_id order —
+    * "is the corpus still adding new vocabulary or repeating itself?",
+    * the corpus-level saturation readout feeding crawl-more/dedup-more
+    * decisions. Per-term FIRST-occurrence rank (one groupBy over the
+    * vocabulary) replaces any cumulative-distinct window, so both curves
+    * are bounded-grid conditional sums against the broadcast checkpoint
+    * list; document ranks come from GlobalRank (no unpartitioned
+    * window). */
+  val qVocabGrowth = Q(
+    "q_vocab_growth",
+    """WITH ord AS (
+      |  SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rk
+      |  FROM documents),
+      |toks AS (
+      |  SELECT rk, unnest(string_split(text, ' ')) AS term FROM ord),
+      |ntok AS (SELECT rk, count(*) AS n_tok FROM toks GROUP BY rk),
+      |fo AS (SELECT term, min(rk) AS first_rk FROM toks GROUP BY term),
+      |grid AS (
+      |  SELECT unnest(generate_series(50,
+      |    (SELECT CAST(max(rk) AS BIGINT) FROM ord), 50)) AS cp),
+      |ct AS (
+      |  SELECT g.cp, CAST(sum(n.n_tok) AS BIGINT) AS cum_tokens
+      |  FROM grid g JOIN ntok n ON n.rk <= g.cp GROUP BY g.cp),
+      |cd AS (
+      |  SELECT g.cp, count(*) AS cum_distinct
+      |  FROM grid g JOIN fo f ON f.first_rk <= g.cp GROUP BY g.cp)
+      |SELECT ct.cp AS n_docs, ct.cum_tokens, cd.cum_distinct,
+      |  ROUND(CAST(cd.cum_distinct AS DOUBLE) / ct.cum_tokens, 6) AS ttr
+      |FROM ct JOIN cd ON ct.cp = cd.cp ORDER BY n_docs""".stripMargin) {
+    (s, d) =>
+    val docs = t(s, d, "documents").select("doc_id", "text")
+    val (ord, nDocs) = graft.plans.GlobalRank.withGlobalRowNumber(
+      docs, "rk", 32, col("doc_id"))
+    val toks = ord.select(col("rk"),
+      explode(split(col("text"), " ")).as("term"))
+    val ntok = toks.groupBy("rk").agg(count(lit(1)).as("n_tok"))
+    val fo = toks.groupBy("term").agg(min(col("rk")).as("first_rk"))
+    val spark = s
+    import spark.implicits._
+    val grid = broadcast(
+      (50L to nDocs by 50L).toDF("cp"))
+    val ct = ntok.join(grid, col("rk") <= col("cp"))
+      .groupBy("cp").agg(sum(col("n_tok")).cast(LongType).as("cum_tokens"))
+    val cd = fo.join(grid, col("first_rk") <= col("cp"))
+      .groupBy("cp").agg(count(lit(1)).as("cum_distinct"))
+    ct.join(cd.withColumnRenamed("cp", "cp2"), col("cp") === col("cp2"))
+      .select(col("cp").as("n_docs"), col("cum_tokens"), col("cum_distinct"),
+        round(col("cum_distinct").cast(DoubleType) / col("cum_tokens"), 6)
+          .as("ttr"))
+      .orderBy("n_docs")
+  }
+
+  /** Pairwise earth-mover's distance between per-source document-length
+    * distributions (10 data-derived bins): the top-20 most-different
+    * source pairs — the distribution-shift matrix deciding which sources
+    * can share a sampling policy (the corpus-level generalization of
+    * q_t_closeness's per-group EMD). All mass comparisons are exact
+    * cross-multiplied integer counts (|cumA·nB − cumB·nA|); the pairwise
+    * stage runs on the BOUNDED source×bin table, never documents. */
+  val qEmdSources = Q(
+    "q_emd_sources",
+    """WITH mx AS (SELECT max(n_chars) AS m FROM documents),
+      |b AS (
+      |  SELECT source,
+      |    LEAST(CAST((n_chars * 10) // (m + 1) AS BIGINT), 9) AS bin
+      |  FROM documents, mx),
+      |cnt AS (SELECT source, bin, count(*) AS c FROM b GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, g.bin, COALESCE(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT source FROM documents) s
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g
+      |  LEFT JOIN cnt c ON c.source = s.source AND c.bin = g.bin),
+      |cum AS (
+      |  SELECT source, bin,
+      |    sum(c) OVER (PARTITION BY source ORDER BY bin) AS cum,
+      |    sum(c) OVER (PARTITION BY source) AS n
+      |  FROM grid),
+      |pairs AS (
+      |  SELECT a.source AS src_a, b2.source AS src_b,
+      |    CAST(sum(abs(a.cum * b2.n - b2.cum * a.n)) AS HUGEINT) AS num,
+      |    max(a.n) AS na, max(b2.n) AS nb
+      |  FROM cum a JOIN cum b2
+      |    ON a.bin = b2.bin AND a.source < b2.source
+      |  GROUP BY a.source, b2.source)
+      |SELECT src_a, src_b,
+      |  ROUND(CAST(num AS DOUBLE) / (CAST(na AS DOUBLE) * nb) / 10, 6)
+      |    AS emd
+      |FROM pairs ORDER BY emd DESC, src_a, src_b LIMIT 20""".stripMargin) {
+    (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val docs = t(s, d, "documents").select("source", "n_chars")
+    val mx = docs.agg(max("n_chars").as("m"))
+    val b = docs.crossJoin(broadcast(mx))
+      .select(col("source"),
+        least(expr("(n_chars * 10) DIV (m + 1)"), lit(9L)).as("bin"))
+    val cnt = b.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val srcs = docs.select("source").distinct()
+    val bins = s.range(0, 10).toDF("bin")
+    val grid = srcs.crossJoin(broadcast(bins))
+      .join(cnt.withColumnRenamed("source", "s2")
+        .withColumnRenamed("bin", "b2"),
+        col("source") === col("s2") && col("bin") === col("b2"), "left")
+      .select(col("source"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bin")
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val cum = grid.select(col("source"), col("bin"),
+      sum(col("c")).over(wc).as("cum"), sum(col("c")).over(wn).as("n"))
+    val pairs = cum.as("a")
+      .join(cum.select(col("source").as("sb"), col("bin").as("binb"),
+        col("cum").as("cumb"), col("n").as("nb")),
+        col("a.bin") === col("binb") && col("a.source") < col("sb"))
+      .groupBy(col("a.source").as("src_a"), col("sb").as("src_b"))
+      .agg(sum(abs(col("a.cum") * col("nb") - col("cumb") * col("a.n")))
+        .cast(big38).as("num"),
+        max(col("a.n")).as("na"), max(col("nb")).as("nb2"))
+    pairs.select(col("src_a"), col("src_b"),
+      round(col("num").cast(DoubleType)
+        / (col("na").cast(DoubleType) * col("nb2")) / 10, 6).as("emd"))
+      .orderBy(col("emd").desc, col("src_a"), col("src_b"))
+      .limit(20)
+  }
+
+  /** Cross-source vocabulary overlap: Jaccard similarity of the distinct
+    * term sets of every source pair, top-20 — which sources are
+    * near-mirrors of each other (candidate collapse targets) vs
+    * genuinely distinct, the set-based complement of q_emd_sources'
+    * length-shape distance. Intersections come from the term-keyed
+    * inverted-index equi-join (each term contributes its source pairs —
+    * never source × source over documents); set sizes and intersection
+    * counts are exact integers. */
+  val qSourceOverlap = Q(
+    "q_source_overlap",
+    """WITH st AS (
+      |  SELECT DISTINCT source, term FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS term
+      |    FROM documents) u),
+      |sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS common
+      |  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT i.src_a, i.src_b, i.common,
+      |  ROUND(CAST(i.common AS DOUBLE)
+      |    / CAST(za.n + zb.n - i.common AS DOUBLE), 6) AS jaccard
+      |FROM inter i
+      |JOIN sz za ON i.src_a = za.source
+      |JOIN sz zb ON i.src_b = zb.source
+      |ORDER BY jaccard DESC, i.src_a, i.src_b LIMIT 20""".stripMargin) {
+    (s, d) =>
+    val st = t(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val sz = st.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = st.select(col("source").as("src_a"), col("term"))
+      .join(st.select(col("source").as("src_b"), col("term").as("t2")),
+        col("term") === col("t2") && col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("common"))
+    inter
+      .join(broadcast(sz.select(col("source").as("sa"), col("n").as("na"))),
+        col("src_a") === col("sa"))
+      .join(broadcast(sz.select(col("source").as("sb"), col("n").as("nb"))),
+        col("src_b") === col("sb"))
+      .select(col("src_a"), col("src_b"), col("common"),
+        round(col("common").cast(DoubleType)
+          / (col("na") + col("nb") - col("common")).cast(DoubleType), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("src_a"), col("src_b"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
+    qTypeTokenRatio, qVocabGrowth, qEmdSources, qSourceOverlap,
     qJsDivergence, qPerplexity, qReadability, qEmbedNorms,
     qDedupRateBySource, qNgramNovelty, qContextFit, qQuantileNorm,
     qNearDupEval, qDedupThresholdSweep, qCohensKappa, qEssWeights,

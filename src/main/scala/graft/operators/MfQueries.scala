@@ -572,8 +572,197 @@ object MfQueries {
         .cast(DoubleType) / 1000000000 / count(lit(1)), 6).as("mean_ndcg"))
   }
 
+  /** Popularity bias of the co-occurrence recommender: mean catalog
+    * popularity of each item's top-5 co-purchased recommendations vs the
+    * catalog mean — the lift > 1 readout quantifying how much a
+    * neighborhood recommender amplifies already-popular items (the
+    * long-tail fairness axis next to q_rec_coverage and q_gini). The
+    * co-occurrence table is the bounded q_item_cooccur equi-join, the
+    * top-5 window runs per item on that bounded table, and popularity is
+    * one exact distinct-orders count; doubles appear only in the final
+    * one-row lift expression. */
+  val qPopBias = Q(
+    "q_pop_bias",
+    """WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY a.l_partkey, b.l_partkey),
+      |pop AS (
+      |  SELECT l_partkey, count(DISTINCT l_orderkey) AS p
+      |  FROM lineitem GROUP BY 1),
+      |recs AS (
+      |  SELECT pa, pb,
+      |    row_number() OVER (PARTITION BY pa ORDER BY w DESC, pb) AS rk
+      |  FROM pairs),
+      |top5 AS (SELECT pa, pb FROM recs WHERE rk <= 5),
+      |cat AS (
+      |  SELECT CAST(sum(p) AS BIGINT) AS sp, count(*) AS np FROM pop)
+      |SELECT count(*) AS n_recs, count(DISTINCT t.pa) AS n_items,
+      |  ROUND(CAST(sum(pp.p) AS DOUBLE) / count(*), 6) AS mean_rec_pop,
+      |  ROUND(CAST(max(c.sp) AS DOUBLE) / max(c.np), 6) AS mean_cat_pop,
+      |  ROUND((CAST(sum(pp.p) AS DOUBLE) / count(*))
+      |    / (CAST(max(c.sp) AS DOUBLE) / max(c.np)), 6) AS pop_lift
+      |FROM top5 t JOIN pop pp ON t.pb = pp.l_partkey
+      |CROSS JOIN cat c""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
+        col("l_orderkey") === col("ok2") && col("pa") =!= col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+    val pop = li.groupBy("l_partkey")
+      .agg(countDistinct(col("l_orderkey")).as("p"))
+    val w = Window.partitionBy("pa").orderBy(col("w").desc, col("pb"))
+    val top5 = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).select("pa", "pb")
+    val cat = pop.agg(sum("p").cast("long").as("sp"),
+      count(lit(1)).as("np"))
+    top5.join(pop.withColumnRenamed("l_partkey", "pk"),
+        col("pb") === col("pk"))
+      .crossJoin(broadcast(cat))
+      .agg(count(lit(1)).as("n_recs"),
+        countDistinct(col("pa")).as("n_items"),
+        round(sum(col("p")).cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_rec_pop"),
+        round(max(col("sp")).cast(DoubleType) / max(col("np")), 6)
+          .as("mean_cat_pop"),
+        round((sum(col("p")).cast(DoubleType) / count(lit(1)))
+          / (max(col("sp")).cast(DoubleType) / max(col("np"))), 6)
+          .as("pop_lift"))
+  }
+
+  /** Item-based collaborative-filtering recommendations: top-3 unseen
+    * items per user scored by summed co-occurrence weight with the user's
+    * purchase history — the neighborhood recommender the MF family is
+    * benchmarked against (and the source of the popularity bias q_pop_bias
+    * measures). Candidate generation is the bounded co-occurrence
+    * equi-join (user-history ⋈ item-item edges — never user × catalog);
+    * owned items drop via anti-join; a 20-user probe slice bounds the
+    * output (full materialization is the same plan without the probe
+    * filter, which Spark pushes through the history join). */
+  val qUserRecsCf = Q(
+    "q_user_recs_cf",
+    """WITH ui AS (
+      |  SELECT DISTINCT o_custkey AS u, l_partkey AS item
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |co AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT ui.u, co.pb AS item, CAST(sum(co.w) AS BIGINT) AS score
+      |  FROM ui JOIN co ON ui.item = co.pa
+      |  WHERE ui.u <= 20
+      |  GROUP BY ui.u, co.pb),
+      |fresh AS (
+      |  SELECT c.u, c.item, c.score FROM cand c
+      |  LEFT JOIN ui o ON c.u = o.u AND c.item = o.item
+      |  WHERE o.item IS NULL),
+      |recs AS (
+      |  SELECT u, item, score,
+      |    row_number() OVER (PARTITION BY u ORDER BY score DESC, item)
+      |      AS rk
+      |  FROM fresh)
+      |SELECT u AS user_id, rk, item, score FROM recs WHERE rk <= 3
+      |ORDER BY user_id, rk""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+    val ui = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("item"))
+      .distinct()
+    val co = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
+        col("l_orderkey") === col("ok2") && col("pa") =!= col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+    val cand = ui.filter(col("u") <= 20)
+      .join(co, col("item") === col("pa"))
+      .groupBy(col("u"), col("pb").as("item"))
+      .agg(sum(col("w")).cast("long").as("score"))
+    val fresh = cand.join(ui, Seq("u", "item"), "left_anti")
+    val w = Window.partitionBy("u").orderBy(col("score").desc, col("item"))
+    fresh.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("u").as("user_id"), col("rk"), col("item"), col("score"))
+      .orderBy("user_id", "rk")
+  }
+
+  /** Bias-baseline recommender (the classic μ + b_u + b_i predictor the
+    * MF literature reports against): global mean, per-item bias, then
+    * per-user residual bias, clamped predictions, train RMSE — the
+    * sanity floor every ALS run must beat (compare q_metric_rmse).
+    * Every mean feeds from 10⁻⁶-quantized exact integer sums (ratings
+    * are already round-6), every residual re-quantizes before its sum,
+    * and the clamp/RMSE are fixed-op-order final expressions — so the
+    * whole chain is reduction-order-proof on both engines. */
+  val qRatingBaseline = Q(
+    "q_rating_baseline",
+    s"""WITH ${Ratings.cte},
+       |r6 AS (
+       |  SELECT user_id, item_id,
+       |    CAST(ROUND(rating * 1000000) AS BIGINT) AS r6 FROM ratings),
+       |g AS (
+       |  SELECT ROUND(CAST(sum(r6) AS DOUBLE) / count(*) / 1000000, 6)
+       |    AS mu FROM r6),
+       |bi AS (
+       |  SELECT item_id,
+       |    ROUND(CAST(sum(r.r6) AS DOUBLE) / count(*) / 1000000
+       |      - max(g.mu), 6) AS b_i
+       |  FROM r6 r CROSS JOIN g GROUP BY item_id),
+       |dev AS (
+       |  SELECT r.user_id,
+       |    CAST(ROUND((CAST(r.r6 AS DOUBLE) / 1000000 - g.mu - b.b_i)
+       |      * 1000000) AS BIGINT) AS d6
+       |  FROM r6 r JOIN bi b ON r.item_id = b.item_id CROSS JOIN g),
+       |bu AS (
+       |  SELECT user_id,
+       |    ROUND(CAST(sum(d6) AS DOUBLE) / count(*) / 1000000, 6) AS b_u
+       |  FROM dev GROUP BY user_id),
+       |p AS (
+       |  SELECT r.r6,
+       |    LEAST(5.0, GREATEST(1.0, g.mu + u.b_u + b.b_i)) AS pred
+       |  FROM r6 r JOIN bi b ON r.item_id = b.item_id
+       |  JOIN bu u ON r.user_id = u.user_id CROSS JOIN g),
+       |e AS (
+       |  SELECT CAST(ROUND((CAST(r6 AS DOUBLE) / 1000000 - pred)
+       |    * (CAST(r6 AS DOUBLE) / 1000000 - pred) * 1000000) AS BIGINT)
+       |    AS sq6 FROM p)
+       |SELECT max(g.mu) AS mu, count(*) AS n,
+       |  ROUND(sqrt(CAST(sum(sq6) AS DOUBLE) / 1000000 / count(*)), 6)
+       |    AS rmse_baseline
+       |FROM e CROSS JOIN g""".stripMargin) { (s, d) =>
+    val r6 = Ratings.view(s, d).select(col("user_id"), col("item_id"),
+      round(col("rating") * 1000000L).cast("long").as("r6"))
+    val g = r6.agg(round(sum(col("r6")).cast(DoubleType) / count(lit(1))
+      / 1000000L, 6).as("mu"))
+    val bi = r6.crossJoin(broadcast(g))
+      .groupBy("item_id")
+      .agg(round(sum(col("r6")).cast(DoubleType) / count(lit(1)) / 1000000L
+        - max(col("mu")), 6).as("b_i"))
+    val dev = r6.join(bi, Seq("item_id")).crossJoin(broadcast(g))
+      .select(col("user_id"),
+        round((col("r6").cast(DoubleType) / 1000000L - col("mu")
+          - col("b_i")) * 1000000L).cast("long").as("d6"))
+    val bu = dev.groupBy("user_id")
+      .agg(round(sum(col("d6")).cast(DoubleType) / count(lit(1))
+        / 1000000L, 6).as("b_u"))
+    val p = r6.join(bi, Seq("item_id")).join(bu, Seq("user_id"))
+      .crossJoin(broadcast(g))
+      .select(col("r6"),
+        least(lit(5.0), greatest(lit(1.0),
+          col("mu") + col("b_u") + col("b_i"))).as("pred"))
+    val e = p.select(
+      round((col("r6").cast(DoubleType) / 1000000L - col("pred"))
+        * (col("r6").cast(DoubleType) / 1000000L - col("pred"))
+        * 1000000L).cast("long").as("sq6"))
+    e.crossJoin(broadcast(g))
+      .agg(max(col("mu")).as("mu"), count(lit(1)).as("n"),
+        round(sqrt(sum(col("sq6")).cast(DoubleType) / 1000000L
+          / count(lit(1))), 6).as("rmse_baseline"))
+  }
+
   val all: Seq[Q] = Seq(
-    qNdcg,
+    qNdcg, qPopBias, qUserRecsCf, qRatingBaseline,
     qRatingsView, qRatingsPivot, qMfAlsTrain, qMfPredict, qMfTopkRecs,
     qMfItemSim, qMfFoldin,
     qMetricRmse, qMetricPolarization, qMetricIndUnfairness,

@@ -1303,8 +1303,46 @@ object PipelineQueries {
       .orderBy("c_mktsegment", "c_nationkey")
   }
 
+  /** ML lag-feature generation per user over the event stream: lag-1/-2
+    * values, the 3-event trailing mean, and a 7-day trailing event count —
+    * the time-series feature matrix a training pipeline materializes
+    * before model fitting, with the no-look-ahead guarantee (every
+    * feature reads strictly current-or-earlier rows). All windows are
+    * user-keyed with the (us, event_id) total tiebreak; the trailing
+    * count uses a numeric RANGE frame on exact µs; the 3-event mean is
+    * one fixed-op-order double expression (null until two lags exist). */
+  val qLagFeatures = Q(
+    "q_lag_features",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+      |SELECT user_id, event_id, ROUND(value, 6) AS v,
+      |  ROUND(lag(value, 1) OVER w, 6) AS lag1,
+      |  ROUND(lag(value, 2) OVER w, 6) AS lag2,
+      |  ROUND((value + lag(value, 1) OVER w + lag(value, 2) OVER w) / 3, 6)
+      |    AS mean3,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY us
+      |    RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS cnt7d
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |ORDER BY user_id, us, event_id""".stripMargin) { (s, d) =>
+    val e = t(s, d, "events").select(col("user_id"), col("event_id"),
+      unix_micros(col("ts").cast(TimestampType)).as("us"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wr = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-604800000000L, Window.currentRow)
+    e.select(col("user_id"), col("event_id"), col("us"),
+        round(col("value"), 6).as("v"),
+        round(lag(col("value"), 1).over(w), 6).as("lag1"),
+        round(lag(col("value"), 2).over(w), 6).as("lag2"),
+        round((col("value") + lag(col("value"), 1).over(w)
+          + lag(col("value"), 2).over(w)) / 3, 6).as("mean3"),
+        count(lit(1)).over(wr).as("cnt7d"))
+      .orderBy(col("user_id"), col("us"), col("event_id"))
+      .drop("us")
+  }
+
   val all: Seq[Q] = Seq(
-    qTCloseness,
+    qTCloseness, qLagFeatures,
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
     qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,
     qSimL2, qKmeansUpdate, qKAnonymity, qReferentialCheck, qDupSpans,

@@ -288,9 +288,53 @@ object StreamingQueries {
         .orderBy("event_type")
   }
 
+  /** Streaming min/max/mean monitor per event type, maintained
+    * incrementally over a REAL 4-batch replay by
+    * `StreamOps.incrementalExtremes`: count, 10⁻⁶-unit sum, min, max are
+    * all associative-commutative merges, so the final state is
+    * batch-boundary-independent and must equal this whole-history
+    * recompute (the oracle). Constant state per key. */
+  val qStreamMinmax = Q(
+    "q_stream_minmax",
+    """SELECT event_type, count(*) AS n_rows,
+      |  ROUND(CAST(min(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / 1000000, 6) AS min_v,
+      |  ROUND(CAST(max(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / 1000000, 6) AS max_v,
+      |  ROUND(CAST(sum(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+      |    / 1000000 / count(*), 6) AS mean_v
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    StreamOps.incrementalExtremes(s, d,
+        s"target/stream_minmax_${math.abs(d.hashCode)}")
+      .select(col("event_type"), col("n_rows"),
+        round(col("min6").cast("double") / 1000000L, 6).as("min_v"),
+        round(col("max6").cast("double") / 1000000L, 6).as("max_v"),
+        round(col("sum6").cast("double") / 1000000L / col("n_rows"), 6)
+          .as("mean_v"))
+      .orderBy("event_type")
+  }
+
+  /** First-touch attribution per user maintained incrementally by
+    * `StreamOps.incrementalFirstSeen`: state is the per-user minimum
+    * (µs, event_id, type) tuple, merged by struct-min across a real
+    * 4-batch replay — batch boundaries cannot change a minimum, so the
+    * final state equals this whole-history recompute (the oracle). */
+  val qStreamFirstSeen = Q(
+    "q_stream_first_seen",
+    """SELECT user_id, us AS first_us, event_type AS first_type FROM (
+      |  SELECT user_id, epoch_us(ts) AS us, event_type,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS rk
+      |  FROM events) x
+      |WHERE rk = 1 ORDER BY user_id""".stripMargin) { (s, d) =>
+    StreamOps.incrementalFirstSeen(s, d,
+        s"target/stream_firstseen_${math.abs(d.hashCode)}")
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg,
     qStreamIntervalJoin, qStreamChecksum, qStreamTopk, qStreamUpsert,
-    qStreamQuantile)
+    qStreamQuantile, qStreamMinmax, qStreamFirstSeen)
 }

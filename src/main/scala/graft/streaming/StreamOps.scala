@@ -453,6 +453,95 @@ object StreamOps {
         round(col("p90"), 6).as("p90"), round(col("p99"), 6).as("p99"))
   }
 
+  /** Incremental extreme/mean maintenance per event type over a real
+    * micro-batch replay: per-type count, 10⁻⁶-unit integer sum, min and
+    * max are ALL associative-commutative merges, so the final state is
+    * batch-boundary-independent and equals the whole-history recompute
+    * (the oracle). Constant state per key — the cheapest streaming
+    * monitor shape. */
+  def incrementalExtremes(spark: SparkSession, sfDir: String,
+      workDir: String, nBatches: Int = 4): DataFrame = {
+    val src = s"$workDir/src"
+    val events = graft.Tables.tsAsTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    events.select(col("event_type"),
+        round(col("value") * 1000000L).cast(LongType).as("v6"))
+      .repartition(nBatches)
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val stateBase = s"$workDir/state"
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch.groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("v6")).cast(LongType).as("sum6"),
+            min(col("v6")).as("min6"), max(col("v6")).as("max6"))
+        val merged =
+          if (version < 0) partial
+          else spark.read.parquet(s"$stateBase/v$version")
+            .unionByName(partial)
+            .groupBy("event_type")
+            .agg(sum(col("n_rows")).cast(LongType).as("n_rows"),
+              sum(col("sum6")).cast(LongType).as("sum6"),
+              min(col("min6")).as("min6"), max(col("max6")).as("max6"))
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        version = batchId
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$stateBase/v$version")
+  }
+
+  /** Incremental first-seen attribution per user: the state is each
+    * user's minimum (event-time µs, event_id, event_type) tuple and the
+    * merge is struct-min — associative, commutative, constant per key —
+    * so the final state equals the whole-history recompute regardless of
+    * batch boundaries. The signup/first-touch table every funnel joins
+    * against, maintained without ever rescanning history. */
+  def incrementalFirstSeen(spark: SparkSession, sfDir: String,
+      workDir: String, nBatches: Int = 4): DataFrame = {
+    val src = s"$workDir/src"
+    val events = graft.Tables.tsAsTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .repartition(nBatches)
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val stateBase = s"$workDir/state"
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch.groupBy("user_id")
+          .agg(min(struct(col("us"), col("event_id"), col("event_type")))
+            .as("m"))
+        val merged =
+          if (version < 0) partial
+          else spark.read.parquet(s"$stateBase/v$version")
+            .unionByName(partial)
+            .groupBy("user_id")
+            .agg(min(col("m")).as("m"))
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        version = batchId
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$stateBase/v$version")
+      .select(col("user_id"), col("m.us").as("first_us"),
+        col("m.event_type").as("first_type"))
+  }
+
   /** Run a streaming DataFrame to completion over bounded input
     * (Trigger.AvailableNow) and return the final result as a batch DF. */
   def runToCompletion(streamed: DataFrame, mode: OutputMode = OutputMode.Complete()): DataFrame = {

@@ -71,7 +71,34 @@ class DeterminismSpec extends SparkTestBase {
     Windows.qSessionStats, LlmQueries.qNgramNovelty, LlmQueries.qContextFit,
     LlmQueries.qQuantileNorm, LlmQueries.qNearDupEval,
     LlmQueries.qDedupThresholdSweep, AnalyticsQueries.qAbPower,
-    LlmQueries.qCohensKappa, LlmQueries.qEssWeights)
+    LlmQueries.qCohensKappa, LlmQueries.qEssWeights,
+    // round 7 second batch: AP@k integer-DIV sums, pairwise concordance
+    // counts, exact-integer max deviations, 1e-9-quantized ln terms,
+    // top-5 windowed recs + distinct popularity counts
+    EvalQueries.qMapAtK, AnalyticsQueries.qKendallTau,
+    AnalyticsQueries.qGrubbs, AnalyticsQueries.qDiffInDiff,
+    AnalyticsQueries.qAdamicAdar, MfQueries.qPopBias,
+    // round 7 third batch: user-keyed lag windows, bounded-grid
+    // interpolation, run-length signs, wedge-closure counts, GlobalRank
+    // checkpoint sums
+    PipelineQueries.qLagFeatures, AnalyticsQueries.qResampleInterp,
+    AnalyticsQueries.qRunsTest, AnalyticsQueries.qClusteringCoeff,
+    LlmQueries.qTypeTokenRatio, LlmQueries.qVocabGrowth,
+    // round 7 fourth batch: DIV-quantized hazard increments, lag-gap
+    // windows, co-occurrence rec scoring ties, cross-multiplied CDF sums
+    AnalyticsQueries.qHazardRate, AnalyticsQueries.qOrderGapStats,
+    AnalyticsQueries.qBasketStats, AnalyticsQueries.qDisorderAudit,
+    MfQueries.qUserRecsCf, LlmQueries.qEmdSources,
+    // round 7 fifth batch: stacked-feature moment sums, nearest-rank
+    // selections, rolling integer co-moments, HITS path counts,
+    // inverted-index intersections
+    EvalQueries.qFeatureCorrTarget, AnalyticsQueries.qPercentileProfile,
+    AnalyticsQueries.qNewVsReturning, AnalyticsQueries.qRollingCorr,
+    AnalyticsQueries.qHitsRank, LlmQueries.qSourceOverlap,
+    // round 7 sixth batch: quantized bias-baseline chains, first-sale
+    // conditional splits, segment-keyed growth lags
+    MfQueries.qRatingBaseline, AnalyticsQueries.qColdStartItems,
+    AnalyticsQueries.qMomGrowth)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

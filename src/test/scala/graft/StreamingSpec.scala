@@ -352,6 +352,29 @@ class StreamingSpec extends SparkTestBase {
     assert(out2.exceptAll(out).isEmpty && out.exceptAll(out2).isEmpty)
   }
 
+  test("incrementalExtremes / incrementalFirstSeen are batch-boundary-independent") {
+    // assoc-comm merges (count/sum/min/max, struct-min) => final state
+    // equals the whole-history recompute at ANY batch count
+    val ex4 = StreamOps.incrementalExtremes(spark, sf, "target/test_ext4")
+    val ex2 = StreamOps.incrementalExtremes(spark, sf, "target/test_ext2", 2)
+    assert(ex4.exceptAll(ex2).isEmpty && ex2.exceptAll(ex4).isEmpty)
+    val direct = Tables.load(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("value") * 1000000L).cast("long")).cast("long")
+          .as("sum6"),
+        min(round(col("value") * 1000000L).cast("long")).as("min6"),
+        max(round(col("value") * 1000000L).cast("long")).as("max6"))
+    assert(ex4.exceptAll(direct).isEmpty && direct.exceptAll(ex4).isEmpty)
+    val fs4 = StreamOps.incrementalFirstSeen(spark, sf, "target/test_fs4")
+    val fs2 = StreamOps.incrementalFirstSeen(spark, sf, "target/test_fs2", 2)
+    assert(fs4.exceptAll(fs2).isEmpty && fs2.exceptAll(fs4).isEmpty)
+    // one row per user, and the merge path executed (≥2 state versions)
+    assert(fs4.count() == fs4.select("user_id").distinct().count())
+    val versions = new java.io.File("target/test_ext4/state").list()
+    assert(versions != null && versions.count(_.startsWith("v")) >= 2)
+  }
+
   test("replayEvents + watermark runs against the REAL events fixture") {
     // Round-6 regression guard: the fixture's ts encoding changed
     // (ns-as-Long → timestamp[us] NTZ) and withWatermark rejects NTZ, so
