@@ -105,10 +105,16 @@ object SimSearch {
   def buildIvfIndex(embs: DataFrame, nLists: Int,
       lloydIters: Int = 2): IvfIndex = {
     val pts = embs.select(col("vec_id"), col("embedding"))
+    // Materialize at the build boundary: Lloyd's iteration chain is a
+    // lazy nested plan, and a search runs ≥2 actions against the index
+    // (centroid rank collect + candidate scan) — without the checkpoint
+    // every action would re-run the whole training. "Build once, search
+    // many" is the index contract; a production deployment persists
+    // exactly these two tables.
     val cents = Clustering.lloyd(pts, "vec_id", "embedding", nLists,
-      lloydIters)
+      lloydIters).localCheckpoint()
     val assigned = Clustering.assign(pts, "embedding", cents)
-      .join(pts, "vec_id")
+      .join(pts, "vec_id").localCheckpoint()
     IvfIndex(cents, assigned)
   }
 
@@ -172,13 +178,17 @@ object SimSearch {
       .select(col("vec_id"), unitNorm(col("embedding")).as("embedding"))
       .select(col("vec_id"), explode(array(subStructs: _*)).as("e"))
       .select(col("vec_id"), col("e.s").as("s"), col("e.sub").as("sub"))
+    // Materialized at the build boundary (see buildIvfIndex): the ADC
+    // table collect and the code-table scan are separate actions, and
+    // each would otherwise re-run the full grouped-Lloyd chain.
     val books = Clustering.lloydGrouped(subpts, "vec_id", "s", "sub",
-      codebookSize, lloydIters)
+      codebookSize, lloydIters).localCheckpoint()
     val codeCols = (0 until m).map(j =>
       max(when(col("s") === j, col("cluster"))).as(s"c$j"))
     val codes = Clustering.assignGrouped(subpts, "s", "sub", books)
       .groupBy("vec_id")
       .agg(codeCols.head, codeCols.tail: _*)
+      .localCheckpoint()
     PqIndex(books, codes, m, subDim)
   }
 

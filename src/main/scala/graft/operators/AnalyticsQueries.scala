@@ -3890,13 +3890,245 @@ object AnalyticsQueries {
       .orderBy("seg", "month")
   }
 
+  /** View→purchase conversion lag: for every purchase, the time since
+    * the same user's most recent preceding view — the latency profile
+    * that sizes attribution windows (and the batch ground truth for the
+    * streaming interval join's 10-minute bound). One user-keyed
+    * running-max-over-views window with the (µs, event_id) total
+    * tiebreak; exact µs lags with NULL-guarded aggregates. */
+  val qConversionLag = Q(
+    "q_conversion_lag",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_type, us,
+      |    max(CASE WHEN event_type = 'view' THEN us END)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS last_view_us
+      |  FROM e)
+      |SELECT count(*) AS n_purchases,
+      |  CAST(sum(CASE WHEN last_view_us IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_attributed,
+      |  CASE WHEN sum(CASE WHEN last_view_us IS NOT NULL THEN 1 ELSE 0
+      |      END) = 0 THEN NULL
+      |    ELSE ROUND(CAST(sum(CASE WHEN last_view_us IS NOT NULL
+      |      THEN us - last_view_us ELSE 0 END) AS DOUBLE) / 1000000
+      |      / sum(CASE WHEN last_view_us IS NOT NULL THEN 1 ELSE 0 END),
+      |      6) END AS mean_lag_s,
+      |  ROUND(CAST(min(CASE WHEN last_view_us IS NOT NULL
+      |    THEN us - last_view_us END) AS DOUBLE) / 1000000, 6) AS min_lag_s,
+      |  ROUND(CAST(max(CASE WHEN last_view_us IS NOT NULL
+      |    THEN us - last_view_us END) AS DOUBLE) / 1000000, 6) AS max_lag_s
+      |FROM w WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+    val e = t(s, d, "events").select(col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast(TimestampType)).as("us"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = e.select(col("event_type"), col("us"),
+      max(when(col("event_type") === "view", col("us"))).over(w)
+        .as("last_view_us"))
+      .filter(col("event_type") === "purchase")
+    val attr = col("last_view_us").isNotNull
+    val nAttr = sum(when(attr, 1).otherwise(0))
+    r.agg(
+      count(lit(1)).as("n_purchases"),
+      nAttr.cast(LongType).as("n_attributed"),
+      when(nAttr === 0, lit(null))
+        .otherwise(round(sum(when(attr, col("us") - col("last_view_us"))
+          .otherwise(0L)).cast(DoubleType) / 1000000L / nAttr, 6))
+        .as("mean_lag_s"),
+      round(min(when(attr, col("us") - col("last_view_us")))
+        .cast(DoubleType) / 1000000L, 6).as("min_lag_s"),
+      round(max(when(attr, col("us") - col("last_view_us")))
+        .cast(DoubleType) / 1000000L, 6).as("max_lag_s"))
+  }
+
+  /** Seasonal-naive forecast backtest on monthly revenue: forecast(m) =
+    * actual(m−12), scored by MAPE and mean absolute error over every
+    * month with a year-ago base — the no-model baseline any real
+    * forecaster must beat (the forecasting twin of q_rating_baseline).
+    * Exact cent series; each percentage term quantizes to a 10⁻⁶
+    * integer before the mean (the q_ips_estimate idiom). */
+  val qForecastSnaive = Q(
+    "q_forecast_snaive",
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS mth,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |f AS (SELECT mth, rev, lag(rev, 12) OVER (ORDER BY mth) AS fc FROM m),
+      |b AS (
+      |  SELECT mth, rev, fc, abs(rev - fc) AS abs_err,
+      |    CAST(ROUND(CAST(abs(rev - fc) AS DOUBLE) / fc * 1000000)
+      |      AS BIGINT) AS ape6
+      |  FROM f WHERE fc IS NOT NULL AND fc <> 0)
+      |SELECT count(*) AS n_backtest,
+      |  ROUND(CAST(sum(abs_err) AS DOUBLE) / count(*) / 100, 6)
+      |    AS mean_abs_err,
+      |  ROUND(CAST(sum(ape6) AS DOUBLE) / count(*) / 1000000, 6) AS mape
+      |FROM b""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val m = t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mth"))
+      .agg(sum(dec2(col("o_totalprice")) * 100).cast(LongType).as("rev"))
+    val w = Window.orderBy("mth")
+    val b = m.select(col("rev"), lag(col("rev"), 12).over(w).as("fc"))
+      .filter(col("fc").isNotNull && col("fc") =!= 0)
+      .select(abs(col("rev") - col("fc")).as("abs_err"),
+        round(abs(col("rev") - col("fc")).cast(DoubleType) / col("fc")
+          * 1000000L).cast(LongType).as("ape6"))
+    b.agg(count(lit(1)).as("n_backtest"),
+      round(sum(col("abs_err").cast(big38)).cast(DoubleType)
+        / count(lit(1)) / 100, 6).as("mean_abs_err"),
+      round(sum(col("ape6")).cast(DoubleType) / count(lit(1)) / 1000000L, 6)
+        .as("mape"))
+  }
+
+  /** Cohen's d effect size between the BUILDING and AUTOMOBILE segments
+    * on order value — "the A/B test is significant (q_ttest_welch), but
+    * is the difference LARGE?" readout. All moments are exact integer
+    * cents (DECIMAL 38 squares); the pooled sd and d are one
+    * fixed-op-order double expression. */
+  val qEffectSize = Q(
+    "q_effect_size",
+    """WITH o AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS x
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+      |m AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n1,
+      |    CAST(sum(CASE WHEN seg = 'BUILDING' THEN x ELSE 0 END)
+      |      AS HUGEINT) AS s1,
+      |    sum(CASE WHEN seg = 'BUILDING'
+      |      THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS ss1,
+      |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN x ELSE 0 END)
+      |      AS HUGEINT) AS s2,
+      |    sum(CASE WHEN seg = 'AUTOMOBILE'
+      |      THEN CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS ss2
+      |  FROM o)
+      |SELECT n1, n2,
+      |  ROUND(CAST(s1 AS DOUBLE) / n1 / 100, 6) AS mean_building,
+      |  ROUND(CAST(s2 AS DOUBLE) / n2 / 100, 6) AS mean_automobile,
+      |  ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+      |    / sqrt(((CAST(ss1 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+      |      + (CAST(ss2 AS DOUBLE)
+      |        - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2))
+      |      / (n1 + n2 - 2)), 6) AS cohens_d
+      |FROM m""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val o = t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("seg").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("seg"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("x"))
+    val m = o.agg(
+      sum(when(col("seg") === "BUILDING", 1).otherwise(0)).cast(LongType)
+        .as("n1"),
+      sum(when(col("seg") === "BUILDING", col("x")).otherwise(0L)
+        .cast(big38)).as("s1"),
+      sum(when(col("seg") === "BUILDING",
+        col("x").cast(big38) * col("x").cast(big38))
+        .otherwise(lit(0).cast(big38))).as("ss1"),
+      sum(when(col("seg") === "AUTOMOBILE", 1).otherwise(0)).cast(LongType)
+        .as("n2"),
+      sum(when(col("seg") === "AUTOMOBILE", col("x")).otherwise(0L)
+        .cast(big38)).as("s2"),
+      sum(when(col("seg") === "AUTOMOBILE",
+        col("x").cast(big38) * col("x").cast(big38))
+        .otherwise(lit(0).cast(big38))).as("ss2"))
+    m.select(col("n1"), col("n2"),
+      round(col("s1").cast(DoubleType) / col("n1") / 100, 6)
+        .as("mean_building"),
+      round(col("s2").cast(DoubleType) / col("n2") / 100, 6)
+        .as("mean_automobile"),
+      round((col("s1").cast(DoubleType) / col("n1")
+        - col("s2").cast(DoubleType) / col("n2"))
+        / sqrt(((col("ss1").cast(DoubleType)
+          - col("s1").cast(DoubleType) * col("s1").cast(DoubleType)
+            / col("n1"))
+          + (col("ss2").cast(DoubleType)
+            - col("s2").cast(DoubleType) * col("s2").cast(DoubleType)
+              / col("n2")))
+          / (col("n1") + col("n2") - 2)), 6).as("cohens_d"))
+  }
+
+  /** Lorenz curve of revenue concentration: customers ranked into
+    * deciles by total spend (GlobalRank — no data-sized unpartitioned
+    * window), each decile's revenue and the cumulative share — the curve
+    * behind q_gini's single number and the whale-dependence readout.
+    * Decile assignment and all sums are exact integers; shares are final
+    * double expressions over the bounded 10-row decile table. */
+  val qLorenzCurve = Q(
+    "q_lorenz_curve",
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM c),
+      |r AS (
+      |  SELECT rev,
+      |    row_number() OVER (ORDER BY rev, o_custkey) AS rk
+      |  FROM c),
+      |dec AS (
+      |  SELECT ((rk - 1) * 10) // (SELECT n FROM n) + 1 AS decile, rev
+      |  FROM r),
+      |g AS (
+      |  SELECT decile, count(*) AS n_cust,
+      |    CAST(sum(rev) AS HUGEINT) AS s
+      |  FROM dec GROUP BY decile),
+      |t AS (SELECT CAST(sum(s) AS HUGEINT) AS tot FROM g)
+      |SELECT decile, n_cust,
+      |  ROUND(CAST(s AS DOUBLE) / 100, 6) AS revenue,
+      |  ROUND(CAST(s AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share,
+      |  ROUND(CAST(sum(s) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(t.tot AS DOUBLE), 6) AS cum_share
+      |FROM g CROSS JOIN t ORDER BY decile""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val c = t(s, d, "orders").groupBy("o_custkey")
+      .agg(sum(dec2(col("o_totalprice")) * 100).cast(LongType).as("rev"))
+    val (r, n) = graft.plans.GlobalRank.withGlobalRowNumber(
+      c, "rk", 32, col("rev"), col("o_custkey"))
+    val g = r.select(col("rev"),
+        (((col("rk") - 1) * 10) / n).cast(LongType).as("d0"))
+      .select(col("rev"), (col("d0") + 1).as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), sum(col("rev").cast(big38)).as("s"))
+    val tot = g.agg(sum(col("s")).as("tot"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_cust"),
+        round(col("s").cast(DoubleType) / 100, 6).as("revenue"),
+        round(col("s").cast(DoubleType) / col("tot").cast(DoubleType), 6)
+          .as("share"),
+        round(sum(col("s")).over(wCum).cast(DoubleType)
+          / col("tot").cast(DoubleType), 6).as("cum_share"))
+      .orderBy("decile")
+  }
+
   val all: Seq[Q] = Seq(
     qOutlierIqr, qChurnLabel, qAbSrm, qTheilSen, qJaccardNeighbors,
     qAbPower, qKendallTau, qGrubbs, qDiffInDiff, qAdamicAdar,
     qResampleInterp, qRunsTest, qClusteringCoeff,
     qHazardRate, qOrderGapStats, qBasketStats, qDisorderAudit,
     qPercentileProfile, qNewVsReturning, qRollingCorr, qHitsRank,
-    qColdStartItems, qMomGrowth,
+    qColdStartItems, qMomGrowth, qConversionLag,
+    qForecastSnaive, qEffectSize, qLorenzCurve,
     qMergeUpsert, qCorrMatrix, qQuantileBuckets, qRollingMedian,
     qSourceDiversity, qPagerank, qAbtestZtest, qFuzzyJoin,
     qKsTest, qTimeWeightedAvg, qWeightedSample, qWindowCumdistinct,

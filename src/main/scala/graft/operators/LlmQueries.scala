@@ -2631,8 +2631,200 @@ object LlmQueries {
       .limit(20)
   }
 
+  /** Distinctive vocabulary per language by smoothed log-odds ratio
+    * (term's odds in the language vs the rest of the corpus, +1
+    * smoothing): top-5 terms per language — the corpus-contrast readout
+    * behind "what makes this slice different", sharper than raw tf-idf
+    * for comparative profiling. The score table is vocabulary×lang
+    * bounded; each log-odds is quantized to a 10⁻⁶ integer before
+    * ranking so ordering is engine-independent. */
+  val qLogOddsTerms = Q(
+    "q_log_odds_terms",
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |cl AS (SELECT lang, term, count(*) AS c FROM tok GROUP BY 1, 2),
+      |nl AS (SELECT lang, count(*) AS n FROM tok GROUP BY 1),
+      |tot AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM cl
+      |  GROUP BY term),
+      |gn AS (SELECT CAST(sum(n) AS BIGINT) AS g FROM nl),
+      |sc AS (
+      |  SELECT cl.lang, cl.term, cl.c,
+      |    CAST(ROUND((ln((CAST(cl.c AS DOUBLE) + 1)
+      |        / (CAST(nl.n - cl.c AS DOUBLE) + 1))
+      |      - ln((CAST(tot.ct - cl.c AS DOUBLE) + 1)
+      |        / (CAST(gn.g - nl.n - (tot.ct - cl.c) AS DOUBLE) + 1)))
+      |      * 1000000) AS BIGINT) AS lo6
+      |  FROM cl JOIN nl ON cl.lang = nl.lang
+      |  JOIN tot ON cl.term = tot.term CROSS JOIN gn),
+      |r AS (
+      |  SELECT lang, term, c, lo6,
+      |    row_number() OVER (PARTITION BY lang ORDER BY lo6 DESC, term)
+      |      AS rk
+      |  FROM sc)
+      |SELECT lang, CAST(rk AS BIGINT) AS rk, term, c AS cnt,
+      |  ROUND(CAST(lo6 AS DOUBLE) / 1000000, 6) AS log_odds
+      |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin) { (s, d) =>
+    val tok = t(s, d, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+    val cl = tok.groupBy("lang", "term").agg(count(lit(1)).as("c"))
+    val nl = tok.groupBy("lang").agg(count(lit(1)).as("n"))
+    val tot = cl.groupBy("term").agg(sum(col("c")).cast(LongType).as("ct"))
+    val gn = nl.agg(sum(col("n")).cast(LongType).as("g"))
+    val lo6 = round((log((col("c").cast(DoubleType) + 1)
+      / ((col("n") - col("c")).cast(DoubleType) + 1))
+      - log(((col("ct") - col("c")).cast(DoubleType) + 1)
+        / ((col("g") - col("n") - (col("ct") - col("c")))
+          .cast(DoubleType) + 1)))
+      * 1000000L).cast(LongType)
+    val sc = cl
+      .join(broadcast(nl.withColumnRenamed("lang", "l2")),
+        col("lang") === col("l2"))
+      .join(tot.withColumnRenamed("term", "t2"), col("term") === col("t2"))
+      .crossJoin(broadcast(gn))
+      .select(col("lang"), col("term"), col("c"), lo6.as("lo6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("lo6").desc, col("term"))
+    sc.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("term"), col("c").as("cnt"),
+        round(col("lo6").cast(DoubleType) / 1000000L, 6).as("log_odds"))
+      .orderBy("lang", "rk")
+  }
+
+  /** Lexical near-duplicate scoring: tf-idf cosine over char-5-gram
+    * shingle vectors between document pairs that share a RARE shingle
+    * (2 ≤ df ≤ 10 blocking — candidate generation is the inverted-index
+    * equi-join, never all-pairs), top-20 pairs — the sparse-vector
+    * complement to q_dedup_embed's dense cosine and the weighted
+    * refinement of q_dedup_ngram's set Jaccard. Weights quantize to
+    * 10⁻⁴ integers so dots and norms are exact integer sums (DECIMAL 38
+    * against overflow); the cosine is one final double expression. */
+  val qTfidfCosinePairs = Q(
+    "q_tfidf_cosine_pairs",
+    """WITH tok AS (
+      |  SELECT doc_id, substr(text, p, 5) AS term, count(*) AS c
+      |  FROM documents, generate_series(1, 2000) t(p)
+      |  WHERE p <= greatest(length(text) - 4, 1)
+      |  GROUP BY doc_id, substr(text, p, 5)),
+      |df AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+      |w AS (
+      |  SELECT tok.doc_id, tok.term,
+      |    CAST(ROUND(tok.c * ln(CAST(nd.n AS DOUBLE) / df.df) * 10000)
+      |      AS BIGINT) AS w4
+      |  FROM tok JOIN df ON tok.term = df.term CROSS JOIN nd),
+      |norms AS (
+      |  SELECT doc_id, CAST(sum(w4 * w4) AS HUGEINT) AS n2
+      |  FROM w GROUP BY doc_id),
+      |rare AS (SELECT term FROM df WHERE df BETWEEN 2 AND 10),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  JOIN rare r ON a.term = r.term),
+      |dots AS (
+      |  SELECT c.da, c.db, CAST(sum(wa.w4 * wb.w4) AS HUGEINT) AS dot
+      |  FROM cand c JOIN w wa ON wa.doc_id = c.da
+      |  JOIN w wb ON wb.doc_id = c.db AND wb.term = wa.term
+      |  GROUP BY c.da, c.db)
+      |SELECT d.da AS doc_a, d.db AS doc_b,
+      |  ROUND(CAST(d.dot AS DOUBLE)
+      |    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+      |    AS cosine
+      |FROM dots d JOIN norms na ON d.da = na.doc_id
+      |JOIN norms nb ON d.db = nb.doc_id
+      |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin) {
+    (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val tok = t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          least(greatest(length(col("text")) - 4, lit(1)), lit(2000))))
+          .as("p"))
+      .select(col("doc_id"), expr("substr(text, p, 5)").as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val df = tok.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = tok.agg(countDistinct(col("doc_id")).as("n"))
+    val w = tok.join(df.withColumnRenamed("term", "dft"),
+        col("term") === col("dft"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"),
+        round(col("c") * log(col("n").cast(DoubleType) / col("df"))
+          * 10000L).cast(LongType).as("w4"))
+    val norms = w.groupBy("doc_id")
+      .agg(sum(col("w4").cast(big38) * col("w4").cast(big38)).as("n2"))
+    val rare = df.filter(col("df").between(2, 10)).select("term")
+    val cand = w.select(col("doc_id").as("da"), col("term"))
+      .join(w.select(col("doc_id").as("db"), col("term").as("tb")),
+        col("term") === col("tb") && col("da") < col("db"))
+      .join(broadcast(rare.withColumnRenamed("term", "rt")),
+        col("term") === col("rt"))
+      .select("da", "db").distinct()
+    val dots = cand
+      .join(w.select(col("doc_id").as("da"), col("term"),
+        col("w4").as("w4a")), Seq("da"))
+      .join(w.select(col("doc_id").as("db2"), col("term").as("termb"),
+        col("w4").as("w4b")),
+        col("db") === col("db2") && col("term") === col("termb"))
+      .groupBy("da", "db")
+      .agg(sum(col("w4a").cast(big38) * col("w4b").cast(big38)).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("da"), col("n2").as("na2")),
+        Seq("da"))
+      .join(norms.select(col("doc_id").as("db"), col("n2").as("nb2")),
+        Seq("db"))
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("dot").cast(DoubleType)
+          / sqrt(col("na2").cast(DoubleType) * col("nb2").cast(DoubleType)),
+          6).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  /** Shingle document-frequency spectrum: how many char-5-gram shingles
+    * fall in each power-of-two df bucket — the heavy-tail profile that
+    * justifies every rare-shingle blocking threshold in the dedup family
+    * (a df≤10 block only works if the df histogram says most shingles
+    * ARE rare). Bucketing uses binary-string length (exact integer
+    * log2 — no float log at bucket boundaries); one vocabulary-bounded
+    * aggregation. */
+  val qShingleDfProfile = Q(
+    "q_shingle_df_profile",
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, substr(text, p, 5) AS shingle
+      |  FROM documents, generate_series(1, 2000) t(p)
+      |  WHERE p <= greatest(length(text) - 4, 1)),
+      |d AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      |tot AS (SELECT count(*) AS n_shingles FROM d),
+      |b AS (SELECT length(bin(df)) - 1 AS bucket, df FROM d)
+      |SELECT CAST(bucket AS BIGINT) AS log2_df,
+      |  count(*) AS n_shingles,
+      |  CAST(min(df) AS BIGINT) AS min_df, CAST(max(df) AS BIGINT) AS max_df,
+      |  ROUND(CAST(count(*) AS DOUBLE) / (SELECT n_shingles FROM tot), 6)
+      |    AS shingle_share
+      |FROM b GROUP BY bucket ORDER BY log2_df""".stripMargin) { (s, d) =>
+    val sh = graft.llm.Dedup.charShingles(
+      t(s, d, "documents").select("doc_id", "text"), k = 5, maxPos = 2000)
+      .withColumnRenamed("shingle", "shingle")
+    val dd = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val tot = dd.agg(count(lit(1)).as("n_tot"))
+    dd.select((length(bin(col("df"))) - 1).cast(LongType).as("log2_df"),
+        col("df"))
+      .groupBy("log2_df")
+      .agg(count(lit(1)).as("n_shingles"),
+        min(col("df")).cast(LongType).as("min_df"),
+        max(col("df")).cast(LongType).as("max_df"))
+      .crossJoin(broadcast(tot))
+      .select(col("log2_df"), col("n_shingles"), col("min_df"),
+        col("max_df"),
+        round(col("n_shingles").cast(DoubleType) / col("n_tot"), 6)
+          .as("shingle_share"))
+      .orderBy("log2_df")
+  }
+
   val all: Seq[Q] = Seq(
     qTypeTokenRatio, qVocabGrowth, qEmdSources, qSourceOverlap,
+    qLogOddsTerms, qTfidfCosinePairs, qShingleDfProfile,
     qJsDivergence, qPerplexity, qReadability, qEmbedNorms,
     qDedupRateBySource, qNgramNovelty, qContextFit, qQuantileNorm,
     qNearDupEval, qDedupThresholdSweep, qCohensKappa, qEssWeights,

@@ -1341,8 +1341,57 @@ object PipelineQueries {
       .drop("us")
   }
 
+  /** Right-to-erasure (GDPR art. 17) impact audit: for a deterministic
+    * erasure-request cohort (custkey % 37 = 0), the rows each table
+    * would lose — the blast-radius readout a data-governance pipeline
+    * produces BEFORE running deletes, completing the privacy family
+    * (q_k_anonymity / q_l_diversity / q_t_closeness / q_pii_scrub).
+    * The request list is a broadcast semi-join key; lineitem counts ride
+    * the orders FK chain; all counts exact. */
+  val qErasureAudit = Q(
+    "q_erasure_audit",
+    """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0),
+      |oc AS (
+      |  SELECT count(*) AS n FROM orders
+      |  JOIN del ON o_custkey = c_custkey),
+      |lc AS (
+      |  SELECT count(*) AS n FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN del ON o_custkey = c_custkey),
+      |u AS (
+      |  SELECT 'customer' AS table_name,
+      |    (SELECT count(*) FROM del) AS n_erase,
+      |    (SELECT count(*) FROM customer) AS n_total
+      |  UNION ALL SELECT 'orders', (SELECT n FROM oc),
+      |    (SELECT count(*) FROM orders)
+      |  UNION ALL SELECT 'lineitem', (SELECT n FROM lc),
+      |    (SELECT count(*) FROM lineitem))
+      |SELECT table_name, n_erase, n_total,
+      |  ROUND(CAST(n_erase AS DOUBLE) / n_total, 6) AS erase_share
+      |FROM u ORDER BY table_name""".stripMargin) { (s, d) =>
+    val del = t(s, d, "customer").filter(col("c_custkey") % 37 === 0)
+      .select("c_custkey")
+    val orders = t(s, d, "orders")
+    val li = t(s, d, "lineitem")
+    val delOrders = orders.join(broadcast(del),
+      col("o_custkey") === col("c_custkey"), "left_semi")
+    def row(name: String, erase: DataFrame, total: DataFrame) =
+      erase.agg(count(lit(1)).as("n_erase"))
+        .crossJoin(total.agg(count(lit(1)).as("n_total")))
+        .select(lit(name).as("table_name"), col("n_erase"), col("n_total"))
+    row("customer", del, t(s, d, "customer"))
+      .unionByName(row("orders", delOrders, orders))
+      .unionByName(row("lineitem",
+        li.join(delOrders.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi"), li))
+      .select(col("table_name"), col("n_erase"), col("n_total"),
+        round(col("n_erase").cast(DoubleType) / col("n_total"), 6)
+          .as("erase_share"))
+      .orderBy("table_name")
+  }
+
   val all: Seq[Q] = Seq(
-    qTCloseness, qLagFeatures,
+    qTCloseness, qLagFeatures, qErasureAudit,
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
     qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,
     qSimL2, qKmeansUpdate, qKAnonymity, qReferentialCheck, qDupSpans,

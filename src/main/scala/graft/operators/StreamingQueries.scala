@@ -332,9 +332,21 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Incrementally-maintained Bloom filter of seen event ids (the
+    * streaming build side of plans.BloomPrune): bit-word OR merges over a
+    * real 4-batch replay; zero false negatives by construction (every
+    * ingested id hits), false positives measured on a disjoint probe set.
+    * Not SQL-expressible — semantic coverage in StreamingSpec (summary
+    * invariants + batch-boundary independence); Verify records the
+    * rows-only check on the one-row summary. */
+  val qStreamBloom = Q.noOracle("q_stream_bloom") { (s, d) =>
+    StreamOps.incrementalBloom(s, d,
+      s"target/stream_bloom_${math.abs(d.hashCode)}")
+  }
+
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg,
     qStreamIntervalJoin, qStreamChecksum, qStreamTopk, qStreamUpsert,
-    qStreamQuantile, qStreamMinmax, qStreamFirstSeen)
+    qStreamQuantile, qStreamMinmax, qStreamFirstSeen, qStreamBloom)
 }

@@ -542,6 +542,85 @@ object StreamOps {
         col("m.event_type").as("first_type"))
   }
 
+  /** Incremental Bloom-filter maintenance over a real micro-batch replay:
+    * the filter is a (word → 64-bit bits) table and the merge is bitwise
+    * OR — associative, commutative, idempotent — so the final filter is
+    * batch-boundary-independent and identical to the batch-built one.
+    * This is the streaming form of `plans.BloomPrune`'s build side: a
+    * nightly pipeline maintains the seen-keys filter forever without
+    * rescanning history, and ships it to the join-pruning probe.
+    * Returns a one-row summary: every ingested id must hit (zero false
+    * negatives, by construction), plus the measured false-positive count
+    * on a disjoint probe set and the filter's fill. */
+  def incrementalBloom(spark: SparkSession, sfDir: String, workDir: String,
+      nBits: Int = 1 << 16, k: Int = 3, nBatches: Int = 4): DataFrame = {
+    val src = s"$workDir/src"
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    events.select(col("event_id")).distinct()
+      .repartition(nBatches)
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    def positions(df: DataFrame, idName: String): DataFrame = {
+      // pmod BEFORE combining: h1 + j*h2 on raw 64-bit hashes overflows
+      // ANSI long arithmetic; reduced values stay tiny (< k·nBits).
+      val h1 = pmod(xxhash64(col(idName)), lit(nBits.toLong))
+      val h2 = pmod(xxhash64(col(idName), lit(7)), lit(nBits.toLong))
+      val pos = explode(array((0 until k).map(j =>
+        pmod(h1 + lit(j.toLong) * h2, lit(nBits.toLong))): _*)).as("pos")
+      df.select(col(idName), pos)
+        .select(col(idName), expr("pos DIV 64").as("word"),
+          expr("shiftleft(1L, CAST(pos % 64 AS INT))").as("mask"))
+    }
+    val stateBase = s"$workDir/state"
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = positions(batch, "event_id")
+          .groupBy("word").agg(bit_or(col("mask")).as("bits"))
+        val merged =
+          if (version < 0) partial
+          else spark.read.parquet(s"$stateBase/v$version")
+            .unionByName(partial)
+            .groupBy("word").agg(bit_or(col("bits")).as("bits"))
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        version = batchId
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val bloom = spark.read.parquet(s"$stateBase/v$version")
+    // Probe: every ingested id (must all hit — OR-merge loses nothing)
+    // plus a disjoint offset set measuring the false-positive rate.
+    val ids = spark.read.parquet(src).select(col("event_id"))
+    val probes = ids.select(col("event_id").as("id"), lit(1).as("is_member"))
+      .unionByName(ids.select((col("event_id") + 2000000000L).as("id"),
+        lit(0).as("is_member")))
+    val checked = positions(probes, "id")
+      .join(probes, Seq("id"))
+      .join(bloom, Seq("word"), "left")
+      .select(col("id"), col("is_member"),
+        (col("bits").isNotNull
+          && col("bits").bitwiseAND(col("mask")) =!= 0).as("hit"))
+      .groupBy("id", "is_member")
+      .agg(min(when(col("hit"), 1).otherwise(0)).as("present"))
+    checked.crossJoin(
+        bloom.agg(count(lit(1)).as("n_words_set")))
+      .agg(
+        sum(when(col("is_member") === 1, 1).otherwise(0)).cast(LongType)
+          .as("n_ids"),
+        sum(when(col("is_member") === 1, col("present")).otherwise(0L))
+          .cast(LongType).as("n_present"),
+        sum(when(col("is_member") === 0, 1).otherwise(0)).cast(LongType)
+          .as("n_absent_probed"),
+        sum(when(col("is_member") === 0, col("present")).otherwise(0L))
+          .cast(LongType).as("n_false_positives"),
+        max(col("n_words_set")).as("n_words_set"))
+  }
+
   /** Run a streaming DataFrame to completion over bounded input
     * (Trigger.AvailableNow) and return the final result as a batch DF. */
   def runToCompletion(streamed: DataFrame, mode: OutputMode = OutputMode.Complete()): DataFrame = {

@@ -98,7 +98,17 @@ class DeterminismSpec extends SparkTestBase {
     // round 7 sixth batch: quantized bias-baseline chains, first-sale
     // conditional splits, segment-keyed growth lags
     MfQueries.qRatingBaseline, AnalyticsQueries.qColdStartItems,
-    AnalyticsQueries.qMomGrowth)
+    AnalyticsQueries.qMomGrowth,
+    // round 7 seventh batch: quantized log-odds ranks, shingle tf-idf
+    // integer dots, running-max attribution windows
+    LlmQueries.qLogOddsTerms, LlmQueries.qTfidfCosinePairs,
+    AnalyticsQueries.qConversionLag,
+    // round 7 eighth batch: quantized MAPE terms, pooled-moment effect
+    // sizes, GlobalRank deciles, FK-chain semi-join counts, exact-log2
+    // buckets
+    AnalyticsQueries.qForecastSnaive, AnalyticsQueries.qEffectSize,
+    AnalyticsQueries.qLorenzCurve, PipelineQueries.qErasureAudit,
+    LlmQueries.qShingleDfProfile)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

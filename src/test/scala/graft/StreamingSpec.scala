@@ -375,6 +375,23 @@ class StreamingSpec extends SparkTestBase {
     assert(versions != null && versions.count(_.startsWith("v")) >= 2)
   }
 
+  test("incrementalBloom: no false negatives, low FP, boundary-independent") {
+    val b4 = StreamOps.incrementalBloom(spark, sf, "target/test_bloom4")
+    val row = b4.head
+    val nIds = row.getAs[Long]("n_ids")
+    assert(nIds > 0)
+    // OR-merge loses nothing: every ingested id must be present
+    assert(row.getAs[Long]("n_present") == nIds)
+    // 2^16 bits / ~1k ids keeps the false-positive rate well under 5%
+    assert(row.getAs[Long]("n_false_positives") <
+      math.max(1L, row.getAs[Long]("n_absent_probed") / 20))
+    // bitwise OR is associative+commutative+idempotent => the filter (and
+    // its summary) is identical at any batch count
+    val b2 = StreamOps.incrementalBloom(spark, sf, "target/test_bloom2",
+      nBatches = 2)
+    assert(b4.exceptAll(b2).isEmpty && b2.exceptAll(b4).isEmpty)
+  }
+
   test("replayEvents + watermark runs against the REAL events fixture") {
     // Round-6 regression guard: the fixture's ts encoding changed
     // (ns-as-Long → timestamp[us] NTZ) and withWatermark rejects NTZ, so
