@@ -66,6 +66,31 @@ object AlsEngine {
       .fit(prepared)
   }
 
+  /** Implicit-feedback ALS (Hu-Koren-Volinsky): the rating column is a
+    * CONFIDENCE signal, not a value to reproduce — the factorization fits
+    * binary preference weighted by 1 + α·confidence. The variant every
+    * view/click/dwell pipeline uses when no explicit ratings exist; same
+    * id contract and determinism (fixed seed) as `train`. */
+  def trainImplicit(ratings: DataFrame, cfg: Config = Config(),
+      alpha: Double = 1.0): ALSModel = {
+    val sc = ratings.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir("target/checkpoints")
+    val prepared = ratings.select(
+      col("user_id").cast(IntegerType).as("user"),
+      col("item_id").cast(IntegerType).as("item"),
+      col("rating").cast(FloatType).as("rating"))
+    new ALS()
+      .setRank(cfg.rank)
+      .setRegParam(cfg.regParam)
+      .setMaxIter(cfg.maxIter)
+      .setSeed(cfg.seed)
+      .setImplicitPrefs(true)
+      .setAlpha(alpha)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setColdStartStrategy("drop")
+      .fit(prepared)
+  }
+
   /** Stable dense id dictionary: original id → contiguous INT index,
     * assigned in id order via the two-pass range-partitioned global row
     * number (no single-task window, no driver collect). The compaction

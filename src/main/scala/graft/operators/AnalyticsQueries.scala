@@ -4121,7 +4121,745 @@ object AnalyticsQueries {
       .orderBy("decile")
   }
 
+  /** Log-rank test comparing the q_kaplan_meier churn survival of
+    * BUILDING-segment customers against everyone else — "does this
+    * segment churn on a different clock?", the hypothesis test the KM
+    * curves only eyeball. Per event time the expected-event and variance
+    * terms are exact integer-rational quantities quantized at 10⁻⁹ via
+    * DECIMAL(38)/HUGEINT products and integer DIV (numerators reach
+    * ~n⁴·10⁹, far past int64), so both engines sum IDENTICAL integers
+    * over the bounded duration grid; χ² assembles from the exact sums in
+    * one final expression. At-risk counts are suffix sums over the
+    * post-aggregation duration table (≤ ~10³ rows), never over facts. */
+  val qLogrankTest = Q(
+    "q_logrank_test",
+    """WITH cust AS (
+      |  SELECT o.o_custkey,
+      |    CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS grp,
+      |    MIN(CAST(o.o_orderdate AS DATE)) AS first_d,
+      |    MAX(CAST(o.o_orderdate AS DATE)) AS last_d
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |mx AS (SELECT MAX(last_d) AS m FROM cust),
+      |durs AS (
+      |  SELECT datediff('day', first_d, last_d) AS t, grp,
+      |    CASE WHEN datediff('day', last_d, m) > 60 THEN 1 ELSE 0 END AS ev
+      |  FROM cust, mx),
+      |g AS (
+      |  SELECT t,
+      |    sum(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS da,
+      |    sum(CASE WHEN grp = 0 THEN ev ELSE 0 END) AS db,
+      |    sum(grp) AS ra, sum(1 - grp) AS rb
+      |  FROM durs GROUP BY t),
+      |ar AS (
+      |  SELECT t, da, db,
+      |    sum(ra) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS na,
+      |    sum(rb) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      |  FROM g),
+      |terms AS (
+      |  SELECT da, db, na, nb,
+      |    (CAST(da + db AS HUGEINT) * na * 1000000000)
+      |      // (na + nb) AS ea9,
+      |    CASE WHEN na + nb > 1 THEN
+      |      (CAST(da + db AS HUGEINT) * na * nb
+      |        * (na + nb - da - db) * 1000000000)
+      |      // (CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb - 1))
+      |    ELSE 0 END AS v9
+      |  FROM ar WHERE da + db > 0),
+      |s AS (
+      |  SELECT sum(da) AS oa, sum(db) AS ob,
+      |    sum(ea9) AS ea9, sum(v9) AS v9,
+      |    max(na) AS n_a, max(nb) AS n_b
+      |  FROM terms)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  CAST(oa AS BIGINT) AS obs_a, CAST(ob AS BIGINT) AS obs_b,
+      |  ROUND(CAST(ea9 AS DOUBLE) / 1000000000, 6) AS exp_a,
+      |  ROUND(CAST(oa + ob AS DOUBLE)
+      |    - CAST(ea9 AS DOUBLE) / 1000000000, 6) AS exp_b,
+      |  ROUND(POWER(CAST(oa AS DOUBLE) - CAST(ea9 AS DOUBLE) / 1000000000,
+      |      2) / (CAST(v9 AS DOUBLE) / 1000000000), 6) AS chi2
+      |FROM s""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val cust = t(s, d, "orders")
+      .join(t(s, d, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+          .as("grp"))
+      .agg(min(col("o_orderdate").cast(DateType)).as("first_d"),
+        max(col("o_orderdate").cast(DateType)).as("last_d"))
+    val mx = cust.agg(max(col("last_d")).as("m"))
+    val durs = cust.crossJoin(broadcast(mx))
+      .select(datediff(col("last_d"), col("first_d")).as("t"), col("grp"),
+        when(datediff(col("m"), col("last_d")) > 60, 1L).otherwise(0L)
+          .as("ev"))
+    val g = durs.groupBy("t")
+      .agg(sum(when(col("grp") === 1, col("ev")).otherwise(0L)).as("da"),
+        sum(when(col("grp") === 0, col("ev")).otherwise(0L)).as("db"),
+        sum(col("grp")).as("ra"),
+        sum(lit(1L) - col("grp")).as("rb"))
+    val wAr = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val ar = g
+      .withColumn("na", sum(col("ra")).over(wAr))
+      .withColumn("nb", sum(col("rb")).over(wAr))
+    val terms = ar.filter(col("da") + col("db") > 0)
+      .select(col("da"), col("db"), col("na"), col("nb"),
+        expr("CAST((CAST(da + db AS DECIMAL(38,0)) * na * 1000000000)" +
+          " DIV (na + nb) AS DECIMAL(38,0))").as("ea9"),
+        when(col("na") + col("nb") > 1,
+          expr("CAST((CAST(da + db AS DECIMAL(38,0)) * na * nb" +
+            " * (na + nb - da - db) * 1000000000)" +
+            " DIV (CAST(na + nb AS DECIMAL(38,0)) * (na + nb)" +
+            " * (na + nb - 1)) AS DECIMAL(38,0))"))
+          .otherwise(lit(0).cast(big38)).as("v9"))
+    terms.agg(
+        sum(col("da")).as("oa"), sum(col("db")).as("ob"),
+        sum(col("ea9")).as("ea9"), sum(col("v9")).as("v9"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+      .select(col("n_a").cast(LongType).as("n_a"),
+        col("n_b").cast(LongType).as("n_b"),
+        col("oa").cast(LongType).as("obs_a"),
+        col("ob").cast(LongType).as("obs_b"),
+        round(col("ea9").cast(DoubleType) / 1e9, 6).as("exp_a"),
+        round((col("oa") + col("ob")).cast(DoubleType)
+          - col("ea9").cast(DoubleType) / 1e9, 6).as("exp_b"),
+        round(pow(col("oa").cast(DoubleType)
+            - col("ea9").cast(DoubleType) / 1e9, 2)
+          / (col("v9").cast(DoubleType) / 1e9), 6).as("chi2"))
+  }
+
+  /** Benjamini-Hochberg FDR correction over the per-nation urgent-share
+    * z-tests — the multiple-comparisons discipline q_abtest_ztest lacks
+    * when run 25× at once. Counts are exact; z and the normal tail
+    * (Zelen-Severo 26.2.17 polynomial, identical op order both engines)
+    * are quantized to integer p9 BEFORE ranking and thresholding, so the
+    * step-up comparison p(i) ≤ i·α/m happens on integers (α = 0.05,
+    * thresholds i·2·10⁶ exactly). All windows run over the bounded
+    * |nation| table. */
+  val qFdrBh = Q(
+    "q_fdr_bh",
+    """WITH o AS (
+      |  SELECT n.n_name,
+      |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |pern AS (
+      |  SELECT n_name, count(*) AS n1, sum(u) AS u1 FROM o GROUP BY 1),
+      |tot AS (SELECT count(*) AS nt, sum(u) AS ut FROM o),
+      |zt AS (
+      |  SELECT n_name, n1, u1, nt - n1 AS n2, ut - u1 AS u2,
+      |    (CAST(u1 AS DOUBLE) / n1 - CAST(ut - u1 AS DOUBLE) / (nt - n1))
+      |      / sqrt(CAST(ut AS DOUBLE) / nt * (1 - CAST(ut AS DOUBLE) / nt)
+      |        * (1.0 / n1 + 1.0 / (nt - n1))) AS z
+      |  FROM pern, tot),
+      |pv AS (
+      |  SELECT n_name, n1, u1, z,
+      |    CAST(ROUND(2 * (exp(-abs(z) * abs(z) / 2) * 0.3989422804014327
+      |      * ((((1.330274429 * (1 / (1 + 0.2316419 * abs(z)))
+      |        - 1.821255978) * (1 / (1 + 0.2316419 * abs(z)))
+      |        + 1.781477937) * (1 / (1 + 0.2316419 * abs(z)))
+      |        - 0.356563782) * (1 / (1 + 0.2316419 * abs(z)))
+      |        + 0.319381530) * (1 / (1 + 0.2316419 * abs(z))))
+      |      * 1000000000) AS BIGINT) AS p9
+      |  FROM zt),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY p9, n_name) AS rank,
+      |    count(*) OVER () AS m
+      |  FROM pv),
+      |cut AS (
+      |  SELECT *, max(CASE WHEN p9 * m <= rank * 50000000 THEN rank
+      |    ELSE 0 END) OVER () AS max_rank
+      |  FROM rk)
+      |SELECT n_name, CAST(n1 AS BIGINT) AS n_orders,
+      |  CAST(u1 AS BIGINT) AS n_urgent, ROUND(z, 4) AS z,
+      |  ROUND(CAST(p9 AS DOUBLE) / 1000000000, 6) AS p_value,
+      |  CAST(rank AS BIGINT) AS p_rank,
+      |  CASE WHEN rank <= max_rank THEN 1 ELSE 0 END AS rejected
+      |FROM cut ORDER BY p_rank, n_name""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("u"))
+    val pern = o.groupBy("n_name")
+      .agg(count(lit(1)).as("n1"), sum(col("u")).as("u1"))
+    val tot = o.agg(count(lit(1)).as("nt"), sum(col("u")).as("ut"))
+    val zt = pern.crossJoin(broadcast(tot))
+      .withColumn("z",
+        (col("u1").cast(DoubleType) / col("n1")
+          - (col("ut") - col("u1")).cast(DoubleType)
+            / (col("nt") - col("n1")))
+        / sqrt(col("ut").cast(DoubleType) / col("nt")
+          * (lit(1) - col("ut").cast(DoubleType) / col("nt"))
+          * (lit(1.0) / col("n1") + lit(1.0) / (col("nt") - col("n1")))))
+    // Zelen–Severo A&S 26.2.17 upper-tail polynomial; op order matches
+    // the oracle string exactly so the doubles are bit-identical.
+    val tcol = lit(1) / (lit(1) + lit(0.2316419) * abs(col("z")))
+    val tail = exp(-abs(col("z")) * abs(col("z")) / 2)
+      .multiply(lit(0.3989422804014327))
+      .multiply(((((lit(1.330274429) * tcol - lit(1.821255978)) * tcol
+        + lit(1.781477937)) * tcol - lit(0.356563782)) * tcol
+        + lit(0.319381530)) * tcol)
+    val pv = zt.withColumn("p9",
+      round(lit(2) * tail * 1000000000L).cast(LongType))
+    val wRank = Window.orderBy("p9", "n_name")
+    val wAll = Window.partitionBy()
+    val rk = pv
+      .withColumn("rank", row_number().over(wRank).cast(LongType))
+      .withColumn("m", count(lit(1)).over(wAll))
+    val cut = rk.withColumn("max_rank",
+      max(when(col("p9") * col("m") <= col("rank") * 50000000L,
+        col("rank")).otherwise(0L)).over(wAll))
+    cut.select(col("n_name"), col("n1").cast(LongType).as("n_orders"),
+        col("u1").cast(LongType).as("n_urgent"),
+        round(col("z"), 4).as("z"),
+        round(col("p9").cast(DoubleType) / 1e9, 6).as("p_value"),
+        col("rank").as("p_rank"),
+        when(col("rank") <= col("max_rank"), 1).otherwise(0)
+          .as("rejected"))
+      .orderBy("p_rank", "n_name")
+  }
+
+  /** One-sided CUSUM mean-shift monitor on the monthly revenue series
+    * (k = 0.5σ reference, h = 4σ alarm) — the sequential drift detector
+    * next to q_changepoint's single retrospective split. The recurrence
+    * S_t = max(0, S_{t-1} + y_t) is computed CLOSED-FORM as
+    * S_t = P_t − min(0, min_{j≤t} P_j) over the prefix sums P of the
+    * 10⁻³-quantized standardized deviations — two windows over the
+    * bounded monthly table, no driver loop, exact integer arithmetic
+    * end-to-end (μ, σ quantized once; sqrt is IEEE-identical). */
+  val qCusum = Q(
+    "q_cusum",
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS mth,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |st AS (
+      |  SELECT (sum(CAST(rev AS HUGEINT)) * 1000) // count(*) AS mu3,
+      |    CAST(ROUND(sqrt((CAST(sum(CAST(rev AS HUGEINT) * rev)
+      |        AS DOUBLE) - CAST(sum(CAST(rev AS HUGEINT)) AS DOUBLE)
+      |          * sum(CAST(rev AS HUGEINT)) / count(*)) / count(*))
+      |      * 1000) AS BIGINT) AS s3
+      |  FROM m),
+      |y AS (
+      |  SELECT mth, rev,
+      |    CAST(rev AS HUGEINT) * 1000 - mu3 - s3 // 2 AS y3, s3
+      |  FROM m, st),
+      |pre AS (
+      |  SELECT mth, rev, s3,
+      |    sum(y3) OVER (ORDER BY mth) AS pre
+      |  FROM y),
+      |p AS (
+      |  SELECT mth, rev, s3, pre,
+      |    min(pre) OVER (ORDER BY mth) AS runmin
+      |  FROM pre)
+      |SELECT CAST(mth AS DATE) AS mth, rev,
+      |  ROUND(CAST(pre - LEAST(CAST(0 AS HUGEINT), runmin) AS DOUBLE)
+      |    / s3, 4) AS cusum_sigma,
+      |  CASE WHEN pre - LEAST(CAST(0 AS HUGEINT), runmin) > 4 * s3
+      |    THEN 1 ELSE 0 END AS alarm
+      |FROM p ORDER BY mth""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val m = t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mth"))
+      .agg((sum(dec2(col("o_totalprice")) * 100)).cast(LongType).as("rev"))
+    val st = m.agg(
+      expr("CAST(sum(CAST(rev AS DECIMAL(38,0))) * 1000 DIV count(*)" +
+        " AS DECIMAL(38,0))").as("mu3"),
+      round(sqrt((sum((col("rev").cast(big38) * col("rev")))
+          .cast(DoubleType)
+        - sum(col("rev").cast(big38)).cast(DoubleType)
+          * sum(col("rev").cast(big38)).cast(DoubleType)
+          / count(lit(1)))
+        / count(lit(1))) * 1000).cast(LongType).as("s3"))
+    val y = m.crossJoin(broadcast(st))
+      .select(col("mth"), col("rev"), col("s3"),
+        (col("rev").cast(big38) * 1000 - col("mu3")
+          - expr("s3 DIV 2")).as("y3"))
+    val wCum = Window.orderBy("mth")
+    val p = y
+      .withColumn("pre", sum(col("y3")).over(wCum))
+      .withColumn("runmin", min(col("pre")).over(wCum))
+    p.select(col("mth").cast(DateType).as("mth"), col("rev"),
+        round((col("pre") - least(lit(0).cast(big38), col("runmin")))
+          .cast(DoubleType) / col("s3"), 4).as("cusum_sigma"),
+        when(col("pre") - least(lit(0).cast(big38), col("runmin"))
+          > col("s3") * 4, 1).otherwise(0).as("alarm"))
+      .orderBy("mth")
+  }
+
+  /** Poisson-bootstrap confidence interval for the mean order value —
+    * THE distributed bootstrap (each row draws an independent
+    * Poisson(1) replication count per resample, so no resample ever
+    * needs a global pass): B = 200 resamples, weights from the exact
+    * inverse-CDF over a deterministic per-(row, b) md5 hash, per-resample
+    * means as exact integer DIV, CI from nearest-rank quantiles of the
+    * bounded 200-row mean table. At 100 TB the explode is a 200× map-side
+    * fan-out feeding one (b)-keyed aggregation — no data-sized state. */
+  val qBootstrapCi = Q(
+    "q_bootstrap_ci",
+    """WITH w AS (
+      |  SELECT b,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CASE
+      |      WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+      |      WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+      |      WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+      |      ELSE 6 END AS w
+      |  FROM (
+      |    SELECT o_totalprice, b,
+      |      CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR),
+      |        ':', CAST(b AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS u
+      |    FROM orders, generate_series(1, 200) t(b)) h),
+      |mb AS (
+      |  SELECT b, (sum(CAST(w AS HUGEINT) * cents) * 1000) // sum(w)
+      |    AS mean3
+      |  FROM w GROUP BY b HAVING sum(w) > 0),
+      |r AS (
+      |  SELECT mean3, row_number() OVER (ORDER BY mean3, b) AS rk,
+      |    count(*) OVER () AS nb
+      |  FROM mb),
+      |q AS (
+      |  SELECT
+      |    max(CASE WHEN rk = 5 THEN mean3 END) AS lo3,
+      |    max(CASE WHEN rk = 195 THEN mean3 END) AS hi3,
+      |    count(*) AS nb, sum(CAST(mean3 AS HUGEINT)) AS s1,
+      |    sum(CAST(mean3 AS HUGEINT) * mean3) AS s2
+      |  FROM r),
+      |pt AS (
+      |  SELECT count(*) AS n_orders,
+      |    (sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+      |      * 1000) // count(*) AS pmean3
+      |  FROM orders)
+      |SELECT CAST(pt.n_orders AS BIGINT) AS n_orders,
+      |  CAST(q.nb AS BIGINT) AS n_resamples,
+      |  ROUND(CAST(pt.pmean3 AS DOUBLE) / 100000, 6) AS mean_value,
+      |  ROUND(CAST(q.lo3 AS DOUBLE) / 100000, 6) AS ci_lo,
+      |  ROUND(CAST(q.hi3 AS DOUBLE) / 100000, 6) AS ci_hi,
+      |  ROUND(sqrt((CAST(q.s2 AS DOUBLE) - CAST(q.s1 AS DOUBLE) * q.s1
+      |      / q.nb) / (q.nb - 1)) / 100000, 6) AS boot_se
+      |FROM q, pt""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val orders = t(s, d, "orders")
+    val h = orders.select(
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+        col("o_orderkey"),
+        explode(sequence(lit(1), lit(200))).as("b"))
+      .withColumn("u", graft.llm.TextOps.hash60(
+        concat(col("o_orderkey").cast(StringType), lit(":"),
+          col("b").cast(StringType))) % 1000000L)
+      .withColumn("w",
+        when(col("u") < 367879, 0L).when(col("u") < 735759, 1L)
+          .when(col("u") < 919699, 2L).when(col("u") < 981012, 3L)
+          .when(col("u") < 996340, 4L).when(col("u") < 999406, 5L)
+          .otherwise(6L))
+    val mb = h.groupBy("b")
+      .agg(sum(col("w").cast(big38) * col("cents")).as("swc"),
+        sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .select(col("b"),
+        expr("CAST(swc * 1000 DIV sw AS DECIMAL(38,0))").as("mean3"))
+    val r = mb
+      .withColumn("rk",
+        row_number().over(Window.orderBy("mean3", "b")).cast(LongType))
+    val q = r.agg(
+      max(when(col("rk") === 5, col("mean3"))).as("lo3"),
+      max(when(col("rk") === 195, col("mean3"))).as("hi3"),
+      count(lit(1)).as("nb"),
+      sum(col("mean3")).as("s1"),
+      sum(col("mean3") * col("mean3")).as("s2"))
+    val pt = orders.agg(count(lit(1)).as("n_orders"),
+      expr("CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
+        " AS DECIMAL(38,0))) * 1000 DIV count(*) AS DECIMAL(38,0))")
+        .as("pmean3"))
+    q.crossJoin(pt)
+      .select(col("n_orders").cast(LongType).as("n_orders"),
+        col("nb").cast(LongType).as("n_resamples"),
+        round(col("pmean3").cast(DoubleType) / 100000, 6).as("mean_value"),
+        round(col("lo3").cast(DoubleType) / 100000, 6).as("ci_lo"),
+        round(col("hi3").cast(DoubleType) / 100000, 6).as("ci_hi"),
+        round(sqrt((col("s2").cast(DoubleType)
+            - col("s1").cast(DoubleType) * col("s1").cast(DoubleType)
+              / col("nb"))
+          / (col("nb") - 1)) / 100000, 6).as("boot_se"))
+  }
+
+  /** Price elasticity of demand per brand: OLS slope of ln(quantity) on
+    * ln(retail price) across the brand's parts — the log-log demand
+    * curve a pricing pipeline fits. Both logs are quantized to integer
+    * ·10⁹ immediately (the q_spearman co-moment idiom), so slope
+    * numerator/denominator are exact DECIMAL(38) sums and merge order
+    * cannot move the result; per-part demand reduces facts to the part
+    * dimension first, and the brand fit only ever sees bounded
+    * per-brand part groups. */
+  val qPriceElasticity = Q(
+    "q_price_elasticity",
+    """WITH dem AS (
+      |  SELECT l_partkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+      |    AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1),
+      |pts AS (
+      |  SELECT p.p_brand,
+      |    CAST(ROUND(ln(p.p_retailprice) * 1000000000) AS BIGINT) AS lx9,
+      |    CAST(ROUND(ln(CAST(d.qty AS DOUBLE)) * 1000000000) AS BIGINT)
+      |      AS ly9
+      |  FROM part p JOIN dem d ON p.p_partkey = d.l_partkey
+      |  WHERE d.qty > 0 AND p.p_retailprice > 0),
+      |m AS (
+      |  SELECT p_brand, count(*) AS n,
+      |    sum(CAST(lx9 AS HUGEINT)) AS sx, sum(CAST(ly9 AS HUGEINT)) AS sy,
+      |    sum(CAST(lx9 AS HUGEINT) * lx9) AS sxx,
+      |    sum(CAST(lx9 AS HUGEINT) * ly9) AS sxy
+      |  FROM pts GROUP BY 1)
+      |SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
+      |  ROUND(CAST(sx AS DOUBLE) / n / 1000000000, 6) AS mean_ln_price,
+      |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS elasticity
+      |FROM m WHERE n * sxx - sx * sx <> 0
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val dem = t(s, d, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec2(col("l_quantity"))).cast(LongType).as("qty"))
+    val pts = t(s, d, "part")
+      .join(dem, col("p_partkey") === col("l_partkey"))
+      .filter(col("qty") > 0 && col("p_retailprice") > 0)
+      .select(col("p_brand"),
+        round(log(col("p_retailprice")) * 1000000000L).cast(LongType)
+          .as("lx9"),
+        round(log(col("qty").cast(DoubleType)) * 1000000000L)
+          .cast(LongType).as("ly9"))
+    val m = pts.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("lx9").cast(big38)).as("sx"),
+        sum(col("ly9").cast(big38)).as("sy"),
+        sum(col("lx9").cast(big38) * col("lx9")).as("sxx"),
+        sum(col("lx9").cast(big38) * col("ly9")).as("sxy"))
+    m.filter(col("n") * col("sxx") - col("sx") * col("sx") =!= 0)
+      .select(col("p_brand"), col("n").cast(LongType).as("n_parts"),
+        round(col("sx").cast(DoubleType) / col("n") / 1e9, 6)
+          .as("mean_ln_price"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast(DoubleType)
+          / (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType), 6).as("elasticity"))
+      .orderBy("p_brand")
+  }
+
+  /** Bounded k-core refinement (k = 2, three peel sweeps) of the
+    * co-purchase part graph (the q_triangle_count edge set) — the
+    * degeneracy filter that strips tendrils before community/embedding
+    * work. Each sweep is one degree aggregation + two semi-joins on the
+    * vertex key (O(|E|) per sweep, no all-pairs anywhere); a fixed sweep
+    * count is the same bounded-iteration contract as q_cc_labelprop —
+    * every kept node is provably in the true 2-core's superset, and
+    * sweeps only remove. The oracle unrolls the three sweeps as CTEs. */
+  val qKcore = Q(
+    "q_kcore",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e0 AS (
+      |  SELECT pa AS src, pb AS dst FROM (
+      |    SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_co
+      |    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |    GROUP BY 1, 2) c
+      |  WHERE n_co >= 2),
+      |d1 AS (SELECT v, count(*) AS deg FROM (
+      |    SELECT src AS v FROM e0 UNION ALL SELECT dst FROM e0) u
+      |  GROUP BY v),
+      |k1 AS (SELECT v FROM d1 WHERE deg >= 2),
+      |e1 AS (SELECT src, dst FROM e0
+      |  WHERE src IN (SELECT v FROM k1) AND dst IN (SELECT v FROM k1)),
+      |d2 AS (SELECT v, count(*) AS deg FROM (
+      |    SELECT src AS v FROM e1 UNION ALL SELECT dst FROM e1) u
+      |  GROUP BY v),
+      |k2 AS (SELECT v FROM d2 WHERE deg >= 2),
+      |e2 AS (SELECT src, dst FROM e1
+      |  WHERE src IN (SELECT v FROM k2) AND dst IN (SELECT v FROM k2)),
+      |d3 AS (SELECT v, count(*) AS deg FROM (
+      |    SELECT src AS v FROM e2 UNION ALL SELECT dst FROM e2) u
+      |  GROUP BY v),
+      |k3 AS (SELECT v FROM d3 WHERE deg >= 2),
+      |e3 AS (SELECT src, dst FROM e2
+      |  WHERE src IN (SELECT v FROM k3) AND dst IN (SELECT v FROM k3)),
+      |df AS (SELECT v, count(*) AS deg FROM (
+      |    SELECT src AS v FROM e3 UNION ALL SELECT dst FROM e3) u
+      |  GROUP BY v),
+      |tot AS (
+      |  SELECT (SELECT count(*) FROM df) AS n_nodes,
+      |    (SELECT count(*) FROM e3) AS n_edges)
+      |SELECT v AS node, CAST(deg AS BIGINT) AS core_deg,
+      |  CAST(tot.n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(tot.n_edges AS BIGINT) AS n_edges
+      |FROM df, tot
+      |ORDER BY core_deg DESC, node LIMIT 50""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    var e = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select("src", "dst")
+      .localCheckpoint()
+    var i = 0
+    while (i < 3) {
+      val deg = e.select(col("src").as("v"))
+        .unionByName(e.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= 2).select("v")
+      e = e
+        .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+      i += 1
+    }
+    val df = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val tot = df.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+    df.crossJoin(broadcast(tot))
+      .select(col("v").as("node"), col("deg").cast(LongType).as("core_deg"),
+        col("n_nodes").cast(LongType), col("n_edges").cast(LongType))
+      .orderBy(col("core_deg").desc, col("node"))
+      .limit(50)
+  }
+
+  /** Monthly growth accounting of the customer base: every active
+    * customer-month classified new / retained / resurrected (by integer
+    * month index, engine-proof), churn attributed to the following
+    * month as prev-active − retained — the canonical 4-state growth
+    * ledger behind every "MAU up, but from where?" question. Facts
+    * reduce to distinct (customer, month) first; the lag runs inside
+    * the customer partition (shuffle key = customer, never global);
+    * monthly assembly windows touch only the bounded month table. */
+  val qGrowthAccounting = Q(
+    "q_growth_accounting",
+    """WITH am AS (
+      |  SELECT DISTINCT o_custkey AS c,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+      |  FROM orders),
+      |ami AS (SELECT c, m, year(m) * 12 + month(m) AS mi FROM am),
+      |fm AS (SELECT c, min(mi) AS fmi FROM ami GROUP BY c),
+      |cl AS (
+      |  SELECT a.c, a.m, a.mi, f.fmi,
+      |    lag(a.mi) OVER (PARTITION BY a.c ORDER BY a.mi) AS pmi
+      |  FROM ami a JOIN fm f ON a.c = f.c),
+      |st AS (
+      |  SELECT m, mi,
+      |    CASE WHEN mi = fmi THEN 'new'
+      |         WHEN pmi = mi - 1 THEN 'retained'
+      |         ELSE 'resurrected' END AS s
+      |  FROM cl),
+      |agg AS (
+      |  SELECT m, mi, count(*) AS n_active,
+      |    sum(CASE WHEN s = 'new' THEN 1 ELSE 0 END) AS n_new,
+      |    sum(CASE WHEN s = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+      |    sum(CASE WHEN s = 'resurrected' THEN 1 ELSE 0 END)
+      |      AS n_resurrected
+      |  FROM st GROUP BY 1, 2)
+      |SELECT m AS mth, CAST(n_active AS BIGINT) AS n_active,
+      |  CAST(n_new AS BIGINT) AS n_new,
+      |  CAST(n_retained AS BIGINT) AS n_retained,
+      |  CAST(n_resurrected AS BIGINT) AS n_resurrected,
+      |  CAST(COALESCE(
+      |    CASE WHEN lag(mi) OVER (ORDER BY mi) = mi - 1
+      |      THEN lag(n_active) OVER (ORDER BY mi) - n_retained
+      |      ELSE lag(n_active) OVER (ORDER BY mi) END, 0) AS BIGINT)
+      |    AS n_churned
+      |FROM agg ORDER BY mth""".stripMargin) { (s, d) =>
+    val am = t(s, d, "orders")
+      .select(col("o_custkey").as("c"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("m"))
+      .distinct()
+    val ami = am.withColumn("mi", year(col("m")) * 12 + month(col("m")))
+    val fm = ami.groupBy("c").agg(min(col("mi")).as("fmi"))
+    val wLag = Window.partitionBy("c").orderBy("mi")
+    val cl = ami.join(fm, "c")
+      .withColumn("pmi", lag(col("mi"), 1).over(wLag))
+    val st = cl.select(col("m"), col("mi"),
+      when(col("mi") === col("fmi"), "new")
+        .when(col("pmi") === col("mi") - 1, "retained")
+        .otherwise("resurrected").as("s"))
+    val agg = st.groupBy("m", "mi")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("s") === "new", 1).otherwise(0)).as("n_new"),
+        sum(when(col("s") === "retained", 1).otherwise(0))
+          .as("n_retained"),
+        sum(when(col("s") === "resurrected", 1).otherwise(0))
+          .as("n_resurrected"))
+    val wM = Window.orderBy("mi")
+    agg
+      .withColumn("n_churned", coalesce(
+        when(lag(col("mi"), 1).over(wM) === col("mi") - 1,
+          lag(col("n_active"), 1).over(wM) - col("n_retained"))
+          .otherwise(lag(col("n_active"), 1).over(wM)), lit(0))
+        .cast(LongType))
+      .select(col("m").as("mth"),
+        col("n_active").cast(LongType).as("n_active"),
+        col("n_new").cast(LongType).as("n_new"),
+        col("n_retained").cast(LongType).as("n_retained"),
+        col("n_resurrected").cast(LongType).as("n_resurrected"),
+        col("n_churned"))
+      .orderBy("mth")
+  }
+
+  /** SAX symbolization of the monthly revenue series (4-symbol alphabet,
+    * N(0,1) quartile breakpoints ±0.6745): each month's standardized
+    * deviation maps to a..d and each year folds to its SAX word — the
+    * discretization that turns similarity search over time series into
+    * string matching (q_dedup_* territory). μ and σ quantize once (the
+    * q_cusum idiom); every breakpoint comparison is an exact integer
+    * product compare, so the words are engine-identical; the year fold
+    * sorts (month, symbol) structs — order-proof under any merge. */
+  val qSaxSymbols = Q(
+    "q_sax_symbols",
+    """WITH m AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |st AS (
+      |  SELECT (sum(CAST(rev AS HUGEINT)) * 1000) // count(*) AS mu3,
+      |    CAST(ROUND(sqrt((CAST(sum(CAST(rev AS HUGEINT) * rev)
+      |        AS DOUBLE) - CAST(sum(CAST(rev AS HUGEINT)) AS DOUBLE)
+      |          * sum(CAST(rev AS HUGEINT)) / count(*)) / count(*))
+      |      * 1000) AS BIGINT) AS s3
+      |  FROM m),
+      |sym AS (
+      |  SELECT mth, rev,
+      |    CASE
+      |      WHEN (CAST(rev AS HUGEINT) * 1000 - mu3) * 10000
+      |        < -6745 * CAST(s3 AS HUGEINT) THEN 'a'
+      |      WHEN CAST(rev AS HUGEINT) * 1000 - mu3 < 0 THEN 'b'
+      |      WHEN (CAST(rev AS HUGEINT) * 1000 - mu3) * 10000
+      |        < 6745 * CAST(s3 AS HUGEINT) THEN 'c'
+      |      ELSE 'd' END AS sym
+      |  FROM m, st)
+      |SELECT year(mth) AS yr, count(*) AS n_months,
+      |  string_agg(sym, '' ORDER BY mth) AS sax,
+      |  CAST(sum(rev) AS BIGINT) AS rev_cents
+      |FROM sym GROUP BY 1 ORDER BY yr""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val m = t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType)
+        .as("mth"))
+      .agg((sum(dec2(col("o_totalprice")) * 100)).cast(LongType).as("rev"))
+    val st = m.agg(
+      expr("CAST(sum(CAST(rev AS DECIMAL(38,0))) * 1000 DIV count(*)" +
+        " AS DECIMAL(38,0))").as("mu3"),
+      round(sqrt((sum(col("rev").cast(big38) * col("rev")).cast(DoubleType)
+        - sum(col("rev").cast(big38)).cast(DoubleType)
+          * sum(col("rev").cast(big38)).cast(DoubleType)
+          / count(lit(1)))
+        / count(lit(1))) * 1000).cast(LongType).as("s3"))
+    val sym = m.crossJoin(broadcast(st))
+      .select(col("mth"), col("rev"),
+        when((col("rev").cast(big38) * 1000 - col("mu3")) * 10000
+          < lit(-6745) * col("s3").cast(big38), "a")
+        .when(col("rev").cast(big38) * 1000 - col("mu3") < 0, "b")
+        .when((col("rev").cast(big38) * 1000 - col("mu3")) * 10000
+          < lit(6745) * col("s3").cast(big38), "c")
+        .otherwise("d").as("sym"))
+    sym.groupBy(year(col("mth")).cast(LongType).as("yr"))
+      .agg(count(lit(1)).as("n_months"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("mth"), col("sym")))),
+          e => e.getField("sym")), "").as("sax"),
+        sum(col("rev")).cast(LongType).as("rev_cents"))
+      .orderBy("yr")
+  }
+
+  /** Time-bounded strict-order funnel: signup → view → click → purchase,
+    * every later stage strictly after the previous one and inside the
+    * 7-day window opened at signup — the conversion question
+    * q_funnel_stages (unordered) and q_conversion_lag (one hop) don't
+    * answer. Each stage is one user-keyed equi-join + min-aggregation on
+    * exact µs (facts shuffle once per stage on user_id); the 4-row
+    * assembly and its lag window are constant-size. */
+  val qFunnelWindowed = Q(
+    "q_funnel_windowed",
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s0 AS (
+      |  SELECT user_id, min(us) AS t0 FROM ev
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s1 AS (
+      |  SELECT e.user_id, min(s0.t0) AS t0, min(e.us) AS t1
+      |  FROM ev e JOIN s0 ON e.user_id = s0.user_id
+      |  WHERE e.event_type = 'view' AND e.us > s0.t0
+      |    AND e.us <= s0.t0 + 604800000000 GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(s1.t0) AS t0, min(e.us) AS t2
+      |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.us > s1.t1
+      |    AND e.us <= s1.t0 + 604800000000 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.us) AS t3
+      |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us > s2.t2
+      |    AND e.us <= s2.t0 + 604800000000 GROUP BY 1),
+      |f AS (
+      |  SELECT 1 AS step, 'signup' AS stage,
+      |    (SELECT count(*) FROM s0) AS n_users
+      |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s1)
+      |  UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s2)
+      |  UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s3))
+      |SELECT step, stage, CAST(n_users AS BIGINT) AS n_users,
+      |  ROUND(CAST(n_users AS DOUBLE)
+      |    / NULLIF(lag(n_users) OVER (ORDER BY step), 0), 6)
+      |    AS conv_from_prev
+      |FROM f ORDER BY step""".stripMargin) { (s, d) =>
+    val week = 604800000000L
+    val ev = eventsUs(s, d).select("user_id", "event_type", "us")
+    val s0 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("t0"))
+    val s1 = ev.filter(col("event_type") === "view").join(s0, "user_id")
+      .filter(col("us") > col("t0") && col("us") <= col("t0") + week)
+      .groupBy("user_id")
+      .agg(min(col("t0")).as("t0"), min(col("us")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("us") > col("t1") && col("us") <= col("t0") + week)
+      .groupBy("user_id")
+      .agg(min(col("t0")).as("t0"), min(col("us")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("us") > col("t2") && col("us") <= col("t0") + week)
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    def cnt(df: DataFrame, step: Int, stage: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(stage).as("stage"),
+          col("n_users"))
+    val f = cnt(s0, 1, "signup")
+      .unionByName(cnt(s1, 2, "view"))
+      .unionByName(cnt(s2, 3, "click"))
+      .unionByName(cnt(s3, 4, "purchase"))
+    val wStep = Window.orderBy("step")
+    f.withColumn("prev", lag(col("n_users"), 1).over(wStep))
+      .select(col("step"), col("stage"),
+        col("n_users").cast(LongType).as("n_users"),
+        round(col("n_users").cast(DoubleType)
+          / when(col("prev") === 0, lit(null)).otherwise(col("prev")), 6)
+          .as("conv_from_prev"))
+      .orderBy("step")
+  }
+
   val all: Seq[Q] = Seq(
+    qKcore, qGrowthAccounting, qSaxSymbols, qFunnelWindowed,
+    qLogrankTest, qFdrBh, qCusum, qBootstrapCi, qPriceElasticity,
     qOutlierIqr, qChurnLabel, qAbSrm, qTheilSen, qJaccardNeighbors,
     qAbPower, qKendallTau, qGrubbs, qDiffInDiff, qAdamicAdar,
     qResampleInterp, qRunsTest, qClusteringCoeff,

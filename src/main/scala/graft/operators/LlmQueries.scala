@@ -3,7 +3,7 @@ package graft.operators
 import graft.Q
 import graft.Dsl._
 import graft.llm.{Bpe, Clustering, Dedup, Multimodal, SimSearch, TextOps}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1479,6 +1479,19 @@ object LlmQueries {
       |  ROUND(CAST(score9 AS DOUBLE) / 1000000000, 6) AS score
       |FROM scored
       |ORDER BY score9 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    bm25Scored(s, d)
+      .select(col("doc_id"), col("n_hit").cast(LongType).as("n_hit"),
+        round(col("score9").cast(DoubleType) / 1000000000, 6).as("score"),
+        col("score9"))
+      .orderBy(col("score9").desc, col("doc_id"))
+      .limit(20)
+      .drop("score9")
+  }
+
+  /** BM25-scored corpus for the fixed query-term set (shared by q_bm25
+    * and q_rrf_fusion): (doc_id, n_hit, score9) with score9 the exact
+    * 10⁻⁹-quantized integer score. */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val big38 = DecimalType(38, 0)
     // ONE tokenize+aggregate pass feeds all three consumers (doc lengths,
@@ -1502,19 +1515,12 @@ object LlmQueries {
           .as("idf"),
         col("avgdl"))
     val tf = tfAll.join(broadcast(qt), "term")
-    val scored = tf.join(broadcast(idf), "term").join(len, "doc_id")
+    tf.join(broadcast(idf), "term").join(len, "doc_id")
       .groupBy("doc_id")
       .agg(sum(round(col("idf") * col("tf") * 2.2
           / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
           * 1000000000).cast(big38)).as("score9"),
         count(lit(1)).as("n_hit"))
-    scored
-      .select(col("doc_id"), col("n_hit").cast(LongType).as("n_hit"),
-        round(col("score9").cast(DoubleType) / 1000000000, 6).as("score"),
-        col("score9"))
-      .orderBy(col("score9").desc, col("doc_id"))
-      .limit(20)
-      .drop("score9")
   }
 
   /** Temperature-based corpus re-balancing (the multilingual-sampling
@@ -2822,7 +2828,390 @@ object LlmQueries {
       .orderBy("log2_df")
   }
 
+  /** Reciprocal-rank fusion of the two retrieval halves: the q_bm25
+    * lexical ranking and the q_sim_search embedding-cosine ranking over
+    * the same corpus (documents.doc_id = embeddings.vec_id). Each system
+    * contributes 1/(60+rank) for its top-50; ranks are integers under a
+    * total (exact-score, id) order, each contribution is the exact
+    * integer 10⁹ DIV (60+rk), so the fused score is a reduction-order-
+    * proof integer sum. Both per-system top-50s come from TakeOrdered
+    * (never a corpus-wide window); ranking the 50-row bounded sets with a
+    * single-partition window is a constant-size post-agg step. */
+  val qRrfFusion = Q(
+    "q_rrf_fusion",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |len AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM len),
+      |qt AS (SELECT unnest(['hash', 'vector', 'stream', 'spark']) AS term),
+      |df AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+      |idf AS (
+      |  SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+      |  FROM df CROSS JOIN stats),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    sum(CAST(ROUND(idf.idf * tf.tf * 2.2
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * len.dl / idf.avgdl))
+      |      * 1000000000) AS HUGEINT)) AS score9
+      |  FROM tf JOIN idf USING (term) JOIN len USING (doc_id)
+      |  GROUP BY tf.doc_id),
+      |lex AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY score9 DESC, doc_id) AS BIGINT)
+      |      AS rk
+      |  FROM scored),
+      |emb AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    CAST(row_number() OVER (ORDER BY
+      |      ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), p.pe)
+      |        / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+      |                                  CAST(e.embedding AS DOUBLE[])))
+      |        / sqrt(list_inner_product(p.pe, p.pe)), 4) DESC, e.vec_id)
+      |      AS BIGINT) AS rk
+      |  FROM embeddings e,
+      |    (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings
+      |     WHERE vec_id = 0) p
+      |  WHERE e.vec_id <> 0),
+      |fused AS (
+      |  SELECT doc_id, count(*) AS n_systems, min(rk) AS best_rank,
+      |    sum(1000000000 // (60 + rk)) AS rrf9
+      |  FROM (SELECT * FROM lex WHERE rk <= 50
+      |        UNION ALL SELECT * FROM emb WHERE rk <= 50) u
+      |  GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_systems AS INT) AS n_systems,
+      |  CAST(best_rank AS BIGINT) AS best_rank,
+      |  ROUND(CAST(rrf9 AS DOUBLE) / 1000000000, 6) AS rrf
+      |FROM fused
+      |ORDER BY rrf9 DESC, doc_id LIMIT 20""".stripMargin) { (s, d) =>
+    lexTop50Ranks(s, d).unionByName(embTop50Ranks(s, d))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_systems"),
+        min(col("rk")).as("best_rank"),
+        sum(expr("1000000000 DIV (60 + rk)")).as("rrf9"))
+      .select(col("doc_id"), col("n_systems"), col("best_rank"),
+        round(col("rrf9").cast(DoubleType) / 1000000000, 6).as("rrf"),
+        col("rrf9"))
+      .orderBy(col("rrf9").desc, col("doc_id"))
+      .limit(20)
+      .drop("rrf9")
+  }
+
+  /** Lexical top-50 (doc_id, rank) under the exact (score9 desc, doc_id)
+    * order — TakeOrdered then a 50-row bounded-set window. Shared by the
+    * hybrid-retrieval combiners (q_rrf_fusion, q_rank_overlap). */
+  private def lexTop50Ranks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bm25Scored(s, d)
+      .orderBy(col("score9").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score9").desc, col("doc_id")))
+          .cast(LongType).as("rk"))
+  }
+
+  /** Embedding top-50 (doc_id, rank) by 4dp-rounded cosine to probe
+    * vec_id = 0 — same TakeOrdered + bounded-window shape. */
+  private def embTop50Ranks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val embs = t(s, d, "embeddings")
+    val probe = embs.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pe"))
+    embs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(Dedup.cosine(col("embedding"), col("pe")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast(LongType).as("rk"))
+  }
+
+  /** SemDeDup-style semantic dedup: partition the embedding space with
+    * k = 64 deterministic centroids (lowest-id seeding, the
+    * q_kmeans_assign construction), then drop any vector that has a
+    * lower-id cluster-mate with cosine ≥ 0.99. The cluster id is the
+    * blocking key, so the candidate join is a k-way bucketed equi-join
+    * (never all-pairs): expected pairs ≈ N²/k per corpus — at larger N,
+    * raise k (k ≈ N/1000 keeps within-cluster populations flat) or chain
+    * the sign-LSH sub-bucket the q_dedup_embed family uses. Planted
+    * duplicates (every 50th vector, re-scaled ×1.1 — cosine-invariant)
+    * verify removal end-to-end; d2 rounded at 6 dp and cosine at 4 dp
+    * before any comparison, so assignment and verdicts are bit-identical
+    * across engines. */
+  val qSemdedup = Q(
+    "q_semdedup",
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.1) AS v
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 64),
+      |dist AS (
+      |  SELECT e.vec_id, c.cid,
+      |    ROUND(list_inner_product(e.v, e.v)
+      |      - 2 * list_inner_product(e.v, c.cv)
+      |      + list_inner_product(c.cv, c.cv), 6) AS d2
+      |  FROM e CROSS JOIN c),
+      |a AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+      |  FROM dist),
+      |asg AS (
+      |  SELECT e.vec_id, e.v, a.cid AS cluster
+      |  FROM e JOIN a ON e.vec_id = a.vec_id AND a.rk = 1),
+      |rem AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM asg a JOIN asg b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE ROUND(list_inner_product(a.v, b.v)
+      |      / sqrt(list_inner_product(a.v, a.v))
+      |      / sqrt(list_inner_product(b.v, b.v)), 4) >= 0.99)
+      |SELECT cluster, count(*) AS n_members,
+      |  CAST(count(r.vec_id) AS BIGINT) AS n_removed,
+      |  CAST(count(*) - count(r.vec_id) AS BIGINT) AS n_kept
+      |FROM asg LEFT JOIN rem r ON asg.vec_id = r.vec_id
+      |GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, d) =>
+    val embs = t(s, d, "embeddings")
+    val asDbl = transform(col("embedding"), x => x.cast(DoubleType))
+    val e = embs.select(col("vec_id"), asDbl.as("v")).unionByName(
+      embs.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType) * 1.1)
+            .as("v")))
+    val cents = e.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val asg = Clustering.assign(e, "v", cents)
+      .join(e, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("cluster"))
+      .localCheckpoint()
+    val a = asg.select(col("cluster"), col("vec_id").as("ida"),
+      col("v").as("va"))
+    val b = asg.select(col("cluster"), col("vec_id").as("idb"),
+      col("v").as("vb"))
+    val removed = a.join(b, Seq("cluster"))
+      .filter(col("ida") < col("idb"))
+      .filter(round(Dedup.cosine(col("va"), col("vb")), 4) >= 0.99)
+      .select(col("idb").as("vec_id")).distinct()
+    asg.join(removed.withColumn("is_rem", lit(1)), Seq("vec_id"), "left")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        count(col("is_rem")).cast(LongType).as("n_removed"),
+        (count(lit(1)) - count(col("is_rem"))).cast(LongType).as("n_kept"))
+      .orderBy("cluster")
+  }
+
+  /** Tokenizer-fertility profile per language: subword tokens per word
+    * and chars per word under a deterministic 4-chars-per-piece subword
+    * proxy (⌈len/4⌉ pieces per word — the plumbing a real BPE fertility
+    * audit runs, with the trained tokenizer swapped in for the proxy;
+    * the trained path is llm/Bpe.encode, q_bpe_encode). All counts are
+    * exact integer sums via array HOFs (no explode shuffle — the corpus
+    * reduces to |lang| rows in one pass); divisions happen once per
+    * output row. */
+  val qTokenizerFertility = Q(
+    "q_tokenizer_fertility",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(words) AS BIGINT) AS n_words,
+      |  CAST(sum(subs) AS BIGINT) AS n_subwords,
+      |  CAST(sum(chars) AS BIGINT) AS n_chars,
+      |  ROUND(CAST(sum(subs) AS DOUBLE) / sum(words), 6) AS fertility,
+      |  ROUND(CAST(sum(chars) AS DOUBLE) / sum(words), 6) AS chars_per_word
+      |FROM (
+      |  SELECT lang, len(string_split(text, ' ')) AS words,
+      |    list_sum(list_transform(string_split(text, ' '),
+      |      t -> (length(t) + 3) // 4)) AS subs,
+      |    list_sum(list_transform(string_split(text, ' '),
+      |      t -> length(t))) AS chars
+      |  FROM documents) x
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    t(s, d, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("words"),
+        expr("aggregate(split(text, ' '), 0L, " +
+          "(acc, x) -> acc + (length(x) + 3) DIV 4)").as("subs"),
+        expr("aggregate(split(text, ' '), 0L, " +
+          "(acc, x) -> acc + length(x))").as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("words")).cast(LongType).as("n_words"),
+        sum(col("subs")).cast(LongType).as("n_subwords"),
+        sum(col("chars")).cast(LongType).as("n_chars"),
+        round(sum(col("subs")).cast(DoubleType) / sum(col("words")), 6)
+          .as("fertility"),
+        round(sum(col("chars")).cast(DoubleType) / sum(col("words")), 6)
+          .as("chars_per_word"))
+      .orderBy("lang")
+  }
+
+  /** Rank-biased overlap (p = 0.9, depth 50) between the lexical and
+    * embedding rankings q_rrf_fusion fuses — "how much do the two
+    * retrieval systems even agree?", the diagnostic read before trusting
+    * a fusion. Overlap-at-depth comes from each shared doc's
+    * max(rank_a, rank_b) (an integer), each RBO term is quantized to
+    * ·10¹² before summing over the bounded 50-depth grid, and the inputs
+    * are the same TakeOrdered top-50s — nothing here ever rescans the
+    * corpus. */
+  val qRankOverlap = Q(
+    "q_rank_overlap",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |len AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM len),
+      |qt AS (SELECT unnest(['hash', 'vector', 'stream', 'spark']) AS term),
+      |df AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+      |idf AS (
+      |  SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+      |  FROM df CROSS JOIN stats),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    sum(CAST(ROUND(idf.idf * tf.tf * 2.2
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * len.dl / idf.avgdl))
+      |      * 1000000000) AS HUGEINT)) AS score9
+      |  FROM tf JOIN idf USING (term) JOIN len USING (doc_id)
+      |  GROUP BY tf.doc_id),
+      |lex AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY score9 DESC, doc_id) AS BIGINT)
+      |      AS rk
+      |  FROM scored),
+      |emb AS (
+      |  SELECT e.vec_id AS doc_id,
+      |    CAST(row_number() OVER (ORDER BY
+      |      ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), p.pe)
+      |        / sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+      |                                  CAST(e.embedding AS DOUBLE[])))
+      |        / sqrt(list_inner_product(p.pe, p.pe)), 4) DESC, e.vec_id)
+      |      AS BIGINT) AS rk
+      |  FROM embeddings e,
+      |    (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings
+      |     WHERE vec_id = 0) p
+      |  WHERE e.vec_id <> 0),
+      |shared AS (
+      |  SELECT l.doc_id, GREATEST(l.rk, e.rk) AS md
+      |  FROM (SELECT * FROM lex WHERE rk <= 50) l
+      |  JOIN (SELECT * FROM emb WHERE rk <= 50) e USING (doc_id)),
+      |xd AS (
+      |  SELECT d, count(b.doc_id) AS x
+      |  FROM generate_series(1, 50) t(d)
+      |  LEFT JOIN shared b ON b.md <= d
+      |  GROUP BY d),
+      |terms AS (
+      |  SELECT d, x,
+      |    CAST(ROUND(0.1 * POWER(0.9, d - 1) * (CAST(x AS DOUBLE) / d)
+      |      * 1000000000000) AS BIGINT) AS t12
+      |  FROM xd)
+      |SELECT
+      |  CAST(max(CASE WHEN d = 10 THEN x END) AS BIGINT) AS overlap_at_10,
+      |  ROUND(CAST(max(CASE WHEN d = 50 THEN x END) AS DOUBLE)
+      |    / (100 - max(CASE WHEN d = 50 THEN x END)), 6) AS jaccard_at_50,
+      |  ROUND(CAST(sum(t12) AS DOUBLE) / 1000000000000, 6) AS rbo
+      |FROM terms""".stripMargin) { (s, d) =>
+    val both = lexTop50Ranks(s, d).withColumnRenamed("rk", "rka")
+      .join(embTop50Ranks(s, d).withColumnRenamed("rk", "rkb"), "doc_id")
+      .select(col("doc_id"), greatest(col("rka"), col("rkb")).as("md"))
+    val depths = s.range(1, 51).select(col("id").as("d"))
+    val xd = depths
+      .join(broadcast(both), col("md") <= col("d"), "left")
+      .groupBy("d").agg(count(col("doc_id")).as("x"))
+    val terms = xd.withColumn("t12",
+      round(lit(0.1) * pow(lit(0.9), col("d") - 1)
+        * (col("x").cast(DoubleType) / col("d")) * 1000000000000L)
+        .cast(LongType))
+    terms.agg(
+      max(when(col("d") === 10, col("x"))).cast(LongType)
+        .as("overlap_at_10"),
+      round(max(when(col("d") === 50, col("x"))).cast(DoubleType)
+        / (lit(100) - max(when(col("d") === 50, col("x")))), 6)
+        .as("jaccard_at_50"),
+      round(sum(col("t12")).cast(DoubleType) / 1000000000000L, 6)
+        .as("rbo"))
+  }
+
+  /** Simplified silhouette per cluster (centroid form: a = distance to
+    * own centroid, b = distance to nearest other centroid,
+    * s = (b−a)/max(a,b)) over the q_kmeans_assign partition — the
+    * cluster-quality score that says whether the semantic-dedup buckets
+    * are real. Per-point distances come from the same broadcast k×dim
+    * centroid table; the two nearest centroids per point fall out of one
+    * bounded k-list sort (no window over data); s quantizes to ·10⁹
+    * before the per-cluster mean so the aggregation is exact. */
+  val qSilhouette = Q(
+    "q_silhouette",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |dist AS (
+      |  SELECT e.vec_id, c.cid,
+      |    ROUND(list_inner_product(e.v, e.v)
+      |      - 2 * list_inner_product(e.v, c.cv)
+      |      + list_inner_product(c.cv, c.cv), 6) AS d2
+      |  FROM e CROSS JOIN c),
+      |r AS (
+      |  SELECT vec_id, cid, d2,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+      |  FROM dist),
+      |ab AS (
+      |  SELECT a.vec_id, a.cid AS cluster, a.d2 AS a2, b.d2 AS b2
+      |  FROM r a JOIN r b ON a.vec_id = b.vec_id
+      |  WHERE a.rk = 1 AND b.rk = 2),
+      |sil AS (
+      |  SELECT cluster,
+      |    CAST(ROUND((sqrt(b2) - sqrt(a2))
+      |      / GREATEST(sqrt(a2), sqrt(b2)) * 1000000000) AS BIGINT) AS s9
+      |  FROM ab WHERE GREATEST(a2, b2) > 0)
+      |SELECT cluster, count(*) AS n_points,
+      |  ROUND(CAST(sum(s9) AS DOUBLE) / count(*) / 1000000000, 6)
+      |    AS mean_silhouette
+      |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin) { (s, d) =>
+    val e = t(s, d, "embeddings").select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val dist = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        col("cid"), Clustering.sqDist(col("v"), col("cvec")).as("d2"))
+    val ab = dist.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("d2"), col("cid"))))
+        .as("ds"))
+      .select(col("vec_id"),
+        col("ds").getItem(0).getField("cid").as("cluster"),
+        col("ds").getItem(0).getField("d2").as("a2"),
+        col("ds").getItem(1).getField("d2").as("b2"))
+    ab.filter(greatest(col("a2"), col("b2")) > 0)
+      .select(col("cluster"),
+        round((sqrt(col("b2")) - sqrt(col("a2")))
+          / greatest(sqrt(col("a2")), sqrt(col("b2"))) * 1000000000L)
+          .cast(LongType).as("s9"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("s9")).cast(DoubleType) / count(lit(1))
+          / 1000000000L, 6).as("mean_silhouette"))
+      .orderBy("cluster")
+  }
+
   val all: Seq[Q] = Seq(
+    qRrfFusion, qSemdedup, qTokenizerFertility,
+    qRankOverlap, qSilhouette,
     qTypeTokenRatio, qVocabGrowth, qEmdSources, qSourceOverlap,
     qLogOddsTerms, qTfidfCosinePairs, qShingleDfProfile,
     qJsDivergence, qPerplexity, qReadability, qEmbedNorms,

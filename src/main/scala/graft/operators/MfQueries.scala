@@ -761,7 +761,22 @@ object MfQueries {
           / count(lit(1))), 6).as("rmse_baseline"))
   }
 
+  /** Implicit-feedback ALS (Hu-Koren-Volinsky) on the ratings view read
+    * as CONFIDENCE — the no-explicit-ratings variant every view/click
+    * pipeline actually trains. Factor geometry (not reconstruction
+    * error) is the contract, so semantic checks live in MfSpec
+    * (observed pairs score above unobserved on average); the registry
+    * row is the deterministic factor-count summary. */
+  val qMfImplicitTrain = Q.noOracle("q_mf_implicit_train") { (s, d) =>
+    val spark = s
+    import spark.implicits._
+    val model = AlsEngine.trainImplicit(Ratings.view(s, d))
+    Seq((model.userFactors.count(), model.itemFactors.count(), model.rank))
+      .toDF("n_user_factors", "n_item_factors", "rank")
+  }
+
   val all: Seq[Q] = Seq(
+    qMfImplicitTrain,
     qNdcg, qPopBias, qUserRecsCf, qRatingBaseline,
     qRatingsView, qRatingsPivot, qMfAlsTrain, qMfPredict, qMfTopkRecs,
     qMfItemSim, qMfFoldin,

@@ -344,9 +344,49 @@ object StreamingQueries {
       s"target/stream_bloom_${math.abs(d.hashCode)}")
   }
 
+  /** Per-type mean/variance/σ maintained incrementally by
+    * `StreamOps.incrementalMoments` over a real 4-batch replay: state
+    * (n, Σv6, Σv6²) merges by plain sums (Σv6² in DECIMAL(38), overflow-
+    * proof), so the final state equals this whole-history recompute (the
+    * oracle); the σ assembly happens once on the bounded per-type state
+    * table, identical op order both engines. 8th incremental
+    * maintainer. */
+  val qStreamMoments = Q(
+    "q_stream_moments",
+    """WITH q AS (
+      |  SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS v6
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(v6 AS HUGEINT)) AS s1,
+      |    sum(CAST(v6 AS HUGEINT) * v6) AS s2
+      |  FROM q GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+      |  ROUND(CAST(s1 AS DOUBLE) / 1000000 / n, 6) AS mean_v,
+      |  ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n
+      |    / 1000000000000, 6) AS var_v,
+      |  ROUND(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / n)
+      |    / 1000000, 6) AS stddev_v
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DoubleType
+    StreamOps.incrementalMoments(s, d,
+        s"target/stream_moments_${math.abs(d.hashCode)}")
+      .select(col("event_type"), col("n_rows"),
+        round(col("sum6").cast(DoubleType) / 1000000L / col("n_rows"), 6)
+          .as("mean_v"),
+        round((col("ssq").cast(DoubleType)
+            - col("sum6").cast(DoubleType) * col("sum6") / col("n_rows"))
+          / col("n_rows") / 1000000000000L, 6).as("var_v"),
+        round(sqrt((col("ssq").cast(DoubleType)
+            - col("sum6").cast(DoubleType) * col("sum6") / col("n_rows"))
+          / col("n_rows")) / 1000000L, 6).as("stddev_v"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg,
     qStreamIntervalJoin, qStreamChecksum, qStreamTopk, qStreamUpsert,
-    qStreamQuantile, qStreamMinmax, qStreamFirstSeen, qStreamBloom)
+    qStreamQuantile, qStreamMinmax, qStreamFirstSeen, qStreamBloom,
+    qStreamMoments)
 }

@@ -498,6 +498,53 @@ object StreamOps {
     spark.read.parquet(s"$stateBase/v$version")
   }
 
+  /** Incremental second-moment maintainer per event type: state is
+    * (n, Σv6, Σv6²) with v6 the 10⁻⁶-quantized value — all three are
+    * plain sums (associative, commutative), so the final state equals
+    * the whole-history recompute at any batch count; Σv6² widens to
+    * DECIMAL(38,0) so the squares can never overflow at scale. The
+    * streaming feed for every z-score/σ-band monitor (q_rolling_zscore's
+    * batch σ, maintained without rescanning history). */
+  def incrementalMoments(spark: SparkSession, sfDir: String,
+      workDir: String, nBatches: Int = 4): DataFrame = {
+    val big38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val src = s"$workDir/src"
+    val events = graft.Tables.tsAsTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    events.select(col("event_type"),
+        round(col("value") * 1000000L).cast(LongType).as("v6"))
+      .repartition(nBatches)
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val stateBase = s"$workDir/state"
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch.groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("v6")).cast(LongType).as("sum6"),
+            sum(col("v6").cast(big38) * col("v6")).cast(big38).as("ssq"))
+        val merged =
+          if (version < 0) partial
+          else spark.read.parquet(s"$stateBase/v$version")
+            .unionByName(partial)
+            .groupBy("event_type")
+            .agg(sum(col("n_rows")).cast(LongType).as("n_rows"),
+              sum(col("sum6")).cast(LongType).as("sum6"),
+              sum(col("ssq")).cast(big38).as("ssq"))
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        version = batchId
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$stateBase/v$version")
+  }
+
   /** Incremental first-seen attribution per user: the state is each
     * user's minimum (event-time µs, event_id, event_type) tuple and the
     * merge is struct-min — associative, commutative, constant per key —

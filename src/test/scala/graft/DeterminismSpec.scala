@@ -108,7 +108,26 @@ class DeterminismSpec extends SparkTestBase {
     // buckets
     AnalyticsQueries.qForecastSnaive, AnalyticsQueries.qEffectSize,
     AnalyticsQueries.qLorenzCurve, PipelineQueries.qErasureAudit,
-    LlmQueries.qShingleDfProfile)
+    LlmQueries.qShingleDfProfile,
+    // round 7 ninth batch: integer-DIV rank fusion over TakeOrdered
+    // sets, argmin cluster assignment + cosine verdicts, HOF integer
+    // fertility sums
+    LlmQueries.qRrfFusion, LlmQueries.qSemdedup,
+    LlmQueries.qTokenizerFertility,
+    // round 7 tenth batch: suffix-sum at-risk grids + DECIMAL(38) DIV
+    // terms, integer BH step-up, closed-form CUSUM prefix windows,
+    // hash-Poisson resample weights, quantized-ln co-moments
+    AnalyticsQueries.qLogrankTest, AnalyticsQueries.qFdrBh,
+    AnalyticsQueries.qCusum, AnalyticsQueries.qBootstrapCi,
+    AnalyticsQueries.qPriceElasticity,
+    // round 7 eleventh batch: iterative peel sweeps, customer-partition
+    // lag ledgers, struct-sorted SAX folds
+    AnalyticsQueries.qKcore, AnalyticsQueries.qGrowthAccounting,
+    AnalyticsQueries.qSaxSymbols,
+    // round 7 twelfth batch: depth-grid RBO integer terms, bounded
+    // k-list silhouette sorts, chained stage-join funnels
+    LlmQueries.qRankOverlap, LlmQueries.qSilhouette,
+    AnalyticsQueries.qFunnelWindowed)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

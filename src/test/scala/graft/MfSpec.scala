@@ -29,6 +29,30 @@ class MfSpec extends SparkTestBase {
     assert(alsRmse < baseRmse, s"als $alsRmse vs baseline $baseRmse")
   }
 
+  test("implicit ALS: observed pairs score above unobserved on average") {
+    import spark.implicits._
+    val ratings = Ratings.view(spark, sf)
+    val model = AlsEngine.trainImplicit(ratings)
+    assert(model.userFactors.count() > 0 && model.itemFactors.count() > 0)
+    // implicit factors model PREFERENCE: the mean predicted score on
+    // observed (user, item) pairs must exceed the mean on a disjoint
+    // deterministic sample of unobserved pairs
+    val obs = ratings.select(col("user_id").cast("int").as("user"),
+      col("item_id").cast("int").as("item"))
+    val users = obs.select("user").distinct()
+    val items = obs.select("item").distinct()
+    val candidate = users.crossJoin(items)
+      .filter((col("user") * 31 + col("item")) % 17 === 0)
+      .join(obs, Seq("user", "item"), "left_anti")
+    def meanScore(pairs: org.apache.spark.sql.DataFrame): Double =
+      model.transform(pairs).agg(avg(col("prediction")))
+        .head().getDouble(0)
+    val mObs = meanScore(obs)
+    val mUnobs = meanScore(candidate)
+    assert(mObs > mUnobs,
+      s"observed mean $mObs should exceed unobserved mean $mUnobs")
+  }
+
   test("held-out protocol: hash split disjoint+total, ALS and baseline test-RMSE sane") {
     val ratings = Ratings.view(spark, sf).cache()
     val (tr, te) = Baseline.holdoutSplit(ratings)

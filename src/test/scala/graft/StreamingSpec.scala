@@ -375,6 +375,26 @@ class StreamingSpec extends SparkTestBase {
     assert(versions != null && versions.count(_.startsWith("v")) >= 2)
   }
 
+  test("incrementalMoments is batch-boundary-independent and matches " +
+      "the one-shot recompute") {
+    // (n, Σv6, Σv6²) are plain sums => any batch split merges to the
+    // same state; Σv6² rides DECIMAL(38) so squares cannot overflow
+    val m4 = StreamOps.incrementalMoments(spark, sf, "target/test_mom4")
+    val m2 = StreamOps.incrementalMoments(spark, sf, "target/test_mom2", 2)
+    assert(m4.exceptAll(m2).isEmpty && m2.exceptAll(m4).isEmpty)
+    val big38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val direct = Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        round(col("value") * 1000000L).cast("long").as("v6"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v6")).cast("long").as("sum6"),
+        sum(col("v6").cast(big38) * col("v6")).cast(big38).as("ssq"))
+    assert(m4.exceptAll(direct).isEmpty && direct.exceptAll(m4).isEmpty)
+    val versions = new java.io.File("target/test_mom4/state").list()
+    assert(versions != null && versions.count(_.startsWith("v")) >= 2)
+  }
+
   test("incrementalBloom: no false negatives, low FP, boundary-independent") {
     val b4 = StreamOps.incrementalBloom(spark, sf, "target/test_bloom4")
     val row = b4.head
