@@ -493,6 +493,90 @@ object EvalQueries {
       .orderBy("feature")
   }
 
-  val all: Seq[Q] = Seq(qAuc, qLiftDeciles, qConfusionMatrix,
+  /** Isotonic (PAV) calibration of the urgent-rate curve over score
+    * deciles, via the minimax CLOSED FORM fit_d = max_{j≤d} min_{k≥d}
+    * mean(y[j..k]) — no sequential pooling loop, just joins over the
+    * bounded 10-decile grid (121 ranges), so both engines compute the
+    * identical fit from identical integers: range means are exact
+    * (Σpos·10⁹) DIV Σcnt off prefix sums, and the min/max lattice is
+    * integer-only. Deciles come from GlobalRank (no data-sized window);
+    * the result is the monotone calibration map q_calibration's raw
+    * reliability bins feed into. */
+  val qIsotonic = Q(
+    "q_isotonic",
+    """WITH x AS (
+      |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+      |      AS label,
+      |    row_number() OVER (ORDER BY
+      |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+      |      o_orderkey) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM orders),
+      |d AS (
+      |  SELECT CAST((rn - 1) * 10 // n AS INT) + 1 AS decile,
+      |    count(*) AS cnt, sum(label) AS pos
+      |  FROM x GROUP BY 1),
+      |p AS (
+      |  SELECT decile AS dd,
+      |    sum(cnt) OVER (ORDER BY decile) AS c,
+      |    sum(pos) OVER (ORDER BY decile) AS s
+      |  FROM d),
+      |p0 AS (SELECT 0 AS dd, 0 AS c, 0 AS s UNION ALL SELECT * FROM p),
+      |ranges AS (
+      |  SELECT a.dd AS jm1, b.dd AS k,
+      |    ((b.s - a.s) * 1000000000) // (b.c - a.c) AS mean9
+      |  FROM p0 a JOIN p0 b ON a.dd < b.dd),
+      |ds AS (SELECT d AS dd FROM generate_series(1, 10) t(d)),
+      |innr AS (
+      |  SELECT ds.dd, r.jm1, min(r.mean9) AS mn
+      |  FROM ds JOIN ranges r ON r.jm1 <= ds.dd - 1 AND r.k >= ds.dd
+      |  GROUP BY 1, 2),
+      |fit AS (SELECT dd, max(mn) AS fit9 FROM innr GROUP BY 1)
+      |SELECT d.decile, CAST(cnt AS BIGINT) AS n_rows,
+      |  CAST(pos AS BIGINT) AS n_pos,
+      |  ROUND(CAST(pos AS DOUBLE) / cnt, 6) AS raw_rate,
+      |  ROUND(CAST(fit9 AS DOUBLE) / 1000000000, 6) AS iso_rate
+      |FROM d JOIN fit ON d.decile = fit.dd
+      |ORDER BY decile""".stripMargin) { (s, d) =>
+    val (ranked, nTotal) = graft.plans.GlobalRank.withGlobalRowNumber(
+      scored(s, d), "rn", 32, col("cents"), col("o_orderkey"))
+    val dec = ranked
+      .select(
+        (expr(s"(rn - 1) * 10 DIV ${nTotal}L").cast(IntegerType) + 1)
+          .as("decile"),
+        col("label"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("cnt"), sum(col("label")).as("pos"))
+    // everything below runs on the bounded 10-row decile table
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val p = dec
+      .withColumn("c", sum(col("cnt")).over(wCum))
+      .withColumn("s", sum(col("pos")).over(wCum))
+      .select(col("decile").cast(LongType).as("dd"),
+        col("c").cast(LongType), col("s").cast(LongType))
+    val spark = s
+    import spark.implicits._
+    val p0 = Seq((0L, 0L, 0L)).toDF("dd", "c", "s").unionByName(p)
+    val ranges = p0.as("a").join(p0.as("b"), col("a.dd") < col("b.dd"))
+      .select(col("a.dd").as("jm1"), col("b.dd").as("k"),
+        expr("((b.s - a.s) * 1000000000) DIV (b.c - a.c)").as("mean9"))
+    val ds = s.range(1, 11).select(col("id").as("dd"))
+    val innr = ds.join(ranges,
+        col("jm1") <= col("dd") - 1 && col("k") >= col("dd"))
+      .groupBy("dd", "jm1").agg(min(col("mean9")).as("mn"))
+    val fit = innr.groupBy("dd").agg(max(col("mn")).as("fit9"))
+    dec.join(fit, col("decile") === col("dd"))
+      .select(col("decile"), col("cnt").cast(LongType).as("n_rows"),
+        col("pos").cast(LongType).as("n_pos"),
+        round(col("pos").cast(DoubleType) / col("cnt"), 6).as("raw_rate"),
+        round(col("fit9").cast(DoubleType) / 1000000000L, 6)
+          .as("iso_rate"))
+      .orderBy("decile")
+  }
+
+  val all: Seq[Q] = Seq(qIsotonic, qAuc, qLiftDeciles, qConfusionMatrix,
     qCalibration, qMrr, qIpsEstimate, qMapAtK, qFeatureCorrTarget)
 }

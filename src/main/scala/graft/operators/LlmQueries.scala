@@ -3209,9 +3209,82 @@ object LlmQueries {
       .orderBy("cluster")
   }
 
+  /** Canonical-document selection — the curation ACTION the dedup
+    * family's pair/cluster detectors feed: cluster by stopword-stripped
+    * content hash (so near-identical variants collide) and keep the
+    * highest-quality member (q_text_quality's score, quantized to an
+    * integer; ties break on the lowest doc_id). Planted variants
+    * (every 50th doc + appended stopwords) verify the keeper is chosen
+    * by QUALITY, not id. One shuffle on the 16-byte cluster key; the
+    * keeper argmax is a key-partitioned window over cluster-sized
+    * groups. */
+  val qDedupCanonical = Q(
+    "q_dedup_canonical",
+    """WITH docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    concat(text, ' the of the a') AS text
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |feats AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_filter(string_split(text, ' '),
+      |      t -> t NOT IN ('the', 'a', 'of', 'and', 'to')), ' '))
+      |      AS cluster_key,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+      |  FROM docs2),
+      |q AS (
+      |  SELECT doc_id, cluster_key,
+      |    CAST(ROUND((least(n_tokens / 100.0, 1.0) * 0.5
+      |      + CAST(n_stop AS DOUBLE) / n_tokens * 0.5) * 1000000)
+      |      AS BIGINT) AS q6
+      |  FROM feats),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY cluster_key
+      |      ORDER BY q6 DESC, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY cluster_key) AS n_members
+      |  FROM q)
+      |SELECT cluster_key, CAST(n_members AS BIGINT) AS n_members,
+      |  doc_id AS keeper_doc_id,
+      |  ROUND(CAST(q6 AS DOUBLE) / 1000000, 6) AS keeper_quality
+      |FROM r WHERE rk = 1 AND n_members > 1
+      |ORDER BY cluster_key""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val stops = Seq("the", "a", "of", "and", "to")
+    val docs = t(s, d, "documents")
+    val docs2 = docs.select(col("doc_id"), col("text")).unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" the of the a")).as("text")))
+    val toks = split(col("text"), " ")
+    val q = docs2.select(col("doc_id"),
+        md5(array_join(filter(toks,
+          tk => !tk.isin(stops: _*)), " ")).as("cluster_key"),
+        size(toks).as("n_tokens"),
+        size(filter(toks, tk => tk.isin(stops: _*))).as("n_stop"))
+      .select(col("doc_id"), col("cluster_key"),
+        round((least(col("n_tokens") / 100.0, lit(1.0)) * 0.5
+          + col("n_stop").cast(DoubleType) / col("n_tokens") * 0.5)
+          * 1000000).cast(LongType).as("q6"))
+    val wK = Window.partitionBy("cluster_key")
+      .orderBy(col("q6").desc, col("doc_id"))
+    val wC = Window.partitionBy("cluster_key")
+    q.withColumn("rk", row_number().over(wK))
+      .withColumn("n_members", count(lit(1)).over(wC))
+      .filter(col("rk") === 1 && col("n_members") > 1)
+      .select(col("cluster_key"),
+        col("n_members").cast(LongType).as("n_members"),
+        col("doc_id").as("keeper_doc_id"),
+        round(col("q6").cast(DoubleType) / 1000000, 6)
+          .as("keeper_quality"))
+      .orderBy("cluster_key")
+  }
+
   val all: Seq[Q] = Seq(
     qRrfFusion, qSemdedup, qTokenizerFertility,
-    qRankOverlap, qSilhouette,
+    qRankOverlap, qSilhouette, qDedupCanonical,
     qTypeTokenRatio, qVocabGrowth, qEmdSources, qSourceOverlap,
     qLogOddsTerms, qTfidfCosinePairs, qShingleDfProfile,
     qJsDivergence, qPerplexity, qReadability, qEmbedNorms,

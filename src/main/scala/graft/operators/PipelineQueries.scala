@@ -1390,7 +1390,85 @@ object PipelineQueries {
       .orderBy("table_name")
   }
 
+  /** Neyman allocation of a fixed n = 1000 sample budget across market
+    * segments (n_h ∝ N_h·σ_h) — the variance-optimal stratified design
+    * that q_stratified_sample then executes. σ_h quantizes once to an
+    * integer (·10³) off exact DECIMAL(38) moments, the weights
+    * N_h·σ3_h are exact integers, and the largest-remainder rounding is
+    * pure integer DIV/mod with a (remainder desc, segment) tie order —
+    * fully reproducible; every window runs on the bounded
+    * &#124;segment&#124; table. */
+  val qNeymanAlloc = Q(
+    "q_neyman_alloc",
+    """WITH x AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |seg AS (
+      |  SELECT segment, count(*) AS n_pop,
+      |    sum(CAST(cents AS HUGEINT)) AS s1,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS s2
+      |  FROM x GROUP BY 1),
+      |w AS (
+      |  SELECT segment, n_pop,
+      |    CAST(ROUND(sqrt((CAST(s2 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * s1 / n_pop) / n_pop) * 1000)
+      |      AS BIGINT) AS sigma3
+      |  FROM seg),
+      |ww AS (
+      |  SELECT segment, n_pop, sigma3,
+      |    CAST(n_pop AS HUGEINT) * sigma3 AS wgt
+      |  FROM w),
+      |tw AS (SELECT sum(wgt) AS tot FROM ww),
+      |base AS (
+      |  SELECT segment, n_pop, sigma3, wgt,
+      |    (wgt * 1000) // tot AS n_base, (wgt * 1000) % tot AS rem
+      |  FROM ww, tw),
+      |lo AS (SELECT 1000 - sum(n_base) AS leftover FROM base),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY rem DESC, segment) AS r
+      |  FROM base)
+      |SELECT segment, CAST(n_pop AS BIGINT) AS n_pop,
+      |  ROUND(CAST(sigma3 AS DOUBLE) / 1000, 6) AS sigma,
+      |  CAST(n_base + CASE WHEN r <= lo.leftover THEN 1 ELSE 0 END
+      |    AS BIGINT) AS n_alloc
+      |FROM rk, lo ORDER BY segment""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val x = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val seg = x.groupBy("segment")
+      .agg(count(lit(1)).as("n_pop"),
+        sum(col("cents").cast(big38)).as("s1"),
+        sum(col("cents").cast(big38) * col("cents")).as("s2"))
+    val w = seg.select(col("segment"), col("n_pop"),
+      round(sqrt((col("s2").cast(DoubleType)
+        - col("s1").cast(DoubleType) * col("s1").cast(DoubleType)
+          / col("n_pop")) / col("n_pop")) * 1000).cast(LongType)
+        .as("sigma3"))
+    val ww = w.withColumn("wgt",
+      col("n_pop").cast(big38) * col("sigma3"))
+    val tw = ww.agg(sum(col("wgt")).as("tot"))
+    val base = ww.crossJoin(broadcast(tw))
+      .select(col("segment"), col("n_pop"), col("sigma3"), col("wgt"),
+        expr("CAST(wgt * 1000 DIV tot AS DECIMAL(38,0))").as("n_base"),
+        expr("CAST((wgt * 1000) % tot AS DECIMAL(38,0))").as("rem"))
+    val lo = base.agg((lit(1000).cast(big38) - sum(col("n_base")))
+      .as("leftover"))
+    val rk = base.withColumn("r",
+      row_number().over(Window.orderBy(col("rem").desc, col("segment"))))
+    rk.crossJoin(broadcast(lo))
+      .select(col("segment"), col("n_pop").cast(LongType).as("n_pop"),
+        round(col("sigma3").cast(DoubleType) / 1000, 6).as("sigma"),
+        (col("n_base") + when(col("r") <= col("leftover"), 1)
+          .otherwise(0)).cast(LongType).as("n_alloc"))
+      .orderBy("segment")
+  }
+
   val all: Seq[Q] = Seq(
+    qNeymanAlloc,
     qTCloseness, qLagFeatures, qErasureAudit,
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
     qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,

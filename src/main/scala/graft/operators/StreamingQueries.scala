@@ -383,10 +383,51 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** Per-type PSI drift vs the pooled distribution, off the
+    * incrementally-maintained (type, bucket) histogram
+    * (`StreamOps.incrementalPsi`, 9th incremental maintainer): additive
+    * count merges make the histogram batch-boundary-independent, so the
+    * final PSI equals this whole-history recompute (the oracle); each
+    * Laplace-smoothed term quantizes to ·10⁹ over the bounded 16-bucket
+    * grid before summing. */
+  val qStreamPsi = Q(
+    "q_stream_psi",
+    """WITH q AS (
+      |  SELECT event_type,
+      |    LEAST(15, CAST(floor(value / 10) AS BIGINT)) AS bucket
+      |  FROM events),
+      |h AS (
+      |  SELECT event_type, bucket, count(*) AS cnt FROM q GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, g.bucket
+      |  FROM (SELECT DISTINCT event_type FROM h) t,
+      |    generate_series(0, 15) g(bucket)),
+      |fh AS (
+      |  SELECT grid.event_type, grid.bucket, COALESCE(h.cnt, 0) AS cnt
+      |  FROM grid LEFT JOIN h USING (event_type, bucket)),
+      |pt AS (SELECT event_type, sum(cnt) AS n_t FROM fh GROUP BY 1),
+      |pb AS (SELECT bucket, sum(cnt) AS n_b FROM fh GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS n FROM fh),
+      |terms AS (
+      |  SELECT f.event_type, pt.n_t,
+      |    CAST(ROUND(
+      |      ((CAST(f.cnt + 1 AS DOUBLE) / (pt.n_t + 16))
+      |        - (CAST(pb.n_b + 1 AS DOUBLE) / (tot.n + 16)))
+      |      * ln((CAST(f.cnt + 1 AS DOUBLE) / (pt.n_t + 16))
+      |        / (CAST(pb.n_b + 1 AS DOUBLE) / (tot.n + 16)))
+      |      * 1000000000) AS BIGINT) AS t9
+      |  FROM fh f JOIN pt USING (event_type) JOIN pb USING (bucket), tot)
+      |SELECT event_type, CAST(max(n_t) AS BIGINT) AS n_rows,
+      |  ROUND(CAST(sum(t9) AS DOUBLE) / 1000000000, 6) AS psi
+      |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    StreamOps.incrementalPsi(s, d,
+      s"target/stream_psi_${math.abs(d.hashCode)}")
+  }
+
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg,
     qStreamIntervalJoin, qStreamChecksum, qStreamTopk, qStreamUpsert,
     qStreamQuantile, qStreamMinmax, qStreamFirstSeen, qStreamBloom,
-    qStreamMoments)
+    qStreamMoments, qStreamPsi)
 }

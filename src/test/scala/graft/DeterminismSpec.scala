@@ -127,7 +127,11 @@ class DeterminismSpec extends SparkTestBase {
     // round 7 twelfth batch: depth-grid RBO integer terms, bounded
     // k-list silhouette sorts, chained stage-join funnels
     LlmQueries.qRankOverlap, LlmQueries.qSilhouette,
-    AnalyticsQueries.qFunnelWindowed)
+    AnalyticsQueries.qFunnelWindowed,
+    // round 7 thirteenth batch: largest-remainder integer allocation,
+    // content-hash keeper argmax, minimax PAV lattice
+    PipelineQueries.qNeymanAlloc, LlmQueries.qDedupCanonical,
+    EvalQueries.qIsotonic)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

@@ -395,6 +395,23 @@ class StreamingSpec extends SparkTestBase {
     assert(versions != null && versions.count(_.startsWith("v")) >= 2)
   }
 
+  test("incrementalPsi histogram is batch-boundary-independent and PSI " +
+      "matches the one-shot recompute") {
+    val p4 = StreamOps.incrementalPsi(spark, sf, "target/test_psi4")
+    val p2 = StreamOps.incrementalPsi(spark, sf, "target/test_psi2", 2)
+    assert(p4.exceptAll(p2).isEmpty && p2.exceptAll(p4).isEmpty)
+    val direct = StreamOps.psiFromHistogram(
+      Tables.load(spark, sf, "events")
+        .select(col("event_type"),
+          least(lit(15L), floor(col("value") / 10)).cast("long")
+            .as("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("cnt")))
+    assert(p4.exceptAll(direct).isEmpty && direct.exceptAll(p4).isEmpty)
+    val versions = new java.io.File("target/test_psi4/state").list()
+    assert(versions != null && versions.count(_.startsWith("v")) >= 2)
+  }
+
   test("incrementalBloom: no false negatives, low FP, boundary-independent") {
     val b4 = StreamOps.incrementalBloom(spark, sf, "target/test_bloom4")
     val row = b4.head
