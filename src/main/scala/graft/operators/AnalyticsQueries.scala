@@ -4416,9 +4416,12 @@ object AnalyticsQueries {
       |      ELSE 6 END AS w
       |  FROM (
       |    SELECT o_totalprice, b,
-      |      CAST(concat('0x', substr(md5(concat(CAST(o_orderkey AS VARCHAR),
-      |        ':', CAST(b AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS u
-      |    FROM orders, generate_series(1, 200) t(b)) h),
+      |      (h60 + b * 2654435761) % 1000000 AS u
+      |    FROM (
+      |      SELECT o_totalprice, o_orderkey,
+      |        CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+      |          1, 15)) AS BIGINT) AS h60
+      |      FROM orders) o, generate_series(1, 200) t(b)) h),
       |mb AS (
       |  SELECT b, (sum(CAST(w AS HUGEINT) * cents) * 1000) // sum(w)
       |    AS mean3
@@ -4449,13 +4452,19 @@ object AnalyticsQueries {
       |FROM q, pt""".stripMargin) { (s, d) =>
     val big38 = DecimalType(38, 0)
     val orders = t(s, d, "orders")
-    val h = orders.select(
+    // ONE md5 per row, then 200 per-resample streams by integer mixing
+    // (Knuth multiplicative constant). The localCheckpoint is the fence
+    // that KEEPS it one-per-row: CollapseProject would otherwise inline
+    // the hash into the post-explode projection and evaluate it per
+    // (row, b) — 200× the md5 cost on the hot path.
+    val base = orders.select(
         (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
-        col("o_orderkey"),
+        graft.llm.TextOps.hash60(col("o_orderkey").cast(StringType))
+          .as("h60"))
+      .localCheckpoint()
+    val h = base.select(col("cents"), col("h60"),
         explode(sequence(lit(1), lit(200))).as("b"))
-      .withColumn("u", graft.llm.TextOps.hash60(
-        concat(col("o_orderkey").cast(StringType), lit(":"),
-          col("b").cast(StringType))) % 1000000L)
+      .withColumn("u", (col("h60") + col("b") * 2654435761L) % 1000000L)
       .withColumn("w",
         when(col("u") < 367879, 0L).when(col("u") < 735759, 1L)
           .when(col("u") < 919699, 2L).when(col("u") < 981012, 3L)
@@ -4857,7 +4866,152 @@ object AnalyticsQueries {
       .orderBy("step")
   }
 
+  /** Sequential probability ratio test (Wald SPRT) on the urgent-order
+    * rate — H0 p=0.18 vs H1 p=0.22, boundaries ±ln(19) (α=β=0.05) —
+    * monitoring the order stream in arrival order: the always-valid
+    * sequential companion to q_abtest_ztest's fixed-horizon test. Each
+    * order contributes one of two PRE-QUANTIZED integer log-likelihood
+    * increments (hardcoded ·10⁹ — no runtime transcendentals anywhere),
+    * the trajectory is a GlobalRank distributed running sum (no
+    * data-sized window), and the crossing scan is two conditional mins.
+    */
+  val qSprt = Q(
+    "q_sprt",
+    """WITH x AS (
+      |  SELECT CASE WHEN o_orderpriority = '1-URGENT'
+      |      THEN 200670695 ELSE -50010421 END AS llr9,
+      |    row_number() OVER (ORDER BY epoch_us(o_orderdate), o_orderkey)
+      |      AS rn
+      |  FROM orders),
+      |c AS (
+      |  SELECT rn, sum(CAST(llr9 AS HUGEINT)) OVER (ORDER BY rn) AS cum
+      |  FROM x),
+      |s AS (
+      |  SELECT count(*) AS n_orders,
+      |    min(CASE WHEN cum >= 2944438979 THEN rn END) AS up_rn,
+      |    min(CASE WHEN cum <= -2944438979 THEN rn END) AS dn_rn,
+      |    max(CASE WHEN rn = (SELECT max(rn) FROM c) THEN cum END)
+      |      AS cum_end
+      |  FROM c)
+      |SELECT CAST(n_orders AS BIGINT) AS n_orders,
+      |  CAST(CASE WHEN up_rn IS NOT NULL
+      |      AND (dn_rn IS NULL OR up_rn < dn_rn) THEN up_rn
+      |    WHEN dn_rn IS NOT NULL THEN dn_rn END AS BIGINT)
+      |    AS first_cross_rn,
+      |  CASE WHEN up_rn IS NOT NULL AND (dn_rn IS NULL OR up_rn < dn_rn)
+      |      THEN 'reject_h0'
+      |    WHEN dn_rn IS NOT NULL THEN 'accept_h0'
+      |    ELSE 'continue' END AS decision,
+      |  ROUND(CAST(cum_end AS DOUBLE) / 1000000000, 6) AS llr_end
+      |FROM s""".stripMargin) { (s, d) =>
+    val x = t(s, d, "orders").select(
+      when(col("o_orderpriority") === "1-URGENT", 200670695L)
+        .otherwise(-50010421L).as("llr9"),
+      unix_micros(col("o_orderdate").cast(TimestampType)).as("dus"),
+      col("o_orderkey"))
+    // withGlobalRunningSum's second return IS the grand total (the
+    // trajectory's endpoint); withGlobalRowNumber's is the row count
+    val (cumDf, llrTotal) = graft.plans.GlobalRank.withGlobalRunningSum(
+      x, col("llr9"), "cum", 32, col("dus"), col("o_orderkey"))
+    val (ranked, nRows) = graft.plans.GlobalRank.withGlobalRowNumber(
+      cumDf.select("dus", "o_orderkey", "cum"), "rn", 32,
+      col("dus"), col("o_orderkey"))
+    val st = ranked.agg(
+      min(when(col("cum") >= 2944438979L, col("rn"))).as("up_rn"),
+      min(when(col("cum") <= -2944438979L, col("rn"))).as("dn_rn"))
+      .withColumn("cum_end", lit(llrTotal))
+    st.select(lit(nRows).as("n_orders"),
+        when(col("up_rn").isNotNull &&
+            (col("dn_rn").isNull || col("up_rn") < col("dn_rn")),
+          col("up_rn"))
+          .when(col("dn_rn").isNotNull, col("dn_rn"))
+          .cast(LongType).as("first_cross_rn"),
+        when(col("up_rn").isNotNull &&
+            (col("dn_rn").isNull || col("up_rn") < col("dn_rn")),
+          "reject_h0")
+          .when(col("dn_rn").isNotNull, "accept_h0")
+          .otherwise("continue").as("decision"),
+        round(col("cum_end").cast(DoubleType) / 1000000000L, 6)
+          .as("llr_end"))
+  }
+
+  /** Personalized PageRank (2 damped iterations) on the q_pagerank
+    * customer→supplier nation graph, with the restart distribution
+    * concentrated on BUILDING customers' nations — "which supplier
+    * nations matter to THIS segment", the seeded variant of the global
+    * rank. Same per-iteration shape (one aggregated-edge shuffle +
+    * node-sized broadcasts) via plans.PageRank.iteratePersonalized; the
+    * oracle unrolls both iterations. */
+  val qPpr = Q(
+    "q_ppr",
+    """WITH e AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+      |    CAST(count(*) AS DOUBLE) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+      |bt AS (SELECT count(*) AS nb FROM customer
+      |       WHERE c_mktsegment = 'BUILDING'),
+      |tpv AS (
+      |  SELECT c_nationkey AS id, CAST(count(*) AS DOUBLE) / bt.nb AS tp
+      |  FROM customer, bt WHERE c_mktsegment = 'BUILDING'
+      |  GROUP BY c_nationkey, bt.nb),
+      |tp0 AS (
+      |  SELECT n_nationkey AS id, coalesce(tpv.tp, 0) AS tp
+      |  FROM nation LEFT JOIN tpv ON n_nationkey = tpv.id),
+      |c1 AS (
+      |  SELECT e.dst, sum(tp0.tp * e.w / ow.outw) AS inflow
+      |  FROM e JOIN tp0 ON e.src = tp0.id JOIN ow ON e.src = ow.src
+      |  GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT tp0.id, tp0.tp,
+      |    0.15000000000000002 * tp0.tp
+      |      + 0.85 * coalesce(c1.inflow, 0) AS pr
+      |  FROM tp0 LEFT JOIN c1 ON c1.dst = tp0.id),
+      |c2 AS (
+      |  SELECT e.dst, sum(r1.pr * e.w / ow.outw) AS inflow
+      |  FROM e JOIN r1 ON e.src = r1.id JOIN ow ON e.src = ow.src
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT r1.id,
+      |    0.15000000000000002 * r1.tp
+      |      + 0.85 * coalesce(c2.inflow, 0) AS pr
+      |  FROM r1 LEFT JOIN c2 ON c2.dst = r1.id)
+      |SELECT id AS nation_id, ROUND(pr, 6) AS ppr
+      |FROM r2 ORDER BY nation_id""".stripMargin) { (s, d) =>
+    val edgesDist = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer")
+          .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).cast(DoubleType).as("w"))
+    // bounded nations² edge table, re-read per iteration (q_pagerank's
+    // local-relation materialization, same rationale)
+    val edges = s.createDataFrame(
+      s.sparkContext.parallelize(edgesDist.collect().toIndexedSeq, 1),
+      edgesDist.schema)
+    val nodes = t(s, d, "nation").select(col("n_nationkey").as("id"))
+    val b = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val nb = b.count().toDouble
+    val teleport = b.groupBy(col("c_nationkey").as("id"))
+      .agg((count(lit(1)).cast(DoubleType) / nb).as("tp"))
+    graft.plans.PageRank
+      .iteratePersonalized(nodes, edges, teleport, iters = 2,
+        damping = 0.85)
+      .select(col("id").as("nation_id"), round(col("rank"), 6).as("ppr"))
+      .orderBy("nation_id")
+  }
+
   val all: Seq[Q] = Seq(
+    qSprt, qPpr,
     qKcore, qGrowthAccounting, qSaxSymbols, qFunnelWindowed,
     qLogrankTest, qFdrBh, qCusum, qBootstrapCi, qPriceElasticity,
     qOutlierIqr, qChurnLabel, qAbSrm, qTheilSen, qJaccardNeighbors,

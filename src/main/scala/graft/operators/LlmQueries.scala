@@ -2757,19 +2757,27 @@ object LlmQueries {
       .select(col("doc_id"), col("term"),
         round(col("c") * log(col("n").cast(DoubleType) / col("df"))
           * 10000L).cast(LongType).as("w4"))
-    val norms = w.groupBy("doc_id")
+    // The (doc, shingle, w4) table feeds FOUR consumers (norms, both
+    // sides of the candidate join, both sides of the dot join) — without
+    // a lineage barrier each consumer replays the 2000-position explode
+    // over the whole corpus (measured 75 s at sf0.1; ~3 s checkpointed).
+    val wm = w.localCheckpoint()
+    val norms = wm.groupBy("doc_id")
       .agg(sum(col("w4").cast(big38) * col("w4").cast(big38)).as("n2"))
     val rare = df.filter(col("df").between(2, 10)).select("term")
-    val cand = w.select(col("doc_id").as("da"), col("term"))
-      .join(w.select(col("doc_id").as("db"), col("term").as("tb")),
+    // restrict to rare shingles BEFORE the self-join: candidates need a
+    // shared RARE shingle, so joining the full weight table on term
+    // first would blow up on high-df shingles (df² pairs per term)
+    val wr = wm.join(broadcast(rare.withColumnRenamed("term", "rt")),
+      col("term") === col("rt")).select("doc_id", "term")
+    val cand = wr.select(col("doc_id").as("da"), col("term"))
+      .join(wr.select(col("doc_id").as("db"), col("term").as("tb")),
         col("term") === col("tb") && col("da") < col("db"))
-      .join(broadcast(rare.withColumnRenamed("term", "rt")),
-        col("term") === col("rt"))
       .select("da", "db").distinct()
     val dots = cand
-      .join(w.select(col("doc_id").as("da"), col("term"),
+      .join(wm.select(col("doc_id").as("da"), col("term"),
         col("w4").as("w4a")), Seq("da"))
-      .join(w.select(col("doc_id").as("db2"), col("term").as("termb"),
+      .join(wm.select(col("doc_id").as("db2"), col("term").as("termb"),
         col("w4").as("w4b")),
         col("db") === col("db2") && col("term") === col("termb"))
       .groupBy("da", "db")
@@ -3282,9 +3290,55 @@ object LlmQueries {
       .orderBy("cluster_key")
   }
 
+  /** Hashing-trick featurization audit: per document (first 200), the
+    * 4096-bucket feature-hash load — distinct terms, occupied buckets,
+    * and collisions (terms sharing a bucket) — the signature every
+    * hashed bag-of-words / Vowpal-style featurizer needs checked before
+    * training. Bucket = md5-hash(term) mod 4096 (engine-identical); one
+    * tokenize pass, doc-keyed exact distinct aggregates, nothing wider
+    * than the (doc, term) table. */
+  val qFeatureHashing = Q(
+    "q_feature_hashing",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE doc_id < 200),
+      |tc AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1),
+      |d AS (SELECT DISTINCT doc_id, term FROM toks),
+      |b AS (
+      |  SELECT doc_id, term,
+      |    CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % 4096
+      |      AS bucket
+      |  FROM d),
+      |x AS (
+      |  SELECT doc_id, count(*) AS n_terms,
+      |    count(DISTINCT bucket) AS nnz
+      |  FROM b GROUP BY 1)
+      |SELECT x.doc_id, CAST(tc.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(x.n_terms AS BIGINT) AS n_terms,
+      |  CAST(x.nnz AS BIGINT) AS nnz,
+      |  CAST(x.n_terms - x.nnz AS BIGINT) AS collisions
+      |FROM x JOIN tc ON x.doc_id = tc.doc_id
+      |ORDER BY x.doc_id""".stripMargin) { (s, d) =>
+    val toks = t(s, d, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tc = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val b = toks.distinct()
+      .withColumn("bucket", TextOps.hash60(col("term")) % 4096L)
+    val x = b.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        countDistinct(col("bucket")).as("nnz"))
+    x.join(tc, "doc_id")
+      .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
+        col("n_terms").cast(LongType).as("n_terms"),
+        col("nnz").cast(LongType).as("nnz"),
+        (col("n_terms") - col("nnz")).cast(LongType).as("collisions"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     qRrfFusion, qSemdedup, qTokenizerFertility,
-    qRankOverlap, qSilhouette, qDedupCanonical,
+    qRankOverlap, qSilhouette, qDedupCanonical, qFeatureHashing,
     qTypeTokenRatio, qVocabGrowth, qEmdSources, qSourceOverlap,
     qLogOddsTerms, qTfidfCosinePairs, qShingleDfProfile,
     qJsDivergence, qPerplexity, qReadability, qEmbedNorms,

@@ -1467,8 +1467,54 @@ object PipelineQueries {
       .orderBy("segment")
   }
 
+  /** Differentially-private count release (geometric mechanism, ε = 1):
+    * per-segment counts plus discrete-Laplace noise sampled by inverse
+    * CDF as the difference of two geometrics G = ⌊−ln(u)⌋. The noise
+    * stream is a SEEDED md5-hash PRNG so the oracle can reproduce the
+    * release bit-for-bit (the q_multimodal_decode stub pattern — swap a
+    * real entropy source in production; everything else, sensitivity-1
+    * counts and the mechanism algebra, is the real DP plumbing).
+    * Completes the governance family: k-anon, l-div, t-closeness,
+    * erasure, DP release. */
+  val qDpCount = Q(
+    "q_dp_count",
+    """WITH seg AS (
+      |  SELECT c_mktsegment AS segment, count(*) AS n_true
+      |  FROM customer GROUP BY 1),
+      |u AS (
+      |  SELECT segment, n_true,
+      |    (CAST(concat('0x', substr(md5(concat(segment, ':1')), 1, 15))
+      |      AS BIGINT) % 1000000 + 0.5) / 1000000 AS u1,
+      |    (CAST(concat('0x', substr(md5(concat(segment, ':2')), 1, 15))
+      |      AS BIGINT) % 1000000 + 0.5) / 1000000 AS u2
+      |  FROM seg),
+      |z AS (
+      |  SELECT segment, n_true,
+      |    CAST(floor(-ln(u1)) AS BIGINT)
+      |      - CAST(floor(-ln(u2)) AS BIGINT) AS noise
+      |  FROM u)
+      |SELECT segment, CAST(n_true AS BIGINT) AS n_true, noise,
+      |  CAST(n_true + noise AS BIGINT) AS n_released
+      |FROM z ORDER BY segment""".stripMargin) { (s, d) =>
+    val seg = t(s, d, "customer")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_true"))
+    val h = graft.llm.TextOps.hash60 _
+    def u(tag: String) =
+      ((h(concat(col("segment"), lit(s":$tag"))) % 1000000L)
+        .cast(DoubleType) + lit(0.5)) / 1000000L
+    seg
+      .withColumn("noise",
+        floor(-log(u("1"))).cast(LongType)
+          - floor(-log(u("2"))).cast(LongType))
+      .select(col("segment"), col("n_true").cast(LongType).as("n_true"),
+        col("noise"), (col("n_true") + col("noise")).cast(LongType)
+          .as("n_released"))
+      .orderBy("segment")
+  }
+
   val all: Seq[Q] = Seq(
-    qNeymanAlloc,
+    qNeymanAlloc, qDpCount,
     qTCloseness, qLagFeatures, qErasureAudit,
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,
     qIncrAgg, qScd2Dim, qScd2Lookup, qJoinBloom,

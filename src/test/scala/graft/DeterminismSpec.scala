@@ -131,7 +131,11 @@ class DeterminismSpec extends SparkTestBase {
     // round 7 thirteenth batch: largest-remainder integer allocation,
     // content-hash keeper argmax, minimax PAV lattice
     PipelineQueries.qNeymanAlloc, LlmQueries.qDedupCanonical,
-    EvalQueries.qIsotonic)
+    EvalQueries.qIsotonic,
+    // round 7 fourteenth batch: pre-quantized llr running sums, seeded
+    // teleport iterations, hash-PRNG noise, mod-bucket collision counts
+    AnalyticsQueries.qSprt, AnalyticsQueries.qPpr,
+    PipelineQueries.qDpCount, LlmQueries.qFeatureHashing)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
