@@ -21,7 +21,8 @@ object SparkEntry {
       operators.LlmQueries.all ++
       operators.PipelineQueries.all ++
       operators.AnalyticsQueries.all ++
-      operators.EvalQueries.all
+      operators.EvalQueries.all ++
+      operators.StatQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -135,7 +135,11 @@ class DeterminismSpec extends SparkTestBase {
     // round 7 fourteenth batch: pre-quantized llr running sums, seeded
     // teleport iterations, hash-PRNG noise, mod-bucket collision counts
     AnalyticsQueries.qSprt, AnalyticsQueries.qPpr,
-    PipelineQueries.qDpCount, LlmQueries.qFeatureHashing)
+    PipelineQueries.qDpCount, LlmQueries.qFeatureHashing,
+    // round 7 fifteenth batch: 4th-moment DECIMAL(38) sums, median-
+    // centered integer ANOVA, GlobalRank per-group trim offsets
+    StatQueries.qJarqueBera, StatQueries.qLevene,
+    StatQueries.qTrimmedMean)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
