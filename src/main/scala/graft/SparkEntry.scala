@@ -22,7 +22,8 @@ object SparkEntry {
       operators.PipelineQueries.all ++
       operators.AnalyticsQueries.all ++
       operators.EvalQueries.all ++
-      operators.StatQueries.all
+      operators.StatQueries.all ++
+      operators.CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -5010,7 +5010,231 @@ object AnalyticsQueries {
       .orderBy("nation_id")
   }
 
+  /** Standardized (adjusted) Pearson residuals per contingency cell —
+    * WHICH (segment, priority) cells drive the q_cramers_v association.
+    * Same shared contingency aggregate (one fact scan, bounded ≤25-row
+    * cell table); each residual is a per-row closed form over exact
+    * HUGEINT marginals, so nothing double is ever summed. */
+  val qCrosstabResiduals = Q(
+    "q_crosstab_residuals",
+    s"""WITH $contingencySql
+      |SELECT seg, prio, CAST(o AS BIGINT) AS observed,
+      |  ROUND(CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE), 4) AS expected,
+      |  ROUND((CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / sqrt(CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * (1 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (1 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+      |    AS std_resid
+      |FROM marg ORDER BY seg, prio""".stripMargin) { (s, d) =>
+    contingency(s, d).select(col("seg"), col("prio"),
+      col("o").cast(LongType).as("observed"),
+      round((col("r") * col("c")).cast(DoubleType)
+        / col("n").cast(DoubleType), 4).as("expected"),
+      round((col("o").cast(DoubleType)
+        - (col("r") * col("c")).cast(DoubleType) / col("n").cast(DoubleType))
+        / sqrt((col("r") * col("c")).cast(DoubleType)
+            / col("n").cast(DoubleType)
+          * (lit(1) - col("r").cast(DoubleType) / col("n").cast(DoubleType))
+          * (lit(1) - col("c").cast(DoubleType) / col("n").cast(DoubleType))),
+          6).as("std_resid"))
+      .orderBy("seg", "prio")
+  }
+
+  /** Theil's uncertainty coefficient U(priority|segment): the fraction
+    * of priority entropy explained by knowing the segment — the
+    * DIRECTIONAL categorical-association readout next to the symmetric
+    * q_cramers_v / q_mutual_info. Each entropy term quantizes to a ·10⁹
+    * integer before the bounded-domain sum (the cramers_v idiom), so the
+    * folds are merge-order-proof. */
+  val qTheilsU = Q(
+    "q_theils_u",
+    s"""WITH $contingencySql,
+      |hy AS (
+      |  SELECT sum(CAST(ROUND(
+      |      -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000000)
+      |    AS BIGINT)) AS h9
+      |  FROM (SELECT DISTINCT prio, c, n FROM marg) x),
+      |hc AS (
+      |  SELECT sum(CAST(ROUND(
+      |      -(CAST(o AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * ln(CAST(o AS DOUBLE) / CAST(r AS DOUBLE)) * 1000000000)
+      |    AS BIGINT)) AS h9
+      |  FROM marg WHERE o > 0)
+      |SELECT ROUND(CAST(hy.h9 AS DOUBLE) / 1000000000, 6) AS h_prio,
+      |  ROUND(CAST(hc.h9 AS DOUBLE) / 1000000000, 6) AS h_prio_given_seg,
+      |  ROUND(CAST(hy.h9 - hc.h9 AS DOUBLE) / CAST(hy.h9 AS DOUBLE), 6)
+      |    AS theils_u
+      |FROM hy, hc""".stripMargin) { (s, d) =>
+    val marg = contingency(s, d)
+    val hy = marg.select("prio", "c", "n").distinct()
+      .agg(sum(round(-(col("c").cast(DoubleType) / col("n").cast(DoubleType))
+          * log(col("c").cast(DoubleType) / col("n").cast(DoubleType))
+          * 1000000000L).cast(LongType)).as("h9y"))
+    val hc = marg.filter(col("o") > 0)
+      .agg(sum(round(-(col("o").cast(DoubleType) / col("n").cast(DoubleType))
+          * log(col("o").cast(DoubleType) / col("r").cast(DoubleType))
+          * 1000000000L).cast(LongType)).as("h9c"))
+    hy.crossJoin(broadcast(hc)).select(
+      round(col("h9y").cast(DoubleType) / 1000000000L, 6).as("h_prio"),
+      round(col("h9c").cast(DoubleType) / 1000000000L, 6)
+        .as("h_prio_given_seg"),
+      round((col("h9y") - col("h9c")).cast(DoubleType)
+        / col("h9y").cast(DoubleType), 6).as("theils_u"))
+  }
+
+  /** Kaplan-Meier quartile survival times: the first duration where the
+    * q_kaplan_meier curve crosses 0.75 / 0.50 / 0.25 (NULL while never
+    * crossed) — the "median customer lifetime" scalar planning actually
+    * consumes, next to the full curve. Same bounded post-aggregation
+    * chain as q_kaplan_meier (windows over ≤ distinct-duration rows,
+    * never facts); crossings are conditional mins over that table. */
+  val qSurvivalMedian = Q(
+    "q_survival_median",
+    """WITH cust AS (
+      |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d,
+      |    MAX(CAST(o_orderdate AS DATE)) AS last_d
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT MAX(last_d) AS m FROM cust),
+      |durs AS (
+      |  SELECT datediff('day', first_d, last_d) AS t,
+      |    CASE WHEN datediff('day', last_d, m) > 60 THEN 1 ELSE 0 END AS ev
+      |  FROM cust, mx),
+      |g AS (
+      |  SELECT t, sum(ev) AS d, count(*) AS nrow FROM durs GROUP BY t),
+      |ar AS (
+      |  SELECT t, d,
+      |    sum(nrow) OVER (ORDER BY t
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS at_risk
+      |  FROM g),
+      |sv AS (
+      |  SELECT t, d, at_risk,
+      |    CASE WHEN d >= at_risk THEN 0.0 ELSE exp(
+      |      sum(CASE WHEN d < at_risk
+      |        THEN ln(CAST(at_risk - d AS DOUBLE) / CAST(at_risk AS DOUBLE))
+      |        ELSE 0 END) OVER (ORDER BY t
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END AS s
+      |  FROM ar),
+      |ev AS (SELECT t, s FROM sv WHERE d > 0)
+      |SELECT
+      |  (SELECT CAST(max(at_risk) AS BIGINT) FROM ar) AS n_at_start,
+      |  CAST(min(CASE WHEN s <= 0.75 THEN t END) AS BIGINT) AS t_q75,
+      |  CAST(min(CASE WHEN s <= 0.5 THEN t END) AS BIGINT) AS t_median,
+      |  CAST(min(CASE WHEN s <= 0.25 THEN t END) AS BIGINT) AS t_q25,
+      |  CAST(max(t) AS BIGINT) AS t_max
+      |FROM ev""".stripMargin) { (s, d) =>
+    val cust = t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(min(col("o_orderdate").cast(DateType)).as("first_d"),
+        max(col("o_orderdate").cast(DateType)).as("last_d"))
+    val mx = cust.agg(max(col("last_d")).as("m"))
+    val durs = cust.crossJoin(broadcast(mx))
+      .select(datediff(col("last_d"), col("first_d")).as("t"),
+        when(datediff(col("m"), col("last_d")) > 60, 1L).otherwise(0L)
+          .as("ev"))
+    val g = durs.groupBy("t")
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("nrow"))
+    val wAr = Window.orderBy("t")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wSv = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ar = g.withColumn("at_risk", sum(col("nrow")).over(wAr))
+    val sv = ar.withColumn("s",
+      when(col("d") >= col("at_risk"), 0.0).otherwise(exp(
+        sum(when(col("d") < col("at_risk"),
+          log((col("at_risk") - col("d")).cast(DoubleType)
+            / col("at_risk").cast(DoubleType))).otherwise(lit(0.0)))
+          .over(wSv))))
+    val ev = sv.filter(col("d") > 0).select("t", "s")
+    val nStart = ar.agg(max(col("at_risk")).cast(LongType).as("n_at_start"))
+    ev.agg(
+        min(when(col("s") <= 0.75, col("t"))).cast(LongType).as("t_q75"),
+        min(when(col("s") <= 0.5, col("t"))).cast(LongType).as("t_median"),
+        min(when(col("s") <= 0.25, col("t"))).cast(LongType).as("t_q25"),
+        max(col("t")).cast(LongType).as("t_max"))
+      .crossJoin(broadcast(nStart))
+      .select(col("n_at_start"), col("t_q75"), col("t_median"),
+        col("t_q25"), col("t_max"))
+  }
+
+  /** Laspeyres / Paasche / Fisher price indexes 1995→1996 over parts
+    * traded in BOTH years — the warehouse inflation readout separating
+    * price change from volume/mix change. Per-(part, year) unit values
+    * come from exact cent/quantity sums; each part's four index terms
+    * quantize to ·10³ integers before the cross-part sum, so the folds
+    * are merge-order-proof; the three ratios are one-row finals. */
+  val qPriceIndex = Q(
+    "q_price_index",
+    """WITH py AS (
+      |  SELECT l_partkey AS pk, year(l_shipdate) AS y,
+      |    sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS HUGEINT)) AS cents,
+      |    sum(CAST(l_quantity AS HUGEINT)) AS qty
+      |  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+      |  GROUP BY 1, 2),
+      |b AS (
+      |  SELECT p0.pk,
+      |    CAST(p0.cents AS DOUBLE) / CAST(p0.qty AS DOUBLE) AS pr0,
+      |    CAST(p1.cents AS DOUBLE) / CAST(p1.qty AS DOUBLE) AS pr1,
+      |    CAST(p0.qty AS DOUBLE) AS q0, CAST(p1.qty AS DOUBLE) AS q1
+      |  FROM py p0 JOIN py p1 ON p0.pk = p1.pk
+      |  WHERE p0.y = 1995 AND p1.y = 1996),
+      |terms AS (
+      |  SELECT
+      |    CAST(ROUND(pr1 * q0 * 1000) AS HUGEINT) AS l_num,
+      |    CAST(ROUND(pr0 * q0 * 1000) AS HUGEINT) AS l_den,
+      |    CAST(ROUND(pr1 * q1 * 1000) AS HUGEINT) AS p_num,
+      |    CAST(ROUND(pr0 * q1 * 1000) AS HUGEINT) AS p_den
+      |  FROM b),
+      |agg AS (
+      |  SELECT count(*) AS n_parts, sum(l_num) AS ln_, sum(l_den) AS ld,
+      |    sum(p_num) AS pn, sum(p_den) AS pd
+      |  FROM terms)
+      |SELECT CAST(n_parts AS BIGINT) AS n_parts,
+      |  ROUND(CAST(ln_ AS DOUBLE) / CAST(ld AS DOUBLE), 6) AS laspeyres,
+      |  ROUND(CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE), 6) AS paasche,
+      |  ROUND(sqrt((CAST(ln_ AS DOUBLE) / CAST(ld AS DOUBLE))
+      |    * (CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE))), 6) AS fisher
+      |FROM agg""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val py = t(s, d, "lineitem")
+      .filter(year(col("l_shipdate")).isin(1995, 1996))
+      .groupBy(col("l_partkey").as("pk"), year(col("l_shipdate")).as("y"))
+      .agg(sum((dec2(col("l_extendedprice")) * 100).cast(LongType)
+        .cast(big38)).as("cents"),
+        sum(col("l_quantity").cast(LongType).cast(big38)).as("qty"))
+    val b = py.filter(col("y") === 1995)
+      .select(col("pk"), col("cents").as("c0"), col("qty").as("qty0"))
+      .join(py.filter(col("y") === 1996)
+        .select(col("pk"), col("cents").as("c1"), col("qty").as("qty1")),
+        "pk")
+      .select(col("pk"),
+        (col("c0").cast(DoubleType) / col("qty0").cast(DoubleType))
+          .as("pr0"),
+        (col("c1").cast(DoubleType) / col("qty1").cast(DoubleType))
+          .as("pr1"),
+        col("qty0").cast(DoubleType).as("q0"),
+        col("qty1").cast(DoubleType).as("q1"))
+    val terms = b.select(
+      round(col("pr1") * col("q0") * 1000).cast(big38).as("l_num"),
+      round(col("pr0") * col("q0") * 1000).cast(big38).as("l_den"),
+      round(col("pr1") * col("q1") * 1000).cast(big38).as("p_num"),
+      round(col("pr0") * col("q1") * 1000).cast(big38).as("p_den"))
+    val agg = terms.agg(count(lit(1)).as("n_parts"),
+      sum("l_num").as("ln_"), sum("l_den").as("ld"),
+      sum("p_num").as("pn"), sum("p_den").as("pd"))
+    agg.select(col("n_parts").cast(LongType).as("n_parts"),
+      round(col("ln_").cast(DoubleType) / col("ld").cast(DoubleType), 6)
+        .as("laspeyres"),
+      round(col("pn").cast(DoubleType) / col("pd").cast(DoubleType), 6)
+        .as("paasche"),
+      round(sqrt((col("ln_").cast(DoubleType) / col("ld").cast(DoubleType))
+        * (col("pn").cast(DoubleType) / col("pd").cast(DoubleType))), 6)
+        .as("fisher"))
+  }
+
   val all: Seq[Q] = Seq(
+    qCrosstabResiduals, qTheilsU, qSurvivalMedian, qPriceIndex,
     qSprt, qPpr,
     qKcore, qGrowthAccounting, qSaxSymbols, qFunnelWindowed,
     qLogrankTest, qFdrBh, qCusum, qBootstrapCi, qPriceElasticity,

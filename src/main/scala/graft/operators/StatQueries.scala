@@ -331,6 +331,481 @@ object StatQueries {
       .orderBy("prio")
   }
 
+  /** Simpson's-paradox screen: the discount→quantity association per
+    * return flag vs pooled across flags. All five co-moment sums are
+    * exact integers (discount is 2-dp ⇒ percent units are integral;
+    * quantity is integral), the pooled sums are exact integer adds of
+    * the 3 per-group rows, and each OLS slope is one double division.
+    * A per-group/pooled sign disagreement is the classic aggregation
+    * trap a segmentation dashboard must surface before anyone acts on
+    * the pooled number. */
+  val qSimpsons = Q(
+    "q_simpsons",
+    """WITH x AS (
+      |  SELECT l_returnflag AS grp,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS xd,
+      |    CAST(l_quantity AS BIGINT) AS yq
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(xd AS HUGEINT)) AS sx, sum(CAST(yq AS HUGEINT)) AS sy,
+      |    sum(CAST(xd AS HUGEINT) * yq) AS sxy,
+      |    sum(CAST(xd AS HUGEINT) * xd) AS sxx
+      |  FROM x GROUP BY grp),
+      |p AS (
+      |  SELECT sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+      |    sum(sxy) AS sxy, sum(sxx) AS sxx
+      |  FROM g),
+      |sl AS (
+      |  SELECT g.grp, g.n,
+      |    CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+      |      / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE) AS slope,
+      |    CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+      |      / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE) AS pooled
+      |  FROM g CROSS JOIN p)
+      |SELECT grp, CAST(n AS BIGINT) AS n, ROUND(slope, 6) AS slope,
+      |  ROUND(pooled, 6) AS pooled_slope,
+      |  CASE WHEN (slope > 0) <> (pooled > 0) THEN 1 ELSE 0 END
+      |    AS sign_flip
+      |FROM sl ORDER BY grp""".stripMargin) { (s, d) =>
+    val x = t(s, d, "lineitem").select(
+      col("l_returnflag").as("grp"),
+      round(col("l_discount") * 100).cast(LongType).as("xd"),
+      col("l_quantity").cast(LongType).as("yq"))
+    val g = x.groupBy("grp").agg(
+      count(lit(1)).cast(big38).as("n"),
+      sum(col("xd").cast(big38)).as("sx"),
+      sum(col("yq").cast(big38)).as("sy"),
+      sum(col("xd").cast(big38) * col("yq")).as("sxy"),
+      sum(col("xd").cast(big38) * col("xd")).as("sxx"))
+    val p = g.agg(sum("n").as("pn"), sum("sx").as("psx"),
+      sum("sy").as("psy"), sum("sxy").as("psxy"), sum("sxx").as("psxx"))
+    val sl = g.crossJoin(broadcast(p)).select(col("grp"), col("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+        / (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+        .as("slope"),
+      ((col("pn") * col("psxy") - col("psx") * col("psy")).cast(DoubleType)
+        / (col("pn") * col("psxx") - col("psx") * col("psx"))
+          .cast(DoubleType)).as("pooled"))
+    sl.select(col("grp"), col("n").cast(LongType).as("n"),
+      round(col("slope"), 6).as("slope"),
+      round(col("pooled"), 6).as("pooled_slope"),
+      when((col("slope") > 0) =!= (col("pooled") > 0), 1).otherwise(0)
+        .as("sign_flip"))
+      .orderBy("grp")
+  }
+
+  /** Calendar-completeness audit per event type: expected days between
+    * the type's first and last event vs days actually observed — the
+    * "did ingestion silently skip days?" freshness check that catches
+    * holes a row-count monitor can't see. One scan, two exact date
+    * aggregates; no day-grid explode is needed because only the COUNT
+    * of missing days is reported, not the days themselves. */
+  val qMissingDays = Q(
+    "q_missing_days",
+    """WITH g AS (
+      |  SELECT event_type, CAST(min(CAST(ts AS DATE)) AS DATE) AS d_min,
+      |    CAST(max(CAST(ts AS DATE)) AS DATE) AS d_max,
+      |    count(DISTINCT CAST(ts AS DATE)) AS days_observed
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, d_min, d_max,
+      |  date_diff('day', d_min, d_max) + 1 AS days_expected,
+      |  days_observed,
+      |  date_diff('day', d_min, d_max) + 1 - days_observed
+      |    AS days_missing,
+      |  ROUND(CAST(days_observed AS DOUBLE)
+      |    / CAST(date_diff('day', d_min, d_max) + 1 AS DOUBLE), 6)
+      |    AS coverage
+      |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+    val g = t(s, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type")
+      .agg(min(col("day")).as("d_min"), max(col("day")).as("d_max"),
+        countDistinct(col("day")).as("days_observed"))
+    g.select(col("event_type"), col("d_min"), col("d_max"),
+      (datediff(col("d_max"), col("d_min")) + 1).cast(LongType)
+        .as("days_expected"),
+      col("days_observed"),
+      ((datediff(col("d_max"), col("d_min")) + 1).cast(LongType)
+        - col("days_observed")).as("days_missing"),
+      round(col("days_observed").cast(DoubleType)
+        / (datediff(col("d_max"), col("d_min")) + 1).cast(DoubleType), 6)
+        .as("coverage"))
+      .orderBy("event_type")
+  }
+
+  /** Degree assortativity of the thresholded co-purchase graph (the
+    * q_degree_hist edge definition): Pearson r between endpoint degrees
+    * over the directed edge list (each undirected edge counted both
+    * ways — Newman's convention). Candidate edges come from the bounded
+    * per-order self-join, never all-pairs; the Pearson sums are exact
+    * HUGEINT. Hub-hub vs hub-leaf wiring decides whether hub failures
+    * cascade, and whether degree-based sampling is biased. */
+  val qAssortativity = Q(
+    "q_assortativity",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT pa AS src, pb AS dst FROM (
+      |    SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_co
+      |    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |    GROUP BY 1, 2) c
+      |  WHERE n_co >= 2),
+      |deg AS (
+      |  SELECT v, count(*) AS deg FROM (
+      |    SELECT src AS v FROM e UNION ALL SELECT dst FROM e) u
+      |  GROUP BY v),
+      |de AS (
+      |  SELECT u, v FROM (
+      |    SELECT src AS u, dst AS v FROM e
+      |    UNION ALL SELECT dst AS u, src AS v FROM e) b),
+      |jk AS (
+      |  SELECT CAST(du.deg AS HUGEINT) AS j, CAST(dv.deg AS HUGEINT) AS k
+      |  FROM de JOIN deg du ON de.u = du.v JOIN deg dv ON de.v = dv.v),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(j) AS sj, sum(k) AS sk,
+      |    sum(j * k) AS sjk, sum(j * j) AS sj2, sum(k * k) AS sk2
+      |  FROM jk)
+      |SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+      |  ROUND(CAST(n * sjk - sj * sk AS DOUBLE)
+      |    / sqrt(CAST(n * sj2 - sj * sj AS DOUBLE)
+      |      * CAST(n * sk2 - sk * sk AS DOUBLE)), 6) AS assortativity
+      |FROM m""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("a")
+      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select("src", "dst")
+    val deg = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val de = e.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+    // vertex-keyed equi-joins (AQE broadcasts the degree table when it
+    // fits; the joins stay shuffle-correct when it doesn't at 100 TB)
+    val jk = de
+      .join(deg.select(col("v").as("u"), col("deg").as("ju")), "u")
+      .join(deg.select(col("v"), col("deg").as("kv")), "v")
+      .select(col("ju").cast(big38).as("j"), col("kv").cast(big38).as("k"))
+    val m = jk.agg(count(lit(1)).cast(big38).as("n"),
+      sum("j").as("sj"), sum("k").as("sk"),
+      sum(col("j") * col("k")).as("sjk"),
+      sum(col("j") * col("j")).as("sj2"),
+      sum(col("k") * col("k")).as("sk2"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    m.crossJoin(broadcast(nNodes)).select(
+      expr("CAST(n / 2 AS BIGINT)").as("n_edges"),
+      col("n_nodes"),
+      round((col("n") * col("sjk") - col("sj") * col("sk")).cast(DoubleType)
+        / sqrt((col("n") * col("sj2") - col("sj") * col("sj"))
+          .cast(DoubleType)
+          * (col("n") * col("sk2") - col("sk") * col("sk"))
+            .cast(DoubleType)), 6).as("assortativity"))
+  }
+
+  /** TOST equivalence test (two one-sided Welch t's, ±$500 margin) for
+    * AUTOMOBILE-segment vs rest order values — the "shipping the change
+    * is SAFE" readout that a non-significant q_ttest_welch cannot give.
+    * Reuses the Welch machinery: exact HUGEINT cent moments, doubles
+    * only in the two final t expressions; equivalence = both one-sided
+    * tests reject at α=0.05 (t crit 1.644854, a fixed literal). */
+  val qTost = Q(
+    "q_tost",
+    """WITH x AS (
+      |  SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+      |      AS grp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |m AS (
+      |  SELECT CAST(sum(grp) AS HUGEINT) AS n1,
+      |    CAST(count(*) - sum(grp) AS HUGEINT) AS n2,
+      |    sum(CASE WHEN grp = 1 THEN CAST(cents AS HUGEINT)
+      |        ELSE CAST(0 AS HUGEINT) END) AS s1,
+      |    sum(CASE WHEN grp = 0 THEN CAST(cents AS HUGEINT)
+      |        ELSE CAST(0 AS HUGEINT) END) AS s2,
+      |    sum(CASE WHEN grp = 1 THEN CAST(cents AS HUGEINT) * cents
+      |        ELSE CAST(0 AS HUGEINT) END) AS q1,
+      |    sum(CASE WHEN grp = 0 THEN CAST(cents AS HUGEINT) * cents
+      |        ELSE CAST(0 AS HUGEINT) END) AS q2
+      |  FROM x),
+      |se AS (
+      |  SELECT n1, n2,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS diff,
+      |    sqrt(CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+      |        / CAST(n1 * n1 * (n1 - 1) AS DOUBLE)
+      |      + CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+      |        / CAST(n2 * n2 * (n2 - 1) AS DOUBLE)) AS se
+      |  FROM m)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  ROUND(diff / 100, 6) AS mean_diff,
+      |  ROUND((diff + 50000) / se, 6) AS t_lower,
+      |  ROUND((diff - 50000) / se, 6) AS t_upper,
+      |  CASE WHEN (diff + 50000) / se > 1.644854
+      |    AND (diff - 50000) / se < -1.644854 THEN 1 ELSE 0 END
+      |    AS equivalent
+      |FROM se""".stripMargin) { (s, d) =>
+    val x = t(s, d, "orders").select("o_custkey", "o_totalprice")
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(when(col("c_mktsegment") === "AUTOMOBILE", 1).otherwise(0)
+        .as("grp"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val m = x.agg(
+      sum(col("grp")).cast(big38).as("n1"),
+      (count(lit(1)) - sum(col("grp"))).cast(big38).as("n2"),
+      sum(when(col("grp") === 1, col("cents")).otherwise(0L).cast(big38))
+        .as("s1"),
+      sum(when(col("grp") === 0, col("cents")).otherwise(0L).cast(big38))
+        .as("s2"),
+      sum(when(col("grp") === 1, col("cents").cast(big38) * col("cents"))
+        .otherwise(lit(0).cast(big38))).as("q1"),
+      sum(when(col("grp") === 0, col("cents").cast(big38) * col("cents"))
+        .otherwise(lit(0).cast(big38))).as("q2"))
+    val se = m.select(col("n1"), col("n2"),
+      (col("s1").cast(DoubleType) / col("n1").cast(DoubleType)
+        - col("s2").cast(DoubleType) / col("n2").cast(DoubleType))
+        .as("diff"),
+      sqrt((col("n1") * col("q1") - col("s1") * col("s1")).cast(DoubleType)
+        / (col("n1") * col("n1") * (col("n1") - 1)).cast(DoubleType)
+        + (col("n2") * col("q2") - col("s2") * col("s2")).cast(DoubleType)
+          / (col("n2") * col("n2") * (col("n2") - 1)).cast(DoubleType))
+        .as("se"))
+    se.select(col("n1").cast(LongType).as("n1"),
+      col("n2").cast(LongType).as("n2"),
+      round(col("diff") / 100, 6).as("mean_diff"),
+      round((col("diff") + 50000) / col("se"), 6).as("t_lower"),
+      round((col("diff") - 50000) / col("se"), 6).as("t_upper"),
+      when((col("diff") + 50000) / col("se") > 1.644854
+        && (col("diff") - 50000) / col("se") < -1.644854, 1).otherwise(0)
+        .as("equivalent"))
+  }
+
+  /** Cochran–Mantel–Haenszel test of the segment→urgency association
+    * stratified by nation, plus the Mantel-Haenszel common odds ratio —
+    * the confounder-adjusted companion to q_simpsons: does the
+    * association survive once the stratifier is held fixed? Per-stratum
+    * 2×2 cells are exact integer counts; each stratum's numerator /
+    * variance / OR terms are double-divided then ROUNDed back to ·10⁶
+    * integers before the bounded cross-stratum sum (q_anova idiom). */
+  val qCmhTest = Q(
+    "q_cmh_test",
+    """WITH x AS (
+      |  SELECT n_name,
+      |    CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS e,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |g AS (
+      |  SELECT n_name, CAST(count(*) AS HUGEINT) AS nn,
+      |    CAST(sum(e) AS HUGEINT) AS n1p,
+      |    CAST(sum(y) AS HUGEINT) AS np1,
+      |    CAST(sum(e * y) AS HUGEINT) AS n11
+      |  FROM x GROUP BY n_name),
+      |terms AS (
+      |  SELECT nn, n1p, np1, n11,
+      |    CAST(ROUND((CAST(n11 AS DOUBLE)
+      |      - CAST(n1p * np1 AS DOUBLE) / CAST(nn AS DOUBLE)) * 1000000)
+      |      AS BIGINT) AS num6,
+      |    CAST(ROUND(CAST(n1p * (nn - n1p) AS DOUBLE)
+      |      * CAST(np1 * (nn - np1) AS DOUBLE)
+      |      / CAST(nn * nn AS DOUBLE) / CAST(nn - 1 AS DOUBLE) * 1000000)
+      |      AS BIGINT) AS var6,
+      |    CAST(ROUND(CAST(n11 * (nn - n1p - np1 + n11) AS DOUBLE)
+      |      / CAST(nn AS DOUBLE) * 1000000) AS BIGINT) AS or_num6,
+      |    CAST(ROUND(CAST((n1p - n11) * (np1 - n11) AS DOUBLE)
+      |      / CAST(nn AS DOUBLE) * 1000000) AS BIGINT) AS or_den6
+      |  FROM g),
+      |agg AS (
+      |  SELECT count(*) AS k, sum(nn) AS n, sum(num6) AS num6,
+      |    sum(var6) AS var6, sum(or_num6) AS orn6, sum(or_den6) AS ord6
+      |  FROM terms)
+      |SELECT CAST(k AS INT) AS k, CAST(n AS BIGINT) AS n,
+      |  ROUND((abs(CAST(num6 AS DOUBLE) / 1000000) - 0.5)
+      |    * (abs(CAST(num6 AS DOUBLE) / 1000000) - 0.5)
+      |    / (CAST(var6 AS DOUBLE) / 1000000), 6) AS cmh_chi2,
+      |  ROUND(CAST(orn6 AS DOUBLE) / CAST(ord6 AS DOUBLE), 6) AS or_mh
+      |FROM agg""".stripMargin) { (s, d) =>
+    val x = t(s, d, "orders")
+      .select("o_custkey", "o_orderpriority")
+      .join(broadcast(t(s, d, "customer")
+        .select("c_custkey", "c_nationkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        when(col("c_mktsegment") === "AUTOMOBILE", 1).otherwise(0).as("e"),
+        when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("y"))
+    val g = x.groupBy("n_name").agg(
+      count(lit(1)).cast(big38).as("nn"),
+      sum(col("e")).cast(big38).as("n1p"),
+      sum(col("y")).cast(big38).as("np1"),
+      sum(col("e") * col("y")).cast(big38).as("n11"))
+    val terms = g.select(col("nn"), col("n1p"), col("np1"), col("n11"),
+      round((col("n11").cast(DoubleType)
+        - (col("n1p") * col("np1")).cast(DoubleType)
+          / col("nn").cast(DoubleType)) * 1000000L)
+        .cast(LongType).as("num6"),
+      round((col("n1p") * (col("nn") - col("n1p"))).cast(DoubleType)
+        * (col("np1") * (col("nn") - col("np1"))).cast(DoubleType)
+        / (col("nn") * col("nn")).cast(DoubleType)
+        / (col("nn") - 1).cast(DoubleType) * 1000000L)
+        .cast(LongType).as("var6"),
+      round((col("n11") * (col("nn") - col("n1p") - col("np1") + col("n11")))
+        .cast(DoubleType) / col("nn").cast(DoubleType) * 1000000L)
+        .cast(LongType).as("or_num6"),
+      round(((col("n1p") - col("n11")) * (col("np1") - col("n11")))
+        .cast(DoubleType) / col("nn").cast(DoubleType) * 1000000L)
+        .cast(LongType).as("or_den6"))
+    val agg = terms.agg(count(lit(1)).as("k"), sum(col("nn")).as("n"),
+      sum(col("num6")).as("num6"), sum(col("var6")).as("var6"),
+      sum(col("or_num6")).as("orn6"), sum(col("or_den6")).as("ord6"))
+    agg.select(col("k").cast(IntegerType).as("k"),
+      col("n").cast(LongType).as("n"),
+      round((abs(col("num6").cast(DoubleType) / 1000000L) - 0.5)
+        * (abs(col("num6").cast(DoubleType) / 1000000L) - 0.5)
+        / (col("var6").cast(DoubleType) / 1000000L), 6).as("cmh_chi2"),
+      round(col("orn6").cast(DoubleType) / col("ord6").cast(DoubleType), 6)
+        .as("or_mh"))
+  }
+
+  /** Partial correlation of discount and quantity controlling for line
+    * revenue — does the discount→quantity association survive holding
+    * the money column fixed? ONE lineitem scan collects all nine exact
+    * DECIMAL(38) co-moment sums (2-dp discount ⇒ integral percent units,
+    * exact cents); the three Pearson r's and the partial-r closed form
+    * are one-row final doubles with identical op order on both engines. */
+  val qPartialCorr = Q(
+    "q_partial_corr",
+    """WITH x AS (
+      |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS xv,
+      |    CAST(l_quantity AS BIGINT) AS yv,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS zv
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(xv AS HUGEINT)) AS sx, sum(CAST(yv AS HUGEINT)) AS sy,
+      |    sum(CAST(zv AS HUGEINT)) AS sz,
+      |    sum(CAST(xv AS HUGEINT) * yv) AS sxy,
+      |    sum(CAST(xv AS HUGEINT) * zv) AS sxz,
+      |    sum(CAST(yv AS HUGEINT) * zv) AS syz,
+      |    sum(CAST(xv AS HUGEINT) * xv) AS sxx,
+      |    sum(CAST(yv AS HUGEINT) * yv) AS syy,
+      |    sum(CAST(zv AS HUGEINT) * zv) AS szz
+      |  FROM x),
+      |r AS (
+      |  SELECT n,
+      |    CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |        * CAST(n * syy - sy * sy AS DOUBLE)) AS rxy,
+      |    CAST(n * sxz - sx * sz AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |        * CAST(n * szz - sz * sz AS DOUBLE)) AS rxz,
+      |    CAST(n * syz - sy * sz AS DOUBLE)
+      |      / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+      |        * CAST(n * szz - sz * sz AS DOUBLE)) AS ryz
+      |  FROM m)
+      |SELECT CAST(n AS BIGINT) AS n, ROUND(rxy, 6) AS r_xy,
+      |  ROUND(rxz, 6) AS r_xz, ROUND(ryz, 6) AS r_yz,
+      |  ROUND((rxy - rxz * ryz)
+      |    / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 6) AS r_xy_given_z
+      |FROM r""".stripMargin) { (s, d) =>
+    val x = t(s, d, "lineitem").select(
+      round(col("l_discount") * 100).cast(LongType).as("xv"),
+      col("l_quantity").cast(LongType).as("yv"),
+      (dec2(col("l_extendedprice")) * 100).cast(LongType).as("zv"))
+    val m = x.agg(count(lit(1)).cast(big38).as("n"),
+      sum(col("xv").cast(big38)).as("sx"),
+      sum(col("yv").cast(big38)).as("sy"),
+      sum(col("zv").cast(big38)).as("sz"),
+      sum(col("xv").cast(big38) * col("yv")).as("sxy"),
+      sum(col("xv").cast(big38) * col("zv")).as("sxz"),
+      sum(col("yv").cast(big38) * col("zv")).as("syz"),
+      sum(col("xv").cast(big38) * col("xv")).as("sxx"),
+      sum(col("yv").cast(big38) * col("yv")).as("syy"),
+      sum(col("zv").cast(big38) * col("zv")).as("szz"))
+    val r = m.select(col("n"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+        / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType)
+          * (col("n") * col("syy") - col("sy") * col("sy"))
+            .cast(DoubleType))).as("rxy"),
+      ((col("n") * col("sxz") - col("sx") * col("sz")).cast(DoubleType)
+        / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType)
+          * (col("n") * col("szz") - col("sz") * col("sz"))
+            .cast(DoubleType))).as("rxz"),
+      ((col("n") * col("syz") - col("sy") * col("sz")).cast(DoubleType)
+        / sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast(DoubleType)
+          * (col("n") * col("szz") - col("sz") * col("sz"))
+            .cast(DoubleType))).as("ryz"))
+    r.select(col("n").cast(LongType).as("n"),
+      round(col("rxy"), 6).as("r_xy"),
+      round(col("rxz"), 6).as("r_xz"),
+      round(col("ryz"), 6).as("r_yz"),
+      round((col("rxy") - col("rxz") * col("ryz"))
+        / sqrt((lit(1) - col("rxz") * col("rxz"))
+          * (lit(1) - col("ryz") * col("ryz"))), 6).as("r_xy_given_z"))
+  }
+
+  /** Overdispersion (index-of-dispersion) test per event type on daily
+    * event counts: D = var/mean over the type's observed days, with
+    * χ² = D·(n−1) against the Poisson null — decides whether a plain
+    * Poisson alert threshold is valid or a negative-binomial band is
+    * needed. Daily counts are exact integers; variance comes from exact
+    * HUGEINT count moments over the bounded day domain; D and χ² are
+    * per-row finals. */
+  val qDispersion = Q(
+    "q_dispersion",
+    """WITH dc AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(c AS HUGEINT)) AS s,
+      |    sum(CAST(c AS HUGEINT) * c) AS q
+      |  FROM dc GROUP BY event_type)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_daily,
+      |  ROUND(CAST(n * q - s * s AS DOUBLE)
+      |    / CAST(n * (n - 1) AS DOUBLE)
+      |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS dispersion,
+      |  ROUND(CAST(n * q - s * s AS DOUBLE)
+      |    / CAST(n * (n - 1) AS DOUBLE)
+      |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * CAST(n - 1 AS DOUBLE), 6) AS chi2
+      |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+    val dc = t(s, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val g = dc.groupBy("event_type").agg(
+      count(lit(1)).cast(big38).as("n"),
+      sum(col("c").cast(big38)).as("s"),
+      sum(col("c").cast(big38) * col("c")).as("q"))
+    g.select(col("event_type"), col("n").cast(LongType).as("n_days"),
+      round(col("s").cast(DoubleType) / col("n").cast(DoubleType), 6)
+        .as("mean_daily"),
+      round((col("n") * col("q") - col("s") * col("s")).cast(DoubleType)
+        / (col("n") * (col("n") - 1)).cast(DoubleType)
+        / (col("s").cast(DoubleType) / col("n").cast(DoubleType)), 6)
+        .as("dispersion"),
+      round((col("n") * col("q") - col("s") * col("s")).cast(DoubleType)
+        / (col("n") * (col("n") - 1)).cast(DoubleType)
+        / (col("s").cast(DoubleType) / col("n").cast(DoubleType))
+        * (col("n") - 1).cast(DoubleType), 6).as("chi2"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(qJarqueBera, qLevene, qBinomialCi, qMcnemar,
-    qTrimmedMean)
+    qTrimmedMean, qSimpsons, qMissingDays, qAssortativity, qTost,
+    qCmhTest, qPartialCorr, qDispersion)
 }

@@ -424,10 +424,35 @@ object StreamingQueries {
       s"target/stream_psi_${math.abs(d.hashCode)}")
   }
 
+  /** Calendar coverage per event type off the incrementally-maintained
+    * (type, day) count state (`StreamOps.incrementalDayCoverage`, 10th
+    * incremental maintainer): additive merges make the day-count state
+    * batch-boundary-independent, so the finalized coverage equals this
+    * whole-history recompute (the q_missing_days oracle shape). */
+  val qStreamDays = Q(
+    "q_stream_days",
+    """WITH g AS (
+      |  SELECT event_type, CAST(min(CAST(ts AS DATE)) AS DATE) AS d_min,
+      |    CAST(max(CAST(ts AS DATE)) AS DATE) AS d_max,
+      |    count(DISTINCT CAST(ts AS DATE)) AS days_observed
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, d_min, d_max,
+      |  date_diff('day', d_min, d_max) + 1 AS days_expected,
+      |  days_observed,
+      |  date_diff('day', d_min, d_max) + 1 - days_observed
+      |    AS days_missing,
+      |  ROUND(CAST(days_observed AS DOUBLE)
+      |    / CAST(date_diff('day', d_min, d_max) + 1 AS DOUBLE), 6)
+      |    AS coverage
+      |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+    StreamOps.incrementalDayCoverage(s, d,
+      s"target/stream_days_${math.abs(d.hashCode)}")
+  }
+
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg,
     qStreamIntervalJoin, qStreamChecksum, qStreamTopk, qStreamUpsert,
     qStreamQuantile, qStreamMinmax, qStreamFirstSeen, qStreamBloom,
-    qStreamMoments, qStreamPsi)
+    qStreamMoments, qStreamPsi, qStreamDays)
 }

@@ -622,6 +622,65 @@ object StreamOps {
       .orderBy("event_type")
   }
 
+  /** Incremental calendar-coverage maintainer (10th incremental
+    * maintainer): state is the per-(event_type, day) row count with
+    * plain additive merges — batch-boundary-independent by construction
+    * — and the finalization is the q_missing_days readout (expected vs
+    * observed days between each type's first and last event). The
+    * streaming form of the "did ingestion silently skip days?" audit: a
+    * 100 TB feed keeps day coverage current digesting only each
+    * micro-batch, never rescanning history. */
+  def incrementalDayCoverage(spark: SparkSession, sfDir: String,
+      workDir: String, nBatches: Int = 4): DataFrame = {
+    val src = s"$workDir/src"
+    val events = graft.Tables.tsAsTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    events.select(col("event_type"), to_date(col("ts")).as("day"))
+      .repartition(nBatches)
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val stateBase = s"$workDir/state"
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("cnt"))
+        val merged =
+          if (version < 0) partial
+          else spark.read.parquet(s"$stateBase/v$version")
+            .unionByName(partial)
+            .groupBy("event_type", "day")
+            .agg(sum(col("cnt")).cast(LongType).as("cnt"))
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        version = batchId
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    dayCoverageFromState(spark.read.parquet(s"$stateBase/v$version"))
+  }
+
+  /** q_missing_days finalization off a (event_type, day, cnt) state
+    * table: bounded |types|×|days| domain, exact date arithmetic. */
+  def dayCoverageFromState(state: DataFrame): DataFrame =
+    state.groupBy("event_type")
+      .agg(min(col("day")).as("d_min"), max(col("day")).as("d_max"),
+        count(lit(1)).as("days_observed"))
+      .select(col("event_type"), col("d_min"), col("d_max"),
+        (datediff(col("d_max"), col("d_min")) + 1).cast(LongType)
+          .as("days_expected"),
+        col("days_observed"),
+        ((datediff(col("d_max"), col("d_min")) + 1).cast(LongType)
+          - col("days_observed")).as("days_missing"),
+        round(col("days_observed").cast(DoubleType)
+          / (datediff(col("d_max"), col("d_min")) + 1).cast(DoubleType), 6)
+          .as("coverage"))
+      .orderBy("event_type")
+
   /** Incremental first-seen attribution per user: the state is each
     * user's minimum (event-time µs, event_id, event_type) tuple and the
     * merge is struct-min — associative, commutative, constant per key —

@@ -139,7 +139,21 @@ class DeterminismSpec extends SparkTestBase {
     // round 7 fifteenth batch: 4th-moment DECIMAL(38) sums, median-
     // centered integer ANOVA, GlobalRank per-group trim offsets
     StatQueries.qJarqueBera, StatQueries.qLevene,
-    StatQueries.qTrimmedMean)
+    StatQueries.qTrimmedMean,
+    // round 7 sixteenth batch: per-group/pooled co-moment splits,
+    // vertex-keyed degree joins over a unioned edge list
+    StatQueries.qSimpsons, StatQueries.qAssortativity,
+    // round 7 seventeenth batch: source-keyed shingle df aggs,
+    // ·10⁹-quantized information terms over windowed rec candidates
+    CurationQueries.qBoilerplate, CurationQueries.qNoveltyRecs,
+    // round 7 eighteenth batch: ·10⁹ entropy terms, ·10⁶ stratum
+    // round-sums, nine-way DECIMAL(38) co-moment single pass
+    AnalyticsQueries.qTheilsU, StatQueries.qCmhTest,
+    StatQueries.qPartialCorr,
+    // round 7 nineteenth batch: windowed KM crossings, ·10³ index
+    // terms, day-domain count moments, hash-seeded mask explodes
+    AnalyticsQueries.qSurvivalMedian, AnalyticsQueries.qPriceIndex,
+    StatQueries.qDispersion, CurationQueries.qMaskPlan)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

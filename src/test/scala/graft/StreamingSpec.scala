@@ -412,6 +412,22 @@ class StreamingSpec extends SparkTestBase {
     assert(versions != null && versions.count(_.startsWith("v")) >= 2)
   }
 
+  test("incrementalDayCoverage is batch-boundary-independent and matches " +
+      "the one-shot recompute") {
+    val c4 = StreamOps.incrementalDayCoverage(spark, sf, "target/test_days4")
+    val c2 = StreamOps.incrementalDayCoverage(spark, sf, "target/test_days2", 2)
+    assert(c4.exceptAll(c2).isEmpty && c2.exceptAll(c4).isEmpty)
+    val direct = StreamOps.dayCoverageFromState(
+      Tables.tsAsTimestamp(Tables.load(spark, sf, "events")
+          .withColumn("ts", col("ts")))
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("cnt")))
+    assert(c4.exceptAll(direct).isEmpty && direct.exceptAll(c4).isEmpty)
+    val versions = new java.io.File("target/test_days4/state").list()
+    assert(versions != null && versions.count(_.startsWith("v")) >= 2)
+  }
+
   test("incrementalBloom: no false negatives, low FP, boundary-independent") {
     val b4 = StreamOps.incrementalBloom(spark, sf, "target/test_bloom4")
     val row = b4.head
