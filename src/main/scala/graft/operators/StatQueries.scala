@@ -805,7 +805,222 @@ object StatQueries {
       .orderBy("event_type")
   }
 
+  /** Q-Q decile table comparing AUTOMOBILE vs rest order values — the
+    * full-distribution companion to q_ks_test's scalar: WHERE do the two
+    * distributions diverge? Nearest-rank (type-1) deciles for both
+    * groups come from ONE GlobalRank pass on the (group, cents, key)
+    * composite (the q_trimmed_mean idiom — no per-group data-sized
+    * window); the 9 decile rows assemble by exact integer rank match. */
+  val qQqDeciles = Q(
+    "q_qq_deciles",
+    """WITH x AS (
+      |  SELECT CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+      |      AS grp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    row_number() OVER (PARTITION BY
+      |      CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+      |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |        AS BIGINT), o_orderkey) AS rk,
+      |    count(*) OVER (PARTITION BY
+      |      CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+      |      AS ng
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |q AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS d),
+      |pick AS (
+      |  SELECT q.d, x.grp, max(x.cents) AS v
+      |  FROM q JOIN x ON x.rk = (q.d * x.ng + 9) // 10
+      |  GROUP BY q.d, x.grp)
+      |SELECT a.d AS decile,
+      |  ROUND(CAST(a.v AS DOUBLE) / 100, 2) AS v_auto,
+      |  ROUND(CAST(b.v AS DOUBLE) / 100, 2) AS v_rest,
+      |  ROUND(CAST(a.v AS DOUBLE) / CAST(b.v AS DOUBLE), 6) AS qq_ratio
+      |FROM pick a JOIN pick b ON a.d = b.d AND a.grp = 1 AND b.grp = 0
+      |ORDER BY decile""".stripMargin) { (s, d) =>
+    val x = t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(when(col("c_mktsegment") === "AUTOMOBILE", 1L).otherwise(0L)
+        .as("grp"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+        col("o_orderkey"))
+      .withColumn("skey", col("grp") * lit(1000000000000L) + col("cents"))
+    val (ranked, _) = graft.plans.GlobalRank.withGlobalRowNumber(
+      x, "grk", 32, col("skey"), col("o_orderkey"))
+    val offs = ranked.groupBy("grp")
+      .agg(min(col("grk")).as("off"), count(lit(1)).as("ng"))
+    val local = ranked.join(broadcast(offs), "grp")
+      .select(col("grp"), col("cents"), col("ng"),
+        (col("grk") - col("off") + 1).as("rk"))
+    val grid = s.range(1, 10).select(col("id").as("d"))
+    val pick = local.join(broadcast(grid),
+        col("rk") === expr("(d * ng + 9) DIV 10"))
+      .groupBy("d", "grp").agg(max(col("cents")).as("v"))
+    pick.filter(col("grp") === 1)
+      .select(col("d").cast(IntegerType).as("decile"), col("v").as("va"))
+      .join(pick.filter(col("grp") === 0)
+        .select(col("d").cast(IntegerType).as("decile"), col("v").as("vb")),
+        "decile")
+      .select(col("decile"),
+        round(col("va").cast(DoubleType) / 100, 2).as("v_auto"),
+        round(col("vb").cast(DoubleType) / 100, 2).as("v_rest"),
+        round(col("va").cast(DoubleType) / col("vb").cast(DoubleType), 6)
+          .as("qq_ratio"))
+      .orderBy("decile")
+  }
+
+  /** Interaction-matrix density audit for the customer×part implicit-
+    * feedback matrix — the sparsity readout (users, items, observed
+    * cells, density, interactions per user) every MF/ALS training run
+    * should log before fitting: density decides rank and regularization
+    * sanity. One orderkey-keyed fact-fact join; exact distinct counts. */
+  val qMatrixDensity = Q(
+    "q_matrix_density",
+    """WITH io AS (
+      |  SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |m AS (
+      |  SELECT count(*) AS nnz, count(DISTINCT u) AS n_users,
+      |    count(DISTINCT i) AS n_items
+      |  FROM io)
+      |SELECT CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(n_items AS BIGINT) AS n_items,
+      |  CAST(nnz AS BIGINT) AS n_observed,
+      |  ROUND(CAST(nnz AS DOUBLE)
+      |    / (CAST(n_users AS DOUBLE) * CAST(n_items AS DOUBLE)), 6)
+      |    AS density,
+      |  ROUND(CAST(nnz AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+      |    AS items_per_user
+      |FROM m""".stripMargin) { (s, d) =>
+    val io = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey").as("u"))
+      .join(t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey").as("i")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("u", "i").distinct()
+    val m = io.agg(count(lit(1)).as("nnz"),
+      countDistinct(col("u")).as("n_users"),
+      countDistinct(col("i")).as("n_items"))
+    m.select(col("n_users").cast(LongType).as("n_users"),
+      col("n_items").cast(LongType).as("n_items"),
+      col("nnz").cast(LongType).as("n_observed"),
+      round(col("nnz").cast(DoubleType)
+        / (col("n_users").cast(DoubleType) * col("n_items").cast(DoubleType)),
+        6).as("density"),
+      round(col("nnz").cast(DoubleType) / col("n_users").cast(DoubleType), 6)
+        .as("items_per_user"))
+  }
+
+  /** Leading-token distribution per source — templates announce
+    * themselves in how documents START (the complement of
+    * q_boilerplate's whole-document shingle view): top first-token
+    * share and ·10⁹-quantized first-token entropy per source. Linear:
+    * one token per document, all aggregation on (source, token). */
+  val qFirstTokenDist = Q(
+    "q_first_token_dist",
+    """WITH ft AS (
+      |  SELECT source, string_split(text, ' ')[1] AS tok FROM documents),
+      |g AS (SELECT source, tok, count(*) AS c FROM ft GROUP BY 1, 2),
+      |n AS (SELECT source, sum(c) AS n, count(*) AS n_distinct,
+      |    max(c) AS top_c
+      |  FROM g GROUP BY source),
+      |h AS (
+      |  SELECT g.source, sum(CAST(ROUND(
+      |      -(CAST(g.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+      |        * ln(CAST(g.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+      |      * 1000000000) AS BIGINT)) AS h9
+      |  FROM g JOIN n ON g.source = n.source GROUP BY g.source)
+      |SELECT n.source, CAST(n.n AS BIGINT) AS n_docs,
+      |  CAST(n.n_distinct AS BIGINT) AS n_first_tokens,
+      |  ROUND(CAST(n.top_c AS DOUBLE) / CAST(n.n AS DOUBLE), 6)
+      |    AS top_share,
+      |  ROUND(CAST(h.h9 AS DOUBLE) / 1000000000, 6) AS entropy
+      |FROM n JOIN h ON n.source = h.source
+      |ORDER BY n.source""".stripMargin) { (s, d) =>
+    val ft = t(s, d, "documents").select(col("source"),
+      split(col("text"), " ").getItem(0).as("tok"))
+    val g = ft.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val n = g.groupBy("source").agg(sum(col("c")).as("n"),
+      count(lit(1)).as("n_distinct"), max(col("c")).as("top_c"))
+    val h = g.join(broadcast(n.select("source", "n")), "source")
+      .groupBy("source")
+      .agg(sum(round(-(col("c").cast(DoubleType) / col("n").cast(DoubleType))
+          * log(col("c").cast(DoubleType) / col("n").cast(DoubleType))
+          * 1000000000L).cast(LongType)).as("h9"))
+    n.join(h, "source")
+      .select(col("source"), col("n").cast(LongType).as("n_docs"),
+        col("n_distinct").cast(LongType).as("n_first_tokens"),
+        round(col("top_c").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("top_share"),
+        round(col("h9").cast(DoubleType) / 1000000000L, 6).as("entropy"))
+      .orderBy("source")
+  }
+
+  /** Near-zero-variance feature screen over stacked categorical columns
+    * (order status / priority / segment): top-two frequency ratio and
+    * unique-value share per feature, with the standard caret-style NZV
+    * flag (ratio > 19 and uniques < 0.1%) — drop-list generation before
+    * one-hot/target encoding. Column stacking is two pruned projections
+    * unioned; per-feature value domains are bounded. */
+  val qNearZeroVar = Q(
+    "q_near_zero_var",
+    """WITH f AS (
+      |  SELECT 'o_orderstatus' AS feature, o_orderstatus AS v FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', o_orderpriority FROM orders
+      |  UNION ALL
+      |  SELECT 'c_mktsegment', c_mktsegment FROM customer),
+      |g AS (SELECT feature, v, count(*) AS c FROM f GROUP BY 1, 2),
+      |r AS (
+      |  SELECT feature, c,
+      |    row_number() OVER (PARTITION BY feature
+      |      ORDER BY c DESC, v) AS rk
+      |  FROM g),
+      |m AS (
+      |  SELECT feature, sum(c) AS n, count(*) AS n_distinct,
+      |    max(CASE WHEN rk = 1 THEN c END) AS c1,
+      |    max(CASE WHEN rk = 2 THEN c END) AS c2
+      |  FROM r GROUP BY feature)
+      |SELECT feature, CAST(n AS BIGINT) AS n,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  ROUND(CAST(c1 AS DOUBLE) / CAST(c2 AS DOUBLE), 6) AS freq_ratio,
+      |  ROUND(CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      |    AS pct_unique,
+      |  CASE WHEN CAST(c1 AS DOUBLE) / CAST(c2 AS DOUBLE) > 19
+      |    AND CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE) < 0.001
+      |    THEN 1 ELSE 0 END AS nzv
+      |FROM m ORDER BY feature""".stripMargin) { (s, d) =>
+    val f = t(s, d, "orders")
+      .select(lit("o_orderstatus").as("feature"),
+        col("o_orderstatus").as("v"))
+      .unionByName(t(s, d, "orders")
+        .select(lit("o_orderpriority").as("feature"),
+          col("o_orderpriority").as("v")))
+      .unionByName(t(s, d, "customer")
+        .select(lit("c_mktsegment").as("feature"),
+          col("c_mktsegment").as("v")))
+    val g = f.groupBy("feature", "v").agg(count(lit(1)).as("c"))
+    // bounded domain: |features|×|distinct values| ≤ dozens of rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("feature").orderBy(col("c").desc, col("v"))
+    val m = g.withColumn("rk", row_number().over(w))
+      .groupBy("feature")
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+        max(when(col("rk") === 1, col("c"))).as("c1"),
+        max(when(col("rk") === 2, col("c"))).as("c2"))
+    m.select(col("feature"), col("n").cast(LongType).as("n"),
+      col("n_distinct").cast(LongType).as("n_distinct"),
+      round(col("c1").cast(DoubleType) / col("c2").cast(DoubleType), 6)
+        .as("freq_ratio"),
+      round(col("n_distinct").cast(DoubleType) / col("n").cast(DoubleType),
+        6).as("pct_unique"),
+      when(col("c1").cast(DoubleType) / col("c2").cast(DoubleType) > 19
+        && col("n_distinct").cast(DoubleType) / col("n").cast(DoubleType)
+          < 0.001, 1).otherwise(0).as("nzv"))
+      .orderBy("feature")
+  }
+
   val all: Seq[Q] = Seq(qJarqueBera, qLevene, qBinomialCi, qMcnemar,
     qTrimmedMean, qSimpsons, qMissingDays, qAssortativity, qTost,
-    qCmhTest, qPartialCorr, qDispersion)
+    qCmhTest, qPartialCorr, qDispersion,
+    qQqDeciles, qMatrixDensity, qFirstTokenDist, qNearZeroVar)
 }

@@ -153,7 +153,11 @@ class DeterminismSpec extends SparkTestBase {
     // round 7 nineteenth batch: windowed KM crossings, ·10³ index
     // terms, day-domain count moments, hash-seeded mask explodes
     AnalyticsQueries.qSurvivalMedian, AnalyticsQueries.qPriceIndex,
-    StatQueries.qDispersion, CurationQueries.qMaskPlan)
+    StatQueries.qDispersion, CurationQueries.qMaskPlan,
+    // round 7 twentieth batch: composite-rank decile picks, stacked
+    // frequency windows, first-token entropy quantization
+    StatQueries.qQqDeciles, StatQueries.qNearZeroVar,
+    StatQueries.qFirstTokenDist)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
