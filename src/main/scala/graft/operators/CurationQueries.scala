@@ -223,6 +223,179 @@ object CurationQueries {
       .orderBy("source")
   }
 
+  /** Skip-gram co-occurrence matrix builder (window ±2, unordered
+    * pairs) with PMI — the count table every GloVe/word2vec-style
+    * embedding train starts from, and the corpus-association readout
+    * beyond q_pmi_bigrams' adjacent-only view. Pair generation is an
+    * array transform INSIDE each document row (fan-out ≤ 2 per token —
+    * linear, no self-join); counts aggregate on the bounded (w1, w2)
+    * vocabulary domain, marginals broadcast, and the top-20 readout has
+    * a total (count desc, w1, w2) order. */
+  val qSkipgramCooccur = Q(
+    "q_skipgram_cooccur",
+    """WITH l AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pr AS (
+      |  SELECT unnest(list_transform(range(1, len(w)),
+      |      i -> least(w[i], w[i+1]))) AS w1,
+      |    unnest(list_transform(range(1, len(w)),
+      |      i -> greatest(w[i], w[i+1]))) AS w2
+      |  FROM l WHERE len(w) >= 2
+      |  UNION ALL
+      |  SELECT unnest(list_transform(range(1, len(w) - 1),
+      |      i -> least(w[i], w[i+2]))),
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> greatest(w[i], w[i+2])))
+      |  FROM l WHERE len(w) >= 3),
+      |g AS (SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2),
+      |tp AS (SELECT sum(c) AS tp FROM g),
+      |mg AS (
+      |  SELECT w, sum(c) AS mw FROM (
+      |    SELECT w1 AS w, c FROM g UNION ALL SELECT w2, c FROM g)
+      |  GROUP BY w)
+      |SELECT g.w1, g.w2, CAST(g.c AS BIGINT) AS n_cooccur,
+      |  ROUND(ln(4.0 * CAST(g.c AS DOUBLE) * CAST(tp.tp AS DOUBLE)
+      |    / (CAST(m1.mw AS DOUBLE) * CAST(m2.mw AS DOUBLE))), 6) AS pmi
+      |FROM g
+      |JOIN mg m1 ON g.w1 = m1.w JOIN mg m2 ON g.w2 = m2.w
+      |CROSS JOIN tp
+      |ORDER BY g.c DESC, g.w1, g.w2 LIMIT 20""".stripMargin) { (s, d) =>
+    val l = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val p1 = l.filter(size(col("w")) >= 2).select(explode(expr(
+      "transform(sequence(0, size(w) - 2), i -> " +
+        "struct(least(w[i], w[i+1]) AS w1, greatest(w[i], w[i+1]) AS w2))"))
+      .as("p"))
+    val p2 = l.filter(size(col("w")) >= 3).select(explode(expr(
+      "transform(sequence(0, size(w) - 3), i -> " +
+        "struct(least(w[i], w[i+2]) AS w1, greatest(w[i], w[i+2]) AS w2))"))
+      .as("p"))
+    val pr = p1.unionByName(p2)
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val g = pr.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val tp = g.agg(sum(col("c")).as("tp"))
+    val mg = g.select(col("w1").as("w"), col("c"))
+      .unionByName(g.select(col("w2").as("w"), col("c")))
+      .groupBy("w").agg(sum(col("c")).as("mw"))
+    g.crossJoin(broadcast(tp))
+      .join(broadcast(mg.select(col("w").as("mw1k"), col("mw").as("m1"))),
+        col("w1") === col("mw1k"))
+      .join(broadcast(mg.select(col("w").as("mw2k"), col("mw").as("m2"))),
+        col("w2") === col("mw2k"))
+      .select(col("w1"), col("w2"), col("c").cast(LongType).as("n_cooccur"),
+        round(log(lit(4.0) * col("c").cast(DoubleType)
+          * col("tp").cast(DoubleType)
+          / (col("m1").cast(DoubleType) * col("m2").cast(DoubleType))), 6)
+          .as("pmi"))
+      .orderBy(col("n_cooccur").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** Interpolated Kneser–Ney bigram probabilities (D = 0.75) over the
+    * corpus — the smoothing q_bigram_lm's raw MLE lacks: continuation
+    * counts (HOW MANY distinct histories precede a word) replace raw
+    * frequency in the backoff, the fix for "Francisco is frequent but
+    * only ever follows San". All building blocks are exact integer
+    * counts on the bounded (w1, w2) vocabulary domain; p_KN is one
+    * per-row double with identical op order; top-20 by count with a
+    * total order. */
+  val qKneserNey = Q(
+    "q_kneser_ney",
+    """WITH l AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents),
+      |pr AS (
+      |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |  FROM l WHERE len(w) >= 2),
+      |g AS (SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2),
+      |hist AS (
+      |  SELECT w1, sum(c) AS c1, count(*) AS nfollow FROM g GROUP BY w1),
+      |cont AS (SELECT w2, count(*) AS ncont FROM g GROUP BY w2),
+      |b AS (SELECT count(*) AS b FROM g)
+      |SELECT g.w1, g.w2, CAST(g.c AS BIGINT) AS n_bigram,
+      |  ROUND((CAST(g.c AS DOUBLE) - 0.75) / hist.c1
+      |    + 0.75 * hist.nfollow / hist.c1
+      |      * (CAST(cont.ncont AS DOUBLE) / b.b), 6) AS p_kn
+      |FROM g
+      |JOIN hist ON g.w1 = hist.w1 JOIN cont ON g.w2 = cont.w2
+      |CROSS JOIN b
+      |ORDER BY g.c DESC, g.w1, g.w2 LIMIT 20""".stripMargin) { (s, d) =>
+    val l = t(s, d, "documents")
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val pr = l.select(explode(expr(
+      "transform(sequence(0, size(w) - 2), i -> " +
+        "struct(w[i] AS w1, w[i+1] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val g = pr.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val hist = g.groupBy("w1")
+      .agg(sum(col("c")).as("c1"), count(lit(1)).as("nfollow"))
+    val cont = g.groupBy("w2").agg(count(lit(1)).as("ncont"))
+    val b = g.agg(count(lit(1)).as("b"))
+    g.join(broadcast(hist), "w1")
+      .join(broadcast(cont), "w2")
+      .crossJoin(broadcast(b))
+      .select(col("w1"), col("w2"), col("c").cast(LongType).as("n_bigram"),
+        round((col("c").cast(DoubleType) - lit(0.75)) / col("c1")
+          + lit(0.75) * col("nfollow") / col("c1")
+            * (col("ncont").cast(DoubleType) / col("b")), 6).as("p_kn"))
+      .orderBy(col("n_bigram").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  /** Good–Turing count-of-counts over the bigram frequency spectrum:
+    * N_r (how many bigram types occur exactly r times), the GT adjusted
+    * count r* = (r+1)·N_{r+1}/N_r, and the unseen-mass estimate
+    * N_1/N — the smoothing diagnostic that says how much probability a
+    * corpus LM should reserve for bigrams it has never seen (the
+    * companion to q_kneser_ney's trained-form smoothing). Everything is
+    * exact integer counts on the bounded frequency spectrum; r* and p0
+    * are per-row final doubles. */
+  val qGoodTuring = Q(
+    "q_good_turing",
+    """WITH l AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents),
+      |pr AS (
+      |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |  FROM l WHERE len(w) >= 2),
+      |g AS (SELECT w1, w2, count(*) AS c FROM pr GROUP BY 1, 2),
+      |coc AS (SELECT c AS r, count(*) AS n_r FROM g GROUP BY c),
+      |tot AS (
+      |  SELECT sum(r * n_r) AS n_tokens,
+      |    max(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS n1
+      |  FROM coc)
+      |SELECT CAST(a.r AS BIGINT) AS r, CAST(a.n_r AS BIGINT) AS n_r,
+      |  ROUND(CAST((a.r + 1) * b.n_r AS DOUBLE) / a.n_r, 6) AS r_star,
+      |  ROUND(CAST(tot.n1 AS DOUBLE) / tot.n_tokens, 6) AS p_unseen
+      |FROM coc a
+      |LEFT JOIN coc b ON b.r = a.r + 1
+      |CROSS JOIN tot
+      |WHERE a.r <= 10 ORDER BY a.r""".stripMargin) { (s, d) =>
+    val l = t(s, d, "documents")
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val pr = l.select(explode(expr(
+      "transform(sequence(0, size(w) - 2), i -> " +
+        "struct(w[i] AS w1, w[i+1] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val g = pr.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val coc = g.groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+    val tot = coc.agg(sum(col("r") * col("n_r")).as("n_tokens"),
+      max(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1"))
+    coc.join(broadcast(coc.select(col("r").as("r1"),
+        col("n_r").as("n_r1"))), col("r1") === col("r") + 1, "left")
+      .crossJoin(broadcast(tot))
+      .filter(col("r") <= 10)
+      .select(col("r").cast(LongType).as("r"),
+        col("n_r").cast(LongType).as("n_r"),
+        round(((col("r") + 1) * col("n_r1")).cast(DoubleType) / col("n_r"),
+          6).as("r_star"),
+        round(col("n1").cast(DoubleType) / col("n_tokens"), 6)
+          .as("p_unseen"))
+      .orderBy("r")
+  }
+
   val all: Seq[Q] = Seq(qBoilerplate, qNoveltyRecs, qRetentionSweep,
-    qMaskPlan)
+    qMaskPlan, qSkipgramCooccur, qKneserNey, qGoodTuring)
 }

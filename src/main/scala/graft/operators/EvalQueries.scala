@@ -577,6 +577,67 @@ object EvalQueries {
       .orderBy("decile")
   }
 
+  /** Grouped AUC (the production "GAUC" ranking metric): the q_auc
+    * rank-sum identity evaluated per market segment, because a model
+    * can rank well globally while ranking WITHIN every segment at
+    * chance. Per-group ranks come from ONE GlobalRank pass on the
+    * (segment-char, cents, key) composite plus broadcast group offsets
+    * (the q_trimmed_mean idiom — no segment-partitioned data-sized
+    * window); rank sums are exact DECIMAL(38)/HUGEINT; each group's
+    * AUC is one final double division on the bounded 5-row table. */
+  val qAucByGroup = Q(
+    "q_auc_by_group",
+    """WITH x AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+      |      AS label,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY
+      |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+      |      o_orderkey) AS rk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |m AS (
+      |  SELECT seg, CAST(sum(label) AS HUGEINT) AS n1,
+      |    CAST(count(*) - sum(label) AS HUGEINT) AS n0,
+      |    sum(CASE WHEN label = 1 THEN CAST(rk AS HUGEINT)
+      |        ELSE CAST(0 AS HUGEINT) END) AS r1
+      |  FROM x GROUP BY seg)
+      |SELECT seg, CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+      |  ROUND(CAST(2 * r1 - n1 * (n1 + 1) AS DOUBLE)
+      |    / CAST(2 * n1 * n0 AS DOUBLE), 6) AS auc
+      |FROM m ORDER BY seg""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    // scored() carries no custkey, so rebuild with the segment join inline
+    val base = t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+        when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)
+          .as("label"))
+      .join(broadcast(t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("skey",
+        ascii(substring(col("seg"), 1, 1)).cast(LongType)
+          * lit(10000000000000L) + col("cents"))
+    val (ranked, _) = graft.plans.GlobalRank.withGlobalRowNumber(
+      base, "grk", 32, col("skey"), col("o_orderkey"))
+    val offs = ranked.groupBy("seg").agg(min(col("grk")).as("off"))
+    val m = ranked.join(broadcast(offs), "seg")
+      .select(col("seg"), col("label"),
+        (col("grk") - col("off") + 1).as("rk"))
+      .groupBy("seg")
+      .agg(sum(col("label")).cast(big38).as("n1"),
+        (count(lit(1)) - sum(col("label"))).cast(big38).as("n0"),
+        sum(when(col("label") === 1, col("rk")).otherwise(0L).cast(big38))
+          .as("r1"))
+    m.select(col("seg"), col("n1").cast(LongType).as("n_pos"),
+        col("n0").cast(LongType).as("n_neg"),
+        round((lit(2) * col("r1") - col("n1") * (col("n1") + 1))
+          .cast(DoubleType)
+          / (lit(2) * col("n1") * col("n0")).cast(DoubleType), 6).as("auc"))
+      .orderBy("seg")
+  }
+
   val all: Seq[Q] = Seq(qIsotonic, qAuc, qLiftDeciles, qConfusionMatrix,
-    qCalibration, qMrr, qIpsEstimate, qMapAtK, qFeatureCorrTarget)
+    qCalibration, qMrr, qIpsEstimate, qMapAtK, qFeatureCorrTarget,
+    qAucByGroup)
 }

@@ -1019,8 +1019,1159 @@ object StatQueries {
       .orderBy("feature")
   }
 
+  /** Kruskal–Wallis rank test of order value across the five market
+    * segments — the k-group nonparametric complement to q_mannwhitney
+    * (2 groups) and q_anova (parametric). Ranks come from ONE GlobalRank
+    * pass over (cents, orderkey); tied values get exact average ranks
+    * via the integer identity 2·avgrank = (2·Σrank)/count (ties occupy
+    * consecutive integers, so the division is exact). Per-group rank
+    * sums are Σ c_gv·ar2_v over the per-value table — all integer — and
+    * the H statistic plus its tie correction are assembled on ONE final
+    * row in doubles with the identical expression DAG on both engines. */
+  val qKruskalWallis = Q(
+    "q_kruskal_wallis",
+    """WITH x AS (
+      |  SELECT c_mktsegment AS grp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    row_number() OVER (ORDER BY
+      |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+      |      o_orderkey) AS grk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |pv AS (
+      |  SELECT cents, (2 * sum(grk)) // count(*) AS ar2, count(*) AS cv
+      |  FROM x GROUP BY cents),
+      |gv AS (SELECT grp, cents, count(*) AS cgv FROM x GROUP BY 1, 2),
+      |gr AS (
+      |  SELECT grp, sum(CAST(cgv AS HUGEINT) * ar2) AS r2g,
+      |    sum(cgv) AS ng
+      |  FROM gv JOIN pv USING (cents) GROUP BY grp),
+      |tot AS (
+      |  SELECT sum(ng) AS n, count(*) AS k,
+      |    sum(r2g * r2g // (4 * CAST(ng AS HUGEINT))) AS s
+      |  FROM gr),
+      |ties AS (SELECT sum(CAST(cv AS HUGEINT) * cv * cv - cv) AS tsum
+      |  FROM pv)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(k AS INT) AS k,
+      |  ROUND(12.0 * CAST(s AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+      |    - 3.0 * (CAST(n AS DOUBLE) + 1), 6) AS h,
+      |  ROUND((12.0 * CAST(s AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+      |    - 3.0 * (CAST(n AS DOUBLE) + 1))
+      |    / (1.0 - CAST(tsum AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |        - CAST(n AS DOUBLE))), 6) AS h_tie_corrected
+      |FROM tot, ties""".stripMargin) { (s, d) =>
+    val x = t(s, d, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("grp"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"),
+        col("o_orderkey"))
+    val (ranked, _) = graft.plans.GlobalRank.withGlobalRowNumber(
+      x, "grk", 32, col("cents"), col("o_orderkey"))
+    val pv = ranked.groupBy("cents")
+      .agg(sum(col("grk")).as("srk"), count(lit(1)).as("cv"))
+      .select(col("cents"), expr("(2 * srk) DIV cv").as("ar2"), col("cv"))
+    val gv = ranked.groupBy("grp", "cents").agg(count(lit(1)).as("cgv"))
+    val gr = gv.join(pv, "cents").groupBy("grp")
+      .agg(sum((col("cgv").cast(big38) * col("ar2")).cast(big38)).as("r2g"),
+        sum(col("cgv")).as("ng"))
+    val tot = gr.agg(sum(col("ng")).as("n"), count(lit(1)).as("k"),
+      sum(expr("CAST(r2g * r2g AS DECIMAL(38,0))" +
+        " DIV CAST(4 * ng AS DECIMAL(38,0))")).as("s"))
+    val ties = pv.agg(
+      sum((col("cv").cast(big38) * col("cv") * col("cv") - col("cv"))
+        .cast(big38)).as("tsum"))
+    val nD = col("n").cast(DoubleType)
+    val hRaw = lit(12.0) * col("s").cast(DoubleType) / (nD * (nD + 1)) -
+      lit(3.0) * (nD + 1)
+    tot.crossJoin(broadcast(ties))
+      .select(col("n").cast(LongType).as("n"),
+        col("k").cast(IntegerType).as("k"),
+        round(hRaw, 6).as("h"),
+        round(hRaw / (lit(1.0) - col("tsum").cast(DoubleType)
+          / (nD * nD * nD - nD)), 6).as("h_tie_corrected"))
+  }
+
+  /** Hill tail-index estimator on the orders-per-customer degree
+    * distribution: α = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the top
+    * k=100 customers — the quantitative "how heavy is the activity
+    * tail" readout that q_pareto/q_lorenz_curve only show as shares.
+    * The top-(k+1) panel is a TakeOrdered (bounded, broadcast); each
+    * log term is ·10⁹-quantized before the exact integer sum, so the
+    * estimate is reduction-order-proof on both engines. */
+  val qHillTail = Q(
+    "q_hill_tail",
+    """WITH deg AS (
+      |  SELECT o_custkey, count(*) AS x FROM orders GROUP BY 1),
+      |topk AS (
+      |  SELECT o_custkey, x FROM deg
+      |  ORDER BY x DESC, o_custkey LIMIT 101),
+      |r AS (
+      |  SELECT x, row_number() OVER (ORDER BY x DESC, o_custkey) AS rn
+      |  FROM topk),
+      |th AS (SELECT x AS xk1 FROM r WHERE rn = 101),
+      |sm AS (
+      |  SELECT count(*) AS k,
+      |    sum(CAST(ROUND(ln(CAST(r.x AS DOUBLE) / CAST(th.xk1 AS DOUBLE))
+      |      * 1000000000) AS BIGINT)) AS s9,
+      |    max(th.xk1) AS xk1
+      |  FROM r, th WHERE rn <= 100)
+      |SELECT CAST(k AS INT) AS k, CAST(xk1 AS BIGINT) AS x_threshold,
+      |  ROUND(CASE WHEN s9 > 0
+      |    THEN CAST(k AS DOUBLE) * 1000000000 / CAST(s9 AS DOUBLE) END, 6)
+      |    AS alpha,
+      |  ROUND(CASE WHEN s9 > 0
+      |    THEN CAST(k AS DOUBLE) * 1000000000 / CAST(s9 AS DOUBLE)
+      |      / sqrt(CAST(k AS DOUBLE)) END, 6) AS se
+      |FROM sm""".stripMargin) { (s, d) =>
+    val deg = t(s, d, "orders").groupBy("o_custkey")
+      .agg(count(lit(1)).as("x"))
+    val topk = deg.orderBy(col("x").desc, col("o_custkey")).limit(101)
+    // bounded 101-row panel: the unpartitioned window is fine here
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").desc, col("o_custkey"))
+    val r = topk.withColumn("rn", row_number().over(w))
+    val th = r.filter(col("rn") === 101).select(col("x").as("xk1"))
+    val sm = r.filter(col("rn") <= 100).crossJoin(broadcast(th))
+      .agg(count(lit(1)).as("k"),
+        sum(round(log(col("x").cast(DoubleType)
+          / col("xk1").cast(DoubleType)) * 1000000000L).cast(LongType))
+          .as("s9"),
+        max(col("xk1")).as("xk1"))
+    sm.select(col("k").cast(IntegerType).as("k"),
+      col("xk1").cast(LongType).as("x_threshold"),
+      round(when(col("s9") > 0, col("k").cast(DoubleType) * 1000000000L
+        / col("s9").cast(DoubleType)), 6).as("alpha"),
+      round(when(col("s9") > 0, col("k").cast(DoubleType) * 1000000000L
+        / col("s9").cast(DoubleType)
+        / sqrt(col("k").cast(DoubleType))), 6).as("se"))
+  }
+
+  /** EWMA control chart (λ=1/5, window truncated at 24 months,
+    * pandas-style adjust=true normalization) on monthly order revenue —
+    * the classic SPC smoother between q_cusum (cumulative drift) and
+    * q_changepoint (single break). λ=1/5 makes every weight the EXACT
+    * integer 4^d·10¹⁸ div 5^(d+1): no pow()/libm anywhere, so both
+    * engines sum identical integers (Spark materializes the 25-row
+    * weight table from BigInt; DuckDB builds it with a recursive CTE).
+    * The month pair-join is (84 months × 25 lags) — bounded. */
+  val qEwmaChart = Q(
+    "q_ewma_chart",
+    """WITH RECURSIVE pw(d, p4, p5) AS (
+      |  SELECT 0, CAST(1 AS HUGEINT), CAST(5 AS HUGEINT)
+      |  UNION ALL SELECT d + 1, p4 * 4, p5 * 5 FROM pw WHERE d < 24),
+      |w AS (
+      |  SELECT d, (p4 * CAST('1000000000000000000' AS HUGEINT)) // p5
+      |    AS w18
+      |  FROM pw),
+      |m AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+      |    year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.mth, a.rev,
+      |    sum(CAST(b.rev AS HUGEINT) * w.w18) AS num,
+      |    sum(w.w18) AS den
+      |  FROM m a, m b, w WHERE a.midx = b.midx + w.d
+      |  GROUP BY a.mth, a.rev)
+      |SELECT mth, ROUND(CAST(rev AS DOUBLE) / 100, 2) AS revenue,
+      |  ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100, 4)
+      |    AS ewma,
+      |  ROUND(CAST(rev AS DOUBLE) / 100
+      |    / (CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100), 6)
+      |    AS ratio
+      |FROM p ORDER BY mth""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val w18 = (0 to 24).map { dd =>
+      (dd, (BigInt(4).pow(dd) * BigInt(10).pow(18) / BigInt(5).pow(dd + 1))
+        .toLong)
+    }
+    val wdf = w18.toDF("dlag", "w18")
+    val m = t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType)
+        .as("mth"))
+      .agg(sum(dec2(col("o_totalprice")) * 100).cast(LongType).as("rev"))
+      .withColumn("midx", year(col("mth")) * 12 + month(col("mth")))
+    val bw = m.select(col("midx").as("bmidx"), col("rev").as("brev"))
+      .crossJoin(wdf)
+    val p = m.join(broadcast(bw), col("midx") === col("bmidx") + col("dlag"))
+      .groupBy("mth", "rev")
+      .agg(sum(col("brev").cast(big38) * col("w18")).as("num"),
+        sum(col("w18")).as("den"))
+    val ewmaRaw = col("num").cast(DoubleType) / col("den").cast(DoubleType) /
+      lit(100)
+    p.select(col("mth"),
+        round(col("rev").cast(DoubleType) / 100, 2).as("revenue"),
+        round(ewmaRaw, 4).as("ewma"),
+        round(col("rev").cast(DoubleType) / 100 / ewmaRaw, 6).as("ratio"))
+      .orderBy("mth")
+  }
+
+  /** Lead-lag cross-correlation of the click and purchase daily value
+    * series at lags −7..+7 — does click activity LEAD purchases, and by
+    * how many days? (q_rolling_corr is the same-time view.) Daily sums
+    * are exact µ-quantized integers; per-lag co-moments are exact
+    * HUGEINT/DECIMAL(38) sums over the day-aligned join, and Pearson r
+    * is one double expression per lag row. The day domain is bounded,
+    * so the lag-grid join is a broadcast. */
+  val qCcfLeadlag = Q(
+    "q_ccf_leadlag",
+    """WITH a AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    sum(CAST(ROUND(value * 1000000) AS BIGINT)) AS av
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |b AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    sum(CAST(ROUND(value * 1000000) AS BIGINT)) AS bv
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |lg AS (SELECT unnest(range(-7, 8)) AS lag),
+      |pr AS (
+      |  SELECT lg.lag, a.av, b.bv
+      |  FROM a CROSS JOIN lg JOIN b ON b.day = a.day + CAST(lg.lag AS INT)),
+      |sm AS (
+      |  SELECT lag, count(*) AS n,
+      |    sum(CAST(av AS HUGEINT)) AS sx, sum(CAST(bv AS HUGEINT)) AS sy,
+      |    sum(CAST(av AS HUGEINT) * av) AS sxx,
+      |    sum(CAST(bv AS HUGEINT) * bv) AS syy,
+      |    sum(CAST(av AS HUGEINT) * bv) AS sxy
+      |  FROM pr GROUP BY lag)
+      |SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_days,
+      |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r
+      |FROM sm ORDER BY lag""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    def daily(typ: String, out: String): DataFrame = ev
+      .filter(col("event_type") === typ)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 1000000L).cast(LongType)).as(out))
+    val a = daily("click", "av")
+    val b = daily("purchase", "bv")
+    val lg = s.range(-7, 8).select(col("id").cast(IntegerType).as("lag"))
+    val bb = b.select(col("day").as("bday"), col("bv"))
+    val pr2 = a.crossJoin(broadcast(lg))
+      .join(broadcast(bb), col("bday") === date_add(col("day"), col("lag")))
+    val sm = pr2.groupBy("lag").agg(count(lit(1)).as("n"),
+      sum(col("av").cast(big38)).as("sx"),
+      sum(col("bv").cast(big38)).as("sy"),
+      sum(col("av").cast(big38) * col("av")).as("sxx"),
+      sum(col("bv").cast(big38) * col("bv")).as("syy"),
+      sum(col("av").cast(big38) * col("bv")).as("sxy"))
+    sm.select(col("lag").cast(IntegerType).as("lag"),
+        col("n").cast(LongType).as("n_days"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast(DoubleType)
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType))
+          / sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast(DoubleType)), 6).as("r"))
+      .orderBy("lag")
+  }
+
+  /** Friedman rank test over the (year-block × market-segment) panel of
+    * mean order values — the repeated-measures complement to
+    * q_kruskal_wallis: does segment ordering persist ACROSS years? Cell
+    * means are exact ·10⁶-quantized integers; within-block average
+    * ranks use the exact 2r = 2·|less| + |equal| + 1 identity over a
+    * bounded k×k self-join per block; χ²_F and Kendall's W assemble on
+    * one final row. Everything after the first aggregate is bounded
+    * (7 blocks × 5 treatments). */
+  val qFriedman = Q(
+    "q_friedman",
+    """WITH m AS (
+      |  SELECT year(o_orderdate) AS yr, c_mktsegment AS seg,
+      |    (sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+      |      * 1000000) // count(*) AS mean6
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT a.yr, a.seg,
+      |    2 * sum(CASE WHEN b.mean6 < a.mean6 THEN 1 ELSE 0 END)
+      |      + sum(CASE WHEN b.mean6 = a.mean6 THEN 1 ELSE 0 END) + 1
+      |      AS r2
+      |  FROM m a JOIN m b ON a.yr = b.yr GROUP BY a.yr, a.seg),
+      |rj AS (SELECT seg, sum(r2) AS r2j FROM r GROUP BY seg),
+      |tot AS (
+      |  SELECT count(*) AS k, sum(r2j * r2j) AS s4,
+      |    (SELECT count(DISTINCT yr) FROM m) AS b
+      |  FROM rj)
+      |SELECT CAST(b AS INT) AS n_blocks, CAST(k AS INT) AS k,
+      |  ROUND(3.0 * CAST(s4 AS DOUBLE)
+      |    / (CAST(b AS DOUBLE) * k * (k + 1))
+      |    - 3.0 * CAST(b AS DOUBLE) * (k + 1), 6) AS chi2_f,
+      |  ROUND((3.0 * CAST(s4 AS DOUBLE)
+      |    / (CAST(b AS DOUBLE) * k * (k + 1))
+      |    - 3.0 * CAST(b AS DOUBLE) * (k + 1))
+      |    / (CAST(b AS DOUBLE) * (k - 1)), 6) AS kendall_w
+      |FROM tot""".stripMargin) { (s, d) =>
+    val m = t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        col("c_mktsegment").as("seg"))
+      .agg(expr("CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
+        " AS DECIMAL(38,0))) * 1000000 DIV count(*) AS BIGINT)").as("mean6"))
+    val b2 = m.select(col("yr").as("byr"), col("mean6").as("bmean6"))
+    val r = m.join(broadcast(b2), col("yr") === col("byr"))
+      .groupBy("yr", "seg")
+      .agg((lit(2) * sum(when(col("bmean6") < col("mean6"), 1).otherwise(0))
+        + sum(when(col("bmean6") === col("mean6"), 1).otherwise(0)) + 1)
+        .as("r2"))
+    val rj = r.groupBy("seg").agg(sum(col("r2")).as("r2j"))
+    val nb = m.agg(countDistinct(col("yr")).as("b"))
+    val tot = rj.agg(count(lit(1)).as("k"),
+        sum(col("r2j") * col("r2j")).as("s4"))
+      .crossJoin(broadcast(nb))
+    val bD = col("b").cast(DoubleType)
+    val chi2 = lit(3.0) * col("s4").cast(DoubleType) /
+      (bD * col("k") * (col("k") + 1)) - lit(3.0) * bD * (col("k") + 1)
+    tot.select(col("b").cast(IntegerType).as("n_blocks"),
+      col("k").cast(IntegerType).as("k"),
+      round(chi2, 6).as("chi2_f"),
+      round(chi2 / (bD * (col("k") - 1)), 6).as("kendall_w"))
+  }
+
+  /** Lag-1 Granger causality screen: does last month's ORDER COUNT help
+    * predict this month's REVENUE beyond revenue's own lag? Restricted
+    * (y~1+y₋₁) vs unrestricted (y~1+y₋₁+x₋₁) OLS, both in closed form
+    * from ONE set of exact DECIMAL(38) co-moment sums over the
+    * month-pair join (bounded, 83 rows); the F statistic is a single
+    * double expression on the final row — the causal-direction screen
+    * a forecasting pipeline runs before adding a covariate. */
+  val qGranger = Q(
+    "q_granger",
+    """WITH m AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS rev,
+      |    count(*) AS cnt
+      |  FROM orders GROUP BY 1),
+      |p AS (
+      |  SELECT a.rev AS y, b.rev AS yl, b.cnt AS xl
+      |  FROM m a JOIN m b ON a.midx = b.midx + 1),
+      |sm AS (
+      |  SELECT count(*) AS n,
+      |    sum(CAST(y AS HUGEINT)) AS sy, sum(CAST(yl AS HUGEINT)) AS syl,
+      |    sum(CAST(xl AS HUGEINT)) AS sxl,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(y AS HUGEINT) * yl) AS syyl,
+      |    sum(CAST(y AS HUGEINT) * xl) AS syxl,
+      |    sum(CAST(yl AS HUGEINT) * yl) AS sylyl,
+      |    sum(CAST(yl AS HUGEINT) * xl) AS sylxl,
+      |    sum(CAST(xl AS HUGEINT) * xl) AS sxlxl
+      |  FROM p),
+      |c AS (
+      |  SELECT n,
+      |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS cyy,
+      |    CAST(sylyl AS DOUBLE) - CAST(syl AS DOUBLE) * syl / n AS s11,
+      |    CAST(sxlxl AS DOUBLE) - CAST(sxl AS DOUBLE) * sxl / n AS s22,
+      |    CAST(sylxl AS DOUBLE) - CAST(syl AS DOUBLE) * sxl / n AS s12,
+      |    CAST(syyl AS DOUBLE) - CAST(syl AS DOUBLE) * sy / n AS s1y,
+      |    CAST(syxl AS DOUBLE) - CAST(sxl AS DOUBLE) * sy / n AS s2y
+      |  FROM sm),
+      |f AS (
+      |  SELECT n, cyy, s11, s1y, s2y, s12, s22,
+      |    (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+      |    (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2
+      |  FROM c)
+      |SELECT CAST(n AS BIGINT) AS n_months,
+      |  ROUND(b2, 6) AS beta_xlag,
+      |  ROUND(((cyy - s1y * s1y / s11) - (cyy - b1 * s1y - b2 * s2y))
+      |    * (n - 3) / (cyy - b1 * s1y - b2 * s2y), 4) AS f_granger
+      |FROM f""".stripMargin) { (s, d) =>
+    val m = t(s, d, "orders")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .as("midx"))
+      .agg(sum(dec2(col("o_totalprice")) * 100).cast(LongType).as("rev"),
+        count(lit(1)).as("cnt"))
+    val b = m.select(col("midx").as("bmidx"), col("rev").as("yl"),
+      col("cnt").as("xl"))
+    val p = m.join(broadcast(b), col("midx") === col("bmidx") + 1)
+      .select(col("rev").as("y"), col("yl"), col("xl"))
+    val sm = p.agg(count(lit(1)).as("n"),
+      sum(col("y").cast(big38)).as("sy"),
+      sum(col("yl").cast(big38)).as("syl"),
+      sum(col("xl").cast(big38)).as("sxl"),
+      sum(col("y").cast(big38) * col("y")).as("syy"),
+      sum(col("y").cast(big38) * col("yl")).as("syyl"),
+      sum(col("y").cast(big38) * col("xl")).as("syxl"),
+      sum(col("yl").cast(big38) * col("yl")).as("sylyl"),
+      sum(col("yl").cast(big38) * col("xl")).as("sylxl"),
+      sum(col("xl").cast(big38) * col("xl")).as("sxlxl"))
+    val c = sm.select(col("n"),
+      (col("syy").cast(DoubleType)
+        - col("sy").cast(DoubleType) * col("sy") / col("n")).as("cyy"),
+      (col("sylyl").cast(DoubleType)
+        - col("syl").cast(DoubleType) * col("syl") / col("n")).as("s11"),
+      (col("sxlxl").cast(DoubleType)
+        - col("sxl").cast(DoubleType) * col("sxl") / col("n")).as("s22"),
+      (col("sylxl").cast(DoubleType)
+        - col("syl").cast(DoubleType) * col("sxl") / col("n")).as("s12"),
+      (col("syyl").cast(DoubleType)
+        - col("syl").cast(DoubleType) * col("sy") / col("n")).as("s1y"),
+      (col("syxl").cast(DoubleType)
+        - col("sxl").cast(DoubleType) * col("sy") / col("n")).as("s2y"))
+    val f = c.select(col("n"), col("cyy"), col("s11"), col("s1y"),
+      col("s2y"), col("s12"), col("s22"),
+      ((col("s1y") * col("s22") - col("s2y") * col("s12"))
+        / (col("s11") * col("s22") - col("s12") * col("s12"))).as("b1"),
+      ((col("s2y") * col("s11") - col("s1y") * col("s12"))
+        / (col("s11") * col("s22") - col("s12") * col("s12"))).as("b2"))
+    val rssU = col("cyy") - col("b1") * col("s1y") - col("b2") * col("s2y")
+    f.select(col("n").cast(LongType).as("n_months"),
+      round(col("b2"), 6).as("beta_xlag"),
+      round(((col("cyy") - col("s1y") * col("s1y") / col("s11")) - rssU)
+        * (col("n") - 3) / rssU, 4).as("f_granger"))
+  }
+
+  /** Ljung–Box portmanteau test on monthly revenue: autocorrelations
+    * r_1..r_10 from ONE month-pair lag join (bounded), each against the
+    * full-series mean, with the cumulative Q statistic — "is there ANY
+    * serial structure left" before a forecaster ships residuals as
+    * noise. P/A/B building blocks are exact integer sums; each r_k is a
+    * per-row double; the Q accumulation quantizes r_k²/(n−k) at 10⁻¹²
+    * and runs over the bounded 10-row lag table. */
+  val qLjungBox = Q(
+    "q_ljung_box",
+    """WITH m AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |full_s AS (
+      |  SELECT count(*) AS n, sum(CAST(y AS HUGEINT)) AS s,
+      |    sum(CAST(y AS HUGEINT) * y) AS q2
+      |  FROM m),
+      |lg AS (SELECT unnest(range(1, 11)) AS kk),
+      |pr AS (
+      |  SELECT lg.kk, count(*) AS nk,
+      |    sum(CAST(a.y AS HUGEINT) * b.y) AS p,
+      |    sum(CAST(b.y AS HUGEINT)) AS asum,
+      |    sum(CAST(a.y AS HUGEINT)) AS bsum
+      |  FROM lg, m a, m b WHERE a.midx = b.midx + lg.kk
+      |  GROUP BY lg.kk),
+      |rk AS (
+      |  SELECT kk, nk, n,
+      |    (CAST(p AS DOUBLE)
+      |      - CAST(s AS DOUBLE) / n * (CAST(asum AS DOUBLE) + bsum)
+      |      + nk * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+      |    / (CAST(q2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) AS r
+      |  FROM pr, full_s),
+      |tq AS (
+      |  SELECT kk, n, r,
+      |    CAST(ROUND(r * r / (n - kk) * 1000000000000) AS BIGINT) AS t12
+      |  FROM rk)
+      |SELECT CAST(kk AS INT) AS lag, ROUND(r, 6) AS r,
+      |  ROUND(CAST(n AS DOUBLE) * (n + 2)
+      |    * CAST(sum(t12) OVER (ORDER BY kk) AS DOUBLE)
+      |    / 1000000000000, 4) AS lb_q
+      |FROM tq ORDER BY lag""".stripMargin) { (s, d) =>
+    val m = t(s, d, "orders")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .as("midx"))
+      .agg(sum(dec2(col("o_totalprice")) * 100).cast(LongType).as("y"))
+    val fullS = m.agg(count(lit(1)).as("n"),
+      sum(col("y").cast(big38)).as("s"),
+      sum(col("y").cast(big38) * col("y")).as("q2"))
+    val lg = s.range(1, 11).select(col("id").as("kk"))
+    val b = m.select(col("midx").as("bmidx"), col("y").as("by"))
+    val pr = m.crossJoin(broadcast(lg))
+      .join(broadcast(b), col("midx") === col("bmidx") + col("kk"))
+      .groupBy("kk")
+      .agg(count(lit(1)).as("nk"),
+        sum(col("y").cast(big38) * col("by")).as("p"),
+        sum(col("by").cast(big38)).as("asum"),
+        sum(col("y").cast(big38)).as("bsum"))
+    val mu = col("s").cast(DoubleType) / col("n")
+    val rk = pr.crossJoin(broadcast(fullS))
+      .select(col("kk"), col("nk"), col("n"),
+        ((col("p").cast(DoubleType)
+          - mu * (col("asum").cast(DoubleType) + col("bsum"))
+          + col("nk") * mu * mu)
+          / (col("q2").cast(DoubleType)
+            - col("s").cast(DoubleType) * col("s") / col("n"))).as("r"))
+    val tq = rk.select(col("kk"), col("n"), col("r"),
+      round(col("r") * col("r") / (col("n") - col("kk"))
+        * 1000000000000L).cast(LongType).as("t12"))
+    // bounded 10-row lag table: the unpartitioned running window is fine
+    val w = org.apache.spark.sql.expressions.Window.orderBy("kk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    tq.select(col("kk").cast(IntegerType).as("lag"),
+        round(col("r"), 6).as("r"),
+        round(col("n").cast(DoubleType) * (col("n") + 2)
+          * sum(col("t12")).over(w).cast(DoubleType) / 1000000000000L, 4)
+          .as("lb_q"))
+      .orderBy("lag")
+  }
+
+  /** Cook's distance influence screen for the discount→quantity OLS:
+    * the top-10 single rows that most move the fitted line — the
+    * diagnostic that catches "one weird order drives the whole
+    * coefficient" before anyone acts on q_agg_regression. Moments are
+    * ONE exact-integer aggregate (broadcast to every row); leverage,
+    * residual and D are per-row doubles with an identical DAG; the
+    * top-10 cut orders by the ·10¹²-quantized D (then keys), so the
+    * selected SET is engine-identical. */
+  val qCooksDistance = Q(
+    "q_cooks_distance",
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS x,
+      |    CAST(l_quantity AS BIGINT) AS y
+      |  FROM lineitem),
+      |sm AS (
+      |  SELECT count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM li),
+      |c AS (
+      |  SELECT n,
+      |    CAST(sx AS DOUBLE) / n AS xbar,
+      |    CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxxc,
+      |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+      |      / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS bhat,
+      |    CAST(sy AS DOUBLE) / n AS ybar,
+      |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syyc,
+      |    CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS sxyc
+      |  FROM sm),
+      |dd AS (
+      |  SELECT li.l_orderkey, li.l_linenumber, li.x, li.y,
+      |    1.0 / c.n + (li.x - c.xbar) * (li.x - c.xbar) / c.sxxc AS h,
+      |    li.y - (c.ybar - c.bhat * c.xbar) - c.bhat * li.x AS e,
+      |    (c.syyc - c.bhat * c.sxyc) / (c.n - 2) AS s2
+      |  FROM li, c),
+      |dq AS (
+      |  SELECT l_orderkey, l_linenumber, x, y, h,
+      |    CAST(ROUND(e * e * h / (2 * s2 * (1 - h) * (1 - h))
+      |      * 1000000000000) AS BIGINT) AS d12
+      |  FROM dd)
+      |SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber,
+      |  CAST(x AS INT) AS discount_pct, CAST(y AS BIGINT) AS quantity,
+      |  ROUND(h, 6) AS leverage,
+      |  ROUND(CAST(d12 AS DOUBLE) / 1000000000000, 6) AS cooks_d
+      |FROM dq ORDER BY d12 DESC, l_orderkey, l_linenumber
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber"),
+      round(col("l_discount") * 100).cast(LongType).as("x"),
+      col("l_quantity").cast(LongType).as("y"))
+    val sm = li.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(big38)).as("sx"),
+      sum(col("y").cast(big38)).as("sy"),
+      sum(col("x").cast(big38) * col("x")).as("sxx"),
+      sum(col("x").cast(big38) * col("y")).as("sxy"),
+      sum(col("y").cast(big38) * col("y")).as("syy"))
+    val c = sm.select(col("n"),
+      (col("sx").cast(DoubleType) / col("n")).as("xbar"),
+      (col("sxx").cast(DoubleType)
+        - col("sx").cast(DoubleType) * col("sx") / col("n")).as("sxxc"),
+      ((col("sxy").cast(DoubleType)
+        - col("sx").cast(DoubleType) * col("sy") / col("n"))
+        / (col("sxx").cast(DoubleType)
+          - col("sx").cast(DoubleType) * col("sx") / col("n"))).as("bhat"),
+      (col("sy").cast(DoubleType) / col("n")).as("ybar"),
+      (col("syy").cast(DoubleType)
+        - col("sy").cast(DoubleType) * col("sy") / col("n")).as("syyc"),
+      (col("sxy").cast(DoubleType)
+        - col("sx").cast(DoubleType) * col("sy") / col("n")).as("sxyc"))
+    val dd = li.crossJoin(broadcast(c))
+      .select(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"),
+        (lit(1.0) / col("n") + (col("x") - col("xbar"))
+          * (col("x") - col("xbar")) / col("sxxc")).as("h"),
+        (col("y") - (col("ybar") - col("bhat") * col("xbar"))
+          - col("bhat") * col("x")).as("e"),
+        ((col("syyc") - col("bhat") * col("sxyc")) / (col("n") - 2))
+          .as("s2"))
+    val dq = dd.select(col("l_orderkey"), col("l_linenumber"), col("x"),
+      col("y"), col("h"),
+      round(col("e") * col("e") * col("h")
+        / (lit(2) * col("s2") * (lit(1) - col("h")) * (lit(1) - col("h")))
+        * 1000000000000L).cast(LongType).as("d12"))
+    dq.orderBy(col("d12").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast(IntegerType).as("l_linenumber"),
+        col("x").cast(IntegerType).as("discount_pct"),
+        col("y").cast(LongType).as("quantity"),
+        round(col("h"), 6).as("leverage"),
+        round(col("d12").cast(DoubleType) / 1000000000000L, 6).as("cooks_d"))
+  }
+
+  /** Holm–Bonferroni step-DOWN correction over the same 25 per-nation
+    * urgent-share z-tests as q_fdr_bh (FWER control vs BH's FDR — the
+    * stricter family-wise guarantee for launch-blocking decisions).
+    * The panel repeats q_fdr_bh's construction: exact counts, one
+    * Zelen–Severo tail polynomial with identical op order, p quantized
+    * to integer p9 BEFORE ranking. Holm's stop-at-first-failure is the
+    * running MIN of the per-rank flag p9·(m−rank+1) ≤ α·10⁹ over the
+    * bounded 25-row panel — integer comparisons throughout. */
+  val qHolmBonferroni = Q(
+    "q_holm_bonferroni",
+    """WITH o AS (
+      |  SELECT n.n_name,
+      |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |pern AS (
+      |  SELECT n_name, count(*) AS n1, sum(u) AS u1 FROM o GROUP BY 1),
+      |tot AS (SELECT count(*) AS nt, sum(u) AS ut FROM o),
+      |zt AS (
+      |  SELECT n_name, n1, u1,
+      |    (CAST(u1 AS DOUBLE) / n1 - CAST(ut - u1 AS DOUBLE) / (nt - n1))
+      |      / sqrt(CAST(ut AS DOUBLE) / nt * (1 - CAST(ut AS DOUBLE) / nt)
+      |        * (1.0 / n1 + 1.0 / (nt - n1))) AS z
+      |  FROM pern, tot),
+      |pv AS (
+      |  SELECT n_name, n1, u1, z,
+      |    CAST(ROUND(2 * (exp(-abs(z) * abs(z) / 2) * 0.3989422804014327
+      |      * ((((1.330274429 * (1 / (1 + 0.2316419 * abs(z)))
+      |        - 1.821255978) * (1 / (1 + 0.2316419 * abs(z)))
+      |        + 1.781477937) * (1 / (1 + 0.2316419 * abs(z)))
+      |        - 0.356563782) * (1 / (1 + 0.2316419 * abs(z)))
+      |        + 0.319381530) * (1 / (1 + 0.2316419 * abs(z))))
+      |      * 1000000000) AS BIGINT) AS p9
+      |  FROM zt),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY p9, n_name) AS rank,
+      |    count(*) OVER () AS m
+      |  FROM pv),
+      |fl AS (
+      |  SELECT *, CASE WHEN p9 * (m - rank + 1) <= 50000000
+      |    THEN 1 ELSE 0 END AS ok
+      |  FROM rk)
+      |SELECT n_name, CAST(n1 AS BIGINT) AS n_orders,
+      |  CAST(u1 AS BIGINT) AS n_urgent, ROUND(z, 4) AS z,
+      |  ROUND(CAST(p9 AS DOUBLE) / 1000000000, 6) AS p_value,
+      |  CAST(rank AS BIGINT) AS p_rank,
+      |  CAST(min(ok) OVER (ORDER BY rank
+      |    ROWS UNBOUNDED PRECEDING) AS INT) AS rejected
+      |FROM fl ORDER BY p_rank, n_name""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("u"))
+    val pern = o.groupBy("n_name")
+      .agg(count(lit(1)).as("n1"), sum(col("u")).as("u1"))
+    val tot = o.agg(count(lit(1)).as("nt"), sum(col("u")).as("ut"))
+    val zt = pern.crossJoin(broadcast(tot))
+      .withColumn("z",
+        (col("u1").cast(DoubleType) / col("n1")
+          - (col("ut") - col("u1")).cast(DoubleType)
+            / (col("nt") - col("n1")))
+        / sqrt(col("ut").cast(DoubleType) / col("nt")
+          * (lit(1) - col("ut").cast(DoubleType) / col("nt"))
+          * (lit(1.0) / col("n1") + lit(1.0) / (col("nt") - col("n1")))))
+    val tcol = lit(1) / (lit(1) + lit(0.2316419) * abs(col("z")))
+    val tail = exp(-abs(col("z")) * abs(col("z")) / 2)
+      .multiply(lit(0.3989422804014327))
+      .multiply(((((lit(1.330274429) * tcol - lit(1.821255978)) * tcol
+        + lit(1.781477937)) * tcol - lit(0.356563782)) * tcol
+        + lit(0.319381530)) * tcol)
+    val pv = zt.withColumn("p9",
+      round(lit(2) * tail * 1000000000L).cast(LongType))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .orderBy("p9", "n_name")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val wRun = org.apache.spark.sql.expressions.Window.orderBy("rank")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    pv.withColumn("rank", row_number().over(wRank).cast(LongType))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("ok",
+        when(col("p9") * (col("m") - col("rank") + 1) <= 50000000L, 1)
+          .otherwise(0))
+      .select(col("n_name"), col("n1").cast(LongType).as("n_orders"),
+        col("u1").cast(LongType).as("n_urgent"),
+        round(col("z"), 4).as("z"),
+        round(col("p9").cast(DoubleType) / 1e9, 6).as("p_value"),
+        col("rank").as("p_rank"),
+        min(col("ok")).over(wRun).cast(IntegerType).as("rejected"))
+      .orderBy("p_rank", "n_name")
+  }
+
+  /** Gumbel extreme-value fit (method of moments) on annual maxima of
+    * the daily order count: location μ, scale β = s·√6/π, and the
+    * 100-year return level μ − β·ln(−ln(1−1/100)) — the capacity-
+    * planning question ("what daily peak should we provision for")
+    * that mean-based profiles cannot answer. Daily counts and annual
+    * maxima are exact integers; the bounded per-year panel's moment
+    * sums are exact; the fit is one final double row. */
+  val qExtremeValue = Q(
+    "q_extreme_value",
+    """WITH dc AS (
+      |  SELECT year(o_orderdate) AS yr, o_orderdate AS day,
+      |    count(*) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |am AS (SELECT yr, max(c) AS mx FROM dc GROUP BY yr),
+      |sm AS (
+      |  SELECT count(*) AS n, sum(CAST(mx AS HUGEINT)) AS s1,
+      |    sum(CAST(mx AS HUGEINT) * mx) AS s2
+      |  FROM am),
+      |fit AS (
+      |  SELECT n,
+      |    CAST(s1 AS DOUBLE) / n AS m,
+      |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+      |      / (n - 1)) * 0.7796968012336761 AS beta
+      |  FROM sm)
+      |SELECT CAST(n AS INT) AS n_years,
+      |  ROUND(m - 0.5772156649015329 * beta, 4) AS mu,
+      |  ROUND(beta, 4) AS beta,
+      |  ROUND(m - 0.5772156649015329 * beta
+      |    - beta * ln(-ln(1 - 1.0 / 100)), 4) AS return_level_100
+      |FROM fit""".stripMargin) { (s, d) =>
+    val dc = t(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val am = dc.groupBy("yr").agg(max(col("c")).as("mx"))
+    val sm = am.agg(count(lit(1)).as("n"),
+      sum(col("mx").cast(big38)).as("s1"),
+      sum(col("mx").cast(big38) * col("mx")).as("s2"))
+    val fit = sm.select(col("n"),
+      (col("s1").cast(DoubleType) / col("n")).as("m"),
+      (sqrt((col("s2").cast(DoubleType)
+        - col("s1").cast(DoubleType) * col("s1") / col("n"))
+        / (col("n") - 1)) * lit(0.7796968012336761)).as("beta"))
+    fit.select(col("n").cast(IntegerType).as("n_years"),
+      round(col("m") - lit(0.5772156649015329) * col("beta"), 4).as("mu"),
+      round(col("beta"), 4).as("beta"),
+      round(col("m") - lit(0.5772156649015329) * col("beta")
+        - col("beta") * log(-log(lit(1) - lit(1.0) / 100)), 4)
+        .as("return_level_100"))
+  }
+
+  /** Coarsened-exact matching (CEM): URGENT orders match LOW-priority
+    * controls inside (market segment × $1000 price caliper) cells, and
+    * the ATT on order size (lineitem count) is the matched mean
+    * difference — observational "does urgency change basket size" once
+    * segment and price are controlled. Matching is a pure equi-join on
+    * the cell key (never a sort or window over the fact subset — the
+    * scale-right form of nearest-neighbor matching); the per-cell
+    * control mean is an exact (Σ, n) pair so the treated-weighted
+    * control average is reduction-order-proof. Unmatched treated rows
+    * drop, per standard CEM. */
+  val qCemMatch = Q(
+    "q_cem_match",
+    """WITH nl AS (
+      |  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1),
+      |ord AS (
+      |  SELECT o.o_orderkey, c.c_mktsegment AS seg,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      // 100000 AS cell,
+      |    o.o_orderpriority AS prio, nl.n_lines
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nl ON o.o_orderkey = nl.l_orderkey
+      |  WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |ctrl AS (
+      |  SELECT seg, cell, sum(CAST(n_lines AS HUGEINT)) AS csum,
+      |    count(*) AS cn
+      |  FROM ord WHERE prio = '5-LOW' GROUP BY 1, 2),
+      |tr AS (SELECT seg, cell, o_orderkey, n_lines FROM ord
+      |  WHERE prio = '1-URGENT'),
+      |j AS (
+      |  SELECT tr.seg, tr.n_lines, ctrl.csum, ctrl.cn
+      |  FROM tr JOIN ctrl ON tr.seg = ctrl.seg AND tr.cell = ctrl.cell),
+      |per AS (
+      |  SELECT seg, count(*) AS n_matched,
+      |    sum(CAST(n_lines AS HUGEINT)) AS st,
+      |    sum(CAST(ROUND(CAST(csum AS DOUBLE) / cn * 1000000)
+      |      AS HUGEINT)) AS sc6
+      |  FROM j GROUP BY seg)
+      |SELECT seg, CAST(n_matched AS BIGINT) AS n_matched,
+      |  ROUND(CAST(st AS DOUBLE) / n_matched, 6) AS mean_treated,
+      |  ROUND(CAST(sc6 AS DOUBLE) / 1000000 / n_matched, 6)
+      |    AS mean_control,
+      |  ROUND((CAST(st AS DOUBLE) - CAST(sc6 AS DOUBLE) / 1000000)
+      |    / n_matched, 6) AS att
+      |FROM per ORDER BY seg""".stripMargin) { (s, d) =>
+    val nl = t(s, d, "lineitem").groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_lines"))
+    val ord = t(s, d, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .join(broadcast(t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .join(nl, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("c_mktsegment").as("seg"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+          " DIV 100000").as("cell"),
+        col("o_orderpriority").as("prio"), col("n_lines"))
+    val ctrl = ord.filter(col("prio") === "5-LOW")
+      .groupBy("seg", "cell")
+      .agg(sum(col("n_lines").cast(big38)).as("csum"),
+        count(lit(1)).as("cn"))
+    val tr = ord.filter(col("prio") === "1-URGENT")
+      .select("seg", "cell", "n_lines")
+    val j = tr.join(ctrl, Seq("seg", "cell"))
+    val per = j.groupBy("seg")
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("n_lines").cast(big38)).as("st"),
+        sum(round(col("csum").cast(DoubleType) / col("cn") * 1000000L)
+          .cast(big38)).as("sc6"))
+    per.select(col("seg"), col("n_matched").cast(LongType).as("n_matched"),
+        round(col("st").cast(DoubleType) / col("n_matched"), 6)
+          .as("mean_treated"),
+        round(col("sc6").cast(DoubleType) / 1000000L / col("n_matched"), 6)
+          .as("mean_control"),
+        round((col("st").cast(DoubleType)
+          - col("sc6").cast(DoubleType) / 1000000L) / col("n_matched"), 6)
+          .as("att"))
+      .orderBy("seg")
+  }
+
+  /** Entropy rate of the user-journey Markov chain: transition counts
+    * from per-user event sequences (the q_markov_transitions chain),
+    * stationary distribution via 3 power-iteration steps from uniform
+    * over the bounded 5-state matrix (each step's probabilities
+    * ·10⁹-quantized so both engines iterate identical integers), and
+    * H = −Σ π_i p_ij ln p_ij with ·10⁹-quantized terms — bits-per-step
+    * predictability of user behavior, the sequence-compressibility
+    * readout next to q_doc_entropy's static one. */
+  val qMarkovEntropy = Q(
+    "q_markov_entropy",
+    """WITH seq AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS dst
+      |  FROM events),
+      |pairs AS (
+      |  SELECT src, dst, count(*) AS n FROM seq
+      |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT src, sum(n) AS tn FROM pairs GROUP BY 1),
+      |p AS (
+      |  SELECT pairs.src, pairs.dst,
+      |    CAST(ROUND(CAST(pairs.n AS DOUBLE) / tn * 1000000000) AS BIGINT)
+      |      AS p9
+      |  FROM pairs JOIN tot USING (src)),
+      |states AS (SELECT DISTINCT src FROM p),
+      |pi0 AS (
+      |  SELECT src, 1000000000 // (SELECT count(*) FROM states) AS pi9
+      |  FROM states),
+      |pi1 AS (
+      |  SELECT p.dst AS src,
+      |    CAST(sum(pi0.pi9 * p.p9 // 1000000000) AS BIGINT) AS pi9
+      |  FROM pi0 JOIN p ON pi0.src = p.src GROUP BY p.dst),
+      |pi2 AS (
+      |  SELECT p.dst AS src,
+      |    CAST(sum(pi1.pi9 * p.p9 // 1000000000) AS BIGINT) AS pi9
+      |  FROM pi1 JOIN p ON pi1.src = p.src GROUP BY p.dst),
+      |pi3 AS (
+      |  SELECT p.dst AS src,
+      |    CAST(sum(pi2.pi9 * p.p9 // 1000000000) AS BIGINT) AS pi9
+      |  FROM pi2 JOIN p ON pi2.src = p.src GROUP BY p.dst),
+      |h AS (
+      |  SELECT sum(CAST(ROUND(-(CAST(pi3.pi9 AS DOUBLE) / 1000000000)
+      |      * (CAST(p.p9 AS DOUBLE) / 1000000000)
+      |      * ln(CAST(p.p9 AS DOUBLE) / 1000000000)
+      |      * 1000000000) AS BIGINT)) AS h9,
+      |    count(*) AS n_cells
+      |  FROM pi3 JOIN p ON pi3.src = p.src WHERE p.p9 > 0)
+      |SELECT CAST((SELECT count(*) FROM states) AS INT) AS n_states,
+      |  CAST(n_cells AS BIGINT) AS n_transitions,
+      |  ROUND(CAST(h9 AS DOUBLE) / 1000000000, 6) AS entropy_rate_nats,
+      |  ROUND(CAST(h9 AS DOUBLE) / 1000000000 / ln(2), 6)
+      |    AS entropy_rate_bits
+      |FROM h""".stripMargin) { (s, d) =>
+    val seqW = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val ev = graft.Tables.tsAsTimestamp(t(s, d, "events"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val pairs = ev
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(seqW).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("src").agg(sum(col("n")).as("tn"))
+    val p = pairs.join(broadcast(tot), Seq("src"))
+      .select(col("src"), col("dst"),
+        round(col("n").cast(DoubleType) / col("tn") * 1000000000L)
+          .cast(LongType).as("p9"))
+    val nStates = p.select(col("src")).distinct()
+      .agg(count(lit(1)).as("k"))
+    var pi = p.select(col("src")).distinct()
+      .crossJoin(broadcast(nStates))
+      .select(col("src"), expr("1000000000 DIV k").as("pi9"))
+    for (_ <- 1 to 3) {
+      val prev = pi.select(col("src").as("psrc"), col("pi9"))
+      pi = prev.join(p, col("psrc") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("pi9 * p9 DIV 1000000000")).cast(LongType)
+          .as("pi9"))
+        .select(col("dst").as("src"), col("pi9"))
+    }
+    val h = pi.select(col("src").as("psrc"), col("pi9"))
+      .join(p, col("psrc") === col("src"))
+      .filter(col("p9") > 0)
+      .agg(sum(round(-(col("pi9").cast(DoubleType) / 1000000000L)
+          * (col("p9").cast(DoubleType) / 1000000000L)
+          * log(col("p9").cast(DoubleType) / 1000000000L)
+          * 1000000000L).cast(LongType)).as("h9"),
+        count(lit(1)).as("n_cells"))
+    h.crossJoin(broadcast(nStates))
+      .select(col("k").cast(IntegerType).as("n_states"),
+        col("n_cells").cast(LongType).as("n_transitions"),
+        round(col("h9").cast(DoubleType) / 1000000000L, 6)
+          .as("entropy_rate_nats"),
+        round(col("h9").cast(DoubleType) / 1000000000L / log(lit(2.0)), 6)
+          .as("entropy_rate_bits"))
+  }
+
+  /** Lo–MacKinlay variance-ratio test on monthly revenue: VR(q) =
+    * Var(q-period difference) / (q · Var(1-period difference)) for
+    * q ∈ {2, 3, 6, 12} — the random-walk diagnostic (VR ≈ 1 under a
+    * drifting random walk; < 1 mean reversion, > 1 trending) that
+    * decides whether naive drift extrapolation is even admissible.
+    * Differences are exact cent integers off bounded month-pair joins;
+    * variances assemble from exact DECIMAL(38) sums; each VR row is
+    * one final double expression. */
+  val qVarianceRatio = Q(
+    "q_variance_ratio",
+    """WITH m AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS y
+      |  FROM orders GROUP BY 1),
+      |qs AS (SELECT unnest([1, 2, 3, 6, 12]) AS q),
+      |df AS (
+      |  SELECT qs.q, count(*) AS nq,
+      |    sum(CAST(a.y - b.y AS HUGEINT)) AS s1,
+      |    sum(CAST(a.y - b.y AS HUGEINT) * (a.y - b.y)) AS s2
+      |  FROM qs, m a, m b WHERE a.midx = b.midx + qs.q
+      |  GROUP BY qs.q),
+      |v AS (
+      |  SELECT q, nq,
+      |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / nq) / (nq - 1)
+      |      AS var_q
+      |  FROM df),
+      |base AS (SELECT var_q AS var_1 FROM v WHERE q = 1)
+      |SELECT CAST(q AS INT) AS q, CAST(nq AS BIGINT) AS n_diffs,
+      |  ROUND(var_q / (q * var_1), 6) AS vr
+      |FROM v, base WHERE q > 1 ORDER BY q""".stripMargin) { (s, d) =>
+    val m = t(s, d, "orders")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .as("midx"))
+      .agg(sum(dec2(col("o_totalprice")) * 100).cast(LongType).as("y"))
+    import s.implicits._
+    val qs = Seq(1L, 2L, 3L, 6L, 12L).toDF("q")
+    val b = m.select(col("midx").as("bmidx"), col("y").as("by"))
+    val df0 = m.crossJoin(broadcast(qs))
+      .join(broadcast(b), col("midx") === col("bmidx") + col("q"))
+      .select(col("q"), (col("y") - col("by")).as("dv"))
+    val df = df0.groupBy("q").agg(count(lit(1)).as("nq"),
+      sum(col("dv").cast(big38)).as("s1"),
+      sum(col("dv").cast(big38) * col("dv")).as("s2"))
+    val v = df.select(col("q"), col("nq"),
+      ((col("s2").cast(DoubleType)
+        - col("s1").cast(DoubleType) * col("s1") / col("nq"))
+        / (col("nq") - 1)).as("var_q"))
+    val base = v.filter(col("q") === 1).select(col("var_q").as("var_1"))
+    v.filter(col("q") > 1).crossJoin(broadcast(base))
+      .select(col("q").cast(IntegerType).as("q"),
+        col("nq").cast(LongType).as("n_diffs"),
+        round(col("var_q") / (col("q") * col("var_1")), 6).as("vr"))
+      .orderBy("q")
+  }
+
+  /** Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) of the
+    * thresholded co-purchase graph for k ∈ {1, 2, 3, 5} — do the
+    * best-connected parts preferentially co-occur with EACH OTHER
+    * (catalog "hub cliques"), beyond what q_assortativity's single
+    * correlation says? Same edge construction (n_co ≥ 2 blocking);
+    * per-k counts are two bounded aggregates over degree-joined edges;
+    * φ is one final division per k row. */
+  val qRichClub = Q(
+    "q_rich_club",
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (
+      |  SELECT pa AS src, pb AS dst FROM (
+      |    SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_co
+      |    FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      |    GROUP BY 1, 2) c
+      |  WHERE n_co >= 2),
+      |deg AS (
+      |  SELECT v, count(*) AS deg FROM (
+      |    SELECT src AS v FROM e UNION ALL SELECT dst FROM e) u
+      |  GROUP BY v),
+      |ks AS (SELECT unnest([1, 2, 3, 5]) AS k),
+      |nk AS (
+      |  SELECT ks.k, count(*) AS n_nodes FROM ks, deg
+      |  WHERE deg.deg > ks.k GROUP BY ks.k),
+      |ek AS (
+      |  SELECT ks.k, count(*) AS n_edges
+      |  FROM ks, e
+      |  JOIN deg du ON e.src = du.v JOIN deg dv ON e.dst = dv.v
+      |  WHERE du.deg > ks.k AND dv.deg > ks.k GROUP BY ks.k)
+      |SELECT CAST(nk.k AS INT) AS k, CAST(nk.n_nodes AS BIGINT) AS n_nodes,
+      |  CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+      |  ROUND(CASE WHEN nk.n_nodes >= 2
+      |    THEN 2.0 * coalesce(ek.n_edges, 0)
+      |      / (CAST(nk.n_nodes AS DOUBLE) * (nk.n_nodes - 1)) END, 6)
+      |    AS phi
+      |FROM nk LEFT JOIN ek ON nk.k = ek.k
+      |ORDER BY nk.k""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+      .select("src", "dst")
+    val deg = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    import s.implicits._
+    val ks = Seq(1L, 2L, 3L, 5L).toDF("k")
+    val nk = deg.crossJoin(broadcast(ks)).filter(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val ej = e.join(deg.select(col("v").as("sv"), col("deg").as("sdeg")),
+        col("src") === col("sv"))
+      .join(deg.select(col("v").as("dv2"), col("deg").as("ddeg")),
+        col("dst") === col("dv2"))
+    val ek = ej.crossJoin(broadcast(ks))
+      .filter(col("sdeg") > col("k") && col("ddeg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    nk.join(ek, Seq("k"), "left")
+      .select(col("k").cast(IntegerType).as("k"),
+        col("n_nodes").cast(LongType).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).cast(LongType).as("n_edges"),
+        round(when(col("n_nodes") >= 2,
+          lit(2.0) * coalesce(col("n_edges"), lit(0L))
+            / (col("n_nodes").cast(DoubleType) * (col("n_nodes") - 1))),
+          6).as("phi"))
+      .orderBy("k")
+  }
+
+  /** Bradley–Terry preference strengths over part brands: within each
+    * order, the brand with higher line revenue "beats" each other
+    * brand present; two MM iterations w_i ← W_i / Σ_j n_ij/(w_i+w_j)
+    * from a uniform start fit the strengths — the pairwise-preference
+    * model (the reward-model primitive) run entirely in EXACT integer
+    * arithmetic: probabilities scaled ·10⁹, every per-pair term is
+    * (n_ij·10¹⁸) DIV (w9_i + w9_j), so both engines iterate identical
+    * integers. The contest matrix is bounded (|brands|²); contest
+    * generation is a per-order self-join on the order key. */
+  val qBradleyTerry = Q(
+    "q_bradley_terry",
+    """WITH pb AS (
+      |  SELECT l_orderkey AS ok, p_brand AS brand,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+      |      AS BIGINT) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |ct AS (
+      |  SELECT CASE WHEN a.rev > b.rev THEN a.brand ELSE b.brand END AS wi,
+      |    CASE WHEN a.rev > b.rev THEN b.brand ELSE a.brand END AS lo
+      |  FROM pb a JOIN pb b ON a.ok = b.ok AND a.brand < b.brand
+      |  WHERE a.rev <> b.rev),
+      |wl AS (SELECT wi, lo, count(*) AS n FROM ct GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT i, j, sum(n) AS n FROM (
+      |    SELECT wi AS i, lo AS j, n FROM wl
+      |    UNION ALL SELECT lo, wi, n FROM wl) u
+      |  GROUP BY 1, 2),
+      |wins AS (SELECT wi AS i, sum(n) AS w FROM wl GROUP BY 1),
+      |br AS (SELECT DISTINCT i FROM pairs),
+      |w0 AS (SELECT i, CAST(1000000000 AS HUGEINT) AS w9 FROM br),
+      |d1 AS (
+      |  SELECT p.i, sum((CAST(p.n AS HUGEINT) * 1000000000000000000)
+      |    // (wa.w9 + wb.w9)) AS d9
+      |  FROM pairs p JOIN w0 wa ON p.i = wa.i JOIN w0 wb ON p.j = wb.i
+      |  GROUP BY p.i),
+      |w1 AS (
+      |  SELECT d1.i, (CAST(coalesce(wins.w, 0) AS HUGEINT)
+      |    * 1000000000000000000) // d1.d9 AS w9
+      |  FROM d1 LEFT JOIN wins ON d1.i = wins.i),
+      |d2 AS (
+      |  SELECT p.i, sum((CAST(p.n AS HUGEINT) * 1000000000000000000)
+      |    // nullif(wa.w9 + wb.w9, 0)) AS d9
+      |  FROM pairs p JOIN w1 wa ON p.i = wa.i JOIN w1 wb ON p.j = wb.i
+      |  GROUP BY p.i),
+      |w2 AS (
+      |  SELECT d2.i, (CAST(coalesce(wins.w, 0) AS HUGEINT)
+      |    * 1000000000000000000) // nullif(d2.d9, 0) AS w9
+      |  FROM d2 LEFT JOIN wins ON d2.i = wins.i),
+      |tot AS (SELECT sum(w9) AS tw FROM w2),
+      |gm AS (SELECT i, sum(n) AS games FROM pairs GROUP BY i)
+      |SELECT w2.i AS brand,
+      |  CAST(coalesce(wins.w, 0) AS BIGINT) AS wins,
+      |  CAST(gm.games AS BIGINT) AS games,
+      |  ROUND(CAST(w2.w9 AS DOUBLE) / CAST(tot.tw AS DOUBLE), 6)
+      |    AS bt_strength
+      |FROM w2 LEFT JOIN wins ON w2.i = wins.i
+      |JOIN gm ON w2.i = gm.i CROSS JOIN tot
+      |ORDER BY brand""".stripMargin) { (s, d) =>
+    val pb = t(s, d, "lineitem")
+      .join(t(s, d, "part").select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .agg(sum(dec2(col("l_extendedprice")) * 100).cast(LongType).as("rev"))
+    val ct = pb.as("a")
+      .join(pb.as("b"),
+        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .filter(col("a.rev") =!= col("b.rev"))
+      .select(
+        when(col("a.rev") > col("b.rev"), col("a.brand"))
+          .otherwise(col("b.brand")).as("wi"),
+        when(col("a.rev") > col("b.rev"), col("b.brand"))
+          .otherwise(col("a.brand")).as("lo"))
+    val wl = ct.groupBy("wi", "lo").agg(count(lit(1)).as("n"))
+    val pairs = wl.select(col("wi").as("i"), col("lo").as("j"), col("n"))
+      .unionByName(wl.select(col("lo").as("i"), col("wi").as("j"), col("n")))
+      .groupBy("i", "j").agg(sum(col("n")).as("n"))
+    val wins = wl.groupBy(col("wi").as("i")).agg(sum(col("n")).as("w"))
+    var w = pairs.select(col("i")).distinct()
+      .select(col("i"), lit(1000000000L).cast(big38).as("w9"))
+    for (_ <- 1 to 2) {
+      val dd = pairs
+        .join(broadcast(w.select(col("i").as("ia"), col("w9").as("wa"))),
+          col("i") === col("ia"))
+        .join(broadcast(w.select(col("i").as("ib"), col("w9").as("wb"))),
+          col("j") === col("ib"))
+        .groupBy("i")
+        .agg(sum(expr("CAST(n AS DECIMAL(38,0)) * 1000000000000000000" +
+          " DIV nullif(wa + wb, 0)")).as("d9"))
+      w = dd.join(broadcast(wins), Seq("i"), "left")
+        .select(col("i"),
+          expr("CAST(coalesce(w, 0) AS DECIMAL(38,0))" +
+            " * 1000000000000000000 DIV nullif(d9, 0)").cast(big38)
+            .as("w9"))
+    }
+    val tot = w.agg(sum(col("w9")).as("tw"))
+    val gm = pairs.groupBy("i").agg(sum(col("n")).as("games"))
+    w.join(broadcast(wins), Seq("i"), "left")
+      .join(broadcast(gm), Seq("i"))
+      .crossJoin(broadcast(tot))
+      .select(col("i").as("brand"),
+        coalesce(col("w"), lit(0L)).cast(LongType).as("wins"),
+        col("games").cast(LongType).as("games"),
+        round(col("w9").cast(DoubleType) / col("tw").cast(DoubleType), 6)
+          .as("bt_strength"))
+      .orderBy("brand")
+  }
+
   val all: Seq[Q] = Seq(qJarqueBera, qLevene, qBinomialCi, qMcnemar,
     qTrimmedMean, qSimpsons, qMissingDays, qAssortativity, qTost,
     qCmhTest, qPartialCorr, qDispersion,
-    qQqDeciles, qMatrixDensity, qFirstTokenDist, qNearZeroVar)
+    qQqDeciles, qMatrixDensity, qFirstTokenDist, qNearZeroVar,
+    qKruskalWallis, qHillTail, qEwmaChart, qCcfLeadlag,
+    qFriedman, qGranger, qLjungBox, qCooksDistance,
+    qHolmBonferroni, qExtremeValue, qCemMatch, qMarkovEntropy,
+    qVarianceRatio, qRichClub, qBradleyTerry)
 }

@@ -4,7 +4,7 @@ import graft.Q
 import graft.Dsl._
 import graft.streaming.StreamOps
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** §2.I streaming family, declared as deterministic batch-shape queries
   * (Verify executes batch only); true streaming semantics — watermark
@@ -449,10 +449,48 @@ object StreamingQueries {
       s"target/stream_days_${math.abs(d.hashCode)}")
   }
 
+  /** Per-type distinct-user KMV estimate off the incrementally-
+    * maintained k-minimum-hash sketch (`StreamOps.incrementalKmv`,
+    * 11th incremental maintainer). Min-k merges are associative and
+    * commutative, so the streamed sketch EQUALS the whole-history
+    * sketch the oracle recomputes by sorting — the deterministic
+    * streaming distinct-count with O(k) state per key. Types with
+    * fewer than k distinct users carry no estimate (inner-join
+    * parity with the oracle's rank-k pick). */
+  val qStreamKmv = Q(
+    "q_stream_kmv",
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS hv
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, hv,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+      |  FROM h),
+      |cnt AS (
+      |  SELECT event_type, count(*) AS n_mins FROM r WHERE rk <= 8
+      |  GROUP BY 1),
+      |kth AS (SELECT event_type, hv AS hk FROM r WHERE rk = 8)
+      |SELECT cnt.event_type, CAST(n_mins AS INT) AS n_mins,
+      |  ROUND(7.0 * 1152921504606846976 / hk, 4) AS kmv_estimate
+      |FROM cnt JOIN kth ON cnt.event_type = kth.event_type
+      |ORDER BY cnt.event_type""".stripMargin) { (s, d) =>
+    StreamOps.incrementalKmv(s, d,
+        s"target/stream_kmv_${math.abs(d.hashCode)}", k = 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_mins"), max(col("hv")).as("hk"))
+      .filter(col("n_mins") === 8)
+      .select(col("event_type"), col("n_mins").cast(IntegerType).as("n_mins"),
+        round(lit(7.0) * lit(1152921504606846976L)
+          / col("hk"), 4).as("kmv_estimate"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg,
     qStreamIntervalJoin, qStreamChecksum, qStreamTopk, qStreamUpsert,
     qStreamQuantile, qStreamMinmax, qStreamFirstSeen, qStreamBloom,
-    qStreamMoments, qStreamPsi, qStreamDays)
+    qStreamMoments, qStreamPsi, qStreamDays, qStreamKmv)
 }

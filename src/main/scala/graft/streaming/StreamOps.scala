@@ -817,4 +817,54 @@ object StreamOps {
     q.awaitTermination()
     streamed.sparkSession.table(name)
   }
+
+  /** 11th incremental maintainer: per-type KMV distinct-user sketch.
+    * State is the k smallest 60-bit md5 hashes of user_id per
+    * event_type, stored as exploded (event_type, hv) rows (≤ k per
+    * type) and merged each micro-batch by re-running the
+    * [[graft.functions.KmvSketch]] aggregator over state ∪ batch —
+    * min-k of a union is associative and commutative, so the state is
+    * batch-boundary-independent and EQUALS the whole-history sketch
+    * (which is what the DuckDB oracle recomputes by sorting). The
+    * streaming answer to "how many distinct users per type so far"
+    * with O(k) state per key instead of a distinct-set. */
+  def incrementalKmv(spark: SparkSession, sfDir: String, workDir: String,
+      nBatches: Int = 4, k: Int = 32): DataFrame = {
+    val src = s"$workDir/src"
+    val events = graft.Tables.tsAsTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    events.select(col("event_type"),
+        conv(substring(md5(col("user_id").cast(
+          org.apache.spark.sql.types.StringType)), 1, 15), 16, 10)
+          .cast(LongType).as("hv"))
+      .repartition(nBatches)
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val kmv = udaf(new graft.functions.KmvSketch(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val stateBase = s"$workDir/state"
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch.groupBy("event_type")
+          .agg(kmv(col("hv")).as("mins"))
+          .select(col("event_type"), explode(col("mins")).as("hv"))
+        val merged =
+          if (version < 0) partial
+          else spark.read.parquet(s"$stateBase/v$version")
+            .unionByName(partial)
+            .groupBy("event_type").agg(kmv(col("hv")).as("mins"))
+            .select(col("event_type"), explode(col("mins")).as("hv"))
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        version = batchId
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$stateBase/v$version")
+  }
 }

@@ -157,7 +157,25 @@ class DeterminismSpec extends SparkTestBase {
     // round 7 twentieth batch: composite-rank decile picks, stacked
     // frequency windows, first-token entropy quantization
     StatQueries.qQqDeciles, StatQueries.qNearZeroVar,
-    StatQueries.qFirstTokenDist)
+    StatQueries.qFirstTokenDist,
+    // round 7 twenty-first batch: global-rank KW, quantized-log Hill,
+    // integer-weight EWMA, top-k skipgram ordering
+    StatQueries.qKruskalWallis, StatQueries.qHillTail,
+    StatQueries.qEwmaChart, CurationQueries.qSkipgramCooccur,
+    // round 7 twenty-second batch: block-rank Friedman, co-moment
+    // Granger/Ljung-Box assemblies, quantized Cook's-D TakeOrdered
+    StatQueries.qFriedman, StatQueries.qGranger,
+    StatQueries.qLjungBox, StatQueries.qCooksDistance,
+    // round 7 twenty-third batch: integer-p9 step-down, quantized
+    // power iteration, caliper-cell means, KN continuation counts
+    StatQueries.qHolmBonferroni, StatQueries.qExtremeValue,
+    StatQueries.qCemMatch, StatQueries.qMarkovEntropy,
+    CurationQueries.qKneserNey,
+    // round 7 twenty-fourth batch: composite-rank GAUC, count-of-count
+    // spectra, integer BT iterations, lag-join variance ratios
+    EvalQueries.qAucByGroup, CurationQueries.qGoodTuring,
+    StatQueries.qVarianceRatio, StatQueries.qRichClub,
+    StatQueries.qBradleyTerry)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

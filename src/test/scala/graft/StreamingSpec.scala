@@ -412,6 +412,26 @@ class StreamingSpec extends SparkTestBase {
     assert(versions != null && versions.count(_.startsWith("v")) >= 2)
   }
 
+  test("incrementalKmv sketch is batch-boundary-independent and matches " +
+      "the one-shot sketch") {
+    // min-k of a union is associative+commutative => any batch split
+    // merges to the same k-minima state
+    val k4 = StreamOps.incrementalKmv(spark, sf, "target/test_kmv4")
+    val k2 = StreamOps.incrementalKmv(spark, sf, "target/test_kmv2", 2)
+    assert(k4.exceptAll(k2).isEmpty && k2.exceptAll(k4).isEmpty)
+    val kmv = udaf(new graft.functions.KmvSketch(32),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val direct = Tables.load(spark, sf, "events")
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long").as("hv"))
+      .groupBy("event_type").agg(kmv(col("hv")).as("mins"))
+      .select(col("event_type"), explode(col("mins")).as("hv"))
+    assert(k4.exceptAll(direct).isEmpty && direct.exceptAll(k4).isEmpty)
+    val versions = new java.io.File("target/test_kmv4/state").list()
+    assert(versions != null && versions.count(_.startsWith("v")) >= 2)
+  }
+
   test("incrementalDayCoverage is batch-boundary-independent and matches " +
       "the one-shot recompute") {
     val c4 = StreamOps.incrementalDayCoverage(spark, sf, "target/test_days4")
