@@ -23,7 +23,8 @@ object SparkEntry {
       operators.AnalyticsQueries.all ++
       operators.EvalQueries.all ++
       operators.StatQueries.all ++
-      operators.CurationQueries.all
+      operators.CurationQueries.all ++
+      operators.ExplainQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

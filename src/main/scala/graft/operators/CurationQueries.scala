@@ -396,6 +396,81 @@ object CurationQueries {
       .orderBy("r")
   }
 
+  /** Cross-lingual near-duplicate detection: embedding pairs in the
+    * SAME semantic cluster but DIFFERENT languages with cosine ≥ 0.99 —
+    * translated copies inflate multilingual corpora invisibly to every
+    * text-hash dedup, and this is the embedding-space sweep that finds
+    * them. Same scale shape as q_semdedup: 64 deterministic centroid
+    * buckets as the blocking key (never an all-pairs join), planted
+    * ·1.05-scaled twins under a synthetic 'xx' language verify the path
+    * end-to-end; output is the per-language-pair dup count. */
+  val qCrosslingualDups = Q(
+    "q_crosslingual_dups",
+    """WITH e0 AS (
+      |  SELECT e.vec_id, d.lang,
+      |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+      |e AS (
+      |  SELECT vec_id, lang, v FROM e0
+      |  UNION ALL
+      |  SELECT vec_id + 2000000, 'xx', list_transform(v, x -> x * 1.05)
+      |  FROM e0 WHERE vec_id % 40 = 0),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id < 64),
+      |dist AS (
+      |  SELECT e.vec_id, c.cid,
+      |    ROUND(list_inner_product(e.v, e.v)
+      |      - 2 * list_inner_product(e.v, c.cv)
+      |      + list_inner_product(c.cv, c.cv), 6) AS d2
+      |  FROM e CROSS JOIN c),
+      |a0 AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+      |  FROM dist),
+      |asg AS (
+      |  SELECT e.vec_id, e.lang, e.v, a0.cid AS cluster
+      |  FROM e JOIN a0 ON e.vec_id = a0.vec_id AND a0.rk = 1),
+      |dup AS (
+      |  SELECT least(a.lang, b.lang) AS lang_a,
+      |    greatest(a.lang, b.lang) AS lang_b
+      |  FROM asg a JOIN asg b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE a.lang <> b.lang
+      |    AND ROUND(list_inner_product(a.v, b.v)
+      |      / sqrt(list_inner_product(a.v, a.v))
+      |      / sqrt(list_inner_product(b.v, b.v)), 4) >= 0.99)
+      |SELECT lang_a, lang_b, count(*) AS n_pairs
+      |FROM dup GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val asDbl = transform(col("embedding"), x => x.cast(DoubleType))
+    val orig = t(s, d, "embeddings")
+      .join(t(s, d, "documents").select("doc_id", "lang"),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("lang"), asDbl.as("v"))
+    val twins = orig.filter(col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 2000000).as("vec_id"),
+        lit("xx").as("lang"),
+        transform(col("v"), x => x * 1.05).as("v"))
+    val e = orig.unionByName(twins)
+    val cents = orig.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val asg = graft.llm.Clustering.assign(e, "v", cents)
+      .join(e, Seq("vec_id", "lang"))
+      .select(col("vec_id"), col("lang"), col("cluster"), col("v"))
+      .localCheckpoint()
+    val a = asg.select(col("cluster"), col("vec_id").as("ida"),
+      col("lang").as("la"), col("v").as("va"))
+    val b = asg.select(col("cluster"), col("vec_id").as("idb"),
+      col("lang").as("lb"), col("v").as("vb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("ida") < col("idb") && col("la") =!= col("lb"))
+      .filter(round(graft.llm.Dedup.cosine(col("va"), col("vb")), 4)
+        >= 0.99)
+      .select(least(col("la"), col("lb")).as("lang_a"),
+        greatest(col("la"), col("lb")).as("lang_b"))
+      .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   val all: Seq[Q] = Seq(qBoilerplate, qNoveltyRecs, qRetentionSweep,
-    qMaskPlan, qSkipgramCooccur, qKneserNey, qGoodTuring)
+    qMaskPlan, qSkipgramCooccur, qKneserNey, qGoodTuring,
+    qCrosslingualDups)
 }

@@ -2166,6 +2166,97 @@ object StatQueries {
       .orderBy("brand")
   }
 
+  /** A/A calibration panel: 50 deterministic hash-splits of orders into
+    * two arms, the urgent-share z-test run on EACH split, and the
+    * fraction rejected at α = 0.05 — the experimentation-platform
+    * health check (a calibrated stack rejects ≈5% of A/A tests; more
+    * means the unit of randomization or the variance formula is wrong).
+    * Split assignment is the seeded-md5 idiom (q_mask_plan); per-split
+    * counts are exact; z and the A&S tail quantize to integer p9 per
+    * bounded split row; the rejection rate is an exact fraction. */
+  val qAaCalibration = Q(
+    "q_aa_calibration",
+    """WITH sp AS (SELECT unnest(range(0, 50)) AS r),
+      |x AS (
+      |  SELECT sp.r,
+      |    CAST(concat('0x', substr(md5(concat(o_orderkey, ':', sp.r)),
+      |      1, 15)) AS BIGINT) % 2 AS arm,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u
+      |  FROM orders, sp),
+      |g AS (
+      |  SELECT r,
+      |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+      |    sum(CASE WHEN arm = 0 THEN u ELSE 0 END) AS ua,
+      |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+      |    sum(CASE WHEN arm = 1 THEN u ELSE 0 END) AS ub
+      |  FROM x GROUP BY r),
+      |zt AS (
+      |  SELECT r,
+      |    (CAST(ua AS DOUBLE) / na - CAST(ub AS DOUBLE) / nb)
+      |      / sqrt(CAST(ua + ub AS DOUBLE) / (na + nb)
+      |        * (1 - CAST(ua + ub AS DOUBLE) / (na + nb))
+      |        * (1.0 / na + 1.0 / nb)) AS z
+      |  FROM g),
+      |pv AS (
+      |  SELECT r, z,
+      |    CAST(ROUND(2 * (exp(-abs(z) * abs(z) / 2) * 0.3989422804014327
+      |      * ((((1.330274429 * (1 / (1 + 0.2316419 * abs(z)))
+      |        - 1.821255978) * (1 / (1 + 0.2316419 * abs(z)))
+      |        + 1.781477937) * (1 / (1 + 0.2316419 * abs(z)))
+      |        - 0.356563782) * (1 / (1 + 0.2316419 * abs(z)))
+      |        + 0.319381530) * (1 / (1 + 0.2316419 * abs(z))))
+      |      * 1000000000) AS BIGINT) AS p9
+      |  FROM zt)
+      |SELECT count(*) AS n_splits,
+      |  CAST(sum(CASE WHEN p9 < 50000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_rejected,
+      |  ROUND(CAST(sum(CASE WHEN p9 < 50000000 THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS rejection_rate,
+      |  ROUND(CAST(sum(CAST(ROUND(abs(z) * 1000000) AS BIGINT))
+      |    AS DOUBLE) / count(*) / 1000000, 6) AS mean_abs_z
+      |FROM pv""".stripMargin) { (s, d) =>
+    val sp = s.range(0, 50).select(col("id").as("r"))
+    val x = t(s, d, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("u"))
+      .crossJoin(broadcast(sp))
+      .select(col("r"),
+        (conv(substring(md5(concat(col("o_orderkey"), lit(":"), col("r"))),
+          1, 15), 16, 10).cast(LongType) % 2).as("arm"),
+        col("u"))
+    val g = x.groupBy("r").agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === 0, col("u")).otherwise(0L)).as("ua"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === 1, col("u")).otherwise(0L)).as("ub"))
+    val zt = g.select(col("r"),
+      ((col("ua").cast(DoubleType) / col("na")
+        - col("ub").cast(DoubleType) / col("nb"))
+        / sqrt((col("ua") + col("ub")).cast(DoubleType)
+          / (col("na") + col("nb"))
+          * (lit(1) - (col("ua") + col("ub")).cast(DoubleType)
+            / (col("na") + col("nb")))
+          * (lit(1.0) / col("na") + lit(1.0) / col("nb")))).as("z"))
+    val tcol = lit(1) / (lit(1) + lit(0.2316419) * abs(col("z")))
+    val tail = exp(-abs(col("z")) * abs(col("z")) / 2)
+      .multiply(lit(0.3989422804014327))
+      .multiply(((((lit(1.330274429) * tcol - lit(1.821255978)) * tcol
+        + lit(1.781477937)) * tcol - lit(0.356563782)) * tcol
+        + lit(0.319381530)) * tcol)
+    val pv = zt.withColumn("p9",
+      round(lit(2) * tail * 1000000000L).cast(LongType))
+    pv.agg(count(lit(1)).as("n_splits"),
+        sum(when(col("p9") < 50000000L, 1L).otherwise(0L)).as("nr"),
+        sum(round(abs(col("z")) * 1000000L).cast(LongType)).as("az6"))
+      .select(col("n_splits"),
+        col("nr").cast(LongType).as("n_rejected"),
+        round(col("nr").cast(DoubleType) / col("n_splits"), 6)
+          .as("rejection_rate"),
+        round(col("az6").cast(DoubleType) / col("n_splits") / 1000000L, 6)
+          .as("mean_abs_z"))
+  }
+
   val all: Seq[Q] = Seq(qJarqueBera, qLevene, qBinomialCi, qMcnemar,
     qTrimmedMean, qSimpsons, qMissingDays, qAssortativity, qTost,
     qCmhTest, qPartialCorr, qDispersion,
@@ -2173,5 +2264,5 @@ object StatQueries {
     qKruskalWallis, qHillTail, qEwmaChart, qCcfLeadlag,
     qFriedman, qGranger, qLjungBox, qCooksDistance,
     qHolmBonferroni, qExtremeValue, qCemMatch, qMarkovEntropy,
-    qVarianceRatio, qRichClub, qBradleyTerry)
+    qVarianceRatio, qRichClub, qBradleyTerry, qAaCalibration)
 }

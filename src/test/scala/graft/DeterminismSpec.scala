@@ -175,7 +175,12 @@ class DeterminismSpec extends SparkTestBase {
     // spectra, integer BT iterations, lag-join variance ratios
     EvalQueries.qAucByGroup, CurationQueries.qGoodTuring,
     StatQueries.qVarianceRatio, StatQueries.qRichClub,
-    StatQueries.qBradleyTerry)
+    StatQueries.qBradleyTerry,
+    // round 7 twenty-fifth batch: quantized SHAP TakeOrdered, hash-split
+    // A/A panel, centroid-blocked cross-lingual pairs
+    ExplainQueries.qShapLinear, ExplainQueries.qFeatureImportance,
+    ExplainQueries.qRidgePath, StatQueries.qAaCalibration,
+    CurationQueries.qCrosslingualDups)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
