@@ -128,7 +128,11 @@ object Bench {
       // round 8: eval/imputation/divergence + graph/robust-stats batch
       "q_perplexity", "q_mrr", "q_calibration", "q_js_divergence",
       "q_jaccard_neighbors", "q_theil_sen", "q_churn_label",
-      "q_t_closeness", "q_locf_impute")
+      "q_t_closeness", "q_locf_impute",
+      // round 7 (cont. 4): corpus-explode collocations, cluster-blocked
+      // decontamination, GlobalRank CDF argmax, 12th stream maintainer
+      "q_llr_bigrams", "q_decontaminate_embed", "q_ks_model",
+      "q_stream_watermark", "q_hapax_ratio")
     // In repeat mode every headline query matches `repeat` keys; keep only
     // the last repeat (warm steady-state) so the short line stays bounded.
     val headQs = results.filter { case (k, _) => headline.contains(k.takeWhile(_ != '#')) }

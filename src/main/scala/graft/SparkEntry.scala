@@ -24,7 +24,8 @@ object SparkEntry {
       operators.EvalQueries.all ++
       operators.StatQueries.all ++
       operators.CurationQueries.all ++
-      operators.ExplainQueries.all
+      operators.ExplainQueries.all ++
+      operators.DiagQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

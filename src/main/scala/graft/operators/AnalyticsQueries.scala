@@ -5233,7 +5233,114 @@ object AnalyticsQueries {
         .as("fisher"))
   }
 
+  /** Preferential-attachment link-prediction scores deg(a)·deg(b) for
+    * the top candidate pairs of the co-purchase graph — the degree-only
+    * baseline every fancier link predictor (q_adamic_adar, common
+    * neighbors) must beat before its complexity is justified. Candidates
+    * are 2-hop wedge pairs (shared-neighbor equi-join — never all-pairs);
+    * the score is an exact integer product, so the top-k order is total
+    * with (score DESC, a, b). */
+  val qPrefAttach = Q(
+    "q_pref_attach",
+    """WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |edges AS (
+      |  SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2),
+      |adj AS (
+      |  SELECT pa AS node, pb AS nbr FROM edges
+      |  UNION ALL SELECT pb, pa FROM edges),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+      |        FROM adj GROUP BY node),
+      |cand AS (
+      |  SELECT DISTINCT x.node AS a, y.node AS b
+      |  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node)
+      |SELECT a, b, da.d AS deg_a, db.d AS deg_b,
+      |  da.d * db.d AS pa_score
+      |FROM cand JOIN deg da ON cand.a = da.node
+      |          JOIN deg db ON cand.b = db.node
+      |ORDER BY pa_score DESC, a, b LIMIT 30""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
+        col("l_orderkey") === col("ok2") && col("pa") < col("pb"))
+    val edges = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select("pa", "pb")
+    val adj = edges.select(col("pa").as("node"), col("pb").as("nbr"))
+      .unionByName(edges.select(col("pb").as("node"), col("pa").as("nbr")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).cast(LongType).as("d"))
+    val cand = adj.select(col("node").as("a"), col("nbr"))
+      .join(adj.select(col("node").as("b"), col("nbr").as("nbr2")),
+        col("nbr") === col("nbr2") && col("a") < col("b"))
+      .select("a", "b").distinct()
+    // degree table is |V|-sized — joins stay vertex-keyed SMJs (no
+    // broadcast: at 100 TB |V| is data-sized)
+    cand.join(deg.select(col("node").as("a"), col("d").as("deg_a")),
+        Seq("a"))
+      .join(deg.select(col("node").as("b"), col("d").as("deg_b")),
+        Seq("b"))
+      .select(col("a"), col("b"), col("deg_a"), col("deg_b"),
+        (col("deg_a") * col("deg_b")).as("pa_score"))
+      .orderBy(col("pa_score").desc, col("a"), col("b"))
+      .limit(30)
+  }
+
+  /** Average-neighbor-degree curve knn(k) of the co-purchase graph: for
+    * each degree class k, the mean degree of the neighbors of degree-k
+    * vertices — the full assortativity PROFILE behind q_assortativity's
+    * single correlation (a falling curve = hubs attach to leaves). All
+    * sums are exact integers aggregated per bounded degree class; one
+    * division per output row. */
+  val qAvgNbrDegree = Q(
+    "q_avg_nbr_degree",
+    """WITH pairs AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |edges AS (
+      |  SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2),
+      |adj AS (
+      |  SELECT pa AS node, pb AS nbr FROM edges
+      |  UNION ALL SELECT pb, pa FROM edges),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+      |        FROM adj GROUP BY node),
+      |nbrdeg AS (
+      |  SELECT dn.d AS k, dd.d AS nbr_d
+      |  FROM adj JOIN deg dn ON adj.node = dn.node
+      |           JOIN deg dd ON adj.nbr = dd.node)
+      |SELECT k, CAST(count(*) AS BIGINT) AS n_endpoints,
+      |  CAST(sum(CAST(nbr_d AS HUGEINT)) AS BIGINT) AS sum_nbr_deg,
+      |  ROUND(CAST(sum(CAST(nbr_d AS HUGEINT)) AS DOUBLE) / count(*), 6)
+      |    AS knn
+      |FROM nbrdeg GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
+        col("l_orderkey") === col("ok2") && col("pa") < col("pb"))
+    val edges = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select("pa", "pb")
+    val adj = edges.select(col("pa").as("node"), col("pb").as("nbr"))
+      .unionByName(edges.select(col("pb").as("node"), col("pa").as("nbr")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).cast(LongType).as("d"))
+    // |V|-sized degree table: vertex-keyed SMJs, not broadcasts
+    val nbrdeg = adj
+      .join(deg.select(col("node").as("node"), col("d").as("k")),
+        Seq("node"))
+      .join(deg.select(col("node").as("nbr"), col("d").as("nbr_d")),
+        Seq("nbr"))
+    nbrdeg.groupBy("k")
+      .agg(count(lit(1)).cast(LongType).as("n_endpoints"),
+        sum(col("nbr_d").cast(big38)).as("snd"))
+      .select(col("k"), col("n_endpoints"),
+        col("snd").cast(LongType).as("sum_nbr_deg"),
+        round(col("snd").cast(DoubleType) / col("n_endpoints"), 6).as("knn"))
+      .orderBy("k")
+  }
+
   val all: Seq[Q] = Seq(
+    qPrefAttach, qAvgNbrDegree,
     qCrosstabResiduals, qTheilsU, qSurvivalMedian, qPriceIndex,
     qSprt, qPpr,
     qKcore, qGrowthAccounting, qSaxSymbols, qFunnelWindowed,

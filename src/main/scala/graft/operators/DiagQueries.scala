@@ -1,0 +1,747 @@
+package graft.operators
+
+import graft.Q
+import graft.Dsl._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Regression / time-series diagnostics (round-7 continuation): the
+  * model-assumption checks an analytics engine runs BEFORE trusting the
+  * OLS/ANOVA/forecast output it already produces — serial correlation
+  * (Durbin–Watson), heteroskedasticity (Breusch–Pagan), structural break
+  * (Chow), variance homogeneity (Bartlett, the parametric complement to
+  * q_levene), calendar goodness-of-fit (χ² GoF), a paired nonparametric
+  * test (Wilcoxon signed-rank), and the trading-style series monitors
+  * (max drawdown, RSI, Bollinger breakouts, PACF).
+  *
+  * House determinism contract throughout: raw moment sums stay exact
+  * (DECIMAL(38)/HUGEINT) at any merge order; doubles appear only in
+  * final bounded-panel expressions with IDENTICAL operation order on
+  * both engines; any double that must cross a row boundary is quantized
+  * to an integer first (the q_anova / q_cusum idiom).
+  */
+object DiagQueries {
+
+  private val big38 = DecimalType(38, 0)
+
+  /** Daily revenue series: (day DATE, t = days since 1992-01-01, cents).
+    * Bounded by the calendar (TPC-H dates span 7 years ⇒ ≤ 2,557 rows at
+    * ANY scale factor), so windows/self-joins over it are scale-free. */
+  private def dailySeries(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("day"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
+      .withColumn("tix", datediff(col("day"), lit("1992-01-01")).cast(LongType))
+
+  private val dailySql =
+    """ser AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT)
+      |      AS tix
+      |  FROM orders GROUP BY 1)""".stripMargin
+
+  /** Monthly revenue series (≤ 84 rows — the q_cusum domain). */
+  private def monthlySeries(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType).as("mth"))
+      .agg((sum(dec2(col("o_totalprice"))) * 100).cast(LongType).as("cents"))
+
+  private val monthlySql =
+    """ser AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1)""".stripMargin
+
+  /** Durbin–Watson serial-correlation test on the residuals of the
+    * daily-revenue-vs-time OLS trend. The trend coefficients come from ONE
+    * exact HUGEINT co-moment aggregate; each day's residual is computed in
+    * double with identical op order on both engines and rounded to whole
+    * cents (an integer) BEFORE the cross-row sums, so Σe² and Σ(Δe)² are
+    * exact at any merge order. DW ≈ 2(1−ρ); < 1 screams positive serial
+    * correlation — the "your daily KPI trend t-stats are fiction" alarm. */
+  val qDurbinWatson = Q(
+    "q_durbin_watson",
+    s"""WITH $dailySql,
+      |mo AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(tix AS HUGEINT)) AS st,
+      |    sum(CAST(cents AS HUGEINT)) AS sv,
+      |    sum(CAST(tix AS HUGEINT) * tix) AS stt,
+      |    sum(CAST(tix AS HUGEINT) * cents) AS stv
+      |  FROM ser),
+      |co AS (
+      |  SELECT n,
+      |    (CAST(n AS DOUBLE) * CAST(stv AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS b,
+      |    CAST(st AS DOUBLE) AS std, CAST(sv AS DOUBLE) AS svd
+      |  FROM mo),
+      |res AS (
+      |  SELECT ser.day,
+      |    CAST(round(cents - (svd - b * std) / CAST(n AS DOUBLE)
+      |      - b * tix) AS BIGINT) AS e
+      |  FROM ser, co),
+      |pair AS (
+      |  SELECT a.e AS e1, b.e AS e0
+      |  FROM res a JOIN res b ON b.day = a.day - 1),
+      |agg AS (
+      |  SELECT
+      |    (SELECT sum(CAST(e AS HUGEINT) * e) FROM res) AS den,
+      |    (SELECT count(*) FROM res) AS n_days,
+      |    sum(CAST(e1 - e0 AS HUGEINT) * (e1 - e0)) AS num
+      |  FROM pair)
+      |SELECT CAST(n_days AS BIGINT) AS n_days,
+      |  ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS dw,
+      |  ROUND(1 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2, 6)
+      |    AS rho_approx
+      |FROM agg""".stripMargin) { (s, d) =>
+    val ser = dailySeries(s, d)
+    val mo = ser.agg(
+      count(lit(1)).cast(big38).as("n"),
+      sum(col("tix").cast(big38)).as("st"),
+      sum(col("cents").cast(big38)).as("sv"),
+      sum(col("tix").cast(big38) * col("tix")).as("stt"),
+      sum(col("tix").cast(big38) * col("cents")).as("stv"))
+    val co = mo.select(col("n"),
+      ((col("n").cast(DoubleType) * col("stv").cast(DoubleType)
+        - col("st").cast(DoubleType) * col("sv").cast(DoubleType))
+        / (col("n").cast(DoubleType) * col("stt").cast(DoubleType)
+          - col("st").cast(DoubleType) * col("st").cast(DoubleType))).as("b"),
+      col("st").cast(DoubleType).as("std"),
+      col("sv").cast(DoubleType).as("svd"))
+    val res = ser.crossJoin(broadcast(co))
+      .select(col("day"),
+        round(col("cents") - (col("svd") - col("b") * col("std"))
+          / col("n").cast(DoubleType) - col("b") * col("tix"))
+          .cast(LongType).as("e"))
+    val a = res.select(col("day"), col("e").as("e1"))
+    val b = res.select(col("day").as("bday"), col("e").as("e0"))
+    val pair = a.join(b, date_sub(col("day"), 1) === col("bday"))
+    val den = res.agg(sum(col("e").cast(big38) * col("e")).as("den"),
+      count(lit(1)).as("n_days"))
+    val num = pair.agg(
+      sum((col("e1") - col("e0")).cast(big38) * (col("e1") - col("e0")))
+        .as("num"))
+    num.crossJoin(broadcast(den))
+      .select(col("n_days").cast(LongType).as("n_days"),
+        round(col("num").cast(DoubleType) / col("den").cast(DoubleType), 6)
+          .as("dw"),
+        round(lit(1) - col("num").cast(DoubleType)
+          / col("den").cast(DoubleType) / 2, 6).as("rho_approx"))
+  }
+
+  /** Breusch–Pagan heteroskedasticity screen for the discount→quantity
+    * OLS. Both regressor and response live on tiny integer grids
+    * (discount pct 0..10 × quantity 1..50), so the fact table collapses
+    * to ≤ 550 exact-count cells in ONE aggregate; residuals and their
+    * squares are per-CELL doubles quantized to ·10⁶ integers before the
+    * count-weighted cross-cell sums (all exact). LM = n·R² of the
+    * u² ~ x auxiliary regression; big LM ⇒ the error variance moves with
+    * discount and every homoskedastic SE downstream is understated. */
+  val qBreuschPagan = Q(
+    "q_breusch_pagan",
+    """WITH cell AS (
+      |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+      |    CAST(l_quantity AS BIGINT) AS y,
+      |    CAST(count(*) AS HUGEINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |mo AS (
+      |  SELECT sum(c) AS n, sum(c * x) AS sx, sum(c * x * x) AS sxx,
+      |    sum(c * y) AS sy, sum(c * x * y) AS sxy
+      |  FROM cell),
+      |co AS (
+      |  SELECT n, CAST(sx AS DOUBLE) AS sxd,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+      |    CAST(sy AS DOUBLE) AS syd, sxx
+      |  FROM mo),
+      |u AS (
+      |  SELECT cell.x, cell.c,
+      |    CAST(round(
+      |      (y - (syd - b * sxd) / CAST(n AS DOUBLE) - b * x)
+      |      * (y - (syd - b * sxd) / CAST(n AS DOUBLE) - b * x)
+      |      * 1000000) AS BIGINT) AS u6
+      |  FROM cell, co),
+      |aux AS (
+      |  SELECT sum(c * u6) AS su, sum(c * x * u6) AS sxu,
+      |    sum(c * CAST(u6 AS HUGEINT) * u6) AS suu
+      |  FROM u)
+      |SELECT CAST(mo.n AS BIGINT) AS n, ROUND(b, 6) AS slope,
+      |  ROUND(CAST(mo.n AS DOUBLE)
+      |    * (CAST(mo.n AS DOUBLE) * CAST(sxu AS DOUBLE)
+      |       - CAST(mo.sx AS DOUBLE) * CAST(su AS DOUBLE))
+      |    * (CAST(mo.n AS DOUBLE) * CAST(sxu AS DOUBLE)
+      |       - CAST(mo.sx AS DOUBLE) * CAST(su AS DOUBLE))
+      |    / ((CAST(mo.n AS DOUBLE) * CAST(mo.sxx AS DOUBLE)
+      |       - CAST(mo.sx AS DOUBLE) * CAST(mo.sx AS DOUBLE))
+      |      * (CAST(mo.n AS DOUBLE) * CAST(suu AS DOUBLE)
+      |       - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))), 6) AS bp_lm
+      |FROM mo, co, aux""".stripMargin) { (s, d) =>
+    val cell = t(s, d, "lineitem")
+      .groupBy(round(col("l_discount") * 100).cast(LongType).as("x"),
+        col("l_quantity").cast(LongType).as("y"))
+      .agg(count(lit(1)).cast(big38).as("c"))
+    val mo = cell.agg(sum(col("c")).as("n"),
+      sum(col("c") * col("x")).as("sx"),
+      sum(col("c") * col("x") * col("x")).as("sxx"),
+      sum(col("c") * col("y")).as("sy"),
+      sum(col("c") * col("x") * col("y")).as("sxy"))
+    val co = mo.select(col("n"), col("sx"), col("sxx"),
+      col("sx").cast(DoubleType).as("sxd"),
+      ((col("n").cast(DoubleType) * col("sxy").cast(DoubleType)
+        - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+        / (col("n").cast(DoubleType) * col("sxx").cast(DoubleType)
+          - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))).as("b"),
+      col("sy").cast(DoubleType).as("syd"))
+    val resid = col("y") - (col("syd") - col("b") * col("sxd")) /
+      col("n").cast(DoubleType) - col("b") * col("x")
+    val u = cell.crossJoin(broadcast(co))
+      .select(col("x"), col("c"), col("n"), col("sx"), col("sxx"), col("b"),
+        round(resid * resid * 1000000).cast(LongType).as("u6"))
+    val aux = u.groupBy("n", "sx", "sxx", "b")
+      .agg(sum(col("c") * col("u6")).as("su"),
+        sum(col("c") * col("x") * col("u6")).as("sxu"),
+        sum(col("c") * col("u6").cast(big38) * col("u6")).as("suu"))
+    val sxuC = col("n").cast(DoubleType) * col("sxu").cast(DoubleType) -
+      col("sx").cast(DoubleType) * col("su").cast(DoubleType)
+    aux.select(col("n").cast(LongType).as("n"),
+      round(col("b"), 6).as("slope"),
+      round(col("n").cast(DoubleType) * sxuC * sxuC
+        / ((col("n").cast(DoubleType) * col("sxx").cast(DoubleType)
+          - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+          * (col("n").cast(DoubleType) * col("suu").cast(DoubleType)
+            - col("su").cast(DoubleType) * col("su").cast(DoubleType))), 6)
+        .as("bp_lm"))
+  }
+
+  /** Chow structural-break test: did the discount→quantity relationship
+    * change at the 1998-07-01 shipdate boundary (the fixture's mid-range)? One grouped exact
+    * co-moment aggregate (2 segment rows); pooled moments are the exact
+    * integer SUM of the segment rows; each SSR is a closed-form double on
+    * its own final row. F = ((SSRp − SSR₀ − SSR₁)/2)/((SSR₀+SSR₁)/(n−4)).
+    * The "your one global model is actually two regimes" detector. */
+  val qChowTest = Q(
+    "q_chow_test",
+    """WITH seg AS (
+      |  SELECT CASE WHEN l_shipdate < DATE '1998-07-01' THEN 0 ELSE 1 END
+      |      AS s,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS x,
+      |    CAST(l_quantity AS BIGINT) AS y
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT s, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM seg GROUP BY s),
+      |ss AS (
+      |  SELECT s, n,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+      |    (CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |    - (CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |      AS ssr
+      |  FROM g),
+      |p AS (
+      |  SELECT CAST(sum(n) AS HUGEINT) AS n, sum(sx) AS sx, sum(sy) AS sy,
+      |    sum(sxx) AS sxx, sum(sxy) AS sxy, sum(syy) AS syy
+      |  FROM g),
+      |pp AS (
+      |  SELECT n,
+      |    (CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |    - (CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |      AS ssrp
+      |  FROM p)
+      |SELECT
+      |  CAST((SELECT n FROM ss WHERE s = 0) AS BIGINT) AS n_pre,
+      |  CAST((SELECT n FROM ss WHERE s = 1) AS BIGINT) AS n_post,
+      |  ROUND((SELECT b FROM ss WHERE s = 0), 6) AS slope_pre,
+      |  ROUND((SELECT b FROM ss WHERE s = 1), 6) AS slope_post,
+      |  ROUND((ssrp - (SELECT sum(ssr) FROM ss)) / 2
+      |    / ((SELECT sum(ssr) FROM ss) / (CAST(n AS DOUBLE) - 4)), 6)
+      |    AS chow_f
+      |FROM pp""".stripMargin) { (s, d) =>
+    val seg = t(s, d, "lineitem").select(
+      when(col("l_shipdate") < lit("1998-07-01").cast(DateType), 0)
+        .otherwise(1).as("s"),
+      round(col("l_discount") * 100).cast(LongType).as("x"),
+      col("l_quantity").cast(LongType).as("y"))
+    val g = seg.groupBy("s").agg(
+      count(lit(1)).cast(big38).as("n"),
+      sum(col("x").cast(big38)).as("sx"),
+      sum(col("y").cast(big38)).as("sy"),
+      sum(col("x").cast(big38) * col("x")).as("sxx"),
+      sum(col("x").cast(big38) * col("y")).as("sxy"),
+      sum(col("y").cast(big38) * col("y")).as("syy"))
+    def ssrCol = {
+      val nd = col("n").cast(DoubleType)
+      val cxy = col("sxy").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sy").cast(DoubleType) / nd
+      val cxx = col("sxx").cast(DoubleType) -
+        col("sx").cast(DoubleType) * col("sx").cast(DoubleType) / nd
+      val cyy = col("syy").cast(DoubleType) -
+        col("sy").cast(DoubleType) * col("sy").cast(DoubleType) / nd
+      (cyy - cxy * cxy / cxx,
+        (nd * col("sxy").cast(DoubleType)
+          - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+          / (nd * col("sxx").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sx").cast(DoubleType)))
+    }
+    val (ssrExpr, bExpr) = ssrCol
+    val ss = g.select(col("s"), col("n"), bExpr.as("b"), ssrExpr.as("ssr"))
+    val p = g.agg(sum(col("n")).as("n"), sum(col("sx")).as("sx"),
+      sum(col("sy")).as("sy"), sum(col("sxx")).as("sxx"),
+      sum(col("sxy")).as("sxy"), sum(col("syy")).as("syy"))
+    val (ssrpExpr, _) = ssrCol
+    val pp = p.select(col("n"), ssrpExpr.as("ssrp"))
+    // 2-row bounded panel pivoted to one row; exact integer n's
+    val flat = ss.agg(
+      sum(when(col("s") === 0, col("n"))).as("n0"),
+      sum(when(col("s") === 1, col("n"))).as("n1"),
+      // b/ssr are per-row doubles on a 2-row panel; max(when) selects,
+      // never adds, so no double is aggregated across rows
+      max(when(col("s") === 0, col("b"))).as("b0"),
+      max(when(col("s") === 1, col("b"))).as("b1"),
+      max(when(col("s") === 0, col("ssr"))).as("ssr0"),
+      max(when(col("s") === 1, col("ssr"))).as("ssr1"))
+    flat.crossJoin(broadcast(pp))
+      .select(col("n0").cast(LongType).as("n_pre"),
+        col("n1").cast(LongType).as("n_post"),
+        round(col("b0"), 6).as("slope_pre"),
+        round(col("b1"), 6).as("slope_post"),
+        round((col("ssrp") - (col("ssr0") + col("ssr1"))) / 2
+          / ((col("ssr0") + col("ssr1"))
+            / (col("n").cast(DoubleType) - 4)), 6).as("chow_f"))
+  }
+
+  /** Bartlett variance-homogeneity test across order priorities — the
+    * parametric (normality-assuming, more powerful) complement to
+    * q_levene's Brown–Forsythe. Per-group s² from exact HUGEINT sums;
+    * every cross-group term is quantized to an integer on its own group
+    * row first (ln s² at ·10⁹, s² at ·10³ cents², 1/(nᵢ−1) at ·10¹⁸ via
+    * exact integer division), so the k-row sums are exact. */
+  val qBartlett = Q(
+    "q_bartlett",
+    """WITH x AS (
+      |  SELECT o_orderpriority AS prio,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM orders),
+      |g AS (
+      |  SELECT prio, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(v AS HUGEINT)) AS s1, sum(CAST(v AS HUGEINT) * v) AS s2
+      |  FROM x GROUP BY prio),
+      |v AS (
+      |  SELECT prio, n,
+      |    (CAST(s2 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) - 1) AS s2v
+      |  FROM g),
+      |q AS (
+      |  SELECT prio, n,
+      |    CAST(round(ln(s2v) * 1000000000) AS HUGEINT) AS ln9,
+      |    CAST(round(s2v * 1000) AS HUGEINT) AS v3,
+      |    CAST(1000000000000000000 AS HUGEINT) // (n - 1) AS inv18
+      |  FROM v),
+      |agg AS (
+      |  SELECT count(*) AS k, sum(n) AS nn,
+      |    sum((n - 1) * ln9) AS sln9, sum((n - 1) * v3) AS sv3,
+      |    sum(inv18) AS sinv18
+      |  FROM q)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+      |  ROUND(((CAST(nn AS DOUBLE) - k)
+      |      * ln(CAST(sv3 AS DOUBLE) / 1000 / (CAST(nn AS DOUBLE) - k))
+      |      - CAST(sln9 AS DOUBLE) / 1000000000)
+      |    / (1 + (CAST(sinv18 AS DOUBLE) / 1e18
+      |        - 1 / (CAST(nn AS DOUBLE) - k)) / (3 * (k - 1))), 6)
+      |    AS bartlett_t
+      |FROM agg""".stripMargin) { (s, d) =>
+    val x = t(s, d, "orders").select(col("o_orderpriority").as("prio"),
+      (dec2(col("o_totalprice")) * 100).cast(LongType).as("v"))
+    val g = x.groupBy("prio").agg(
+      count(lit(1)).cast(big38).as("n"),
+      sum(col("v").cast(big38)).as("s1"),
+      sum(col("v").cast(big38) * col("v")).as("s2"))
+    val v = g.select(col("prio"), col("n"),
+      ((col("s2").cast(DoubleType)
+        - col("s1").cast(DoubleType) * col("s1").cast(DoubleType)
+          / col("n").cast(DoubleType))
+        / (col("n").cast(DoubleType) - 1)).as("s2v"))
+    val q = v.select(col("prio"), col("n"),
+      round(log(col("s2v")) * 1000000000L).cast(big38).as("ln9"),
+      round(col("s2v") * 1000).cast(big38).as("v3"),
+      expr("CAST(1000000000000000000 AS DECIMAL(38,0)) DIV (n - 1)")
+        .as("inv18"))
+    val agg = q.agg(count(lit(1)).as("k"), sum(col("n")).as("nn"),
+      sum((col("n") - 1) * col("ln9")).as("sln9"),
+      sum((col("n") - 1) * col("v3")).as("sv3"),
+      sum(col("inv18")).as("sinv18"))
+    agg.select(col("k").cast(LongType).as("k"),
+      col("nn").cast(LongType).as("n"),
+      round(((col("nn").cast(DoubleType) - col("k"))
+        * log(col("sv3").cast(DoubleType) / 1000
+          / (col("nn").cast(DoubleType) - col("k")))
+        - col("sln9").cast(DoubleType) / 1000000000L)
+        / (lit(1) + (col("sinv18").cast(DoubleType) / lit(1e18)
+          - lit(1) / (col("nn").cast(DoubleType) - col("k")))
+          / (lit(3) * (col("k") - 1))), 6).as("bartlett_t"))
+  }
+
+  /** χ² goodness-of-fit of order volume against a uniform day-of-week
+    * profile (ISO numbering, 1 = Monday). Exact counts on the bounded
+    * 7-key domain; each cell's (obs−exp)²/exp is quantized ·10⁶ on its
+    * own row before the 7-row total, so the final χ² is exact. The
+    * calendar-assumption check under q_seasonality's descriptive view. */
+  val qChi2Gof = Q(
+    "q_chi2_gof",
+    """WITH per AS (
+      |  SELECT CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS dow,
+      |    CAST(count(*) AS BIGINT) AS obs
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT sum(obs) AS n FROM per),
+      |c AS (
+      |  SELECT dow, obs, CAST(n AS DOUBLE) / 7 AS expected,
+      |    CAST(round((obs - CAST(n AS DOUBLE) / 7)
+      |      * (obs - CAST(n AS DOUBLE) / 7) / (CAST(n AS DOUBLE) / 7)
+      |      * 1000000) AS BIGINT) AS contrib6
+      |  FROM per, tot),
+      |chi AS (SELECT sum(contrib6) AS chi6 FROM c)
+      |SELECT dow, obs, ROUND(expected, 6) AS expected,
+      |  ROUND(CAST(contrib6 AS DOUBLE) / 1000000, 6) AS contrib,
+      |  ROUND(CAST(chi6 AS DOUBLE) / 1000000, 6) AS chi2
+      |FROM c, chi ORDER BY dow""".stripMargin) { (s, d) =>
+    val per = t(s, d, "orders")
+      .groupBy((weekday(col("o_orderdate").cast(DateType)) + 1).as("dow"))
+      .agg(count(lit(1)).as("obs"))
+    val tot = per.agg(sum(col("obs")).as("n"))
+    val expd = col("n").cast(DoubleType) / 7
+    val c = per.crossJoin(broadcast(tot))
+      .select(col("dow"), col("obs"), expd.as("expected"),
+        round((col("obs") - expd) * (col("obs") - expd) / expd * 1000000)
+          .cast(LongType).as("contrib6"))
+    val chi = c.agg(sum(col("contrib6")).as("chi6"))
+    c.crossJoin(broadcast(chi))
+      .select(col("dow"), col("obs"),
+        round(col("expected"), 6).as("expected"),
+        round(col("contrib6").cast(DoubleType) / 1000000, 6).as("contrib"),
+        round(col("chi6").cast(DoubleType) / 1000000, 6).as("chi2"))
+      .orderBy("dow")
+  }
+
+  /** Wilcoxon signed-rank test on paired per-customer mean order values,
+    * 1994 vs 1995 (customers active in BOTH years; zero differences
+    * dropped per the classical procedure). Differences are exact-cent
+    * integers (double means from exact sums, rounded); ranking uses the
+    * house row_number tie convention (|d|, then custkey — documented, not
+    * tie-averaged) via GlobalRank, so no unpartitioned data-sized window;
+    * W⁺ is an exact DECIMAL(38) rank sum. The paired answer to
+    * q_mannwhitney's independent-samples question. */
+  val qWilcoxonSigned = Q(
+    "q_wilcoxon_signed",
+    """WITH per AS (
+      |  SELECT o_custkey AS cust,
+      |    CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+      |    CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+      |      AS s
+      |  FROM orders
+      |  WHERE EXTRACT(year FROM o_orderdate) IN (1994, 1995)
+      |  GROUP BY 1, 2),
+      |pair AS (
+      |  SELECT cust,
+      |    CAST(round(
+      |      CAST(max(CASE WHEN yr = 1995 THEN s END) AS DOUBLE)
+      |        / CAST(max(CASE WHEN yr = 1995 THEN n END) AS DOUBLE)
+      |      - CAST(max(CASE WHEN yr = 1994 THEN s END) AS DOUBLE)
+      |        / CAST(max(CASE WHEN yr = 1994 THEN n END) AS DOUBLE))
+      |      AS BIGINT) AS d
+      |  FROM per GROUP BY cust
+      |  HAVING count(*) = 2),
+      |nz AS (SELECT cust, d FROM pair WHERE d <> 0),
+      |r AS (
+      |  SELECT d,
+      |    CAST(row_number() OVER (ORDER BY abs(d), cust) AS HUGEINT) AS rk
+      |  FROM nz),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CASE WHEN d > 0 THEN rk ELSE CAST(0 AS HUGEINT) END) AS wp
+      |  FROM r)
+      |SELECT CAST(n AS BIGINT) AS n_pairs, CAST(wp AS BIGINT) AS w_plus,
+      |  ROUND((CAST(wp AS DOUBLE) - CAST(n * (n + 1) AS DOUBLE) / 4)
+      |    / sqrt(CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24), 6) AS z
+      |FROM m""".stripMargin) { (s, d) =>
+    import graft.plans.GlobalRank
+    val per = t(s, d, "orders")
+      .where(year(col("o_orderdate")).isin(1994, 1995))
+      .groupBy(col("o_custkey").as("cust"),
+        year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).cast(big38).as("n"),
+        sum((dec2(col("o_totalprice")) * 100).cast(big38)).as("s"))
+    val pair = per.groupBy("cust")
+      .agg(count(lit(1)).as("ny"),
+        max(when(col("yr") === 1995, col("s"))).as("s95"),
+        max(when(col("yr") === 1995, col("n"))).as("n95"),
+        max(when(col("yr") === 1994, col("s"))).as("s94"),
+        max(when(col("yr") === 1994, col("n"))).as("n94"))
+      .where(col("ny") === 2)
+      .select(col("cust"),
+        round(col("s95").cast(DoubleType) / col("n95").cast(DoubleType)
+          - col("s94").cast(DoubleType) / col("n94").cast(DoubleType))
+          .cast(LongType).as("d"))
+    val nz = pair.where(col("d") =!= 0)
+    val (ranked, _) = GlobalRank.withGlobalRowNumber(
+      nz, "rk", 16, abs(col("d")), col("cust"))
+    val m = ranked.agg(count(lit(1)).cast(big38).as("n"),
+      sum(when(col("d") > 0, col("rk")).otherwise(0L).cast(big38)).as("wp"))
+    m.select(col("n").cast(LongType).as("n_pairs"),
+      col("wp").cast(LongType).as("w_plus"),
+      round((col("wp").cast(DoubleType)
+        - (col("n") * (col("n") + 1)).cast(DoubleType) / 4)
+        / sqrt((col("n") * (col("n") + 1) * (lit(2) * col("n") + 1))
+          .cast(DoubleType) / 24), 6).as("z"))
+  }
+
+  /** Maximum drawdown of the monthly revenue series: the largest
+    * peak-to-trough decline, found EXACTLY as the max over all ordered
+    * month pairs of (v_p − v_t)·10⁹ DIV v_p — a bounded ≤84² self-join in
+    * pure integer arithmetic (ties broken by earliest peak, then earliest
+    * trough). The worst-case-sequence risk statistic mean profiles hide. */
+  val qMaxDrawdown = Q(
+    "q_max_drawdown",
+    s"""WITH $monthlySql,
+      |pair AS (
+      |  SELECT p.mth AS peak_mth, t.mth AS trough_mth,
+      |    p.cents AS peak_cents, t.cents AS trough_cents,
+      |    (CAST(p.cents - t.cents AS HUGEINT) * 1000000000) // p.cents
+      |      AS dd9
+      |  FROM ser p JOIN ser t ON p.mth <= t.mth AND p.cents > 0)
+      |SELECT peak_mth, trough_mth,
+      |  ROUND(CAST(peak_cents AS DOUBLE) / 100, 2) AS peak_revenue,
+      |  ROUND(CAST(trough_cents AS DOUBLE) / 100, 2) AS trough_revenue,
+      |  ROUND(CAST(dd9 AS DOUBLE) / 1000000000, 6) AS max_drawdown
+      |FROM pair
+      |ORDER BY dd9 DESC, peak_mth, trough_mth LIMIT 1""".stripMargin) {
+    (s, d) =>
+    val ser = monthlySeries(s, d)
+    val p = ser.select(col("mth").as("peak_mth"),
+      col("cents").as("peak_cents"))
+    val tt = ser.select(col("mth").as("trough_mth"),
+      col("cents").as("trough_cents"))
+    val pair = p.join(tt, col("peak_mth") <= col("trough_mth")
+        && col("peak_cents") > 0)
+      .withColumn("dd9",
+        expr("(CAST(peak_cents - trough_cents AS DECIMAL(38,0))" +
+          " * 1000000000) DIV peak_cents"))
+    pair.orderBy(col("dd9").desc, col("peak_mth"), col("trough_mth"))
+      .limit(1)
+      .select(col("peak_mth"), col("trough_mth"),
+        round(col("peak_cents").cast(DoubleType) / 100, 2)
+          .as("peak_revenue"),
+        round(col("trough_cents").cast(DoubleType) / 100, 2)
+          .as("trough_revenue"),
+        round(col("dd9").cast(DoubleType) / 1000000000L, 6)
+          .as("max_drawdown"))
+  }
+
+  /** 14-day RSI (SMA flavor — closed-form, no Wilder recursion) on daily
+    * revenue: gains/losses are exact integer sums over a 14-row window on
+    * the calendar-bounded daily panel; RSI = 100·Σgain/(Σgain+Σloss) with
+    * ONE final division. Reported for the last 10 fully-windowed days —
+    * the overbought/oversold monitor for any daily KPI. */
+  val qRsi = Q(
+    "q_rsi",
+    s"""WITH $dailySql,
+      |ch AS (
+      |  SELECT a.day, a.cents - b.cents AS chg
+      |  FROM ser a JOIN ser b ON b.day = a.day - 1),
+      |w AS (
+      |  SELECT day,
+      |    count(*) OVER win AS cnt,
+      |    sum(CASE WHEN chg > 0 THEN CAST(chg AS HUGEINT)
+      |        ELSE CAST(0 AS HUGEINT) END) OVER win AS sg,
+      |    sum(CASE WHEN chg < 0 THEN CAST(-chg AS HUGEINT)
+      |        ELSE CAST(0 AS HUGEINT) END) OVER win AS sl
+      |  FROM ch
+      |  WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING
+      |    AND CURRENT ROW)),
+      |f AS (SELECT * FROM w WHERE cnt = 14),
+      |last10 AS (SELECT * FROM f ORDER BY day DESC LIMIT 10)
+      |SELECT day,
+      |  ROUND(100 * CAST(sg AS DOUBLE) / CAST(sg + sl AS DOUBLE), 4)
+      |    AS rsi14
+      |FROM last10 ORDER BY day""".stripMargin) { (s, d) =>
+    val ser = dailySeries(s, d)
+    val a = ser.select(col("day"), col("cents"))
+    val b = ser.select(col("day").as("bday"), col("cents").as("bcents"))
+    val ch = a.join(b, date_sub(col("day"), 1) === col("bday"))
+      .select(col("day"), (col("cents") - col("bcents")).as("chg"))
+    // calendar-bounded panel (≤2,557 rows at any SF): unpartitioned
+    // window is over the bounded post-agg domain, not the fact table
+    val win = Window.orderBy("day").rowsBetween(-13, 0)
+    val w = ch.select(col("day"),
+      count(lit(1)).over(win).as("cnt"),
+      sum(when(col("chg") > 0, col("chg")).otherwise(0L).cast(big38))
+        .over(win).as("sg"),
+      sum(when(col("chg") < 0, -col("chg")).otherwise(0L).cast(big38))
+        .over(win).as("sl"))
+    w.where(col("cnt") === 14)
+      .orderBy(col("day").desc).limit(10)
+      .select(col("day"),
+        round(lit(100) * col("sg").cast(DoubleType)
+          / (col("sg") + col("sl")).cast(DoubleType), 4).as("rsi14"))
+      .orderBy("day")
+  }
+
+  /** Bollinger-band breakout census: 20-day rolling mean ± 2σ on daily
+    * revenue (exact integer rolling sums ⇒ double mean/σ with identical
+    * op order), yearly counts of upper/lower breakouts. The volatility-
+    * regime summary of the daily series — which years ran hot. */
+  val qBollinger = Q(
+    "q_bollinger",
+    s"""WITH $dailySql,
+      |w AS (
+      |  SELECT day, cents,
+      |    count(*) OVER win AS cnt,
+      |    sum(CAST(cents AS HUGEINT)) OVER win AS s1,
+      |    sum(CAST(cents AS HUGEINT) * cents) OVER win AS s2
+      |  FROM ser
+      |  WINDOW win AS (ORDER BY day ROWS BETWEEN 19 PRECEDING
+      |    AND CURRENT ROW)),
+      |f AS (
+      |  SELECT CAST(EXTRACT(year FROM day) AS INT) AS yr, cents,
+      |    CAST(s1 AS DOUBLE) / 20 AS mu,
+      |    sqrt((CAST(s2 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 20) / 19) AS sd
+      |  FROM w WHERE cnt = 20)
+      |SELECT yr, count(*) AS n_days,
+      |  CAST(sum(CASE WHEN cents > mu + 2 * sd THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_upper,
+      |  CAST(sum(CASE WHEN cents < mu - 2 * sd THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_lower
+      |FROM f GROUP BY yr ORDER BY yr""".stripMargin) { (s, d) =>
+    val ser = dailySeries(s, d)
+    val win = Window.orderBy("day").rowsBetween(-19, 0)
+    val w = ser.select(col("day"), col("cents"),
+      count(lit(1)).over(win).as("cnt"),
+      sum(col("cents").cast(big38)).over(win).as("s1"),
+      sum(col("cents").cast(big38) * col("cents")).over(win).as("s2"))
+    val mu = col("s1").cast(DoubleType) / 20
+    val sd = sqrt((col("s2").cast(DoubleType)
+      - col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / 20) / 19)
+    val f = w.where(col("cnt") === 20)
+      .select(year(col("day")).as("yr"), col("cents"),
+        mu.as("mu"), sd.as("sd"))
+    f.groupBy("yr").agg(count(lit(1)).as("n_days"),
+        sum(when(col("cents") > col("mu") + lit(2) * col("sd"), 1)
+          .otherwise(0)).cast(LongType).as("n_upper"),
+        sum(when(col("cents") < col("mu") - lit(2) * col("sd"), 1)
+          .otherwise(0)).cast(LongType).as("n_lower"))
+      .orderBy("yr")
+  }
+
+  /** Partial autocorrelation of daily revenue at lags 1–3 via the
+    * Durbin–Levinson recursion on the per-lag Pearson autocorrelations
+    * (each r_k estimated on its own lag-pair sample — the q_autocorr
+    * estimator, documented). All r_k come from exact HUGEINT co-moments;
+    * the recursion runs on the final one-row panel in double with
+    * identical op order. PACF is what separates "AR(1) is enough" from
+    * "there is direct lag-2/3 structure" before anyone fits a forecast. */
+  val qPacf = Q(
+    "q_pacf",
+    s"""WITH $dailySql,
+      |lags(lag) AS (VALUES (1), (2), (3)),
+      |pairs AS (
+      |  SELECT l.lag, CAST(a.cents AS HUGEINT) AS x,
+      |    CAST(b.cents AS HUGEINT) AS y
+      |  FROM ser a CROSS JOIN lags l
+      |  JOIN ser b ON b.day = a.day - l.lag),
+      |m AS (
+      |  SELECT lag, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM pairs GROUP BY lag),
+      |rr AS (
+      |  SELECT lag,
+      |    CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+      |  FROM m),
+      |p AS (
+      |  SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+      |    max(CASE WHEN lag = 2 THEN r END) AS r2,
+      |    max(CASE WHEN lag = 3 THEN r END) AS r3
+      |  FROM rr),
+      |dl AS (
+      |  SELECT r1, r2, r3,
+      |    (r2 - r1 * r1) / (1 - r1 * r1) AS phi22,
+      |    r1 - (r2 - r1 * r1) / (1 - r1 * r1) * r1 AS phi21
+      |  FROM p)
+      |SELECT lag, ROUND(pacf, 6) AS pacf FROM (
+      |  SELECT 1 AS lag, r1 AS pacf FROM dl
+      |  UNION ALL SELECT 2, phi22 FROM dl
+      |  UNION ALL
+      |  SELECT 3, (r3 - phi21 * r2 - phi22 * r1)
+      |    / (1 - phi21 * r1 - phi22 * r2) FROM dl)
+      |ORDER BY lag""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ser = dailySeries(s, d)
+    val lags = Seq(1, 2, 3).toDF("lag")
+    val a = ser.select(col("day"), col("cents").cast(big38).as("x"))
+      .crossJoin(broadcast(lags))
+    val b = ser.select(col("day").as("bday"), col("cents").cast(big38).as("y"))
+    val pairs = a.join(b, date_sub(col("day"), col("lag")) === col("bday"))
+    val m = pairs.groupBy("lag").agg(count(lit(1)).cast(big38).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val rr = m.select(col("lag"),
+      ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+        / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType))
+          * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast(DoubleType)))).as("r"))
+    // 3-row bounded panel → one row (max(when) selects, never sums)
+    val p = rr.agg(max(when(col("lag") === 1, col("r"))).as("r1"),
+      max(when(col("lag") === 2, col("r"))).as("r2"),
+      max(when(col("lag") === 3, col("r"))).as("r3"))
+    val dl = p.select(col("r1"), col("r2"), col("r3"),
+      ((col("r2") - col("r1") * col("r1"))
+        / (lit(1) - col("r1") * col("r1"))).as("phi22"))
+      .withColumn("phi21", col("r1") - col("phi22") * col("r1"))
+    val l1 = dl.select(lit(1).as("lag"), col("r1").as("pacf"))
+    val l2 = dl.select(lit(2).as("lag"), col("phi22").as("pacf"))
+    val l3 = dl.select(lit(3).as("lag"),
+      ((col("r3") - col("phi21") * col("r2") - col("phi22") * col("r1"))
+        / (lit(1) - col("phi21") * col("r1") - col("phi22") * col("r2")))
+        .as("pacf"))
+    l1.unionAll(l2).unionAll(l3)
+      .select(col("lag"), round(col("pacf"), 6).as("pacf"))
+      .orderBy("lag")
+  }
+
+  val all: Seq[Q] = Seq(qDurbinWatson, qBreuschPagan, qChowTest, qBartlett,
+    qChi2Gof, qWilcoxonSigned, qMaxDrawdown, qRsi, qBollinger, qPacf)
+}

@@ -637,7 +637,216 @@ object EvalQueries {
       .orderBy("seg")
   }
 
+  /** Precision / recall / F1 at the 10 score-decile operating points
+    * (classify-positive = score in the top d deciles): the
+    * threshold-sweep table behind every "where do we set the cutoff"
+    * decision, one row per candidate cutoff. Deciles come from the same
+    * GlobalRank pass as q_lift_deciles; cumulative TP/row counts are
+    * exact integers accumulated over the 10-row post-agg panel; P/R/F1
+    * are one double expression per output row (F1 = 2TP/(rows+P) —
+    * algebraically 2PR/(P+R), but in the integer-sum form). */
+  val qPrCurve = Q(
+    "q_pr_curve",
+    """WITH x AS (
+      |  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+      |      AS label,
+      |    row_number() OVER (ORDER BY
+      |      -CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT),
+      |      o_orderkey) AS rn,
+      |    count(*) OVER () AS n
+      |  FROM orders),
+      |d AS (
+      |  SELECT CAST((rn - 1) * 10 // n AS INT) + 1 AS decile,
+      |    count(*) AS n_rows, sum(label) AS n_pos
+      |  FROM x GROUP BY 1),
+      |tot AS (SELECT sum(n_pos) AS pos FROM d),
+      |c AS (
+      |  SELECT decile, n_rows,
+      |    sum(n_rows) OVER (ORDER BY decile) AS cum_rows,
+      |    sum(n_pos) OVER (ORDER BY decile) AS tp
+      |  FROM d)
+      |SELECT decile, CAST(cum_rows AS BIGINT) AS n_flagged,
+      |  CAST(tp AS BIGINT) AS tp,
+      |  ROUND(CAST(tp AS DOUBLE) / CAST(cum_rows AS DOUBLE), 6)
+      |    AS precision,
+      |  ROUND(CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE), 6) AS recall,
+      |  ROUND(2 * CAST(tp AS DOUBLE) / CAST(cum_rows + pos AS DOUBLE), 6)
+      |    AS f1
+      |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin) { (s, d) =>
+    val (ranked, nTotal) = graft.plans.GlobalRank.withGlobalRowNumber(
+      scored(s, d).withColumn("negc", -col("cents")), "rn", 32,
+      col("negc"), col("o_orderkey"))
+    val dec = ranked
+      .select(
+        (expr(s"(rn - 1) * 10 DIV ${nTotal}L").cast(IntegerType) + 1)
+          .as("decile"),
+        col("label"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_rows"), sum(col("label")).as("n_pos"))
+    val tot = dec.agg(sum("n_pos").as("pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    dec.withColumn("cum_rows", sum(col("n_rows")).over(w))
+      .withColumn("tp", sum(col("n_pos")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("cum_rows").cast(LongType).as("n_flagged"),
+        col("tp").cast(LongType).as("tp"),
+        round(col("tp").cast(DoubleType) / col("cum_rows").cast(DoubleType),
+          6).as("precision"),
+        round(col("tp").cast(DoubleType) / col("pos").cast(DoubleType), 6)
+          .as("recall"),
+        round(lit(2) * col("tp").cast(DoubleType)
+          / (col("cum_rows") + col("pos")).cast(DoubleType), 6).as("f1"))
+      .orderBy("decile")
+  }
+
+  /** Kolmogorov–Smirnov model-separation statistic: the max gap between
+    * the positive and negative score CDFs, plus the score threshold that
+    * attains it — the credit-scoring cousin of q_auc (q_ks_test answers
+    * the same question for two event populations; this one reads a
+    * score/label panel and returns an operating point). Both cumulative
+    * counts ride ONE GlobalRank multi-running-sum pass; the gap numerator
+    * &#124;cp·n0 − cn·n1&#124; is exact DECIMAL(38) per row; the argmax is a
+    * TakeOrdered under a total (gap DESC, cents, key) order. */
+  val qKsModel = Q(
+    "q_ks_model",
+    """WITH x AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+      |  FROM orders),
+      |tot AS (
+      |  SELECT CAST(sum(label) AS HUGEINT) AS n1,
+      |    CAST(count(*) - sum(label) AS HUGEINT) AS n0
+      |  FROM x),
+      |c AS (
+      |  SELECT cents, o_orderkey, label,
+      |    sum(label) OVER w AS cp,
+      |    sum(1 - label) OVER w AS cn
+      |  FROM x WINDOW w AS (ORDER BY cents, o_orderkey)),
+      |g AS (
+      |  SELECT cents,
+      |    abs(CAST(cp AS HUGEINT) * (SELECT n0 FROM tot)
+      |      - CAST(cn AS HUGEINT) * (SELECT n1 FROM tot)) AS gap,
+      |    o_orderkey
+      |  FROM c)
+      |SELECT CAST((SELECT n1 FROM tot) AS BIGINT) AS n_pos,
+      |  CAST((SELECT n0 FROM tot) AS BIGINT) AS n_neg,
+      |  ROUND(CAST(gap AS DOUBLE)
+      |    / CAST((SELECT n1 FROM tot) * (SELECT n0 FROM tot) AS DOUBLE),
+      |    6) AS ks,
+      |  ROUND(CAST(cents AS DOUBLE) / 100, 2) AS threshold
+      |FROM g ORDER BY gap DESC, cents, o_orderkey LIMIT 1""".stripMargin) {
+    (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val x = scored(s, d)
+    val (cum, totals) = graft.plans.GlobalRank.withGlobalRunningSums(
+      x, Seq((col("label"), "cp"), (lit(1) - col("label"), "cn")),
+      32, col("cents"), col("o_orderkey"))
+    val Seq(n1, n0) = totals
+    val g = cum.select(col("cents"), col("o_orderkey"),
+      abs(col("cp").cast(big38) * lit(n0)
+        - col("cn").cast(big38) * lit(n1)).as("gap"))
+    g.orderBy(col("gap").desc, col("cents"), col("o_orderkey")).limit(1)
+      .select(lit(n1).as("n_pos"), lit(n0).as("n_neg"),
+        round(col("gap").cast(DoubleType)
+          / (lit(n1).cast(big38) * lit(n0)).cast(DoubleType), 6).as("ks"),
+        round(col("cents").cast(DoubleType) / 100, 2).as("threshold"))
+  }
+
+  /** Murphy decomposition of the Brier score over the q_calibration
+    * 10-bin panel: Brier = reliability − resolution + uncertainty.
+    * Reliability (calibration error proper) and resolution (how much the
+    * bins separate outcomes) are per-bin doubles quantized to ·10⁻⁶
+    * integers on their own bin row before the 10-row sums; uncertainty
+    * is ȳ(1−ȳ) from exact global counts. The "is the model USEFUL or
+    * just honest" split a single Brier number can't answer. */
+  val qBrierDecomp = Q(
+    "q_brier_decomp",
+    """WITH x AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+      |  FROM orders),
+      |mx AS (SELECT max(cents) AS maxc FROM x),
+      |p AS (
+      |  SELECT label, cents * 1000000 // maxc AS p_ppm,
+      |    LEAST(cents * 1000000 // maxc * 10 // 1000000, 9) AS bin
+      |  FROM x CROSS JOIN mx),
+      |tot AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(label) AS HUGEINT) AS npos
+      |  FROM p),
+      |b AS (
+      |  SELECT bin, CAST(count(*) AS HUGEINT) AS nb,
+      |    CAST(sum(label) AS HUGEINT) AS nbpos,
+      |    sum(CAST(p_ppm AS HUGEINT)) AS sum_ppm
+      |  FROM p GROUP BY bin),
+      |q AS (
+      |  SELECT bin, nb, nbpos,
+      |    CAST(round(CAST(nb AS DOUBLE)
+      |      * (CAST(sum_ppm AS DOUBLE) / CAST(nb AS DOUBLE) / 1000000
+      |         - CAST(nbpos AS DOUBLE) / CAST(nb AS DOUBLE))
+      |      * (CAST(sum_ppm AS DOUBLE) / CAST(nb AS DOUBLE) / 1000000
+      |         - CAST(nbpos AS DOUBLE) / CAST(nb AS DOUBLE))
+      |      * 1000000) AS HUGEINT) AS rel6,
+      |    CAST(round(CAST(nb AS DOUBLE)
+      |      * (CAST(nbpos AS DOUBLE) / CAST(nb AS DOUBLE)
+      |         - CAST((SELECT npos FROM tot) AS DOUBLE)
+      |           / CAST((SELECT n FROM tot) AS DOUBLE))
+      |      * (CAST(nbpos AS DOUBLE) / CAST(nb AS DOUBLE)
+      |         - CAST((SELECT npos FROM tot) AS DOUBLE)
+      |           / CAST((SELECT n FROM tot) AS DOUBLE))
+      |      * 1000000) AS HUGEINT) AS res6
+      |  FROM b),
+      |agg AS (SELECT sum(rel6) AS srel6, sum(res6) AS sres6 FROM q)
+      |SELECT CAST((SELECT n FROM tot) AS BIGINT) AS n,
+      |  ROUND(CAST(srel6 AS DOUBLE) / 1000000
+      |    / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS reliability,
+      |  ROUND(CAST(sres6 AS DOUBLE) / 1000000
+      |    / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS resolution,
+      |  ROUND(CAST((SELECT npos FROM tot) AS DOUBLE)
+      |      / CAST((SELECT n FROM tot) AS DOUBLE)
+      |    * (1 - CAST((SELECT npos FROM tot) AS DOUBLE)
+      |      / CAST((SELECT n FROM tot) AS DOUBLE)), 6) AS uncertainty
+      |FROM agg""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val x = scored(s, d)
+    val mx = x.agg(max(col("cents")).as("maxc"))
+    val p = x.crossJoin(broadcast(mx))
+      .select(col("label"),
+        expr("cents * 1000000 DIV maxc").as("p_ppm"),
+        least(expr("cents * 1000000 DIV maxc * 10 DIV 1000000"), lit(9L))
+          .as("bin"))
+    val tot = p.agg(count(lit(1)).cast(big38).as("n"),
+      sum(col("label")).cast(big38).as("npos"))
+    val b = p.groupBy("bin")
+      .agg(count(lit(1)).cast(big38).as("nb"),
+        sum(col("label")).cast(big38).as("nbpos"),
+        sum(col("p_ppm").cast(big38)).as("sum_ppm"))
+    val nbD = col("nb").cast(DoubleType)
+    val meanPred = col("sum_ppm").cast(DoubleType) / nbD / 1000000L
+    val fracPos = col("nbpos").cast(DoubleType) / nbD
+    val base = col("npos").cast(DoubleType) / col("n").cast(DoubleType)
+    val q = b.crossJoin(broadcast(tot))
+      .select(col("n"), col("npos"),
+        round(nbD * (meanPred - fracPos) * (meanPred - fracPos) * 1000000)
+          .cast(big38).as("rel6"),
+        round(nbD * (fracPos - base) * (fracPos - base) * 1000000)
+          .cast(big38).as("res6"))
+    q.groupBy("n", "npos")
+      .agg(sum(col("rel6")).as("srel6"), sum(col("res6")).as("sres6"))
+      .select(col("n").cast(LongType).as("n"),
+        round(col("srel6").cast(DoubleType) / 1000000L
+          / col("n").cast(DoubleType), 6).as("reliability"),
+        round(col("sres6").cast(DoubleType) / 1000000L
+          / col("n").cast(DoubleType), 6).as("resolution"),
+        round(base * (lit(1) - base), 6).as("uncertainty"))
+  }
+
   val all: Seq[Q] = Seq(qIsotonic, qAuc, qLiftDeciles, qConfusionMatrix,
     qCalibration, qMrr, qIpsEstimate, qMapAtK, qFeatureCorrTarget,
-    qAucByGroup)
+    qAucByGroup, qPrCurve, qKsModel, qBrierDecomp)
 }

@@ -3336,7 +3336,217 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** Dunning log-likelihood-ratio collocations over adjacent bigrams —
+    * the significance-tested complement to q_pmi_bigrams (PMI over-ranks
+    * rare pairs; LLR weighs the full 2×2 contingency). Counts (c_ab,
+    * first-position c_a, second-position c_b, N) are exact integers from
+    * the same position-explode; the 2×2 x·ln x assembly is one double
+    * expression per surviving bigram row (never summed across rows),
+    * quantized ·10⁶ for the total output order. */
+  val qLlrBigrams = Q(
+    "q_llr_bigrams",
+    """WITH toks AS (
+      |  SELECT sp[k] AS term, sp[k+1] AS next
+      |  FROM (SELECT string_split(text, ' ') AS sp FROM documents) d,
+      |       generate_series(1, 4000) AS g(k)
+      |  WHERE k < len(sp)),
+      |big AS (
+      |  SELECT term, next, CAST(count(*) AS HUGEINT) AS c_ab
+      |  FROM toks GROUP BY 1, 2),
+      |ua AS (SELECT term, CAST(sum(c_ab) AS HUGEINT) AS c_a
+      |       FROM big GROUP BY term),
+      |ub AS (SELECT next, CAST(sum(c_ab) AS HUGEINT) AS c_b
+      |       FROM big GROUP BY next),
+      |n AS (SELECT CAST(sum(c_ab) AS HUGEINT) AS nn FROM big),
+      |k AS (
+      |  SELECT big.term, big.next, c_ab, c_a, c_b, nn,
+      |    c_a - c_ab AS k12, c_b - c_ab AS k21,
+      |    nn - c_a - c_b + c_ab AS k22
+      |  FROM big JOIN ua ON big.term = ua.term
+      |           JOIN ub ON big.next = ub.next
+      |           CROSS JOIN n
+      |  WHERE c_ab >= 20),
+      |llr AS (
+      |  SELECT term, next, c_ab,
+      |    CAST(round(2 * (
+      |      (CASE WHEN c_ab > 0 THEN CAST(c_ab AS DOUBLE)
+      |        * ln(CAST(c_ab AS DOUBLE)) ELSE 0 END)
+      |      + (CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE)
+      |        * ln(CAST(k12 AS DOUBLE)) ELSE 0 END)
+      |      + (CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE)
+      |        * ln(CAST(k21 AS DOUBLE)) ELSE 0 END)
+      |      + (CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE)
+      |        * ln(CAST(k22 AS DOUBLE)) ELSE 0 END)
+      |      - CAST(c_a AS DOUBLE) * ln(CAST(c_a AS DOUBLE))
+      |      - CAST(c_b AS DOUBLE) * ln(CAST(c_b AS DOUBLE))
+      |      - CAST(nn - c_a AS DOUBLE) * ln(CAST(nn - c_a AS DOUBLE))
+      |      - CAST(nn - c_b AS DOUBLE) * ln(CAST(nn - c_b AS DOUBLE))
+      |      + CAST(nn AS DOUBLE) * ln(CAST(nn AS DOUBLE))
+      |    ) * 1000000) AS BIGINT) AS llr6
+      |  FROM k)
+      |SELECT term, next, CAST(c_ab AS BIGINT) AS c_ab,
+      |  ROUND(CAST(llr6 AS DOUBLE) / 1000000, 6) AS llr
+      |FROM llr ORDER BY llr6 DESC, term, next LIMIT 20""".stripMargin) {
+    (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val toks = t(s, d, "documents")
+      .select(split(col("text"), " ").as("sp"))
+      .select(col("sp"), explode(sequence(lit(1), size(col("sp")) - 1))
+        .as("k"))
+      .select(element_at(col("sp"), col("k")).as("term"),
+        element_at(col("sp"), col("k") + 1).as("next"))
+    // 4 consumers (marginals ×2, N, candidate filter) — fence the corpus
+    // explode once (the q_tfidf_cosine_pairs lesson, PERF.md)
+    val big = toks.groupBy("term", "next")
+      .agg(count(lit(1)).cast(big38).as("c_ab"))
+      .localCheckpoint()
+    val ua = big.groupBy("term").agg(sum(col("c_ab")).as("c_a"))
+    val ub = big.groupBy("next").agg(sum(col("c_ab")).as("c_b"))
+    val n = big.agg(sum(col("c_ab")).as("nn"))
+    val k = big.filter(col("c_ab") >= 20)
+      .join(ua, Seq("term")).join(ub, Seq("next"))
+      .crossJoin(broadcast(n))
+      .withColumn("k12", col("c_a") - col("c_ab"))
+      .withColumn("k21", col("c_b") - col("c_ab"))
+      .withColumn("k22", col("nn") - col("c_a") - col("c_b") + col("c_ab"))
+    def xlx(c: org.apache.spark.sql.Column) =
+      when(c > 0, c.cast(DoubleType) * log(c.cast(DoubleType)))
+        .otherwise(lit(0.0))
+    val llr6 = round(lit(2) * (
+      xlx(col("c_ab")) + xlx(col("k12")) + xlx(col("k21")) + xlx(col("k22"))
+        - col("c_a").cast(DoubleType) * log(col("c_a").cast(DoubleType))
+        - col("c_b").cast(DoubleType) * log(col("c_b").cast(DoubleType))
+        - (col("nn") - col("c_a")).cast(DoubleType)
+          * log((col("nn") - col("c_a")).cast(DoubleType))
+        - (col("nn") - col("c_b")).cast(DoubleType)
+          * log((col("nn") - col("c_b")).cast(DoubleType))
+        + col("nn").cast(DoubleType) * log(col("nn").cast(DoubleType)))
+      * 1000000).cast(LongType)
+    k.withColumn("llr6", llr6)
+      .orderBy(col("llr6").desc, col("term"), col("next")).limit(20)
+      .select(col("term"), col("next"), col("c_ab").cast(LongType).as("c_ab"),
+        round(col("llr6").cast(DoubleType) / 1000000L, 6).as("llr"))
+  }
+
+  /** Hapax-legomenon profile per source: token/type counts and the share
+    * of types seen exactly once WITHIN that source — the
+    * vocabulary-freshness / OCR-noise dial (hapax-heavy sources are
+    * either creative or broken; both matter before training). One
+    * explode → one (source, term) count → one bounded per-source agg. */
+  val qHapaxRatio = Q(
+    "q_hapax_ratio",
+    """WITH tt AS (
+      |  SELECT source, t.term, count(*) AS c
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+      |        FROM documents) t
+      |  GROUP BY source, t.term)
+      |SELECT source,
+      |  CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_types,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  ROUND(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS hapax_share
+      |FROM tt GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val tt = t(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    tt.groupBy("source")
+      .agg(sum(col("c")).cast(LongType).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1).otherwise(0)).cast(LongType)
+          .as("n_hapax"),
+        round(sum(when(col("c") === 1, 1).otherwise(0)).cast(DoubleType)
+          / count(lit(1)), 6).as("hapax_share"))
+      .orderBy("source")
+  }
+
+  /** Embedding-space decontamination: test-split vectors whose cosine to
+    * ANY train-split vector reaches 0.99 are contamination the n-gram
+    * screen (q_decontaminate) cannot see (paraphrases, translations,
+    * format shifts). Same centroid-bucket blocking as q_semdedup (the
+    * candidate join is cluster-keyed, never all-pairs); the train/test
+    * split is the deterministic vec_id hash; planted ×1.05 twins of
+    * every 40th train vector (cosine-invariant rescale) verify recall
+    * end-to-end. */
+  val qDecontaminateEmbed = Q(
+    "q_decontaminate_embed",
+    """WITH base AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    CASE WHEN vec_id % 10 < 8 THEN 1 ELSE 0 END AS is_train
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, v, is_train FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 2000000 AS vec_id,
+      |    list_transform(v, x -> x * 1.05) AS v, 0 AS is_train
+      |  FROM base WHERE is_train = 1 AND vec_id % 40 = 0),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 64),
+      |dist AS (
+      |  SELECT e.vec_id, c.cid,
+      |    ROUND(list_inner_product(e.v, e.v)
+      |      - 2 * list_inner_product(e.v, c.cv)
+      |      + list_inner_product(c.cv, c.cv), 6) AS d2
+      |  FROM e CROSS JOIN c),
+      |a AS (
+      |  SELECT vec_id, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+      |  FROM dist),
+      |asg AS (
+      |  SELECT e.vec_id, e.v, e.is_train, a.cid AS cluster
+      |  FROM e JOIN a ON e.vec_id = a.vec_id AND a.rk = 1),
+      |hits AS (
+      |  SELECT DISTINCT te.vec_id
+      |  FROM asg tr JOIN asg te
+      |    ON tr.cluster = te.cluster AND tr.is_train = 1
+      |      AND te.is_train = 0
+      |  WHERE ROUND(list_inner_product(tr.v, te.v)
+      |      / sqrt(list_inner_product(tr.v, tr.v))
+      |      / sqrt(list_inner_product(te.v, te.v)), 4) >= 0.99)
+      |SELECT
+      |  CAST((SELECT count(*) FROM asg WHERE is_train = 1) AS BIGINT)
+      |    AS n_train,
+      |  CAST((SELECT count(*) FROM asg WHERE is_train = 0) AS BIGINT)
+      |    AS n_test,
+      |  CAST(count(*) AS BIGINT) AS n_contaminated,
+      |  CAST(sum(CASE WHEN vec_id >= 2000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_planted_caught
+      |FROM hits""".stripMargin) { (s, d) =>
+    val embs = t(s, d, "embeddings")
+    val base = embs.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v"),
+      when(col("vec_id") % 10 < 8, 1).otherwise(0).as("is_train"))
+    val e = base.unionByName(
+      base.filter(col("is_train") === 1 && col("vec_id") % 40 === 0)
+        .select((col("vec_id") + 2000000).as("vec_id"),
+          transform(col("v"), x => x * 1.05).as("v"),
+          lit(0).as("is_train")))
+    val cents = e.filter(col("vec_id") < 64)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    val asg = Clustering.assign(e.select("vec_id", "v"), "v", cents)
+      .join(e, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("is_train"), col("cluster"))
+      .localCheckpoint()
+    val tr = asg.filter(col("is_train") === 1)
+      .select(col("cluster"), col("v").as("vtr"))
+    val te = asg.filter(col("is_train") === 0)
+      .select(col("cluster"), col("vec_id").as("te_id"), col("v").as("vte"))
+    val hits = tr.join(te, Seq("cluster"))
+      .filter(round(Dedup.cosine(col("vtr"), col("vte")), 4) >= 0.99)
+      .select(col("te_id")).distinct()
+    val counts = asg.agg(
+      sum(col("is_train")).cast(LongType).as("n_train"),
+      sum(lit(1) - col("is_train")).cast(LongType).as("n_test"))
+    hits.agg(count(lit(1)).cast(LongType).as("n_contaminated"),
+        sum(when(col("te_id") >= 2000000, 1).otherwise(0)).cast(LongType)
+          .as("n_planted_caught"))
+      .crossJoin(broadcast(counts))
+      .select(col("n_train"), col("n_test"), col("n_contaminated"),
+        col("n_planted_caught"))
+  }
+
   val all: Seq[Q] = Seq(
+    qLlrBigrams, qHapaxRatio, qDecontaminateEmbed,
     qRrfFusion, qSemdedup, qTokenizerFertility,
     qRankOverlap, qSilhouette, qDedupCanonical, qFeatureHashing,
     qTypeTokenRatio, qVocabGrowth, qEmdSources, qSourceOverlap,

@@ -1513,7 +1513,148 @@ object PipelineQueries {
       .orderBy("segment")
   }
 
+  /** Differentially-private SUM release of per-segment revenue with
+    * explicit contribution bounding: each order's dollars are CLIPPED at
+    * the $100k cap (the sensitivity), then two-sided geometric noise at
+    * scale = cap (ε = 1) is drawn from the same seeded-md5 inverse-CDF
+    * stream as q_dp_count — deterministic, auditable, and the clip is
+    * reported so consumers can reason about the bias/privacy trade. The
+    * governance family's sum-release complement to the count release. */
+  val qDpSum = Q(
+    "q_dp_sum",
+    """WITH o AS (
+      |  SELECT c_mktsegment AS segment,
+      |    LEAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      // 100, 100000) AS dollars,
+      |    CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS clipped
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |seg AS (
+      |  SELECT segment, CAST(sum(dollars) AS BIGINT) AS sum_true,
+      |    CAST(sum(clipped) AS BIGINT) AS n_clipped
+      |  FROM o GROUP BY 1),
+      |u AS (
+      |  SELECT segment, sum_true, n_clipped,
+      |    (CAST(concat('0x', substr(md5(concat(segment, ':s1')), 1, 15))
+      |      AS BIGINT) % 1000000 + 0.5) / 1000000 AS u1,
+      |    (CAST(concat('0x', substr(md5(concat(segment, ':s2')), 1, 15))
+      |      AS BIGINT) % 1000000 + 0.5) / 1000000 AS u2
+      |  FROM seg),
+      |z AS (
+      |  SELECT segment, sum_true, n_clipped,
+      |    CAST(floor(-100000 * ln(u1)) AS BIGINT)
+      |      - CAST(floor(-100000 * ln(u2)) AS BIGINT) AS noise
+      |  FROM u)
+      |SELECT segment, sum_true, n_clipped, noise,
+      |  CAST(sum_true + noise AS BIGINT) AS sum_released
+      |FROM z ORDER BY segment""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders").select("o_custkey", "o_totalprice")
+      .join(broadcast(t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        least(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
+          " AS BIGINT) DIV 100"), lit(100000L)).as("dollars"),
+        when(col("o_totalprice") > 100000, 1).otherwise(0).as("clipped"))
+    val seg = o.groupBy("segment")
+      .agg(sum(col("dollars")).cast(LongType).as("sum_true"),
+        sum(col("clipped")).cast(LongType).as("n_clipped"))
+    val h = graft.llm.TextOps.hash60 _
+    def u(tag: String) =
+      ((h(concat(col("segment"), lit(s":$tag"))) % 1000000L)
+        .cast(DoubleType) + lit(0.5)) / 1000000L
+    seg
+      .withColumn("noise",
+        floor(lit(-100000) * log(u("s1"))).cast(LongType)
+          - floor(lit(-100000) * log(u("s2"))).cast(LongType))
+      .select(col("segment"), col("sum_true"), col("n_clipped"),
+        col("noise"),
+        (col("sum_true") + col("noise")).cast(LongType).as("sum_released"))
+      .orderBy("segment")
+  }
+
+  /** Watermark sizing plan per event type: the lateness distribution
+    * (event time vs the per-user arrival-order running max — the
+    * q_disorder_audit derivation) folded into power-of-two second
+    * buckets, with the P50/P99 bucket bounds and the recommended
+    * `withWatermark` delay = the P99 bound. The fixture replays in
+    * perfect event-time order (q_disorder_audit measures 0), so the
+    * canonical late-arrival pattern is PLANTED deterministically: every
+    * 10th event (seeded md5 pick) carries an event time pushed up to
+    * a day behind its arrival slot — the jitter a real ingest exhibits
+    * and the sizing logic must absorb. Pure integer bucket compares on
+    * a ≤14-row per-type panel; this is the query that turns §2.I's
+    * watermark PARAMETER into a measured decision. */
+  val qWatermarkPlan = Q(
+    "q_watermark_plan",
+    """WITH e0 AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    us - CASE WHEN CAST(concat('0x',
+      |        substr(md5(concat(event_id, ':l')), 1, 15)) AS BIGINT)
+      |        % 10 = 0
+      |      THEN (CAST(concat('0x',
+      |        substr(md5(concat(event_id, ':d')), 1, 15)) AS BIGINT)
+      |        % 86400) * 1000000
+      |      ELSE 0 END AS us
+      |  FROM e0),
+      |r AS (
+      |  SELECT event_type, us,
+      |    max(us) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+      |  FROM e),
+      |late AS (
+      |  SELECT event_type, (prevmax - us) // 1000000 AS lat_s
+      |  FROM r WHERE prevmax IS NOT NULL AND us < prevmax),
+      |b AS (
+      |  SELECT event_type,
+      |    CASE WHEN lat_s < 1 THEN 1 WHEN lat_s < 2 THEN 2
+      |      WHEN lat_s < 4 THEN 4 WHEN lat_s < 8 THEN 8
+      |      WHEN lat_s < 16 THEN 16 WHEN lat_s < 32 THEN 32
+      |      WHEN lat_s < 64 THEN 64 WHEN lat_s < 128 THEN 128
+      |      WHEN lat_s < 256 THEN 256 WHEN lat_s < 512 THEN 512
+      |      WHEN lat_s < 1024 THEN 1024 WHEN lat_s < 2048 THEN 2048
+      |      WHEN lat_s < 4096 THEN 4096 WHEN lat_s < 8192 THEN 8192
+      |      WHEN lat_s < 16384 THEN 16384 WHEN lat_s < 32768 THEN 32768
+      |      WHEN lat_s < 65536 THEN 65536 ELSE 131072 END AS bucket_s
+      |  FROM late),
+      |g AS (
+      |  SELECT event_type, bucket_s, count(*) AS c
+      |  FROM b GROUP BY 1, 2),
+      |tot AS (SELECT event_type, sum(c) AS n FROM g GROUP BY 1),
+      |cum AS (
+      |  SELECT g.event_type, bucket_s, tot.n,
+      |    sum(c) OVER (PARTITION BY g.event_type ORDER BY bucket_s)
+      |      AS cc
+      |  FROM g JOIN tot ON g.event_type = tot.event_type)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n_late,
+      |  CAST(min(CASE WHEN cc * 2 >= n THEN bucket_s END) AS BIGINT)
+      |    AS p50_bound_s,
+      |  CAST(min(CASE WHEN cc * 100 >= 99 * n THEN bucket_s END)
+      |    AS BIGINT) AS p99_bound_s,
+      |  CAST(min(CASE WHEN cc * 100 >= 99 * n THEN bucket_s END)
+      |    AS BIGINT) AS watermark_s
+      |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin) {
+    (s, d) =>
+    import graft.streaming.StreamOps
+    val r0 = StreamOps.plannedLatenessEvents(s, d)
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val r = r0.select(col("event_type"), col("us"),
+      max(col("us")).over(w).as("prevmax"))
+    val late = r
+      .where(col("prevmax").isNotNull && col("us") < col("prevmax"))
+      .select(col("event_type"),
+        StreamOps.latenessBucket(expr("(prevmax - us) DIV 1000000"))
+          .as("bucket_s"))
+    StreamOps.watermarkPlanFromHistogram(
+      late.groupBy("event_type", "bucket_s")
+        .agg(count(lit(1)).as("c")))
+  }
+
   val all: Seq[Q] = Seq(
+    qDpSum, qWatermarkPlan,
     qNeymanAlloc, qDpCount,
     qTCloseness, qLagFeatures, qErasureAudit,
     qSourceCap, qLmScore, qAnomalyMad, qProfileStats, qHistReagg,

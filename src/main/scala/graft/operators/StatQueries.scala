@@ -2257,7 +2257,142 @@ object StatQueries {
           .as("mean_abs_z"))
   }
 
-  val all: Seq[Q] = Seq(qJarqueBera, qLevene, qBinomialCi, qMcnemar,
+  /** Mood's median test across order priorities: does any priority's
+    * order-value DISTRIBUTION sit above/below the grand median (the
+    * rank-free, outlier-immune cousin of q_anova / q_kruskal_wallis)?
+    * Grand median(double) is cross-engine-stable (the q_levene
+    * precedent); the 2×k contingency table is exact integer counts;
+    * each cell's (obs−exp)²/exp is quantized ·10⁶ on its own cell row
+    * before the bounded cross-cell sum. */
+  val qMoodsMedian = Q(
+    "q_moods_median",
+    """WITH x AS (
+      |  SELECT o_orderpriority AS prio, o_totalprice AS v FROM orders),
+      |med AS (SELECT median(v) AS med FROM x),
+      |g AS (
+      |  SELECT prio,
+      |    CAST(sum(CASE WHEN v > med THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_above,
+      |    CAST(sum(CASE WHEN v <= med THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_below
+      |  FROM x, med GROUP BY prio),
+      |tot AS (
+      |  SELECT CAST(sum(n_above) AS BIGINT) AS ta,
+      |    CAST(sum(n_below) AS BIGINT) AS tb,
+      |    CAST(sum(n_above + n_below) AS BIGINT) AS n
+      |  FROM g),
+      |c AS (
+      |  SELECT prio, n_above, n_below,
+      |    CAST(round(
+      |      (n_above - CAST((n_above + n_below) * ta AS DOUBLE) / n)
+      |      * (n_above - CAST((n_above + n_below) * ta AS DOUBLE) / n)
+      |      / (CAST((n_above + n_below) * ta AS DOUBLE) / n)
+      |      * 1000000) AS BIGINT)
+      |    + CAST(round(
+      |      (n_below - CAST((n_above + n_below) * tb AS DOUBLE) / n)
+      |      * (n_below - CAST((n_above + n_below) * tb AS DOUBLE) / n)
+      |      / (CAST((n_above + n_below) * tb AS DOUBLE) / n)
+      |      * 1000000) AS BIGINT) AS contrib6
+      |  FROM g, tot),
+      |chi AS (SELECT sum(contrib6) AS chi6 FROM c)
+      |SELECT prio, n_above, n_below,
+      |  ROUND(CAST(contrib6 AS DOUBLE) / 1000000, 6) AS contrib,
+      |  ROUND(CAST(chi6 AS DOUBLE) / 1000000, 6) AS chi2
+      |FROM c, chi ORDER BY prio""".stripMargin) { (s, d) =>
+    val x = t(s, d, "orders").select(col("o_orderpriority").as("prio"),
+      col("o_totalprice").as("v"))
+    val med = x.agg(expr("median(v)").as("med"))
+    val g = x.crossJoin(broadcast(med))
+      .groupBy("prio")
+      .agg(sum(when(col("v") > col("med"), 1).otherwise(0))
+          .cast(LongType).as("n_above"),
+        sum(when(col("v") <= col("med"), 1).otherwise(0))
+          .cast(LongType).as("n_below"))
+    val tot = g.agg(sum(col("n_above")).cast(LongType).as("ta"),
+      sum(col("n_below")).cast(LongType).as("tb"),
+      sum(col("n_above") + col("n_below")).cast(LongType).as("n"))
+    def cellContrib(obs: org.apache.spark.sql.Column,
+        colTot: org.apache.spark.sql.Column) = {
+      val e = ((col("n_above") + col("n_below")) * colTot)
+        .cast(DoubleType) / col("n")
+      round((obs - e) * (obs - e) / e * 1000000).cast(LongType)
+    }
+    val c = g.crossJoin(broadcast(tot))
+      .select(col("prio"), col("n_above"), col("n_below"),
+        (cellContrib(col("n_above"), col("ta"))
+          + cellContrib(col("n_below"), col("tb"))).as("contrib6"))
+    val chi = c.agg(sum(col("contrib6")).as("chi6"))
+    c.crossJoin(broadcast(chi))
+      .select(col("prio"), col("n_above"), col("n_below"),
+        round(col("contrib6").cast(DoubleType) / 1000000L, 6)
+          .as("contrib"),
+        round(col("chi6").cast(DoubleType) / 1000000L, 6).as("chi2"))
+      .orderBy("prio")
+  }
+
+  /** Cochran's Q test: did the population of active customers CHANGE
+    * its participation pattern across 1995/1996/1997 (k=3 matched
+    * binary treatments per customer-block)? Flags, row sums Ri, column
+    * totals Cj, ΣRi² are all exact integers from ONE grouped aggregate;
+    * Q = (k−1)(kΣCj²−(ΣCj)²)/(kΣRi−ΣRi²) is a single final double row.
+    * All-zero and all-k blocks contribute 0 to both Q terms, so no
+    * block filter is needed (and none is applied). */
+  val qCochranQ = Q(
+    "q_cochran_q",
+    """WITH f AS (
+      |  SELECT o_custkey AS cust,
+      |    max(CASE WHEN EXTRACT(year FROM o_orderdate) = 1995
+      |      THEN 1 ELSE 0 END) AS f1,
+      |    max(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+      |      THEN 1 ELSE 0 END) AS f2,
+      |    max(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+      |      THEN 1 ELSE 0 END) AS f3
+      |  FROM orders
+      |  WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996, 1997)
+      |  GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n_blocks,
+      |    CAST(sum(f1) AS HUGEINT) AS c1,
+      |    CAST(sum(f2) AS HUGEINT) AS c2,
+      |    CAST(sum(f3) AS HUGEINT) AS c3,
+      |    CAST(sum(f1 + f2 + f3) AS HUGEINT) AS sr,
+      |    CAST(sum((f1 + f2 + f3) * (f1 + f2 + f3)) AS HUGEINT) AS sr2
+      |  FROM f)
+      |SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+      |  CAST(c1 AS BIGINT) AS n_1995, CAST(c2 AS BIGINT) AS n_1996,
+      |  CAST(c3 AS BIGINT) AS n_1997,
+      |  ROUND(2 * (3 * CAST(c1 * c1 + c2 * c2 + c3 * c3 AS DOUBLE)
+      |      - CAST(sr * sr AS DOUBLE))
+      |    / (3 * CAST(sr AS DOUBLE) - CAST(sr2 AS DOUBLE)), 6) AS q_stat
+      |FROM m""".stripMargin) { (s, d) =>
+    val yr = year(col("o_orderdate"))
+    val f = t(s, d, "orders")
+      .where(yr.isin(1995, 1996, 1997))
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(max(when(yr === 1995, 1).otherwise(0)).as("f1"),
+        max(when(yr === 1996, 1).otherwise(0)).as("f2"),
+        max(when(yr === 1997, 1).otherwise(0)).as("f3"))
+    val ri = col("f1") + col("f2") + col("f3")
+    val m = f.agg(count(lit(1)).cast(big38).as("n_blocks"),
+      sum(col("f1")).cast(big38).as("c1"),
+      sum(col("f2")).cast(big38).as("c2"),
+      sum(col("f3")).cast(big38).as("c3"),
+      sum(ri).cast(big38).as("sr"),
+      sum(ri * ri).cast(big38).as("sr2"))
+    m.select(col("n_blocks").cast(LongType).as("n_blocks"),
+      col("c1").cast(LongType).as("n_1995"),
+      col("c2").cast(LongType).as("n_1996"),
+      col("c3").cast(LongType).as("n_1997"),
+      round(lit(2) * (lit(3) * (col("c1") * col("c1")
+          + col("c2") * col("c2") + col("c3") * col("c3"))
+          .cast(DoubleType)
+        - (col("sr") * col("sr")).cast(DoubleType))
+        / (lit(3) * col("sr").cast(DoubleType)
+          - col("sr2").cast(DoubleType)), 6).as("q_stat"))
+  }
+
+  val all: Seq[Q] = Seq(qMoodsMedian, qCochranQ,
+    qJarqueBera, qLevene, qBinomialCi, qMcnemar,
     qTrimmedMean, qSimpsons, qMissingDays, qAssortativity, qTost,
     qCmhTest, qPartialCorr, qDispersion,
     qQqDeciles, qMatrixDensity, qFirstTokenDist, qNearZeroVar,

@@ -867,4 +867,150 @@ object StreamOps {
     q.awaitTermination()
     spark.read.parquet(s"$stateBase/v$version")
   }
+
+  /** Jitter-planted event stream shared by q_watermark_plan and the
+    * incremental watermark maintainer: the fixture replays in perfect
+    * event-time order, so the canonical late-arrival pattern is planted
+    * deterministically — every 10th event (seeded md5 pick) carries an
+    * event time pushed up to a day behind its arrival slot. Returns
+    * (event_id, user_id, event_type, us). */
+  def plannedLatenessEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = graft.llm.TextOps.hash60 _
+    val eid = col("event_id").cast(org.apache.spark.sql.types.StringType)
+    val delay = when(h(concat(eid, lit(":l"))) % 10 === 0,
+      (h(concat(eid, lit(":d"))) % 86400) * 1000000L).otherwise(0L)
+    graft.Tables.tsAsTimestamp(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (unix_micros(col("ts")) - delay).as("us"))
+  }
+
+  /** Power-of-two-second lateness bucket (1 s … 2^17 s), pure integer
+    * compares — identical CASE chain on both engines. */
+  def latenessBucket(latS: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val bounds = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L, 128L, 256L, 512L,
+      1024L, 2048L, 4096L, 8192L, 16384L, 32768L, 65536L)
+    bounds.reverse.foldLeft(lit(131072L)) { (acc, bnd) =>
+      when(latS < bnd, bnd).otherwise(acc)
+    }
+  }
+
+  /** Watermark plan finalize off a (event_type, bucket_s, c) lateness
+    * histogram: P50/P99 bucket bounds by integer cumulative compares on
+    * the ≤18-row per-type panel; recommended delay = the P99 bound. */
+  def watermarkPlanFromHistogram(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = hist.groupBy("event_type", "bucket_s")
+      .agg(sum(col("c")).as("c"))
+    val tot = g.groupBy("event_type").agg(sum(col("c")).as("n"))
+    val cw = Window.partitionBy("event_type").orderBy("bucket_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.join(tot, Seq("event_type"))
+      .withColumn("cc", sum(col("c")).over(cw))
+    cum.groupBy("event_type")
+      .agg(max(col("n")).cast(LongType).as("n_late"),
+        min(when(col("cc") * 2 >= col("n"), col("bucket_s")))
+          .cast(LongType).as("p50_bound_s"),
+        min(when(col("cc") * 100 >= col("n") * 99, col("bucket_s")))
+          .cast(LongType).as("p99_bound_s"),
+        min(when(col("cc") * 100 >= col("n") * 99, col("bucket_s")))
+          .cast(LongType).as("watermark_s"))
+      .orderBy("event_type")
+  }
+
+  /** Incremental watermark-plan maintainer (12th incremental
+    * maintainer): state is (a) the per-user running event-time max and
+    * (b) the per-(event_type, bucket) lateness histogram. Batches are
+    * event_id-RANGE slices replayed oldest-first (arrival = log order —
+    * the kafka-offset contract), so an event's "prior events" set is
+    * {event_id' < event_id} under ANY slice count: the per-user
+    * running-max state composes exactly and the maintained histogram is
+    * batch-boundary-independent, equal to the one-shot recompute (the
+    * q_watermark_plan semantics). A 100 TB feed keeps its watermark
+    * sizing current digesting only each day's tail. */
+  def incrementalWatermark(spark: SparkSession, sfDir: String,
+      workDir: String, nBatches: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = s"$workDir/src"
+    val e = plannedLatenessEvents(spark, sfDir)
+    val b = e.agg(min(col("event_id")).cast(LongType),
+      max(col("event_id")).cast(LongType)).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = (hi - lo) / nBatches + 1
+    // one file per event_id-range slice, mtimes pinned ascending so the
+    // file stream source (oldest-first) replays slices in log order
+    val dir = new java.io.File(src)
+    if (dir.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+      rm(dir)
+    }
+    val t0 = System.currentTimeMillis() - 3600000L
+    val stamped = scala.collection.mutable.Set.empty[String]
+    (0 until nBatches).foreach { i =>
+      e.filter(col("event_id") >= lo + i * span
+          && col("event_id") < lo + (i + 1) * span)
+        .coalesce(1)
+        .write.mode(if (i == 0) "overwrite" else "append").parquet(src)
+      new java.io.File(src).listFiles()
+        .filter(f => f.getName.startsWith("part-")
+          && !stamped.contains(f.getName))
+        .foreach { f =>
+          f.setLastModified(t0 + i * 60000L); stamped += f.getName
+        }
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val stateBase = s"$workDir/state"
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bw = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withPrev = batch.withColumn("bprev", max(col("us")).over(bw))
+        val joined =
+          if (version < 0) withPrev.withColumn("smax",
+            lit(null).cast(LongType))
+          else withPrev.join(
+            spark.read.parquet(s"$stateBase/v$version/umax"),
+            Seq("user_id"), "left")
+        val prevmax = greatest(
+          coalesce(col("bprev"), lit(Long.MinValue)),
+          coalesce(col("smax"), lit(Long.MinValue)))
+        val late = joined
+          .withColumn("pm", prevmax)
+          .where(col("pm") =!= Long.MinValue && col("us") < col("pm"))
+          .select(col("event_type"),
+            latenessBucket(expr("(pm - us) DIV 1000000")).as("bucket_s"))
+        val partialHist = late.groupBy("event_type", "bucket_s")
+          .agg(count(lit(1)).as("c"))
+        val mergedHist =
+          if (version < 0) partialHist
+          else spark.read.parquet(s"$stateBase/v$version/hist")
+            .unionByName(partialHist)
+            .groupBy("event_type", "bucket_s")
+            .agg(sum(col("c")).cast(LongType).as("c"))
+        val partialMax = batch.groupBy("user_id")
+          .agg(max(col("us")).as("smax"))
+        val mergedMax =
+          if (version < 0) partialMax
+          else spark.read.parquet(s"$stateBase/v$version/umax")
+            .unionByName(partialMax)
+            .groupBy("user_id").agg(max(col("smax")).as("smax"))
+        mergedHist.write.mode("overwrite")
+          .parquet(s"$stateBase/v$batchId/hist")
+        mergedMax.write.mode("overwrite")
+          .parquet(s"$stateBase/v$batchId/umax")
+        version = batchId
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    watermarkPlanFromHistogram(
+      spark.read.parquet(s"$stateBase/v$version/hist"))
+  }
 }

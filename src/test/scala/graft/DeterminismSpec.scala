@@ -180,7 +180,26 @@ class DeterminismSpec extends SparkTestBase {
     // A/A panel, centroid-blocked cross-lingual pairs
     ExplainQueries.qShapLinear, ExplainQueries.qFeatureImportance,
     ExplainQueries.qRidgePath, StatQueries.qAaCalibration,
-    CurationQueries.qCrosslingualDups)
+    CurationQueries.qCrosslingualDups,
+    // round 7 twenty-sixth batch: rounded-residual integer sums (DW/BP),
+    // GlobalRank signed ranks, quantized ln/χ² panel terms, bounded
+    // pair-max drawdown, rolling integer band sums
+    DiagQueries.qDurbinWatson, DiagQueries.qBreuschPagan,
+    DiagQueries.qChowTest, DiagQueries.qBartlett, DiagQueries.qChi2Gof,
+    DiagQueries.qWilcoxonSigned, DiagQueries.qMaxDrawdown,
+    DiagQueries.qRsi, DiagQueries.qBollinger, DiagQueries.qPacf,
+    // round 7 twenty-seventh batch: cumulative decile panels, DECIMAL(38)
+    // CDF-gap argmax, ·10⁶ bin terms, xlx collocation ranks, cluster-
+    // blocked train×test verdicts, vertex-keyed degree joins, planted-
+    // jitter bucket cumulatives
+    EvalQueries.qPrCurve, EvalQueries.qKsModel, EvalQueries.qBrierDecomp,
+    LlmQueries.qLlrBigrams, LlmQueries.qHapaxRatio,
+    LlmQueries.qDecontaminateEmbed,
+    AnalyticsQueries.qPrefAttach, AnalyticsQueries.qAvgNbrDegree,
+    PipelineQueries.qDpSum, PipelineQueries.qWatermarkPlan,
+    // round 7 twenty-eighth batch: median-pivot contingency quantization,
+    // one-pass block-flag moments
+    StatQueries.qMoodsMedian, StatQueries.qCochranQ)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

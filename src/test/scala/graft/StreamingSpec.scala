@@ -483,4 +483,18 @@ class StreamingSpec extends SparkTestBase {
     assert(out.agg(sum("cnt")).head.getLong(0) ==
       batch.agg(sum("count")).head.getLong(0))
   }
+
+  test("incrementalWatermark is batch-boundary-independent and matches " +
+      "the batch watermark plan") {
+    // event_id-range slices preserve the prefix property: an event's
+    // "prior events" set is {event_id' < event_id} under any slice count
+    val w4 = StreamOps.incrementalWatermark(spark, sf, "target/test_wm4")
+    val w2 = StreamOps.incrementalWatermark(spark, sf, "target/test_wm2", 2)
+    assert(w4.exceptAll(w2).isEmpty && w2.exceptAll(w4).isEmpty)
+    val direct = graft.operators.PipelineQueries.qWatermarkPlan
+      .run(spark, sf)
+    assert(w4.exceptAll(direct).isEmpty && direct.exceptAll(w4).isEmpty)
+    val versions = new java.io.File("target/test_wm4/state").list()
+    assert(versions != null && versions.count(_.startsWith("v")) >= 2)
+  }
 }
