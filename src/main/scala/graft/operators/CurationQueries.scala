@@ -470,7 +470,141 @@ object CurationQueries {
       .orderBy("lang_a", "lang_b")
   }
 
+  /** RAKE keyword extraction: candidate phrases are maximal stopword-free
+    * token runs; word score = deg(w)/freq(w) with deg summing the lengths
+    * of phrases the word appears in; phrase score = Σ member word scores.
+    * All counts are exact integers from one position-explode; the word
+    * score is the exact integer deg·10⁶ DIV freq, so phrase scores are
+    * exact integer sums and the top-15 order is total. The phrase-id
+    * window is per-document (docs are ≤2k tokens — the user-keyed window
+    * shape, never corpus-sized). The zero-model keyphrase miner a corpus
+    * triage runs before anything trained. */
+  val qRakeKeywords = Q(
+    "q_rake_keywords",
+    """WITH toks AS (
+      |  SELECT doc_id, k, sp[k] AS term,
+      |    CASE WHEN sp[k] IN ('the','a','of','and','to') THEN 1
+      |      ELSE 0 END AS is_stop
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+      |        FROM documents) d,
+      |       generate_series(1, 4000) AS g(k)
+      |  WHERE k <= len(sp)),
+      |ph AS (
+      |  SELECT doc_id, k, term,
+      |    sum(is_stop) OVER (PARTITION BY doc_id ORDER BY k) AS pid
+      |  FROM toks WHERE is_stop = 0
+      |    OR is_stop = 1),
+      |members AS (
+      |  SELECT doc_id, pid, k, term FROM (
+      |    SELECT doc_id, k, term, pid,
+      |      CASE WHEN term IN ('the','a','of','and','to') THEN 1
+      |        ELSE 0 END AS is_stop
+      |    FROM ph) x WHERE is_stop = 0),
+      |plen AS (
+      |  SELECT doc_id, pid, count(*) AS len FROM members GROUP BY 1, 2),
+      |ws AS (
+      |  SELECT m.term,
+      |    (sum(CAST(p.len AS HUGEINT)) * 1000000)
+      |      // count(*) AS score6
+      |  FROM members m JOIN plen p
+      |    ON m.doc_id = p.doc_id AND m.pid = p.pid
+      |  WHERE p.len <= 4
+      |  GROUP BY m.term),
+      |phrases AS (
+      |  SELECT m.doc_id, m.pid,
+      |    string_agg(m.term, ' ' ORDER BY m.k) AS phrase,
+      |    CAST(sum(ws.score6) AS BIGINT) AS pscore6
+      |  FROM members m JOIN plen p
+      |    ON m.doc_id = p.doc_id AND m.pid = p.pid
+      |  JOIN ws ON m.term = ws.term
+      |  WHERE p.len <= 4
+      |  GROUP BY m.doc_id, m.pid),
+      |agg AS (
+      |  SELECT phrase, count(*) AS n_occ, max(pscore6) AS score6
+      |  FROM phrases GROUP BY phrase HAVING count(*) >= 3)
+      |SELECT phrase, n_occ,
+      |  ROUND(CAST(score6 AS DOUBLE) / 1000000, 6) AS rake_score
+      |FROM agg ORDER BY score6 DESC, phrase LIMIT 15""".stripMargin) {
+    (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val stops = Seq("the", "a", "of", "and", "to")
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("sp"))
+      .select(col("doc_id"), col("sp"),
+        explode(sequence(lit(1), size(col("sp")))).as("k"))
+      .select(col("doc_id"), col("k"),
+        element_at(col("sp"), col("k")).as("term"))
+      .withColumn("is_stop",
+        when(col("term").isin(stops: _*), 1).otherwise(0))
+    val w = Window.partitionBy("doc_id").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ph = toks.withColumn("pid", sum(col("is_stop")).over(w))
+    val members = ph.where(col("is_stop") === 0)
+      .select("doc_id", "pid", "k", "term")
+    val plen = members.groupBy("doc_id", "pid")
+      .agg(count(lit(1)).as("len"))
+    val mWithLen = members
+      .join(plen.where(col("len") <= 4), Seq("doc_id", "pid"))
+      .localCheckpoint()
+    val ws = mWithLen.groupBy("term")
+      .agg(expr("sum(CAST(len AS DECIMAL(38,0))) * 1000000" +
+        " DIV count(*)").as("score6"))
+    val phrases = mWithLen
+      .join(ws, Seq("term"))
+      .groupBy("doc_id", "pid")
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("k"), col("term")))),
+          x => x.getField("term")), " ").as("phrase"),
+        sum(col("score6")).cast(LongType).as("pscore6"))
+    phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"), max(col("pscore6")).as("score6"))
+      .where(col("n_occ") >= 3)
+      .orderBy(col("score6").desc, col("phrase")).limit(15)
+      .select(col("phrase"), col("n_occ"),
+        round(col("score6").cast(DoubleType) / 1000000L, 6)
+          .as("rake_score"))
+  }
+
+  /** Blocklist-lexicon audit per source: documents and token hits
+    * against a flagged-terms list — the lexicon-screen plumbing that a
+    * real pipeline points at its toxicity / PII-keyword / brand-safety
+    * lists (the list is data, the scan shape is this query: one
+    * array-HOF count per doc, no explode shuffle, then a bounded
+    * per-source rollup). */
+  val qBlocklistAudit = Q(
+    "q_blocklist_audit",
+    """WITH x AS (
+      |  SELECT source,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> t IN ('slow', 'dup', 'drop', 'stale'))) AS n_hit
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_flagged_docs,
+      |  CAST(sum(n_hit) AS BIGINT) AS n_hits,
+      |  ROUND(CAST(sum(n_hit) AS DOUBLE) * 1000 / sum(n_tok), 6)
+      |    AS hits_per_1k_tokens,
+      |  ROUND(CAST(sum(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS flagged_share
+      |FROM x GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val x = t(s, d, "documents").select(col("source"),
+      size(split(col("text"), " ")).as("n_tok"),
+      size(expr("filter(split(text, ' '), " +
+        "t -> t IN ('slow', 'dup', 'drop', 'stale'))")).as("n_hit"))
+    x.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hit") > 0, 1).otherwise(0)).cast(LongType)
+          .as("n_flagged_docs"),
+        sum(col("n_hit")).cast(LongType).as("n_hits"),
+        round(sum(col("n_hit")).cast(DoubleType) * 1000
+          / sum(col("n_tok")), 6).as("hits_per_1k_tokens"),
+        round(sum(when(col("n_hit") > 0, 1).otherwise(0))
+          .cast(DoubleType) / count(lit(1)), 6).as("flagged_share"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(qBoilerplate, qNoveltyRecs, qRetentionSweep,
     qMaskPlan, qSkipgramCooccur, qKneserNey, qGoodTuring,
-    qCrosslingualDups)
+    qCrosslingualDups, qRakeKeywords, qBlocklistAudit)
 }

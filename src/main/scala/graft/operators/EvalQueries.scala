@@ -846,7 +846,127 @@ object EvalQueries {
         round(base * (lit(1) - base), 6).as("uncertainty"))
   }
 
+  /** Holdout regression metrics for the discount→quantity OLS: fit on
+    * the deterministic 80% content-hash split, score MAE / RMSE / MAPE /
+    * R² on the held-out 20% — the train/eval loop every model in the
+    * registry should close. Train coefficients come from one exact
+    * co-moment aggregate; each test row's error terms are quantized to
+    * ·10⁶ integers BEFORE the cross-row sums (|e|, e², |e|/y — y ≥ 1),
+    * so all metric numerators are merge-order-proof. */
+  val qRegressionMetrics = Q(
+    "q_regression_metrics",
+    """WITH li AS (
+      |  SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+      |    CAST(l_quantity AS BIGINT) AS y,
+      |    CASE WHEN CAST(concat('0x', substr(md5(concat(
+      |        l_orderkey, ':', l_linenumber)), 1, 15)) AS BIGINT)
+      |        % 10 < 8
+      |      THEN 1 ELSE 0 END AS is_train
+      |  FROM lineitem),
+      |mo AS (
+      |  SELECT CAST(sum(is_train) AS HUGEINT) AS n,
+      |    sum(CASE WHEN is_train = 1 THEN CAST(x AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS sx,
+      |    sum(CASE WHEN is_train = 1 THEN CAST(x AS HUGEINT) * x
+      |      ELSE CAST(0 AS HUGEINT) END) AS sxx,
+      |    sum(CASE WHEN is_train = 1 THEN CAST(y AS HUGEINT)
+      |      ELSE CAST(0 AS HUGEINT) END) AS sy,
+      |    sum(CASE WHEN is_train = 1 THEN CAST(x AS HUGEINT) * y
+      |      ELSE CAST(0 AS HUGEINT) END) AS sxy
+      |  FROM li),
+      |co AS (
+      |  SELECT n,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM mo),
+      |te AS (
+      |  SELECT y,
+      |    y - (syd - b * sxd) / CAST(n AS DOUBLE) - b * x AS e
+      |  FROM li, co WHERE is_train = 0),
+      |q AS (
+      |  SELECT y,
+      |    CAST(round(abs(e) * 1000000) AS HUGEINT) AS ae6,
+      |    CAST(round(e * e * 1000000) AS HUGEINT) AS se6,
+      |    CAST(round(abs(e) / y * 1000000) AS HUGEINT) AS ape6
+      |  FROM te),
+      |agg AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS nt,
+      |    sum(ae6) AS sae, sum(se6) AS sse, sum(ape6) AS sape,
+      |    sum(CAST(y AS HUGEINT)) AS sy2, sum(CAST(y AS HUGEINT) * y)
+      |      AS syy2
+      |  FROM q)
+      |SELECT CAST((SELECT n FROM mo) AS BIGINT) AS n_train,
+      |  CAST(nt AS BIGINT) AS n_test,
+      |  ROUND((SELECT b FROM co), 6) AS slope,
+      |  ROUND(CAST(sae AS DOUBLE) / CAST(nt AS DOUBLE) / 1000000, 6)
+      |    AS mae,
+      |  ROUND(sqrt(CAST(sse AS DOUBLE) / CAST(nt AS DOUBLE) / 1000000),
+      |    6) AS rmse,
+      |  ROUND(CAST(sape AS DOUBLE) / CAST(nt AS DOUBLE) / 1000000, 6)
+      |    AS mape,
+      |  ROUND(1 - (CAST(sse AS DOUBLE) / 1000000)
+      |    / (CAST(syy2 AS DOUBLE)
+      |      - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE)
+      |        / CAST(nt AS DOUBLE)), 6) AS r2
+      |FROM agg""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val h = graft.llm.TextOps.hash60 _
+    val li = t(s, d, "lineitem").select(
+      round(col("l_discount") * 100).cast(LongType).as("x"),
+      col("l_quantity").cast(LongType).as("y"),
+      when(h(concat(col("l_orderkey").cast(StringType), lit(":"),
+        col("l_linenumber").cast(StringType))) % 10 < 8, 1)
+        .otherwise(0).as("is_train"))
+    val z = lit(0L).cast(big38)
+    val mo = li.agg(sum(col("is_train")).cast(big38).as("n"),
+      sum(when(col("is_train") === 1, col("x").cast(big38)).otherwise(z))
+        .as("sx"),
+      sum(when(col("is_train") === 1, col("x").cast(big38) * col("x"))
+        .otherwise(z)).as("sxx"),
+      sum(when(col("is_train") === 1, col("y").cast(big38)).otherwise(z))
+        .as("sy"),
+      sum(when(col("is_train") === 1, col("x").cast(big38) * col("y"))
+        .otherwise(z)).as("sxy"))
+    val co = mo.select(col("n"),
+      ((col("n").cast(DoubleType) * col("sxy").cast(DoubleType)
+        - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+        / (col("n").cast(DoubleType) * col("sxx").cast(DoubleType)
+          - col("sx").cast(DoubleType) * col("sx").cast(DoubleType)))
+        .as("b"),
+      col("sx").cast(DoubleType).as("sxd"),
+      col("sy").cast(DoubleType).as("syd"))
+    val e = col("y") - (col("syd") - col("b") * col("sxd")) /
+      col("n").cast(DoubleType) - col("b") * col("x")
+    val q = li.where(col("is_train") === 0).crossJoin(broadcast(co))
+      .select(col("y"), col("n"), col("b"),
+        round(abs(e) * 1000000).cast(big38).as("ae6"),
+        round(e * e * 1000000).cast(big38).as("se6"),
+        round(abs(e) / col("y") * 1000000).cast(big38).as("ape6"))
+    val agg = q.groupBy("n", "b").agg(
+      count(lit(1)).cast(big38).as("nt"),
+      sum(col("ae6")).as("sae"), sum(col("se6")).as("sse"),
+      sum(col("ape6")).as("sape"),
+      sum(col("y").cast(big38)).as("sy2"),
+      sum(col("y").cast(big38) * col("y")).as("syy2"))
+    agg.select(col("n").cast(LongType).as("n_train"),
+      col("nt").cast(LongType).as("n_test"),
+      round(col("b"), 6).as("slope"),
+      round(col("sae").cast(DoubleType) / col("nt").cast(DoubleType)
+        / 1000000L, 6).as("mae"),
+      round(sqrt(col("sse").cast(DoubleType) / col("nt").cast(DoubleType)
+        / 1000000L), 6).as("rmse"),
+      round(col("sape").cast(DoubleType) / col("nt").cast(DoubleType)
+        / 1000000L, 6).as("mape"),
+      round(lit(1) - (col("sse").cast(DoubleType) / 1000000L)
+        / (col("syy2").cast(DoubleType)
+          - col("sy2").cast(DoubleType) * col("sy2").cast(DoubleType)
+            / col("nt").cast(DoubleType)), 6).as("r2"))
+  }
+
   val all: Seq[Q] = Seq(qIsotonic, qAuc, qLiftDeciles, qConfusionMatrix,
     qCalibration, qMrr, qIpsEstimate, qMapAtK, qFeatureCorrTarget,
-    qAucByGroup, qPrCurve, qKsModel, qBrierDecomp)
+    qAucByGroup, qPrCurve, qKsModel, qBrierDecomp, qRegressionMetrics)
 }

@@ -3545,8 +3545,182 @@ object LlmQueries {
         col("n_planted_caught"))
   }
 
+  /** Maximal-marginal-relevance (MMR, λ = 0.5) diverse top-5 selection
+    * from the 20-candidate relevance pool of probe vec 0 — the
+    * diversity-aware re-ranker a retrieval-augmented pipeline (or a
+    * dedup-aware few-shot example picker) runs instead of naive top-k.
+    * Five unrolled argmax rounds over the BOUNDED pool (the q_anomaly_esd
+    * contract): every relevance and pairwise similarity is a 4-dp-rounded
+    * cosine scaled to an integer, the MMR score is the exact integer
+    * 2·rel4 − maxsim4, and every pick breaks ties by vec_id. */
+  val qMmrSelect = Q(
+    "q_mmr_select",
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |probe AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+      |pool AS (
+      |  SELECT e.vec_id, e.v,
+      |    CAST(round(ROUND(list_inner_product(e.v, probe.pv)
+      |      / sqrt(list_inner_product(e.v, e.v))
+      |      / sqrt(list_inner_product(probe.pv, probe.pv)), 4) * 10000)
+      |      AS BIGINT) AS rel4
+      |  FROM e, probe WHERE e.vec_id <> 0
+      |  ORDER BY rel4 DESC, e.vec_id LIMIT 20),
+      |w1 AS (SELECT vec_id, 2 * rel4 AS score2 FROM pool
+      |       ORDER BY rel4 DESC, vec_id LIMIT 1),
+      |pk1 AS (SELECT p.vec_id, p.v FROM pool p JOIN w1 USING (vec_id)),
+      |s2 AS (
+      |  SELECT c.vec_id,
+      |    2 * max(c.rel4) - max(CAST(round(ROUND(
+      |      list_inner_product(c.v, p.v)
+      |      / sqrt(list_inner_product(c.v, c.v))
+      |      / sqrt(list_inner_product(p.v, p.v)), 4) * 10000) AS BIGINT))
+      |      AS score2
+      |  FROM pool c CROSS JOIN pk1 p
+      |  WHERE c.vec_id NOT IN (SELECT vec_id FROM pk1)
+      |  GROUP BY c.vec_id),
+      |w2 AS (SELECT * FROM s2 ORDER BY score2 DESC, vec_id LIMIT 1),
+      |pk2 AS (SELECT * FROM pk1 UNION ALL
+      |        SELECT p.vec_id, p.v FROM pool p JOIN w2 USING (vec_id)),
+      |s3 AS (
+      |  SELECT c.vec_id,
+      |    2 * max(c.rel4) - max(CAST(round(ROUND(
+      |      list_inner_product(c.v, p.v)
+      |      / sqrt(list_inner_product(c.v, c.v))
+      |      / sqrt(list_inner_product(p.v, p.v)), 4) * 10000) AS BIGINT))
+      |      AS score2
+      |  FROM pool c CROSS JOIN pk2 p
+      |  WHERE c.vec_id NOT IN (SELECT vec_id FROM pk2)
+      |  GROUP BY c.vec_id),
+      |w3 AS (SELECT * FROM s3 ORDER BY score2 DESC, vec_id LIMIT 1),
+      |pk3 AS (SELECT * FROM pk2 UNION ALL
+      |        SELECT p.vec_id, p.v FROM pool p JOIN w3 USING (vec_id)),
+      |s4 AS (
+      |  SELECT c.vec_id,
+      |    2 * max(c.rel4) - max(CAST(round(ROUND(
+      |      list_inner_product(c.v, p.v)
+      |      / sqrt(list_inner_product(c.v, c.v))
+      |      / sqrt(list_inner_product(p.v, p.v)), 4) * 10000) AS BIGINT))
+      |      AS score2
+      |  FROM pool c CROSS JOIN pk3 p
+      |  WHERE c.vec_id NOT IN (SELECT vec_id FROM pk3)
+      |  GROUP BY c.vec_id),
+      |w4 AS (SELECT * FROM s4 ORDER BY score2 DESC, vec_id LIMIT 1),
+      |pk4 AS (SELECT * FROM pk3 UNION ALL
+      |        SELECT p.vec_id, p.v FROM pool p JOIN w4 USING (vec_id)),
+      |s5 AS (
+      |  SELECT c.vec_id,
+      |    2 * max(c.rel4) - max(CAST(round(ROUND(
+      |      list_inner_product(c.v, p.v)
+      |      / sqrt(list_inner_product(c.v, c.v))
+      |      / sqrt(list_inner_product(p.v, p.v)), 4) * 10000) AS BIGINT))
+      |      AS score2
+      |  FROM pool c CROSS JOIN pk4 p
+      |  WHERE c.vec_id NOT IN (SELECT vec_id FROM pk4)
+      |  GROUP BY c.vec_id),
+      |w5 AS (SELECT * FROM s5 ORDER BY score2 DESC, vec_id LIMIT 1),
+      |ranked AS (
+      |  SELECT 1 AS rank, vec_id, score2 FROM w1
+      |  UNION ALL SELECT 2, vec_id, score2 FROM w2
+      |  UNION ALL SELECT 3, vec_id, score2 FROM w3
+      |  UNION ALL SELECT 4, vec_id, score2 FROM w4
+      |  UNION ALL SELECT 5, vec_id, score2 FROM w5)
+      |SELECT r.rank, r.vec_id,
+      |  ROUND(CAST(p.rel4 AS DOUBLE) / 10000, 4) AS relevance,
+      |  ROUND(CAST(r.score2 AS DOUBLE) / 20000, 6) AS mmr_score
+      |FROM ranked r JOIN pool p ON r.vec_id = p.vec_id
+      |ORDER BY r.rank""".stripMargin) { (s, d) =>
+    val embs = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val probe = embs.filter(col("vec_id") === 0).select(col("v").as("pv"))
+    def sim4(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(round(Dedup.cosine(a, b), 4) * 10000).cast(LongType)
+    val pool = embs.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("v"), sim4(col("v"), col("pv")).as("rel4"))
+      .orderBy(col("rel4").desc, col("vec_id")).limit(20)
+      .localCheckpoint()
+    def mmrRound(picked: DataFrame): DataFrame = {
+      // picked: (vec_id, v); pool is 20 rows, picked ≤ 4 — all broadcast
+      val cand = pool.join(picked.select(col("vec_id").as("px")),
+        col("vec_id") === col("px"), "left_anti")
+      cand.crossJoin(broadcast(picked.select(col("v").as("pv2"))))
+        .groupBy("vec_id")
+        .agg((lit(2) * max(col("rel4"))
+          - max(sim4(col("v"), col("pv2")))).as("score2"))
+        .orderBy(col("score2").desc, col("vec_id")).limit(1)
+    }
+    val w1 = pool.orderBy(col("rel4").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), (lit(2) * col("rel4")).as("score2"))
+    def pickedSet(ws: Seq[DataFrame]): DataFrame =
+      ws.map(w => pool.join(w.select("vec_id"), Seq("vec_id"))
+        .select("vec_id", "v")).reduce(_ unionAll _)
+    val w2 = mmrRound(pickedSet(Seq(w1)))
+    val w3 = mmrRound(pickedSet(Seq(w1, w2)))
+    val w4 = mmrRound(pickedSet(Seq(w1, w2, w3)))
+    val w5 = mmrRound(pickedSet(Seq(w1, w2, w3, w4)))
+    val ranked = Seq(w1, w2, w3, w4, w5).zipWithIndex
+      .map { case (w, i) =>
+        w.select(lit(i + 1).as("rank"), col("vec_id"), col("score2")) }
+      .reduce(_ unionAll _)
+    ranked.join(pool.select(col("vec_id"), col("rel4")), Seq("vec_id"))
+      .select(col("rank"), col("vec_id"),
+        round(col("rel4").cast(DoubleType) / 10000, 4).as("relevance"),
+        round(col("score2").cast(DoubleType) / 20000, 6).as("mmr_score"))
+      .orderBy("rank")
+  }
+
+  /** Curriculum ordering: rank the corpus by a difficulty proxy (mean
+    * token length, the exact integer (chars·10⁴) DIV tokens) and cut it
+    * into 4 curriculum phases with per-phase volume/difficulty stats —
+    * the easy→hard schedule builder (swap in any difficulty score; the
+    * phase-cut plumbing is this query). GlobalRank ntile, never a
+    * corpus-sized unpartitioned window. */
+  val qCurriculumOrder = Q(
+    "q_curriculum_order",
+    """WITH x AS (
+      |  SELECT doc_id,
+      |    len(string_split(text, ' ')) AS n_tok,
+      |    (n_chars * 10000) // len(string_split(text, ' ')) AS d4
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_tok, d4,
+      |    ntile(4) OVER (ORDER BY d4, doc_id) AS phase
+      |  FROM x)
+      |SELECT phase, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(sum(d4) AS DOUBLE) / count(*) / 10000, 6)
+      |    AS mean_difficulty,
+      |  ROUND(CAST(min(d4) AS DOUBLE) / 10000, 4) AS min_difficulty,
+      |  ROUND(CAST(max(d4) AS DOUBLE) / 10000, 4) AS max_difficulty
+      |FROM r GROUP BY phase ORDER BY phase""".stripMargin) { (s, d) =>
+    import graft.plans.GlobalRank
+    val x = t(s, d, "documents").select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+      expr("(n_chars * 10000) DIV size(split(text, ' '))").as("d4"))
+    val (ranked, n) = GlobalRank.withGlobalRowNumber(x, "rk", 16,
+      col("d4"), col("doc_id"))
+    ranked
+      .withColumn("phase",
+        GlobalRank.ntileFromRank(col("rk"), n, 4).cast(LongType))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast(LongType).as("n_tokens"),
+        round(sum(col("d4")).cast(DoubleType) / count(lit(1)) / 10000L, 6)
+          .as("mean_difficulty"),
+        round(min(col("d4")).cast(DoubleType) / 10000L, 4)
+          .as("min_difficulty"),
+        round(max(col("d4")).cast(DoubleType) / 10000L, 4)
+          .as("max_difficulty"))
+      .orderBy("phase")
+  }
+
   val all: Seq[Q] = Seq(
-    qLlrBigrams, qHapaxRatio, qDecontaminateEmbed,
+    qLlrBigrams, qHapaxRatio, qDecontaminateEmbed, qMmrSelect,
+    qCurriculumOrder,
     qRrfFusion, qSemdedup, qTokenizerFertility,
     qRankOverlap, qSilhouette, qDedupCanonical, qFeatureHashing,
     qTypeTokenRatio, qVocabGrowth, qEmdSources, qSourceOverlap,

@@ -2391,7 +2391,104 @@ object StatQueries {
           - col("sr2").cast(DoubleType)), 6).as("q_stat"))
   }
 
-  val all: Seq[Q] = Seq(qMoodsMedian, qCochranQ,
+  /** Generalized ESD (Rosner) anomaly screen: three unrolled
+    * test-and-remove rounds on the monthly revenue panel — the
+    * multi-outlier-safe upgrade over a single Grubbs pass (one giant
+    * month can MASK a second one; ESD re-estimates μ/σ after each
+    * removal). Each round is one exact HUGEINT moment aggregate over the
+    * ≤84-row panel + an argmax on the ·10⁹-quantized deviation (ties by
+    * month) — fixed 3-round unroll, no driver loop, the q_kcore
+    * fixed-sweep contract. */
+  val qAnomalyEsd = Q(
+    "q_anomaly_esd",
+    """WITH ser AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS v
+      |  FROM orders GROUP BY 1),
+      |s1 AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(CAST(v AS HUGEINT))
+      |      AS a, sum(CAST(v AS HUGEINT) * v) AS b
+      |  FROM ser),
+      |r1 AS (
+      |  SELECT mth, v,
+      |    CAST(round(abs(v - CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / sqrt((CAST(b AS DOUBLE)
+      |        - CAST(a AS DOUBLE) * CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 1)) * 1000000000) AS BIGINT) AS r9
+      |  FROM ser, s1),
+      |w1 AS (SELECT * FROM r1 ORDER BY r9 DESC, mth LIMIT 1),
+      |ser2 AS (SELECT ser.* FROM ser, w1 WHERE ser.mth <> w1.mth),
+      |s2 AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(CAST(v AS HUGEINT))
+      |      AS a, sum(CAST(v AS HUGEINT) * v) AS b
+      |  FROM ser2),
+      |r2 AS (
+      |  SELECT mth, v,
+      |    CAST(round(abs(v - CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / sqrt((CAST(b AS DOUBLE)
+      |        - CAST(a AS DOUBLE) * CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 1)) * 1000000000) AS BIGINT) AS r9
+      |  FROM ser2, s2),
+      |w2 AS (SELECT * FROM r2 ORDER BY r9 DESC, mth LIMIT 1),
+      |ser3 AS (SELECT ser2.* FROM ser2, w2 WHERE ser2.mth <> w2.mth),
+      |s3 AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(CAST(v AS HUGEINT))
+      |      AS a, sum(CAST(v AS HUGEINT) * v) AS b
+      |  FROM ser3),
+      |r3 AS (
+      |  SELECT mth, v,
+      |    CAST(round(abs(v - CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / sqrt((CAST(b AS DOUBLE)
+      |        - CAST(a AS DOUBLE) * CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) - 1)) * 1000000000) AS BIGINT) AS r9
+      |  FROM ser3, s3),
+      |w3 AS (SELECT * FROM r3 ORDER BY r9 DESC, mth LIMIT 1)
+      |SELECT iteration, mth, ROUND(CAST(v AS DOUBLE) / 100, 2) AS revenue,
+      |  ROUND(CAST(r9 AS DOUBLE) / 1000000000, 6) AS r_stat
+      |FROM (
+      |  SELECT 1 AS iteration, mth, v, r9 FROM w1
+      |  UNION ALL SELECT 2, mth, v, r9 FROM w2
+      |  UNION ALL SELECT 3, mth, v, r9 FROM w3)
+      |ORDER BY iteration""".stripMargin) { (s, d) =>
+    val ser = t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType)
+        .as("mth"))
+      .agg((sum(dec2(col("o_totalprice")) * 100)).cast(LongType).as("v"))
+    def round1(panel: DataFrame): DataFrame = {
+      val st = panel.agg(count(lit(1)).cast(big38).as("n"),
+        sum(col("v").cast(big38)).as("a"),
+        sum(col("v").cast(big38) * col("v")).as("b"))
+      val mu = col("a").cast(DoubleType) / col("n").cast(DoubleType)
+      val sd = sqrt((col("b").cast(DoubleType)
+        - col("a").cast(DoubleType) * col("a").cast(DoubleType)
+          / col("n").cast(DoubleType))
+        / (col("n").cast(DoubleType) - 1))
+      panel.crossJoin(broadcast(st))
+        .select(col("mth"), col("v"),
+          round(abs(col("v") - mu) / sd * 1000000000L).cast(LongType)
+            .as("r9"))
+        .orderBy(col("r9").desc, col("mth")).limit(1)
+    }
+    val w1 = round1(ser)
+    val ser2 = ser.join(broadcast(w1.select(col("mth").as("x1"))),
+      col("mth") === col("x1"), "left_anti")
+    val w2 = round1(ser2)
+    val ser3 = ser2.join(broadcast(w2.select(col("mth").as("x2"))),
+      col("mth") === col("x2"), "left_anti")
+    val w3 = round1(ser3)
+    w1.select(lit(1).as("iteration"), col("mth"), col("v"), col("r9"))
+      .unionAll(w2.select(lit(2).as("iteration"), col("mth"), col("v"),
+        col("r9")))
+      .unionAll(w3.select(lit(3).as("iteration"), col("mth"), col("v"),
+        col("r9")))
+      .select(col("iteration"), col("mth"),
+        round(col("v").cast(DoubleType) / 100, 2).as("revenue"),
+        round(col("r9").cast(DoubleType) / 1000000000L, 6).as("r_stat"))
+      .orderBy("iteration")
+  }
+
+  val all: Seq[Q] = Seq(qMoodsMedian, qCochranQ, qAnomalyEsd,
     qJarqueBera, qLevene, qBinomialCi, qMcnemar,
     qTrimmedMean, qSimpsons, qMissingDays, qAssortativity, qTost,
     qCmhTest, qPartialCorr, qDispersion,

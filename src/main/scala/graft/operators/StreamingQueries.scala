@@ -551,11 +551,42 @@ object StreamingQueries {
       s"target/stream_wm_${math.abs(d.hashCode)}")
   }
 
+  /** Per-user session-count rollup off the incrementally-maintained
+    * session ledger (`StreamOps.incrementalSessions`, 13th incremental
+    * maintainer): state is (n_sessions, first/last event time) per user;
+    * a batch merges by subtracting one session when its first event
+    * continues the state's last session — the classic segment
+    * composition, exact under event_id-range (prefix) slices. The oracle
+    * is the whole-history 30-min-gap sessionization. */
+  val qStreamSessions = Q(
+    "q_stream_sessions",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |l AS (
+      |  SELECT user_id,
+      |    us - lag(us) OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS gap
+      |  FROM e),
+      |pu AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN gap IS NULL OR gap >= 1800000000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sess
+      |  FROM l GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(n_sess) AS BIGINT) AS n_sessions,
+      |  CAST(max(n_sess) AS BIGINT) AS max_sessions,
+      |  ROUND(CAST(sum(n_sess) AS DOUBLE) / count(*), 6)
+      |    AS mean_sessions
+      |FROM pu""".stripMargin) { (s, d) =>
+    StreamOps.incrementalSessions(s, d,
+      s"target/stream_sess_${math.abs(d.hashCode)}")
+  }
+
   val all: Seq[Q] = Seq(
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg,
     qStreamIntervalJoin, qStreamChecksum, qStreamTopk, qStreamUpsert,
     qStreamQuantile, qStreamMinmax, qStreamFirstSeen, qStreamBloom,
     qStreamMoments, qStreamPsi, qStreamDays, qStreamKmv,
-    qStreamWatermark)
+    qStreamWatermark, qStreamSessions)
 }

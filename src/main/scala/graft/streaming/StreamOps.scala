@@ -929,17 +929,17 @@ object StreamOps {
     * batch-boundary-independent, equal to the one-shot recompute (the
     * q_watermark_plan semantics). A 100 TB feed keeps its watermark
     * sizing current digesting only each day's tail. */
-  def incrementalWatermark(spark: SparkSession, sfDir: String,
-      workDir: String, nBatches: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val src = s"$workDir/src"
-    val e = plannedLatenessEvents(spark, sfDir)
+  /** Write `e` as `nBatches` event_id-RANGE slices under `src`, one file
+    * per slice with mtimes pinned ascending, so the file stream source
+    * (oldest-first) replays slices in log order. Range slicing gives the
+    * prefix property the order-dependent maintainers rely on: an event's
+    * "prior events" set is {event_id' < event_id} for ANY slice count. */
+  private def writeOrderedSlices(e: DataFrame, src: String,
+      nBatches: Int): Unit = {
     val b = e.agg(min(col("event_id")).cast(LongType),
       max(col("event_id")).cast(LongType)).head()
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val span = (hi - lo) / nBatches + 1
-    // one file per event_id-range slice, mtimes pinned ascending so the
-    // file stream source (oldest-first) replays slices in log order
     val dir = new java.io.File(src)
     if (dir.exists()) {
       def rm(f: java.io.File): Unit = {
@@ -960,6 +960,14 @@ object StreamOps {
           f.setLastModified(t0 + i * 60000L); stamped += f.getName
         }
     }
+  }
+
+  def incrementalWatermark(spark: SparkSession, sfDir: String,
+      workDir: String, nBatches: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = s"$workDir/src"
+    val e = plannedLatenessEvents(spark, sfDir)
+    writeOrderedSlices(e, src, nBatches)
     val stream = spark.readStream
       .schema(spark.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1")
@@ -1013,4 +1021,77 @@ object StreamOps {
     watermarkPlanFromHistogram(
       spark.read.parquet(s"$stateBase/v$version/hist"))
   }
+
+  /** Incremental sessionization maintainer (13th incremental
+    * maintainer): per-user session LEDGER (session count + last event
+    * time) maintained across event_id-range slices. The segment-merge is
+    * the classic interval composition: a batch contributes its
+    * within-batch session count, MINUS one if its first event continues
+    * the state's last session (gap < G). Under prefix slicing this
+    * reproduces the whole-history sessionization exactly for any batch
+    * count — a 100 TB clickstream keeps per-user session counts current
+    * digesting only the day's tail, never re-windowing history. Returns
+    * the corpus rollup (users, sessions, mean sessions/user). */
+  def incrementalSessions(spark: SparkSession, sfDir: String,
+      workDir: String, nBatches: Int = 4,
+      gapUs: Long = 1800L * 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = s"$workDir/src"
+    val e = graft.Tables.tsAsTimestamp(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+    writeOrderedSlices(e, src, nBatches)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val stateBase = s"$workDir/state"
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bw = Window.partitionBy("user_id").orderBy("event_id")
+        val withLag = batch.withColumn("prev_us",
+          lag(col("us"), 1).over(bw))
+        val partial = withLag.groupBy("user_id").agg(
+          (sum(when(col("prev_us").isNull
+              || col("us") - col("prev_us") >= gapUs, 1L).otherwise(0L)))
+            .as("n_sess"),
+          min(col("us")).as("first_us"),
+          max(col("us")).as("last_us"))
+        val merged =
+          if (version < 0) partial
+          else {
+            val st = spark.read.parquet(s"$stateBase/v$version")
+              .select(col("user_id"), col("n_sess").as("s_n"),
+                col("first_us").as("s_first"), col("last_us").as("s_last"))
+            st.join(partial, Seq("user_id"), "full_outer")
+              .select(col("user_id"),
+                (coalesce(col("s_n"), lit(0L))
+                  + coalesce(col("n_sess"), lit(0L))
+                  - when(col("s_last").isNotNull
+                      && col("first_us").isNotNull
+                      && col("first_us") - col("s_last") < gapUs, 1L)
+                    .otherwise(0L)).as("n_sess"),
+                coalesce(col("s_first"), col("first_us")).as("first_us"),
+                coalesce(col("last_us"), col("s_last")).as("last_us"))
+          }
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        version = batchId
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sessionRollup(spark.read.parquet(s"$stateBase/v$version"))
+  }
+
+  /** Corpus rollup of a per-user session ledger: one bounded row. */
+  def sessionRollup(ledger: DataFrame): DataFrame =
+    ledger.agg(count(lit(1)).cast(LongType).as("n_users"),
+        sum(col("n_sess")).cast(LongType).as("n_sessions"),
+        max(col("n_sess")).cast(LongType).as("max_sessions"))
+      .select(col("n_users"), col("n_sessions"), col("max_sessions"),
+        round(col("n_sessions").cast(DoubleType)
+          / col("n_users").cast(DoubleType), 6).as("mean_sessions"))
 }

@@ -199,7 +199,14 @@ class DeterminismSpec extends SparkTestBase {
     PipelineQueries.qDpSum, PipelineQueries.qWatermarkPlan,
     // round 7 twenty-eighth batch: median-pivot contingency quantization,
     // one-pass block-flag moments
-    StatQueries.qMoodsMedian, StatQueries.qCochranQ)
+    StatQueries.qMoodsMedian, StatQueries.qCochranQ,
+    // round 7 twenty-ninth batch: quantized ESD argmax rounds, holdout
+    // error-term sums, integer RAKE phrase scores
+    StatQueries.qAnomalyEsd, EvalQueries.qRegressionMetrics,
+    CurationQueries.qRakeKeywords, CurationQueries.qBlocklistAudit,
+    // round 7 thirtieth batch: bounded-pool MMR argmax rounds, GlobalRank
+    // ntile phase cuts
+    LlmQueries.qMmrSelect, LlmQueries.qCurriculumOrder)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

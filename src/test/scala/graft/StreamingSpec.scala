@@ -497,4 +497,24 @@ class StreamingSpec extends SparkTestBase {
     val versions = new java.io.File("target/test_wm4/state").list()
     assert(versions != null && versions.count(_.startsWith("v")) >= 2)
   }
+
+  test("incrementalSessions ledger is batch-boundary-independent and " +
+      "matches the whole-history sessionization") {
+    val s4 = StreamOps.incrementalSessions(spark, sf, "target/test_sess4")
+    val s2 = StreamOps.incrementalSessions(spark, sf, "target/test_sess2", 2)
+    assert(s4.exceptAll(s2).isEmpty && s2.exceptAll(s4).isEmpty)
+    // one-shot: lag-gap sessionization over the full history
+    val e = Tables.tsAsTimestamp(Tables.load(spark, sf, "events"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+    val direct = StreamOps.sessionRollup(
+      e.withColumn("prev_us", lag(col("us"), 1).over(w))
+        .groupBy("user_id")
+        .agg(sum(when(col("prev_us").isNull
+            || col("us") - col("prev_us") >= 1800L * 1000000L, 1L)
+          .otherwise(0L)).as("n_sess")))
+    assert(s4.exceptAll(direct).isEmpty && direct.exceptAll(s4).isEmpty)
+  }
 }
