@@ -742,6 +742,551 @@ object DiagQueries {
       .orderBy("lag")
   }
 
+  /** Dickey–Fuller unit-root test (lag-0, with intercept) on monthly
+    * revenue: Δy_t regressed on y_{t-1}. The lag pairing is a rank-shift
+    * self-join on the ≤84-row bounded panel; all six co-moments are exact
+    * HUGEINT sums, and β̂ / se(β̂) / t are computed once on the one-row
+    * final panel with identical double op order on both engines. A t far
+    * below −2.89 (the 5% critical value) rejects the unit root — i.e. the
+    * series mean-reverts and trend forecasts on levels are defensible. */
+  val qAdfTest = Q(
+    "q_adf_test",
+    s"""WITH $monthlySql,
+      |idx AS (
+      |  SELECT row_number() OVER (ORDER BY mth) AS rn, cents FROM ser),
+      |pr AS (
+      |  SELECT a.cents AS y1, b.cents AS y0
+      |  FROM idx a JOIN idx b ON b.rn = a.rn - 1),
+      |mo AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(y0 AS HUGEINT)) AS sx,
+      |    sum(CAST(y1 - y0 AS HUGEINT)) AS sd,
+      |    sum(CAST(y0 AS HUGEINT) * y0) AS sxx,
+      |    sum(CAST(y0 AS HUGEINT) * (y1 - y0)) AS sxd,
+      |    sum(CAST(y1 - y0 AS HUGEINT) * (y1 - y0)) AS sdd
+      |  FROM pr),
+      |co AS (
+      |  SELECT n,
+      |    (CAST(n AS DOUBLE) * CAST(sxd AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sd AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
+      |    CAST(sx AS DOUBLE) AS sxd2, CAST(sd AS DOUBLE) AS sdd2,
+      |    CAST(sxd AS DOUBLE) AS sxdd, CAST(sdd AS DOUBLE) AS sddd,
+      |    CAST(sxx AS DOUBLE) AS sxxd
+      |  FROM mo),
+      |fin AS (
+      |  SELECT n, beta,
+      |    (sddd - (sdd2 - beta * sxd2) / CAST(n AS DOUBLE) * sdd2
+      |      - beta * sxdd) / (CAST(n AS DOUBLE) - 2) AS s2,
+      |    CAST(n AS DOUBLE) * sxxd - sxd2 * sxd2 AS sxxc
+      |  FROM co)
+      |SELECT CAST(n AS BIGINT) AS n_pairs, ROUND(beta, 6) AS beta,
+      |  ROUND(beta / sqrt(s2 * CAST(n AS DOUBLE) / sxxc), 4) AS adf_t,
+      |  CASE WHEN beta / sqrt(s2 * CAST(n AS DOUBLE) / sxxc) < -2.89
+      |    THEN 1 ELSE 0 END AS mean_reverting
+      |FROM fin""".stripMargin) { (s, d) =>
+    val ser = monthlySeries(s, d)
+    val idx = ser.withColumn("rn", row_number().over(Window.orderBy("mth")))
+    val a = idx.select(col("rn"), col("cents").as("y1"))
+    val b = idx.select(col("rn").as("brn"), col("cents").as("y0"))
+    val pr = a.join(b, col("brn") === col("rn") - 1)
+    val mo = pr.agg(count(lit(1)).cast(big38).as("n"),
+      sum(col("y0").cast(big38)).as("sx"),
+      sum((col("y1") - col("y0")).cast(big38)).as("sd"),
+      sum(col("y0").cast(big38) * col("y0")).as("sxx"),
+      sum(col("y0").cast(big38) * (col("y1") - col("y0"))).as("sxd"),
+      sum((col("y1") - col("y0")).cast(big38) * (col("y1") - col("y0")))
+        .as("sdd"))
+    val co = mo.select(col("n"),
+      ((col("n").cast(DoubleType) * col("sxd").cast(DoubleType)
+        - col("sx").cast(DoubleType) * col("sd").cast(DoubleType))
+        / (col("n").cast(DoubleType) * col("sxx").cast(DoubleType)
+          - col("sx").cast(DoubleType) * col("sx").cast(DoubleType)))
+        .as("beta"),
+      col("sx").cast(DoubleType).as("sxd2"),
+      col("sd").cast(DoubleType).as("sdd2"),
+      col("sxd").cast(DoubleType).as("sxdd"),
+      col("sdd").cast(DoubleType).as("sddd"),
+      col("sxx").cast(DoubleType).as("sxxd"))
+    val fin = co.select(col("n"), col("beta"),
+      ((col("sddd") - (col("sdd2") - col("beta") * col("sxd2"))
+        / col("n").cast(DoubleType) * col("sdd2")
+        - col("beta") * col("sxdd"))
+        / (col("n").cast(DoubleType) - 2)).as("s2"),
+      (col("n").cast(DoubleType) * col("sxxd")
+        - col("sxd2") * col("sxd2")).as("sxxc"))
+    fin.select(col("n").cast(LongType).as("n_pairs"),
+      round(col("beta"), 6).as("beta"),
+      round(col("beta")
+        / sqrt(col("s2") * col("n").cast(DoubleType) / col("sxxc")), 4)
+        .as("adf_t"),
+      when(col("beta")
+        / sqrt(col("s2") * col("n").cast(DoubleType) / col("sxxc")) < -2.89,
+        1).otherwise(0).as("mean_reverting"))
+  }
+
+  /** KPSS level-stationarity statistic on monthly revenue — the
+    * complement of q_adf_test (KPSS's null IS stationarity). Fully exact
+    * integer pipeline: with e'_t = n·y_t − Σy (scaled demeaned series,
+    * integer) and S'_t its prefix sum, KPSS = ΣS'²/(n·Σe'²) — the n
+    * scalings cancel so the ONLY double op is the final division. Prefix
+    * sums run on the bounded ≤84-row panel. */
+  val qKpssTest = Q(
+    "q_kpss_test",
+    s"""WITH $monthlySql,
+      |st AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(cents AS HUGEINT)) AS s
+      |  FROM ser),
+      |e AS (
+      |  SELECT mth, n * cents - s AS ep, n FROM ser, st),
+      |p AS (
+      |  SELECT n, ep, sum(ep) OVER (ORDER BY mth) AS sp FROM e),
+      |ag AS (
+      |  SELECT max(n) AS n, sum(sp * sp) AS ssp, sum(ep * ep) AS see
+      |  FROM p)
+      |SELECT CAST(n AS BIGINT) AS n_months,
+      |  ROUND(CAST(ssp AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(see AS DOUBLE)), 6) AS kpss_stat,
+      |  CASE WHEN CAST(ssp AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * CAST(see AS DOUBLE)) < 0.463
+      |    THEN 1 ELSE 0 END AS level_stationary
+      |FROM ag""".stripMargin) { (s, d) =>
+    val ser = monthlySeries(s, d)
+    val st = ser.agg(count(lit(1)).cast(big38).as("n"),
+      sum(col("cents").cast(big38)).as("s"))
+    val e = ser.crossJoin(broadcast(st))
+      .select(col("mth"), (col("n") * col("cents") - col("s")).as("ep"),
+        col("n"))
+    val p = e.withColumn("sp", sum(col("ep")).over(Window.orderBy("mth")))
+    val ag = p.agg(max(col("n")).as("n"),
+      sum(col("sp") * col("sp")).as("ssp"),
+      sum(col("ep") * col("ep")).as("see"))
+    ag.select(col("n").cast(LongType).as("n_months"),
+      round(col("ssp").cast(DoubleType)
+        / (col("n").cast(DoubleType) * col("see").cast(DoubleType)), 6)
+        .as("kpss_stat"),
+      when(col("ssp").cast(DoubleType)
+        / (col("n").cast(DoubleType) * col("see").cast(DoubleType)) < 0.463,
+        1).otherwise(0).as("level_stationary"))
+  }
+
+  /** Raw periodogram of the standardized monthly revenue series: for each
+    * Fourier frequency k = 1..n/2, the power share
+    * P_k = S_c² + S_s² with S_c = Σ_t z_t·cos(2πkt/n). The series is
+    * standardized and ·10⁶-quantized ONCE (μ, σ from exact moments; the
+    * per-row double ops are order-identical on both engines), the cos/sin
+    * weights are ·10⁶-quantized per (k,t), so every S_c/S_s is an EXACT
+    * integer sum and power shares are exact-int ratios — merge-order-proof
+    * and scale-free (standardization kills the cents magnitude). The
+    * (k × t) expansion is ≤ 42·84 rows at any SF. The k=12-month peak is
+    * the seasonality detector q_seasonality reads off directly. */
+  val qPeriodogram = Q(
+    "q_periodogram",
+    s"""WITH $monthlySql,
+      |st AS (
+      |  SELECT count(*) AS n, sum(CAST(cents AS HUGEINT)) AS s,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS sq
+      |  FROM ser),
+      |mz AS (
+      |  SELECT n, CAST(s AS DOUBLE) / n AS mu,
+      |    sqrt((CAST(sq AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) AS sd
+      |  FROM st),
+      |z AS (
+      |  SELECT row_number() OVER (ORDER BY mth) - 1 AS tt,
+      |    CAST(round((CAST(cents AS DOUBLE) - mu) / sd * 1000000)
+      |      AS HUGEINT) AS z6, n
+      |  FROM ser, mz),
+      |k AS (SELECT tt + 1 AS k FROM z WHERE tt + 1 <= n // 2),
+      |sp AS (
+      |  SELECT k.k,
+      |    sum(z.z6 * CAST(round(cos(2 * pi() * k.k * z.tt
+      |      / CAST(z.n AS DOUBLE)) * 1000000) AS HUGEINT)) AS sc,
+      |    sum(z.z6 * CAST(round(sin(2 * pi() * k.k * z.tt
+      |      / CAST(z.n AS DOUBLE)) * 1000000) AS HUGEINT)) AS ss
+      |  FROM k, z GROUP BY k.k),
+      |pw AS (
+      |  SELECT k, sc * sc + ss * ss AS p,
+      |    sum(sc * sc + ss * ss) OVER () AS ptot,
+      |    max(n) OVER () AS n
+      |  FROM sp, (SELECT max(n) AS n FROM z))
+      |SELECT CAST(k AS BIGINT) AS k,
+      |  ROUND(CAST(n AS DOUBLE) / k, 2) AS period_months,
+      |  ROUND(CAST(p AS DOUBLE) / CAST(ptot AS DOUBLE), 6) AS power_share
+      |FROM pw ORDER BY k""".stripMargin) { (s, d) =>
+    val (zDf, _) = standardizedMonthly(s, d)
+    val kDf = zDf.filter(col("tt") + 1 <= expr("n DIV 2"))
+      .select((col("tt") + 1).as("k"))
+    val sp = kDf.crossJoin(zDf)
+      .groupBy("k")
+      .agg(
+        sum(col("z6") * round(cos(lit(2) * lit(math.Pi) * col("k")
+          * col("tt") / col("n").cast(DoubleType)) * 1000000)
+          .cast(big38)).as("sc"),
+        sum(col("z6") * round(sin(lit(2) * lit(math.Pi) * col("k")
+          * col("tt") / col("n").cast(DoubleType)) * 1000000)
+          .cast(big38)).as("ss"))
+    val nDf = zDf.agg(max(col("n")).as("n"))
+    val pRaw = sp.crossJoin(broadcast(nDf))
+      .select(col("k"), (col("sc") * col("sc") + col("ss") * col("ss"))
+        .as("p"), col("n"))
+    val ptot = pRaw.agg(sum(col("p")).as("ptot"))
+    val pw = pRaw.crossJoin(broadcast(ptot))
+    pw.select(col("k").cast(LongType).as("k"),
+        round(col("n").cast(DoubleType) / col("k"), 2).as("period_months"),
+        round(col("p").cast(DoubleType) / col("ptot").cast(DoubleType), 6)
+          .as("power_share"))
+      .orderBy("k")
+  }
+
+  /** Standardized, ·10⁶-quantized monthly series shared by the spectral
+    * queries: (tt 0-based month index, z6 BIGINT, n). */
+  private def standardizedMonthly(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ser = monthlySeries(s, d)
+    val st = ser.agg(count(lit(1)).as("n"),
+      sum(col("cents").cast(big38)).as("s"),
+      sum(col("cents").cast(big38) * col("cents")).as("sq"))
+    val mz = st.select(col("n"),
+      (col("s").cast(DoubleType) / col("n")).as("mu"),
+      sqrt((col("sq").cast(DoubleType)
+        - col("s").cast(DoubleType) * col("s").cast(DoubleType)
+          / col("n")) / col("n")).as("sd"))
+    val z = ser.crossJoin(broadcast(mz))
+      .select((row_number().over(Window.orderBy("mth")) - 1).as("tt"),
+        round((col("cents").cast(DoubleType) - col("mu")) / col("sd")
+          * 1000000).cast(big38).as("z6"),
+        col("n"))
+    (z, mz)
+  }
+
+  /** Spectral entropy of the q_periodogram power distribution — one
+    * number for "how concentrated is the series' energy": ~0 means one
+    * dominant cycle (strong seasonality ⇒ forecastable), ~1 (normalized)
+    * means white noise. Power shares are exact-int ratios; each
+    * share·ln(share) term is ·10¹²-quantized BEFORE the cross-row sum
+    * (the q_bartlett ln idiom), so the sum is merge-order-proof. */
+  val qSpectralEntropy = Q(
+    "q_spectral_entropy",
+    s"""WITH $monthlySql,
+      |st AS (
+      |  SELECT count(*) AS n, sum(CAST(cents AS HUGEINT)) AS s,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS sq
+      |  FROM ser),
+      |mz AS (
+      |  SELECT n, CAST(s AS DOUBLE) / n AS mu,
+      |    sqrt((CAST(sq AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n) AS sd
+      |  FROM st),
+      |z AS (
+      |  SELECT row_number() OVER (ORDER BY mth) - 1 AS tt,
+      |    CAST(round((CAST(cents AS DOUBLE) - mu) / sd * 1000000)
+      |      AS HUGEINT) AS z6, n
+      |  FROM ser, mz),
+      |k AS (SELECT tt + 1 AS k FROM z WHERE tt + 1 <= n // 2),
+      |sp AS (
+      |  SELECT k.k,
+      |    sum(z.z6 * CAST(round(cos(2 * pi() * k.k * z.tt
+      |      / CAST(z.n AS DOUBLE)) * 1000000) AS HUGEINT)) AS sc,
+      |    sum(z.z6 * CAST(round(sin(2 * pi() * k.k * z.tt
+      |      / CAST(z.n AS DOUBLE)) * 1000000) AS HUGEINT)) AS ss
+      |  FROM k, z GROUP BY k.k),
+      |pw AS (
+      |  SELECT k, sc * sc + ss * ss AS p,
+      |    sum(sc * sc + ss * ss) OVER () AS ptot
+      |  FROM sp),
+      |terms AS (
+      |  SELECT count(*) AS nf,
+      |    sum(CAST(round(CAST(p AS DOUBLE) / CAST(ptot AS DOUBLE)
+      |      * ln(CAST(p AS DOUBLE) / CAST(ptot AS DOUBLE))
+      |      * 1000000000000) AS BIGINT)) AS c12
+      |  FROM pw WHERE p > 0)
+      |SELECT CAST(nf AS BIGINT) AS n_freqs,
+      |  ROUND(-CAST(c12 AS DOUBLE) / 1e12, 6) AS spectral_entropy,
+      |  ROUND(-CAST(c12 AS DOUBLE) / 1e12 / ln(CAST(nf AS DOUBLE)), 6)
+      |    AS entropy_norm
+      |FROM terms""".stripMargin) { (s, d) =>
+    val (zDf, _) = standardizedMonthly(s, d)
+    val kDf = zDf.filter(col("tt") + 1 <= expr("n DIV 2"))
+      .select((col("tt") + 1).as("k"))
+    val sp = kDf.crossJoin(zDf)
+      .groupBy("k")
+      .agg(
+        sum(col("z6") * round(cos(lit(2) * lit(math.Pi) * col("k")
+          * col("tt") / col("n").cast(DoubleType)) * 1000000)
+          .cast(big38)).as("sc"),
+        sum(col("z6") * round(sin(lit(2) * lit(math.Pi) * col("k")
+          * col("tt") / col("n").cast(DoubleType)) * 1000000)
+          .cast(big38)).as("ss"))
+    val pRaw = sp
+      .select((col("sc") * col("sc") + col("ss") * col("ss")).as("p"))
+    val ptot = pRaw.agg(sum(col("p")).as("ptot"))
+    val pw = pRaw.crossJoin(broadcast(ptot))
+    val terms = pw.filter(col("p") > 0).agg(
+      count(lit(1)).as("nf"),
+      sum(round(col("p").cast(DoubleType) / col("ptot").cast(DoubleType)
+        * log(col("p").cast(DoubleType) / col("ptot").cast(DoubleType))
+        * 1000000000000L).cast(LongType)).as("c12"))
+    terms.select(col("nf").cast(LongType).as("n_freqs"),
+      round(-col("c12").cast(DoubleType) / 1e12, 6).as("spectral_entropy"),
+      round(-col("c12").cast(DoubleType) / 1e12
+        / log(col("nf").cast(DoubleType)), 6).as("entropy_norm"))
+  }
+
+  /** Mann–Kendall monotonic-trend test on monthly revenue — the
+    * nonparametric companion to q_theil_sen's slope: S = Σ_{i<j}
+    * sign(y_j − y_i) over the ≤84² bounded pair domain (pure integer),
+    * normal approximation Z = (S − sign(S))/√(n(n−1)(2n+5)/18). Exact
+    * cents make ties measure-zero, so the untied variance formula is used
+    * on both engines identically. |Z| > 1.96 ⇒ a real monotonic drift the
+    * mean-based q_changepoint could miss under heavy tails. */
+  val qMannKendall = Q(
+    "q_mann_kendall",
+    s"""WITH $monthlySql,
+      |idx AS (
+      |  SELECT row_number() OVER (ORDER BY mth) AS rn, cents FROM ser),
+      |pr AS (
+      |  SELECT CASE WHEN b.cents > a.cents THEN 1
+      |    WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sg
+      |  FROM idx a JOIN idx b ON b.rn > a.rn),
+      |ag AS (
+      |  SELECT sum(sg) AS s_stat,
+      |    (SELECT CAST(count(*) AS DOUBLE) FROM idx) AS n
+      |  FROM pr)
+      |SELECT CAST(n AS BIGINT) AS n_months,
+      |  CAST(s_stat AS BIGINT) AS s_stat,
+      |  ROUND((s_stat - CASE WHEN s_stat > 0 THEN 1
+      |      WHEN s_stat < 0 THEN -1 ELSE 0 END)
+      |    / sqrt(n * (n - 1) * (2 * n + 5) / 18), 4) AS z,
+      |  CASE WHEN abs((s_stat - CASE WHEN s_stat > 0 THEN 1
+      |      WHEN s_stat < 0 THEN -1 ELSE 0 END)
+      |    / sqrt(n * (n - 1) * (2 * n + 5) / 18)) > 1.96
+      |    THEN 1 ELSE 0 END AS trending
+      |FROM ag""".stripMargin) { (s, d) =>
+    val ser = monthlySeries(s, d)
+    val idx = ser.withColumn("rn", row_number().over(Window.orderBy("mth")))
+    val a = idx.select(col("rn"), col("cents").as("ca"))
+    val b = idx.select(col("rn").as("brn"), col("cents").as("cb"))
+    val pr = a.join(b, col("brn") > col("rn"))
+      .select(when(col("cb") > col("ca"), 1)
+        .when(col("cb") < col("ca"), -1).otherwise(0).as("sg"))
+    val nDf = idx.agg(count(lit(1)).cast(DoubleType).as("n"))
+    val ag = pr.agg(sum(col("sg")).as("s_stat"))
+      .crossJoin(broadcast(nDf))
+    val zc = (col("s_stat") - when(col("s_stat") > 0, 1)
+      .when(col("s_stat") < 0, -1).otherwise(0))
+      ./(sqrt(col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) / 18))
+    ag.select(col("n").cast(LongType).as("n_months"),
+      col("s_stat").cast(LongType).as("s_stat"),
+      round(zc, 4).as("z"),
+      when(abs(zc) > 1.96, 1).otherwise(0).as("trending"))
+  }
+
+  /** Per-nation customer-acctbal moments (cents): the shared input of the
+    * Welch-ANOVA / Tukey-HSD pair. */
+  private def nationAcctbalMoments(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(col("c_nationkey").as("nk"),
+        (dec2(col("c_acctbal")) * 100).cast(LongType).as("cents"))
+      .groupBy("nk")
+      .agg(count(lit(1)).cast(big38).as("ng"),
+        sum(col("cents").cast(big38)).as("sg"),
+        sum(col("cents").cast(big38) * col("cents")).as("qg"))
+
+  private val nationAcctbalSql =
+    """g AS (
+      |  SELECT c_nationkey AS nk, CAST(count(*) AS HUGEINT) AS ng,
+      |    sum(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT)) AS sg,
+      |    sum(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS HUGEINT)
+      |      * CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS qg
+      |  FROM customer GROUP BY 1)""".stripMargin
+
+  /** Welch's heteroskedastic ANOVA on customer acctbal across the 25
+    * nations — the q_anova F assumes equal group variances (q_levene /
+    * q_bartlett test exactly that assumption); Welch's F* is the one to
+    * trust when they reject. Group weights w_i = n_i/s_i² are
+    * ·10¹⁵-quantized and the weighted grand mean is an exact integer DIV,
+    * so both cross-group sums (numerator ∑w·dev², correction ∑b_i) are
+    * exact-integer and merge-order-proof; only the one-row final panel is
+    * double. */
+  val qWelchAnova = Q(
+    "q_welch_anova",
+    s"""WITH $nationAcctbalSql,
+      |w AS (
+      |  SELECT nk, ng, sg * 1000 // ng AS m3,
+      |    CAST(round(CAST(ng AS DOUBLE)
+      |      / ((CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+      |          / CAST(ng AS DOUBLE)) / (CAST(ng AS DOUBLE) - 1))
+      |      * 1e15) AS HUGEINT) AS w15
+      |  FROM g),
+      |tot AS (
+      |  SELECT count(*) AS k, sum(w15) AS ww, sum(w15 * m3) // sum(w15)
+      |    AS xb3
+      |  FROM w),
+      |terms AS (
+      |  SELECT max(tot.k) AS k, max(tot.ww) AS ww,
+      |    sum(w.w15 * (w.m3 - tot.xb3) * (w.m3 - tot.xb3)) AS anum,
+      |    sum(CAST(round(
+      |      (1 - CAST(w.w15 AS DOUBLE) / CAST(tot.ww AS DOUBLE))
+      |      * (1 - CAST(w.w15 AS DOUBLE) / CAST(tot.ww AS DOUBLE))
+      |      / (CAST(w.ng AS DOUBLE) - 1) * 1e12) AS HUGEINT)) AS bsum
+      |  FROM w, tot)
+      |SELECT CAST(k AS INT) AS k_groups,
+      |  ROUND(CAST(anum AS DOUBLE) / 1e21 / (k - 1)
+      |    / (1 + 2.0 * (k - 2) / (k * k - 1.0)
+      |      * (CAST(bsum AS DOUBLE) / 1e12)), 4) AS f_welch,
+      |  ROUND((k * k - 1.0) / (3 * CAST(bsum AS DOUBLE) / 1e12), 2)
+      |    AS df2
+      |FROM terms""".stripMargin) { (s, d) =>
+    val g = nationAcctbalMoments(s, d)
+    val w = g.select(col("nk"), col("ng"),
+      expr("sg * 1000 DIV ng").as("m3"),
+      round(col("ng").cast(DoubleType)
+        / ((col("qg").cast(DoubleType)
+          - col("sg").cast(DoubleType) * col("sg").cast(DoubleType)
+            / col("ng").cast(DoubleType))
+          / (col("ng").cast(DoubleType) - 1)) * 1e15)
+        .cast(big38).as("w15"))
+    val tot = w.agg(count(lit(1)).as("k"), sum(col("w15")).as("ww"),
+      expr("sum(w15 * m3) DIV sum(w15)").as("xb3"))
+    val terms = w.crossJoin(broadcast(tot)).agg(
+      max(col("k")).as("k"), max(col("ww")).as("ww"),
+      sum(col("w15") * (col("m3") - col("xb3"))
+        * (col("m3") - col("xb3"))).as("anum"),
+      sum(round(
+        (lit(1) - col("w15").cast(DoubleType) / col("ww").cast(DoubleType))
+          * (lit(1) - col("w15").cast(DoubleType)
+            / col("ww").cast(DoubleType))
+          / (col("ng").cast(DoubleType) - 1) * 1e12)
+        .cast(big38)).as("bsum"))
+    terms.select(col("k").cast(IntegerType).as("k_groups"),
+      round(col("anum").cast(DoubleType) / 1e21 / (col("k") - 1)
+        / (lit(1) + lit(2.0) * (col("k") - 2)
+          / (col("k") * col("k") - lit(1.0))
+          * (col("bsum").cast(DoubleType) / 1e12)), 4).as("f_welch"),
+      round((col("k") * col("k") - lit(1.0))
+        / (lit(3) * col("bsum").cast(DoubleType) / 1e12), 2).as("df2"))
+  }
+
+  /** Tukey-HSD-style pairwise nation comparison on customer acctbal: the
+    * post-hoc step after q_anova/q_welch_anova rejects — WHICH of the 300
+    * nation pairs actually differ. Studentized statistic
+    * q = |m̄_a − m̄_b| / √(MSE/2·(1/n_a+1/n_b)) with the pooled MSE from
+    * ·1-cent²-quantized per-group within-SS (the q_anova ssw idiom) and
+    * exact integer-DIV millicent means. 25 groups ⇒ a 300-row bounded
+    * pair panel; flag threshold 5.24 ≈ q₀.₀₅(25, ∞). */
+  val qTukeyHsd = Q(
+    "q_tukey_hsd",
+    s"""WITH $nationAcctbalSql,
+      |wss AS (
+      |  SELECT sum(CAST(round((CAST(ng AS DOUBLE) * CAST(qg AS DOUBLE)
+      |      - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE))
+      |      / CAST(ng AS DOUBLE)) AS HUGEINT)) AS ssw,
+      |    sum(ng) AS n, count(*) AS k
+      |  FROM g),
+      |m AS (
+      |  SELECT n_name, ng, sg * 1000 // ng AS m3
+      |  FROM g JOIN nation ON nk = n_nationkey),
+      |pairs AS (
+      |  SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+      |    a.m3 AS ma, b.m3 AS mb, a.ng AS na, b.ng AS nb
+      |  FROM m a JOIN m b ON a.n_name < b.n_name)
+      |SELECT nation_a, nation_b,
+      |  CAST(ma - mb AS DOUBLE) / 1e5 AS diff_dollars,
+      |  ROUND(abs(CAST(ma - mb AS DOUBLE)) / 1000
+      |    / sqrt(CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - k) / 2
+      |      * (1 / CAST(na AS DOUBLE) + 1 / CAST(nb AS DOUBLE))), 4)
+      |    AS q_stat,
+      |  CASE WHEN abs(CAST(ma - mb AS DOUBLE)) / 1000
+      |    / sqrt(CAST(ssw AS DOUBLE) / (CAST(n AS DOUBLE) - k) / 2
+      |      * (1 / CAST(na AS DOUBLE) + 1 / CAST(nb AS DOUBLE))) > 5.24
+      |    THEN 1 ELSE 0 END AS significant
+      |FROM pairs, wss ORDER BY nation_a, nation_b""".stripMargin) {
+    (s, d) =>
+    val g = nationAcctbalMoments(s, d)
+    val wss = g.agg(
+      sum(round((col("ng").cast(DoubleType) * col("qg").cast(DoubleType)
+        - col("sg").cast(DoubleType) * col("sg").cast(DoubleType))
+        / col("ng").cast(DoubleType)).cast(big38)).as("ssw"),
+      sum(col("ng")).as("n"), count(lit(1)).as("k"))
+    val m = g.join(broadcast(t(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .select(col("n_name"), col("ng"), expr("sg * 1000 DIV ng").as("m3"))
+    val a = m.select(col("n_name").as("nation_a"), col("m3").as("ma"),
+      col("ng").as("na"))
+    val b = m.select(col("n_name").as("nation_b"), col("m3").as("mb"),
+      col("ng").as("nb"))
+    val pairs = a.join(b, col("nation_a") < col("nation_b"))
+    val se = sqrt(col("ssw").cast(DoubleType)
+      / (col("n").cast(DoubleType) - col("k")) / 2
+      * (lit(1) / col("na").cast(DoubleType)
+        + lit(1) / col("nb").cast(DoubleType)))
+    pairs.crossJoin(broadcast(wss))
+      .select(col("nation_a"), col("nation_b"),
+        ((col("ma") - col("mb")).cast(DoubleType) / 1e5)
+          .as("diff_dollars"),
+        round(abs((col("ma") - col("mb")).cast(DoubleType)) / 1000 / se, 4)
+          .as("q_stat"),
+        when(abs((col("ma") - col("mb")).cast(DoubleType)) / 1000 / se
+          > 5.24, 1).otherwise(0).as("significant"))
+      .orderBy("nation_a", "nation_b")
+  }
+
+  /** Two-sample Poisson rate-ratio test on daily order arrival: early era
+    * (before 1995-05-01) vs late era, exposures fixed by the calendar.
+    * Counts are exact; the one-row Wald panel on the log scale
+    * (z = ln(r̂)/√(1/c₁+1/c₂)) is the standard E-commerce "did arrival
+    * intensity change between eras" monitor. */
+  val qPoissonRatio = Q(
+    "q_poisson_ratio",
+    """WITH c AS (
+      |  SELECT
+      |    sum(CASE WHEN o_orderdate < DATE '1995-05-01'
+      |      THEN 1 ELSE 0 END) AS c1,
+      |    sum(CASE WHEN o_orderdate >= DATE '1995-05-01'
+      |      THEN 1 ELSE 0 END) AS c2,
+      |    CAST(DATE '1995-05-01' - DATE '1992-01-01' AS DOUBLE) AS d1,
+      |    CAST(DATE '1998-09-01' - DATE '1995-05-01' AS DOUBLE) AS d2
+      |  FROM orders)
+      |SELECT CAST(c1 AS BIGINT) AS orders_early,
+      |  CAST(c2 AS BIGINT) AS orders_late,
+      |  ROUND(c1 / d1, 4) AS rate_early,
+      |  ROUND(c2 / d2, 4) AS rate_late,
+      |  ROUND(c1 / d1 / (c2 / d2), 6) AS rate_ratio,
+      |  ROUND(ln(c1 / d1 / (c2 / d2))
+      |    / sqrt(1.0 / c1 + 1.0 / c2), 4) AS z,
+      |  CASE WHEN abs(ln(c1 / d1 / (c2 / d2))
+      |    / sqrt(1.0 / c1 + 1.0 / c2)) > 1.96 THEN 1 ELSE 0 END
+      |    AS significant
+      |FROM c""".stripMargin) { (s, d) =>
+    val c = t(s, d, "orders").agg(
+      sum(when(col("o_orderdate") < lit("1995-05-01"), 1).otherwise(0))
+        .as("c1"),
+      sum(when(col("o_orderdate") >= lit("1995-05-01"), 1).otherwise(0))
+        .as("c2"),
+      max(datediff(lit("1995-05-01"), lit("1992-01-01"))
+        .cast(DoubleType)).as("d1"),
+      max(datediff(lit("1998-09-01"), lit("1995-05-01"))
+        .cast(DoubleType)).as("d2"))
+    val z = log(col("c1") / col("d1") / (col("c2") / col("d2")))
+      ./(sqrt(lit(1.0) / col("c1") + lit(1.0) / col("c2")))
+    c.select(col("c1").cast(LongType).as("orders_early"),
+      col("c2").cast(LongType).as("orders_late"),
+      round(col("c1") / col("d1"), 4).as("rate_early"),
+      round(col("c2") / col("d2"), 4).as("rate_late"),
+      round(col("c1") / col("d1") / (col("c2") / col("d2")), 6)
+        .as("rate_ratio"),
+      round(z, 4).as("z"),
+      when(abs(z) > 1.96, 1).otherwise(0).as("significant"))
+  }
+
   val all: Seq[Q] = Seq(qDurbinWatson, qBreuschPagan, qChowTest, qBartlett,
-    qChi2Gof, qWilcoxonSigned, qMaxDrawdown, qRsi, qBollinger, qPacf)
+    qChi2Gof, qWilcoxonSigned, qMaxDrawdown, qRsi, qBollinger, qPacf,
+    qAdfTest, qKpssTest, qPeriodogram, qSpectralEntropy, qMannKendall,
+    qWelchAnova, qTukeyHsd, qPoissonRatio)
 }

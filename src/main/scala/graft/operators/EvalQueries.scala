@@ -3,6 +3,7 @@ package graft.operators
 import graft.Q
 import graft.Dsl._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -966,7 +967,472 @@ object EvalQueries {
             / col("nt").cast(DoubleType)), 6).as("r2"))
   }
 
+  /** Stacked (feature, category, label) exact counts for the categorical
+    * feature screens: four lineitem-local features against the returned
+    * (l_returnflag = 'R') label, ONE scan with a 4× map-side fan-out —
+    * no fact-fact join, bounded output (≤16 categories total). */
+  private def featureCells(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(
+        explode(array(
+          struct(lit("discount_pct").as("feature"),
+            concat(lit("D"), round(col("l_discount") * 100)
+              .cast(LongType)).as("cat")),
+          struct(lit("tax_pct").as("feature"),
+            concat(lit("T"), round(col("l_tax") * 100)
+              .cast(LongType)).as("cat")),
+          struct(lit("line_status").as("feature"),
+            col("l_linestatus").as("cat")),
+          struct(lit("qty_bucket").as("feature"),
+            concat(lit("Q"),
+              expr("(CAST(l_quantity AS BIGINT) - 1) DIV 10")).as("cat"))))
+          .as("fc"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("lbl"))
+      .select(col("fc.feature").as("feature"), col("fc.cat").as("cat"),
+        col("lbl"))
+      .groupBy("feature", "cat", "lbl")
+      .agg(count(lit(1)).as("c"))
+
+  private val featureCellsSql =
+    """cells AS (
+      |  SELECT feature, cat, lbl, count(*) AS c FROM (
+      |    SELECT 'discount_pct' AS feature,
+      |      'D' || CAST(CAST(round(l_discount * 100) AS BIGINT)
+      |        AS VARCHAR) AS cat,
+      |      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS lbl
+      |    FROM lineitem
+      |    UNION ALL
+      |    SELECT 'tax_pct',
+      |      'T' || CAST(CAST(round(l_tax * 100) AS BIGINT) AS VARCHAR),
+      |      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+      |    UNION ALL
+      |    SELECT 'line_status', l_linestatus,
+      |      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+      |    UNION ALL
+      |    SELECT 'qty_bucket',
+      |      'Q' || CAST((CAST(l_quantity AS BIGINT) - 1) // 10 AS VARCHAR),
+      |      CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+      |  ) u GROUP BY 1, 2, 3)""".stripMargin
+
+  /** χ² feature screen: each categorical feature ranked by independence
+    * χ² against the returned-line label (+ Cramér's V since the label is
+    * binary: V = √(χ²/n)). The fact table collapses to ≤16 exact-count
+    * (feature, cat, label) cells in one fan-out scan; expected counts are
+    * per-cell doubles from exact margins, quantized ·10⁶ BEFORE the
+    * per-feature sums. The ranking is the pre-model "which columns carry
+    * signal" pass — and line_status scoring near-top is the screen
+    * CATCHING a leaky feature (it is determined mid-flight with the
+    * return outcome). */
+  val qChi2FeatureSelect = Q(
+    "q_chi2_feature_select",
+    s"""WITH $featureCellsSql,
+      |mg AS (
+      |  SELECT feature, cat, lbl, c,
+      |    sum(c) OVER (PARTITION BY feature, cat) AS rc,
+      |    sum(c) OVER (PARTITION BY feature, lbl) AS lc,
+      |    sum(c) OVER (PARTITION BY feature) AS n
+      |  FROM cells),
+      |term AS (
+      |  SELECT feature,
+      |    CAST(round((c - CAST(rc AS DOUBLE) * CAST(lc AS DOUBLE)
+      |        / CAST(n AS DOUBLE))
+      |      * (c - CAST(rc AS DOUBLE) * CAST(lc AS DOUBLE)
+      |        / CAST(n AS DOUBLE))
+      |      / (CAST(rc AS DOUBLE) * CAST(lc AS DOUBLE)
+      |        / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS t6,
+      |    n
+      |  FROM mg),
+      |f AS (
+      |  SELECT feature, count(*) AS n_cells, max(n) AS n,
+      |    sum(t6) AS chi2_6
+      |  FROM term GROUP BY feature)
+      |SELECT feature, CAST(n_cells // 2 AS BIGINT) AS n_cats,
+      |  ROUND(CAST(chi2_6 AS DOUBLE) / 1e6, 4) AS chi2,
+      |  ROUND(sqrt(CAST(chi2_6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)), 6)
+      |    AS cramers_v
+      |FROM f ORDER BY chi2_6 DESC, feature""".stripMargin) { (s, d) =>
+    val cells = featureCells(s, d)
+    val wRc = Window.partitionBy("feature", "cat")
+    val wLc = Window.partitionBy("feature", "lbl")
+    val wN = Window.partitionBy("feature")
+    val mg = cells
+      .withColumn("rc", sum(col("c")).over(wRc))
+      .withColumn("lc", sum(col("c")).over(wLc))
+      .withColumn("n", sum(col("c")).over(wN))
+    val e = col("rc").cast(DoubleType) * col("lc").cast(DoubleType)
+      ./(col("n").cast(DoubleType))
+    val term = mg.select(col("feature"),
+      round((col("c") - e) * (col("c") - e) / e * 1000000)
+        .cast(LongType).as("t6"), col("n"))
+    val f = term.groupBy("feature").agg(count(lit(1)).as("n_cells"),
+      max(col("n")).as("n"), sum(col("t6")).as("chi2_6"))
+    f.select(col("feature"), expr("n_cells DIV 2").as("n_cats"),
+        round(col("chi2_6").cast(DoubleType) / 1e6, 4).as("chi2"),
+        round(sqrt(col("chi2_6").cast(DoubleType) / 1e6
+          / col("n").cast(DoubleType)), 6).as("cramers_v"))
+      .orderBy(col("chi2_6").desc, col("feature"))
+  }
+
+  /** Information-gain feature screen over the same stacked cells:
+    * IG(f) = H(label) − Σ_cat p(cat)·H(label|cat) in nats, plus the
+    * normalized share of label entropy explained. Every per-category
+    * entropy contribution is ·10⁹-quantized on its own bounded cell row
+    * before the per-feature sum (q_bartlett ln idiom); H(label) comes
+    * from one exact global count pair. The MI-based twin of the χ²
+    * screen — χ² finds association, IG prices it in bits. */
+  val qInfoGain = Q(
+    "q_info_gain",
+    s"""WITH $featureCellsSql,
+      |mg AS (
+      |  SELECT feature, cat, lbl, c,
+      |    sum(c) OVER (PARTITION BY feature, cat) AS rc,
+      |    sum(c) OVER (PARTITION BY feature) AS n
+      |  FROM cells),
+      |cond AS (
+      |  SELECT feature,
+      |    sum(CAST(round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * ln(CAST(c AS DOUBLE) / CAST(rc AS DOUBLE))
+      |      * 1000000000) AS BIGINT)) AS hc9
+      |  FROM mg WHERE c > 0 GROUP BY feature),
+      |gl AS (
+      |  SELECT sum(CAST(round(CAST(cl AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      * ln(CAST(cl AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * 1000000000) AS BIGINT)) AS hy9
+      |  FROM (
+      |    SELECT lbl, sum(c) AS cl, sum(sum(c)) OVER () AS nn
+      |    FROM cells WHERE feature = 'line_status' GROUP BY lbl) z)
+      |SELECT feature,
+      |  ROUND((-CAST(hy9 AS DOUBLE) + CAST(hc9 AS DOUBLE)) / 1e9, 6)
+      |    AS info_gain_nats,
+      |  ROUND((-CAST(hy9 AS DOUBLE) + CAST(hc9 AS DOUBLE))
+      |    / (-CAST(hy9 AS DOUBLE)), 6) AS share_of_entropy
+      |FROM cond, gl ORDER BY hc9 DESC, feature""".stripMargin) { (s, d) =>
+    val cells = featureCells(s, d)
+    val wRc = Window.partitionBy("feature", "cat")
+    val wN = Window.partitionBy("feature")
+    val mg = cells
+      .withColumn("rc", sum(col("c")).over(wRc))
+      .withColumn("n", sum(col("c")).over(wN))
+    val cond = mg.filter(col("c") > 0).groupBy("feature").agg(
+      sum(round(col("c").cast(DoubleType) / col("n").cast(DoubleType)
+        * log(col("c").cast(DoubleType) / col("rc").cast(DoubleType))
+        * 1000000000L).cast(LongType)).as("hc9"))
+    val glTot = cells.filter(col("feature") === "line_status")
+      .groupBy("lbl").agg(sum(col("c")).as("cl"))
+    val gl = glTot
+      .crossJoin(broadcast(glTot.agg(sum(col("cl")).as("nn"))))
+      .agg(sum(round(col("cl").cast(DoubleType) / col("nn").cast(DoubleType)
+        * log(col("cl").cast(DoubleType) / col("nn").cast(DoubleType))
+        * 1000000000L).cast(LongType)).as("hy9"))
+    cond.crossJoin(broadcast(gl))
+      .select(col("feature"),
+        round((-col("hy9").cast(DoubleType) + col("hc9").cast(DoubleType))
+          / 1e9, 6).as("info_gain_nats"),
+        round((-col("hy9").cast(DoubleType) + col("hc9").cast(DoubleType))
+          / (-col("hy9").cast(DoubleType)), 6).as("share_of_entropy"))
+      .orderBy(col("hc9").desc, col("feature"))
+  }
+
+  /** Decision-stump threshold sweep: for every split l_quantity ≤ t the
+    * weighted-Gini impurity of the returned-label children — the full
+    * 49-point curve a tree learner's first node would scan, computed from
+    * ≤50 exact per-quantity count cells with prefix sums over the bounded
+    * value grid. Impurities are doubles from exact integers with
+    * identical op order; the best split is an integer argmin over the
+    * ·10⁹-quantized weighted impurity. */
+  val qDecisionStump = Q(
+    "q_decision_stump",
+    """WITH q AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+      |    count(*) AS c,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS p
+      |  FROM lineitem GROUP BY 1),
+      |pre AS (
+      |  SELECT qty, sum(c) OVER (ORDER BY qty) AS nl,
+      |    sum(p) OVER (ORDER BY qty) AS pl,
+      |    sum(c) OVER () AS n, sum(p) OVER () AS pt
+      |  FROM q),
+      |cur AS (
+      |  SELECT qty AS threshold, nl, n,
+      |    1.0 - (CAST(pt AS DOUBLE) / n) * (CAST(pt AS DOUBLE) / n)
+      |      - (CAST(n - pt AS DOUBLE) / n) * (CAST(n - pt AS DOUBLE) / n)
+      |      AS gini_parent,
+      |    ((CAST(nl AS DOUBLE)
+      |      - (CAST(pl AS DOUBLE) * pl + CAST(nl - pl AS DOUBLE)
+      |        * (nl - pl)) / nl)
+      |     + (CAST(n - nl AS DOUBLE)
+      |      - (CAST(pt - pl AS DOUBLE) * (pt - pl)
+      |        + CAST(n - nl - pt + pl AS DOUBLE) * (n - nl - pt + pl))
+      |        / (n - nl))) / n AS w_gini
+      |  FROM pre WHERE nl < n),
+      |qz AS (
+      |  SELECT threshold, nl, gini_parent, w_gini,
+      |    CAST(round(w_gini * 1000000000) AS BIGINT) AS w9,
+      |    min(CAST(round(w_gini * 1000000000) AS BIGINT)) OVER () AS best9
+      |  FROM cur)
+      |SELECT CAST(threshold AS BIGINT) AS threshold,
+      |  CAST(nl AS BIGINT) AS n_left,
+      |  ROUND(gini_parent - w_gini, 6) AS gini_gain,
+      |  CASE WHEN w9 = best9 THEN 1 ELSE 0 END AS is_best
+      |FROM qz ORDER BY threshold""".stripMargin) { (s, d) =>
+    val q = t(s, d, "lineitem")
+      .groupBy(col("l_quantity").cast(LongType).as("qty"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("p"))
+    val tot = q.agg(sum(col("c")).as("n"), sum(col("p")).as("pt"))
+    val pre = q
+      .withColumn("nl", sum(col("c")).over(Window.orderBy("qty")))
+      .withColumn("pl", sum(col("p")).over(Window.orderBy("qty")))
+      .crossJoin(broadcast(tot))
+    val nD = col("n").cast(DoubleType)
+    val giniParent = lit(1.0)
+      .minus((col("pt").cast(DoubleType) / nD)
+        * (col("pt").cast(DoubleType) / nD))
+      .minus(((col("n") - col("pt")).cast(DoubleType) / nD)
+        * ((col("n") - col("pt")).cast(DoubleType) / nD))
+    val wGini = ((col("nl").cast(DoubleType)
+      - (col("pl").cast(DoubleType) * col("pl")
+        + (col("nl") - col("pl")).cast(DoubleType)
+          * (col("nl") - col("pl"))) / col("nl"))
+      .plus((col("n") - col("nl")).cast(DoubleType)
+        - ((col("pt") - col("pl")).cast(DoubleType)
+          * (col("pt") - col("pl"))
+          + (col("n") - col("nl") - col("pt") + col("pl")).cast(DoubleType)
+            * (col("n") - col("nl") - col("pt") + col("pl")))
+          / (col("n") - col("nl"))))./(nD)
+    val cur = pre.filter(col("nl") < col("n"))
+      .select(col("qty").as("threshold"), col("nl"),
+        giniParent.as("gini_parent"), wGini.as("w_gini"))
+    val qz = cur
+      .withColumn("w9", round(col("w_gini") * 1000000000L).cast(LongType))
+    val best = qz.agg(min(col("w9")).as("best9"))
+    qz.crossJoin(broadcast(best))
+      .select(col("threshold").cast(LongType).as("threshold"),
+        col("nl").cast(LongType).as("n_left"),
+        round(col("gini_parent") - col("w_gini"), 6).as("gini_gain"),
+        when(col("w9") === col("best9"), 1).otherwise(0).as("is_best"))
+      .orderBy("threshold")
+  }
+
+  /** Pairwise Cramér's V across the four categorical lineitem features —
+    * the feature-REDUNDANCY matrix that complements the target screens
+    * (two features both passing q_chi2_feature_select but with V ≈ 1
+    * between them carry one signal, not two). One 6×-fan-out scan stacks
+    * every unordered feature pair; each pair's ≤28-cell contingency gets
+    * exact margins from bounded windows and ·10⁶-quantized χ² terms. */
+  val qCramersMatrix = Q(
+    "q_cramers_matrix",
+    """WITH st AS (
+      |  SELECT feat_a, feat_b, a, b, count(*) AS c FROM (
+      |    SELECT 'line_status' AS feat_a, 'return_flag' AS feat_b,
+      |      l_linestatus AS a, l_returnflag AS b FROM lineitem
+      |    UNION ALL SELECT 'discount_pct', 'line_status',
+      |      'D' || CAST(CAST(round(l_discount * 100) AS BIGINT)
+      |        AS VARCHAR), l_linestatus FROM lineitem
+      |    UNION ALL SELECT 'line_status', 'qty_bucket', l_linestatus,
+      |      'Q' || CAST((CAST(l_quantity AS BIGINT) - 1) // 10
+      |        AS VARCHAR) FROM lineitem
+      |    UNION ALL SELECT 'discount_pct', 'return_flag',
+      |      'D' || CAST(CAST(round(l_discount * 100) AS BIGINT)
+      |        AS VARCHAR), l_returnflag FROM lineitem
+      |    UNION ALL SELECT 'qty_bucket', 'return_flag',
+      |      'Q' || CAST((CAST(l_quantity AS BIGINT) - 1) // 10
+      |        AS VARCHAR), l_returnflag FROM lineitem
+      |    UNION ALL SELECT 'discount_pct', 'qty_bucket',
+      |      'D' || CAST(CAST(round(l_discount * 100) AS BIGINT)
+      |        AS VARCHAR),
+      |      'Q' || CAST((CAST(l_quantity AS BIGINT) - 1) // 10
+      |        AS VARCHAR) FROM lineitem
+      |  ) u GROUP BY 1, 2, 3, 4),
+      |mg AS (
+      |  SELECT feat_a, feat_b, c,
+      |    sum(c) OVER (PARTITION BY feat_a, feat_b, a) AS ra,
+      |    sum(c) OVER (PARTITION BY feat_a, feat_b, b) AS rb,
+      |    sum(c) OVER (PARTITION BY feat_a, feat_b) AS n
+      |  FROM st),
+      |term AS (
+      |  SELECT feat_a, feat_b, n,
+      |    CAST(round((c - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+      |        / CAST(n AS DOUBLE))
+      |      * (c - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+      |        / CAST(n AS DOUBLE))
+      |      / (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+      |        / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS t6
+      |  FROM mg),
+      |dims AS (
+      |  SELECT feat_a, feat_b, count(DISTINCT a) AS ka,
+      |    count(DISTINCT b) AS kb
+      |  FROM st GROUP BY 1, 2),
+      |f AS (
+      |  SELECT term.feat_a, term.feat_b, max(term.n) AS n,
+      |    sum(t6) AS chi2_6, max(ka) AS ka, max(kb) AS kb
+      |  FROM term JOIN dims
+      |    ON term.feat_a = dims.feat_a AND term.feat_b = dims.feat_b
+      |  GROUP BY 1, 2)
+      |SELECT feat_a, feat_b,
+      |  ROUND(CAST(chi2_6 AS DOUBLE) / 1e6, 4) AS chi2,
+      |  ROUND(sqrt(CAST(chi2_6 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+      |    / LEAST(ka - 1, kb - 1)), 6) AS cramers_v
+      |FROM f ORDER BY feat_a, feat_b""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem")
+    def pairStruct(fa: String, fb: String, a: Column, b: Column): Column =
+      struct(lit(fa).as("feat_a"), lit(fb).as("feat_b"),
+        a.as("a"), b.as("b"))
+    val dCat = concat(lit("D"), round(col("l_discount") * 100)
+      .cast(LongType))
+    val qCat = concat(lit("Q"),
+      expr("(CAST(l_quantity AS BIGINT) - 1) DIV 10"))
+    val st = li.select(explode(array(
+        pairStruct("line_status", "return_flag",
+          col("l_linestatus"), col("l_returnflag")),
+        pairStruct("discount_pct", "line_status",
+          dCat, col("l_linestatus")),
+        pairStruct("line_status", "qty_bucket",
+          col("l_linestatus"), qCat),
+        pairStruct("discount_pct", "return_flag",
+          dCat, col("l_returnflag")),
+        pairStruct("qty_bucket", "return_flag",
+          qCat, col("l_returnflag")),
+        pairStruct("discount_pct", "qty_bucket",
+          dCat, qCat))).as("p"))
+      .select(col("p.feat_a").as("feat_a"), col("p.feat_b").as("feat_b"),
+        col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("feat_a", "feat_b", "a", "b")
+      .agg(count(lit(1)).as("c"))
+    val mg = st
+      .withColumn("ra",
+        sum(col("c")).over(Window.partitionBy("feat_a", "feat_b", "a")))
+      .withColumn("rb",
+        sum(col("c")).over(Window.partitionBy("feat_a", "feat_b", "b")))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy("feat_a", "feat_b")))
+    val e = col("ra").cast(DoubleType) * col("rb").cast(DoubleType)
+      ./(col("n").cast(DoubleType))
+    val term = mg.select(col("feat_a"), col("feat_b"), col("n"),
+      round((col("c") - e) * (col("c") - e) / e * 1000000)
+        .cast(LongType).as("t6"))
+    val dims = st.groupBy("feat_a", "feat_b")
+      .agg(countDistinct(col("a")).as("ka"),
+        countDistinct(col("b")).as("kb"))
+    val f = term.join(dims, Seq("feat_a", "feat_b"))
+      .groupBy("feat_a", "feat_b")
+      .agg(max(col("n")).as("n"), sum(col("t6")).as("chi2_6"),
+        max(col("ka")).as("ka"), max(col("kb")).as("kb"))
+    f.select(col("feat_a"), col("feat_b"),
+        round(col("chi2_6").cast(DoubleType) / 1e6, 4).as("chi2"),
+        round(sqrt(col("chi2_6").cast(DoubleType) / 1e6
+          / col("n").cast(DoubleType)
+          / least(col("ka") - 1, col("kb") - 1)), 6).as("cramers_v"))
+      .orderBy("feat_a", "feat_b")
+  }
+
+  /** Variance-inflation factors for the three numeric lineitem regressors
+    * (quantity, discount pct, extendedprice cents): VIF_j = 1/(1−R²_j)
+    * with R²_j of x_j on the other two in the 3-variable closed form from
+    * the pairwise correlations — the multicollinearity gate before
+    * trusting any q_regression_multi coefficient (price is quantity ×
+    * unit price, so its VIF SHOULD flag). Nine exact HUGEINT co-moments
+    * in ONE scan; everything after is a one-row double panel. */
+  val qVif = Q(
+    "q_vif",
+    """WITH x AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS d,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS p
+      |  FROM lineitem),
+      |mo AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(q AS HUGEINT)) AS s1, sum(CAST(d AS HUGEINT)) AS s2,
+      |    sum(CAST(p AS HUGEINT)) AS s3,
+      |    sum(CAST(q AS HUGEINT) * q) AS s11,
+      |    sum(CAST(d AS HUGEINT) * d) AS s22,
+      |    sum(CAST(p AS HUGEINT) * p) AS s33,
+      |    sum(CAST(q AS HUGEINT) * d) AS s12,
+      |    sum(CAST(q AS HUGEINT) * p) AS s13,
+      |    sum(CAST(d AS HUGEINT) * p) AS s23
+      |  FROM x),
+      |r AS (
+      |  SELECT
+      |    (CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+      |        - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))) AS r12,
+      |    (CAST(n AS DOUBLE) * CAST(s13 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s3 AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(s33 AS DOUBLE)
+      |        - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))) AS r13,
+      |    (CAST(n AS DOUBLE) * CAST(s23 AS DOUBLE)
+      |      - CAST(s2 AS DOUBLE) * CAST(s3 AS DOUBLE))
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+      |        - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(s33 AS DOUBLE)
+      |        - CAST(s3 AS DOUBLE) * CAST(s3 AS DOUBLE))) AS r23
+      |  FROM mo),
+      |v AS (
+      |  SELECT
+      |    (r12 * r12 + r13 * r13 - 2 * r12 * r13 * r23)
+      |      / (1 - r23 * r23) AS r2_q,
+      |    (r12 * r12 + r23 * r23 - 2 * r12 * r23 * r13)
+      |      / (1 - r13 * r13) AS r2_d,
+      |    (r13 * r13 + r23 * r23 - 2 * r13 * r23 * r12)
+      |      / (1 - r12 * r12) AS r2_p
+      |  FROM r)
+      |SELECT feature, ROUND(r2, 6) AS r2_on_others,
+      |  ROUND(1 / (1 - r2), 4) AS vif
+      |FROM (
+      |  SELECT 'quantity' AS feature, r2_q AS r2 FROM v
+      |  UNION ALL SELECT 'discount_pct', r2_d FROM v
+      |  UNION ALL SELECT 'extended_price', r2_p FROM v) z
+      |ORDER BY feature""".stripMargin) { (s, d) =>
+    val x = t(s, d, "lineitem").select(
+      col("l_quantity").cast(LongType).as("q"),
+      round(col("l_discount") * 100).cast(LongType).as("d"),
+      (dec2(col("l_extendedprice")) * 100).cast(LongType).as("p"))
+    val mo = x.agg(count(lit(1)).cast(big38e).as("n"),
+      sum(col("q").cast(big38e)).as("s1"),
+      sum(col("d").cast(big38e)).as("s2"),
+      sum(col("p").cast(big38e)).as("s3"),
+      sum(col("q").cast(big38e) * col("q")).as("s11"),
+      sum(col("d").cast(big38e) * col("d")).as("s22"),
+      sum(col("p").cast(big38e) * col("p")).as("s33"),
+      sum(col("q").cast(big38e) * col("d")).as("s12"),
+      sum(col("q").cast(big38e) * col("p")).as("s13"),
+      sum(col("d").cast(big38e) * col("p")).as("s23"))
+    def corr2(sij: String, si: String, sj: String,
+        sii: String, sjj: String): Column =
+      ((col("n").cast(DoubleType) * col(sij).cast(DoubleType)
+        - col(si).cast(DoubleType) * col(sj).cast(DoubleType))
+        / sqrt((col("n").cast(DoubleType) * col(sii).cast(DoubleType)
+          - col(si).cast(DoubleType) * col(si).cast(DoubleType))
+          * (col("n").cast(DoubleType) * col(sjj).cast(DoubleType)
+            - col(sj).cast(DoubleType) * col(sj).cast(DoubleType))))
+    val r = mo.select(
+      corr2("s12", "s1", "s2", "s11", "s22").as("r12"),
+      corr2("s13", "s1", "s3", "s11", "s33").as("r13"),
+      corr2("s23", "s2", "s3", "s22", "s33").as("r23"))
+    def r2Of(a: Column, b: Column, c: Column): Column =
+      (a * a + b * b - lit(2) * a * b * c) / (lit(1) - c * c)
+    val v = r.select(
+      r2Of(col("r12"), col("r13"), col("r23")).as("r2_q"),
+      r2Of(col("r12"), col("r23"), col("r13")).as("r2_d"),
+      r2Of(col("r13"), col("r23"), col("r12")).as("r2_p"))
+    val rows = v.select(lit("quantity").as("feature"), col("r2_q").as("r2"))
+      .unionAll(v.select(lit("discount_pct"), col("r2_d")))
+      .unionAll(v.select(lit("extended_price"), col("r2_p")))
+    rows.select(col("feature"), round(col("r2"), 6).as("r2_on_others"),
+        round(lit(1) / (lit(1) - col("r2")), 4).as("vif"))
+      .orderBy("feature")
+  }
+
+  private val big38e = DecimalType(38, 0)
+
   val all: Seq[Q] = Seq(qIsotonic, qAuc, qLiftDeciles, qConfusionMatrix,
     qCalibration, qMrr, qIpsEstimate, qMapAtK, qFeatureCorrTarget,
-    qAucByGroup, qPrCurve, qKsModel, qBrierDecomp, qRegressionMetrics)
+    qAucByGroup, qPrCurve, qKsModel, qBrierDecomp, qRegressionMetrics,
+    qChi2FeatureSelect, qInfoGain, qDecisionStump, qCramersMatrix, qVif)
 }

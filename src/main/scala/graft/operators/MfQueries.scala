@@ -775,8 +775,83 @@ object MfQueries {
       .toDF("n_user_factors", "n_item_factors", "rank")
   }
 
+  /** Intra-list diversity of the q_rec_coverage top-3 recommendation
+    * lists: per-user average pairwise item dissimilarity, where two
+    * recommended parts are fully dissimilar (1) when they share neither
+    * brand nor type, half (0.5) when they share one, 0 when both — the
+    * "did we recommend three flavors of the same thing" metric that
+    * complements q_novelty_recs (novel ≠ diverse). Dissimilarities are
+    * exact ·10⁴ integers; the per-user mean is an integer DIV over the
+    * 3-pair bounded list, so the corpus mean is a reduction-order-proof
+    * integer sum. Part attributes join via broadcast (dimension table). */
+  val qIldRecs = Q(
+    "q_ild_recs",
+    s"""WITH ${Ratings.cte},
+       |im AS (
+       |  SELECT item_id,
+       |    CAST(SUM(CAST(rating AS DECIMAL(9,6))) AS DOUBLE) / count(*)
+       |      AS item_mean
+       |  FROM ratings GROUP BY 1),
+       |recs AS (
+       |  SELECT user_id, item_id FROM (
+       |    SELECT r.user_id, r.item_id,
+       |      row_number() OVER (PARTITION BY r.user_id
+       |        ORDER BY im.item_mean DESC, r.item_id) AS rk
+       |    FROM ratings r JOIN im ON r.item_id = im.item_id) z
+       |  WHERE rk <= 3),
+       |ri AS (
+       |  SELECT recs.user_id, recs.item_id, p_brand, p_type
+       |  FROM recs JOIN part ON recs.item_id = p_partkey),
+       |pairs AS (
+       |  SELECT a.user_id,
+       |    (CASE WHEN a.p_brand = b.p_brand THEN 0 ELSE 5000 END)
+       |    + (CASE WHEN a.p_type = b.p_type THEN 0 ELSE 5000 END) AS d4
+       |  FROM ri a JOIN ri b
+       |    ON a.user_id = b.user_id AND a.item_id < b.item_id),
+       |pu AS (
+       |  SELECT user_id, sum(d4) // count(*) AS ild4
+       |  FROM pairs GROUP BY user_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |  ROUND(CAST(sum(ild4) AS DOUBLE) / count(*) / 10000, 6)
+       |    AS mean_ild,
+       |  CAST(sum(CASE WHEN ild4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_monoculture
+       |FROM pu""".stripMargin) { (s, d) =>
+    val r = Ratings.view(s, d)
+    val itemScore = r.groupBy("item_id").agg(
+      (sum(col("rating").cast(DecimalType(9, 6))).cast(DoubleType) /
+        count(lit(1))).as("item_mean"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("item_mean").desc, col("item_id"))
+    val recs = r.join(itemScore, "item_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("user_id", "item_id")
+    val ri = recs.join(broadcast(t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))),
+        col("item_id") === col("p_partkey"))
+      .select("user_id", "item_id", "p_brand", "p_type")
+    val a = ri.select(col("user_id"), col("item_id").as("ia"),
+      col("p_brand").as("ba"), col("p_type").as("ta"))
+    val b = ri.select(col("user_id").as("ub"), col("item_id").as("ib"),
+      col("p_brand").as("bb"), col("p_type").as("tb"))
+    val pairs = a.join(b,
+        col("user_id") === col("ub") && col("ia") < col("ib"))
+      .select(col("user_id"),
+        (when(col("ba") === col("bb"), 0).otherwise(5000)
+          + when(col("ta") === col("tb"), 0).otherwise(5000)).as("d4"))
+    val pu = pairs.groupBy("user_id")
+      .agg(expr("sum(d4) DIV count(*)").as("ild4"))
+    pu.agg(count(lit(1)).cast(org.apache.spark.sql.types.LongType)
+        .as("n_users"),
+      round(sum(col("ild4")).cast(DoubleType) / count(lit(1)) / 10000, 6)
+        .as("mean_ild"),
+      sum(when(col("ild4") === 0, 1).otherwise(0))
+        .cast(org.apache.spark.sql.types.LongType).as("n_monoculture"))
+  }
+
   val all: Seq[Q] = Seq(
-    qMfImplicitTrain,
+    qMfImplicitTrain, qIldRecs,
     qNdcg, qPopBias, qUserRecsCf, qRatingBaseline,
     qRatingsView, qRatingsPivot, qMfAlsTrain, qMfPredict, qMfTopkRecs,
     qMfItemSim, qMfFoldin,

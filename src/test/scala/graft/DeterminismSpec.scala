@@ -206,7 +206,17 @@ class DeterminismSpec extends SparkTestBase {
     CurationQueries.qRakeKeywords, CurationQueries.qBlocklistAudit,
     // round 7 thirtieth batch: bounded-pool MMR argmax rounds, GlobalRank
     // ntile phase cuts
-    LlmQueries.qMmrSelect, LlmQueries.qCurriculumOrder)
+    LlmQueries.qMmrSelect, LlmQueries.qCurriculumOrder,
+    // round 7 thirty-first batch: exact-int prefix/spectral sums,
+    // quantized Welch weights, pooled-MSE pair panels
+    DiagQueries.qKpssTest, DiagQueries.qPeriodogram,
+    DiagQueries.qSpectralEntropy, DiagQueries.qWelchAnova,
+    DiagQueries.qTukeyHsd,
+    // round 7 thirty-second batch: quantized χ²/entropy cell terms,
+    // bounded-grid prefix argmin, co-moment VIF panel, per-user DIV means
+    EvalQueries.qChi2FeatureSelect, EvalQueries.qInfoGain,
+    EvalQueries.qDecisionStump, EvalQueries.qCramersMatrix,
+    EvalQueries.qVif, MfQueries.qIldRecs)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
