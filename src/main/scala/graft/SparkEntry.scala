@@ -25,7 +25,8 @@ object SparkEntry {
       operators.StatQueries.all ++
       operators.CurationQueries.all ++
       operators.ExplainQueries.all ++
-      operators.DiagQueries.all
+      operators.DiagQueries.all ++
+      operators.GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

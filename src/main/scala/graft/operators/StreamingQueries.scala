@@ -4,7 +4,7 @@ import graft.Q
 import graft.Dsl._
 import graft.streaming.StreamOps
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** §2.I streaming family, declared as deterministic batch-shape queries
   * (Verify executes batch only); true streaming semantics — watermark
@@ -582,7 +582,106 @@ object StreamingQueries {
       s"target/stream_sess_${math.abs(d.hashCode)}")
   }
 
+  /** Per-type one-sided CUSUM drift monitor maintained incrementally by
+    * `StreamOps.incrementalCusum` (14th incremental maintainer) over a
+    * real event_id-range micro-batch replay: the five-scalar segment
+    * state (sum, minPref, maxPref, rawBest, best) folds the closed form
+    * S_t = P_t − min(0, min_{j≤t} P_j) EXACTLY across batches, so the
+    * final (current, peak) equals this whole-history recompute (the
+    * oracle). Deviations are exact ·10⁶ integers vs the fixed ref=50
+    * target; the oracle's event_type-keyed prefix windows are the batch
+    * form of the same recursion. */
+  val qStreamCusum = Q(
+    "q_stream_cusum",
+    """WITH q AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(value * 1000000) AS BIGINT) - 50000000 AS d
+      |  FROM events),
+      |p AS (
+      |  SELECT event_id, event_type, d,
+      |    sum(d) OVER (PARTITION BY event_type ORDER BY event_id) AS pre
+      |  FROM q),
+      |m AS (
+      |  SELECT event_type, pre,
+      |    min(pre) OVER (PARTITION BY event_type ORDER BY event_id)
+      |      AS runmin
+      |  FROM p),
+      |pk AS (
+      |  SELECT event_type, count(*) AS n,
+      |    max(pre - LEAST(CAST(0 AS BIGINT), runmin)) AS peak
+      |  FROM m GROUP BY 1),
+      |cur AS (
+      |  SELECT event_type, sum(d) AS tot, min(pre) AS minp
+      |  FROM p GROUP BY 1)
+      |SELECT pk.event_type, CAST(n AS BIGINT) AS n_events,
+      |  ROUND(CAST(tot - LEAST(CAST(0 AS BIGINT), minp) AS DOUBLE)
+      |    / 1e6, 6) AS cusum_now,
+      |  ROUND(CAST(peak AS DOUBLE) / 1e6, 6) AS cusum_peak
+      |FROM pk JOIN cur ON pk.event_type = cur.event_type
+      |ORDER BY pk.event_type""".stripMargin) { (s, d) =>
+    val st = StreamOps.incrementalCusum(s, d,
+      s"target/stream_cusum_${math.abs(d.hashCode)}")
+    st.select(col("event_type"), col("n").cast(LongType).as("n_events"),
+        round((col("s") - least(lit(0L), col("minp")))
+          .cast(DoubleType) / 1e6, 6).as("cusum_now"),
+        round(col("best").cast(DoubleType) / 1e6, 6).as("cusum_peak"))
+      .orderBy("event_type")
+  }
+
+  /** Per-type value-vs-time trend OLS maintained incrementally by
+    * `StreamOps.incrementalRegression` (15th incremental maintainer):
+    * state (n, Σx, Σv, Σxx, Σxv, Σvv) merges by plain sums (wide sums on
+    * DECIMAL(38)), so slope/intercept/r² from the final state equal this
+    * whole-history recompute; the per-day drift rate every KPI page
+    * wants, kept warm without rescanning history. */
+  val qStreamRegression = Q(
+    "q_stream_regression",
+    """WITH q AS (
+      |  SELECT event_type, epoch_us(ts) // 1000000 AS x,
+      |    CAST(round(value * 1000000) AS BIGINT) AS v6
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(x) AS sx, sum(v6) AS sv,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(x AS HUGEINT) * v6) AS sxv,
+      |    sum(CAST(v6 AS HUGEINT) * v6) AS svv
+      |  FROM q GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    * 86400 / 1e6, 6) AS slope_per_day,
+      |  ROUND((CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
+      |    * (CAST(n AS DOUBLE) * CAST(sxv AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sv AS DOUBLE))
+      |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+      |      - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))), 6) AS r2
+      |FROM m ORDER BY event_type""".stripMargin) { (s, d) =>
+    val st = StreamOps.incrementalRegression(s, d,
+      s"target/stream_regression_${math.abs(d.hashCode)}")
+    val sl = (col("n").cast(DoubleType) * col("sxv").cast(DoubleType)
+      - col("sx").cast(DoubleType) * col("sv").cast(DoubleType))
+    st.select(col("event_type"), col("n").cast(LongType).as("n_events"),
+        round(sl
+          / (col("n").cast(DoubleType) * col("sxx").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+          * 86400 / 1e6, 6).as("slope_per_day"),
+        round(sl * sl
+          / ((col("n").cast(DoubleType) * col("sxx").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sx").cast(DoubleType))
+            * (col("n").cast(DoubleType) * col("svv").cast(DoubleType)
+              - col("sv").cast(DoubleType) * col("sv").cast(DoubleType))),
+          6).as("r2"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
+    qStreamCusum, qStreamRegression,
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg,
     qStreamIntervalJoin, qStreamChecksum, qStreamTopk, qStreamUpsert,

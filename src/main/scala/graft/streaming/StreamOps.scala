@@ -1086,6 +1086,151 @@ object StreamOps {
     sessionRollup(spark.read.parquet(s"$stateBase/v$version"))
   }
 
+  /** Incremental one-sided CUSUM monitor (14th incremental maintainer):
+    * per event_type, the classic S_t = max(0, S_{t-1} + (v − ref))
+    * drift alarm over the event log in event_id order, maintained across
+    * batches by the EXACT segment-merge of the closed form
+    * S_t = P_t − min(0, min_{j≤t} P_j): state per type is
+    * (sum, minPref, maxPref, rawBest, best) — five scalars — with the
+    * non-commutative merge
+    *   best'    = max(bestA, sA + maxPrefB − min(0, minPrefA), rawBestB)
+    *   rawBest' = max(rawBestA, rawBestB, sA + maxPrefB − minPrefA)
+    *   minPref' = min(minPrefA, sA + minPrefB)   (maxPref/sum dual).
+    * Batches are event_id-RANGE slices replayed oldest-first (the
+    * writeOrderedSlices prefix contract), so the fold is exactly the
+    * whole-history recursion for ANY slice count. Deviations are exact
+    * ·10⁶ integers against the fixed reference (ref = 50.0); no doubles
+    * in state. A 100 TB feed keeps the alarm warm from each batch's
+    * five-scalar-per-type digest. */
+  def incrementalCusum(spark: SparkSession, sfDir: String,
+      workDir: String, nBatches: Int = 4, ref6: Long = 50000000L)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = s"$workDir/src"
+    val e = graft.Tables.tsAsTimestamp(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("event_type"),
+        (round(col("value") * 1000000L).cast(LongType) - ref6).as("d"))
+    writeOrderedSlices(e, src, nBatches)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val stateBase = s"$workDir/state"
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = Window.partitionBy("event_type").orderBy("event_id")
+        val pre = batch
+          .withColumn("pre", sum(col("d")).over(w))
+          .withColumn("runmin", min(col("pre")).over(w))
+        val partial = pre.groupBy("event_type").agg(
+          count(lit(1)).as("b_n"),
+          sum(col("d")).as("b_sum"),
+          min(col("pre")).as("b_minp"),
+          max(col("pre")).as("b_maxp"),
+          max(col("pre") - col("runmin")).as("b_rawbest"))
+        val merged =
+          if (version < 0)
+            partial.select(col("event_type"),
+              col("b_n").as("n"), col("b_sum").as("s"),
+              col("b_minp").as("minp"), col("b_maxp").as("maxp"),
+              col("b_rawbest").as("rawbest"),
+              greatest(col("b_maxp"), col("b_rawbest")).as("best"))
+          else {
+            val st = spark.read.parquet(s"$stateBase/v$version")
+            st.join(partial, Seq("event_type"), "full_outer")
+              .select(col("event_type"),
+                (coalesce(col("n"), lit(0L))
+                  + coalesce(col("b_n"), lit(0L))).as("n"),
+                (coalesce(col("s"), lit(0L))
+                  + coalesce(col("b_sum"), lit(0L))).as("s"),
+                when(col("b_minp").isNull, col("minp"))
+                  .when(col("minp").isNull, col("b_minp"))
+                  .otherwise(least(col("minp"),
+                    col("s") + col("b_minp"))).as("minp"),
+                when(col("b_maxp").isNull, col("maxp"))
+                  .when(col("maxp").isNull, col("b_maxp"))
+                  .otherwise(greatest(col("maxp"),
+                    col("s") + col("b_maxp"))).as("maxp"),
+                when(col("b_rawbest").isNull, col("rawbest"))
+                  .when(col("rawbest").isNull, col("b_rawbest"))
+                  .otherwise(greatest(col("rawbest"), col("b_rawbest"),
+                    col("s") + col("b_maxp") - col("minp")))
+                  .as("rawbest"),
+                when(col("b_maxp").isNull, col("best"))
+                  .when(col("best").isNull,
+                    greatest(col("b_maxp"), col("b_rawbest")))
+                  .otherwise(greatest(col("best"),
+                    col("s") + col("b_maxp")
+                      - least(lit(0L), col("minp")),
+                    col("b_rawbest"))).as("best"))
+          }
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        version = batchId
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$stateBase/v$version")
+  }
+
+  /** Incremental per-type trend regression (15th incremental
+    * maintainer): state is the five exact co-moment sums of
+    * value(·10⁶) on event-time seconds — (n, Σx, Σv, Σxx, Σxv, Σvv) —
+    * merged by plain addition (Σxx/Σxv/Σvv on DECIMAL(38), overflow-
+    * proof to sf≫100), so the maintained state equals the one-shot
+    * recompute for any batch count and the OLS slope/r² finalize on the
+    * bounded per-type panel. The streaming answer to "is this metric
+    * drifting, and how fast per day". */
+  def incrementalRegression(spark: SparkSession, sfDir: String,
+      workDir: String, nBatches: Int = 4): DataFrame = {
+    val big38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val src = s"$workDir/src"
+    val events = graft.Tables.tsAsTimestamp(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    events.select(col("event_type"),
+        expr("unix_micros(ts) DIV 1000000").as("x"),
+        round(col("value") * 1000000L).cast(LongType).as("v6"))
+      .repartition(nBatches)
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val stateBase = s"$workDir/state"
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch.groupBy("event_type")
+          .agg(count(lit(1)).cast(LongType).as("n"),
+            sum(col("x")).cast(LongType).as("sx"),
+            sum(col("v6")).cast(LongType).as("sv"),
+            sum(col("x").cast(big38) * col("x")).cast(big38).as("sxx"),
+            sum(col("x").cast(big38) * col("v6")).cast(big38).as("sxv"),
+            sum(col("v6").cast(big38) * col("v6")).cast(big38).as("svv"))
+        val merged =
+          if (version < 0) partial
+          else spark.read.parquet(s"$stateBase/v$version")
+            .unionByName(partial)
+            .groupBy("event_type")
+            .agg(sum(col("n")).cast(LongType).as("n"),
+              sum(col("sx")).cast(LongType).as("sx"),
+              sum(col("sv")).cast(LongType).as("sv"),
+              sum(col("sxx")).cast(big38).as("sxx"),
+              sum(col("sxv")).cast(big38).as("sxv"),
+              sum(col("svv")).cast(big38).as("svv"))
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        version = batchId
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$stateBase/v$version")
+  }
+
   /** Corpus rollup of a per-user session ledger: one bounded row. */
   def sessionRollup(ledger: DataFrame): DataFrame =
     ledger.agg(count(lit(1)).cast(LongType).as("n_users"),

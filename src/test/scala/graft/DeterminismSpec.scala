@@ -216,7 +216,11 @@ class DeterminismSpec extends SparkTestBase {
     // bounded-grid prefix argmin, co-moment VIF panel, per-user DIV means
     EvalQueries.qChi2FeatureSelect, EvalQueries.qInfoGain,
     EvalQueries.qDecisionStump, EvalQueries.qCramersMatrix,
-    EvalQueries.qVif, MfQueries.qIldRecs)
+    EvalQueries.qVif, MfQueries.qIldRecs,
+    // round 7 thirty-third batch: fixed-horizon path doubling, per-round
+    // re-quantized power iteration, integer walk counts, modularity DIVs
+    GraphQueries.qClosenessCentrality, GraphQueries.qEigenvectorCentrality,
+    GraphQueries.qKatzCentrality, GraphQueries.qModularityRegions)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

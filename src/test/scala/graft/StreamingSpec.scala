@@ -517,4 +517,50 @@ class StreamingSpec extends SparkTestBase {
           .otherwise(0L)).as("n_sess")))
     assert(s4.exceptAll(direct).isEmpty && direct.exceptAll(s4).isEmpty)
   }
+
+  test("incrementalCusum state is batch-boundary-independent and matches " +
+      "the whole-history closed form") {
+    // the five-scalar segment merge is non-commutative; the event_id-range
+    // prefix replay makes the fold exactly the whole-history recursion
+    val c4 = StreamOps.incrementalCusum(spark, sf, "target/test_cus4")
+    val c3 = StreamOps.incrementalCusum(spark, sf, "target/test_cus3", 3)
+    assert(c4.exceptAll(c3).isEmpty && c3.exceptAll(c4).isEmpty)
+    // one-shot: S_t = P_t − min(0, min_{j≤t} P_j) via per-type windows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("event_id")
+    val stateView = c4.select(col("event_type"), col("n"), col("s"),
+      col("minp"), col("maxp"), col("rawbest"), col("best"))
+    val directBest = Tables.tsAsTimestamp(Tables.load(spark, sf, "events"))
+      .select(col("event_id"), col("event_type"),
+        (round(col("value") * 1000000L).cast("long") - 50000000L).as("d"))
+      .withColumn("pre", sum(col("d")).over(w))
+      .withColumn("runmin", min(col("pre")).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("s"),
+        min(col("pre")).as("minp"), max(col("pre")).as("maxp"),
+        max(col("pre") - col("runmin")).as("rawbest"),
+        max(col("pre") - least(lit(0L), col("runmin"))).as("best"))
+    assert(stateView.exceptAll(directBest).isEmpty
+      && directBest.exceptAll(stateView).isEmpty)
+  }
+
+  test("incrementalRegression co-moments are batch-boundary-independent " +
+      "and match the one-shot recompute") {
+    val r4 = StreamOps.incrementalRegression(spark, sf, "target/test_reg4")
+    val r2 = StreamOps.incrementalRegression(spark, sf, "target/test_reg2", 2)
+    assert(r4.exceptAll(r2).isEmpty && r2.exceptAll(r4).isEmpty)
+    val big38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val direct = Tables.tsAsTimestamp(Tables.load(spark, sf, "events"))
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 1000000").as("x"),
+        round(col("value") * 1000000L).cast("long").as("v6"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("v6")).cast("long").as("sv"),
+        sum(col("x").cast(big38) * col("x")).cast(big38).as("sxx"),
+        sum(col("x").cast(big38) * col("v6")).cast(big38).as("sxv"),
+        sum(col("v6").cast(big38) * col("v6")).cast(big38).as("svv"))
+    assert(r4.exceptAll(direct).isEmpty && direct.exceptAll(r4).isEmpty)
+  }
 }
