@@ -26,7 +26,8 @@ object SparkEntry {
       operators.CurationQueries.all ++
       operators.ExplainQueries.all ++
       operators.DiagQueries.all ++
-      operators.GraphQueries.all
+      operators.GraphQueries.all ++
+      operators.ProfileQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -220,7 +220,11 @@ class DeterminismSpec extends SparkTestBase {
     // round 7 thirty-third batch: fixed-horizon path doubling, per-round
     // re-quantized power iteration, integer walk counts, modularity DIVs
     GraphQueries.qClosenessCentrality, GraphQueries.qEigenvectorCentrality,
-    GraphQueries.qKatzCentrality, GraphQueries.qModularityRegions)
+    GraphQueries.qKatzCentrality, GraphQueries.qModularityRegions,
+    // round 7 thirty-fourth batch: cell-grid pair products, quantized
+    // user-entropy sums, GlobalRank deciles, quantized smoothing weights
+    ProfileQueries.qCIndex, ProfileQueries.qUserEntropy,
+    ProfileQueries.qExpSmooth, ProfileQueries.qKendallW)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
