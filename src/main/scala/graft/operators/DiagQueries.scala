@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.Dsl._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1285,8 +1285,158 @@ object DiagQueries {
       when(abs(z) > 1.96, 1).otherwise(0).as("significant"))
   }
 
+  /** Hyndman trend/seasonal STRENGTH of the daily revenue series — the
+    * one-number "is this series forecastable, and by what" summary over
+    * the q_decompose components: F = max(0, 1 − Var(R)/Var(X+R)). The
+    * decomposition stays EXACT end-to-end: det7 = 7·y − Σ₇y is integer,
+    * the per-dow seasonal is quantized to one integer per dow (the
+    * q_anova ssw idiom), so the residual series is integer and all three
+    * variances come from exact DECIMAL(38) moments; the two F ratios are
+    * one-row double expressions. */
+  val qDecompStrength = Q(
+    "q_decomp_strength",
+    """WITH series AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    isodow(CAST(o_orderdate AS DATE)) AS dow,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT day, dow, cents,
+      |    sum(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |      AND 3 FOLLOWING) AS tsum,
+      |    count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |      AND 3 FOLLOWING) AS tn
+      |  FROM series),
+      |full7 AS (
+      |  SELECT day, dow, cents, 7 * cents - tsum AS det7
+      |  FROM tr WHERE tn = 7),
+      |seas AS (
+      |  SELECT dow,
+      |    CAST(round(CAST(sum(det7) AS DOUBLE) / count(*)) AS BIGINT)
+      |      AS s7q
+      |  FROM full7 GROUP BY dow),
+      |r AS (
+      |  SELECT f.det7 - s.s7q AS r700, f.det7,
+      |    7 * f.cents - s.s7q AS tr700
+      |  FROM full7 f JOIN seas s ON f.dow = s.dow),
+      |mo AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(r700 AS HUGEINT)) AS sr,
+      |    sum(CAST(r700 AS HUGEINT) * r700) AS srr,
+      |    sum(CAST(det7 AS HUGEINT)) AS sd,
+      |    sum(CAST(det7 AS HUGEINT) * det7) AS sdd,
+      |    sum(CAST(tr700 AS HUGEINT)) AS st,
+      |    sum(CAST(tr700 AS HUGEINT) * tr700) AS stt
+      |  FROM r)
+      |SELECT CAST(n AS BIGINT) AS n_days,
+      |  ROUND(GREATEST(0, 1 - (CAST(srr AS DOUBLE)
+      |      - CAST(sr AS DOUBLE) * sr / CAST(n AS DOUBLE))
+      |    / (CAST(stt AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * st / CAST(n AS DOUBLE))), 6)
+      |    AS trend_strength,
+      |  ROUND(GREATEST(0, 1 - (CAST(srr AS DOUBLE)
+      |      - CAST(sr AS DOUBLE) * sr / CAST(n AS DOUBLE))
+      |    / (CAST(sdd AS DOUBLE)
+      |      - CAST(sd AS DOUBLE) * sd / CAST(n AS DOUBLE))), 6)
+      |    AS seasonal_strength
+      |FROM mo""".stripMargin) { (s, d) =>
+    val series = t(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("day"),
+        dayofweek(col("o_orderdate")).as("dowRaw"))
+      .agg((sum(dec2(col("o_totalprice")) * 100)).cast(LongType)
+        .as("cents"))
+      // isodow: Mon=1..Sun=7; Spark dayofweek: Sun=1..Sat=7
+      .withColumn("dow", when(col("dowRaw") === 1, 7)
+        .otherwise(col("dowRaw") - 1))
+    val wTr = Window.orderBy("day").rowsBetween(-3, 3)
+    val tr = series
+      .withColumn("tsum", sum(col("cents")).over(wTr))
+      .withColumn("tn", count(lit(1)).over(wTr))
+    val full7 = tr.filter(col("tn") === 7)
+      .select(col("day"), col("dow"), col("cents"),
+        (lit(7) * col("cents") - col("tsum")).as("det7"))
+    val seas = full7.groupBy("dow")
+      .agg(round(sum(col("det7")).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as("s7q"))
+    val r = full7.join(broadcast(seas.withColumnRenamed("dow", "sdow")),
+        col("dow") === col("sdow"))
+      .select((col("det7") - col("s7q")).as("r700"), col("det7"),
+        (lit(7) * col("cents") - col("s7q")).as("tr700"))
+    val mo = r.agg(count(lit(1)).cast(big38).as("n"),
+      sum(col("r700").cast(big38)).as("sr"),
+      sum(col("r700").cast(big38) * col("r700")).as("srr"),
+      sum(col("det7").cast(big38)).as("sd"),
+      sum(col("det7").cast(big38) * col("det7")).as("sdd"),
+      sum(col("tr700").cast(big38)).as("st"),
+      sum(col("tr700").cast(big38) * col("tr700")).as("stt"))
+    def cvar(sq: String, sm: String): Column =
+      col(sq).cast(DoubleType)
+        .minus(col(sm).cast(DoubleType) * col(sm) / col("n").cast(DoubleType))
+    mo.select(col("n").cast(LongType).as("n_days"),
+      round(greatest(lit(0), lit(1) - cvar("srr", "sr") / cvar("stt", "st")),
+        6).as("trend_strength"),
+      round(greatest(lit(0), lit(1) - cvar("srr", "sr") / cvar("sdd", "sd")),
+        6).as("seasonal_strength"))
+  }
+
+  /** Hampel outlier filter on daily revenue: a point is an outlier when
+    * it sits more than 3 robust sigmas (1.4826·MAD) from the rolling
+    * 15-day median — the despiking pass that precedes any trend fit
+    * (q_rolling_zscore's mean/σ version breaks down when the window
+    * itself contains the spike; median/MAD does not). Window medians are
+    * exact mid-elements of sorted 15-element arrays (odd window, no
+    * averaging); the flag compare is |x−med|·10000 vs 3·14826·mad/10 —
+    * pure integers. Output: the flagged days. */
+  val qHampelFilter = Q(
+    "q_hampel_filter",
+    """WITH series AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |wd AS (
+      |  SELECT day, cents,
+      |    list_sort(list(cents) OVER (ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING)) AS wlist,
+      |    count(*) OVER (ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING) AS wn
+      |  FROM series),
+      |med AS (
+      |  SELECT day, cents, wlist[8] AS wmed
+      |  FROM wd WHERE wn = 15)
+      |SELECT day, ROUND(CAST(cents AS DOUBLE) / 100, 2) AS revenue,
+      |  ROUND(CAST(wmed AS DOUBLE) / 100, 2) AS window_median
+      |FROM med
+      |WHERE abs(cents - wmed) * 10000 > 3 * 12533
+      |  * (SELECT CAST(round(CAST(sum(abs(cents - wmed)) AS DOUBLE)
+      |      / count(*)) AS BIGINT) FROM med)
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val series = t(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("day"))
+      .agg((sum(dec2(col("o_totalprice")) * 100)).cast(LongType)
+        .as("cents"))
+    val w15 = Window.orderBy("day").rowsBetween(-7, 7)
+    val wd = series
+      .withColumn("wlist", collect_list(col("cents")).over(w15))
+      .withColumn("wn", count(lit(1)).over(w15))
+    val med = wd.filter(col("wn") === 15)
+      .select(col("day"), col("cents"),
+        element_at(array_sort(col("wlist")), 8).as("wmed"))
+    val madScale = med.agg(
+      round(sum(abs(col("cents") - col("wmed"))).cast(DoubleType)
+        / count(lit(1))).cast(LongType).as("madq"))
+    med.crossJoin(broadcast(madScale))
+      .filter(abs(col("cents") - col("wmed")) * 10000
+        > lit(3) * 12533 * col("madq"))
+      .select(col("day"),
+        round(col("cents").cast(DoubleType) / 100, 2).as("revenue"),
+        round(col("wmed").cast(DoubleType) / 100, 2).as("window_median"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(qDurbinWatson, qBreuschPagan, qChowTest, qBartlett,
     qChi2Gof, qWilcoxonSigned, qMaxDrawdown, qRsi, qBollinger, qPacf,
     qAdfTest, qKpssTest, qPeriodogram, qSpectralEntropy, qMannKendall,
-    qWelchAnova, qTukeyHsd, qPoissonRatio)
+    qWelchAnova, qTukeyHsd, qPoissonRatio, qDecompStrength, qHampelFilter)
 }

@@ -3718,7 +3718,322 @@ object LlmQueries {
       .orderBy("phase")
   }
 
+  /** Burrows' Delta authorship/register distance between corpus sources:
+    * per-source rates (per-1000-token, exact integer DIV) of eight
+    * function words, z-scored across the bounded source panel, then
+    * Δ(a,b) = mean |z_a − z_b| per source pair — the stylometry screen
+    * that flags a source whose "voice" shifted (scraper broke, new
+    * upstream, template change). All cross-row sums are exact integers
+    * (rates and z·10⁶ quantized per row); σ per word comes from exact
+    * 5-row moments. */
+  val qBurrowsDelta = Q(
+    "q_burrows_delta",
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |st AS (SELECT source, count(*) AS nt FROM toks GROUP BY 1),
+      |fw AS (
+      |  SELECT source, term, count(*) AS c FROM toks
+      |  WHERE term IN ('scan','column','window','order','sort','part',
+      |    'agg','key')
+      |  GROUP BY 1, 2),
+      |rate AS (
+      |  SELECT st.source, w.term,
+      |    COALESCE(fw.c, 0) * 1000000 // st.nt AS r6
+      |  FROM st CROSS JOIN (
+      |    SELECT unnest(['scan','column','window','order','sort','part',
+      |      'agg','key']) AS term) w
+      |  LEFT JOIN fw ON fw.source = st.source AND fw.term = w.term),
+      |mo AS (
+      |  SELECT term, count(*) AS k, sum(r6) AS s,
+      |    sum(CAST(r6 AS HUGEINT) * r6) AS sq
+      |  FROM rate GROUP BY 1),
+      |z AS (
+      |  SELECT rate.source, rate.term,
+      |    CASE WHEN k * sq - s * s <= 0 THEN 0
+      |      ELSE CAST(round((r6 - CAST(s AS DOUBLE) / k)
+      |        / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / k) / k)
+      |        * 1000000) AS BIGINT) END AS z6
+      |  FROM rate JOIN mo ON rate.term = mo.term),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    sum(abs(a.z6 - b.z6)) // count(*) AS d6
+      |  FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b,
+      |  ROUND(CAST(d6 AS DOUBLE) / 1e6, 6) AS burrows_delta
+      |FROM pairs ORDER BY source_a, source_b""".stripMargin) { (s, d) =>
+    val words = Seq("scan", "column", "window", "order", "sort", "part",
+      "agg", "key")
+    val toks = t(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+    val st = toks.groupBy("source").agg(count(lit(1)).as("nt"))
+    val fw = toks.filter(col("term").isin(words: _*))
+      .groupBy(col("source").as("fsource"), col("term").as("fterm"))
+      .agg(count(lit(1)).as("c"))
+    import s.implicits._
+    val w = words.toDF("term")
+    val rate = st.crossJoin(broadcast(w))
+      .join(fw, col("source") === col("fsource")
+        && col("term") === col("fterm"), "left")
+      .select(col("source"), col("term"),
+        expr("coalesce(c, 0) * 1000000 DIV nt").as("r6"))
+    val mo = rate.groupBy(col("term").as("mterm")).agg(
+      count(lit(1)).as("k"), sum(col("r6")).as("s"),
+      sum(col("r6").cast(DecimalType(38, 0)) * col("r6")).as("sq"))
+    val z = rate.join(broadcast(mo), col("term") === col("mterm"))
+      .select(col("source"), col("term"),
+        when(col("k") * col("sq") - col("s") * col("s") <= 0, lit(0L))
+          .otherwise(round((col("r6") - col("s").cast(DoubleType) / col("k"))
+            / sqrt((col("sq").cast(DoubleType)
+              - col("s").cast(DoubleType) * col("s") / col("k"))
+              / col("k"))
+            * 1000000).cast(LongType)).as("z6"))
+    val a = z.select(col("source").as("source_a"), col("term"),
+      col("z6").as("za"))
+    val b = z.select(col("source").as("source_b"),
+      col("term").as("bterm"), col("z6").as("zb"))
+    val pairs = a.join(b, col("term") === col("bterm")
+        && col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(expr("sum(abs(za - zb)) DIV count(*)").as("d6"))
+    pairs.select(col("source_a"), col("source_b"),
+        round(col("d6").cast(DoubleType) / 1e6, 6).as("burrows_delta"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Per-class precision/recall/F1 + overall accuracy for the
+    * q_text_langid heuristic against the labeled lang column — closing
+    * the eval loop on the engine's own classifier (the confusion matrix
+    * q_text_langid emits, priced into the metrics every model card
+    * wants). Exact integer TP/FP/FN; metrics are ·10⁶ integer DIVs. */
+  val qLangidMetrics = Q(
+    "q_langid_metrics",
+    """WITH p AS (
+      |  SELECT lang,
+      |    CASE WHEN vr > 0.34 THEN 'es' WHEN vr > 0.32 THEN 'en'
+      |         WHEN vr > 0.30 THEN 'fr' WHEN vr > 0.28 THEN 'de'
+      |         ELSE 'zh' END AS predicted
+      |  FROM (SELECT lang,
+      |          CAST(length(text) - length(translate(text, 'aeiou', ''))
+      |               AS DOUBLE) / length(text) AS vr
+      |        FROM documents) v),
+      |cls AS (SELECT DISTINCT lang AS c FROM p),
+      |m AS (
+      |  SELECT cls.c,
+      |    (SELECT count(*) FROM p WHERE lang = cls.c
+      |      AND predicted = cls.c) AS tp,
+      |    (SELECT count(*) FROM p WHERE lang <> cls.c
+      |      AND predicted = cls.c) AS fp,
+      |    (SELECT count(*) FROM p WHERE lang = cls.c
+      |      AND predicted <> cls.c) AS fn
+      |  FROM cls),
+      |acc AS (
+      |  SELECT sum(CASE WHEN lang = predicted THEN 1 ELSE 0 END)
+      |    * 1000000 // count(*) AS a6
+      |  FROM p)
+      |SELECT c AS lang, CAST(tp AS BIGINT) AS tp,
+      |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+      |  ROUND(CAST(CASE WHEN tp + fp > 0
+      |    THEN tp * 1000000 // (tp + fp) ELSE 0 END AS DOUBLE) / 1e6, 6)
+      |    AS precision,
+      |  ROUND(CAST(CASE WHEN tp + fn > 0
+      |    THEN tp * 1000000 // (tp + fn) ELSE 0 END AS DOUBLE) / 1e6, 6)
+      |    AS recall,
+      |  ROUND(CAST(CASE WHEN 2 * tp + fp + fn > 0
+      |    THEN 2 * tp * 1000000 // (2 * tp + fp + fn) ELSE 0 END
+      |    AS DOUBLE) / 1e6, 6) AS f1,
+      |  ROUND(CAST(a6 AS DOUBLE) / 1e6, 6) AS overall_accuracy
+      |FROM m, acc ORDER BY lang""".stripMargin) { (s, d) =>
+    val p = graft.llm.TextOps.langIdConfusion(t(s, d, "documents"))
+    // confusion counts → per-class tp/fp/fn by conditional sums
+    val perClass = p
+      .select(col("lang"), col("predicted"), col("cnt"))
+    val classes = perClass.select(col("lang").as("c")).distinct()
+    val m = classes
+      .crossJoin(broadcast(perClass))
+      .groupBy("c")
+      .agg(
+        sum(when(col("lang") === col("c")
+          && col("predicted") === col("c"), col("cnt")).otherwise(0L))
+          .as("tp"),
+        sum(when(col("lang") =!= col("c")
+          && col("predicted") === col("c"), col("cnt")).otherwise(0L))
+          .as("fp"),
+        sum(when(col("lang") === col("c")
+          && col("predicted") =!= col("c"), col("cnt")).otherwise(0L))
+          .as("fn"))
+    val acc = perClass.agg(
+      expr("sum(CASE WHEN lang = predicted THEN cnt ELSE 0 END)" +
+        " * 1000000 DIV sum(cnt)").as("a6"))
+    m.crossJoin(broadcast(acc))
+      .select(col("c").as("lang"), col("tp").cast(LongType).as("tp"),
+        col("fp").cast(LongType).as("fp"),
+        col("fn").cast(LongType).as("fn"),
+        round(expr("CASE WHEN tp + fp > 0" +
+          " THEN tp * 1000000 DIV (tp + fp) ELSE 0 END")
+          .cast(DoubleType) / 1e6, 6).as("precision"),
+        round(expr("CASE WHEN tp + fn > 0" +
+          " THEN tp * 1000000 DIV (tp + fn) ELSE 0 END")
+          .cast(DoubleType) / 1e6, 6).as("recall"),
+        round(expr("CASE WHEN 2 * tp + fp + fn > 0" +
+          " THEN 2 * tp * 1000000 DIV (2 * tp + fp + fn) ELSE 0 END")
+          .cast(DoubleType) / 1e6, 6).as("f1"),
+        round(col("a6").cast(DoubleType) / 1e6, 6).as("overall_accuracy"))
+      .orderBy("lang")
+  }
+
+  /** Int8 symmetric-quantization audit of the embedding corpus — the
+    * compression decision every billion-vector ANN index makes (4×
+    * smaller, how much recall risk?): per vector, scale = 127/max|x|,
+    * q_i = round(x_i·scale), and the reconstruction's cosine + max
+    * absolute error vs the original. Per-vector doubles (identical op
+    * order) quantize to ·10⁶/·10⁹ integers BEFORE the corpus sums;
+    * the worst-vector argmax is an integer argmax. */
+  val qEmbedQuantizeAudit = Q(
+    "q_embed_quantize_audit",
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |sc AS (
+      |  SELECT vec_id, e,
+      |    127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+      |  FROM v),
+      |rc AS (
+      |  SELECT vec_id, e,
+      |    list_transform(e, x -> round(x * scale) / scale) AS r
+      |  FROM sc),
+      |pv AS (
+      |  SELECT vec_id,
+      |    CAST(round(list_inner_product(e, r)
+      |      / sqrt(list_inner_product(e, e))
+      |      / sqrt(list_inner_product(r, r)) * 1000000) AS BIGINT) AS c6,
+      |    CAST(round(list_max(list_transform(
+      |      generate_series(1, len(e)), i -> abs(e[i] - r[i])))
+      |      * 1000000000) AS BIGINT) AS me9
+      |  FROM rc)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |  ROUND(CAST(sum(c6) AS DOUBLE) / count(*) / 1e6, 6)
+      |    AS mean_cosine,
+      |  ROUND(CAST(max(me9) AS DOUBLE) / 1e9, 6) AS worst_abs_err,
+      |  ROUND(CAST(sum(me9) AS DOUBLE) / count(*) / 1e9, 6)
+      |    AS mean_max_abs_err
+      |FROM pv""".stripMargin) { (s, d) =>
+    val v = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val sc = v.withColumn("scale",
+      lit(127.0) / array_max(transform(col("e"), x => abs(x))))
+    val rc = sc.withColumn("r",
+      transform(col("e"), x => round(x * col("scale")) / col("scale")))
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val pv = rc.select(col("vec_id"),
+      round(dot(col("e"), col("r"))
+        / sqrt(dot(col("e"), col("e")))
+        / sqrt(dot(col("r"), col("r"))) * 1000000).cast(LongType).as("c6"),
+      round(array_max(zip_with(col("e"), col("r"),
+        (x, y) => abs(x - y))) * 1000000000L).cast(LongType).as("me9"))
+    pv.agg(count(lit(1)).cast(LongType).as("n_vectors"),
+      round(sum(col("c6")).cast(DoubleType) / count(lit(1)) / 1e6, 6)
+        .as("mean_cosine"),
+      round(max(col("me9")).cast(DoubleType) / 1e9, 6).as("worst_abs_err"),
+      round(sum(col("me9")).cast(DoubleType) / count(lit(1)) / 1e9, 6)
+        .as("mean_max_abs_err"))
+  }
+
+  /** TextRank keyword extraction: PageRank (d = 0.85, two quantized
+    * rounds) over the symmetric adjacent-token co-occurrence graph
+    * (edge weight = bigram count, edges below 5 pruned) — the zero-model
+    * graph-ranking complement to q_rake_keywords and q_tfidf_topterms.
+    * Scores live as exact ·10¹² integers: per-edge contributions are
+    * (q12·w) DIV outw, teleport is an integer DIV, every round's state
+    * is exactly reproducible at any parallelism (the
+    * q_eigenvector_centrality contract on an UNBOUNDED vocabulary graph
+    * — all joins are term-keyed shuffles, no driver state). */
+  val qTextrank = Q(
+    "q_textrank",
+    """WITH sp AS (SELECT string_split(text, ' ') AS sp FROM documents),
+      |toks AS (
+      |  SELECT sp[k] AS a, sp[k+1] AS b
+      |  FROM sp, generate_series(1, 4000) AS g(k)
+      |  WHERE k < len(sp)),
+      |big AS (
+      |  SELECT a, b, count(*) AS c FROM toks WHERE a <> b GROUP BY 1, 2),
+      |sym AS (
+      |  SELECT u, v, sum(c) AS w FROM (
+      |    SELECT a AS u, b AS v, c FROM big
+      |    UNION ALL SELECT b, a, c FROM big) x
+      |  GROUP BY 1, 2 HAVING sum(c) >= 5),
+      |ow AS (SELECT u, CAST(sum(w) AS HUGEINT) AS outw FROM sym
+      |       GROUP BY 1),
+      |nv AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM ow),
+      |r0 AS (
+      |  SELECT u AS id, CAST(1000000000000 AS HUGEINT) // n AS q12
+      |  FROM ow, nv),
+      |c1 AS (
+      |  SELECT sym.v AS id,
+      |    sum((r0.q12 * sym.w) // ow.outw) AS infl
+      |  FROM sym JOIN r0 ON sym.u = r0.id JOIN ow ON sym.u = ow.u
+      |  GROUP BY sym.v),
+      |r1 AS (
+      |  SELECT ow.u AS id,
+      |    CAST(15000000000000 AS HUGEINT) // (100 * nv.n)
+      |      + (85 * COALESCE(c1.infl, 0)) // 100 AS q12
+      |  FROM ow CROSS JOIN nv LEFT JOIN c1 ON c1.id = ow.u),
+      |c2 AS (
+      |  SELECT sym.v AS id,
+      |    sum((r1.q12 * sym.w) // ow.outw) AS infl
+      |  FROM sym JOIN r1 ON sym.u = r1.id JOIN ow ON sym.u = ow.u
+      |  GROUP BY sym.v),
+      |r2 AS (
+      |  SELECT ow.u AS id,
+      |    CAST(15000000000000 AS HUGEINT) // (100 * nv.n)
+      |      + (85 * COALESCE(c2.infl, 0)) // 100 AS q12
+      |  FROM ow CROSS JOIN nv LEFT JOIN c2 ON c2.id = ow.u)
+      |SELECT id AS term, ROUND(CAST(q12 AS DOUBLE) / 1e12, 6) AS textrank
+      |FROM r2 ORDER BY q12 DESC, id LIMIT 20""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val toks = t(s, d, "documents")
+      .select(split(col("text"), " ").as("sp"))
+      .select(col("sp"), explode(sequence(lit(1), size(col("sp")) - 1))
+        .as("k"))
+      .select(element_at(col("sp"), col("k")).as("a"),
+        element_at(col("sp"), col("k") + 1).as("b"))
+    val big = toks.filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val sym = big.select(col("a").as("u"), col("b").as("v"), col("c"))
+      .unionByName(big.select(col("b").as("u"), col("a").as("v"),
+        col("c")))
+      .groupBy("u", "v").agg(sum(col("c")).as("w"))
+      .filter(col("w") >= 5)
+      .localCheckpoint()
+    val ow = sym.groupBy("u").agg(sum(col("w")).cast(big38).as("outw"))
+    val nv = ow.agg(count(lit(1)).cast(big38).as("n"))
+    val r0 = ow.crossJoin(broadcast(nv))
+      .select(col("u").as("id"),
+        expr("CAST(1000000000000 AS DECIMAL(38,0)) DIV n").as("q12"))
+    def step(r: DataFrame): DataFrame = {
+      val infl = sym
+        .join(r.withColumnRenamed("id", "rid"), col("u") === col("rid"))
+        .join(ow.withColumnRenamed("u", "ou").withColumnRenamed(
+          "outw", "outw2"), col("u") === col("ou"))
+        .groupBy(col("v").as("iid"))
+        .agg(sum(expr("(CAST(q12 AS DECIMAL(38,0)) * w) DIV outw2"))
+          .as("infl"))
+      ow.crossJoin(broadcast(nv))
+        .join(infl, col("u") === col("iid"), "left")
+        .select(col("u").as("id"),
+          (expr("CAST(15000000000000 AS DECIMAL(38,0)) DIV (100 * n)")
+            + expr("(85 * coalesce(infl, 0)) DIV 100")).as("q12"))
+    }
+    val r2 = step(step(r0))
+    r2.orderBy(col("q12").desc, col("id")).limit(20)
+      .select(col("id").as("term"),
+        round(col("q12").cast(DoubleType) / 1e12, 6).as("textrank"))
+  }
+
   val all: Seq[Q] = Seq(
+    qBurrowsDelta, qLangidMetrics, qEmbedQuantizeAudit, qTextrank,
     qLlrBigrams, qHapaxRatio, qDecontaminateEmbed, qMmrSelect,
     qCurriculumOrder,
     qRrfFusion, qSemdedup, qTokenizerFertility,

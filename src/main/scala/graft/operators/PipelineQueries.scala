@@ -1653,7 +1653,129 @@ object PipelineQueries {
         .agg(count(lit(1)).as("c")))
   }
 
+  /** Differentially-private histogram release of the per-nation customer
+    * counts (geometric mechanism at ε = 0.5 ⇒ two-sided geometric noise
+    * with scale 1/ε = 2, seeded md5 uniforms — the q_dp_count mechanism
+    * at histogram granularity), plus the post-processed nonneg-clamped
+    * released shares (·10⁶ integer DIV of clamped masses) — the release
+    * a data-portal actually publishes. 6th governance-family member. */
+  val qDpHistogram = Q(
+    "q_dp_histogram",
+    """WITH g AS (
+      |  SELECT n_name AS nation, count(*) AS n_true
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY 1),
+      |u AS (
+      |  SELECT nation, n_true,
+      |    (CAST(concat('0x', substr(md5(concat(nation, ':h1')), 1, 15))
+      |      AS BIGINT) % 1000000 + 0.5) / 1000000 AS u1,
+      |    (CAST(concat('0x', substr(md5(concat(nation, ':h2')), 1, 15))
+      |      AS BIGINT) % 1000000 + 0.5) / 1000000 AS u2
+      |  FROM g),
+      |z AS (
+      |  SELECT nation, n_true,
+      |    CAST(floor(-2 * ln(u1)) AS BIGINT)
+      |      - CAST(floor(-2 * ln(u2)) AS BIGINT) AS noise
+      |  FROM u),
+      |r AS (
+      |  SELECT nation, n_true, noise,
+      |    GREATEST(CAST(0 AS BIGINT), n_true + noise) AS n_clamped
+      |  FROM z),
+      |tot AS (SELECT sum(n_clamped) AS tc FROM r)
+      |SELECT nation, CAST(n_true AS BIGINT) AS n_true, noise,
+      |  CAST(n_true + noise AS BIGINT) AS n_released,
+      |  ROUND(CAST(n_clamped * 1000000 // tc AS DOUBLE) / 1e6, 6)
+      |    AS released_share
+      |FROM r, tot ORDER BY nation""".stripMargin) { (s, d) =>
+    val g = t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")
+        .select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_true"))
+    val h = graft.llm.TextOps.hash60 _
+    def u(tag: String) =
+      ((h(concat(col("nation"), lit(s":$tag"))) % 1000000L)
+        .cast(DoubleType) + lit(0.5)) / 1000000L
+    val r = g
+      .withColumn("noise",
+        floor(lit(-2) * log(u("h1"))).cast(LongType)
+          - floor(lit(-2) * log(u("h2"))).cast(LongType))
+      .withColumn("n_clamped",
+        greatest(lit(0L), col("n_true") + col("noise")))
+    val tot = r.agg(sum(col("n_clamped")).as("tc"))
+    r.crossJoin(broadcast(tot))
+      .select(col("nation"), col("n_true").cast(LongType).as("n_true"),
+        col("noise"),
+        (col("n_true") + col("noise")).cast(LongType).as("n_released"),
+        round(expr("n_clamped * 1000000 DIV tc").cast(DoubleType) / 1e6, 6)
+          .as("released_share"))
+      .orderBy("nation")
+  }
+
+  /** Entity-resolution blocking-key audit over customers: for each
+    * candidate key (nation, segment, nation×segment, acctbal-hundred),
+    * block count, largest block, candidate-pair count Σb(b−1)/2 and the
+    * reduction ratio vs all-pairs — THE planning query before any fuzzy
+    * join at 100 TB (the key decides whether the match step is 10⁶ or
+    * 10¹² comparisons). One fan-out scan, exact integer counts, ·10⁹
+    * integer-DIV ratios. */
+  val qBlockingStats = Q(
+    "q_blocking_stats",
+    """WITH b AS (
+      |  SELECT key_name, key_val, CAST(count(*) AS HUGEINT) AS b FROM (
+      |    SELECT 'nation' AS key_name,
+      |      CAST(c_nationkey AS VARCHAR) AS key_val FROM customer
+      |    UNION ALL SELECT 'segment', c_mktsegment FROM customer
+      |    UNION ALL SELECT 'nation_x_segment',
+      |      CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment
+      |      FROM customer
+      |    UNION ALL SELECT 'acctbal_hundred',
+      |      CAST(CAST(floor(c_acctbal / 100) AS BIGINT) AS VARCHAR)
+      |      FROM customer) u
+      |  GROUP BY 1, 2),
+      |st AS (
+      |  SELECT key_name, count(*) AS n_blocks, max(b) AS max_block,
+      |    sum(b * (b - 1) // 2) AS cand_pairs, sum(b) AS n
+      |  FROM b GROUP BY 1)
+      |SELECT key_name, CAST(n_blocks AS BIGINT) AS n_blocks,
+      |  CAST(max_block AS BIGINT) AS max_block,
+      |  CAST(cand_pairs AS BIGINT) AS cand_pairs,
+      |  ROUND(CAST(1000000000 - cand_pairs * 1000000000
+      |    // (n * (n - 1) // 2) AS DOUBLE) / 1e9, 6) AS reduction_ratio
+      |FROM st ORDER BY key_name""".stripMargin) { (s, d) =>
+    val c = t(s, d, "customer")
+    val b = c.select(explode(array(
+        struct(lit("nation").as("key_name"),
+          col("c_nationkey").cast(StringType).as("key_val")),
+        struct(lit("segment").as("key_name"),
+          col("c_mktsegment").as("key_val")),
+        struct(lit("nation_x_segment").as("key_name"),
+          concat(col("c_nationkey").cast(StringType), lit(":"),
+            col("c_mktsegment")).as("key_val")),
+        struct(lit("acctbal_hundred").as("key_name"),
+          floor(col("c_acctbal") / 100).cast(LongType).cast(StringType)
+            .as("key_val")))).as("k"))
+      .select(col("k.key_name").as("key_name"),
+        col("k.key_val").as("key_val"))
+      .groupBy("key_name", "key_val")
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("b"))
+    val st = b.groupBy("key_name").agg(
+      count(lit(1)).as("n_blocks"), max(col("b")).as("max_block"),
+      sum(expr("b * (b - 1) DIV 2")).cast(DecimalType(38, 0))
+        .as("cand_pairs"),
+      sum(col("b")).as("n"))
+    st.select(col("key_name"), col("n_blocks").cast(LongType).as("n_blocks"),
+        col("max_block").cast(LongType).as("max_block"),
+        col("cand_pairs").cast(LongType).as("cand_pairs"),
+        round((lit(1000000000L) - expr(
+          "cand_pairs * 1000000000 DIV (n * (n - 1) DIV 2)"))
+          .cast(DoubleType) / 1e9, 6).as("reduction_ratio"))
+      .orderBy("key_name")
+  }
+
   val all: Seq[Q] = Seq(
+    qDpHistogram, qBlockingStats,
     qDpSum, qWatermarkPlan,
     qNeymanAlloc, qDpCount,
     qTCloseness, qLagFeatures, qErasureAudit,

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Q
 import graft.Dsl._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -2488,7 +2489,615 @@ object StatQueries {
       .orderBy("iteration")
   }
 
+  /** Gehan–Breslow generalized Wilcoxon survival test: BUILDING-segment
+    * vs rest on the q_kaplan_meier durations — the early-difference-
+    * weighted complement to q_logrank_test (logrank weights late; Gehan
+    * weights where the risk set is LARGE, i.e. early churn gaps). Pair
+    * scores run on the bounded (month × event × group) cell grid —
+    * exact integer count products, permutation variance
+    * nA·nB·Σc·s²/(n(n−1)), one final z. */
+  val qGehanWilcoxon = Q(
+    "q_gehan_wilcoxon",
+    """WITH cust AS (
+      |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d,
+      |    MAX(CAST(o_orderdate AS DATE)) AS last_d
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT MAX(last_d) AS m FROM cust),
+      |obs AS (
+      |  SELECT datediff('day', first_d, last_d) // 30 AS tm,
+      |    CASE WHEN datediff('day', last_d, m) > 60 THEN 1 ELSE 0 END
+      |      AS ev,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS grp
+      |  FROM cust JOIN customer ON o_custkey = c_custkey, mx),
+      |cells AS (
+      |  SELECT tm, ev, grp, CAST(count(*) AS HUGEINT) AS c
+      |  FROM obs GROUP BY 1, 2, 3),
+      |sc AS (
+      |  SELECT x.tm, x.ev, x.grp, x.c,
+      |    COALESCE((SELECT sum(y.c) FROM cells y
+      |      WHERE y.tm < x.tm AND y.ev = 1), 0)
+      |    - CASE WHEN x.ev = 1 THEN
+      |        COALESCE((SELECT sum(y.c) FROM cells y
+      |          WHERE y.tm > x.tm), 0) ELSE 0 END AS s
+      |  FROM cells x),
+      |ag AS (
+      |  SELECT sum(CASE WHEN grp = 1 THEN c * s ELSE 0 END) AS w,
+      |    sum(CASE WHEN grp = 1 THEN c ELSE 0 END) AS na,
+      |    sum(CASE WHEN grp = 0 THEN c ELSE 0 END) AS nb,
+      |    sum(c * s * s) AS ss2, sum(c) AS n
+      |  FROM sc)
+      |SELECT CAST(na AS BIGINT) AS n_building,
+      |  CAST(nb AS BIGINT) AS n_rest,
+      |  CAST(w AS BIGINT) AS gehan_w,
+      |  ROUND(CAST(w AS DOUBLE)
+      |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |      * CAST(ss2 AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))), 4) AS z,
+      |  CASE WHEN abs(CAST(w AS DOUBLE)
+      |    / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+      |      * CAST(ss2 AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))) > 1.96
+      |    THEN 1 ELSE 0 END AS significant
+      |FROM ag""".stripMargin) { (s, d) =>
+    val cust = t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(min(col("o_orderdate").cast(DateType)).as("first_d"),
+        max(col("o_orderdate").cast(DateType)).as("last_d"))
+    val mx = cust.agg(max(col("last_d")).as("m"))
+    val obs = cust
+      .join(broadcast(t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .crossJoin(broadcast(mx))
+      .select(expr("datediff(last_d, first_d) DIV 30").as("tm"),
+        when(datediff(col("m"), col("last_d")) > 60, 1).otherwise(0)
+          .as("ev"),
+        when(col("c_mktsegment") === "BUILDING", 1).otherwise(0)
+          .as("grp"))
+    val cells = obs.groupBy("tm", "ev", "grp")
+      .agg(count(lit(1)).cast(big38).as("c"))
+    // per-cell pair scores via two bounded cell-grid self-joins
+    val less = cells.filter(col("ev") === 1)
+      .select(col("tm").as("ltm"), col("c").as("lc"))
+    val greater = cells
+      .select(col("tm").as("gtm"), col("c").as("gc"))
+    val x = cells.select(col("tm"), col("ev"), col("grp"), col("c"))
+    val withLess = x.join(less, col("ltm") < col("tm"), "left")
+      .groupBy("tm", "ev", "grp", "c")
+      .agg(coalesce(sum(col("lc")), lit(0).cast(big38)).as("nless"))
+    val sc = withLess.join(greater, col("gtm") > col("tm"), "left")
+      .groupBy(col("tm"), col("ev"), col("grp"), col("c"), col("nless"))
+      .agg(coalesce(sum(col("gc")), lit(0).cast(big38)).as("ngreater"))
+      .select(col("grp"), col("c"),
+        (col("nless") - when(col("ev") === 1, col("ngreater"))
+          .otherwise(0)).as("s"))
+    val ag = sc.agg(
+      sum(when(col("grp") === 1, col("c") * col("s")).otherwise(0))
+        .as("w"),
+      sum(when(col("grp") === 1, col("c")).otherwise(0)).as("na"),
+      sum(when(col("grp") === 0, col("c")).otherwise(0)).as("nb"),
+      sum(col("c") * col("s") * col("s")).as("ss2"),
+      sum(col("c")).as("n"))
+    val zc = col("w").cast(DoubleType)
+      ./(sqrt(col("na").cast(DoubleType) * col("nb").cast(DoubleType)
+        * col("ss2").cast(DoubleType)
+        / (col("n").cast(DoubleType) * (col("n").cast(DoubleType) - 1))))
+    ag.select(col("na").cast(LongType).as("n_building"),
+      col("nb").cast(LongType).as("n_rest"),
+      col("w").cast(LongType).as("gehan_w"),
+      round(zc, 4).as("z"),
+      when(abs(zc) > 1.96, 1).otherwise(0).as("significant"))
+  }
+
+  /** Mix/rate decomposition of the 1996→1997 change in mean order value
+    * across market segments (the Oaxaca–Blinder / price-volume split):
+    * rate effect = Σ share96·(m97−m96), mix effect = Σ (share97−share96)
+    * ·m97 — WHY the average moved: did segments change behavior, or did
+    * the mix of segments shift? All means and shares are exact integer
+    * DIVs (millicents / ppm); per-segment effects are exact integer
+    * products scaled once at output. */
+  val qMixRateDecomp = Q(
+    "q_mix_rate_decomp",
+    """WITH x AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE year(o_orderdate) IN (1996, 1997)),
+      |g AS (
+      |  SELECT seg, yr, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(cents AS HUGEINT)) AS sc
+      |  FROM x GROUP BY 1, 2),
+      |ty AS (SELECT yr, sum(n) AS nt FROM g GROUP BY 1),
+      |p AS (
+      |  SELECT g.seg, g.yr,
+      |    g.sc * 1000 // g.n AS m3,
+      |    g.n * 1000000 // ty.nt AS sh6
+      |  FROM g JOIN ty ON g.yr = ty.yr),
+      |w AS (
+      |  SELECT a.seg, a.m3 AS m96, b.m3 AS m97,
+      |    a.sh6 AS sh96, b.sh6 AS sh97
+      |  FROM p a JOIN p b ON a.seg = b.seg
+      |  WHERE a.yr = 1996 AND b.yr = 1997)
+      |SELECT seg,
+      |  ROUND(CAST(m96 AS DOUBLE) / 1e5, 2) AS mean96_dollars,
+      |  ROUND(CAST(m97 AS DOUBLE) / 1e5, 2) AS mean97_dollars,
+      |  ROUND(CAST(sh96 AS DOUBLE) / 1e4, 4) AS share96_pct,
+      |  ROUND(CAST(sh97 AS DOUBLE) / 1e4, 4) AS share97_pct,
+      |  ROUND(CAST(sh96 * (m97 - m96) AS DOUBLE) / 1e11, 4)
+      |    AS rate_effect_dollars,
+      |  ROUND(CAST((sh97 - sh96) * m97 AS DOUBLE) / 1e11, 4)
+      |    AS mix_effect_dollars
+      |FROM w ORDER BY seg""".stripMargin) { (s, d) =>
+    val x = t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .select(col("c_mktsegment").as("seg"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val g = x.groupBy("seg", "yr")
+      .agg(count(lit(1)).cast(big38).as("n"),
+        sum(col("cents").cast(big38)).as("sc"))
+    val ty = g.groupBy("yr").agg(sum(col("n")).as("nt"))
+    val p = g.join(broadcast(ty.withColumnRenamed("yr", "tyr")),
+        col("yr") === col("tyr"))
+      .select(col("seg"), col("yr"),
+        expr("sc * 1000 DIV n").as("m3"),
+        expr("n * 1000000 DIV nt").as("sh6"))
+    val a = p.filter(col("yr") === 1996)
+      .select(col("seg"), col("m3").as("m96"), col("sh6").as("sh96"))
+    val b = p.filter(col("yr") === 1997)
+      .select(col("seg").as("bseg"), col("m3").as("m97"),
+        col("sh6").as("sh97"))
+    val w = a.join(b, col("seg") === col("bseg"))
+    w.select(col("seg"),
+        round(col("m96").cast(DoubleType) / 1e5, 2).as("mean96_dollars"),
+        round(col("m97").cast(DoubleType) / 1e5, 2).as("mean97_dollars"),
+        round(col("sh96").cast(DoubleType) / 1e4, 4).as("share96_pct"),
+        round(col("sh97").cast(DoubleType) / 1e4, 4).as("share97_pct"),
+        round((col("sh96") * (col("m97") - col("m96"))).cast(DoubleType)
+          / 1e11, 4).as("rate_effect_dollars"),
+        round(((col("sh97") - col("sh96")) * col("m97")).cast(DoubleType)
+          / 1e11, 4).as("mix_effect_dollars"))
+      .orderBy("seg")
+  }
+
+  /** Segment waterfall of the 1996→1997 revenue change: per-segment
+    * deltas with a running cumulative — the bridge chart between two
+    * annual totals, exact cents end-to-end (the running sum is over the
+    * bounded 5-segment panel). */
+  val qWaterfallSegments = Q(
+    "q_waterfall_segments",
+    """WITH x AS (
+      |  SELECT c_mktsegment AS seg,
+      |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE year(o_orderdate) IN (1996, 1997)),
+      |g AS (
+      |  SELECT seg,
+      |    sum(CASE WHEN yr = 1996 THEN CAST(cents AS HUGEINT)
+      |      ELSE 0 END) AS r96,
+      |    sum(CASE WHEN yr = 1997 THEN CAST(cents AS HUGEINT)
+      |      ELSE 0 END) AS r97
+      |  FROM x GROUP BY 1),
+      |w AS (
+      |  SELECT seg, r96, r97, r97 - r96 AS delta,
+      |    sum(r97 - r96) OVER (ORDER BY seg) AS running
+      |  FROM g)
+      |SELECT seg,
+      |  ROUND(CAST(r96 AS DOUBLE) / 100, 2) AS rev96,
+      |  ROUND(CAST(r97 AS DOUBLE) / 100, 2) AS rev97,
+      |  ROUND(CAST(delta AS DOUBLE) / 100, 2) AS delta,
+      |  ROUND(CAST(running AS DOUBLE) / 100, 2) AS running_delta,
+      |  ROUND(CAST(delta AS DOUBLE)
+      |    / CAST((SELECT sum(delta) FROM w) AS DOUBLE), 6)
+      |    AS share_of_total_delta
+      |FROM w ORDER BY seg""".stripMargin) { (s, d) =>
+    val x = t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .select(col("c_mktsegment").as("seg"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val g = x.groupBy("seg").agg(
+      sum(when(col("yr") === 1996, col("cents").cast(big38))
+        .otherwise(0)).as("r96"),
+      sum(when(col("yr") === 1997, col("cents").cast(big38))
+        .otherwise(0)).as("r97"))
+    val w = g
+      .withColumn("delta", col("r97") - col("r96"))
+      .withColumn("running",
+        sum(col("r97") - col("r96")).over(
+          org.apache.spark.sql.expressions.Window.orderBy("seg")))
+    val tot = w.agg(sum(col("delta")).as("td"))
+    w.crossJoin(broadcast(tot))
+      .select(col("seg"),
+        round(col("r96").cast(DoubleType) / 100, 2).as("rev96"),
+        round(col("r97").cast(DoubleType) / 100, 2).as("rev97"),
+        round(col("delta").cast(DoubleType) / 100, 2).as("delta"),
+        round(col("running").cast(DoubleType) / 100, 2).as("running_delta"),
+        round(col("delta").cast(DoubleType)
+          / col("td").cast(DoubleType), 6).as("share_of_total_delta"))
+      .orderBy("seg")
+  }
+
+  /** Benjamini–Yekutieli FDR step-up over the q_fdr_bh per-nation
+    * urgent-share z-tests — the dependence-safe variant (threshold
+    * divided by the harmonic sum c(m) = Σ1/i), for when the 25 tests
+    * share the pooled baseline and BH's independence assumption is
+    * shaky. The p-values ride the same ·10⁹-quantized A&S normal-CDF
+    * panel; the step-up compare p9·m·c9 ≤ rank·α·10⁹ runs in exact
+    * DECIMAL(38) integers (c9 itself is an exact Σ(10⁹ DIV i) sum). */
+  val qBenjaminiYekutieli = Q(
+    "q_benjamini_yekutieli",
+    """WITH o AS (
+      |  SELECT n.n_name,
+      |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |pern AS (
+      |  SELECT n_name, count(*) AS n1, sum(u) AS u1 FROM o GROUP BY 1),
+      |tot AS (SELECT count(*) AS nt, sum(u) AS ut FROM o),
+      |zt AS (
+      |  SELECT n_name, n1, u1,
+      |    (CAST(u1 AS DOUBLE) / n1 - CAST(ut - u1 AS DOUBLE) / (nt - n1))
+      |      / sqrt(CAST(ut AS DOUBLE) / nt * (1 - CAST(ut AS DOUBLE) / nt)
+      |        * (1.0 / n1 + 1.0 / (nt - n1))) AS z
+      |  FROM pern, tot),
+      |pv AS (
+      |  SELECT n_name, n1, u1, z,
+      |    CAST(ROUND(2 * (exp(-abs(z) * abs(z) / 2) * 0.3989422804014327
+      |      * ((((1.330274429 * (1 / (1 + 0.2316419 * abs(z)))
+      |        - 1.821255978) * (1 / (1 + 0.2316419 * abs(z)))
+      |        + 1.781477937) * (1 / (1 + 0.2316419 * abs(z)))
+      |        - 0.356563782) * (1 / (1 + 0.2316419 * abs(z)))
+      |        + 0.319381530) * (1 / (1 + 0.2316419 * abs(z))))
+      |      * 1000000000) AS BIGINT) AS p9
+      |  FROM zt),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY p9, n_name) AS rank,
+      |    count(*) OVER () AS m
+      |  FROM pv),
+      |hc AS (
+      |  SELECT sum(1000000000 // rank) AS c9, max(m) AS m FROM rk),
+      |cut AS (
+      |  SELECT rk.*, hc.c9,
+      |    max(CASE WHEN CAST(rk.p9 AS HUGEINT) * rk.m * hc.c9
+      |      <= CAST(rk.rank AS HUGEINT) * 50000000 * 1000000000
+      |      THEN rk.rank ELSE 0 END) OVER () AS max_rank
+      |  FROM rk, hc)
+      |SELECT n_name, CAST(n1 AS BIGINT) AS n_orders,
+      |  CAST(u1 AS BIGINT) AS n_urgent, ROUND(z, 4) AS z,
+      |  ROUND(CAST(p9 AS DOUBLE) / 1000000000, 6) AS p_value,
+      |  CAST(rank AS BIGINT) AS p_rank,
+      |  CASE WHEN rank <= max_rank THEN 1 ELSE 0 END AS rejected_by
+      |FROM cut ORDER BY p_rank, n_name""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("u"))
+    val pern = o.groupBy("n_name")
+      .agg(count(lit(1)).as("n1"), sum(col("u")).as("u1"))
+    val tot = o.agg(count(lit(1)).as("nt"), sum(col("u")).as("ut"))
+    val zt = pern.crossJoin(broadcast(tot))
+      .withColumn("z",
+        (col("u1").cast(DoubleType) / col("n1")
+          - (col("ut") - col("u1")).cast(DoubleType)
+            / (col("nt") - col("n1")))
+          / sqrt(col("ut").cast(DoubleType) / col("nt")
+            * (lit(1) - col("ut").cast(DoubleType) / col("nt"))
+            * (lit(1.0) / col("n1") + lit(1.0)
+              / (col("nt") - col("n1")))))
+    val az = abs(col("z"))
+    val tAs = lit(1) / (lit(1) + lit(0.2316419) * az)
+    val pv = zt.withColumn("p9",
+      round(lit(2) * (exp(-az * az / 2) * lit(0.3989422804014327)
+        * ((((lit(1.330274429) * tAs - lit(1.821255978)) * tAs
+          + lit(1.781477937)) * tAs - lit(0.356563782)) * tAs
+          + lit(0.319381530)) * tAs) * 1000000000L).cast(LongType))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p9"), col("n_name"))
+    val rk = pv
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .crossJoin(broadcast(pv.agg(count(lit(1)).as("m"))))
+    val hc = rk.agg(sum(expr("1000000000 DIV rank")).as("c9"))
+    val cut = rk.crossJoin(broadcast(hc))
+      .withColumn("max_rank",
+        max(when(expr("CAST(p9 AS DECIMAL(38,0)) * m * c9")
+          <= expr("CAST(rank AS DECIMAL(38,0)) * 50000000 * 1000000000"),
+          col("rank")).otherwise(0L))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1))))
+    cut.select(col("n_name"), col("n1").cast(LongType).as("n_orders"),
+        col("u1").cast(LongType).as("n_urgent"), round(col("z"), 4).as("z"),
+        round(col("p9").cast(DoubleType) / 1000000000L, 6).as("p_value"),
+        col("rank").as("p_rank"),
+        when(col("rank") <= col("max_rank"), 1).otherwise(0)
+          .as("rejected_by"))
+      .orderBy("p_rank", "n_name")
+  }
+
+  /** Fleiss' kappa across THREE deterministic document "raters"
+    * (vowel-ratio > 0.32, n_chars > 400, tokens > 80 — each a binary
+    * "keep" judgment) — the multi-rater extension of q_cohens_kappa for
+    * labeler-pool QA: pairwise kappas can all look fine while the POOL
+    * disagrees. With 3 raters / 2 categories every document contributes
+    * 3 or 1 agreeing pairs — exact integers end-to-end; κ's one-row
+    * assembly is the only double. */
+  val qFleissKappa = Q(
+    "q_fleiss_kappa",
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN CAST(length(text) - length(translate(text,
+      |        'aeiou', '')) AS DOUBLE) / length(text) > 0.32
+      |      THEN 1 ELSE 0 END)
+      |    + (CASE WHEN n_chars > 400 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN len(string_split(text, ' ')) > 80
+      |      THEN 1 ELSE 0 END) AS k1
+      |  FROM documents),
+      |per AS (
+      |  SELECT doc_id, k1, 3 - k1 AS k0,
+      |    (k1 * (k1 - 1) + (3 - k1) * (2 - k1)) // 2 AS agree_pairs
+      |  FROM r),
+      |ag AS (
+      |  SELECT count(*) AS n, sum(agree_pairs) AS sap,
+      |    sum(k1) AS sk1
+      |  FROM per)
+      |SELECT CAST(n AS BIGINT) AS n_docs,
+      |  ROUND(CAST(sap AS DOUBLE) / (3 * CAST(n AS DOUBLE)), 6)
+      |    AS p_observed,
+      |  ROUND((CAST(sap AS DOUBLE) / (3 * CAST(n AS DOUBLE))
+      |    - (CAST(sk1 AS DOUBLE) / (3 * CAST(n AS DOUBLE))
+      |       * (CAST(sk1 AS DOUBLE) / (3 * CAST(n AS DOUBLE)))
+      |      + (1 - CAST(sk1 AS DOUBLE) / (3 * CAST(n AS DOUBLE)))
+      |       * (1 - CAST(sk1 AS DOUBLE) / (3 * CAST(n AS DOUBLE)))))
+      |    / (1 - (CAST(sk1 AS DOUBLE) / (3 * CAST(n AS DOUBLE))
+      |       * (CAST(sk1 AS DOUBLE) / (3 * CAST(n AS DOUBLE)))
+      |      + (1 - CAST(sk1 AS DOUBLE) / (3 * CAST(n AS DOUBLE)))
+      |       * (1 - CAST(sk1 AS DOUBLE) / (3 * CAST(n AS DOUBLE))))), 6)
+      |    AS fleiss_kappa
+      |FROM ag""".stripMargin) { (s, d) =>
+    val r = t(s, d, "documents")
+      .select(col("doc_id"),
+        ((when((length(col("text"))
+          - length(translate(col("text"), "aeiou", "")))
+          .cast(DoubleType) / length(col("text")) > 0.32, 1).otherwise(0))
+          + when(col("n_chars") > 400, 1).otherwise(0)
+          + when(size(split(col("text"), " ")) > 80, 1).otherwise(0))
+          .as("k1"))
+    val per = r.select(col("doc_id"), col("k1"),
+      expr("(k1 * (k1 - 1) + (3 - k1) * (2 - k1)) DIV 2")
+        .as("agree_pairs"))
+    val ag = per.agg(count(lit(1)).as("n"),
+      sum(col("agree_pairs")).as("sap"), sum(col("k1")).as("sk1"))
+    val nD = lit(3) * col("n").cast(DoubleType)
+    val p1 = col("sk1").cast(DoubleType) / nD
+    val pe = p1 * p1 + (lit(1) - p1) * (lit(1) - p1)
+    val po = col("sap").cast(DoubleType) / nD
+    ag.select(col("n").cast(LongType).as("n_docs"),
+      round(po, 6).as("p_observed"),
+      round((po - pe) / (lit(1) - pe), 6).as("fleiss_kappa"))
+  }
+
+  /** SRE-style multiwindow burn-rate panel on the event stream: "error"
+    * = value > 90 (documented fixture threshold), SLO budget 5%; burn =
+    * error-rate/budget over trailing 1/7/28-day windows, alert when the
+    * 1d AND 7d burns both exceed 2× (the fast+slow window rule that
+    * kills both false pages and slow leaks). Rolling exact integer sums
+    * on the calendar-bounded day panel; rates are ·10⁶ integer DIVs.
+    * Output: the last 10 days. */
+  val qBurnRate = Q(
+    "q_burn_rate",
+    """WITH dd AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+      |    sum(CASE WHEN value > 90 THEN 1 ELSE 0 END) AS e
+      |  FROM events GROUP BY 1),
+      |w AS (
+      |  SELECT day, n, e,
+      |    sum(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+      |      AND CURRENT ROW) AS n7,
+      |    sum(e) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+      |      AND CURRENT ROW) AS e7,
+      |    sum(n) OVER (ORDER BY day ROWS BETWEEN 27 PRECEDING
+      |      AND CURRENT ROW) AS n28,
+      |    sum(e) OVER (ORDER BY day ROWS BETWEEN 27 PRECEDING
+      |      AND CURRENT ROW) AS e28,
+      |    row_number() OVER (ORDER BY day DESC) AS rn
+      |  FROM dd)
+      |SELECT day,
+      |  ROUND(CAST(e * 1000000 // n AS DOUBLE) / 1e6, 6) AS rate_1d,
+      |  ROUND(CAST(e7 * 1000000 // n7 AS DOUBLE) / 1e6, 6) AS rate_7d,
+      |  ROUND(CAST(e28 * 1000000 // n28 AS DOUBLE) / 1e6, 6) AS rate_28d,
+      |  ROUND(CAST(e * 1000000 // n AS DOUBLE) / 1e6 / 0.05, 4)
+      |    AS burn_1d,
+      |  ROUND(CAST(e7 * 1000000 // n7 AS DOUBLE) / 1e6 / 0.05, 4)
+      |    AS burn_7d,
+      |  CASE WHEN e * 10 > n AND e7 * 10 > n7 THEN 1 ELSE 0 END
+      |    AS page_alert
+      |FROM w WHERE rn <= 10 ORDER BY day""".stripMargin) { (s, d) =>
+    val dd = graft.Tables.tsAsNtz(t(s, d, "events"))
+      .groupBy(col("ts").cast(DateType).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 90, 1).otherwise(0)).as("e"))
+    val w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    val w28 = Window.orderBy("day").rowsBetween(-27, 0)
+    val w = dd
+      .withColumn("n7", sum(col("n")).over(w7))
+      .withColumn("e7", sum(col("e")).over(w7))
+      .withColumn("n28", sum(col("n")).over(w28))
+      .withColumn("e28", sum(col("e")).over(w28))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("day").desc)))
+    w.filter(col("rn") <= 10)
+      .select(col("day"),
+        round(expr("e * 1000000 DIV n").cast(DoubleType) / 1e6, 6)
+          .as("rate_1d"),
+        round(expr("e7 * 1000000 DIV n7").cast(DoubleType) / 1e6, 6)
+          .as("rate_7d"),
+        round(expr("e28 * 1000000 DIV n28").cast(DoubleType) / 1e6, 6)
+          .as("rate_28d"),
+        round(expr("e * 1000000 DIV n").cast(DoubleType) / 1e6 / 0.05, 4)
+          .as("burn_1d"),
+        round(expr("e7 * 1000000 DIV n7").cast(DoubleType) / 1e6 / 0.05, 4)
+          .as("burn_7d"),
+        when(col("e") * 10 > col("n")
+          && col("e7") * 10 > col("n7"), 1).otherwise(0).as("page_alert"))
+      .orderBy("day")
+  }
+
+  /** Delta attribution: which NATIONS moved the 1996→1997 global mean
+    * order value, each nation's total effect split out via the
+    * q_mix_rate_decomp identity and ranked by |effect| — the automated
+    * "why did the metric move" drill-down, one level deeper than the
+    * segment waterfall. Exact integer-DIV means/shares; effects exact
+    * integer products; integer ranking. Top 10. */
+  val qDeltaAttribution = Q(
+    "q_delta_attribution",
+    """WITH x AS (
+      |  SELECT n_name AS nation,
+      |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE year(o_orderdate) IN (1996, 1997)),
+      |g AS (
+      |  SELECT nation, yr, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(cents AS HUGEINT)) AS sc
+      |  FROM x GROUP BY 1, 2),
+      |ty AS (SELECT yr, sum(n) AS nt FROM g GROUP BY 1),
+      |p AS (
+      |  SELECT g.nation, g.yr, g.sc * 1000 // g.n AS m3,
+      |    g.n * 1000000 // ty.nt AS sh6
+      |  FROM g JOIN ty ON g.yr = ty.yr),
+      |w AS (
+      |  SELECT a.nation, a.m3 AS m96, b.m3 AS m97,
+      |    a.sh6 AS sh96, b.sh6 AS sh97,
+      |    a.sh6 * (b.m3 - a.m3) + (b.sh6 - a.sh6) * b.m3 AS eff
+      |  FROM p a JOIN p b ON a.nation = b.nation
+      |  WHERE a.yr = 1996 AND b.yr = 1997),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY abs(eff) DESC, nation)
+      |    AS rank
+      |  FROM w)
+      |SELECT nation, CAST(rank AS BIGINT) AS rank,
+      |  ROUND(CAST(eff AS DOUBLE) / 1e11, 4) AS total_effect_dollars,
+      |  ROUND(CAST(sh96 * (m97 - m96) AS DOUBLE) / 1e11, 4)
+      |    AS rate_part,
+      |  ROUND(CAST((sh97 - sh96) * m97 AS DOUBLE) / 1e11, 4)
+      |    AS mix_part
+      |FROM rk WHERE rank <= 10 ORDER BY rank, nation""".stripMargin) {
+    (s, d) =>
+    val x = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast(LongType).as("yr"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val g = x.groupBy("nation", "yr")
+      .agg(count(lit(1)).cast(big38).as("n"),
+        sum(col("cents").cast(big38)).as("sc"))
+    val ty = g.groupBy("yr").agg(sum(col("n")).as("nt"))
+    val p = g.join(broadcast(ty.withColumnRenamed("yr", "tyr")),
+        col("yr") === col("tyr"))
+      .select(col("nation"), col("yr"),
+        expr("sc * 1000 DIV n").as("m3"),
+        expr("n * 1000000 DIV nt").as("sh6"))
+    val a = p.filter(col("yr") === 1996)
+      .select(col("nation"), col("m3").as("m96"), col("sh6").as("sh96"))
+    val b = p.filter(col("yr") === 1997)
+      .select(col("nation").as("bnation"), col("m3").as("m97"),
+        col("sh6").as("sh97"))
+    val w = a.join(b, col("nation") === col("bnation"))
+      .withColumn("eff", col("sh96") * (col("m97") - col("m96"))
+        + (col("sh97") - col("sh96")) * col("m97"))
+    val rk = w.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(abs(col("eff")).desc, col("nation"))).cast(LongType))
+    rk.filter(col("rank") <= 10)
+      .select(col("nation"), col("rank"),
+        round(col("eff").cast(DoubleType) / 1e11, 4)
+          .as("total_effect_dollars"),
+        round((col("sh96") * (col("m97") - col("m96"))).cast(DoubleType)
+          / 1e11, 4).as("rate_part"),
+        round(((col("sh97") - col("sh96")) * col("m97")).cast(DoubleType)
+          / 1e11, 4).as("mix_part"))
+      .orderBy("rank", "nation")
+  }
+
+  /** MASE for the q_forecast_snaive backtest: MAE(seasonal-naive) /
+    * MAE(naive-1) — the scale-free forecast-accuracy metric that (unlike
+    * MAPE) survives near-zero months and compares across series. Pure
+    * exact integer error sums on the bounded monthly panel; one final
+    * ratio. MASE < 1 ⇒ the seasonal model beats last-month-carried-
+    * forward. */
+  val qForecastMase = Q(
+    "q_forecast_mase",
+    """WITH m AS (
+      |  SELECT date_trunc('month', o_orderdate) AS mth,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1),
+      |f AS (
+      |  SELECT mth, rev, lag(rev, 12) OVER (ORDER BY mth) AS fc12,
+      |    lag(rev, 1) OVER (ORDER BY mth) AS fc1
+      |  FROM m),
+      |ag AS (
+      |  SELECT
+      |    sum(CASE WHEN fc12 IS NOT NULL
+      |      THEN abs(rev - fc12) END) AS s12,
+      |    sum(CASE WHEN fc12 IS NOT NULL THEN 1 ELSE 0 END) AS n12,
+      |    sum(CASE WHEN fc1 IS NOT NULL
+      |      THEN abs(rev - fc1) END) AS s1,
+      |    sum(CASE WHEN fc1 IS NOT NULL THEN 1 ELSE 0 END) AS n1
+      |  FROM f)
+      |SELECT CAST(n12 AS BIGINT) AS n_backtest,
+      |  CAST(s12 // n12 AS DOUBLE) / 100 AS mae_snaive_cents,
+      |  CAST(s1 // n1 AS DOUBLE) / 100 AS mae_naive1_cents,
+      |  CAST((CAST(s12 AS HUGEINT) * n1 * 1000000)
+      |    // (CAST(s1 AS HUGEINT) * n12) AS DOUBLE) / 1e6 AS mase
+      |FROM ag""".stripMargin) { (s, d) =>
+    val m = t(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mth"))
+      .agg((sum(dec2(col("o_totalprice")) * 100)).cast(LongType)
+        .as("rev"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("mth")
+    val f = m
+      .withColumn("fc12", lag(col("rev"), 12).over(w))
+      .withColumn("fc1", lag(col("rev"), 1).over(w))
+    val ag = f.agg(
+      sum(when(col("fc12").isNotNull, abs(col("rev") - col("fc12"))))
+        .as("s12"),
+      sum(when(col("fc12").isNotNull, 1).otherwise(0)).as("n12"),
+      sum(when(col("fc1").isNotNull, abs(col("rev") - col("fc1"))))
+        .as("s1"),
+      sum(when(col("fc1").isNotNull, 1).otherwise(0)).as("n1"))
+    ag.select(col("n12").cast(LongType).as("n_backtest"),
+      (expr("s12 DIV n12").cast(DoubleType) / 100).as("mae_snaive_cents"),
+      (expr("s1 DIV n1").cast(DoubleType) / 100).as("mae_naive1_cents"),
+      (expr("(CAST(s12 AS DECIMAL(38,0)) * n1 * 1000000)" +
+        " DIV (CAST(s1 AS DECIMAL(38,0)) * n12)").cast(DoubleType) / 1e6)
+        .as("mase"))
+  }
+
   val all: Seq[Q] = Seq(qMoodsMedian, qCochranQ, qAnomalyEsd,
+    qGehanWilcoxon, qMixRateDecomp, qWaterfallSegments,
+    qBenjaminiYekutieli, qFleissKappa, qBurnRate, qDeltaAttribution,
+    qForecastMase,
     qJarqueBera, qLevene, qBinomialCi, qMcnemar,
     qTrimmedMean, qSimpsons, qMissingDays, qAssortativity, qTost,
     qCmhTest, qPartialCorr, qDispersion,

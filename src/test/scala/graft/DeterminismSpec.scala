@@ -224,7 +224,20 @@ class DeterminismSpec extends SparkTestBase {
     // round 7 thirty-fourth batch: cell-grid pair products, quantized
     // user-entropy sums, GlobalRank deciles, quantized smoothing weights
     ProfileQueries.qCIndex, ProfileQueries.qUserEntropy,
-    ProfileQueries.qExpSmooth, ProfileQueries.qKendallW)
+    ProfileQueries.qExpSmooth, ProfileQueries.qKendallW,
+    // round 7 thirty-fifth batch: z-score quantization, quantized HOF
+    // audits, integer PageRank rounds on the vocab graph
+    LlmQueries.qBurrowsDelta, LlmQueries.qEmbedQuantizeAudit,
+    LlmQueries.qTextrank, PipelineQueries.qDpHistogram,
+    // round 7 thirty-sixth batch: integer decomposition variances,
+    // sorted-window medians, cell-grid pair scores, blocking pair counts
+    DiagQueries.qDecompStrength, DiagQueries.qHampelFilter,
+    StatQueries.qGehanWilcoxon, StatQueries.qMixRateDecomp,
+    PipelineQueries.qBlockingStats,
+    // round 7 thirty-seventh batch: decimal step-up compares, rolling
+    // burn windows, integer effect rankings, exact-DIV MASE
+    StatQueries.qBenjaminiYekutieli, StatQueries.qBurnRate,
+    StatQueries.qDeltaAttribution, StatQueries.qForecastMase)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
