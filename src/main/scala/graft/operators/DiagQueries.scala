@@ -1435,8 +1435,151 @@ object DiagQueries {
       .orderBy("day")
   }
 
+  /** Decomposition-residual outliers: days whose q_decompose residual
+    * sits > 3σ from the residual mean — the STL-style anomaly screen
+    * that q_rolling_zscore (raw series) and q_hampel_filter (level
+    * spikes) both miss when the anomaly hides inside a strong weekly
+    * pattern (a "normal-looking" Monday that behaves like a Sunday).
+    * The residual series is the exact integer r700 of q_decomp_strength;
+    * the flag compare (r700−μ700q)² > 9σ² runs on quantized integers. */
+  val qResidualOutliers = Q(
+    "q_residual_outliers",
+    """WITH series AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    isodow(CAST(o_orderdate AS DATE)) AS dow,
+      |    sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT day, dow, cents,
+      |    sum(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |      AND 3 FOLLOWING) AS tsum,
+      |    count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+      |      AND 3 FOLLOWING) AS tn
+      |  FROM series),
+      |full7 AS (
+      |  SELECT day, dow, cents, 7 * cents - tsum AS det7
+      |  FROM tr WHERE tn = 7),
+      |seas AS (
+      |  SELECT dow,
+      |    CAST(round(CAST(sum(det7) AS DOUBLE) / count(*)) AS BIGINT)
+      |      AS s7q
+      |  FROM full7 GROUP BY dow),
+      |r AS (
+      |  SELECT f.day, f.cents, f.det7 - s.s7q AS r700
+      |  FROM full7 f JOIN seas s ON f.dow = s.dow),
+      |mo AS (
+      |  SELECT CAST(round(CAST(sum(r700) AS DOUBLE) / count(*))
+      |      AS BIGINT) AS muq,
+      |    CAST(round(sqrt((CAST(sum(CAST(r700 AS HUGEINT) * r700)
+      |        AS DOUBLE)
+      |      - CAST(sum(CAST(r700 AS HUGEINT)) AS DOUBLE)
+      |        * sum(CAST(r700 AS HUGEINT)) / count(*)) / count(*)))
+      |      AS BIGINT) AS sdq
+      |  FROM r)
+      |SELECT day, ROUND(CAST(cents AS DOUBLE) / 100, 2) AS revenue,
+      |  ROUND(CAST(r700 AS DOUBLE) / 700 / 100, 2) AS residual_dollars,
+      |  CASE WHEN r700 > muq THEN 1 ELSE -1 END AS direction
+      |FROM r, mo
+      |WHERE abs(r700 - muq) > 3 * sdq
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val series = t(s, d, "orders")
+      .groupBy(col("o_orderdate").cast(DateType).as("day"),
+        dayofweek(col("o_orderdate")).as("dowRaw"))
+      .agg((sum(dec2(col("o_totalprice")) * 100)).cast(LongType)
+        .as("cents"))
+      .withColumn("dow", when(col("dowRaw") === 1, 7)
+        .otherwise(col("dowRaw") - 1))
+    val wTr = Window.orderBy("day").rowsBetween(-3, 3)
+    val full7 = series
+      .withColumn("tsum", sum(col("cents")).over(wTr))
+      .withColumn("tn", count(lit(1)).over(wTr))
+      .filter(col("tn") === 7)
+      .select(col("day"), col("dow"), col("cents"),
+        (lit(7) * col("cents") - col("tsum")).as("det7"))
+    val seas = full7.groupBy("dow")
+      .agg(round(sum(col("det7")).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as("s7q"))
+    val r = full7.join(broadcast(seas.withColumnRenamed("dow", "sdow")),
+        col("dow") === col("sdow"))
+      .select(col("day"), col("cents"),
+        (col("det7") - col("s7q")).as("r700"))
+    val mo = r.agg(
+      round(sum(col("r700")).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as("muq"),
+      round(sqrt((sum(col("r700").cast(big38) * col("r700"))
+        .cast(DoubleType)
+        - sum(col("r700").cast(big38)).cast(DoubleType)
+          * sum(col("r700").cast(big38)) / count(lit(1)))
+        / count(lit(1)))).cast(LongType).as("sdq"))
+    r.crossJoin(broadcast(mo))
+      .filter(abs(col("r700") - col("muq")) > lit(3) * col("sdq"))
+      .select(col("day"),
+        round(col("cents").cast(DoubleType) / 100, 2).as("revenue"),
+        round(col("r700").cast(DoubleType) / 700 / 100, 2)
+          .as("residual_dollars"),
+        when(col("r700") > col("muq"), 1).otherwise(-1).as("direction"))
+      .orderBy("day")
+  }
+
+  /** Year-over-year seasonality-profile similarity: each full year's
+    * 12 monthly revenue shares (ppm, exact integer DIV) compared
+    * pairwise by squared-ppm distance — which years' shapes match
+    * (stable seasonality ⇒ q_forecast_snaive is trustworthy; an odd
+    * year out pinpoints WHEN the shape broke). Bounded 7×12 panel,
+    * exact integers end-to-end. */
+  val qYearSimilarity = Q(
+    "q_year_similarity",
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(month(o_orderdate) AS BIGINT) AS mon,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |fy AS (
+      |  SELECT yr FROM m GROUP BY yr HAVING count(*) = 12),
+      |sh AS (
+      |  SELECT m.yr, m.mon,
+      |    m.cents * 1000000 // sum(m.cents) OVER (PARTITION BY m.yr)
+      |      AS sh6
+      |  FROM m JOIN fy ON m.yr = fy.yr),
+      |pairs AS (
+      |  SELECT a.yr AS year_a, b.yr AS year_b,
+      |    sum((a.sh6 - b.sh6) * (a.sh6 - b.sh6)) AS d2
+      |  FROM sh a JOIN sh b ON a.mon = b.mon AND a.yr < b.yr
+      |  GROUP BY 1, 2)
+      |SELECT year_a, year_b,
+      |  ROUND(sqrt(CAST(d2 AS DOUBLE)) / 1e4, 4) AS profile_dist_pct
+      |FROM pairs ORDER BY year_a, year_b""".stripMargin) { (s, d) =>
+    val m = t(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("yr"),
+        month(col("o_orderdate")).cast(LongType).as("mon"))
+      .agg(sum(dec2(col("o_totalprice")) * 100).cast(big38).as("cents"))
+    val fy = m.groupBy("yr").agg(count(lit(1)).as("nm"))
+      .filter(col("nm") === 12).select(col("yr").as("fyr"))
+    val tot = m.join(broadcast(fy), col("yr") === col("fyr"))
+      .groupBy(col("yr").as("tyr")).agg(sum(col("cents")).as("ycents"))
+    val sh = m.join(broadcast(tot), col("yr") === col("tyr"))
+      .select(col("yr"), col("mon"),
+        expr("cents * 1000000 DIV ycents").as("sh6"))
+    val a = sh.select(col("yr").as("year_a"), col("mon"),
+      col("sh6").as("sha"))
+    val b = sh.select(col("yr").as("year_b"), col("mon").as("bmon"),
+      col("sh6").as("shb"))
+    val pairs = a.join(b, col("mon") === col("bmon")
+        && col("year_a") < col("year_b"))
+      .groupBy("year_a", "year_b")
+      .agg(sum((col("sha") - col("shb")) * (col("sha") - col("shb")))
+        .as("d2"))
+    pairs.select(col("year_a"), col("year_b"),
+        round(sqrt(col("d2").cast(DoubleType)) / 1e4, 4)
+          .as("profile_dist_pct"))
+      .orderBy("year_a", "year_b")
+  }
+
   val all: Seq[Q] = Seq(qDurbinWatson, qBreuschPagan, qChowTest, qBartlett,
     qChi2Gof, qWilcoxonSigned, qMaxDrawdown, qRsi, qBollinger, qPacf,
     qAdfTest, qKpssTest, qPeriodogram, qSpectralEntropy, qMannKendall,
-    qWelchAnova, qTukeyHsd, qPoissonRatio, qDecompStrength, qHampelFilter)
+    qWelchAnova, qTukeyHsd, qPoissonRatio, qDecompStrength, qHampelFilter,
+    qResidualOutliers, qYearSimilarity)
 }

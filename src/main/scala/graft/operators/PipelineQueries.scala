@@ -1774,8 +1774,97 @@ object PipelineQueries {
       .orderBy("key_name")
   }
 
+  /** Predicate-correlation audit — the cardinality-estimation killer:
+    * for six pairs of common lineitem predicates, the ratio of observed
+    * joint selectivity to the independence product sel(A)·sel(B). A
+    * ratio far from 1 is exactly where an optimizer's row estimates (and
+    * therefore join orders) go wrong at 100 TB; this is the planning
+    * query that says WHICH column pairs need correlated stats. ONE scan
+    * of conditional sums; ratios are exact (nAB·N·10⁶) DIV (nA·nB)
+    * integers. */
+  val qSelectivityCorr = Q(
+    "q_selectivity_corr",
+    """WITH f AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS a,
+      |    sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS b,
+      |    sum(CASE WHEN l_shipdate >= DATE '1995-01-01'
+      |      THEN 1 ELSE 0 END) AS c,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS dd,
+      |    sum(CASE WHEN l_quantity >= 25 AND l_discount >= 0.05
+      |      THEN 1 ELSE 0 END) AS ab,
+      |    sum(CASE WHEN l_quantity >= 25
+      |      AND l_shipdate >= DATE '1995-01-01' THEN 1 ELSE 0 END) AS ac,
+      |    sum(CASE WHEN l_quantity >= 25 AND l_returnflag = 'R'
+      |      THEN 1 ELSE 0 END) AS ad,
+      |    sum(CASE WHEN l_discount >= 0.05
+      |      AND l_shipdate >= DATE '1995-01-01' THEN 1 ELSE 0 END) AS bc,
+      |    sum(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R'
+      |      THEN 1 ELSE 0 END) AS bd,
+      |    sum(CASE WHEN l_shipdate >= DATE '1995-01-01'
+      |      AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS cd
+      |  FROM lineitem),
+      |p AS (
+      |  SELECT * FROM (
+      |    SELECT 'qty25' AS pred_a, 'disc5' AS pred_b,
+      |      CAST(ab AS HUGEINT) AS nab, a AS na, b AS nb, n FROM f
+      |    UNION ALL SELECT 'qty25', 'ship95', ac, a, c, n FROM f
+      |    UNION ALL SELECT 'qty25', 'returned', ad, a, dd, n FROM f
+      |    UNION ALL SELECT 'disc5', 'ship95', bc, b, c, n FROM f
+      |    UNION ALL SELECT 'disc5', 'returned', bd, b, dd, n FROM f
+      |    UNION ALL SELECT 'ship95', 'returned', cd, c, dd, n FROM f) u)
+      |SELECT pred_a, pred_b, CAST(nab AS BIGINT) AS n_joint,
+      |  ROUND(CAST(nab * n * 1000000
+      |    // (CAST(na AS HUGEINT) * nb) AS DOUBLE) / 1e6, 6)
+      |    AS obs_over_indep,
+      |  CASE WHEN abs(CAST(nab * n * 1000000
+      |    // (CAST(na AS HUGEINT) * nb) AS BIGINT) - 1000000) > 50000
+      |    THEN 1 ELSE 0 END AS correlated
+      |FROM p ORDER BY pred_a, pred_b""".stripMargin) { (s, d) =>
+    val f = t(s, d, "lineitem").agg(
+      count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+      sum(when(col("l_quantity") >= 25, 1).otherwise(0)).as("a"),
+      sum(when(col("l_discount") >= 0.05, 1).otherwise(0)).as("b"),
+      sum(when(col("l_shipdate") >= lit("1995-01-01"), 1).otherwise(0))
+        .as("c"),
+      sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("dd"),
+      sum(when(col("l_quantity") >= 25 && col("l_discount") >= 0.05, 1)
+        .otherwise(0)).as("ab"),
+      sum(when(col("l_quantity") >= 25
+        && col("l_shipdate") >= lit("1995-01-01"), 1).otherwise(0))
+        .as("ac"),
+      sum(when(col("l_quantity") >= 25 && col("l_returnflag") === "R", 1)
+        .otherwise(0)).as("ad"),
+      sum(when(col("l_discount") >= 0.05
+        && col("l_shipdate") >= lit("1995-01-01"), 1).otherwise(0))
+        .as("bc"),
+      sum(when(col("l_discount") >= 0.05 && col("l_returnflag") === "R",
+        1).otherwise(0)).as("bd"),
+      sum(when(col("l_shipdate") >= lit("1995-01-01")
+        && col("l_returnflag") === "R", 1).otherwise(0)).as("cd"))
+    def row(pa: String, pb: String, nab: String, na: String,
+        nb: String): DataFrame =
+      f.select(lit(pa).as("pred_a"), lit(pb).as("pred_b"),
+        col(nab).cast(DecimalType(38, 0)).as("nab"),
+        col(na).cast(DecimalType(38, 0)).as("na"),
+        col(nb).cast(DecimalType(38, 0)).as("nb"), col("n"))
+    val p = row("qty25", "disc5", "ab", "a", "b")
+      .unionByName(row("qty25", "ship95", "ac", "a", "c"))
+      .unionByName(row("qty25", "returned", "ad", "a", "dd"))
+      .unionByName(row("disc5", "ship95", "bc", "b", "c"))
+      .unionByName(row("disc5", "returned", "bd", "b", "dd"))
+      .unionByName(row("ship95", "returned", "cd", "c", "dd"))
+    p.select(col("pred_a"), col("pred_b"),
+        col("nab").cast(LongType).as("n_joint"),
+        round(expr("nab * n * 1000000 DIV (na * nb)")
+          .cast(DoubleType) / 1e6, 6).as("obs_over_indep"),
+        when(abs(expr("nab * n * 1000000 DIV (na * nb)") - 1000000)
+          > 50000, 1).otherwise(0).as("correlated"))
+      .orderBy("pred_a", "pred_b")
+  }
+
   val all: Seq[Q] = Seq(
-    qDpHistogram, qBlockingStats,
+    qDpHistogram, qBlockingStats, qSelectivityCorr,
     qDpSum, qWatermarkPlan,
     qNeymanAlloc, qDpCount,
     qTCloseness, qLagFeatures, qErasureAudit,

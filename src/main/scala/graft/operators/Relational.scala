@@ -522,7 +522,44 @@ object Relational {
         asDbl(sum(dec2(col("o_totalprice")))).as("revenue"))
   }
 
+  /** FORWARD as-of join with tolerance: each purchase matched to the
+    * FIRST subsequent click by the same user within 1 hour — the
+    * "did the conversion lead anywhere" direction q_join_asof (backward)
+    * cannot express, plus the tolerance bound every production as-of
+    * carries. Same single-window-pass plan as q_join_asof (union +
+    * user-keyed ordered window, first-following ignoreNulls), no range
+    * self-join. */
+  val qJoinAsofFwd = Q(
+    "q_join_asof_fwd",
+    """SELECT user_id, purchase_ts, click_ts FROM (
+      |  SELECT p.user_id AS user_id, p.ts AS purchase_ts,
+      |         (SELECT min(v.ts) FROM events v
+      |          WHERE v.user_id = p.user_id AND v.event_type = 'click'
+      |            AND v.ts > p.ts) AS click_ts
+      |  FROM events p WHERE p.event_type = 'purchase') q
+      |WHERE click_ts IS NOT NULL
+      |  AND click_ts <= purchase_ts + INTERVAL 1 HOUR
+      |ORDER BY user_id, purchase_ts, click_ts""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "click", col("ts")).as("cts"),
+        // purchases sort AFTER a click at the same ts (strict "after")
+        when(col("event_type") === "purchase", 1).otherwise(0)
+          .as("tag_rank"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "tag_rank")
+      .rowsBetween(1, Window.unboundedFollowing)
+    ev.withColumn("click_ts",
+        first(col("cts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase"
+        && col("click_ts").isNotNull
+        && col("click_ts") <= col("ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("click_ts"))
+      .orderBy("user_id", "purchase_ts", "click_ts")
+  }
+
   val all: Seq[Q] = Seq(
+    qJoinAsofFwd,
     qScanProject, qScanCount, qSinkParquet, qSourceCsv, qSourceJson,
     qSinkOrc, qSourceBinary, qSourceText, qSinkPartitioned, qZorderKey,
     qSchemaMerge, qSkewJoin,

@@ -3094,10 +3094,104 @@ object StatQueries {
         .as("mase"))
   }
 
+  /** Two-way fixed-effects panel slope: does order VOLUME move average
+    * order VALUE within a nation-month, after absorbing nation effects
+    * and common time shocks? The (nation × month) panel is bounded
+    * (≤ 25·84 cells); the within transformation ỹ = y − ȳᵢ − ȳₜ + ȳ uses
+    * group means quantized to integer millicents (the q_anova idiom —
+    * exact cross-engine reproducibility traded for O(1 millicent)
+    * demeaning bias, documented), so Σx̃ỹ / Σx̃² runs on exact integer
+    * products. The aggregation-trap family's panel member: the pooled
+    * q_agg_regression slope confounds nation mix; this one cannot. */
+  val qPanelFe = Q(
+    "q_panel_fe",
+    """WITH cell AS (
+      |  SELECT c_nationkey AS nk,
+      |    date_trunc('month', o_orderdate) AS mth,
+      |    CAST(count(*) AS BIGINT) AS x,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS HUGEINT)) * 1000 // count(*) AS BIGINT) AS y3
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |mi AS (
+      |  SELECT nk, CAST(round(CAST(sum(y3) AS DOUBLE) / count(*))
+      |      AS BIGINT) AS yi,
+      |    CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS xi
+      |  FROM cell GROUP BY nk),
+      |mt AS (
+      |  SELECT mth, CAST(round(CAST(sum(y3) AS DOUBLE) / count(*))
+      |      AS BIGINT) AS yt,
+      |    CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS xt
+      |  FROM cell GROUP BY mth),
+      |mg AS (
+      |  SELECT CAST(round(CAST(sum(y3) AS DOUBLE) / count(*)) AS BIGINT)
+      |      AS yg,
+      |    CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS xg
+      |  FROM cell),
+      |w AS (
+      |  SELECT cell.y3 - mi.yi - mt.yt + mg.yg AS yw,
+      |    cell.x - mi.xi - mt.xt + mg.xg AS xw
+      |  FROM cell JOIN mi ON cell.nk = mi.nk
+      |  JOIN mt ON cell.mth = mt.mth, mg),
+      |ag AS (
+      |  SELECT count(*) AS n,
+      |    sum(CAST(xw AS HUGEINT) * yw) AS sxy,
+      |    sum(CAST(xw AS HUGEINT) * xw) AS sxx,
+      |    sum(CAST(yw AS HUGEINT) * yw) AS syy
+      |  FROM w)
+      |SELECT CAST(n AS BIGINT) AS n_cells,
+      |  ROUND(CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE) / 1000, 4)
+      |    AS fe_slope_cents_per_order,
+      |  ROUND(CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |    / (CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 6)
+      |    AS within_r2
+      |FROM ag""".stripMargin) { (s, d) =>
+    val cell = t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")
+        .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        date_trunc("month", col("o_orderdate")).as("mth"))
+      .agg(count(lit(1)).as("x"),
+        expr("CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
+          " AS DECIMAL(38,0))) * 1000 DIV count(*) AS BIGINT)").as("y3"))
+    val mi = cell.groupBy(col("nk").as("mink")).agg(
+      round(sum(col("y3")).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as("yi"),
+      round(sum(col("x")).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as("xi"))
+    val mt = cell.groupBy(col("mth").as("mtm")).agg(
+      round(sum(col("y3")).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as("yt"),
+      round(sum(col("x")).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as("xt"))
+    val mg = cell.agg(
+      round(sum(col("y3")).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as("yg"),
+      round(sum(col("x")).cast(DoubleType) / count(lit(1)))
+        .cast(LongType).as("xg"))
+    val w = cell
+      .join(broadcast(mi), col("nk") === col("mink"))
+      .join(broadcast(mt), col("mth") === col("mtm"))
+      .crossJoin(broadcast(mg))
+      .select((col("y3") - col("yi") - col("yt") + col("yg")).as("yw"),
+        (col("x") - col("xi") - col("xt") + col("xg")).as("xw"))
+    val ag = w.agg(count(lit(1)).as("n"),
+      sum(col("xw").cast(big38) * col("yw")).as("sxy"),
+      sum(col("xw").cast(big38) * col("xw")).as("sxx"),
+      sum(col("yw").cast(big38) * col("yw")).as("syy"))
+    ag.select(col("n").cast(LongType).as("n_cells"),
+      round(col("sxy").cast(DoubleType) / col("sxx").cast(DoubleType)
+        / 1000, 4).as("fe_slope_cents_per_order"),
+      round(col("sxy").cast(DoubleType) * col("sxy").cast(DoubleType)
+        / (col("sxx").cast(DoubleType) * col("syy").cast(DoubleType)), 6)
+        .as("within_r2"))
+  }
+
   val all: Seq[Q] = Seq(qMoodsMedian, qCochranQ, qAnomalyEsd,
     qGehanWilcoxon, qMixRateDecomp, qWaterfallSegments,
     qBenjaminiYekutieli, qFleissKappa, qBurnRate, qDeltaAttribution,
-    qForecastMase,
+    qForecastMase, qPanelFe,
     qJarqueBera, qLevene, qBinomialCi, qMcnemar,
     qTrimmedMean, qSimpsons, qMissingDays, qAssortativity, qTost,
     qCmhTest, qPartialCorr, qDispersion,

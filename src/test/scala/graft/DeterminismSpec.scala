@@ -237,7 +237,12 @@ class DeterminismSpec extends SparkTestBase {
     // round 7 thirty-seventh batch: decimal step-up compares, rolling
     // burn windows, integer effect rankings, exact-DIV MASE
     StatQueries.qBenjaminiYekutieli, StatQueries.qBurnRate,
-    StatQueries.qDeltaAttribution, StatQueries.qForecastMase)
+    StatQueries.qDeltaAttribution, StatQueries.qForecastMase,
+    // round 7 thirty-eighth batch: quantized residual screens, ppm
+    // profile distances, within-transform panels, selectivity ratios
+    DiagQueries.qResidualOutliers, DiagQueries.qYearSimilarity,
+    StatQueries.qPanelFe, PipelineQueries.qSelectivityCorr,
+    Relational.qJoinAsofFwd)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
