@@ -4032,7 +4032,203 @@ object LlmQueries {
         round(col("q12").cast(DoubleType) / 1e12, 6).as("textrank"))
   }
 
+  /** Test-set bigram coverage by the train split (token-occurrence AND
+    * type coverage) — the n-gram-LM counterpart of q_ngram_novelty's
+    * shingle leakage audit: how much of the held-out text will a model
+    * trained on the 80% split even have conditioning context for. Same
+    * md5-hash-deterministic split as q_split_train_test; coverage
+    * shares are exact (cov·10⁶) DIV totals. */
+  val qNgramCoverage = Q(
+    "q_ngram_coverage",
+    """WITH sp AS (
+      |  SELECT string_split(text, ' ') AS sp,
+      |    CASE WHEN CAST(concat('0x', substr(md5(text), 1, 15))
+      |      AS BIGINT) % 10 < 8 THEN 'train' ELSE 'test' END AS split
+      |  FROM documents),
+      |toks AS (
+      |  SELECT split, sp[k] || ' ' || sp[k+1] AS bg
+      |  FROM sp, generate_series(1, 4000) AS g(k)
+      |  WHERE k < len(sp)),
+      |tr AS (SELECT DISTINCT bg FROM toks WHERE split = 'train'),
+      |te AS (
+      |  SELECT toks.bg, count(*) AS c,
+      |    CASE WHEN tr.bg IS NOT NULL THEN 1 ELSE 0 END AS covered
+      |  FROM toks LEFT JOIN tr ON toks.bg = tr.bg
+      |  WHERE split = 'test'
+      |  GROUP BY toks.bg, covered),
+      |ag AS (
+      |  SELECT sum(c) AS n_tok, sum(covered * c) AS cov_tok,
+      |    count(*) AS n_typ, sum(covered) AS cov_typ
+      |  FROM te)
+      |SELECT CAST(n_tok AS BIGINT) AS test_bigram_tokens,
+      |  CAST(n_typ AS BIGINT) AS test_bigram_types,
+      |  ROUND(CAST(cov_tok * 1000000 // n_tok AS DOUBLE) / 1e6, 6)
+      |    AS token_coverage,
+      |  ROUND(CAST(cov_typ * 1000000 // n_typ AS DOUBLE) / 1e6, 6)
+      |    AS type_coverage
+      |FROM ag""".stripMargin) { (s, d) =>
+    val sp = t(s, d, "documents")
+      .select(split(col("text"), " ").as("sp"),
+        when(graft.llm.TextOps.hash60(col("text")) % 10 < 8, "train")
+          .otherwise("test").as("split"))
+    val toks = sp
+      .select(col("split"),
+        explode(sequence(lit(1), size(col("sp")) - 1)).as("k"),
+        col("sp"))
+      .select(col("split"),
+        concat(element_at(col("sp"), col("k")), lit(" "),
+          element_at(col("sp"), col("k") + 1)).as("bg"))
+    val tr = toks.filter(col("split") === "train")
+      .select(col("bg").as("tbg")).distinct()
+    val te = toks.filter(col("split") === "test")
+      .join(tr, col("bg") === col("tbg"), "left")
+      .groupBy(col("bg"),
+        when(col("tbg").isNotNull, 1).otherwise(0).as("covered"))
+      .agg(count(lit(1)).as("c"))
+    val ag = te.agg(sum(col("c")).as("n_tok"),
+      sum(col("covered") * col("c")).as("cov_tok"),
+      count(lit(1)).as("n_typ"), sum(col("covered")).as("cov_typ"))
+    ag.select(col("n_tok").cast(LongType).as("test_bigram_tokens"),
+      col("n_typ").cast(LongType).as("test_bigram_types"),
+      round(expr("cov_tok * 1000000 DIV n_tok").cast(DoubleType) / 1e6, 6)
+        .as("token_coverage"),
+      round(expr("cov_typ * 1000000 DIV n_typ").cast(DoubleType) / 1e6, 6)
+        .as("type_coverage"))
+  }
+
+  /** Prefix-duplication audit: documents sharing an identical 64-char
+    * prefix — the boilerplate/mirror signature exact-hash dedup misses
+    * when tails differ (truncated mirrors, templated intros). Clusters
+    * keyed by the md5 of the prefix (16 hex chars in the output, not
+    * raw text); top 20 by size under a total order. One groupBy — at
+    * 100 TB this is the cheapest dedup screen that exists. */
+  val qDedupPrefix = Q(
+    "q_dedup_prefix",
+    """WITH g AS (
+      |  SELECT substr(md5(substr(text, 1, 64)), 1, 16) AS prefix_key,
+      |    count(*) AS n_docs, min(doc_id) AS keeper
+      |  FROM documents GROUP BY 1)
+      |SELECT prefix_key, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(keeper AS BIGINT) AS keeper_doc,
+      |  CAST(n_docs - 1 AS BIGINT) AS removable
+      |FROM g WHERE n_docs > 1
+      |ORDER BY n_docs DESC, prefix_key LIMIT 20""".stripMargin) { (s, d) =>
+    val g = t(s, d, "documents")
+      .groupBy(substring(md5(substring(col("text"), 1, 64)), 1, 16)
+        .as("prefix_key"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+    g.filter(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("prefix_key"))
+      .limit(20)
+      .select(col("prefix_key"), col("n_docs").cast(LongType).as("n_docs"),
+        col("keeper").cast(LongType).as("keeper_doc"),
+        (col("n_docs") - 1).cast(LongType).as("removable"))
+  }
+
+  /** Longest identical-consecutive-token run per document, rolled into a
+    * bounded run-length histogram — the degenerate-generation /
+    * stuck-scraper detector ("the the the the") that q_text_repetition's
+    * shingle-share misses for SHORT loops in long docs. Position explode
+    * + per-doc lag comparison; run lengths via the gaps-and-islands
+    * running sum; all integers. */
+  val qTokenRuns = Q(
+    "q_token_runs",
+    """WITH toks AS (
+      |  SELECT doc_id, k, sp[k] AS term,
+      |    CASE WHEN k > 1 AND sp[k] = sp[k-1] THEN 0 ELSE 1 END
+      |      AS new_run
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS sp
+      |        FROM documents) d,
+      |       generate_series(1, 4000) AS g(k)
+      |  WHERE k <= len(sp)),
+      |runs AS (
+      |  SELECT doc_id,
+      |    sum(new_run) OVER (PARTITION BY doc_id ORDER BY k) AS run_id
+      |  FROM toks),
+      |rl AS (
+      |  SELECT doc_id, run_id, count(*) AS run_len
+      |  FROM runs GROUP BY 1, 2),
+      |md AS (SELECT doc_id, max(run_len) AS max_run FROM rl GROUP BY 1)
+      |SELECT CAST(max_run AS BIGINT) AS max_run,
+      |  CAST(count(*) AS BIGINT) AS n_docs
+      |FROM md GROUP BY max_run ORDER BY max_run""".stripMargin) { (s, d) =>
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("sp"))
+      .select(col("doc_id"), col("sp"),
+        explode(sequence(lit(1), size(col("sp")))).as("k"))
+      .select(col("doc_id"), col("k"),
+        when(col("k") > 1 && element_at(col("sp"), col("k"))
+          === element_at(col("sp"), col("k") - 1), 0).otherwise(1)
+          .as("new_run"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("k")
+    val runs = toks.withColumn("run_id", sum(col("new_run")).over(w))
+    val rl = runs.groupBy("doc_id", "run_id")
+      .agg(count(lit(1)).as("run_len"))
+    val md = rl.groupBy("doc_id").agg(max(col("run_len")).as("max_run"))
+    md.groupBy(col("max_run").cast(LongType).as("max_run"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"))
+      .orderBy("max_run")
+  }
+
+  /** Pairwise cosine between per-label embedding centroids — the
+    * class-geometry map (which labels are near-synonyms, which are
+    * isolated) that explains q_knn_per_label's confusions and predicts
+    * where IVF cells will mix classes. Per-element values quantize to
+    * ·10⁶ integers BEFORE the per-(label, dim) sums, centroids are
+    * exact integer DIVs, and the 45-pair cosine matrix is exact-int dot
+    * products — no double is ever summed. */
+  val qCentroidDrift = Q(
+    "q_centroid_drift",
+    """WITH el AS (
+      |  SELECT label, i,
+      |    CAST(round(list_extract(CAST(embedding AS DOUBLE[]), i)
+      |      * 1000000) AS BIGINT) AS x6
+      |  FROM embeddings, generate_series(1, 64) AS g(i)),
+      |cen AS (
+      |  -- +2e6/row offset keeps the dividend positive so floor (//) and
+      |  -- truncate (Spark DIV) agree; the shift cancels exactly
+      |  SELECT label, i,
+      |    (sum(x6) + count(*) * 2000000) // count(*) - 2000000 AS c6
+      |  FROM el GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    sum(CAST(a.c6 AS HUGEINT) * b.c6) AS dot,
+      |    sum(CAST(a.c6 AS HUGEINT) * a.c6) AS na,
+      |    sum(CAST(b.c6 AS HUGEINT) * b.c6) AS nb
+      |  FROM cen a JOIN cen b ON a.i = b.i AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT label_a, label_b,
+      |  ROUND(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE))
+      |    / sqrt(CAST(nb AS DOUBLE)), 6) AS centroid_cosine
+      |FROM pairs ORDER BY label_a, label_b""".stripMargin) { (s, d) =>
+    val el = t(s, d, "embeddings")
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("i0", "x")))
+      .select(col("label"), (col("i0") + 1).as("i"),
+        round(col("x") * 1000000).cast(LongType).as("x6"))
+    val cen = el.groupBy("label", "i")
+      .agg(expr("(sum(x6) + count(*) * 2000000) DIV count(*) - 2000000")
+        .as("c6"))
+    val a = cen.select(col("label").as("label_a"), col("i"),
+      col("c6").as("ca"))
+    val b = cen.select(col("label").as("label_b"), col("i").as("bi"),
+      col("c6").as("cb"))
+    val pairs = a.join(b, col("i") === col("bi")
+        && col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("ca").cast(DecimalType(38, 0)) * col("cb")).as("dot"),
+        sum(col("ca").cast(DecimalType(38, 0)) * col("ca")).as("na"),
+        sum(col("cb").cast(DecimalType(38, 0)) * col("cb")).as("nb"))
+    pairs.select(col("label_a"), col("label_b"),
+        round(col("dot").cast(DoubleType) / sqrt(col("na").cast(DoubleType))
+          / sqrt(col("nb").cast(DoubleType)), 6).as("centroid_cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
   val all: Seq[Q] = Seq(
+    qNgramCoverage, qDedupPrefix, qTokenRuns, qCentroidDrift,
     qBurrowsDelta, qLangidMetrics, qEmbedQuantizeAudit, qTextrank,
     qLlrBigrams, qHapaxRatio, qDecontaminateEmbed, qMmrSelect,
     qCurriculumOrder,

@@ -242,7 +242,11 @@ class DeterminismSpec extends SparkTestBase {
     // profile distances, within-transform panels, selectivity ratios
     DiagQueries.qResidualOutliers, DiagQueries.qYearSimilarity,
     StatQueries.qPanelFe, PipelineQueries.qSelectivityCorr,
-    Relational.qJoinAsofFwd)
+    Relational.qJoinAsofFwd,
+    // round 7 thirty-ninth batch: split anti-joins, offset-DIV
+    // centroids, run-length islands
+    LlmQueries.qNgramCoverage, LlmQueries.qTokenRuns,
+    LlmQueries.qCentroidDrift)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
