@@ -2858,8 +2858,11 @@ object AnalyticsQueries {
     val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
       .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
         col("l_orderkey") === col("ok2") && col("pa") < col("pb"))
+    // fence the thresholded edge list once — its consumers otherwise
+    // re-run the lineitem self-join each (q_tfidf_cosine_pairs lesson)
     val edges = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2).select("pa", "pb")
+      .localCheckpoint()
     val adj = edges.select(col("pa").as("node"), col("pb").as("nbr"))
       .unionByName(edges.select(col("pb").as("node"), col("pa").as("nbr")))
     val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
@@ -3153,8 +3156,11 @@ object AnalyticsQueries {
     val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
       .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
         col("l_orderkey") === col("ok2") && col("pa") < col("pb"))
+    // fence the thresholded edge list once — its consumers otherwise
+    // re-run the lineitem self-join each (q_tfidf_cosine_pairs lesson)
     val edges = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2).select("pa", "pb")
+      .localCheckpoint()
     val adj = edges.select(col("pa").as("node"), col("pb").as("nbr"))
       .unionByName(edges.select(col("pb").as("node"), col("pa").as("nbr")))
     val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
@@ -5265,8 +5271,11 @@ object AnalyticsQueries {
     val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
       .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
         col("l_orderkey") === col("ok2") && col("pa") < col("pb"))
+    // fence the thresholded edge list once — its consumers otherwise
+    // re-run the lineitem self-join each (q_tfidf_cosine_pairs lesson)
     val edges = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2).select("pa", "pb")
+      .localCheckpoint()
     val adj = edges.select(col("pa").as("node"), col("pb").as("nbr"))
       .unionByName(edges.select(col("pb").as("node"), col("pa").as("nbr")))
     val deg = adj.groupBy("node").agg(count(lit(1)).cast(LongType).as("d"))
@@ -5319,8 +5328,11 @@ object AnalyticsQueries {
     val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
       .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
         col("l_orderkey") === col("ok2") && col("pa") < col("pb"))
+    // fence the thresholded edge list once — its consumers otherwise
+    // re-run the lineitem self-join each (q_tfidf_cosine_pairs lesson)
     val edges = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2).select("pa", "pb")
+      .localCheckpoint()
     val adj = edges.select(col("pa").as("node"), col("pb").as("nbr"))
       .unionByName(edges.select(col("pb").as("node"), col("pa").as("nbr")))
     val deg = adj.groupBy("node").agg(count(lit(1)).cast(LongType).as("d"))

@@ -1577,9 +1577,139 @@ object DiagQueries {
       .orderBy("year_a", "year_b")
   }
 
+  /** Two-level binary-segmentation changepoint detection on monthly
+    * revenue: the best split of the whole series, then the best split of
+    * each resulting half — THREE changepoints where q_changepoint stops
+    * at one (a ramp-then-plateau series needs at least two). Segment
+    * SSEs come from one prefix-sum pass (exact integers; each candidate
+    * segment's SSE is ·1-quantized cents² BEFORE the two-segment total),
+    * so every argmin is an integer argmin with a smallest-index
+    * tiebreak; the fixed two-level unroll is the q_kcore bounded-depth
+    * contract. */
+  val qChangepointTwo = Q(
+    "q_changepoint_two",
+    s"""WITH $monthlySql,
+      |p AS (
+      |  SELECT row_number() OVER (ORDER BY mth) AS rn, mth,
+      |    sum(CAST(cents AS HUGEINT)) OVER (ORDER BY mth) AS ps,
+      |    sum(CAST(cents AS HUGEINT) * cents) OVER (ORDER BY mth) AS pq
+      |  FROM ser),
+      |tot AS (SELECT max(rn) AS n, max(ps) AS ts, max(pq) AS tq FROM p),
+      |s1 AS (
+      |  SELECT p.rn AS k, p.mth,
+      |    CAST(round(CAST(p.pq AS DOUBLE)
+      |      - CAST(p.ps AS DOUBLE) * p.ps / p.rn) AS HUGEINT)
+      |    + CAST(round(CAST(tot.tq - p.pq AS DOUBLE)
+      |      - CAST(tot.ts - p.ps AS DOUBLE) * (tot.ts - p.ps)
+      |        / (tot.n - p.rn)) AS HUGEINT) AS sse2,
+      |    CAST(round(CAST(tot.tq AS DOUBLE)
+      |      - CAST(tot.ts AS DOUBLE) * tot.ts / tot.n) AS HUGEINT)
+      |      AS sse0
+      |  FROM p, tot WHERE p.rn < tot.n),
+      |cp1 AS (
+      |  SELECT k, mth, sse2, sse0 FROM s1
+      |  ORDER BY sse2, k LIMIT 1),
+      |lhs AS (
+      |  SELECT p.rn AS k, p.mth,
+      |    CAST(round(CAST(p.pq AS DOUBLE)
+      |      - CAST(p.ps AS DOUBLE) * p.ps / p.rn) AS HUGEINT)
+      |    + CAST(round(CAST(c.cpq - p.pq AS DOUBLE)
+      |      - CAST(c.cps - p.ps AS DOUBLE) * (c.cps - p.ps)
+      |        / (c.ck - p.rn)) AS HUGEINT) AS sse2,
+      |    CAST(round(CAST(c.cpq AS DOUBLE)
+      |      - CAST(c.cps AS DOUBLE) * c.cps / c.ck) AS HUGEINT) AS sse0
+      |  FROM p, (SELECT cp1.k AS ck, pp.ps AS cps, pp.pq AS cpq
+      |           FROM cp1 JOIN p pp ON pp.rn = cp1.k) c
+      |  WHERE p.rn < c.ck),
+      |cp2l AS (SELECT k, mth, sse2, sse0 FROM lhs ORDER BY sse2, k
+      |         LIMIT 1),
+      |rhs AS (
+      |  SELECT p.rn AS k, p.mth,
+      |    CAST(round(CAST(p.pq - c.cpq AS DOUBLE)
+      |      - CAST(p.ps - c.cps AS DOUBLE) * (p.ps - c.cps)
+      |        / (p.rn - c.ck)) AS HUGEINT)
+      |    + CAST(round(CAST(tot.tq - p.pq AS DOUBLE)
+      |      - CAST(tot.ts - p.ps AS DOUBLE) * (tot.ts - p.ps)
+      |        / (tot.n - p.rn)) AS HUGEINT) AS sse2,
+      |    CAST(round(CAST(tot.tq - c.cpq AS DOUBLE)
+      |      - CAST(tot.ts - c.cps AS DOUBLE) * (tot.ts - c.cps)
+      |        / (tot.n - c.ck)) AS HUGEINT) AS sse0
+      |  FROM p, tot,
+      |    (SELECT cp1.k AS ck, pp.ps AS cps, pp.pq AS cpq
+      |     FROM cp1 JOIN p pp ON pp.rn = cp1.k) c
+      |  WHERE p.rn > c.ck AND p.rn < tot.n),
+      |cp2r AS (SELECT k, mth, sse2, sse0 FROM rhs ORDER BY sse2, k
+      |         LIMIT 1)
+      |SELECT level, cp_month, ROUND(sse_drop_pct, 4) AS sse_drop_pct
+      |FROM (
+      |  SELECT 1 AS level, CAST(mth AS DATE) AS cp_month,
+      |    CAST(sse0 - sse2 AS DOUBLE) * 100 / CAST(sse0 AS DOUBLE)
+      |      AS sse_drop_pct
+      |  FROM cp1
+      |  UNION ALL
+      |  SELECT 2, CAST(mth AS DATE),
+      |    CAST(sse0 - sse2 AS DOUBLE) * 100 / CAST(sse0 AS DOUBLE)
+      |  FROM cp2l
+      |  UNION ALL
+      |  SELECT 3, CAST(mth AS DATE),
+      |    CAST(sse0 - sse2 AS DOUBLE) * 100 / CAST(sse0 AS DOUBLE)
+      |  FROM cp2r) z
+      |ORDER BY level""".stripMargin) { (s, d) =>
+    val ser = monthlySeries(s, d)
+    val wOrd = Window.orderBy("mth")
+    val p = ser.select(
+        row_number().over(wOrd).cast(LongType).as("rn"), col("mth"),
+        sum(col("cents").cast(big38)).over(wOrd).as("ps"),
+        sum(col("cents").cast(big38) * col("cents")).over(wOrd).as("pq"))
+    val tot = p.agg(max(col("rn")).as("n"), max(col("ps")).as("ts"),
+      max(col("pq")).as("tq"))
+    def sseq(q: Column, ss: Column, m: Column): Column =
+      round(q.cast(DoubleType)
+        - ss.cast(DoubleType) * ss / m.cast(DoubleType)).cast(big38)
+    def argmin(df: DataFrame): DataFrame =
+      df.orderBy(col("sse2"), col("k")).limit(1)
+    val s1 = p.crossJoin(broadcast(tot)).filter(col("rn") < col("n"))
+      .select(col("rn").as("k"), col("mth"),
+        (sseq(col("pq"), col("ps"), col("rn"))
+          + sseq(col("tq") - col("pq"), col("ts") - col("ps"),
+            col("n") - col("rn"))).as("sse2"),
+        sseq(col("tq"), col("ts"), col("n")).as("sse0"))
+    val cp1 = argmin(s1)
+    val cRow = cp1.select(col("k").as("ck"))
+      .join(p.select(col("rn"), col("ps").as("cps"),
+        col("pq").as("cpq")), col("rn") === col("ck"))
+      .select("ck", "cps", "cpq")
+    val lhs = p.crossJoin(broadcast(cRow)).filter(col("rn") < col("ck"))
+      .select(col("rn").as("k"), col("mth"),
+        (sseq(col("pq"), col("ps"), col("rn"))
+          + sseq(col("cpq") - col("pq"), col("cps") - col("ps"),
+            col("ck") - col("rn"))).as("sse2"),
+        sseq(col("cpq"), col("cps"), col("ck")).as("sse0"))
+    val cp2l = argmin(lhs)
+    val rhs = p.crossJoin(broadcast(tot)).crossJoin(broadcast(cRow))
+      .filter(col("rn") > col("ck") && col("rn") < col("n"))
+      .select(col("rn").as("k"), col("mth"),
+        (sseq(col("pq") - col("cpq"), col("ps") - col("cps"),
+          col("rn") - col("ck"))
+          + sseq(col("tq") - col("pq"), col("ts") - col("ps"),
+            col("n") - col("rn"))).as("sse2"),
+        sseq(col("tq") - col("cpq"), col("ts") - col("cps"),
+          col("n") - col("ck")).as("sse0"))
+    val cp2r = argmin(rhs)
+    def lvl(df: DataFrame, level: Int): DataFrame =
+      df.select(lit(level).as("level"),
+        col("mth").cast(DateType).as("cp_month"),
+        ((col("sse0") - col("sse2")).cast(DoubleType) * 100
+          / col("sse0").cast(DoubleType)).as("sse_drop_pct"))
+    lvl(cp1, 1).unionByName(lvl(cp2l, 2)).unionByName(lvl(cp2r, 3))
+      .select(col("level"), col("cp_month"),
+        round(col("sse_drop_pct"), 4).as("sse_drop_pct"))
+      .orderBy("level")
+  }
+
   val all: Seq[Q] = Seq(qDurbinWatson, qBreuschPagan, qChowTest, qBartlett,
     qChi2Gof, qWilcoxonSigned, qMaxDrawdown, qRsi, qBollinger, qPacf,
     qAdfTest, qKpssTest, qPeriodogram, qSpectralEntropy, qMannKendall,
     qWelchAnova, qTukeyHsd, qPoissonRatio, qDecompStrength, qHampelFilter,
-    qResidualOutliers, qYearSimilarity)
+    qResidualOutliers, qYearSimilarity, qChangepointTwo)
 }

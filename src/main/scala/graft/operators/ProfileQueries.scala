@@ -316,6 +316,120 @@ object ProfileQueries {
           - col("n"))), 6).as("kendall_w"))
   }
 
+  /** Daily open-order concurrency via a sweep line: +1 at order date,
+    * −1 after the last line ships, running sum over the day-ordered
+    * bounded calendar panel — "how much work is in flight", the interval
+    * STABBING profile next to q_interval_overlap's pairwise join. Output
+    * is the yearly concurrency summary (mean/peak + peak day). Exact
+    * integers end-to-end; the per-order interval reduction is one
+    * groupBy. */
+  val qConcurrencyProfile = Q(
+    "q_concurrency_profile",
+    """WITH iv AS (
+      |  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS sd,
+      |    MAX(CAST(l.l_shipdate AS DATE)) AS ed
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY 1, 2),
+      |ev AS (
+      |  SELECT sd AS day, 1 AS delta FROM iv
+      |  UNION ALL
+      |  SELECT ed + 1, -1 FROM iv),
+      |dd AS (SELECT day, sum(delta) AS d FROM ev GROUP BY 1),
+      |run AS (
+      |  SELECT day, sum(d) OVER (ORDER BY day) AS open_orders
+      |  FROM dd),
+      |yr AS (
+      |  SELECT CAST(year(day) AS BIGINT) AS yr,
+      |    CAST(max(open_orders) AS BIGINT) AS peak,
+      |    CAST(sum(open_orders) // count(*) AS BIGINT) AS mean_open,
+      |    min(CASE WHEN open_orders = (SELECT max(r2.open_orders)
+      |      FROM run r2 WHERE year(r2.day) = year(run.day))
+      |      THEN day END) AS peak_day
+      |  FROM run GROUP BY 1)
+      |SELECT yr, peak, mean_open, peak_day
+      |FROM yr ORDER BY yr""".stripMargin) { (s, d) =>
+    val iv = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderdate").cast(DateType).as("sd"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_shipdate").cast(DateType).as("lsd")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "sd")
+      .agg(max(col("lsd")).as("ed"))
+    val ev = iv.select(col("sd").as("day"), lit(1).as("delta"))
+      .unionByName(iv.select(date_add(col("ed"), 1).as("day"),
+        lit(-1).as("delta")))
+    val dd = ev.groupBy("day").agg(sum(col("delta")).as("d"))
+    val run = dd.withColumn("open_orders",
+      sum(col("d")).over(Window.orderBy("day")))
+    val withYr = run.withColumn("yr",
+      year(col("day")).cast(LongType))
+    val peaks = withYr.groupBy("yr")
+      .agg(max(col("open_orders")).as("mx"))
+    val yr = withYr
+      .join(broadcast(peaks.withColumnRenamed("yr", "pyr")),
+        col("yr") === col("pyr"))
+      .groupBy("yr")
+      .agg(max(col("open_orders")).cast(LongType).as("peak"),
+        expr("sum(open_orders) DIV count(*)").cast(LongType)
+          .as("mean_open"),
+        min(when(col("open_orders") === col("mx"), col("day")))
+          .as("peak_day"))
+    yr.orderBy("yr")
+  }
+
+  /** Order fulfilment cycle time per priority: order date → first and
+    * last line shipped, day-gap profile (mean via exact integer DIV,
+    * nearest-rank p90 via priority-keyed window ranks on exact
+    * integers) — the ops-latency panel that justifies the q_join_range
+    * shipping-window bounds. */
+  val qCycleTime = Q(
+    "q_cycle_time",
+    """WITH iv AS (
+      |  SELECT o.o_orderpriority AS pri,
+      |    datediff('day', CAST(o.o_orderdate AS DATE),
+      |      MIN(CAST(l.l_shipdate AS DATE))) AS first_gap,
+      |    datediff('day', CAST(o.o_orderdate AS DATE),
+      |      MAX(CAST(l.l_shipdate AS DATE))) AS last_gap
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate),
+      |rk AS (
+      |  SELECT pri, first_gap, last_gap,
+      |    row_number() OVER (PARTITION BY pri
+      |      ORDER BY last_gap, first_gap) AS r,
+      |    count(*) OVER (PARTITION BY pri) AS n
+      |  FROM iv)
+      |SELECT pri,
+      |  CAST(max(n) AS BIGINT) AS n_orders,
+      |  CAST(sum(first_gap) // max(n) AS BIGINT) AS mean_first_ship_days,
+      |  CAST(sum(last_gap) // max(n) AS BIGINT) AS mean_last_ship_days,
+      |  CAST(max(CASE WHEN r * 10 <= n * 9 THEN last_gap END) AS BIGINT)
+      |    AS p90_last_ship_days
+      |FROM rk GROUP BY pri ORDER BY pri""".stripMargin) { (s, d) =>
+    val iv = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority").as("pri"),
+        col("o_orderdate").cast(DateType).as("od"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_shipdate").cast(DateType).as("lsd")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "pri", "od")
+      .agg(datediff(min(col("lsd")), col("od")).as("first_gap"),
+        datediff(max(col("lsd")), col("od")).as("last_gap"))
+    val w = Window.partitionBy("pri").orderBy("last_gap", "first_gap")
+    val rk = iv
+      .withColumn("r", row_number().over(w).cast(LongType))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("pri")).cast(LongType))
+    rk.groupBy("pri")
+      .agg(max(col("n")).as("n_orders"),
+        expr("sum(first_gap) DIV max(n)").cast(LongType)
+          .as("mean_first_ship_days"),
+        expr("sum(last_gap) DIV max(n)").cast(LongType)
+          .as("mean_last_ship_days"),
+        max(when(col("r") * 10 <= col("n") * 9, col("last_gap")))
+          .cast(LongType).as("p90_last_ship_days"))
+      .orderBy("pri")
+  }
+
   val all: Seq[Q] = Seq(qCIndex, qUserEntropy, qHourlyProfile,
-    qExpSmooth, qKendallW)
+    qExpSmooth, qKendallW, qConcurrencyProfile, qCycleTime)
 }

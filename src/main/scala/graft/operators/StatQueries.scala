@@ -476,12 +476,15 @@ object StatQueries {
     val li = t(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+    // e feeds deg (×2) and de (×2) — fence the thresholded edge list or
+    // the co-purchase self-join re-runs for each consumer
     val e = li.as("a")
       .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
       .agg(count(lit(1)).as("n_co"))
       .filter(col("n_co") >= 2)
       .select("src", "dst")
+      .localCheckpoint()
     val deg = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -2132,7 +2135,12 @@ object StatQueries {
           .otherwise(col("b.brand")).as("wi"),
         when(col("a.rev") > col("b.rev"), col("b.brand"))
           .otherwise(col("a.brand")).as("lo"))
+    // ≤600-row (brand × brand) panel consumed by pairs/wins and by BOTH
+    // sides of each iteration's self-join — without a lineage fence every
+    // consumer re-runs the order-keyed pair join, compounding per
+    // iteration (39 s at sf0.1; the q_tfidf_cosine_pairs lesson).
     val wl = ct.groupBy("wi", "lo").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val pairs = wl.select(col("wi").as("i"), col("lo").as("j"), col("n"))
       .unionByName(wl.select(col("lo").as("i"), col("wi").as("j"), col("n")))
       .groupBy("i", "j").agg(sum(col("n")).as("n"))

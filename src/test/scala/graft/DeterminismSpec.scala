@@ -246,7 +246,11 @@ class DeterminismSpec extends SparkTestBase {
     // round 7 thirty-ninth batch: split anti-joins, offset-DIV
     // centroids, run-length islands
     LlmQueries.qNgramCoverage, LlmQueries.qTokenRuns,
-    LlmQueries.qCentroidDrift)
+    LlmQueries.qCentroidDrift,
+    // round 7 fortieth batch: quantized segment SSE argmins, sweep-line
+    // running sums, per-priority rank percentiles
+    DiagQueries.qChangepointTwo, ProfileQueries.qConcurrencyProfile,
+    ProfileQueries.qCycleTime)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
