@@ -4227,7 +4227,99 @@ object LlmQueries {
       .orderBy("label_a", "label_b")
   }
 
+  /** Per-dimension embedding statistics (mean, σ, min, max, dead-dim
+    * flag) — the whitening/pruning pre-pass every retrieval stack runs:
+    * a near-zero-variance dimension wastes index bytes, a huge-variance
+    * one dominates every L2 distance. 64-row bounded output; per-element
+    * ·10⁶ quantization before the per-dim exact sums (offset-DIV means,
+    * exact integer moments). */
+  val qEmbedDimStats = Q(
+    "q_embed_dim_stats",
+    """WITH el AS (
+      |  SELECT i,
+      |    CAST(round(list_extract(CAST(embedding AS DOUBLE[]), i)
+      |      * 1000000) AS BIGINT) AS x6
+      |  FROM embeddings, generate_series(1, 64) AS g(i)),
+      |st AS (
+      |  SELECT i, count(*) AS n,
+      |    (sum(x6) + count(*) * 2000000) // count(*) - 2000000 AS m6,
+      |    sum(CAST(x6 AS HUGEINT) * x6) AS sq, sum(x6) AS s,
+      |    min(x6) AS mn, max(x6) AS mx
+      |  FROM el GROUP BY i)
+      |SELECT CAST(i AS BIGINT) AS dim,
+      |  ROUND(CAST(m6 AS DOUBLE) / 1e6, 6) AS mean,
+      |  ROUND(sqrt((CAST(sq AS DOUBLE)
+      |    - CAST(s AS DOUBLE) * s / n) / n) / 1e6, 6) AS stddev,
+      |  ROUND(CAST(mn AS DOUBLE) / 1e6, 6) AS min_v,
+      |  ROUND(CAST(mx AS DOUBLE) / 1e6, 6) AS max_v,
+      |  CASE WHEN CAST(sq AS HUGEINT) * n - CAST(s AS HUGEINT) * s
+      |    < CAST(n AS HUGEINT) * n * 100000000 THEN 1 ELSE 0 END
+      |    AS near_dead
+      |FROM st ORDER BY dim""".stripMargin) { (s, d) =>
+    val el = t(s, d, "embeddings")
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("i0", "x")))
+      .select((col("i0") + 1).as("i"),
+        round(col("x") * 1000000).cast(LongType).as("x6"))
+    val st = el.groupBy("i").agg(count(lit(1)).as("n"),
+      expr("(sum(x6) + count(*) * 2000000) DIV count(*) - 2000000")
+        .as("m6"),
+      sum(col("x6").cast(DecimalType(38, 0)) * col("x6")).as("sq"),
+      sum(col("x6")).as("s"), min(col("x6")).as("mn"),
+      max(col("x6")).as("mx"))
+    st.select(col("i").cast(LongType).as("dim"),
+        round(col("m6").cast(DoubleType) / 1e6, 6).as("mean"),
+        round(sqrt((col("sq").cast(DoubleType)
+          - col("s").cast(DoubleType) * col("s") / col("n")) / col("n"))
+          / 1e6, 6).as("stddev"),
+        round(col("mn").cast(DoubleType) / 1e6, 6).as("min_v"),
+        round(col("mx").cast(DoubleType) / 1e6, 6).as("max_v"),
+        when(col("sq").cast(DecimalType(38, 0)) * col("n")
+          - col("s").cast(DecimalType(38, 0)) * col("s")
+          < col("n").cast(DecimalType(38, 0)) * col("n") * 100000000L, 1)
+          .otherwise(0).as("near_dead"))
+      .orderBy("dim")
+  }
+
+  /** Chunk-level redundancy audit over the q_chunk_docs grid (stride
+    * 100, window 120, ALL docs): distinct-chunk share and the largest
+    * duplicate-chunk clusters — how much near-boilerplate a RAG index
+    * would store twice. md5 chunk keys; exact integer ratios. */
+  val qChunkDedup = Q(
+    "q_chunk_dedup",
+    """WITH ch AS (
+      |  SELECT substr(md5(substr(text, k * 100 + 1, 120)), 1, 16) AS ck
+      |  FROM documents, generate_series(0, 50) AS g(k)
+      |  WHERE k <= (length(text) - 1) // 100),
+      |g AS (SELECT ck, count(*) AS c FROM ch GROUP BY ck),
+      |ag AS (
+      |  SELECT sum(c) AS n_chunks, count(*) AS n_distinct,
+      |    max(c) AS biggest_cluster
+      |  FROM g)
+      |SELECT CAST(n_chunks AS BIGINT) AS n_chunks,
+      |  CAST(n_distinct AS BIGINT) AS n_distinct,
+      |  CAST(biggest_cluster AS BIGINT) AS biggest_cluster,
+      |  ROUND(CAST((n_chunks - n_distinct) * 1000000 // n_chunks
+      |    AS DOUBLE) / 1e6, 6) AS dup_share
+      |FROM ag""".stripMargin) { (s, d) =>
+    val ch = t(s, d, "documents")
+      .select(col("text"),
+        explode(sequence(lit(0), lit(50))).as("k"))
+      .filter(col("k") <= expr("(length(text) - 1) DIV 100"))
+      .select(substring(md5(expr("substr(text, k * 100 + 1, 120)")),
+        1, 16).as("ck"))
+    val g = ch.groupBy("ck").agg(count(lit(1)).as("c"))
+    val ag = g.agg(sum(col("c")).as("n_chunks"),
+      count(lit(1)).as("n_distinct"), max(col("c")).as("biggest_cluster"))
+    ag.select(col("n_chunks").cast(LongType).as("n_chunks"),
+      col("n_distinct").cast(LongType).as("n_distinct"),
+      col("biggest_cluster").cast(LongType).as("biggest_cluster"),
+      round(expr("(n_chunks - n_distinct) * 1000000 DIV n_chunks")
+        .cast(DoubleType) / 1e6, 6).as("dup_share"))
+  }
+
   val all: Seq[Q] = Seq(
+    qEmbedDimStats, qChunkDedup,
     qNgramCoverage, qDedupPrefix, qTokenRuns, qCentroidDrift,
     qBurrowsDelta, qLangidMetrics, qEmbedQuantizeAudit, qTextrank,
     qLlrBigrams, qHapaxRatio, qDecontaminateEmbed, qMmrSelect,

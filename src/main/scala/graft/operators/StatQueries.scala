@@ -3196,10 +3196,428 @@ object StatQueries {
         .as("within_r2"))
   }
 
+  /** Two-way factorial ANOVA on order values: segment × priority main
+    * effects + interaction (Type-I cell-means sums on the unbalanced
+    * design, documented) — the factorial gap q_anova (one-way) leaves
+    * open; a significant interaction means per-segment priority effects
+    * can't be read off the margins. Every S²/n term quantizes to an
+    * integer on its own bounded row (q_anova ssb_part idiom); the F
+    * panel assembles once. */
+  val qTwoWayAnova = Q(
+    "q_two_way_anova",
+    """WITH x AS (
+      |  SELECT c_mktsegment AS a, o_orderpriority AS b,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cell AS (
+      |  SELECT a, b, CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(cents AS HUGEINT)) AS s,
+      |    sum(CAST(cents AS HUGEINT) * cents) AS q
+      |  FROM x GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT sum(n) AS nn, sum(s) AS ts, sum(q) AS tq,
+      |    count(*) AS n_cells
+      |  FROM cell),
+      |sca AS (
+      |  SELECT sum(CAST(round(CAST(sa * sa AS DOUBLE) / na) AS HUGEINT))
+      |    AS ssa_part, count(*) AS ka
+      |  FROM (SELECT a, sum(s) AS sa, sum(n) AS na FROM cell GROUP BY a)
+      |    z),
+      |scb AS (
+      |  SELECT sum(CAST(round(CAST(sb * sb AS DOUBLE) / nb) AS HUGEINT))
+      |    AS ssb_part, count(*) AS kb
+      |  FROM (SELECT b, sum(s) AS sb, sum(n) AS nb FROM cell GROUP BY b)
+      |    z),
+      |scc AS (
+      |  SELECT sum(CAST(round(CAST(s * s AS DOUBLE) / n) AS HUGEINT))
+      |    AS ssc_part
+      |  FROM cell),
+      |f AS (
+      |  SELECT tot.nn, tot.n_cells, sca.ka, scb.kb,
+      |    CAST(sca.ssa_part AS DOUBLE)
+      |      - CAST(tot.ts AS DOUBLE) * tot.ts / tot.nn AS ssa,
+      |    CAST(scb.ssb_part AS DOUBLE)
+      |      - CAST(tot.ts AS DOUBLE) * tot.ts / tot.nn AS ssb,
+      |    CAST(scc.ssc_part AS DOUBLE)
+      |      - CAST(tot.ts AS DOUBLE) * tot.ts / tot.nn AS sscell,
+      |    CAST(tot.tq AS DOUBLE)
+      |      - CAST(scc.ssc_part AS DOUBLE) AS sse
+      |  FROM tot, sca, scb, scc)
+      |SELECT CAST(nn AS BIGINT) AS n,
+      |  ROUND(ssa / (ka - 1)
+      |    / (sse / (CAST(nn AS DOUBLE) - n_cells)), 4) AS f_segment,
+      |  ROUND(ssb / (kb - 1)
+      |    / (sse / (CAST(nn AS DOUBLE) - n_cells)), 4) AS f_priority,
+      |  ROUND((sscell - ssa - ssb) / ((ka - 1) * (kb - 1))
+      |    / (sse / (CAST(nn AS DOUBLE) - n_cells)), 4) AS f_interaction
+      |FROM f""".stripMargin) { (s, d) =>
+    val x = t(s, d, "orders")
+      .join(broadcast(t(s, d, "customer")
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("a"),
+        col("o_orderpriority").as("b"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val cell = x.groupBy("a", "b")
+      .agg(count(lit(1)).cast(big38).as("n"),
+        sum(col("cents").cast(big38)).as("s"),
+        sum(col("cents").cast(big38) * col("cents")).as("q"))
+      .localCheckpoint()
+    val tot = cell.agg(sum(col("n")).as("nn"), sum(col("s")).as("ts"),
+      sum(col("q")).as("tq"), count(lit(1)).as("n_cells"))
+    val sca = cell.groupBy("a")
+      .agg(sum(col("s")).as("sa"), sum(col("n")).as("na"))
+      .agg(sum(round((col("sa") * col("sa")).cast(DoubleType)
+        / col("na").cast(DoubleType)).cast(big38)).as("ssa_part"),
+        count(lit(1)).as("ka"))
+    val scb = cell.groupBy("b")
+      .agg(sum(col("s")).as("sb"), sum(col("n")).as("nb"))
+      .agg(sum(round((col("sb") * col("sb")).cast(DoubleType)
+        / col("nb").cast(DoubleType)).cast(big38)).as("ssb_part"),
+        count(lit(1)).as("kb"))
+    val scc = cell.agg(sum(round((col("s") * col("s")).cast(DoubleType)
+      / col("n").cast(DoubleType)).cast(big38)).as("ssc_part"))
+    val f = tot.crossJoin(broadcast(sca)).crossJoin(broadcast(scb))
+      .crossJoin(broadcast(scc))
+      .select(col("nn"), col("n_cells"), col("ka"), col("kb"),
+        (col("ssa_part").cast(DoubleType)
+          - col("ts").cast(DoubleType) * col("ts") / col("nn")).as("ssa"),
+        (col("ssb_part").cast(DoubleType)
+          - col("ts").cast(DoubleType) * col("ts") / col("nn")).as("ssb"),
+        (col("ssc_part").cast(DoubleType)
+          - col("ts").cast(DoubleType) * col("ts") / col("nn"))
+          .as("sscell"),
+        (col("tq").cast(DoubleType) - col("ssc_part").cast(DoubleType))
+          .as("sse"))
+    val mse = col("sse") / (col("nn").cast(DoubleType) - col("n_cells"))
+    f.select(col("nn").cast(LongType).as("n"),
+      round(col("ssa") / (col("ka") - 1) / mse, 4).as("f_segment"),
+      round(col("ssb") / (col("kb") - 1) / mse, 4).as("f_priority"),
+      round((col("sscell") - col("ssa") - col("ssb"))
+        / ((col("ka") - 1) * (col("kb") - 1)) / mse, 4)
+        .as("f_interaction"))
+  }
+
+  /** Cochran–Armitage trend test: does the returned-line share rise
+    * MONOTONICALLY with quantity bucket (ordered scores 1..5)? The
+    * ordered-alternative complement to q_chi2_feature_select's omnibus
+    * χ² — trend tests see dose-response signals the omnibus dilutes.
+    * Exact integer counts/scores; one-row double z. */
+  val qPropTrend = Q(
+    "q_prop_trend",
+    """WITH b AS (
+      |  SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 + 1 AS s,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS r
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT s, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(r) AS HUGEINT) AS rr
+      |  FROM b GROUP BY s),
+      |ag AS (
+      |  SELECT sum(n) AS nn, sum(rr) AS rt,
+      |    sum(s * rr) AS srr, sum(s * n) AS sn,
+      |    sum(s * s * n) AS ssn
+      |  FROM g)
+      |SELECT CAST(nn AS BIGINT) AS n,
+      |  ROUND((CAST(srr AS DOUBLE)
+      |    - CAST(rt AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE))
+      |    / sqrt(CAST(rt AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      * (1 - CAST(rt AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * (CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(sn AS
+      |        DOUBLE) / CAST(nn AS DOUBLE))), 4) AS trend_z,
+      |  CASE WHEN abs((CAST(srr AS DOUBLE)
+      |    - CAST(rt AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE))
+      |    / sqrt(CAST(rt AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      * (1 - CAST(rt AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * (CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(sn AS
+      |        DOUBLE) / CAST(nn AS DOUBLE)))) > 1.96 THEN 1 ELSE 0 END
+      |    AS significant
+      |FROM ag""".stripMargin) { (s, d) =>
+    val b = t(s, d, "lineitem")
+      .select(expr("(CAST(l_quantity AS BIGINT) - 1) DIV 10 + 1").as("s"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+    val g = b.groupBy("s")
+      .agg(count(lit(1)).cast(big38).as("n"),
+        sum(col("r")).cast(big38).as("rr"))
+    val ag = g.agg(sum(col("n")).as("nn"), sum(col("rr")).as("rt"),
+      sum(col("s") * col("rr")).as("srr"),
+      sum(col("s") * col("n")).as("sn"),
+      sum(col("s") * col("s") * col("n")).as("ssn"))
+    val zc = (col("srr").cast(DoubleType)
+      - col("rt").cast(DoubleType) * col("sn").cast(DoubleType)
+        / col("nn").cast(DoubleType))
+      ./(sqrt(col("rt").cast(DoubleType) / col("nn").cast(DoubleType)
+        * (lit(1) - col("rt").cast(DoubleType)
+          / col("nn").cast(DoubleType))
+        * (col("ssn").cast(DoubleType)
+          - col("sn").cast(DoubleType) * col("sn").cast(DoubleType)
+            / col("nn").cast(DoubleType))))
+    ag.select(col("nn").cast(LongType).as("n"),
+      round(zc, 4).as("trend_z"),
+      when(abs(zc) > 1.96, 1).otherwise(0).as("significant"))
+  }
+
+  /** Lincoln–Petersen / Chapman capture–recapture estimate of the
+    * active customer population from two observation windows (1995 and
+    * 1996 order activity), with the truth column the fixture can
+    * actually check — the "how many customers exist that we never see"
+    * estimator used whenever a census is impossible (and a neat
+    * validation: TPC-H customers order independently, so the estimate
+    * should land near the true distinct count). Exact integer capture
+    * counts; Chapman estimate + SE on the one-row panel. */
+  val qCaptureRecapture = Q(
+    "q_capture_recapture",
+    """WITH w1 AS (
+      |  SELECT DISTINCT o_custkey AS c FROM orders
+      |  WHERE year(o_orderdate) = 1995),
+      |w2 AS (
+      |  SELECT DISTINCT o_custkey AS c FROM orders
+      |  WHERE year(o_orderdate) = 1996),
+      |ag AS (
+      |  SELECT (SELECT count(*) FROM w1) AS n1,
+      |    (SELECT count(*) FROM w2) AS n2,
+      |    (SELECT count(*) FROM w1 JOIN w2 ON w1.c = w2.c) AS m,
+      |    (SELECT count(DISTINCT o_custkey) FROM orders) AS truth)
+      |SELECT CAST(n1 AS BIGINT) AS captured_1995,
+      |  CAST(n2 AS BIGINT) AS captured_1996,
+      |  CAST(m AS BIGINT) AS recaptured,
+      |  CAST(truth AS BIGINT) AS true_ever_active,
+      |  ROUND(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 2)
+      |    AS chapman_estimate,
+      |  ROUND(sqrt(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) * (n1 - m)
+      |    * (n2 - m) / ((CAST(m AS DOUBLE) + 1) * (m + 1) * (m + 2))),
+      |    2) AS chapman_se
+      |FROM ag""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders")
+    val w1 = o.filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey").as("c")).distinct()
+    val w2 = o.filter(year(col("o_orderdate")) === 1996)
+      .select(col("o_custkey").as("c2")).distinct()
+    val n1 = w1.agg(count(lit(1)).as("n1"))
+    val n2 = w2.agg(count(lit(1)).as("n2"))
+    val m = w1.join(w2, col("c") === col("c2"))
+      .agg(count(lit(1)).as("m"))
+    val truth = o.agg(countDistinct(col("o_custkey")).as("truth"))
+    val ag = n1.crossJoin(n2).crossJoin(m).crossJoin(truth)
+    ag.select(col("n1").cast(LongType).as("captured_1995"),
+      col("n2").cast(LongType).as("captured_1996"),
+      col("m").cast(LongType).as("recaptured"),
+      col("truth").cast(LongType).as("true_ever_active"),
+      round((col("n1") + 1).cast(DoubleType) * (col("n2") + 1)
+        / (col("m") + 1) - 1, 2).as("chapman_estimate"),
+      round(sqrt((col("n1") + 1).cast(DoubleType) * (col("n2") + 1)
+        * (col("n1") - col("m")) * (col("n2") - col("m"))
+        / ((col("m").cast(DoubleType) + 1) * (col("m") + 1)
+          * (col("m") + 2))), 2).as("chapman_se"))
+  }
+
+  /** Chatterjee's ξ correlation (2021) between order value and order
+    * size: rank-based, ASYMMETRIC, and consistent for ANY functional
+    * dependence — it detects the relationships Pearson (linear) and
+    * Spearman (monotone) both score near zero (a V-shape, a sinusoid).
+    * ξ = 1 − 3·Σ|r_{i+1} − r_i| / (n² − 1) with x-order from
+    * GlobalRank (no unpartitioned window) and max-rank y ties from the
+    * BOUNDED total-quantity domain (broadcast prefix map) — integers
+    * end-to-end, one final division. */
+  val qXiCorrelation = Q(
+    "q_xi_correlation",
+    """WITH xy AS (
+      |  SELECT o.o_orderkey AS ok,
+      |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS x,
+      |    CAST(sum(l.l_quantity) AS BIGINT) AS y
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |  GROUP BY 1, 2),
+      |yr AS (
+      |  SELECT y, sum(count(*)) OVER (ORDER BY y) AS r
+      |  FROM xy GROUP BY y),
+      |rk AS (
+      |  SELECT xy.ok, xy.x, yr.r,
+      |    row_number() OVER (ORDER BY xy.x, xy.ok) AS rn
+      |  FROM xy JOIN yr ON xy.y = yr.y),
+      |pr AS (
+      |  SELECT a.r AS ra, b.r AS rb
+      |  FROM rk a JOIN rk b ON b.rn = a.rn + 1),
+      |ag AS (
+      |  SELECT (SELECT count(*) FROM xy) AS n,
+      |    sum(abs(CAST(ra - rb AS HUGEINT))) AS s
+      |  FROM pr)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  ROUND(1 - 3 * CAST(s AS DOUBLE)
+      |    / (CAST(n AS DOUBLE) * n - 1), 6) AS xi
+      |FROM ag""".stripMargin) { (s, d) =>
+    val xy = t(s, d, "orders")
+      .join(t(s, d, "lineitem").select("l_orderkey", "l_quantity"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey").as("ok"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("x"))
+      .agg(sum(col("l_quantity")).cast(LongType).as("y"))
+    // y (total order quantity) lives on a bounded domain — the max-rank
+    // tie map is a broadcast prefix sum over ≤ a few hundred values
+    val yr = xy.groupBy("y").agg(count(lit(1)).as("c"))
+      .withColumn("r", sum(col("c")).over(Window.orderBy("y")))
+      .select(col("y").as("yy"), col("r"))
+    val (ranked, n) = graft.plans.GlobalRank.withGlobalRowNumber(
+      xy.join(broadcast(yr), col("y") === col("yy")).select("ok", "x", "r"),
+      "rn", 8, col("x"), col("ok"))
+    val a = ranked.select(col("rn"), col("r").as("ra"))
+    val b = ranked.select((col("rn") - 1).as("prn"), col("r").as("rb"))
+    val pr = a.join(b, col("rn") === col("prn"))
+    val ag = pr.agg(sum(abs((col("ra") - col("rb")).cast(big38))).as("s"))
+    ag.select(lit(n).cast(LongType).as("n"),
+      round(lit(1) - lit(3) * col("s").cast(DoubleType)
+        / (lit(n).cast(DoubleType) * n - 1), 6).as("xi"))
+  }
+
+  /** Paired permutation test (B = 200 seeded sign-flips) on per-customer
+    * mean order value 1994 vs 1995 — the EXACT-logic companion to
+    * q_wilcoxon_signed: no normal approximation, just "how often does a
+    * random sign assignment beat the observed total". The distributed
+    * permutation test: each pair draws its 200 flips from one md5 hash
+    * (map-side fan-out, the q_bootstrap_ci shape, fenced before the
+    * explode), every replicate total is an exact integer sum, and p is
+    * an exact add-one fraction. */
+  val qPermutationTest = Q(
+    "q_permutation_test",
+    """WITH pc AS (
+      |  SELECT o_custkey AS c,
+      |    CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS HUGEINT)) * 1000 // count(*) AS BIGINT) AS m3
+      |  FROM orders WHERE year(o_orderdate) IN (1994, 1995)
+      |  GROUP BY 1, 2),
+      |pd AS (
+      |  SELECT a.c, b.m3 - a.m3 AS dd
+      |  FROM pc a JOIN pc b ON a.c = b.c
+      |  WHERE a.yr = 1994 AND b.yr = 1995),
+      |obs AS (SELECT sum(dd) AS t0, count(*) AS np FROM pd),
+      |fl AS (
+      |  SELECT g.b,
+      |    sum(CASE WHEN CAST(concat('0x', substr(md5(concat(pd.c, ':',
+      |        g.b)), 1, 15)) AS BIGINT) % 2 = 0
+      |      THEN pd.dd ELSE -pd.dd END) AS tb
+      |  FROM pd, generate_series(1, 200) AS g(b)
+      |  GROUP BY g.b)
+      |SELECT CAST(np AS BIGINT) AS n_pairs,
+      |  ROUND(CAST(t0 AS DOUBLE) / 1e5 / np, 2) AS mean_diff_dollars,
+      |  ROUND((CAST((SELECT count(*) FROM fl, obs
+      |      WHERE abs(tb) >= abs(t0)) AS DOUBLE) + 1) / 201, 6)
+      |    AS p_value
+      |FROM obs""".stripMargin) { (s, d) =>
+    val pc = t(s, d, "orders")
+      .filter(year(col("o_orderdate")).isin(1994, 1995))
+      .groupBy(col("o_custkey").as("c"),
+        year(col("o_orderdate")).cast(LongType).as("yr"))
+      .agg(expr("CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100" +
+        " AS DECIMAL(38,0))) * 1000 DIV count(*) AS BIGINT)").as("m3"))
+    val a = pc.filter(col("yr") === 1994)
+      .select(col("c"), col("m3").as("ma"))
+    val b = pc.filter(col("yr") === 1995)
+      .select(col("c").as("cb"), col("m3").as("mb"))
+    // fence the paired-difference table: the 200× explode would
+    // otherwise re-run the year join per consumer (q_bootstrap_ci lesson)
+    val pd = a.join(b, col("c") === col("cb"))
+      .select(col("c"), (col("mb") - col("ma")).as("dd"))
+      .localCheckpoint()
+    val obs = pd.agg(sum(col("dd")).as("t0"), count(lit(1)).as("np"))
+    val fl = pd
+      .select(col("c"), col("dd"),
+        explode(sequence(lit(1), lit(200))).as("b"))
+      .select(col("b"),
+        when(graft.llm.TextOps.hash60(
+          concat(col("c"), lit(":"), col("b"))) % 2 === 0, col("dd"))
+          .otherwise(-col("dd")).as("sd"))
+      .groupBy("b").agg(sum(col("sd")).as("tb"))
+    val cnt = fl.crossJoin(broadcast(obs))
+      .filter(abs(col("tb")) >= abs(col("t0")))
+      .agg(count(lit(1)).as("nge"))
+    obs.crossJoin(broadcast(cnt))
+      .select(col("np").cast(LongType).as("n_pairs"),
+        round(col("t0").cast(DoubleType) / 1e5 / col("np"), 2)
+          .as("mean_diff_dollars"),
+        round((col("nge").cast(DoubleType) + 1) / 201, 6).as("p_value"))
+  }
+
+  /** Huber M-estimator of location (two unrolled IRLS rounds, k = 1.345σ)
+    * for the mean order value — the robust middle ground between the
+    * mean (efficient, fragile) and the median (robust, wasteful), next
+    * to q_trimmed_mean / q_robust_scale. Weights quantize to ppm on
+    * their own row, each round's weighted mean is an exact integer DIV,
+    * and σ comes once from exact moments. */
+  val qHuberLocation = Q(
+    "q_huber_location",
+    """WITH x AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS v
+      |  FROM orders),
+      |mo AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(v AS HUGEINT)) AS s, sum(CAST(v AS HUGEINT) * v) AS q
+      |  FROM x),
+      |st AS (
+      |  SELECT n, s // n AS mu0,
+      |    CAST(round(1.345 * sqrt((CAST(q AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * s / CAST(n AS DOUBLE))
+      |      / CAST(n AS DOUBLE))) AS BIGINT) AS k
+      |  FROM mo),
+      |r1 AS (
+      |  SELECT st.k,
+      |    sum(CASE WHEN abs(v - mu0) <= k THEN CAST(1000000 AS HUGEINT)
+      |      ELSE (k * 1000000) // abs(v - mu0) END * v) AS wx,
+      |    sum(CASE WHEN abs(v - mu0) <= k THEN CAST(1000000 AS HUGEINT)
+      |      ELSE (k * 1000000) // abs(v - mu0) END) AS w
+      |  FROM x, st GROUP BY st.k),
+      |m1 AS (SELECT k, wx // w AS mu1 FROM r1),
+      |r2 AS (
+      |  SELECT
+      |    sum(CASE WHEN abs(v - mu1) <= k THEN CAST(1000000 AS HUGEINT)
+      |      ELSE (k * 1000000) // abs(v - mu1) END * v) AS wx,
+      |    sum(CASE WHEN abs(v - mu1) <= k THEN CAST(1000000 AS HUGEINT)
+      |      ELSE (k * 1000000) // abs(v - mu1) END) AS w
+      |  FROM x, m1),
+      |m2 AS (SELECT wx // w AS mu2 FROM r2)
+      |SELECT ROUND(CAST(st.mu0 AS DOUBLE) / 100, 2) AS mean_dollars,
+      |  ROUND(CAST(m1.mu1 AS DOUBLE) / 100, 2) AS huber_round1,
+      |  ROUND(CAST(m2.mu2 AS DOUBLE) / 100, 2) AS huber_round2
+      |FROM st, m1, m2""".stripMargin) { (s, d) =>
+    val x = t(s, d, "orders")
+      .select((dec2(col("o_totalprice")) * 100).cast(LongType).as("v"))
+    val mo = x.agg(count(lit(1)).cast(big38).as("n"),
+      sum(col("v").cast(big38)).as("s"),
+      sum(col("v").cast(big38) * col("v")).as("q"))
+    val st = mo.select(col("n"), expr("s DIV n").as("mu0"),
+      round(lit(1.345) * sqrt((col("q").cast(DoubleType)
+        - col("s").cast(DoubleType) * col("s") / col("n").cast(DoubleType))
+        / col("n").cast(DoubleType))).cast(LongType).as("k"))
+    // weights via expr so the integer DIV semantics match the oracle
+    val r1 = x.crossJoin(broadcast(st))
+      .select(col("k"), col("v"),
+        expr("CASE WHEN abs(v - mu0) <= k THEN CAST(1000000 AS" +
+          " DECIMAL(38,0)) ELSE (CAST(k AS DECIMAL(38,0)) * 1000000)" +
+          " DIV abs(v - mu0) END").as("w6"))
+      .groupBy("k")
+      .agg(sum(col("w6") * col("v")).as("wx"), sum(col("w6")).as("w"))
+    val m1 = r1.select(col("k"), expr("wx DIV w").as("mu1"))
+    val r2 = x.crossJoin(broadcast(m1))
+      .select(col("v"),
+        expr("CASE WHEN abs(v - mu1) <= k THEN CAST(1000000 AS" +
+          " DECIMAL(38,0)) ELSE (CAST(k AS DECIMAL(38,0)) * 1000000)" +
+          " DIV abs(v - mu1) END").as("w6"))
+      .agg(sum(col("w6") * col("v")).as("wx"), sum(col("w6")).as("w"))
+    val m2 = r2.select(expr("wx DIV w").as("mu2"))
+    st.crossJoin(broadcast(m1)).crossJoin(broadcast(m2))
+      .select(round(col("mu0").cast(DoubleType) / 100, 2)
+          .as("mean_dollars"),
+        round(col("mu1").cast(DoubleType) / 100, 2).as("huber_round1"),
+        round(col("mu2").cast(DoubleType) / 100, 2).as("huber_round2"))
+  }
+
   val all: Seq[Q] = Seq(qMoodsMedian, qCochranQ, qAnomalyEsd,
     qGehanWilcoxon, qMixRateDecomp, qWaterfallSegments,
     qBenjaminiYekutieli, qFleissKappa, qBurnRate, qDeltaAttribution,
-    qForecastMase, qPanelFe,
+    qForecastMase, qPanelFe, qTwoWayAnova, qPropTrend, qCaptureRecapture,
+    qXiCorrelation, qPermutationTest, qHuberLocation,
     qJarqueBera, qLevene, qBinomialCi, qMcnemar,
     qTrimmedMean, qSimpsons, qMissingDays, qAssortativity, qTost,
     qCmhTest, qPartialCorr, qDispersion,

@@ -250,7 +250,15 @@ class DeterminismSpec extends SparkTestBase {
     // round 7 fortieth batch: quantized segment SSE argmins, sweep-line
     // running sums, per-priority rank percentiles
     DiagQueries.qChangepointTwo, ProfileQueries.qConcurrencyProfile,
-    ProfileQueries.qCycleTime)
+    ProfileQueries.qCycleTime,
+    // round 7 forty-first batch: per-dim quantized moments, fenced
+    // factorial cells, integer trend scores
+    LlmQueries.qEmbedDimStats, LlmQueries.qChunkDedup,
+    StatQueries.qTwoWayAnova, StatQueries.qPropTrend,
+    // round 7 forty-second batch: GlobalRank rank diffs, seeded
+    // sign-flip fan-outs, ppm IRLS weights
+    StatQueries.qXiCorrelation, StatQueries.qPermutationTest,
+    StatQueries.qHuberLocation)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
