@@ -3613,11 +3613,224 @@ object StatQueries {
         round(col("mu2").cast(DoubleType) / 100, 2).as("huber_round2"))
   }
 
+  /** Weibull survival fit by median-rank regression on the
+    * q_kaplan_meier durations: ln(−ln(1−F)) vs ln t is linear exactly
+    * when lifetimes are Weibull — slope = shape k (k < 1 ⇒ churn hazard
+    * DECREASES with tenure: survive the first months and you stay),
+    * scale = exp(−a/k). The parametric member of the survival family
+    * (KM/NA/logrank/Gehan are all nonparametric). F from exact
+    * cumulative ranks (Bernard's approximation); both regression
+    * coordinates ·10⁹-quantized per bounded duration row before the
+    * exact co-moment sums. */
+  val qWeibullFit = Q(
+    "q_weibull_fit",
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    datediff('day', MIN(CAST(o_orderdate AS DATE)),
+      |      MAX(CAST(o_orderdate AS DATE))) AS t
+      |  FROM orders GROUP BY 1),
+      |g AS (
+      |  SELECT t, count(*) AS c FROM cust WHERE t >= 1 GROUP BY t),
+      |cr AS (
+      |  SELECT t, sum(c) OVER (ORDER BY t) AS cum,
+      |    sum(c) OVER () AS n
+      |  FROM g),
+      |pt AS (
+      |  SELECT CAST(round(ln(CAST(t AS DOUBLE)) * 1000000000)
+      |      AS BIGINT) AS x9,
+      |    CAST(round(ln(-ln(1 - (CAST(cum AS DOUBLE) - 0.3)
+      |      / (CAST(n AS DOUBLE) + 0.4))) * 1000000000) AS BIGINT) AS y9
+      |  FROM cr WHERE cum < n),
+      |mo AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS m,
+      |    sum(CAST(x9 AS HUGEINT)) AS sx, sum(CAST(y9 AS HUGEINT)) AS sy,
+      |    sum(CAST(x9 AS HUGEINT) * x9) AS sxx,
+      |    sum(CAST(x9 AS HUGEINT) * y9) AS sxy
+      |  FROM pt),
+      |co AS (
+      |  SELECT m,
+      |    (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS k,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM mo)
+      |SELECT CAST(m AS BIGINT) AS n_points,
+      |  ROUND(k, 4) AS weibull_shape,
+      |  ROUND(exp(-((syd - k * sxd) / CAST(m AS DOUBLE) / 1e9) / k), 2)
+      |    AS weibull_scale_days
+      |FROM co""".stripMargin) { (s, d) =>
+    val cust = t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(datediff(max(col("o_orderdate").cast(DateType)),
+        min(col("o_orderdate").cast(DateType))).as("t"))
+    val g = cust.filter(col("t") >= 1)
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val tot = g.agg(sum(col("c")).as("n"))
+    val cr = g
+      .withColumn("cum", sum(col("c")).over(Window.orderBy("t")))
+      .crossJoin(broadcast(tot))
+    val pt = cr.filter(col("cum") < col("n"))
+      .select(
+        round(log(col("t").cast(DoubleType)) * 1000000000L)
+          .cast(LongType).as("x9"),
+        round(log(-log(lit(1) - (col("cum").cast(DoubleType) - 0.3)
+          / (col("n").cast(DoubleType) + 0.4))) * 1000000000L)
+          .cast(LongType).as("y9"))
+    val mo = pt.agg(count(lit(1)).cast(big38).as("m"),
+      sum(col("x9").cast(big38)).as("sx"),
+      sum(col("y9").cast(big38)).as("sy"),
+      sum(col("x9").cast(big38) * col("x9")).as("sxx"),
+      sum(col("x9").cast(big38) * col("y9")).as("sxy"))
+    val co = mo.select(col("m"),
+      ((col("m").cast(DoubleType) * col("sxy").cast(DoubleType)
+        - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+        / (col("m").cast(DoubleType) * col("sxx").cast(DoubleType)
+          - col("sx").cast(DoubleType) * col("sx").cast(DoubleType)))
+        .as("k"),
+      col("sx").cast(DoubleType).as("sxd"),
+      col("sy").cast(DoubleType).as("syd"))
+    co.select(col("m").cast(LongType).as("n_points"),
+      round(col("k"), 4).as("weibull_shape"),
+      round(exp(-((col("syd") - col("k") * col("sxd"))
+        / col("m").cast(DoubleType) / 1e9) / col("k")), 2)
+        .as("weibull_scale_days"))
+  }
+
+  /** Negative-binomial method-of-moments fit to per-customer order
+    * counts (r, p from mean/variance) — the overdispersed count model
+    * q_dispersion's index points at: a Poisson fit underestimates the
+    * heavy-buyer tail; NB's r says HOW heterogeneous demand is. Exact
+    * moments; closed-form MoM on the one-row panel. */
+  val qNbFit = Q(
+    "q_nb_fit",
+    """WITH cc AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |mo AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(c AS HUGEINT)) AS s,
+      |    sum(CAST(c AS HUGEINT) * c) AS q
+      |  FROM cc),
+      |st AS (
+      |  SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+      |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s
+      |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS v
+      |  FROM mo)
+      |SELECT CAST(n AS BIGINT) AS n_customers,
+      |  ROUND(m, 4) AS mean_orders, ROUND(v, 4) AS var_orders,
+      |  ROUND(v / m, 4) AS dispersion_index,
+      |  CASE WHEN v > m THEN ROUND(m * m / (v - m), 4) ELSE NULL END
+      |    AS nb_r,
+      |  CASE WHEN v > m THEN ROUND(m / v, 6) ELSE NULL END AS nb_p
+      |FROM st""".stripMargin) { (s, d) =>
+    val cc = t(s, d, "orders").groupBy("o_custkey")
+      .agg(count(lit(1)).cast(LongType).as("c"))
+    val mo = cc.agg(count(lit(1)).cast(big38).as("n"),
+      sum(col("c").cast(big38)).as("s"),
+      sum(col("c").cast(big38) * col("c")).as("q"))
+    val st = mo.select(col("n"),
+      (col("s").cast(DoubleType) / col("n").cast(DoubleType)).as("m"),
+      ((col("q").cast(DoubleType) - col("s").cast(DoubleType) * col("s")
+        / col("n").cast(DoubleType)) / col("n").cast(DoubleType)).as("v"))
+    st.select(col("n").cast(LongType).as("n_customers"),
+      round(col("m"), 4).as("mean_orders"),
+      round(col("v"), 4).as("var_orders"),
+      round(col("v") / col("m"), 4).as("dispersion_index"),
+      when(col("v") > col("m"),
+        round(col("m") * col("m") / (col("v") - col("m")), 4))
+        .otherwise(lit(null)).as("nb_r"),
+      when(col("v") > col("m"), round(col("m") / col("v"), 6))
+        .otherwise(lit(null)).as("nb_p"))
+  }
+
+  /** Empirical-Bayes shrinkage of per-nation urgent-order rates toward
+    * the grand rate (Beta-Binomial, method-of-moments prior) — the
+    * James-Stein move every per-entity league table needs: small
+    * nations' extreme raw rates are mostly noise, and the shrunk
+    * estimate says so quantitatively. Prior strength quantized ONCE
+    * (·10³) from exact between-nation moments; every shrunk rate is an
+    * exact integer DIV. */
+  val qEbShrinkage = Q(
+    "q_eb_shrinkage",
+    """WITH o AS (
+      |  SELECT n_name,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS u
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey),
+      |g AS (
+      |  SELECT n_name, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(u) AS HUGEINT) AS k
+      |  FROM o GROUP BY 1),
+      |r AS (SELECT n_name, n, k, k * 1000000 // n AS p6 FROM g),
+      |mo AS (
+      |  SELECT count(*) AS kk, sum(p6) AS sp,
+      |    sum(CAST(p6 AS HUGEINT) * p6) AS sq,
+      |    (SELECT sum(k) * 1000000 // sum(n) FROM g) AS pbar6
+      |  FROM r),
+      |pr AS (
+      |  SELECT pbar6,
+      |    CAST(round(
+      |      CAST(pbar6 AS DOUBLE) * (1000000 - pbar6) /
+      |      ((CAST(sq AS DOUBLE) - CAST(sp AS DOUBLE) * sp / kk) / kk)
+      |      * 1000) AS BIGINT) AS m3
+      |  FROM mo),
+      |sh AS (
+      |  SELECT r.n_name, r.n, r.k, r.p6, pr.pbar6, pr.m3,
+      |    (r.k * 1000 + pr.m3 * pr.pbar6 // 1000000)
+      |      * 1000000 // (r.n * 1000 + pr.m3) AS shrunk6
+      |  FROM r, pr)
+      |SELECT n_name AS nation, CAST(n AS BIGINT) AS n_orders,
+      |  ROUND(CAST(p6 AS DOUBLE) / 1e6, 6) AS raw_rate,
+      |  ROUND(CAST(shrunk6 AS DOUBLE) / 1e6, 6) AS shrunk_rate,
+      |  ROUND(CAST(m3 AS DOUBLE) / 1000
+      |    / (CAST(n AS DOUBLE) + CAST(m3 AS DOUBLE) / 1000), 6)
+      |    AS prior_weight
+      |FROM sh ORDER BY nation""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+          .as("u"))
+    val g = o.groupBy("n_name")
+      .agg(count(lit(1)).cast(big38).as("n"),
+        sum(col("u")).cast(big38).as("k"))
+    val r = g.select(col("n_name"), col("n"), col("k"),
+      expr("k * 1000000 DIV n").as("p6"))
+    val gt = g.agg(expr("sum(k) * 1000000 DIV sum(n)").as("pbar6"))
+    val mo = r.agg(count(lit(1)).as("kk"), sum(col("p6")).as("sp"),
+        sum(col("p6").cast(big38) * col("p6")).as("sq"))
+      .crossJoin(broadcast(gt))
+    val pr = mo.select(col("pbar6"),
+      round(col("pbar6").cast(DoubleType) * (lit(1000000) - col("pbar6"))
+        / ((col("sq").cast(DoubleType)
+          - col("sp").cast(DoubleType) * col("sp") / col("kk"))
+          / col("kk"))
+        * 1000).cast(LongType).as("m3"))
+    val sh = r.crossJoin(broadcast(pr))
+      .select(col("n_name"), col("n"), col("k"), col("p6"),
+        col("pbar6"), col("m3"),
+        expr("(k * 1000 + m3 * pbar6 DIV 1000000) * 1000000" +
+          " DIV (n * 1000 + m3)").as("shrunk6"))
+    sh.select(col("n_name").as("nation"),
+        col("n").cast(LongType).as("n_orders"),
+        round(col("p6").cast(DoubleType) / 1e6, 6).as("raw_rate"),
+        round(col("shrunk6").cast(DoubleType) / 1e6, 6).as("shrunk_rate"),
+        round(col("m3").cast(DoubleType) / 1000
+          / (col("n").cast(DoubleType) + col("m3").cast(DoubleType)
+            / 1000), 6).as("prior_weight"))
+      .orderBy("nation")
+  }
+
   val all: Seq[Q] = Seq(qMoodsMedian, qCochranQ, qAnomalyEsd,
     qGehanWilcoxon, qMixRateDecomp, qWaterfallSegments,
     qBenjaminiYekutieli, qFleissKappa, qBurnRate, qDeltaAttribution,
     qForecastMase, qPanelFe, qTwoWayAnova, qPropTrend, qCaptureRecapture,
     qXiCorrelation, qPermutationTest, qHuberLocation,
+    qWeibullFit, qNbFit, qEbShrinkage,
     qJarqueBera, qLevene, qBinomialCi, qMcnemar,
     qTrimmedMean, qSimpsons, qMissingDays, qAssortativity, qTost,
     qCmhTest, qPartialCorr, qDispersion,

@@ -258,7 +258,10 @@ class DeterminismSpec extends SparkTestBase {
     // round 7 forty-second batch: GlobalRank rank diffs, seeded
     // sign-flip fan-outs, ppm IRLS weights
     StatQueries.qXiCorrelation, StatQueries.qPermutationTest,
-    StatQueries.qHuberLocation)
+    StatQueries.qHuberLocation,
+    // round 7 forty-third batch: quantized rank-regression coords,
+    // shrinkage integer DIVs
+    StatQueries.qWeibullFit, StatQueries.qEbShrinkage)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
