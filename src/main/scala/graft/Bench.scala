@@ -21,6 +21,14 @@ object Bench {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Late-run inflation guards (VERDICT r7 task 5): shuffle files and
+      // broadcast blocks are only reclaimed when a GC collects their dead
+      // Shuffle/Broadcast references — Spark's own backstop fires every
+      // 30 min by default, which a ~10 min 500-query run never reaches.
+      // 2 min + the explicit GC every 64 queries below keep the
+      // accumulated state of early queries from taxing late ones.
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .config("spark.sql.ui.retainedExecutions", "50")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=q1,q2 benches a subset (repeats allowed via
@@ -37,7 +45,7 @@ object Bench {
     val cold = sys.env.get("SPARK_GRAFT_COLD").contains("1")
     def clearMemos(): Unit = {
       ml.Ratings.clearCache(); ml.AlsEngine.clearCache()
-      ml.Baseline.clearCache()
+      ml.Baseline.clearCache(); llm.ShingleStore.clearCache()
     }
     val mfSelected = only.forall(_.exists(n => n.startsWith("q_mf") ||
       n.startsWith("q_antidote") || n.startsWith("q_metric") ||
@@ -57,7 +65,22 @@ object Bench {
         Tables.all.foreach { n =>
           Tables.load(spark, sfDir, n).cache().count(); ()
         }))
-    val warmups: Seq[(String, () => Unit)] = tableWarm ++
+    // Shared shingle store (ShingleStore.scala): five raw-document
+    // shingle consumers split two explode configs; each is billed as its
+    // own warm line so no consumer's number hides the corpus explode.
+    // Cold mode clears the memo per query, billing the full explode to
+    // every consumer.
+    val shingleSelected = only.forall(_.exists(Set(
+      "q_tfidf_cosine_pairs", "q_boilerplate", "q_shingle_df_profile",
+      "q_text_repetition", "q_decontaminate")))
+    val shingleWarm: Seq[(String, () => Unit)] =
+      if (cold || !shingleSelected) Seq.empty
+      else Seq(
+        "warm:shingles_k5" ->
+          (() => { llm.ShingleStore.counted(spark, sfDir, 5, 2000).count(); () }),
+        "warm:shingles_k20" ->
+          (() => { llm.ShingleStore.counted(spark, sfDir, 20, 2000).count(); () }))
+    val warmups: Seq[(String, () => Unit)] = tableWarm ++ shingleWarm ++
       (if (cold || !mfSelected) Seq.empty
       else Seq(
         "warm:ratings_view" ->
@@ -86,11 +109,16 @@ object Bench {
     val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
     def releaseNew(): Unit = if (release)
       spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => keep.contains(id) }
+        .filterNot { case (id, _) =>
+          // MemoKeep entries are memoized localCheckpoints whose lineage
+          // is truncated — releasing them would break, not slow, every
+          // later consumer (a memo built mid-run misses the keep-set)
+          keep.contains(id) || MemoKeep.isProtected(id) }
         .values.foreach(r => try r.unpersist(blocking = false)
           catch { case _: Throwable => () })
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    var sinceGc = 0
     val results = warmResults ++
       (1 to repeat).flatMap(i => selected.map {
         case (n, f) => (if (repeat > 1) s"$n#$i" else n) -> f
@@ -101,6 +129,11 @@ object Bench {
         catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         releaseNew()
+        // Deterministic GC cadence (billed OUTSIDE the per-query timer,
+        // like releaseNew): lets ContextCleaner reclaim the shuffle files
+        // dead queries left behind before they tax the late-run tail.
+        sinceGc += 1
+        if (sinceGc >= 64) { sinceGc = 0; System.gc() }
         (name, if (ok) dt else -1.0)
       }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

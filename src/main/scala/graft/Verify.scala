@@ -48,7 +48,11 @@ object Verify {
     val keep = spark.sparkContext.getPersistentRDDs.keySet.toSet
     def releaseNew(): Unit =
       spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => keep.contains(id) }
+        .filterNot { case (id, _) =>
+          // MemoKeep: memoized localCheckpoints (shingle store) built
+          // mid-run — lineage is truncated, so releasing them breaks
+          // every later consumer instead of slowing it
+          keep.contains(id) || MemoKeep.isProtected(id) }
         .values.foreach(r => try r.unpersist(blocking = false)
           catch { case _: Throwable => () })
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]

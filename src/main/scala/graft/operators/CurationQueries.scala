@@ -54,8 +54,7 @@ object CurationQueries {
       |    AS boiler_occ_share
       |FROM m ORDER BY source""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
-    val sh = graft.llm.Dedup.charShingles(
-        docs.select("doc_id", "text"), k = 5, maxPos = 2000)
+    val sh = graft.llm.ShingleStore.distinct(s, d, k = 5, maxPos = 2000)
       .join(docs.select("doc_id", "source"), "doc_id")
     val nd = sh.groupBy("source")
       .agg(countDistinct(col("doc_id")).as("n_docs"))

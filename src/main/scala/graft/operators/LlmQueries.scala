@@ -391,12 +391,16 @@ object LlmQueries {
       |ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
     // maxPos = 2000 is this query's oracle determinism/cost bound, NOT a
     // library constant — Dedup.contamination defaults to scanning every
-    // position (tail contamination beyond any cap is covered in LlmSpec)
-    val docs = t(s, d, "documents")
-    Dedup.contamination(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0),
-        k = 20, maxPos = 2000)
+    // position (tail contamination beyond any cap is covered in LlmSpec).
+    // Shingling is per-row, so filtering the SHARED raw-corpus k=20
+    // shingle frame is identical to shingling the filtered corpora —
+    // and the 20-gram explode is paid once per session, not per query.
+    val sh = graft.llm.ShingleStore.distinct(s, d, k = 20, maxPos = 2000)
+    val ev = sh.filter(col("doc_id") % 97 === 0).select("shingle").distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(ev, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
       .limit(200)
   }
@@ -448,16 +452,15 @@ object LlmQueries {
       |  FROM documents, generate_series(1, 2000) t(p)
       |  WHERE p <= greatest(length(text) - 4, 1)) s
       |GROUP BY doc_id ORDER BY doc_id LIMIT 200""".stripMargin) { (s, d) =>
-    t(s, d, "documents")
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1),
-          least(greatest(length(col("text")) - 4, lit(1)), lit(2000))))
-          .as("p"))
-      .select(col("doc_id"), expr("substr(text, p, 5)").as("g"))
+    // from the shared counted shingle frame: total grams = Σc, distinct
+    // grams = row count — same numbers, explode paid once per session
+    graft.llm.ShingleStore.counted(s, d, k = 5, maxPos = 2000)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        round(lit(1.0) - countDistinct(col("g")).cast(DoubleType) /
-          count(lit(1)), 6).as("rep_fraction"))
+      .agg(sum(col("c")).as("n_grams"),
+        round(lit(1.0) - count(lit(1)).cast(DoubleType) /
+          sum(col("c")), 6).as("rep_fraction"))
+      .select(col("doc_id"), col("n_grams").cast(LongType).as("n_grams"),
+        col("rep_fraction"))
       .orderBy("doc_id")
       .limit(200)
   }
@@ -2742,13 +2745,10 @@ object LlmQueries {
       |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin) {
     (s, d) =>
     val big38 = DecimalType(38, 0)
-    val tok = t(s, d, "documents")
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1),
-          least(greatest(length(col("text")) - 4, lit(1)), lit(2000))))
-          .as("p"))
-      .select(col("doc_id"), expr("substr(text, p, 5)").as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    // the corpus explode+count comes from the shared per-session shingle
+    // store (paid once across the five raw-document shingle consumers)
+    val tok = graft.llm.ShingleStore.counted(s, d, k = 5, maxPos = 2000)
+      .withColumnRenamed("shingle", "term")
     val df = tok.groupBy("term").agg(count(lit(1)).as("df"))
     val nd = tok.agg(countDistinct(col("doc_id")).as("n"))
     val w = tok.join(df.withColumnRenamed("term", "dft"),
@@ -2759,8 +2759,9 @@ object LlmQueries {
           * 10000L).cast(LongType).as("w4"))
     // The (doc, shingle, w4) table feeds FOUR consumers (norms, both
     // sides of the candidate join, both sides of the dot join) — without
-    // a lineage barrier each consumer replays the 2000-position explode
-    // over the whole corpus (measured 75 s at sf0.1; ~3 s checkpointed).
+    // a lineage barrier each consumer replays the df-join over the whole
+    // shingle table (and, pre-ShingleStore, the corpus explode itself:
+    // 75 s at sf0.1 vs ~3 s checkpointed).
     val wm = w.localCheckpoint()
     val norms = wm.groupBy("doc_id")
       .agg(sum(col("w4").cast(big38) * col("w4").cast(big38)).as("n2"))
@@ -2817,9 +2818,7 @@ object LlmQueries {
       |  ROUND(CAST(count(*) AS DOUBLE) / (SELECT n_shingles FROM tot), 6)
       |    AS shingle_share
       |FROM b GROUP BY bucket ORDER BY log2_df""".stripMargin) { (s, d) =>
-    val sh = graft.llm.Dedup.charShingles(
-      t(s, d, "documents").select("doc_id", "text"), k = 5, maxPos = 2000)
-      .withColumnRenamed("shingle", "shingle")
+    val sh = graft.llm.ShingleStore.distinct(s, d, k = 5, maxPos = 2000)
     val dd = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val tot = dd.agg(count(lit(1)).as("n_tot"))
     dd.select((length(bin(col("df"))) - 1).cast(LongType).as("log2_df"),
