@@ -947,7 +947,13 @@ object StreamOps {
       rm(dir)
     }
     val t0 = System.currentTimeMillis() - 3600000L
-    val stamped = scala.collection.mutable.Set.empty[String]
+    // Replay order is encoded ONLY in mtimes (FileStreamSource serves
+    // oldest-first); a silently-failed setLastModified would let slices
+    // replay out of order and corrupt every order-dependent maintainer's
+    // state with no error. So: fail loudly on a false return, and verify
+    // the final mtime order matches slice order before handing the dir to
+    // the stream. 60 s spacing clears any coarse-granularity filesystem.
+    val sliceOf = scala.collection.mutable.Map.empty[String, Int]
     (0 until nBatches).foreach { i =>
       e.filter(col("event_id") >= lo + i * span
           && col("event_id") < lo + (i + 1) * span)
@@ -955,11 +961,20 @@ object StreamOps {
         .write.mode(if (i == 0) "overwrite" else "append").parquet(src)
       new java.io.File(src).listFiles()
         .filter(f => f.getName.startsWith("part-")
-          && !stamped.contains(f.getName))
+          && !sliceOf.contains(f.getName))
         .foreach { f =>
-          f.setLastModified(t0 + i * 60000L); stamped += f.getName
+          require(f.setLastModified(t0 + i * 60000L),
+            s"setLastModified failed for ${f.getAbsolutePath}; " +
+              "slice replay order cannot be guaranteed")
+          sliceOf += f.getName -> i
         }
     }
+    val byMtime = new java.io.File(src).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.lastModified())
+      .map(f => sliceOf(f.getName))
+    require(byMtime.sameElements(byMtime.sorted),
+      s"slice mtime order ${byMtime.mkString(",")} does not match slice " +
+        "order; FileStreamSource would replay out of order")
   }
 
   def incrementalWatermark(spark: SparkSession, sfDir: String,
@@ -1054,12 +1069,17 @@ object StreamOps {
         val bw = Window.partitionBy("user_id").orderBy("event_id")
         val withLag = batch.withColumn("prev_us",
           lag(col("us"), 1).over(bw))
+        // Boundary events are by EVENT_ID order (the lag ordering), not by
+        // time: with late/out-of-order events min(us)/max(us) would pick
+        // the wrong boundary and the cross-batch gap check below would
+        // diverge from the lag-by-event_id oracle. min_by/max_by(us,
+        // event_id) is the first/last event of the batch in replay order.
         val partial = withLag.groupBy("user_id").agg(
           (sum(when(col("prev_us").isNull
               || col("us") - col("prev_us") >= gapUs, 1L).otherwise(0L)))
             .as("n_sess"),
-          min(col("us")).as("first_us"),
-          max(col("us")).as("last_us"))
+          min_by(col("us"), col("event_id")).as("first_us"),
+          max_by(col("us"), col("event_id")).as("last_us"))
         val merged =
           if (version < 0) partial
           else {
