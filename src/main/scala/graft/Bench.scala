@@ -46,6 +46,7 @@ object Bench {
     def clearMemos(): Unit = {
       ml.Ratings.clearCache(); ml.AlsEngine.clearCache()
       ml.Baseline.clearCache(); llm.ShingleStore.clearCache()
+      operators.MfQueries.clearSweepCache()
     }
     val mfSelected = only.forall(_.exists(n => n.startsWith("q_mf") ||
       n.startsWith("q_antidote") || n.startsWith("q_metric") ||

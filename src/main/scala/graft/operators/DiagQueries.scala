@@ -1221,7 +1221,10 @@ object DiagQueries {
       col("ng").as("na"))
     val b = m.select(col("n_name").as("nation_b"), col("m3").as("mb"),
       col("ng").as("nb"))
-    val pairs = a.join(b, col("nation_a") < col("nation_b"))
+    // both sides are 25-row nation panels at ANY fact-table scale —
+    // broadcast the right side so the theta-join plans as BNLJ, never a
+    // shuffled CartesianProduct (caught by the r8 PLANS.md regen)
+    val pairs = a.join(broadcast(b), col("nation_a") < col("nation_b"))
     val se = sqrt(col("ssw").cast(DoubleType)
       / (col("n").cast(DoubleType) - col("k")) / 2
       * (lit(1) / col("na").cast(DoubleType)

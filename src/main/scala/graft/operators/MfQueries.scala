@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.Dsl._
-import graft.ml.{AlsEngine, Antidote, Baseline, Ratings}
+import graft.ml.{AlsEngine, Antidote, Baseline, Metric, Ratings}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -421,31 +421,88 @@ object MfQueries {
     * every metric. ALS-dependent values → rows-only here; the
     * gradient-descent traces over iterations are property-tested in
     * MfSpec. */
+  /** Memoized (α, metric, objective, rmse) sweep rows per sfDir: the sweep
+    * retrains ALS once per nonzero budget (the paper's Alg. 1 cost
+    * structure), so the two registered readouts of it — the full sweep
+    * table and the Figure-style group-unfairness projection — must share
+    * one computation. 9 driver-side scalar rows; [[clearSweepCache]] for
+    * cold benchmarking. */
+  private val sweepCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Double, String, Double, Double)]]
+
+  def clearSweepCache(): Unit = sweepCache.synchronized(sweepCache.clear())
+
+  private def sweepRows(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(Double, String, Double, Double)] =
+    sweepCache.synchronized {
+      sweepCache.getOrElseUpdate(d, {
+        // viewCached, not view().cache(): a second cache() of the identical
+        // plan dedupes onto the memo's entry with a CacheManager WARN and
+        // leaves an unpaired cache registration behind
+        val ratings = Ratings.viewCached(s, d)
+        val cfg = AlsEngine.Config(maxIter = 3)
+        val groups = t(s, d, "customer")
+          .select(col("c_custkey").as("user_id"),
+            col("c_mktsegment").as("grp"))
+        Seq(0.0, 0.01, 0.05).flatMap { alpha =>
+          // α = 0 is the un-augmented baseline — share the memoized model
+          // with the other MF queries instead of re-training it. Nonzero
+          // budgets deploy the paper's OPTIMIZED antidote: §4.3 heuristic
+          // warm start, then one projected-GD step on the group-unfairness
+          // gradient (Alg. 1 with T=1), then the final re-factorization —
+          // two ALS trains per budget. The sweep plots what a deployed
+          // antidote achieves per budget, not what random filler does
+          // (hash-random filler INCREASES U_grp at the fixture scale).
+          val model =
+            if (alpha == 0.0) AlsEngine.trainCachedOnRatingsView(s, d)
+            else {
+              val x0 = Antidote.initHeuristic(s, ratings, alpha)
+              val x1 = Antidote.step(s, ratings, x0, cfg, eta = 1e4,
+                metric = Metric.GroupUnfairness(groups, "BUILDING",
+                  "MACHINERY"))
+              AlsEngine.train(ratings.unionByName(x1), cfg)
+            }
+          Antidote.evaluateAll(model, ratings, groups,
+              "BUILDING", "MACHINERY")
+            .toSeq.map { case (name, tp) =>
+              (alpha, name, tp.objective, tp.rmse) }
+        }
+      })
+    }
+
   val qAntidoteSweepAls = Q.noOracle("q_antidote_sweep_als") { (s, d) =>
-    // viewCached, not view().cache(): a second cache() of the identical
-    // plan dedupes onto the memo's entry with a CacheManager WARN and
-    // leaves an unpaired cache registration behind
-    val ratings = Ratings.viewCached(s, d)
-    val cfg = AlsEngine.Config(maxIter = 3)
-    val stats = Antidote.userStats(ratings)
-    val groups = t(s, d, "customer")
-      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("grp"))
     val spark = s
     import spark.implicits._
-    Seq(0.0, 0.01, 0.05).flatMap { alpha =>
-      // α = 0 is the un-augmented baseline — share the memoized model with
-      // the other MF queries instead of re-training it.
-      val model =
-        if (alpha == 0.0) AlsEngine.trainCachedOnRatingsView(s, d)
-        else AlsEngine.train(
-          ratings.unionByName(Antidote.init(s, ratings, alpha, stats)), cfg)
-      Antidote.evaluateAll(model, ratings, groups, "BUILDING", "MACHINERY")
-        .toSeq.map { case (name, tp) => (alpha, name, tp.objective, tp.rmse) }
-    }.toDF("alpha", "metric", "objective", "rmse")
+    sweepRows(s, d).toDF("alpha", "metric", "objective", "rmse")
       .select(col("alpha"), col("metric"),
         round(col("objective"), 6).as("objective"),
         round(col("rmse"), 6).as("rmse"))
       .orderBy("alpha", "metric")
+  }
+
+  /** The paper's headline Figure readout: group unfairness vs antidote
+    * budget α, with the RMSE accuracy cost alongside — one row per budget,
+    * each with its delta against the un-augmented α = 0 baseline. A
+    * projection of the memoized sweep (zero extra ALS trains); rows-only
+    * under the driver, semantics (U_grp decreases at α = 0.05) pinned in
+    * MfSpec. */
+  val qAntidoteFigure = Q.noOracle("q_antidote_figure") { (s, d) =>
+    val spark = s
+    import spark.implicits._
+    val rows = sweepRows(s, d).filter(_._2 == "grp_unfairness")
+    val (baseU, baseR) = rows.find(_._1 == 0.0)
+      .map(r => (r._3, r._4))
+      .getOrElse(sys.error("sweep is missing the α=0 baseline row"))
+    rows.map { case (alpha, _, u, r) =>
+      (alpha, u, r, u - baseU, r - baseR)
+    }.toDF("alpha", "grp_unfairness", "rmse", "delta_unfairness",
+      "rmse_cost")
+      .select(col("alpha"),
+        round(col("grp_unfairness"), 6).as("grp_unfairness"),
+        round(col("rmse"), 6).as("rmse"),
+        round(col("delta_unfairness"), 6).as("delta_unfairness"),
+        round(col("rmse_cost"), 6).as("rmse_cost"))
+      .orderBy("alpha")
   }
 
   /** Deterministic negative sampling — the training-example generator
@@ -858,6 +915,6 @@ object MfQueries {
     qMetricRmse, qMetricPolarization, qMetricIndUnfairness,
     qMetricGrpUnfairness, qMetricRmseHoldout, qRecCoverage,
     qAntidoteInit, qAntidoteStep, qAntidoteEval,
-    qSourceDelimited, qMfCompactTrain, qAntidoteSweepAls,
+    qSourceDelimited, qMfCompactTrain, qAntidoteSweepAls, qAntidoteFigure,
     qNegativeSample)
 }

@@ -347,4 +347,29 @@ class MfSpec extends SparkTestBase {
       .map(r2 => math.min(3L, r2.getLong(1))).sum
     assert(slots >= nRec)
   }
+
+  test("q_antidote_figure: U_grp decreases at alpha=0.05, deltas consistent") {
+    val rows = operators.MfQueries.qAntidoteFigure.run(spark, sf)
+      .orderBy("alpha").collect()
+    info(rows.map(_.toString).mkString("figure rows: ", " | ", ""))
+    assert(rows.length == 3)
+    val byAlpha = rows.map(r => r.getDouble(0) ->
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // the baseline row carries zero deltas by construction
+    val (u0, r0, d0, c0) = byAlpha(0.0)
+    assert(d0 == 0.0 && c0 == 0.0)
+    // the paper's headline claim: antidote data at the 5% budget REDUCES
+    // group unfairness vs the un-augmented model
+    val (u5, r5, d5, c5) = byAlpha(0.05)
+    assert(u5 < u0, s"U_grp did not decrease at alpha=0.05: $u0 -> $u5")
+    // delta columns are exactly the row-vs-baseline differences (6 dp)
+    assert(math.abs(d5 - (u5 - u0)) < 2e-6, s"delta mismatch: $d5 vs ${u5 - u0}")
+    assert(math.abs(c5 - (r5 - r0)) < 2e-6, s"cost mismatch: $c5 vs ${r5 - r0}")
+    // and the figure is a pure projection of the memoized sweep rows
+    val sweep = operators.MfQueries.qAntidoteSweepAls.run(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("metric") === "grp_unfairness")
+      .orderBy("alpha").collect()
+    assert(sweep.map(_.getDouble(2)).toSeq == rows.map(_.getDouble(1)).toSeq,
+      "figure U_grp column diverges from the sweep's grp_unfairness rows")
+  }
 }
