@@ -89,7 +89,14 @@ object Bench {
         "warm:als_model" ->
           (() => { ml.AlsEngine.trainCachedOnRatingsView(spark, sfDir); () }),
         "warm:baseline_pol_rmse" ->
-          (() => { ml.Baseline.polRmseCached(spark, sfDir); () })))
+          (() => { ml.Baseline.polRmseCached(spark, sfDir); () }),
+        // The optimized-antidote sweep memo (≈4 ALS retrains + GD steps,
+        // the paper's Alg. 1 cost) feeds two registered readouts
+        // (q_antidote_sweep_als, q_antidote_figure); building it here
+        // bills the intrinsic cost once instead of to whichever readout
+        // the registry iteration order runs first.
+        "warm:antidote_sweep" ->
+          (() => { operators.MfQueries.warmSweep(spark, sfDir); () })))
     val warmResults = warmups.map { case (name, f) =>
       val t0 = System.nanoTime()
       val ok = try { f(); true } catch { case _: Throwable => false }

@@ -432,6 +432,14 @@ object MfQueries {
 
   def clearSweepCache(): Unit = sweepCache.synchronized(sweepCache.clear())
 
+  /** Build the sweep memo eagerly — the bench's `warm:antidote_sweep` line,
+    * so the ~4 ALS retrains the optimized sweep intrinsically costs are
+    * billed once, up front, instead of to whichever of the sweep/figure
+    * readouts the registry iteration order happens to run first. */
+  def warmSweep(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    sweepRows(s, d); ()
+  }
+
   private def sweepRows(s: org.apache.spark.sql.SparkSession,
       d: String): Seq[(Double, String, Double, Double)] =
     sweepCache.synchronized {
