@@ -1431,8 +1431,139 @@ object EvalQueries {
 
   private val big38e = DecimalType(38, 0)
 
+  /** Classifier-fairness audit — demographic parity and equalized odds
+    * per protected group: for the deterministic scored classifier
+    * (order total > $150k predicts urgent) and group = market segment,
+    * the per-group positive-prediction rate (DP), TPR and FPR (EO), each
+    * with its gap against the pooled rate. The production fairness
+    * dashboard the WSDM'19 societal-metric family feeds into, on
+    * classifier decisions instead of recommender losses. ONE fact scan:
+    * six exact counting aggregates per group, the pooled row is the same
+    * six sums re-reduced and broadcast back; every rate/gap is a
+    * final-expression double. */
+  val qFairnessClf = Q(
+    "q_fairness_clf",
+    """WITH x AS (
+      |  SELECT c.c_mktsegment AS seg,
+      |    CASE WHEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) > 15000000 THEN 1 ELSE 0 END AS pred,
+      |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+      |      AS label
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |g AS (
+      |  SELECT seg, count(*) AS n, sum(pred) AS np,
+      |    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS npos,
+      |    sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS nneg,
+      |    sum(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS tp,
+      |    sum(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS fp
+      |  FROM x GROUP BY seg),
+      |tot AS (
+      |  SELECT sum(n) AS tn, sum(np) AS tnp, sum(npos) AS tpos,
+      |    sum(nneg) AS tneg, sum(tp) AS ttp, sum(fp) AS tfp
+      |  FROM g)
+      |SELECT seg, CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(np AS DOUBLE) / n, 6) AS pos_rate,
+      |  ROUND(CAST(tp AS DOUBLE) / npos, 6) AS tpr,
+      |  ROUND(CAST(fp AS DOUBLE) / nneg, 6) AS fpr,
+      |  ROUND(CAST(np AS DOUBLE) / n - CAST(tnp AS DOUBLE) / tn, 6)
+      |    AS dp_gap,
+      |  ROUND(CAST(tp AS DOUBLE) / npos - CAST(ttp AS DOUBLE) / tpos, 6)
+      |    AS tpr_gap,
+      |  ROUND(CAST(fp AS DOUBLE) / nneg - CAST(tfp AS DOUBLE) / tneg, 6)
+      |    AS fpr_gap
+      |FROM g CROSS JOIN tot ORDER BY seg""".stripMargin) { (s, d) =>
+    val x = t(s, d, "orders")
+      .join(t(s, d, "customer").select(col("c_custkey"),
+        col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("seg"),
+        when((dec2(col("o_totalprice")) * 100).cast(LongType) > 15000000L, 1)
+          .otherwise(0).as("pred"),
+        when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)
+          .as("label"))
+    val g = x.groupBy("seg").agg(
+      count(lit(1)).as("n"), sum(col("pred")).as("np"),
+      sum(when(col("label") === 1, 1).otherwise(0)).as("npos"),
+      sum(when(col("label") === 0, 1).otherwise(0)).as("nneg"),
+      sum(when(col("pred") === 1 && col("label") === 1, 1).otherwise(0))
+        .as("tp"),
+      sum(when(col("pred") === 1 && col("label") === 0, 1).otherwise(0))
+        .as("fp"))
+    val tot = g.agg(sum("n").as("tn"), sum("np").as("tnp"),
+      sum("npos").as("tpos"), sum("nneg").as("tneg"),
+      sum("tp").as("ttp"), sum("fp").as("tfp"))
+    g.crossJoin(broadcast(tot))
+      .select(col("seg"), col("n").cast(LongType).as("n"),
+        round(col("np").cast(DoubleType) / col("n"), 6).as("pos_rate"),
+        round(col("tp").cast(DoubleType) / col("npos"), 6).as("tpr"),
+        round(col("fp").cast(DoubleType) / col("nneg"), 6).as("fpr"),
+        round(col("np").cast(DoubleType) / col("n")
+          - col("tnp").cast(DoubleType) / col("tn"), 6).as("dp_gap"),
+        round(col("tp").cast(DoubleType) / col("npos")
+          - col("ttp").cast(DoubleType) / col("tpos"), 6).as("tpr_gap"),
+        round(col("fp").cast(DoubleType) / col("nneg")
+          - col("tfp").cast(DoubleType) / col("tneg"), 6).as("fpr_gap"))
+      .orderBy("seg")
+  }
+
+  /** Odds ratio with Woolf's logit confidence interval for the 2×2
+    * exposure×outcome table (BUILDING-segment customer × urgent
+    * priority) — the epidemiology-style effect readout q_abtest_ztest's
+    * rate difference does not give: a multiplicative association with a
+    * CI that is valid for rare outcomes. Four exact cell counts from one
+    * fact scan; OR and exp(ln OR ± 1.96·SE) are final-expression doubles
+    * on the one-row result. */
+  val qOddsRatioCi = Q(
+    "q_odds_ratio_ci",
+    """WITH x AS (
+      |  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+      |      AS e,
+      |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |c2 AS (
+      |  SELECT
+      |    sum(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END) AS a,
+      |    sum(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END) AS b,
+      |    sum(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END) AS c,
+      |    sum(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END) AS d
+      |  FROM x)
+      |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+      |  CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+      |  ROUND(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+      |    AS odds_ratio,
+      |  ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+      |    - 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6)
+      |    AS ci_lo,
+      |  ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+      |    + 1.96 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6)
+      |    AS ci_hi
+      |FROM c2""".stripMargin) { (s, d) =>
+    val x = t(s, d, "orders")
+      .join(t(s, d, "customer").select(col("c_custkey"),
+        col("c_mktsegment").as("seg")),
+        col("o_custkey") === col("c_custkey"))
+      .select(when(col("seg") === "BUILDING", 1).otherwise(0).as("e"),
+        when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0).as("y"))
+    val c2 = x.agg(
+      sum(when(col("e") === 1 && col("y") === 1, 1).otherwise(0)).as("a"),
+      sum(when(col("e") === 1 && col("y") === 0, 1).otherwise(0)).as("b"),
+      sum(when(col("e") === 0 && col("y") === 1, 1).otherwise(0)).as("c"),
+      sum(when(col("e") === 0 && col("y") === 0, 1).otherwise(0)).as("d"))
+    val orCol = (col("a").cast(DoubleType) * col("d"))
+      ./(col("b").cast(DoubleType) * col("c"))
+    val se = sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+      + lit(1.0) / col("c") + lit(1.0) / col("d"))
+    c2.select(col("a").cast(LongType).as("a"),
+      col("b").cast(LongType).as("b"), col("c").cast(LongType).as("c"),
+      col("d").cast(LongType).as("d"),
+      round(orCol, 6).as("odds_ratio"),
+      round(exp(log(orCol) - lit(1.96) * se), 6).as("ci_lo"),
+      round(exp(log(orCol) + lit(1.96) * se), 6).as("ci_hi"))
+  }
+
   val all: Seq[Q] = Seq(qIsotonic, qAuc, qLiftDeciles, qConfusionMatrix,
     qCalibration, qMrr, qIpsEstimate, qMapAtK, qFeatureCorrTarget,
     qAucByGroup, qPrCurve, qKsModel, qBrierDecomp, qRegressionMetrics,
-    qChi2FeatureSelect, qInfoGain, qDecisionStump, qCramersMatrix, qVif)
+    qChi2FeatureSelect, qInfoGain, qDecisionStump, qCramersMatrix, qVif,
+    qFairnessClf, qOddsRatioCi)
 }

@@ -4317,7 +4317,246 @@ object LlmQueries {
         .cast(DoubleType) / 1e6, 6).as("dup_share"))
   }
 
+  /** External clustering validation: purity and normalized mutual
+    * information of the q_kmeans_assign partition against the embedding
+    * ground-truth labels — the label-aware complement to q_silhouette's
+    * geometry-only score (a clustering can be tight yet split every
+    * class). Assignment is the same broadcast-centroid argmin; the
+    * contingency table is one (cluster × label) count aggregate on a
+    * bounded domain, and MI/H use the q_mutual_info quantized-ln idiom
+    * (per-cell round(·10⁹) integers summed, divisions in the final
+    * one-row select) so the result is reduction-order-proof. */
+  val qClusterPurity = Q(
+    "q_cluster_purity",
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |dd AS (
+      |  SELECT e.vec_id, e.label, c.cid,
+      |    ROUND(list_inner_product(e.v, e.v)
+      |      - 2 * list_inner_product(e.v, c.cv)
+      |      + list_inner_product(c.cv, c.cv), 6) AS d2
+      |  FROM e CROSS JOIN c),
+      |a AS (
+      |  SELECT vec_id, label, cid,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+      |  FROM dd),
+      |o AS (SELECT cid, label, count(*) AS o FROM a WHERE rk = 1
+      |  GROUP BY 1, 2),
+      |marg AS (
+      |  SELECT o.cid, o.label, o.o, r.r, l.c, n.n FROM o
+      |  JOIN (SELECT cid, sum(o) AS r FROM o GROUP BY 1) r USING (cid)
+      |  JOIN (SELECT label, sum(o) AS c FROM o GROUP BY 1) l USING (label)
+      |  CROSS JOIN (SELECT sum(o) AS n FROM o) n),
+      |pur AS (
+      |  SELECT sum(mx) AS pure_n FROM
+      |    (SELECT cid, max(o) AS mx FROM o GROUP BY 1) z),
+      |mi AS (
+      |  SELECT max(n) AS n, sum(CAST(ROUND(
+      |    CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * ln(CAST(n AS DOUBLE) * CAST(o AS DOUBLE)
+      |           / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)))
+      |    * 1000000000) AS HUGEINT)) AS mi9
+      |  FROM marg),
+      |hc AS (
+      |  SELECT sum(CAST(ROUND(
+      |    -(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * 1000000000) AS HUGEINT)) AS h9
+      |  FROM (SELECT DISTINCT cid, r, n FROM marg)),
+      |hl AS (
+      |  SELECT sum(CAST(ROUND(
+      |    -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * 1000000000) AS HUGEINT)) AS h9
+      |  FROM (SELECT DISTINCT label, c, n FROM marg))
+      |SELECT CAST(mi.n AS BIGINT) AS n,
+      |  ROUND(CAST(pur.pure_n AS DOUBLE) / CAST(mi.n AS DOUBLE), 6)
+      |    AS purity,
+      |  ROUND(CAST(mi.mi9 AS DOUBLE) / 1000000000, 6) AS mi,
+      |  ROUND(CAST(hc.h9 AS DOUBLE) / 1000000000, 6) AS h_cluster,
+      |  ROUND(CAST(hl.h9 AS DOUBLE) / 1000000000, 6) AS h_label,
+      |  ROUND(CAST(mi.mi9 AS DOUBLE) / 1000000000
+      |    / sqrt(CAST(hc.h9 AS DOUBLE) / 1000000000
+      |         * (CAST(hl.h9 AS DOUBLE) / 1000000000)), 6) AS nmi
+      |FROM mi, hc, hl, pur""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cvec"))
+    // the contingency panel feeds SEVEN bounded consumers (margins, n,
+    // purity, MI, two entropies) — without a fence each re-runs the
+    // corpus-sized centroid argmin (the q_bradley_terry lesson)
+    val o = Clustering.assign(e, "v", cents)
+      .groupBy(col("cluster").as("cid"), col("label"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val r = o.groupBy("cid").agg(sum("o").as("r"))
+    val l = o.groupBy("label").agg(sum("o").as("c"))
+    val n = o.agg(sum("o").as("n"))
+    val marg = o.join(broadcast(r), "cid").join(broadcast(l), "label")
+      .crossJoin(broadcast(n))
+    val pur = o.groupBy("cid").agg(max("o").as("mx"))
+      .agg(sum("mx").as("pure_n"))
+    val mi = marg.agg(max("n").as("n"),
+      sum(round(col("o").cast(DoubleType) / col("n").cast(DoubleType)
+        * log(col("n").cast(DoubleType) * col("o").cast(DoubleType)
+          / (col("r").cast(DoubleType) * col("c").cast(DoubleType)))
+        * 1000000000).cast(big38)).as("mi9"))
+    def margH(keyCol: String, cntCol: String): DataFrame =
+      marg.select(col(keyCol), col(cntCol), col("n")).distinct()
+        .agg(sum(round(-(col(cntCol).cast(DoubleType)
+            / col("n").cast(DoubleType))
+          * log(col(cntCol).cast(DoubleType) / col("n").cast(DoubleType))
+          * 1000000000).cast(big38)).as("h9"))
+    mi.crossJoin(broadcast(margH("cid", "r").select(col("h9").as("hc9"))))
+      .crossJoin(broadcast(margH("label", "c").select(col("h9").as("hl9"))))
+      .crossJoin(broadcast(pur))
+      .select(col("n").cast(LongType).as("n"),
+        round(col("pure_n").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("purity"),
+        round(col("mi9").cast(DoubleType) / 1000000000, 6).as("mi"),
+        round(col("hc9").cast(DoubleType) / 1000000000, 6).as("h_cluster"),
+        round(col("hl9").cast(DoubleType) / 1000000000, 6).as("h_label"),
+        round(col("mi9").cast(DoubleType) / 1000000000
+          / sqrt(col("hc9").cast(DoubleType) / 1000000000
+               * (col("hl9").cast(DoubleType) / 1000000000)), 6).as("nmi"))
+  }
+
+  /** Suffix-duplicate detection — the trailing-boilerplate complement to
+    * q_dedup_prefix: scraped corpora share FOOTERS (copyright lines,
+    * navigation text, signature blocks) as often as headers, and a
+    * leading-key detector cannot see them. Same one-shuffle shape: group
+    * on the trailing shingle (last 16 chars here — the synthetic corpus
+    * plants prefix twins but no footers, so a 64-char key would be
+    * vacuously empty; production corpora want 64+), keep the lowest
+    * doc_id, count the removable tail-duplicates. */
+  val qDedupSuffix = Q(
+    "q_dedup_suffix",
+    """WITH g AS (
+      |  SELECT substr(md5(right(text, 16)), 1, 16) AS suffix_key,
+      |    count(*) AS n_docs, min(doc_id) AS keeper
+      |  FROM documents GROUP BY 1)
+      |SELECT suffix_key, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(keeper AS BIGINT) AS keeper_doc,
+      |  CAST(n_docs - 1 AS BIGINT) AS removable
+      |FROM g WHERE n_docs > 1
+      |ORDER BY n_docs DESC, suffix_key LIMIT 20""".stripMargin) { (s, d) =>
+    val g = t(s, d, "documents")
+      .groupBy(substring(md5(expr("right(text, 16)")), 1, 16)
+        .as("suffix_key"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+    g.filter(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("suffix_key"))
+      .limit(20)
+      .select(col("suffix_key"), col("n_docs").cast(LongType).as("n_docs"),
+        col("keeper").cast(LongType).as("keeper_doc"),
+        (col("n_docs") - 1).cast(LongType).as("removable"))
+  }
+
+  /** Interpolated trigram language model self-perplexity — the smoothing
+    * family's third member beside q_kneser_ney (absolute discounting)
+    * and q_good_turing (count re-estimation): fixed-weight Jelinek-Mercer
+    * interpolation p = .6·p₃ + .3·p₂ + .1·p₁ scored over the corpus's own
+    * trigram tokens. All counts reduce to vocabulary-bounded tables
+    * BEFORE any join (trigram/bigram/unigram types, never positions), so
+    * every join is type-keyed and the corpus explode is linear; the score
+    * is Σ c₃·round(ln p·10⁹) — an exact integer sum with the divisions
+    * and one exp in the final one-row select. */
+  val qTrigramLm = Q(
+    "q_trigram_lm",
+    """WITH toks AS (SELECT string_split(text, ' ') AS sp FROM documents),
+      |tri AS (
+      |  SELECT sp[k] AS w1, sp[k+1] AS w2, sp[k+2] AS w3
+      |  FROM toks, generate_series(1, 200) AS g(k)
+      |  WHERE k <= len(sp) - 2),
+      |t3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+      |big AS (
+      |  SELECT sp[k] AS a, sp[k+1] AS b
+      |  FROM toks, generate_series(1, 200) AS g(k)
+      |  WHERE k <= len(sp) - 1),
+      |b2 AS (SELECT a, b, count(*) AS cb FROM big GROUP BY 1, 2),
+      |uni AS (
+      |  SELECT sp[k] AS w, count(*) AS cu
+      |  FROM toks, generate_series(1, 200) AS g(k)
+      |  WHERE k <= len(sp) GROUP BY 1),
+      |nn AS (SELECT sum(cu) AS nt FROM uni),
+      |sc AS (
+      |  SELECT t3.c3,
+      |    0.6 * CAST(t3.c3 AS DOUBLE) / cb12.cb
+      |    + 0.3 * CAST(cb23.cb AS DOUBLE) / u2.cu
+      |    + 0.1 * CAST(u3.cu AS DOUBLE) / nn.nt AS p
+      |  FROM t3
+      |  JOIN b2 cb12 ON t3.w1 = cb12.a AND t3.w2 = cb12.b
+      |  JOIN b2 cb23 ON t3.w2 = cb23.a AND t3.w3 = cb23.b
+      |  JOIN uni u2 ON t3.w2 = u2.w
+      |  JOIN uni u3 ON t3.w3 = u3.w
+      |  CROSS JOIN nn),
+      |ag AS (
+      |  SELECT sum(CAST(c3 AS HUGEINT)) AS tt,
+      |    sum(CAST(c3 AS HUGEINT)
+      |      * CAST(ROUND(ln(p) * 1000000000) AS HUGEINT)) AS lp9
+      |  FROM sc)
+      |SELECT CAST(tt AS BIGINT) AS n_trigrams,
+      |  (SELECT count(*) FROM uni) AS vocab,
+      |  ROUND(CAST(lp9 AS DOUBLE) / 1000000000 / CAST(tt AS DOUBLE), 6)
+      |    AS avg_logp,
+      |  ROUND(exp(-(CAST(lp9 AS DOUBLE) / 1000000000
+      |    / CAST(tt AS DOUBLE))), 6) AS perplexity
+      |FROM ag""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val toks = t(s, d, "documents").select(split(col("text"), " ").as("sp"))
+    def grams(n: Int, names: Seq[String]): DataFrame =
+      toks.filter(size(col("sp")) >= n)
+        .select(col("sp"),
+          explode(sequence(lit(1), size(col("sp")) - (n - 1))).as("k"))
+        .select(names.zipWithIndex.map { case (nm, i) =>
+          element_at(col("sp"), col("k") + i).as(nm) }: _*)
+    // b2/uni are vocabulary-bounded but each is consumed TWICE by the
+    // interpolation join — fence them so the corpus explode runs once
+    // per n-gram order, not once per consumer
+    val t3 = grams(3, Seq("w1", "w2", "w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val b2 = grams(2, Seq("a", "b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
+    val uni = grams(1, Seq("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+      .localCheckpoint()
+    val nn = uni.agg(sum("cu").as("nt"), count(lit(1)).as("vocab"))
+    val sc = t3
+      .join(b2.select(col("a").as("a12"), col("b").as("b12"),
+        col("cb").as("cb12")),
+        col("w1") === col("a12") && col("w2") === col("b12"))
+      .join(b2.select(col("a").as("a23"), col("b").as("b23"),
+        col("cb").as("cb23")),
+        col("w2") === col("a23") && col("w3") === col("b23"))
+      .join(uni.select(col("w").as("wu2"), col("cu").as("cu2")),
+        col("w2") === col("wu2"))
+      .join(uni.select(col("w").as("wu3"), col("cu").as("cu3")),
+        col("w3") === col("wu3"))
+      .crossJoin(broadcast(nn))
+      .select(col("c3"), col("vocab"),
+        (lit(0.6) * col("c3").cast(DoubleType) / col("cb12")
+          + lit(0.3) * col("cb23").cast(DoubleType) / col("cu2")
+          + lit(0.1) * col("cu3").cast(DoubleType) / col("nt")).as("p"))
+    sc.agg(
+      sum(col("c3").cast(big38)).as("tt"),
+      sum(col("c3").cast(big38)
+        * round(log(col("p")) * 1000000000).cast(big38)).as("lp9"),
+      max(col("vocab")).as("vocab"))
+      .select(col("tt").cast(LongType).as("n_trigrams"),
+        col("vocab").cast(LongType).as("vocab"),
+        round(col("lp9").cast(DoubleType) / 1000000000
+          / col("tt").cast(DoubleType), 6).as("avg_logp"),
+        round(exp(-(col("lp9").cast(DoubleType) / 1000000000
+          / col("tt").cast(DoubleType))), 6).as("perplexity"))
+  }
+
   val all: Seq[Q] = Seq(
+    qClusterPurity, qDedupSuffix, qTrigramLm,
     qEmbedDimStats, qChunkDedup,
     qNgramCoverage, qDedupPrefix, qTokenRuns, qCentroidDrift,
     qBurrowsDelta, qLangidMetrics, qEmbedQuantizeAudit, qTextrank,

@@ -261,7 +261,10 @@ class DeterminismSpec extends SparkTestBase {
     StatQueries.qHuberLocation,
     // round 7 forty-third batch: quantized rank-regression coords,
     // shrinkage integer DIVs
-    StatQueries.qWeibullFit, StatQueries.qEbShrinkage)
+    StatQueries.qWeibullFit, StatQueries.qEbShrinkage,
+    // round 8 first batch: quantized-ln NMI cells over the centroid
+    // argmin partition, type-keyed trigram interpolation log sums
+    LlmQueries.qClusterPurity, LlmQueries.qTrigramLm)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
