@@ -322,6 +322,87 @@ object LlmQueries {
     SimSearch.bucketedTopK(t(s, d, "embeddings"), 0L, 5)
   }
 
+  /** ANN index-quality audit: recall@10 of the sign-LSH bucketed search
+    * (the q_sim_search_ivf index) against the exact cosine top-10, over
+    * a bounded probe panel (every 100th vector), WITH the cost column —
+    * the mean fraction of the corpus the bucket restriction actually
+    * scans. The recall/cost readout that decides nProbe/bits before a
+    * billion-vector rollout, as an oracle-checked query rather than an
+    * out-of-band recall pin. ONE corpus×panel broadcast scoring pass
+    * (the q_map_at_k harness shape): both rankings come from two
+    * row_number windows over the same scored frame (overall, and
+    * in-bucket), so the IVF path is never re-scored; bucket sizes are a
+    * bounded (≤256-row) aggregate; the recall and scan-fraction means
+    * are exact integer sums with final divisions. */
+  val qAnnRecall = Q(
+    "q_ann_recall",
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    $bucketSql AS bucket
+       |  FROM embeddings),
+       |p AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM e
+       |  WHERE vec_id % 100 = 0),
+       |pr AS (
+       |  SELECT p.qid, e.vec_id,
+       |    CASE WHEN e.bucket = p.qb THEN 1 ELSE 0 END AS inb,
+       |    ROUND(list_inner_product(e.v, p.qv)
+       |      / sqrt(list_inner_product(e.v, e.v))
+       |      / sqrt(list_inner_product(p.qv, p.qv)), 4) AS score
+       |  FROM e JOIN p ON e.vec_id <> p.qid),
+       |rk AS (
+       |  SELECT qid, inb,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, vec_id) AS rka,
+       |    row_number() OVER (PARTITION BY qid, inb
+       |      ORDER BY score DESC, vec_id) AS rkb
+       |  FROM pr),
+       |perq AS (
+       |  SELECT qid, sum(CASE WHEN rka <= 10 AND inb = 1 AND rkb <= 10
+       |    THEN 1 ELSE 0 END) AS m
+       |  FROM rk GROUP BY 1),
+       |bs AS (SELECT bucket, count(*) AS c FROM e GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM e),
+       |pq AS (
+       |  SELECT p.qid, perq.m, bs.c FROM p
+       |  JOIN perq USING (qid) JOIN bs ON p.qb = bs.bucket)
+       |SELECT count(*) AS n_queries,
+       |  ROUND(CAST(sum(m) AS DOUBLE) / count(*) / 10, 6) AS recall_at_10,
+       |  ROUND(CAST(sum(((c - 1) * 1000000000) // (n - 1)) AS DOUBLE)
+       |    / count(*) / 1000000000, 6) AS scan_frac
+       |FROM pq CROSS JOIN nn""".stripMargin) { (s, d) =>
+    val e = t(s, d, "embeddings").select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      Dedup.signBucket(col("embedding")).as("bucket"))
+    val p = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("bucket").as("qb"))
+    val pr = e.join(broadcast(p), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        when(col("bucket") === col("qb"), 1).otherwise(0).as("inb"),
+        round(graft.functions.VectorFunctions.cosine(col("v"),
+          col("qv")), 4).as("score"))
+    val wa = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("vec_id"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid", "inb").orderBy(col("score").desc, col("vec_id"))
+    val perq = pr.withColumn("rka", row_number().over(wa))
+      .withColumn("rkb", row_number().over(wb))
+      .groupBy("qid")
+      .agg(sum(when(col("rka") <= 10 && col("inb") === 1
+        && col("rkb") <= 10, 1L).otherwise(0L)).as("m"))
+    val bs = e.groupBy("bucket").agg(count(lit(1)).as("c"))
+    val nn = e.agg(count(lit(1)).as("n"))
+    p.select("qid", "qb").join(perq, "qid")
+      .join(broadcast(bs), col("qb") === col("bucket"))
+      .crossJoin(broadcast(nn))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("m")).cast(DoubleType) / count(lit(1)) / 10, 6)
+          .as("recall_at_10"),
+        round(sum(expr("((c - 1) * 1000000000) DIV (n - 1)"))
+          .cast(DoubleType) / count(lit(1)) / 1000000000L, 6)
+          .as("scan_frac"))
+  }
+
   val qKnnPerLabel = Q(
     "q_knn_per_label",
     """WITH c AS (
@@ -4577,7 +4658,7 @@ object LlmQueries {
     qDedupNgram, qDedupContainment, qDedupEmbed, qDedupEmbedLsh,
     qDedupClusters, qDedupClustersDet,
     qSimSearch, qSimSearchIvf, qSimMultiprobe, qSimTrainedIvf, qSimPq,
-    qSimIvfPq,
+    qSimIvfPq, qAnnRecall,
     qBpeTrain, qBpeEncode, qKnnPerLabel, qEmbedOutlier,
     qTextTokens, qTextStats, qTextSourcePivot, qTextLangid, qTextQuality,
     qTextTokenCount, qTextFingerprint,

@@ -680,7 +680,47 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** Per-type inter-event gap health (count / mean / max of successive
+    * gaps in event_id order) maintained incrementally by
+    * `StreamOps.incrementalGapStats` (16th incremental maintainer) over a
+    * real event_id-range micro-batch replay: segment state carries the
+    * boundary events, the merge adds the one cross-batch gap neither
+    * segment saw, so the final ledger equals this whole-history lag
+    * recompute (the oracle) for any batch count — the "is the source
+    * stalling?" feed dashboard, kept warm from per-batch digests. */
+  val qStreamGaps = Q(
+    "q_stream_gaps",
+    """WITH e AS (
+      |  SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+      |l AS (
+      |  SELECT event_type,
+      |    us - lag(us) OVER (PARTITION BY event_type ORDER BY event_id)
+      |      AS gap
+      |  FROM e),
+      |g AS (
+      |  SELECT event_type, count(*) AS n_events,
+      |    sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END) AS n_gaps,
+      |    sum(gap) AS sg, max(gap) AS mg
+      |  FROM l GROUP BY 1)
+      |SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(n_gaps AS BIGINT) AS n_gaps,
+      |  ROUND(CAST(sg AS DOUBLE) / 1e6 / n_gaps, 6) AS mean_gap_s,
+      |  ROUND(CAST(mg AS DOUBLE) / 1e6, 6) AS max_gap_s
+      |FROM g ORDER BY event_type""".stripMargin) { (s, d) =>
+    val st = StreamOps.incrementalGapStats(s, d,
+      s"target/stream_gaps_${math.abs(d.hashCode)}")
+    st.select(col("event_type"), col("n").cast(LongType).as("n_events"),
+        col("n_gaps").cast(LongType).as("n_gaps"),
+        when(col("n_gaps") > 0,
+          round(col("sum_gap").cast(DoubleType) / 1e6 / col("n_gaps"), 6))
+          .as("mean_gap_s"),
+        when(col("n_gaps") > 0,
+          round(col("max_gap").cast(DoubleType) / 1e6, 6)).as("max_gap_s"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
+    qStreamGaps,
     qStreamCusum, qStreamRegression,
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg,

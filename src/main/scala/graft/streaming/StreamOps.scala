@@ -1251,6 +1251,84 @@ object StreamOps {
     spark.read.parquet(s"$stateBase/v$version")
   }
 
+  /** Incremental inter-event gap monitor (16th incremental maintainer):
+    * per event_type, the count / sum / max of successive-event time gaps
+    * in event_id order — the feed-health statistic ("is the source
+    * stalling?") every ingestion dashboard wants, maintained across
+    * event_id-range slices. Gap semantics are lag-by-event_id (the
+    * incrementalSessions convention), so the segment state carries the
+    * BOUNDARY events — min_by/max_by(us, event_id) — and the merge adds
+    * the one cross-batch gap (next segment's first minus this state's
+    * last) that neither segment saw internally. Under the
+    * writeOrderedSlices prefix contract the fold equals the
+    * whole-history lag recompute for ANY slice count. State is six
+    * scalars per type; a 100 TB feed keeps gap health warm from each
+    * batch's digest. */
+  def incrementalGapStats(spark: SparkSession, sfDir: String,
+      workDir: String, nBatches: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = s"$workDir/src"
+    val e = graft.Tables.tsAsTimestamp(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    writeOrderedSlices(e, src, nBatches)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val stateBase = s"$workDir/state"
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bw = Window.partitionBy("event_type").orderBy("event_id")
+        val withLag = batch.withColumn("gap",
+          col("us") - lag(col("us"), 1).over(bw))
+        val partial = withLag.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("gap").isNotNull, 1L).otherwise(0L)).as("n_gaps"),
+          coalesce(sum(col("gap")), lit(0L)).as("sum_gap"),
+          max(col("gap")).as("max_gap"),
+          min_by(col("us"), col("event_id")).as("first_us"),
+          max_by(col("us"), col("event_id")).as("last_us"))
+        val merged =
+          if (version < 0) partial
+          else {
+            val st = spark.read.parquet(s"$stateBase/v$version")
+              .select(col("event_type"), col("n").as("s_n"),
+                col("n_gaps").as("s_ng"), col("sum_gap").as("s_sg"),
+                col("max_gap").as("s_mg"), col("first_us").as("s_first"),
+                col("last_us").as("s_last"))
+            val boundary = when(col("s_last").isNotNull
+              && col("first_us").isNotNull,
+              col("first_us") - col("s_last"))
+            st.join(partial, Seq("event_type"), "full_outer")
+              .select(col("event_type"),
+                (coalesce(col("s_n"), lit(0L))
+                  + coalesce(col("n"), lit(0L))).as("n"),
+                (coalesce(col("s_ng"), lit(0L))
+                  + coalesce(col("n_gaps"), lit(0L))
+                  + when(boundary.isNotNull, 1L).otherwise(0L))
+                  .as("n_gaps"),
+                (coalesce(col("s_sg"), lit(0L))
+                  + coalesce(col("sum_gap"), lit(0L))
+                  + coalesce(boundary, lit(0L))).as("sum_gap"),
+                greatest(coalesce(col("s_mg"), lit(Long.MinValue)),
+                  coalesce(col("max_gap"), lit(Long.MinValue)),
+                  coalesce(boundary, lit(Long.MinValue))).as("max_gap"),
+                coalesce(col("s_first"), col("first_us")).as("first_us"),
+                coalesce(col("last_us"), col("s_last")).as("last_us"))
+          }
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        version = batchId
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$stateBase/v$version")
+  }
+
   /** Corpus rollup of a per-user session ledger: one bounded row. */
   def sessionRollup(ledger: DataFrame): DataFrame =
     ledger.agg(count(lit(1)).cast(LongType).as("n_users"),

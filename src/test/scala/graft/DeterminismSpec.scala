@@ -264,7 +264,9 @@ class DeterminismSpec extends SparkTestBase {
     StatQueries.qWeibullFit, StatQueries.qEbShrinkage,
     // round 8 first batch: quantized-ln NMI cells over the centroid
     // argmin partition, type-keyed trigram interpolation log sums
-    LlmQueries.qClusterPurity, LlmQueries.qTrigramLm)
+    LlmQueries.qClusterPurity, LlmQueries.qTrigramLm,
+    // round 8 second batch: dual-window rank intersection counts
+    LlmQueries.qAnnRecall)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

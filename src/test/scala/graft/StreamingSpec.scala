@@ -518,6 +518,29 @@ class StreamingSpec extends SparkTestBase {
     assert(s4.exceptAll(direct).isEmpty && direct.exceptAll(s4).isEmpty)
   }
 
+  test("incrementalGapStats ledger is batch-boundary-independent and " +
+      "matches the whole-history lag recompute") {
+    val g4 = StreamOps.incrementalGapStats(spark, sf, "target/test_gaps4")
+    val g2 = StreamOps.incrementalGapStats(spark, sf, "target/test_gaps2", 2)
+    val cols = Seq("event_type", "n", "n_gaps", "sum_gap", "max_gap")
+    val v4 = g4.select(cols.map(col): _*)
+    val v2 = g2.select(cols.map(col): _*)
+    assert(v4.exceptAll(v2).isEmpty && v2.exceptAll(v4).isEmpty)
+    // one-shot: lag-by-event_id gaps over the full history
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("event_id")
+    val direct = Tables.tsAsTimestamp(Tables.load(spark, sf, "events"))
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("gap").isNotNull, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(sum(col("gap")), lit(0L)).as("sum_gap"),
+        max(col("gap")).as("max_gap"))
+    assert(v4.exceptAll(direct).isEmpty && direct.exceptAll(v4).isEmpty)
+  }
+
   test("incrementalCusum state is batch-boundary-independent and matches " +
       "the whole-history closed form") {
     // the five-scalar segment merge is non-commutative; the event_id-range
