@@ -403,6 +403,119 @@ object LlmQueries {
           .as("scan_frac"))
   }
 
+  /** Dedup detector-overlap audit: pairwise Jaccard between the
+    * removable-document sets of three registered detectors — prefix-64
+    * hash, trailing-shingle (suffix-16) hash, and SimHash hamming ≤ 3 —
+    * on the planted-variant corpus (docs ∪ head-shifted copies, whose
+    * TAILS survive, so suffix and SimHash overlap while prefix sees a
+    * disjoint population). The pipeline-design readout: which detector's
+    * removals are subsumed by a cheaper one, and which contribute
+    * uniquely. Prefix/suffix are one hash-keyed window each; SimHash
+    * reuses the banded candidate path; the three sets union into one
+    * fenced frame whose doc_id-keyed self-join and fixed 3-row count
+    * panel (zero-removal detectors keep their row) are the only further
+    * work. */
+  val qDedupDetectorOverlap = Q(
+    "q_dedup_detector_overlap",
+    s"""WITH $ngramDocs2,
+       |sx AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      min(doc_id) OVER (PARTITION BY md5(right(text, 16))) AS k
+       |    FROM docs2) x
+       |  WHERE doc_id <> k),
+       |pf AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 64))) AS k
+       |    FROM docs2) x
+       |  WHERE doc_id <> k),
+       |toks AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM docs2) u),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $simhashBitsSql
+       |  FROM toks GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id, CAST($simhashSumSql AS BIGINT) AS simhash FROM bits),
+       |bands AS (
+       |  SELECT doc_id, simhash, b AS bidx,
+       |    (simhash >> (8 * b)) & 255 AS bval
+       |  FROM sigs, generate_series(0, 3) t(b)),
+       |sh AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM bands a JOIN bands b
+       |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |sets AS (
+       |  SELECT 'prefix' AS det, doc_id FROM pf
+       |  UNION ALL SELECT 'simhash', doc_id FROM sh
+       |  UNION ALL SELECT 'suffix', doc_id FROM sx),
+       |dets AS (
+       |  SELECT unnest(['prefix', 'simhash', 'suffix']) AS det),
+       |cnt AS (
+       |  SELECT d.det, coalesce(c.n, 0) AS n FROM dets d
+       |  LEFT JOIN (SELECT det, count(*) AS n FROM sets GROUP BY 1) c
+       |    USING (det)),
+       |ix AS (
+       |  SELECT a.det AS da, b.det AS db, count(*) AS nb
+       |  FROM sets a JOIN sets b
+       |    ON a.doc_id = b.doc_id AND a.det < b.det
+       |  GROUP BY 1, 2)
+       |SELECT ca.det AS det_a, cb.det AS det_b,
+       |  CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+       |  CAST(coalesce(ix.nb, 0) AS BIGINT) AS n_both,
+       |  ROUND(CAST(coalesce(ix.nb, 0) AS DOUBLE)
+       |    / (ca.n + cb.n - coalesce(ix.nb, 0)), 6) AS jaccard
+       |FROM cnt ca JOIN cnt cb ON ca.det < cb.det
+       |LEFT JOIN ix ON ix.da = ca.det AND ix.db = cb.det
+       |ORDER BY det_a, det_b""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val docs2 = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substr(text, 11)").as("text")))
+    def removable(key: Column): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+      docs2.withColumn("k", min(col("doc_id")).over(w))
+        .filter(col("doc_id") =!= col("k")).select("doc_id")
+    }
+    val sx = removable(md5(expr("right(text, 16)")))
+    val pf = removable(md5(substring(col("text"), 1, 64)))
+    val sh = Dedup.simhashNearDups(docs2)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val sets = pf.withColumn("det", lit("prefix"))
+      .unionByName(sh.withColumn("det", lit("simhash")))
+      .unionByName(sx.withColumn("det", lit("suffix")))
+      .localCheckpoint()
+    val spark = s
+    import spark.implicits._
+    val dets = Seq("prefix", "simhash", "suffix").toDF("det")
+    val cnt = dets.join(
+      sets.groupBy("det").agg(count(lit(1)).as("cn")), Seq("det"), "left")
+      .select(col("det"), coalesce(col("cn"), lit(0L)).as("n"))
+    val ix = sets.as("a")
+      .join(sets.as("b"), col("a.doc_id") === col("b.doc_id")
+        && col("a.det") < col("b.det"))
+      .groupBy(col("a.det").as("da"), col("b.det").as("db"))
+      .agg(count(lit(1)).as("nb"))
+    cnt.as("ca")
+      .join(broadcast(cnt).as("cb"), col("ca.det") < col("cb.det"))
+      .join(broadcast(ix),
+        col("da") === col("ca.det") && col("db") === col("cb.det"), "left")
+      .select(col("ca.det").as("det_a"), col("cb.det").as("det_b"),
+        col("ca.n").cast(LongType).as("n_a"),
+        col("cb.n").cast(LongType).as("n_b"),
+        coalesce(col("nb"), lit(0L)).cast(LongType).as("n_both"),
+        round(coalesce(col("nb"), lit(0L)).cast(DoubleType)
+          / (col("ca.n") + col("cb.n") - coalesce(col("nb"), lit(0L))), 6)
+          .as("jaccard"))
+      .orderBy("det_a", "det_b")
+  }
+
   val qKnnPerLabel = Q(
     "q_knn_per_label",
     """WITH c AS (
@@ -4656,6 +4769,7 @@ object LlmQueries {
     qDedupExact, qDedupSimhash, qDedupSimhashPairs, qDedupMinhash,
     qDedupMinhashDet,
     qDedupNgram, qDedupContainment, qDedupEmbed, qDedupEmbedLsh,
+    qDedupDetectorOverlap,
     qDedupClusters, qDedupClustersDet,
     qSimSearch, qSimSearchIvf, qSimMultiprobe, qSimTrainedIvf, qSimPq,
     qSimIvfPq, qAnnRecall,

@@ -1863,7 +1863,95 @@ object PipelineQueries {
       .orderBy("pred_a", "pred_b")
   }
 
+  /** DP median release via the exponential mechanism (4th DP member
+    * beside count/sum/histogram): candidates are a fixed 101-point price
+    * grid, utility −|rank(c) − n/2| is computed from ONE bounded bucket
+    * histogram (the fact table reduces to ≤101 rows before any
+    * candidate logic), weights exp(ε·u/2) are max-shifted then
+    * ·10⁹-quantized, and the release is the seeded inverse-CDF pick
+    * (md5-fraction, the q_dp_count noise idiom) over the exact integer
+    * cumulative weights. Everything after the one scan is a 101-row
+    * panel; the ·2 rank trick keeps utilities integral for odd/even n. */
+  val qDpQuantile = Q(
+    "q_dp_quantile",
+    """WITH o AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS cents
+      |  FROM orders),
+      |b AS (
+      |  SELECT LEAST(CAST(cents // 500000 AS INT), 100) AS bkt,
+      |    count(*) AS c
+      |  FROM o GROUP BY 1),
+      |grid AS (SELECT k FROM generate_series(0, 100) t(k)),
+      |below AS (
+      |  SELECT g.k,
+      |    coalesce(sum(CASE WHEN b.bkt < g.k THEN b.c ELSE 0 END), 0)
+      |      AS below
+      |  FROM grid g CROSS JOIN b GROUP BY g.k),
+      |nn AS (SELECT count(*) AS n FROM o),
+      |mn AS (
+      |  SELECT min(abs(2 * below - n)) AS mab
+      |  FROM below CROSS JOIN nn),
+      |w AS (
+      |  SELECT k, below, n,
+      |    CAST(ROUND(exp(-CAST(abs(2 * below - n) - mab AS DOUBLE) * 0.25)
+      |      * 1000000000) AS BIGINT) AS w9
+      |  FROM below CROSS JOIN nn CROSS JOIN mn),
+      |cum AS (
+      |  SELECT k, below, n, w9,
+      |    sum(w9) OVER (ORDER BY k) AS cw, sum(w9) OVER () AS tw
+      |  FROM w),
+      |r AS (
+      |  SELECT CAST(concat('0x', substr(md5('dp_quantile:42'), 1, 15))
+      |    AS BIGINT) % 1000000 AS r6)
+      |SELECT CAST(1.0 AS DOUBLE) AS epsilon, CAST(n AS BIGINT) AS n,
+      |  CAST(k * 5000 AS BIGINT) AS released_dollars,
+      |  CAST(below AS BIGINT) AS n_below,
+      |  ROUND(CAST(abs(2 * below - n) AS DOUBLE) / 2, 6) AS rank_gap
+      |FROM cum CROSS JOIN r
+      |WHERE cw * 1000000 > r6 * tw
+      |ORDER BY k LIMIT 1""".stripMargin) { (s, d) =>
+    val o = t(s, d, "orders")
+      .select((dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val b = o.groupBy(least(expr("cents DIV 500000").cast(IntegerType),
+        lit(100)).as("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val grid = s.range(0, 101).select(col("id").cast(IntegerType).as("k"))
+    val below = grid.crossJoin(broadcast(b))
+      .groupBy("k")
+      .agg(coalesce(sum(when(col("bkt") < col("k"), col("c"))
+        .otherwise(0L)), lit(0L)).as("below"))
+    val nn = o.agg(count(lit(1)).as("n"))
+    val withN = below.crossJoin(broadcast(nn))
+    val mn = withN.agg(min(abs(lit(2) * col("below") - col("n")))
+      .as("mab"))
+    val w = withN.crossJoin(broadcast(mn))
+      .select(col("k"), col("below"), col("n"),
+        round(exp(-(abs(lit(2) * col("below") - col("n")) - col("mab"))
+          .cast(DoubleType) * 0.25) * 1000000000L).cast(LongType).as("w9"))
+      // no-op bound (the grid IS 101 rows) that makes the panel's
+      // boundedness visible to the PostureSpec window sweep
+      .limit(101)
+    // 101-row bounded panel: the unpartitioned running sum is free
+    val wOrd = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val r6 = graft.llm.TextOps.hash60(lit("dp_quantile:42")) % 1000000L
+    w.withColumn("cw", sum(col("w9")).over(wOrd))
+      .withColumn("tw", sum(col("w9")).over(wAll))
+      .withColumn("r6", r6)
+      .filter(col("cw") * 1000000L > col("r6") * col("tw"))
+      .orderBy("k").limit(1)
+      .select(lit(1.0).as("epsilon"), col("n").cast(LongType).as("n"),
+        (col("k") * 5000L).cast(LongType).as("released_dollars"),
+        col("below").cast(LongType).as("n_below"),
+        round(abs(lit(2) * col("below") - col("n")).cast(DoubleType) / 2, 6)
+          .as("rank_gap"))
+  }
+
   val all: Seq[Q] = Seq(
+    qDpQuantile,
     qDpHistogram, qBlockingStats, qSelectivityCorr,
     qDpSum, qWatermarkPlan,
     qNeymanAlloc, qDpCount,

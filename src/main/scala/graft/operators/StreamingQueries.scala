@@ -719,8 +719,48 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** Per-type running z-score alarm counts maintained incrementally by
+    * `StreamOps.incrementalZAlarm` (17th incremental maintainer): an
+    * event alarms when its value deviates >3σ from the running
+    * mean/variance of all PRIOR events (30-event warmup), decided by the
+    * all-integer cross-multiplied predicate (v·n − s)² > 9·(n·q − s²) —
+    * no doubles, so the alarm count is bit-reproducible and this
+    * whole-history prefix-window recompute is the oracle. */
+  val qStreamZalarm = Q(
+    "q_stream_zalarm",
+    """WITH q AS (
+      |  SELECT event_id, event_type,
+      |    CAST(round(value * 1000000) AS BIGINT) AS v6
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type, v6,
+      |    row_number() OVER w - 1 AS np,
+      |    sum(v6) OVER w - v6 AS sp,
+      |    sum(CAST(v6 AS HUGEINT) * v6) OVER w
+      |      - CAST(v6 AS HUGEINT) * v6 AS qp
+      |  FROM q
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id))
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN np >= 30
+      |    AND CAST(v6 * np - sp AS HUGEINT) * (v6 * np - sp)
+      |      > 9 * (np * qp - CAST(sp AS HUGEINT) * sp)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+      |  ROUND(CAST(sum(CASE WHEN np >= 30
+      |    AND CAST(v6 * np - sp AS HUGEINT) * (v6 * np - sp)
+      |      > 9 * (np * qp - CAST(sp AS HUGEINT) * sp)
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS alarm_rate
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val st = StreamOps.incrementalZAlarm(s, d,
+      s"target/stream_zalarm_${math.abs(d.hashCode)}")
+    st.select(col("event_type"), col("n").cast(LongType).as("n_events"),
+        col("alarms").cast(LongType).as("n_alarms"),
+        round(col("alarms").cast(DoubleType) / col("n"), 6)
+          .as("alarm_rate"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
-    qStreamGaps,
+    qStreamGaps, qStreamZalarm,
     qStreamCusum, qStreamRegression,
     qStreamTumbling, qStreamSliding, qStreamSession, qStreamDedup,
     qStreamLate, qStreamStateful, qStreamStaticJoin, qStreamIncrAgg,

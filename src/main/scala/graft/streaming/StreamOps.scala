@@ -1329,6 +1329,101 @@ object StreamOps {
     spark.read.parquet(s"$stateBase/v$version")
   }
 
+  /** Incremental running z-score alarm monitor (17th incremental
+    * maintainer): per event_type, count the events whose value deviates
+    * more than 3σ from the running mean/variance of all PRIOR events
+    * (30-event warmup) — the self-calibrating point-anomaly alarm, with
+    * NO doubles anywhere: v is ·10⁶-quantized and the 3σ test is the
+    * cross-multiplied integer predicate (v·n − s)² > 9·(n·q − s²) on
+    * exact prefix sums, so the alarm decision is bit-reproducible.
+    * State per type is (n, Σv, Σv², alarms); each batch seeds its
+    * within-batch prefix windows FROM the state offsets, so under the
+    * writeOrderedSlices prefix contract the fold equals the
+    * whole-history recursion for any slice count. Magnitude note: the
+    * DECIMAL(38) products cap at ~1e12 events per type at this value
+    * scale — beyond that, re-center v against a running reference (the
+    * incrementalCusum ref idiom) to keep Σv² small. */
+  def incrementalZAlarm(spark: SparkSession, sfDir: String,
+      workDir: String, nBatches: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val big38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val src = s"$workDir/src"
+    val e = graft.Tables.tsAsTimestamp(
+        spark.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 1000000L).cast(LongType).as("v6"))
+    writeOrderedSlices(e, src, nBatches)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+    val stateBase = s"$workDir/state"
+    @volatile var version = -1L
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val w = Window.partitionBy("event_type").orderBy("event_id")
+        val offsets =
+          if (version < 0) null
+          else spark.read.parquet(s"$stateBase/v$version")
+            .select(col("event_type"), col("n").as("o_n"),
+              col("s").as("o_s"), col("q").as("o_q"))
+        val seeded = {
+          val base = if (offsets == null) batch
+            .withColumn("o_n", lit(0L))
+            .withColumn("o_s", lit(0L))
+            .withColumn("o_q", lit(0L).cast(big38))
+          else batch.join(broadcast(offsets), Seq("event_type"), "left")
+            .withColumn("o_n", coalesce(col("o_n"), lit(0L)))
+            .withColumn("o_s", coalesce(col("o_s"), lit(0L)))
+            .withColumn("o_q", coalesce(col("o_q"), lit(0L).cast(big38)))
+          val vb = col("v6").cast(big38)
+          base
+            .withColumn("np",
+              col("o_n") + row_number().over(w).cast(LongType) - 1L)
+            .withColumn("sp", (col("o_s").cast(big38)
+              + sum(col("v6")).over(w).cast(big38) - vb).cast(big38))
+            .withColumn("qp", (col("o_q")
+              + sum((vb * vb).cast(big38)).over(w)
+              - (vb * vb).cast(big38)).cast(big38))
+        }
+        val vb = col("v6").cast(big38)
+        val dev = (vb * col("np").cast(big38) - col("sp")).cast(big38)
+        val alarm = col("np") >= 30L &&
+          (dev * dev).cast(big38) >
+            (lit(9).cast(big38) * (col("np").cast(big38) * col("qp")
+              - col("sp") * col("sp"))).cast(big38)
+        val partial = seeded.groupBy("event_type").agg(
+          count(lit(1)).as("b_n"),
+          sum(col("v6")).as("b_s"),
+          sum((vb * vb).cast(big38)).cast(big38).as("b_q"),
+          sum(when(alarm, 1L).otherwise(0L)).as("b_al"))
+        val merged =
+          if (version < 0)
+            partial.select(col("event_type"), col("b_n").as("n"),
+              col("b_s").as("s"), col("b_q").as("q"),
+              col("b_al").as("alarms"))
+          else spark.read.parquet(s"$stateBase/v$version")
+            .join(partial, Seq("event_type"), "full_outer")
+            .select(col("event_type"),
+              (coalesce(col("n"), lit(0L))
+                + coalesce(col("b_n"), lit(0L))).as("n"),
+              (coalesce(col("s"), lit(0L))
+                + coalesce(col("b_s"), lit(0L))).as("s"),
+              (coalesce(col("q"), lit(0L).cast(big38))
+                + coalesce(col("b_q"), lit(0L).cast(big38)))
+                .cast(big38).as("q"),
+              (coalesce(col("alarms"), lit(0L))
+                + coalesce(col("b_al"), lit(0L))).as("alarms"))
+        merged.write.mode("overwrite").parquet(s"$stateBase/v$batchId")
+        version = batchId
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$stateBase/v$version")
+  }
+
   /** Corpus rollup of a per-user session ledger: one bounded row. */
   def sessionRollup(ledger: DataFrame): DataFrame =
     ledger.agg(count(lit(1)).cast(LongType).as("n_users"),

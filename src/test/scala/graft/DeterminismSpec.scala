@@ -266,7 +266,10 @@ class DeterminismSpec extends SparkTestBase {
     // argmin partition, type-keyed trigram interpolation log sums
     LlmQueries.qClusterPurity, LlmQueries.qTrigramLm,
     // round 8 second batch: dual-window rank intersection counts
-    LlmQueries.qAnnRecall)
+    LlmQueries.qAnnRecall,
+    // round 8 third batch: fenced multi-detector set unions, quantized
+    // exponential-mechanism weights over the bounded candidate grid
+    LlmQueries.qDedupDetectorOverlap, PipelineQueries.qDpQuantile)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf

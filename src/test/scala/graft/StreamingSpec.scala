@@ -541,6 +541,38 @@ class StreamingSpec extends SparkTestBase {
     assert(v4.exceptAll(direct).isEmpty && direct.exceptAll(v4).isEmpty)
   }
 
+  test("incrementalZAlarm ledger is batch-boundary-independent and " +
+      "matches the whole-history prefix recompute") {
+    val z4 = StreamOps.incrementalZAlarm(spark, sf, "target/test_zal4")
+    val z2 = StreamOps.incrementalZAlarm(spark, sf, "target/test_zal2", 2)
+    val cols = Seq("event_type", "n", "s", "q", "alarms")
+    val v4 = z4.select(cols.map(col): _*)
+    val v2 = z2.select(cols.map(col): _*)
+    assert(v4.exceptAll(v2).isEmpty && v2.exceptAll(v4).isEmpty)
+    // one-shot: prefix-window running moments + the integer 3σ predicate
+    val big38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("event_id")
+    val vb = col("v6").cast(big38)
+    val pre = Tables.tsAsTimestamp(Tables.load(spark, sf, "events"))
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 1000000L).cast("long").as("v6"))
+      .withColumn("np", row_number().over(w).cast("long") - 1L)
+      .withColumn("sp",
+        (sum(col("v6")).over(w).cast(big38) - vb).cast(big38))
+      .withColumn("qp", (sum((vb * vb).cast(big38)).over(w)
+        - (vb * vb).cast(big38)).cast(big38))
+    val dev = (vb * col("np").cast(big38) - col("sp")).cast(big38)
+    val alarm = col("np") >= 30L && (dev * dev).cast(big38) >
+      (lit(9).cast(big38) * (col("np").cast(big38) * col("qp")
+        - col("sp") * col("sp"))).cast(big38)
+    val direct = pre.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("v6")).as("s"),
+      sum((vb * vb).cast(big38)).cast(big38).as("q"),
+      sum(when(alarm, 1L).otherwise(0L)).as("alarms"))
+    assert(v4.exceptAll(direct).isEmpty && direct.exceptAll(v4).isEmpty)
+  }
+
   test("incrementalCusum state is batch-boundary-independent and matches " +
       "the whole-history closed form") {
     // the five-scalar segment merge is non-commutative; the event_id-range
