@@ -5351,7 +5351,86 @@ object AnalyticsQueries {
       .orderBy("k")
   }
 
+  /** Rate-burst episodes per event type: days whose count exceeds the
+    * 7-day TRAILING mean by >20% (exact integer predicate 35·c > 6·s₇,
+    * warmup 7 days), rolled into gaps-and-islands episodes with the peak
+    * day — the traffic-surge detector beside q_cusum's level-shift alarm
+    * and q_burstiness's gap-CV scalar: episodic spikes, not sustained
+    * drift. (Production threshold is 2×; the uniform synthetic feed
+    * never trips it, so the registered query uses 1.2× to keep the
+    * mechanism observable.) Facts reduce to the calendar-bounded
+    * (type × day) panel in ONE scan; every window after that runs on
+    * ≤30 rows per type. */
+  val qRateBursts = Q(
+    "q_rate_bursts",
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      |  FROM events),
+      |d AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s7,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      |  FROM d),
+      |b AS (
+      |  SELECT event_type, day, c,
+      |    day - row_number() OVER (PARTITION BY event_type ORDER BY day)
+      |      AS isl
+      |  FROM w WHERE rn > 7 AND 35 * c > 6 * s7),
+      |ep AS (
+      |  SELECT event_type, isl, count(*) AS len FROM b GROUP BY 1, 2),
+      |pk AS (
+      |  SELECT event_type, day AS peak_day,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY c DESC, day) AS rk
+      |  FROM b),
+      |base AS (SELECT DISTINCT event_type FROM d)
+      |SELECT base.event_type,
+      |  CAST(coalesce(sum(ep.len), 0) AS BIGINT) AS n_burst_days,
+      |  CAST(coalesce(count(ep.len), 0) AS BIGINT) AS n_episodes,
+      |  CAST(coalesce(max(ep.len), 0) AS BIGINT) AS max_episode_days,
+      |  max(pk.peak_day) AS peak_day
+      |FROM base
+      |LEFT JOIN ep ON base.event_type = ep.event_type
+      |LEFT JOIN pk ON base.event_type = pk.event_type AND pk.rk = 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val e = eventsUs(s, d)
+      .select(col("event_type"),
+        (col("us") / 86400000000L).cast(LongType).as("day"))
+    val days = e.groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val wTrail = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    val wRn = Window.partitionBy("event_type").orderBy("day")
+    val b = days
+      .withColumn("s7", sum(col("c")).over(wTrail))
+      .withColumn("rn", row_number().over(wRn))
+      .filter(col("rn") > 7 && lit(35) * col("c") > lit(6) * col("s7"))
+      .withColumn("isl", col("day") - row_number().over(wRn))
+    val ep = b.groupBy("event_type", "isl").agg(count(lit(1)).as("len"))
+    val wPk = Window.partitionBy("event_type")
+      .orderBy(col("c").desc, col("day"))
+    val pk = b.withColumn("rk", row_number().over(wPk))
+      .filter(col("rk") === 1)
+      .select(col("event_type").as("pk_type"), col("day").as("peak_day"))
+    days.select("event_type").distinct()
+      .join(broadcast(ep.withColumnRenamed("event_type", "ep_type")),
+        col("event_type") === col("ep_type"), "left")
+      .join(broadcast(pk), col("event_type") === col("pk_type"), "left")
+      .groupBy("event_type")
+      .agg(coalesce(sum(col("len")), lit(0L)).cast(LongType)
+          .as("n_burst_days"),
+        coalesce(count(col("len")), lit(0L)).cast(LongType)
+          .as("n_episodes"),
+        coalesce(max(col("len")), lit(0L)).cast(LongType)
+          .as("max_episode_days"),
+        max(col("peak_day")).as("peak_day"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(
+    qRateBursts,
     qPrefAttach, qAvgNbrDegree,
     qCrosstabResiduals, qTheilsU, qSurvivalMedian, qPriceIndex,
     qSprt, qPpr,

@@ -516,6 +516,101 @@ object LlmQueries {
       .orderBy("det_a", "det_b")
   }
 
+  /** Embedding anisotropy diagnostic: the share of the corpus's
+    * second-moment energy captured by the top eigendirection of the
+    * (uncentered) Gram matrix, via TWO unrolled power-iteration rounds —
+    * UNCENTERED deliberately, because origin-crossing hyperplane LSH
+    * sees exactly this geometry (q_ann_recall's 0.02 recall on these
+    * near-isotropic vectors is this statistic's prediction: share ≈
+    * 1/64 ⇒ sign bits carry no neighborhood information). The iteration
+    * never materializes the 64×64 Gram: each round is Σᵢ eᵢ(eᵢᵀv) —
+    * two corpus-keyed aggregates — with the direction re-quantized to
+    * ·10⁶ integers between rounds (the q_eigenvector_centrality idiom)
+    * and the Rayleigh quotient taken as exact DECIMAL(38) sums, so the
+    * whole readout is reduction-order-proof. Coordinates are ·10⁴
+    * integers from the one fenced (vec_id, dim, e7) explode. */
+  val qEmbedAnisotropy = Q(
+    "q_embed_anisotropy",
+    """WITH rows_ AS (
+      |  SELECT vec_id, p,
+      |    CAST(round(CAST(embedding[p] AS DOUBLE) * 10000) AS BIGINT)
+      |      AS e7
+      |  FROM embeddings, generate_series(1, 64) t(p)),
+      |t0 AS (SELECT vec_id, sum(e7) AS t0 FROM rows_ GROUP BY 1),
+      |u1 AS (
+      |  SELECT r.p, sum(CAST(r.e7 AS HUGEINT) * t0.t0) AS u
+      |  FROM rows_ r JOIN t0 ON r.vec_id = t0.vec_id GROUP BY 1),
+      |m1 AS (SELECT max(abs(u)) AS m FROM u1),
+      |v1 AS (
+      |  SELECT p, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+      |    * ((abs(u) * 1000000) // m) AS v
+      |  FROM u1 CROSS JOIN m1),
+      |t1 AS (
+      |  SELECT r.vec_id, sum(r.e7 * v1.v) AS t1
+      |  FROM rows_ r JOIN v1 ON r.p = v1.p GROUP BY 1),
+      |u2 AS (
+      |  SELECT r.p, sum(CAST(r.e7 AS HUGEINT) * t1.t1) AS u
+      |  FROM rows_ r JOIN t1 ON r.vec_id = t1.vec_id GROUP BY 1),
+      |m2 AS (SELECT max(abs(u)) AS m FROM u2),
+      |v2 AS (
+      |  SELECT p, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+      |    * ((abs(u) * 1000000) // m) AS v
+      |  FROM u2 CROSS JOIN m2),
+      |t2 AS (
+      |  SELECT r.vec_id, sum(r.e7 * v2.v) AS t2
+      |  FROM rows_ r JOIN v2 ON r.p = v2.p GROUP BY 1),
+      |num AS (SELECT sum(CAST(t2 AS HUGEINT) * t2) AS num,
+      |  count(*) AS n FROM t2),
+      |den AS (SELECT sum(CAST(v AS HUGEINT) * v) AS den FROM v2),
+      |tr AS (SELECT sum(CAST(e7 AS HUGEINT) * e7) AS trace FROM rows_)
+      |SELECT CAST(n AS BIGINT) AS n_vectors, 64 AS dims,
+      |  ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+      |    / CAST(trace AS DOUBLE), 6) AS top_eig_share,
+      |  ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+      |    / CAST(trace AS DOUBLE) * 64, 6) AS anisotropy
+      |FROM num CROSS JOIN den CROSS JOIN tr""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val rows = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        explode(sequence(lit(1), lit(64))).as("p"),
+        col("embedding"))
+      .select(col("vec_id"), col("p"),
+        round(element_at(col("embedding"), col("p")).cast(DoubleType)
+          * 10000).cast(LongType).as("e7"))
+      .localCheckpoint()
+    val t0 = rows.groupBy("vec_id").agg(sum("e7").as("t0"))
+    def mv(coef: DataFrame, cName: String): DataFrame =
+      rows.join(coef, "vec_id")
+        .groupBy("p")
+        .agg(sum(col("e7").cast(big38) * col(cName)).cast(big38).as("u"))
+    def quantize(u: DataFrame): DataFrame = {
+      val m = u.agg(max(abs(col("u"))).as("m"))
+      u.crossJoin(broadcast(m))
+        .select(col("p"),
+          (when(col("u") < 0, -1L).otherwise(1L)
+            * expr("(abs(u) * 1000000) DIV m")).as("v"))
+    }
+    def project(v: DataFrame, tName: String): DataFrame =
+      rows.join(broadcast(v), "p")
+        .groupBy("vec_id").agg(sum(col("e7") * col("v")).as(tName))
+    val v1 = quantize(mv(t0, "t0"))
+    val t1 = project(v1, "t1")
+    val v2 = quantize(mv(t1, "t1")).localCheckpoint()
+    val t2 = project(v2, "t2")
+    val num = t2.agg(sum((col("t2").cast(big38) * col("t2")).cast(big38))
+      .cast(big38).as("num"), count(lit(1)).as("n"))
+    val den = v2.agg(sum(col("v") * col("v")).as("den"))
+    val tr = rows.agg(sum((col("e7").cast(big38) * col("e7")).cast(big38))
+      .cast(big38).as("trace"))
+    num.crossJoin(broadcast(den)).crossJoin(broadcast(tr))
+      .select(col("n").cast(LongType).as("n_vectors"),
+        lit(64).as("dims"),
+        round(col("num").cast(DoubleType) / col("den").cast(DoubleType)
+          / col("trace").cast(DoubleType), 6).as("top_eig_share"),
+        round(col("num").cast(DoubleType) / col("den").cast(DoubleType)
+          / col("trace").cast(DoubleType) * 64, 6).as("anisotropy"))
+  }
+
   val qKnnPerLabel = Q(
     "q_knn_per_label",
     """WITH c AS (
@@ -4769,7 +4864,7 @@ object LlmQueries {
     qDedupExact, qDedupSimhash, qDedupSimhashPairs, qDedupMinhash,
     qDedupMinhashDet,
     qDedupNgram, qDedupContainment, qDedupEmbed, qDedupEmbedLsh,
-    qDedupDetectorOverlap,
+    qDedupDetectorOverlap, qEmbedAnisotropy,
     qDedupClusters, qDedupClustersDet,
     qSimSearch, qSimSearchIvf, qSimMultiprobe, qSimTrainedIvf, qSimPq,
     qSimIvfPq, qAnnRecall,

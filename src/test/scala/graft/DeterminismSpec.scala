@@ -269,7 +269,10 @@ class DeterminismSpec extends SparkTestBase {
     LlmQueries.qAnnRecall,
     // round 8 third batch: fenced multi-detector set unions, quantized
     // exponential-mechanism weights over the bounded candidate grid
-    LlmQueries.qDedupDetectorOverlap, PipelineQueries.qDpQuantile)
+    LlmQueries.qDedupDetectorOverlap, PipelineQueries.qDpQuantile,
+    // round 8 fourth batch: trailing-window islands, integer power
+    // rounds with DECIMAL(38) Rayleigh sums
+    AnalyticsQueries.qRateBursts, LlmQueries.qEmbedAnisotropy)
 
   test("sensitive queries are exactly invariant to shuffle parallelism") {
     val conf = spark.conf
