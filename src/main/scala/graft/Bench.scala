@@ -73,7 +73,8 @@ object Bench {
     // every consumer.
     val shingleSelected = only.forall(_.exists(Set(
       "q_tfidf_cosine_pairs", "q_boilerplate", "q_shingle_df_profile",
-      "q_text_repetition", "q_decontaminate")))
+      "q_text_repetition", "q_decontaminate",
+      "q_dedup_ngram", "q_dedup_containment")))
     val shingleWarm: Seq[(String, () => Unit)] =
       if (cold || !shingleSelected) Seq.empty
       else Seq(

@@ -192,8 +192,11 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("shingle")
+    // rare feeds three consumers (sizes + both self-join sides) — fence
+    // it so the upstream shingle explode and df join run once, not 3×
     val rare = shingles.join(rareKeys, "shingle")
       .select("doc_id", "shingle")
+      .localCheckpoint()
     val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = rare.as("a")
       .join(rare.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -221,8 +224,10 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("shingle")
+    // same three-consumer fence as rareShingleJaccard
     val rare = shingles.join(rareKeys, "shingle")
       .select("doc_id", "shingle")
+      .localCheckpoint()
     val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = rare.as("a")
       .join(rare.as("b"), col("a.shingle") === col("b.shingle") &&

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Q
 import graft.Dsl._
-import graft.llm.{Bpe, Clustering, Dedup, Multimodal, SimSearch, TextOps}
+import graft.llm.{Bpe, Clustering, Dedup, Multimodal, ShingleStore, SimSearch, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -97,12 +97,16 @@ object LlmQueries {
       |WHERE greatest(cont_a, cont_b) >= 0.9
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
-    val withDups = docs.select("doc_id", "text").unionByName(
-      docs.filter(col("doc_id") % 40 === 0)
-        .select((col("doc_id") + 2000000).as("doc_id"),
-          expr("substr(text, 1, 120)").as("text")))
-    Dedup.rareShingleContainment(
-        Dedup.charShingles(withDups, maxPos = 2000))
+    val planted = docs.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        expr("substr(text, 1, 120)").as("text"))
+    // raw-corpus shingles come from the shared k=5 memo (ShingleStore);
+    // only the ~2.5% planted slice pays its own explode — the augmented
+    // frame is IDENTICAL to charShingles(docs ∪ planted) because the
+    // doc_id ranges are disjoint and both sides are per-doc distinct
+    val shingles = ShingleStore.distinct(s, d, 5, 2000)
+      .unionByName(Dedup.charShingles(planted, maxPos = 2000))
+    Dedup.rareShingleContainment(shingles)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -240,12 +244,15 @@ object LlmQueries {
        |WHERE jaccard >= 0.3
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
-    val withDups = docs.select("doc_id", "text").unionByName(
-      docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          expr("substr(text, 11)").as("text")))
-    // maxPos 2000 mirrors the oracle's generate_series(1, 2000) bound
-    Dedup.rareShingleJaccard(Dedup.charShingles(withDups, maxPos = 2000))
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        expr("substr(text, 11)").as("text"))
+    // maxPos 2000 mirrors the oracle's generate_series(1, 2000) bound;
+    // raw-corpus shingles from the shared k=5 memo, planted slice only
+    // pays its own explode (disjoint doc_ids ⇒ identical frame)
+    val shingles = ShingleStore.distinct(s, d, 5, 2000)
+      .unionByName(Dedup.charShingles(planted, maxPos = 2000))
+    Dedup.rareShingleJaccard(shingles)
       .orderBy("doc_a", "doc_b")
   }
 
