@@ -3458,13 +3458,24 @@ object StatQueries {
     val yr = xy.groupBy("y").agg(count(lit(1)).as("c"))
       .withColumn("r", sum(col("c")).over(Window.orderBy("y")))
       .select(col("y").as("yy"), col("r"))
-    val (ranked, n) = graft.plans.GlobalRank.withGlobalRowNumber(
+    val (ranked0, n) = graft.plans.GlobalRank.withGlobalRowNumber(
       xy.join(broadcast(yr), col("y") === col("yy")).select("ok", "x", "r"),
       "rn", 8, col("x"), col("ok"))
-    val a = ranked.select(col("rn"), col("r").as("ra"))
-    val b = ranked.select((col("rn") - 1).as("prn"), col("r").as("rb"))
-    val pr = a.join(b, col("rn") === col("prn"))
-    val ag = pr.agg(sum(abs((col("ra") - col("rb")).cast(big38))).as("s"))
+    // Adjacent-pair Σ|Δr| WITHOUT an rn self-join: block rows by rn range
+    // and DUPLICATE each block's last row as a ghost first row of the
+    // next block, so one block-partitioned lag sees every adjacent pair
+    // exactly once (boundary pairs via the ghost). One shuffle on the
+    // block key replaces the two-sided rn⋈rn+1 shuffle join.
+    val ranked = ranked0.select("rn", "r").localCheckpoint()
+    val k = math.max(1L, (n + 31) / 32)
+    val blocked = ranked
+      .withColumn("blk", expr(s"(rn - 1) DIV ${k}L"))
+      .unionByName(ranked.filter(col("rn") % k === 0)
+        .withColumn("blk", expr(s"(rn - 1) DIV ${k}L + 1")))
+    val wb = Window.partitionBy("blk").orderBy("rn")
+    val pr = blocked.withColumn("rb", lag(col("r"), 1).over(wb))
+      .filter(col("rb").isNotNull)
+    val ag = pr.agg(sum(abs((col("r") - col("rb")).cast(big38))).as("s"))
     ag.select(lit(n).cast(LongType).as("n"),
       round(lit(1) - lit(3) * col("s").cast(DoubleType)
         / (lit(n).cast(DoubleType) * n - 1), 6).as("xi"))
