@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   * localCheckpoint CANNOT recompute: the lineage is truncated).
   *
   * Queries that shingle AUGMENTED corpora (docs ∪ planted copies —
-  * q_dedup_ngram, q_dedup_containment) keep their own explode: their
-  * input is not the raw table.
+  * q_dedup_ngram, q_dedup_containment) draw the raw-corpus side from
+  * this memo too; only their planted slice pays its own (tiny) explode.
   *
   * At 100 TB this memo is the "shingle once, consume many" layout step a
   * production pipeline would persist as a bucketed intermediate table;

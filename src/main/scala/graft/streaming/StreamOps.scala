@@ -1314,9 +1314,8 @@ object StreamOps {
                 (coalesce(col("s_sg"), lit(0L))
                   + coalesce(col("sum_gap"), lit(0L))
                   + coalesce(boundary, lit(0L))).as("sum_gap"),
-                greatest(coalesce(col("s_mg"), lit(Long.MinValue)),
-                  coalesce(col("max_gap"), lit(Long.MinValue)),
-                  coalesce(boundary, lit(Long.MinValue))).as("max_gap"),
+                greatest(col("s_mg"), col("max_gap"), boundary)
+                  .as("max_gap"),
                 coalesce(col("s_first"), col("first_us")).as("first_us"),
                 coalesce(col("last_us"), col("s_last")).as("last_us"))
           }

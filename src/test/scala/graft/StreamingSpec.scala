@@ -541,6 +541,32 @@ class StreamingSpec extends SparkTestBase {
     assert(v4.exceptAll(direct).isEmpty && direct.exceptAll(v4).isEmpty)
   }
 
+  test("incrementalGapStats keeps max_gap NULL for a single-event type " +
+      "across batch boundaries (ADVICE r8: no Long.MinValue leak)") {
+    // Planted fixture: type "solo" has ONE event (zero gaps — max_gap
+    // must stay NULL in the ledger, exactly as the whole-history lag
+    // recompute yields); type "multi" spans every batch so the merge
+    // path with boundary gaps is exercised alongside it.
+    import spark.implicits._
+    val dir = "target/test_gaps_single"
+    val rows = Seq((1L, "multi", 1000000000L), (2L, "solo", 2000000000L),
+      (3L, "multi", 3000000000L), (4L, "multi", 5000000000L),
+      (5L, "multi", 9000000000L))
+    rows.toDF("event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/sf/events.parquet")
+    val g = StreamOps.incrementalGapStats(spark, s"$dir/sf", s"$dir/w", 4)
+    val solo = g.filter(col("event_type") === "solo")
+      .select("n", "n_gaps", "max_gap").collect()
+    assert(solo.length == 1)
+    assert(solo(0).getLong(0) == 1L && solo(0).getLong(1) == 0L)
+    assert(solo(0).isNullAt(2),
+      s"single-event type must keep NULL max_gap, got ${solo(0).get(2)}")
+    val multi = g.filter(col("event_type") === "multi")
+      .select("n", "n_gaps", "max_gap").collect()(0)
+    assert(multi.getLong(0) == 4L && multi.getLong(1) == 3L
+      && multi.getLong(2) == 4000000L)
+  }
+
   test("incrementalZAlarm ledger is batch-boundary-independent and " +
       "matches the whole-history prefix recompute") {
     val z4 = StreamOps.incrementalZAlarm(spark, sf, "target/test_zal4")

@@ -23,11 +23,21 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args = []
     min_sec = 0.2
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--min-sec"):
-            min_sec = float(a.split("=", 1)[1])
+            if "=" in a:
+                min_sec = float(a.split("=", 1)[1])
+            else:
+                i += 1
+                min_sec = float(argv[i])
+        else:
+            args.append(a)
+        i += 1
     q1, t1 = load(args[0])
     q2, t2 = load(args[1])
     common = sorted(set(q1) & set(q2))
