@@ -47,6 +47,7 @@ object Bench {
       ml.Ratings.clearCache(); ml.AlsEngine.clearCache()
       ml.Baseline.clearCache(); llm.ShingleStore.clearCache()
       operators.MfQueries.clearSweepCache()
+      streaming.StreamOps.clearSliceCache()
     }
     val mfSelected = only.forall(_.exists(n => n.startsWith("q_mf") ||
       n.startsWith("q_antidote") || n.startsWith("q_metric") ||
@@ -88,7 +89,17 @@ object Bench {
     // q_mf_predict doesn't pay retrains no selected query consumes.
     val sweepSelected =
       only.forall(_.exists(_.startsWith("q_antidote")))
-    val warmups: Seq[(String, () => Unit)] = tableWarm ++ shingleWarm ++
+    // Shared ordered-slice store (StreamOps.scala): all 17 incremental
+    // maintainers replay the same events table; the store slices it once
+    // and this warm line bills that one-time IO instead of whichever
+    // q_stream_* query the registry order runs first.
+    val streamSelected = only.forall(_.exists(_.startsWith("q_stream")))
+    val sliceWarm: Seq[(String, () => Unit)] =
+      if (cold || !streamSelected) Seq.empty
+      else Seq("warm:stream_slices" ->
+        (() => { streaming.StreamOps.warmSlices(spark, sfDir); () }))
+    val warmups: Seq[(String, () => Unit)] =
+      tableWarm ++ shingleWarm ++ sliceWarm ++
       (if (cold || !mfSelected) Seq.empty
       else Seq(
         "warm:ratings_view" ->
@@ -139,7 +150,23 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val dt1 = (System.nanoTime() - t0) / 1e9
+        // Sub-2.5 s queries report best-of-2 (VERDICT r8 task 6): the
+        // single-JVM co-tenant noise floor swings small queries >2×
+        // between runs, swallowing real regressions; min-of-2 estimates
+        // the intrinsic cost (noise only ever ADDS time). Disabled in
+        // cold mode — the second run would be memo-warm — and for
+        // queries big enough that noise is relatively small.
+        // SPARK_GRAFT_BEST2=0 restores single-shot timing.
+        val best2 = !sys.env.get("SPARK_GRAFT_BEST2").contains("0")
+        val dt =
+          if (ok && !cold && best2 && dt1 < 2.5) {
+            val t1 = System.nanoTime()
+            val dt2 = try { fn(spark, sfDir).count()
+              (System.nanoTime() - t1) / 1e9
+            } catch { case _: Throwable => dt1 }
+            math.min(dt1, dt2)
+          } else dt1
         releaseNew()
         // Deterministic GC cadence (billed OUTSIDE the per-query timer,
         // like releaseNew): lets ContextCleaner reclaim the shuffle files
@@ -192,7 +219,10 @@ object Bench {
       // round 7 (cont. 4): corpus-explode collocations, cluster-blocked
       // decontamination, GlobalRank CDF argmax, 12th stream maintainer
       "q_llr_bigrams", "q_decontaminate_embed", "q_ks_model",
-      "q_stream_watermark", "q_hapax_ratio")
+      "q_stream_watermark", "q_hapax_ratio",
+      // round 9: the Alg-1 multi-iteration trace (4 ALS refits) and the
+      // reworked single-fact-pass antidote evaluation
+      "q_antidote_trace", "q_antidote_eval")
     // In repeat mode every headline query matches `repeat` keys; keep only
     // the last repeat (warm steady-state) so the short line stays bounded.
     val headQs = results.filter { case (k, _) => headline.contains(k.takeWhile(_ != '#')) }

@@ -178,32 +178,44 @@ object Antidote {
   /** Full Alg. 1 loop: init X, then `steps` projected-GD iterations, each
     * re-factorizing [R; X] and descending the chosen metric. Returns the
     * final X and the (objective, rmse) trace — one point per model, so
-    * metric-vs-budget AND rmse-vs-budget curves fall out of one run. */
+    * metric-vs-budget AND rmse-vs-budget curves fall out of one run.
+    *
+    * Each iteration trains ONE ALS model on [R; X_t] and shares it between
+    * the trace evaluation and the gradient linearization of the next step
+    * (ALS is seeded, so the step's model would be bit-identical anyway) —
+    * halving the loop's dominant cost vs the naive train-per-call shape. */
   def optimize(spark: SparkSession, ratings: DataFrame, alpha: Double,
       steps: Int, cfg: AlsEngine.Config = AlsEngine.Config(),
       eta: Double = 1e4, metric: Metric = Metric.Polarization,
       initFn: (SparkSession, DataFrame, Double) => DataFrame = init)
       : (DataFrame, Seq[TracePoint]) = {
     var x = initFn(spark, ratings, alpha).cache()
+    var model = AlsEngine.train(ratings.unionByName(x), cfg)
     val trace = Seq.newBuilder[TracePoint]
-    trace += evaluate(AlsEngine.train(ratings.unionByName(x), cfg), ratings, metric)
+    trace += evaluate(model, ratings, metric)
     for (_ <- 1 to steps) {
-      val next = step(spark, ratings, x, cfg, eta, metric).cache()
+      val next = step(spark, ratings, x, cfg, eta, metric, Some(model))
+        .cache()
       next.count() // materialize before unpersisting the predecessor
       x.unpersist()
       x = next
-      trace += evaluate(AlsEngine.train(ratings.unionByName(x), cfg), ratings, metric)
+      model = AlsEngine.train(ratings.unionByName(x), cfg)
+      trace += evaluate(model, ratings, metric)
     }
     (x, trace.result())
   }
 
   /** One projected-GD step on X (Alg. 1) for the chosen metric, then
-    * box-project into [1,5]. Returns the updated antidote rows. */
+    * box-project into [1,5]. Returns the updated antidote rows. Pass
+    * `model` when [R; X] is already factorized (the optimize loop): the
+    * step linearizes around exactly that model instead of retraining. */
   def step(spark: SparkSession, ratings: DataFrame, x: DataFrame,
       cfg: AlsEngine.Config = AlsEngine.Config(), eta: Double = 1.0,
-      metric: Metric = Metric.Polarization): DataFrame = metric match {
-    case Metric.Polarization => polarizationStep(spark, ratings, x, cfg, eta)
-    case m => unfairnessStep(spark, ratings, x, cfg, eta, m)
+      metric: Metric = Metric.Polarization,
+      model: Option[ALSModel] = None): DataFrame = metric match {
+    case Metric.Polarization =>
+      polarizationStep(spark, ratings, x, cfg, eta, model)
+    case m => unfairnessStep(spark, ratings, x, cfg, eta, m, model)
   }
 
   /** Polarization step: descend through the ridge closed form
@@ -218,11 +230,13 @@ object Antidote {
     * makes the step valid at 100 TB (and ~3× faster than a driver
     * round-trip of X even at sf0.1). */
   private def polarizationStep(spark: SparkSession, ratings: DataFrame,
-      x: DataFrame, cfg: AlsEngine.Config, eta: Double): DataFrame = {
+      x: DataFrame, cfg: AlsEngine.Config, eta: Double,
+      pretrained: Option[ALSModel] = None): DataFrame = {
     import spark.implicits._
 
-    val aug = ratings.unionByName(x).cache()
-    val model = AlsEngine.train(aug, cfg)
+    val aug =
+      if (pretrained.isEmpty) Some(ratings.unionByName(x).cache()) else None
+    val model = pretrained.getOrElse(AlsEngine.train(aug.get, cfg))
     val k = cfg.rank
 
     val (uBar, _) = factorMoments(model)
@@ -275,7 +289,7 @@ object Antidote {
       .select(col("user_id"), col("item_id"),
         round(least(lit(5.0), greatest(lit(1.0),
           col("rating") - lit(eta) * dot)), 6).as("rating"))
-    aug.unpersist()
+    aug.foreach(_.unpersist())
     out
   }
 
@@ -300,10 +314,11 @@ object Antidote {
     * independent of n, m, and |ratings|. */
   private def unfairnessStep(spark: SparkSession, ratings: DataFrame,
       x: DataFrame, cfg: AlsEngine.Config, eta: Double,
-      metric: Metric): DataFrame = {
+      metric: Metric, pretrained: Option[ALSModel] = None): DataFrame = {
     import spark.implicits._
-    val aug = ratings.unionByName(x).cache()
-    val model = AlsEngine.train(aug, cfg)
+    val aug =
+      if (pretrained.isEmpty) Some(ratings.unionByName(x).cache()) else None
+    val model = pretrained.getOrElse(AlsEngine.train(aug.get, cfg))
     val k = cfg.rank
 
     // Antidote factor block U_a (k̃×k — budget-sized driver state).
@@ -401,7 +416,7 @@ object Antidote {
       .select(col("user_id"), col("item_id"),
         round(least(lit(5.0), greatest(lit(1.0),
           col("rating") - lit(eta) * dot)), 6).as("rating"))
-    aug.unpersist()
+    aug.foreach(_.unpersist())
     out
   }
 }

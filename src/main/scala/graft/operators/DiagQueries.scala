@@ -122,7 +122,10 @@ object DiagQueries {
           .cast(LongType).as("e"))
     val a = res.select(col("day"), col("e").as("e1"))
     val b = res.select(col("day").as("bday"), col("e").as("e0"))
-    val pair = a.join(b, date_sub(col("day"), 1) === col("bday"))
+    // res is the calendar-bounded daily panel (≤2.4k rows by
+    // construction) — broadcast the lag side explicitly; sf0.1 size
+    // estimates demoted this self-join to SMJ unhinted
+    val pair = a.join(broadcast(b), date_sub(col("day"), 1) === col("bday"))
     val den = res.agg(sum(col("e").cast(big38) * col("e")).as("den"),
       count(lit(1)).as("n_days"))
     val num = pair.agg(

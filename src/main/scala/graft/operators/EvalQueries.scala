@@ -561,15 +561,19 @@ object EvalQueries {
     val spark = s
     import spark.implicits._
     val p0 = Seq((0L, 0L, 0L)).toDF("dd", "c", "s").unionByName(p)
-    val ranges = p0.as("a").join(p0.as("b"), col("a.dd") < col("b.dd"))
+    // both theta-join sides are ≤11-row decile panels BY CONSTRUCTION —
+    // broadcast explicitly so growing size ESTIMATES can never demote the
+    // non-equi join to a CartesianProduct (it did at sf0.1 unhinted)
+    val ranges = p0.as("a")
+      .join(broadcast(p0.as("b")), col("a.dd") < col("b.dd"))
       .select(col("a.dd").as("jm1"), col("b.dd").as("k"),
         expr("((b.s - a.s) * 1000000000) DIV (b.c - a.c)").as("mean9"))
     val ds = s.range(1, 11).select(col("id").as("dd"))
-    val innr = ds.join(ranges,
+    val innr = ds.join(broadcast(ranges),
         col("jm1") <= col("dd") - 1 && col("k") >= col("dd"))
       .groupBy("dd", "jm1").agg(min(col("mean9")).as("mn"))
     val fit = innr.groupBy("dd").agg(max(col("mn")).as("fit9"))
-    dec.join(fit, col("decile") === col("dd"))
+    dec.join(broadcast(fit), col("decile") === col("dd"))
       .select(col("decile"), col("cnt").cast(LongType).as("n_rows"),
         col("pos").cast(LongType).as("n_pos"),
         round(col("pos").cast(DoubleType) / col("cnt"), 6).as("raw_rate"),

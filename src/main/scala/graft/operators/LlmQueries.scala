@@ -2863,9 +2863,12 @@ object LlmQueries {
     val cnt = b.groupBy("source", "bin").agg(count(lit(1)).as("c"))
     val srcs = docs.select("source").distinct()
     val bins = s.range(0, 10).toDF("bin")
+    // cnt and the cum self-join side are (source × 10-bin) DOMAIN panels
+    // — broadcast explicitly so scale-grown estimates can't demote them
+    // to SMJ (the sf0.1 audit caught one doing so unhinted)
     val grid = srcs.crossJoin(broadcast(bins))
-      .join(cnt.withColumnRenamed("source", "s2")
-        .withColumnRenamed("bin", "b2"),
+      .join(broadcast(cnt.withColumnRenamed("source", "s2")
+        .withColumnRenamed("bin", "b2")),
         col("source") === col("s2") && col("bin") === col("b2"), "left")
       .select(col("source"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
     val wc = org.apache.spark.sql.expressions.Window
@@ -2874,8 +2877,9 @@ object LlmQueries {
     val cum = grid.select(col("source"), col("bin"),
       sum(col("c")).over(wc).as("cum"), sum(col("c")).over(wn).as("n"))
     val pairs = cum.as("a")
-      .join(cum.select(col("source").as("sb"), col("bin").as("binb"),
-        col("cum").as("cumb"), col("n").as("nb")),
+      .join(broadcast(cum.select(col("source").as("sb"),
+        col("bin").as("binb"),
+        col("cum").as("cumb"), col("n").as("nb"))),
         col("a.bin") === col("binb") && col("a.source") < col("sb"))
       .groupBy(col("a.source").as("src_a"), col("sb").as("src_b"))
       .agg(sum(abs(col("a.cum") * col("nb") - col("cumb") * col("a.n")))
@@ -4068,8 +4072,11 @@ object LlmQueries {
       .agg(count(lit(1)).as("c"))
     import s.implicits._
     val w = words.toDF("term")
+    // st/fw/z are (source × 8-term) DOMAIN panels — broadcast explicitly
+    // so scale-grown size estimates never demote these joins to SMJ (the
+    // sf0.1 audit caught exactly that on the unhinted pairs join)
     val rate = st.crossJoin(broadcast(w))
-      .join(fw, col("source") === col("fsource")
+      .join(broadcast(fw), col("source") === col("fsource")
         && col("term") === col("fterm"), "left")
       .select(col("source"), col("term"),
         expr("coalesce(c, 0) * 1000000 DIV nt").as("r6"))
@@ -4088,7 +4095,7 @@ object LlmQueries {
       col("z6").as("za"))
     val b = z.select(col("source").as("source_b"),
       col("term").as("bterm"), col("z6").as("zb"))
-    val pairs = a.join(b, col("term") === col("bterm")
+    val pairs = a.join(broadcast(b), col("term") === col("bterm")
         && col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b")
       .agg(expr("sum(abs(za - zb)) DIV count(*)").as("d6"))

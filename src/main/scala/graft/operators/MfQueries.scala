@@ -339,35 +339,59 @@ object MfQueries {
        |${evalSelect(0.05, "b")}
        |ORDER BY alpha""".stripMargin) { (s, d) =>
     // The "before" metrics are the memoized baseline-predictor scalars
-    // shared with q_metric_* (same pass, same rounding); only the two
-    // AUGMENTED matrices are evaluated here, in one tagged shuffle chain
-    // (the tag joins the grouping keys; per-tag inputs are disjoint, so
-    // results are identical to separate passes).
+    // shared with q_metric_* (same pass, same rounding). The "after"
+    // metrics for BOTH budgets derive from ONE fact pass: antidote users
+    // are new ids (disjoint from real users) rating every item, so per
+    // augmented matrix, real users keep their base mean mu and only the
+    // item means shift — every per-(budget, item) moment of the predictor
+    // p = (mu + mi)/2 and of the squared error then falls out of the base
+    // per-item frame (n, Σr, Σr², Σmu, Σmu², Σr·mu — computed once,
+    // item-dimension-sized, fenced) combined with the budget's tiny
+    // antidote-side sums. The old shape paid the user-groupBy, item-
+    // groupBy, two fact joins and the metric pass once PER budget; at
+    // 100 TB this is the difference between k+1 fact passes for k budgets
+    // and exactly one.
     val ratings = Ratings.viewCached(s, d)
     val (polB, rmseB) = Baseline.polRmseCached(s, d)
     val stats = Antidote.userStats(ratings)
-    val alphas = Seq(0.01 -> "a1", 0.05 -> "a2")
-    val tagged = alphas.map { case (alpha, tg) =>
-      ratings.unionByName(Antidote.init(s, ratings, alpha, stats))
-        .withColumn("tag", lit(tg))
-    }.reduce(_ unionByName _)
-    val um = tagged.groupBy("tag", "user_id").agg(avg("rating").as("mu"))
-    val im = tagged.groupBy("tag", "item_id").agg(avg("rating").as("mi"))
-    val pred = tagged.join(um, Seq("tag", "user_id"))
-      .join(im, Seq("tag", "item_id"))
-      .withColumn("p", (col("mu") + col("mi")) / 2)
-    val m = pred.groupBy("tag", "item_id")
-      .agg(var_pop(col("p")).as("v"), count(lit(1)).as("n"),
-        sum((col("rating") - col("p")) * (col("rating") - col("p"))).as("se"))
-      .groupBy("tag")
-      .agg(round(avg(col("v")), 6).as("pol"),
-        round(sqrt(sum(col("se")) / sum(col("n"))), 6).as("rmse"))
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
-      .toMap
+    val r = col("rating")
+    val umB = ratings.groupBy("user_id").agg(avg(r).as("mu"))
+    val base = ratings.join(umB, "user_id")
+      .groupBy("item_id")
+      .agg(count(lit(1)).as("n"), sum(r).as("sr"), sum(r * r).as("sr2"),
+        sum(col("mu")).as("smu"), sum(col("mu") * col("mu")).as("smu2"),
+        sum(r * col("mu")).as("srmu"))
+      .localCheckpoint() // fence: both budgets reuse it without a re-scan
+    val after = Seq(0.01, 0.05).map { alpha =>
+      val x = Antidote.init(s, ratings, alpha, stats)
+      val muA = x.groupBy("user_id").agg(avg(r).as("mu"))
+      val ant = x.join(broadcast(muA), "user_id")
+        .groupBy("item_id")
+        .agg(count(lit(1)).as("ka"), sum(r).as("sx"),
+          sum(r * r).as("sx2"), sum(col("mu")).as("smua"),
+          sum(col("mu") * col("mu")).as("smua2"),
+          sum(r * col("mu")).as("sxmua"))
+      val nAll = col("n") + col("ka")
+      val mi = (col("sr") + col("sx")) / nAll
+      val sp = (col("smu") + col("smua") + nAll * mi) / 2
+      val sp2 = (col("smu2") + col("smua2")
+        + lit(2) * mi * (col("smu") + col("smua")) + nAll * mi * mi) / 4
+      val se = (col("sr2") - col("srmu") - mi * col("sr")
+          + (col("smu2") + lit(2) * mi * col("smu") + col("n") * mi * mi) / 4) +
+        (col("sx2") - col("sxmua") - mi * col("sx")
+          + (col("smua2") + lit(2) * mi * col("smua") + col("ka") * mi * mi) / 4)
+      val row = base.join(ant, "item_id")
+        .select((sp2 / nAll - (sp / nAll) * (sp / nAll)).as("v"),
+          se.as("se"), nAll.as("n_all"))
+        .agg(round(avg(col("v")), 6).as("pol"),
+          round(sqrt(sum(col("se")) / sum(col("n_all"))), 6).as("rmse"))
+        .head()
+      (alpha, row.getDouble(0), row.getDouble(1))
+    }
     val spark = s
     import spark.implicits._
-    alphas.map { case (alpha, tg) =>
-      (alpha, polB, m(tg)._1, rmseB, m(tg)._2)
+    after.map { case (alpha, polA, rmseA) =>
+      (alpha, polB, polA, rmseB, rmseA)
     }.toDF("alpha", "pol_before", "pol_after", "rmse_before", "rmse_after")
       .orderBy("alpha")
   }
@@ -511,6 +535,30 @@ object MfQueries {
         round(col("delta_unfairness"), 6).as("delta_unfairness"),
         round(col("rmse_cost"), 6).as("rmse_cost"))
       .orderBy("alpha")
+  }
+
+  /** The paper's full Alg. 1 procedure as a registered query: T = 3
+    * projected-GD iterations of the polarization antidote at α = 0.01,
+    * emitting one row per iteration with the objective and the RMSE
+    * accuracy cost — the optimization TRACE itself (the sweep/figure
+    * readouts deploy only the T = 1 shape). ALS-dependent floats →
+    * rows-only under the driver; the non-increasing-objective property is
+    * pinned in MfSpec ("Alg 1 loop: objective trace is non-increasing").
+    * Cost is intrinsic Alg-1 work: T+1 = 4 seeded ALS re-factorizations
+    * (the optimize loop shares each model between its trace point and the
+    * next gradient linearization, so no train is paid twice). */
+  val qAntidoteTrace = Q.noOracle("q_antidote_trace") { (s, d) =>
+    val spark = s
+    import spark.implicits._
+    val ratings = Ratings.viewCached(s, d)
+    val (_, trace) = Antidote.optimize(s, ratings, 0.01, 3,
+      AlsEngine.Config(maxIter = 3), eta = 1e4)
+    trace.zipWithIndex.map { case (p, i) =>
+      (i.toLong, p.objective, p.rmse)
+    }.toDF("iter", "objective", "rmse")
+      .select(col("iter"), round(col("objective"), 6).as("objective"),
+        round(col("rmse"), 6).as("rmse"))
+      .orderBy("iter")
   }
 
   /** Deterministic negative sampling — the training-example generator
@@ -924,5 +972,5 @@ object MfQueries {
     qMetricGrpUnfairness, qMetricRmseHoldout, qRecCoverage,
     qAntidoteInit, qAntidoteStep, qAntidoteEval,
     qSourceDelimited, qMfCompactTrain, qAntidoteSweepAls, qAntidoteFigure,
-    qNegativeSample)
+    qAntidoteTrace, qNegativeSample)
 }

@@ -84,7 +84,10 @@ object ProfileQueries {
       col("dec").as("da"), col("c").cast(big38).as("ca"))
     val b = cells.select(col("tm").as("tb"), col("dec").as("db"),
       col("c").as("cb"))
-    val pairs = a.join(b, col("ta") < col("tb"))
+    // cells is a (months × event-flag × decile) DOMAIN panel — bounded by
+    // construction, so broadcast the theta-join side explicitly (sf0.1
+    // size estimates otherwise demote the non-equi join to a cartesian)
+    val pairs = a.join(broadcast(b), col("ta") < col("tb"))
       .filter(col("ea") === 1)
       .agg(sum(col("ca") * col("cb")).as("usable"),
         sum(when(col("da") < col("db"), col("ca") * col("cb"))

@@ -243,16 +243,8 @@ object StreamOps {
     * batch contains. Returns the final state. */
   def incrementalDailyCounts(spark: SparkSession, sfDir: String,
       workDir: String): DataFrame = {
-    val src = s"$workDir/src"
-    val events = graft.Tables.tsAsTimestamp(
-      spark.read.parquet(s"$sfDir/events.parquet"))
-    events.select(col("ts"), col("event_type"))
-      .repartition(4)
-      .write.mode("overwrite").parquet(src)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
+    val stream = sliceStream(spark, sfDir, 4)._1
+      .select(col("ts"), col("event_type"))
     val stateBase = s"$workDir/state"
     @volatile var version = -1L
     val q = stream.writeStream
@@ -289,17 +281,9 @@ object StreamOps {
     * day's delta. */
   def incrementalChecksum(spark: SparkSession, sfDir: String,
       workDir: String): DataFrame = {
-    val src = s"$workDir/src"
-    val events = graft.Tables.tsAsTimestamp(
-      spark.read.parquet(s"$sfDir/events.parquet"))
-    events.select(col("event_id"), col("user_id"), col("event_type"),
+    val stream = sliceStream(spark, sfDir, 4)._1
+      .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
-      .repartition(4)
-      .write.mode("overwrite").parquet(src)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
     val stateBase = s"$workDir/state"
     val mod = 1099511627776L // 2^40
     val h = conv(substring(md5(concat_ws("|", col("event_id"),
@@ -344,17 +328,9 @@ object StreamOps {
     * re-scanning history. */
   def incrementalUpsert(spark: SparkSession, sfDir: String,
       workDir: String, nBatches: Int = 4): DataFrame = {
-    val src = s"$workDir/src"
-    val events = graft.Tables.tsAsTimestamp(
-      spark.read.parquet(s"$sfDir/events.parquet"))
-    events.select(col("event_id"), col("user_id"), col("event_type"),
+    val stream = sliceStream(spark, sfDir, nBatches)._1
+      .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
-      .repartition(nBatches)
-      .write.mode("overwrite").parquet(src)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
     val stateBase = s"$workDir/state"
     def latest(df: DataFrame): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
@@ -397,17 +373,9 @@ object StreamOps {
     * quantile values. */
   def incrementalQuantiles(spark: SparkSession, sfDir: String,
       workDir: String, nBatches: Int = 4): DataFrame = {
-    val src = s"$workDir/src"
-    val events = graft.Tables.tsAsTimestamp(
-      spark.read.parquet(s"$sfDir/events.parquet"))
-    events.select(col("event_type"),
+    val stream = sliceStream(spark, sfDir, nBatches)._1
+      .select(col("event_type"),
         floor(col("value") * 100).cast(LongType).as("bin"))
-      .repartition(nBatches)
-      .write.mode("overwrite").parquet(src)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
     val stateBase = s"$workDir/state"
     @volatile var version = -1L
     val q = stream.writeStream
@@ -461,17 +429,9 @@ object StreamOps {
     * monitor shape. */
   def incrementalExtremes(spark: SparkSession, sfDir: String,
       workDir: String, nBatches: Int = 4): DataFrame = {
-    val src = s"$workDir/src"
-    val events = graft.Tables.tsAsTimestamp(
-      spark.read.parquet(s"$sfDir/events.parquet"))
-    events.select(col("event_type"),
+    val stream = sliceStream(spark, sfDir, nBatches)._1
+      .select(col("event_type"),
         round(col("value") * 1000000L).cast(LongType).as("v6"))
-      .repartition(nBatches)
-      .write.mode("overwrite").parquet(src)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
     val stateBase = s"$workDir/state"
     @volatile var version = -1L
     val q = stream.writeStream
@@ -508,17 +468,9 @@ object StreamOps {
   def incrementalMoments(spark: SparkSession, sfDir: String,
       workDir: String, nBatches: Int = 4): DataFrame = {
     val big38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val src = s"$workDir/src"
-    val events = graft.Tables.tsAsTimestamp(
-      spark.read.parquet(s"$sfDir/events.parquet"))
-    events.select(col("event_type"),
+    val stream = sliceStream(spark, sfDir, nBatches)._1
+      .select(col("event_type"),
         round(col("value") * 1000000L).cast(LongType).as("v6"))
-      .repartition(nBatches)
-      .write.mode("overwrite").parquet(src)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
     val stateBase = s"$workDir/state"
     @volatile var version = -1L
     val q = stream.writeStream
@@ -555,18 +507,10 @@ object StreamOps {
     * without rescanning history. */
   def incrementalPsi(spark: SparkSession, sfDir: String,
       workDir: String, nBatches: Int = 4): DataFrame = {
-    val src = s"$workDir/src"
-    val events = graft.Tables.tsAsTimestamp(
-      spark.read.parquet(s"$sfDir/events.parquet"))
-    events.select(col("event_type"),
+    val stream = sliceStream(spark, sfDir, nBatches)._1
+      .select(col("event_type"),
         least(lit(15L), floor(col("value") / 10)).cast(LongType)
           .as("bucket"))
-      .repartition(nBatches)
-      .write.mode("overwrite").parquet(src)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
     val stateBase = s"$workDir/state"
     @volatile var version = -1L
     val q = stream.writeStream
@@ -632,16 +576,8 @@ object StreamOps {
     * micro-batch, never rescanning history. */
   def incrementalDayCoverage(spark: SparkSession, sfDir: String,
       workDir: String, nBatches: Int = 4): DataFrame = {
-    val src = s"$workDir/src"
-    val events = graft.Tables.tsAsTimestamp(
-      spark.read.parquet(s"$sfDir/events.parquet"))
-    events.select(col("event_type"), to_date(col("ts")).as("day"))
-      .repartition(nBatches)
-      .write.mode("overwrite").parquet(src)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
+    val stream = sliceStream(spark, sfDir, nBatches)._1
+      .select(col("event_type"), to_date(col("ts")).as("day"))
     val stateBase = s"$workDir/state"
     @volatile var version = -1L
     val q = stream.writeStream
@@ -689,17 +625,9 @@ object StreamOps {
     * against, maintained without ever rescanning history. */
   def incrementalFirstSeen(spark: SparkSession, sfDir: String,
       workDir: String, nBatches: Int = 4): DataFrame = {
-    val src = s"$workDir/src"
-    val events = graft.Tables.tsAsTimestamp(
-      spark.read.parquet(s"$sfDir/events.parquet"))
-    events.select(col("user_id"), col("event_id"), col("event_type"),
+    val stream = sliceStream(spark, sfDir, nBatches)._1
+      .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
-      .repartition(nBatches)
-      .write.mode("overwrite").parquet(src)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
     val stateBase = s"$workDir/state"
     @volatile var version = -1L
     val q = stream.writeStream
@@ -737,15 +665,10 @@ object StreamOps {
     * on a disjoint probe set and the filter's fill. */
   def incrementalBloom(spark: SparkSession, sfDir: String, workDir: String,
       nBits: Int = 1 << 16, k: Int = 3, nBatches: Int = 4): DataFrame = {
-    val src = s"$workDir/src"
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-    events.select(col("event_id")).distinct()
-      .repartition(nBatches)
-      .write.mode("overwrite").parquet(src)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
+    // event_id is the table key (bit_or inserts are idempotent anyway),
+    // so the shared slices replace the old pre-distinct'd private copy
+    val (raw, src) = sliceStream(spark, sfDir, nBatches)
+    val stream = raw.select(col("event_id"))
     def positions(df: DataFrame, idName: String): DataFrame = {
       // pmod BEFORE combining: h1 + j*h2 on raw 64-bit hashes overflows
       // ANSI long arithmetic; reduced values stay tiny (< k·nBits).
@@ -830,19 +753,11 @@ object StreamOps {
     * with O(k) state per key instead of a distinct-set. */
   def incrementalKmv(spark: SparkSession, sfDir: String, workDir: String,
       nBatches: Int = 4, k: Int = 32): DataFrame = {
-    val src = s"$workDir/src"
-    val events = graft.Tables.tsAsTimestamp(
-      spark.read.parquet(s"$sfDir/events.parquet"))
-    events.select(col("event_type"),
+    val stream = sliceStream(spark, sfDir, nBatches)._1
+      .select(col("event_type"),
         conv(substring(md5(col("user_id").cast(
           org.apache.spark.sql.types.StringType)), 1, 15), 16, 10)
           .cast(LongType).as("hv"))
-      .repartition(nBatches)
-      .write.mode("overwrite").parquet(src)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
     val kmv = udaf(new graft.functions.KmvSketch(k),
       org.apache.spark.sql.Encoders.scalaLong)
     val stateBase = s"$workDir/state"
@@ -977,16 +892,65 @@ object StreamOps {
         "order; FileStreamSource would replay out of order")
   }
 
+  /** Shared ordered-slice store (VERDICT r8 task 8): every incremental
+    * maintainer replays the SAME events table as an nBatches-file stream;
+    * previously each wrote its own projected slice copy (~5 scans + 4
+    * writes of the fact table apiece across 17 maintainers). The store
+    * writes the FULL events table (ts normalized to TimestampType) as
+    * event_id-range ordered slices ONCE per (sfDir, nBatches) and
+    * memoizes the path; maintainers apply their projections to the
+    * STREAM, where parquet column pruning makes the narrow read as cheap
+    * as the old pre-projected copy. Replay semantics are identical:
+    * slices are id-RANGE cuts of the same rows, so each maintainer's
+    * batch contents equal what its own slicing produced (row-preserving
+    * projections commute with id-range slicing; the store also serves the
+    * order-INDEPENDENT maintainers, whose merges are commutative, so
+    * batch composition is immaterial to their final state). Billed as the
+    * bench's warm:stream_slices line; cold mode clears it like any memo. */
+  private val sliceCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int), String]
+
+  def clearSliceCache(): Unit = sliceCache.synchronized(sliceCache.clear())
+
+  def warmSlices(spark: SparkSession, sfDir: String): Unit = {
+    orderedSliceDir(spark, sfDir, 4); ()
+  }
+
+  private def orderedSliceDir(spark: SparkSession, sfDir: String,
+      nBatches: Int): String = sliceCache.synchronized {
+    sliceCache.getOrElseUpdate((sfDir, nBatches), {
+      val dir = "target/stream_slices/" +
+        sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + s"/n$nBatches"
+      writeOrderedSlices(
+        graft.Tables.tsAsTimestamp(
+          spark.read.parquet(s"$sfDir/events.parquet")), dir, nBatches)
+      dir
+    })
+  }
+
+  /** The shared slice stream (full events schema — project what you
+    * need) plus the backing dir for static re-reads. */
+  private def sliceStream(spark: SparkSession, sfDir: String,
+      nBatches: Int): (DataFrame, String) = {
+    val src = orderedSliceDir(spark, sfDir, nBatches)
+    (spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src), src)
+  }
+
   def incrementalWatermark(spark: SparkSession, sfDir: String,
       workDir: String, nBatches: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val src = s"$workDir/src"
-    val e = plannedLatenessEvents(spark, sfDir)
-    writeOrderedSlices(e, src, nBatches)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
+    // plannedLatenessEvents is a row-preserving deterministic map of
+    // events, so it applies to the shared slice stream unchanged
+    val h = graft.llm.TextOps.hash60 _
+    val eid = col("event_id").cast(org.apache.spark.sql.types.StringType)
+    val delay = when(h(concat(eid, lit(":l"))) % 10 === 0,
+      (h(concat(eid, lit(":d"))) % 86400) * 1000000L).otherwise(0L)
+    val stream = sliceStream(spark, sfDir, nBatches)._1
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (unix_micros(col("ts")) - delay).as("us"))
     val stateBase = s"$workDir/state"
     @volatile var version = -1L
     val q = stream.writeStream
@@ -1051,16 +1015,9 @@ object StreamOps {
       workDir: String, nBatches: Int = 4,
       gapUs: Long = 1800L * 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val src = s"$workDir/src"
-    val e = graft.Tables.tsAsTimestamp(
-        spark.read.parquet(s"$sfDir/events.parquet"))
+    val stream = sliceStream(spark, sfDir, nBatches)._1
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("us"))
-    writeOrderedSlices(e, src, nBatches)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
     val stateBase = s"$workDir/state"
     @volatile var version = -1L
     val q = stream.writeStream
@@ -1126,16 +1083,9 @@ object StreamOps {
       workDir: String, nBatches: Int = 4, ref6: Long = 50000000L)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val src = s"$workDir/src"
-    val e = graft.Tables.tsAsTimestamp(
-        spark.read.parquet(s"$sfDir/events.parquet"))
+    val stream = sliceStream(spark, sfDir, nBatches)._1
       .select(col("event_id"), col("event_type"),
         (round(col("value") * 1000000L).cast(LongType) - ref6).as("d"))
-    writeOrderedSlices(e, src, nBatches)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
     val stateBase = s"$workDir/state"
     @volatile var version = -1L
     val q = stream.writeStream
@@ -1207,18 +1157,10 @@ object StreamOps {
   def incrementalRegression(spark: SparkSession, sfDir: String,
       workDir: String, nBatches: Int = 4): DataFrame = {
     val big38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val src = s"$workDir/src"
-    val events = graft.Tables.tsAsTimestamp(
-      spark.read.parquet(s"$sfDir/events.parquet"))
-    events.select(col("event_type"),
+    val stream = sliceStream(spark, sfDir, nBatches)._1
+      .select(col("event_type"),
         expr("unix_micros(ts) DIV 1000000").as("x"),
         round(col("value") * 1000000L).cast(LongType).as("v6"))
-      .repartition(nBatches)
-      .write.mode("overwrite").parquet(src)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
     val stateBase = s"$workDir/state"
     @volatile var version = -1L
     val q = stream.writeStream
@@ -1267,16 +1209,9 @@ object StreamOps {
   def incrementalGapStats(spark: SparkSession, sfDir: String,
       workDir: String, nBatches: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val src = s"$workDir/src"
-    val e = graft.Tables.tsAsTimestamp(
-        spark.read.parquet(s"$sfDir/events.parquet"))
+    val stream = sliceStream(spark, sfDir, nBatches)._1
       .select(col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
-    writeOrderedSlices(e, src, nBatches)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
     val stateBase = s"$workDir/state"
     @volatile var version = -1L
     val q = stream.writeStream
@@ -1346,16 +1281,9 @@ object StreamOps {
       workDir: String, nBatches: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val big38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val src = s"$workDir/src"
-    val e = graft.Tables.tsAsTimestamp(
-        spark.read.parquet(s"$sfDir/events.parquet"))
+    val stream = sliceStream(spark, sfDir, nBatches)._1
       .select(col("event_id"), col("event_type"),
         round(col("value") * 1000000L).cast(LongType).as("v6"))
-    writeOrderedSlices(e, src, nBatches)
-    val stream = spark.readStream
-      .schema(spark.read.parquet(src).schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src)
     val stateBase = s"$workDir/state"
     @volatile var version = -1L
     val q = stream.writeStream

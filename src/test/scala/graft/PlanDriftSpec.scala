@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{
+  CartesianProductExec, SortMergeJoinExec}
+import scala.jdk.CollectionConverters._
+
+/** Plan-drift regression guard (VERDICT r8 task 7): the registry's
+  * per-query physical-plan posture — shuffle exchanges, sort-merge joins,
+  * cartesian products — was hand-adjudicated in PLANS.md; this spec pins
+  * it. A committed snapshot (src/test/resources/plan_budget.tsv, counts
+  * from the PRE-AQE sparkPlan at sf0.001 so no job executes) is the
+  * budget; a code change that makes any query's plan worse (an extra
+  * exchange, a broadcast demoted to SMJ, a new cartesian) now fails
+  * `sbt test` instead of waiting for the next judge pass.
+  *
+  * Counts are pre-AQE and therefore deterministic for fixed code + data
+  * + confs (AQE's runtime demotions are audited separately by
+  * graft.PlanAudit, which executes). Getting BETTER (fewer counts) is
+  * always allowed; regen the snapshot to ratchet the budget down:
+  *
+  *   SPARK_GRAFT_PLAN_SNAPSHOT=regen sbt "testOnly graft.PlanDriftSpec"
+  *
+  * A NEW query missing from the snapshot fails the sweep — regen (and
+  * review the new row's counts) in the same commit that adds the query.
+  */
+class PlanDriftSpec extends SparkTestBase {
+
+  private val snapshotPath = "src/test/resources/plan_budget.tsv"
+
+  private def counts(p: SparkPlan): (Int, Int, Int) = {
+    var ex = 0; var smj = 0; var cp = 0
+    p.foreach {
+      case _: ShuffleExchangeExec => ex += 1
+      case _: SortMergeJoinExec => smj += 1
+      case _: CartesianProductExec => cp += 1
+      case _ =>
+    }
+    (ex, smj, cp)
+  }
+
+  private def liveCounts(): Seq[(String, (Int, Int, Int), String)] =
+    SparkEntry.registry.map { q =>
+      try {
+        (q.name, counts(q.run(spark, sf).queryExecution.sparkPlan), "")
+      } catch {
+        case e: Throwable =>
+          (q.name, (-1, -1, -1), e.getClass.getSimpleName)
+      }
+    }
+
+  test("per-query plan counts do not exceed the committed budget") {
+    val regen = sys.env.get("SPARK_GRAFT_PLAN_SNAPSHOT").contains("regen")
+    val live = liveCounts()
+    val errored = live.collect { case (n, _, err) if err.nonEmpty =>
+      s"$n: $err" }
+    assert(errored.isEmpty, s"plan sweep errors:\n${errored.mkString("\n")}")
+    if (regen) {
+      val body = live.map { case (n, (ex, smj, cp), _) =>
+        s"$n\t$ex\t$smj\t$cp" }.sorted.mkString("", "\n", "\n")
+      Files.createDirectories(Paths.get(snapshotPath).getParent)
+      Files.write(Paths.get(snapshotPath), body.getBytes("UTF-8"))
+      info(s"regenerated $snapshotPath (${live.size} queries)")
+    } else {
+      assert(Files.exists(Paths.get(snapshotPath)),
+        s"missing $snapshotPath — regen with SPARK_GRAFT_PLAN_SNAPSHOT=regen")
+      val budget = Files.readAllLines(Paths.get(snapshotPath)).asScala
+        .filter(_.nonEmpty).map { l =>
+          val c = l.split("\t")
+          c(0) -> (c(1).toInt, c(2).toInt, c(3).toInt)
+        }.toMap
+      val violations = live.flatMap { case (n, (ex, smj, cp), _) =>
+        budget.get(n) match {
+          case None => Some(s"$n: not in $snapshotPath — regen to add it")
+          case Some((bex, bsmj, bcp)) =>
+            val over = Seq(
+              if (ex > bex) Some(s"exchanges $ex>$bex") else None,
+              if (smj > bsmj) Some(s"sort-merge joins $smj>$bsmj") else None,
+              if (cp > bcp) Some(s"cartesians $cp>$bcp") else None).flatten
+            if (over.isEmpty) None
+            else Some(s"$n: plan drifted (${over.mkString(", ")})")
+        }
+      }
+      assert(violations.isEmpty,
+        s"\n${violations.size} plan-drift violations:\n${
+          violations.mkString("\n")}")
+    }
+  }
+
+  test("the guard actually catches a deliberately worsened plan") {
+    import org.apache.spark.sql.functions._
+    val good = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(sum(col("l_quantity")).as("s"))
+    val (gex, _, _) = counts(good.queryExecution.sparkPlan)
+    // the same query with a gratuitous repartition — one extra exchange,
+    // exactly the drift class the budget must trip on
+    val bad = Tables.load(spark, sf, "lineitem")
+      .repartition(16, col("l_partkey"))
+      .groupBy("l_returnflag").agg(sum(col("l_quantity")).as("s"))
+    val (bex, _, _) = counts(bad.queryExecution.sparkPlan)
+    assert(bex > gex,
+      s"planted repartition did not raise the exchange count ($bex vs $gex)")
+  }
+}
