@@ -27,7 +27,8 @@ object SparkEntry {
       operators.ExplainQueries.all ++
       operators.DiagQueries.all ++
       operators.GraphQueries.all ++
-      operators.ProfileQueries.all
+      operators.ProfileQueries.all ++
+      operators.RankQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

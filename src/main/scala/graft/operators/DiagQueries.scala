@@ -1713,9 +1713,201 @@ object DiagQueries {
       .orderBy("level")
   }
 
+  /** Hurst exponent of daily revenue by rescaled-range (R/S) analysis:
+    * long-range dependence the ACF misses (H > 0.5 = persistent trends,
+    * < 0.5 = mean-reverting). For block sizes m ∈ {16,32,64,128}, each
+    * FULL block's R/S is (maxD − minD)/√(m·Σx² − S²) with D_k =
+    * m·prefix_k − k·S — every quantity under the sqrt and inside the
+    * range is an EXACT DECIMAL(38)/HUGEINT integer, so the only doubles
+    * are one per block (ln(R/S), ·10⁹-quantized before the per-m sum).
+    * H = OLS slope of mean-ln(R/S) on ln(m) over the 4-point panel,
+    * computed from exact integer cross-sums (ln(m) itself ·10⁹-quantized
+    * identically on both engines). Windows run per (m, block) on the
+    * calendar-bounded daily panel. */
+  val qHurst = Q(
+    "q_hurst",
+    s"""WITH $dailySql,
+       |idx AS (
+       |  SELECT cents,
+       |    row_number() OVER (ORDER BY day) AS i,
+       |    count(*) OVER () AS n
+       |  FROM ser),
+       |blk AS (
+       |  SELECT m.m, (i - 1) // m.m AS b, i, cents
+       |  FROM idx CROSS JOIN (
+       |    SELECT CAST(unnest([16, 32, 64, 128]) AS BIGINT) AS m) m
+       |  WHERE (i - 1) // m.m < n // m.m),
+       |pre AS (
+       |  SELECT m, b, cents,
+       |    row_number() OVER (PARTITION BY m, b ORDER BY i) AS k,
+       |    sum(CAST(cents AS HUGEINT))
+       |      OVER (PARTITION BY m, b ORDER BY i) AS pref,
+       |    sum(CAST(cents AS HUGEINT)) OVER (PARTITION BY m, b) AS sm,
+       |    sum(CAST(cents AS HUGEINT) * cents)
+       |      OVER (PARTITION BY m, b) AS sq
+       |  FROM blk),
+       |rs AS (
+       |  SELECT m, b,
+       |    CAST(round(ln(CAST(max(m * pref - k * sm)
+       |          - min(m * pref - k * sm) AS DOUBLE)
+       |        / sqrt(CAST(m * max(sq) - max(sm) * max(sm) AS DOUBLE)))
+       |      * 1000000000) AS HUGEINT) AS l9
+       |  FROM pre GROUP BY m, b),
+       |pm AS (
+       |  -- mean ln(R/S) ·10⁹ as FLOOR(sum/nb): the +nb·10¹⁵ shift keeps
+       |  -- the numerator positive so // and DIV agree even if a block's
+       |  -- ln(R/S) went negative (negative integer division truncates
+       |  -- differently across engines)
+       |  SELECT m, count(*) AS nb,
+       |    (sum(l9) + count(*) * CAST(1000000000000000 AS HUGEINT))
+       |      // count(*) - 1000000000000000 AS y9
+       |  FROM rs GROUP BY m),
+       |fit AS (
+       |  SELECT count(*) AS k4,
+       |    sum(CAST(round(ln(CAST(m AS DOUBLE)) * 1000000000) AS HUGEINT))
+       |      AS sx,
+       |    sum(y9) AS sy,
+       |    sum(CAST(round(ln(CAST(m AS DOUBLE)) * 1000000000) AS HUGEINT)
+       |      * y9) AS sxy,
+       |    sum(CAST(round(ln(CAST(m AS DOUBLE)) * 1000000000) AS HUGEINT)
+       |      * CAST(round(ln(CAST(m AS DOUBLE)) * 1000000000) AS HUGEINT))
+       |      AS sxx
+       |  FROM pm)
+       |SELECT m, CAST(nb AS BIGINT) AS n_blocks,
+       |  ROUND(CAST(y9 AS DOUBLE) / 1000000000, 6) AS mean_ln_rs,
+       |  ROUND((CAST(k4 AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (CAST(k4 AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS hurst
+       |FROM pm, fit ORDER BY m""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ser = dailySeries(s, d)
+    val n = ser.count()
+    val idx = ser.withColumn("i",
+      row_number().over(Window.orderBy("day")).cast(LongType))
+    import s.implicits._
+    val ms = Seq(16L, 32L, 64L, 128L).toDF("m")
+    val blk = idx.crossJoin(broadcast(ms))
+      .filter(expr(s"(i - 1) DIV m < ${n}L DIV m"))
+      .select(col("m"), expr("(i - 1) DIV m").as("b"), col("i"),
+        col("cents"))
+    val wOrd = Window.partitionBy("m", "b").orderBy("i")
+    val wAll = Window.partitionBy("m", "b")
+    val pre = blk
+      .withColumn("k", row_number().over(wOrd).cast(LongType))
+      .withColumn("pref", sum(col("cents").cast(big38)).over(wOrd))
+      .withColumn("sm", sum(col("cents").cast(big38)).over(wAll))
+      .withColumn("sq",
+        sum((col("cents").cast(big38) * col("cents")).cast(big38))
+          .over(wAll))
+    val dNum = col("m") * col("pref") - col("k") * col("sm")
+    val rs = pre.groupBy("m", "b")
+      .agg(round(log((max(dNum) - min(dNum)).cast(DoubleType)
+          / sqrt((max(col("m") * col("sq"))
+            - max(col("sm")) * max(col("sm"))).cast(DoubleType)))
+        * 1000000000L).cast(big38).as("l9"))
+    val pm = rs.groupBy("m")
+      .agg(count(lit(1)).as("nb"),
+        (expr("(sum(l9) + count(*) * CAST(1000000000000000 AS" +
+          " DECIMAL(38,0))) DIV count(*)") - 1000000000000000L).as("y9"))
+    val x9 = round(log(col("m").cast(DoubleType)) * 1000000000L)
+      .cast(big38)
+    val fit = pm.agg(count(lit(1)).as("k4"),
+      sum(x9).as("sx"), sum(col("y9")).as("sy"),
+      sum((x9 * col("y9")).cast(big38)).as("sxy"),
+      sum((x9 * x9).cast(big38)).as("sxx"))
+    pm.crossJoin(broadcast(fit))
+      .select(col("m"), col("nb").cast(LongType).as("n_blocks"),
+        round(col("y9").cast(DoubleType) / 1000000000L, 6)
+          .as("mean_ln_rs"),
+        round((col("k4").cast(DoubleType) * col("sxy").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sy").cast(DoubleType))
+          / (col("k4").cast(DoubleType) * col("sxx").cast(DoubleType)
+            - col("sx").cast(DoubleType) * col("sx").cast(DoubleType)), 6)
+          .as("hurst"))
+      .orderBy("m")
+  }
+
+  /** Sample entropy (m = 2, r = 0.2σ) of the daily revenue series — the
+    * regularity/complexity readout: low SampEn = repetitive dynamics,
+    * high = noise-like. Length-2 template matches B and length-3 matches
+    * A are EXACT pair counts from one bounded non-equi self-join of the
+    * calendar panel (≤2.4k templates ⇒ ≤3M comparisons, broadcast side);
+    * the tolerance r is the same sqrt-of-exact-integers double on both
+    * engines and compares against integer |diffs|, so counts can never
+    * drift. SampEn = −ln(A/B). */
+  val qSampleEntropy = Q(
+    "q_sample_entropy",
+    s"""WITH $dailySql,
+       |idx AS (
+       |  SELECT cents,
+       |    row_number() OVER (ORDER BY day) AS i,
+       |    count(*) OVER () AS n
+       |  FROM ser),
+       |mom AS (
+       |  SELECT count(*) AS n, sum(CAST(cents AS HUGEINT)) AS sc,
+       |    sum(CAST(cents AS HUGEINT) * cents) AS sq
+       |  FROM idx),
+       |tol AS (
+       |  SELECT 0.2 * sqrt((CAST(sq AS DOUBLE)
+       |    - CAST(sc AS DOUBLE) * sc / n) / n) AS r
+       |  FROM mom),
+       |tm AS (
+       |  SELECT i, cents AS x0,
+       |    lead(cents, 1) OVER (ORDER BY i) AS x1,
+       |    lead(cents, 2) OVER (ORDER BY i) AS x2
+       |  FROM idx),
+       |tmpl AS (SELECT * FROM tm WHERE x2 IS NOT NULL),
+       |pairs AS (
+       |  SELECT
+       |    count(*) AS b,
+       |    sum(CASE WHEN abs(a.x2 - c.x2) <= r THEN 1 ELSE 0 END) AS a
+       |  FROM tmpl a JOIN tmpl c ON a.i < c.i, tol
+       |  WHERE abs(a.x0 - c.x0) <= r AND abs(a.x1 - c.x1) <= r)
+       |SELECT (SELECT count(*) FROM tmpl) AS n_templates,
+       |  (SELECT ROUND(r / 100, 6) FROM tol) AS r_dollars,
+       |  CAST(b AS BIGINT) AS b_matches, CAST(a AS BIGINT) AS a_matches,
+       |  ROUND(-ln(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)), 6) AS sampen
+       |FROM pairs""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ser = dailySeries(s, d)
+    val idx = ser.withColumn("i",
+      row_number().over(Window.orderBy("day")).cast(LongType))
+    val mom = idx.agg(count(lit(1)).as("n"),
+      sum(col("cents").cast(big38)).as("sc"),
+      sum((col("cents").cast(big38) * col("cents")).cast(big38)).as("sq"))
+    val r = mom.select((lit(0.2) * sqrt((col("sq").cast(DoubleType)
+      - col("sc").cast(DoubleType) * col("sc") / col("n"))
+      / col("n"))).as("r"))
+    val wi = Window.orderBy("i")
+    val tmpl = idx
+      .withColumn("x1", lead(col("cents"), 1).over(wi))
+      .withColumn("x2", lead(col("cents"), 2).over(wi))
+      .filter(col("x2").isNotNull)
+      .select(col("i"), col("cents").as("x0"), col("x1"), col("x2"))
+    val c = tmpl.select(col("i").as("ci"), col("x0").as("cx0"),
+      col("x1").as("cx1"), col("x2").as("cx2"))
+    val pairs = tmpl.crossJoin(broadcast(r))
+      .join(broadcast(c), col("i") < col("ci")
+        && abs(col("x0") - col("cx0")) <= col("r")
+        && abs(col("x1") - col("cx1")) <= col("r"))
+      .agg(count(lit(1)).as("b"),
+        sum(when(abs(col("x2") - col("cx2")) <= col("r"), 1).otherwise(0))
+          .as("a"))
+    val nT = tmpl.count()
+    val rv = r.head().getDouble(0)
+    pairs.select(lit(nT).as("n_templates"),
+      round(lit(rv) / 100, 6).as("r_dollars"),
+      col("b").cast(LongType).as("b_matches"),
+      col("a").cast(LongType).as("a_matches"),
+      round(-log(col("a").cast(DoubleType) / col("b").cast(DoubleType)),
+        6).as("sampen"))
+  }
+
   val all: Seq[Q] = Seq(qDurbinWatson, qBreuschPagan, qChowTest, qBartlett,
     qChi2Gof, qWilcoxonSigned, qMaxDrawdown, qRsi, qBollinger, qPacf,
     qAdfTest, qKpssTest, qPeriodogram, qSpectralEntropy, qMannKendall,
     qWelchAnova, qTukeyHsd, qPoissonRatio, qDecompStrength, qHampelFilter,
-    qResidualOutliers, qYearSimilarity, qChangepointTwo)
+    qResidualOutliers, qYearSimilarity, qChangepointTwo,
+    qHurst, qSampleEntropy)
 }

@@ -1565,9 +1565,160 @@ object EvalQueries {
       round(exp(log(orCol) + lit(1.96) * se), 6).as("ci_hi"))
   }
 
+  /** Hosmer–Lemeshow goodness-of-fit for the price→urgent score:
+    * equal-count risk deciles (GlobalRank ntile — never a data-sized
+    * unpartitioned window), per-decile observed positives O vs expected
+    * E = Σp̂, χ² = Σ (O−E)²/(E(1−E/n)). Expected sums are exact integer
+    * µ-probability sums; each decile's χ² term is one double expression
+    * ·10⁶-quantized before the exact 10-term total — the pooled
+    * "is the score calibrated AT ALL" verdict beside q_calibration's
+    * per-bin curve (df = g−2 for the usual model-fit reading). */
+  val qHosmerLemeshow = Q(
+    "q_hosmer_lemeshow",
+    """WITH x AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+      |      AS label, o_orderkey
+      |  FROM orders),
+      |mx AS (SELECT max(cents) AS maxc, count(*) AS n FROM x),
+      |p AS (
+      |  SELECT label, cents * 1000000 // maxc AS p_ppm,
+      |    ((row_number() OVER (ORDER BY cents, o_orderkey) - 1) * 10)
+      |      // n AS g
+      |  FROM x CROSS JOIN mx),
+      |b AS (
+      |  SELECT g, count(*) AS n, CAST(sum(label) AS BIGINT) AS o,
+      |    sum(CAST(p_ppm AS HUGEINT)) AS e6
+      |  FROM p GROUP BY g),
+      |terms AS (
+      |  SELECT g, n, o,
+      |    CAST(round(
+      |      (CAST(o AS DOUBLE) - CAST(e6 AS DOUBLE) / 1000000)
+      |      * (CAST(o AS DOUBLE) - CAST(e6 AS DOUBLE) / 1000000)
+      |      / ((CAST(e6 AS DOUBLE) / 1000000)
+      |        * (1 - CAST(e6 AS DOUBLE) / 1000000 / n))
+      |      * 1000000) AS HUGEINT) AS t6
+      |  FROM b)
+      |SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS INT) AS g,
+      |  ROUND(CAST(sum(t6) AS DOUBLE) / 1000000, 6) AS chi2_hl,
+      |  CAST(count(*) - 2 AS BIGINT) AS df
+      |FROM terms""".stripMargin) { (s, d) =>
+    val big38 = DecimalType(38, 0)
+    val x = scored(s, d)
+    val mx = x.agg(max(col("cents")).as("maxc"))
+    val (ranked, n) = graft.plans.GlobalRank.withGlobalRowNumber(
+      x, "rk", 32, col("cents"), col("o_orderkey"))
+    val p = ranked.crossJoin(broadcast(mx))
+      .select(col("label"),
+        expr("cents * 1000000 DIV maxc").as("p_ppm"),
+        expr(s"((rk - 1) * 10) DIV ${n}L").as("g"))
+    val b = p.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("label")).cast(LongType).as("o"),
+        sum(col("p_ppm").cast(big38)).as("e6"))
+    val e = col("e6").cast(DoubleType) / 1000000L
+    val t6 = round((col("o").cast(DoubleType) - e)
+      * (col("o").cast(DoubleType) - e)
+      / (e * (lit(1) - e / col("n"))) * 1000000L).cast(big38)
+    b.select(col("n"), t6.as("t6"))
+      .agg(sum(col("n")).cast(LongType).as("n"),
+        count(lit(1)).cast(IntegerType).as("g"),
+        round(sum(col("t6")).cast(DoubleType) / 1000000L, 6).as("chi2_hl"),
+        (count(lit(1)) - 2).cast(LongType).as("df"))
+  }
+
+  /** Uplift-by-decile harness (the A/B readout a targeting model needs):
+    * deterministic hash-split of customers into treatment/control,
+    * outcome = ordered in 1997+, deciles of the acctbal score via ONE
+    * GlobalRank pass. Per decile: arm sizes, conversions, the uplift
+    * point estimate, and the CUMULATIVE uplift curve (the Qini-style
+    * top-k readout) — all counts exact integers, rates/uplift final
+    * µ-integer DIVs. On a null treatment (hash split) the curve should
+    * hug 0 — the A/A-style sanity rail (q_aa_calibration's idiom) that
+    * validates the harness before a real campaign runs through it. */
+  val qUpliftDeciles = Q(
+    "q_uplift_deciles",
+    """WITH conv AS (
+      |  SELECT DISTINCT o_custkey FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'),
+      |c AS (
+      |  SELECT c_custkey,
+      |    CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 2 AS treat,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal,
+      |    CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS y
+      |  FROM customer LEFT JOIN conv ON c_custkey = o_custkey),
+      |n AS (SELECT count(*) AS n FROM c),
+      |r AS (
+      |  SELECT treat, y,
+      |    ((row_number() OVER (ORDER BY bal DESC, c_custkey) - 1) * 10)
+      |      // n AS decile
+      |  FROM c CROSS JOIN n),
+      |d AS (
+      |  SELECT decile,
+      |    sum(treat) AS n_t, sum(1 - treat) AS n_c,
+      |    sum(treat * y) AS conv_t, sum((1 - treat) * y) AS conv_c
+      |  FROM r GROUP BY decile),
+      |cum AS (
+      |  SELECT decile, n_t, n_c, conv_t, conv_c,
+      |    sum(n_t) OVER w AS ct_n, sum(n_c) OVER w AS cc_n,
+      |    sum(conv_t) OVER w AS ct_conv, sum(conv_c) OVER w AS cc_conv
+      |  FROM d WINDOW w AS (ORDER BY decile))
+      |SELECT CAST(decile AS INT) AS decile,
+      |  CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+      |  CAST(conv_t AS BIGINT) AS conv_t, CAST(conv_c AS BIGINT) AS conv_c,
+      |  ROUND(CAST(conv_t * 1000000 // n_t AS DOUBLE) / 1000000
+      |    - CAST(conv_c * 1000000 // n_c AS DOUBLE) / 1000000, 6)
+      |    AS uplift,
+      |  ROUND(CAST(ct_conv * 1000000 // ct_n AS DOUBLE) / 1000000
+      |    - CAST(cc_conv * 1000000 // cc_n AS DOUBLE) / 1000000, 6)
+      |    AS uplift_cum
+      |FROM cum ORDER BY decile""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val conv = t(s, d, "orders")
+      .filter(col("o_orderdate").cast(DateType) >= lit("1997-01-01"))
+      .select(col("o_custkey")).distinct()
+    val c = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      .join(conv, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        (graft.llm.TextOps.hash60(col("c_custkey").cast(StringType)) % 2)
+          .as("treat"),
+        (dec2(col("c_acctbal")) * 100).cast(LongType).as("bal"),
+        when(col("o_custkey").isNull, 0).otherwise(1).as("y"))
+    val (ranked, n) = graft.plans.GlobalRank.withGlobalRowNumber(
+      c, "rk", 32, -col("bal"), col("c_custkey"))
+    val d0 = ranked
+      .select(col("treat"), col("y"),
+        expr(s"((rk - 1) * 10) DIV ${n}L").as("decile"))
+      .groupBy("decile")
+      .agg(sum(col("treat")).as("n_t"),
+        sum(lit(1) - col("treat")).as("n_c"),
+        sum(col("treat") * col("y")).as("conv_t"),
+        sum((lit(1) - col("treat")) * col("y")).as("conv_c"))
+    // cumulative over the bounded 10-row decile panel
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = d0.limit(10)
+      .withColumn("ct_n", sum(col("n_t")).over(w))
+      .withColumn("cc_n", sum(col("n_c")).over(w))
+      .withColumn("ct_conv", sum(col("conv_t")).over(w))
+      .withColumn("cc_conv", sum(col("conv_c")).over(w))
+    def rate(conv: String, nn: String) =
+      expr(s"CAST($conv * 1000000 DIV $nn AS DOUBLE) / 1000000")
+    cum.select(col("decile").cast(IntegerType).as("decile"),
+      col("n_t").cast(LongType).as("n_t"),
+      col("n_c").cast(LongType).as("n_c"),
+      col("conv_t").cast(LongType).as("conv_t"),
+      col("conv_c").cast(LongType).as("conv_c"),
+      round(rate("conv_t", "n_t") - rate("conv_c", "n_c"), 6).as("uplift"),
+      round(rate("ct_conv", "ct_n") - rate("cc_conv", "cc_n"), 6)
+        .as("uplift_cum"))
+      .orderBy("decile")
+  }
+
   val all: Seq[Q] = Seq(qIsotonic, qAuc, qLiftDeciles, qConfusionMatrix,
     qCalibration, qMrr, qIpsEstimate, qMapAtK, qFeatureCorrTarget,
     qAucByGroup, qPrCurve, qKsModel, qBrierDecomp, qRegressionMetrics,
     qChi2FeatureSelect, qInfoGain, qDecisionStump, qCramersMatrix, qVif,
-    qFairnessClf, qOddsRatioCi)
+    qFairnessClf, qOddsRatioCi, qHosmerLemeshow, qUpliftDeciles)
 }

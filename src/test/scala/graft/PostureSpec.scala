@@ -98,6 +98,10 @@ class PostureSpec extends SparkTestBase {
     // grid, growth-accounting ledger.
     "q_cusum", "q_forecast_snaive", "q_runs_test", "q_rolling_corr",
     "q_resample_interp", "q_growth_accounting",
+    // round 9: R/S blocks and SampEn templates index the ≤2.4k-day
+    // calendar panel (global row_number/lead over a groupBy(day) frame
+    // the plan can't prove bounded)
+    "q_hurst", "q_sample_entropy",
     // Fixed small panels: 25 per-nation p-values (BH step-up), B=200
     // bootstrap replicate means, ≤10 Lorenz deciles, sample-allocation
     // segments (≤ strata count), largest-remainder ranking.
