@@ -84,11 +84,12 @@ object Bench {
         "warm:shingles_k20" ->
           (() => { llm.ShingleStore.counted(spark, sfDir, 20, 2000).count(); () }))
     // The optimized-antidote sweep memo (≈4 ALS retrains + GD steps,
-    // the paper's Alg. 1 cost) feeds only the q_antidote_* readouts;
-    // gate its warm line on those so a subset run selecting e.g. just
-    // q_mf_predict doesn't pay retrains no selected query consumes.
-    val sweepSelected =
-      only.forall(_.exists(_.startsWith("q_antidote")))
+    // the paper's Alg. 1 cost) feeds exactly two registered readouts;
+    // gate its warm line on those so a subset run selecting any other
+    // query (even another q_antidote_*) doesn't pay retrains no
+    // selected query consumes.
+    val sweepSelected = only.forall(o =>
+      o.contains("q_antidote_sweep_als") || o.contains("q_antidote_figure"))
     // Shared ordered-slice store (StreamOps.scala): all 17 incremental
     // maintainers replay the same events table; the store slices it once
     // and this warm line bills that one-time IO instead of whichever
@@ -151,7 +152,7 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
         val dt1 = (System.nanoTime() - t0) / 1e9
-        // Sub-2.5 s queries report best-of-2 (VERDICT r8 task 6): the
+        // Sub-5 s queries report best-of-2 (VERDICT r8 task 6): the
         // single-JVM co-tenant noise floor swings small queries >2×
         // between runs, swallowing real regressions; min-of-2 estimates
         // the intrinsic cost (noise only ever ADDS time). Disabled in
@@ -160,7 +161,7 @@ object Bench {
         // SPARK_GRAFT_BEST2=0 restores single-shot timing.
         val best2 = !sys.env.get("SPARK_GRAFT_BEST2").contains("0")
         val dt =
-          if (ok && !cold && best2 && dt1 < 2.5) {
+          if (ok && !cold && best2 && dt1 < 5.0) {
             val t1 = System.nanoTime()
             val dt2 = try { fn(spark, sfDir).count()
               (System.nanoTime() - t1) / 1e9

@@ -64,7 +64,11 @@ object Dedup {
         .as("shingles"))
     val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 16).setBinary(true)
-    val feats = tf.transform(shingled)
+    // Fence the featurized frame: the LSH self-join consumes it as BOTH
+    // sides (plus once more in fit), and without the fence each consumer
+    // replays the full shingle-explode + 2^16-dim hashing over the corpus
+    // — the actual dominant cost of this query, not the join itself.
+    val feats = tf.transform(shingled).localCheckpoint()
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
       .setNumHashTables(numHashTables).setSeed(42L)
     val model = lsh.fit(feats)

@@ -362,15 +362,65 @@ object MfQueries {
         sum(col("mu")).as("smu"), sum(col("mu") * col("mu")).as("smu2"),
         sum(r * col("mu")).as("srmu"))
       .localCheckpoint() // fence: both budgets reuse it without a re-scan
+    // Antidote-side sums in CLOSED FORM — O(items), independent of the
+    // k̃×m synthetic matrix: x_ai = round6(1 + 4·((a·C₁ + i·C₂) mod
+    // 1000)/999) depends only on the RESIDUE PAIR (r_a, s_i) mod 1000,
+    // so per-item sums over all k̃ synthetic users collapse to a
+    // 1000-residue convolution of the user-residue histogram with the
+    // exact micro-integer cell table g6 (no .5 rounding boundaries
+    // exist: (999+4m)·10⁶/999 has fractional part k/999, never 1/2).
+    // At 100 TB this turns the evaluation's dominant term from α·n·m
+    // synthetic cells into one ≤1000-row broadcast join per budget.
+    val (nUsers, _) = stats
+    val g6 = (0 until 1000).map(m =>
+      (2L * (999 + 4 * m) * 1000000L + 999) / 1998) // round6(·)·10⁶ exact
+    val items = ratings.select("item_id").distinct()
+      .select(col("item_id"), (col("item_id") * 40503L % 1000).as("si"))
+      .localCheckpoint()
+    val mItems = items.count()
+    val hI = new Array[Long](1000)
+    items.groupBy("si").count().collect()
+      .foreach(row => hI(row.getLong(0).toInt) = row.getLong(1))
     val after = Seq(0.01, 0.05).map { alpha =>
-      val x = Antidote.init(s, ratings, alpha, stats)
-      val muA = x.groupBy("user_id").agg(avg(r).as("mu"))
-      val ant = x.join(broadcast(muA), "user_id")
-        .groupBy("item_id")
-        .agg(count(lit(1)).as("ka"), sum(r).as("sx"),
-          sum(r * r).as("sx2"), sum(col("mu")).as("smua"),
-          sum(col("mu") * col("mu")).as("smua2"),
-          sum(r * col("mu")).as("sxmua"))
+      val kT = math.ceil(alpha * nUsers).toLong
+      // user residues r_a for the k̃ synthetic ids (distributed count,
+      // ≤1000-row result) — then the whole residue algebra on the driver
+      val hU = new Array[Long](1000)
+      s.range(1, kT + 1)
+        .select(((col("id") + stats._2) * 2654435761L % 1000).as("ra"))
+        .groupBy("ra").count().collect()
+        .foreach(row => hU(row.getLong(0).toInt) = row.getLong(1))
+      // mu_a by user residue: mean over the item-residue histogram
+      val muR = new Array[Double](1000)
+      for (ra <- 0 until 1000) {
+        var acc = BigInt(0)
+        for (si <- 0 until 1000 if hI(si) > 0)
+          acc += BigInt(hI(si)) * g6((ra + si) % 1000)
+        muR(ra) = (BigDecimal(acc) / (BigDecimal(mItems) * 1000000))
+          .toDouble
+      }
+      // per-item-residue antidote sums over all k̃ users
+      val rows = (0 until 1000).map { si =>
+        var sx6 = BigInt(0); var sx12 = BigInt(0)
+        var smua = 0.0; var smua2 = 0.0; var sxmua6 = 0.0
+        for (ra <- 0 until 1000 if hU(ra) > 0) {
+          val g = g6((ra + si) % 1000)
+          sx6 += BigInt(hU(ra)) * g
+          sx12 += BigInt(hU(ra)) * g * g
+          smua += hU(ra) * muR(ra)
+          smua2 += hU(ra) * muR(ra) * muR(ra)
+          sxmua6 += hU(ra) * g.toDouble * muR(ra)
+        }
+        (si.toLong, BigDecimal(sx6).toDouble / 1e6,
+          BigDecimal(sx12).toDouble / 1e12, smua, smua2, sxmua6 / 1e6)
+      }
+      val spark0 = s
+      import spark0.implicits._
+      val antBySi = broadcast(rows.toDF(
+        "asi", "sx", "sx2", "smua", "smua2", "sxmua"))
+      val ant = items.join(antBySi, col("si") === col("asi"))
+        .select(col("item_id"), lit(kT).as("ka"), col("sx"), col("sx2"),
+          col("smua"), col("smua2"), col("sxmua"))
       val nAll = col("n") + col("ka")
       val mi = (col("sr") + col("sx")) / nAll
       val sp = (col("smu") + col("smua") + nAll * mi) / 2
