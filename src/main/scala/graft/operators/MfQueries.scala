@@ -6,7 +6,7 @@ import graft.ml.{AlsEngine, Antidote, Baseline, Metric, Ratings}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StringType}
 
 /** §2.J — the reference's core MF / societal-metric / antidote family,
   * over the derived ratings view (FIXTURES.md). Metric queries use the
@@ -850,6 +850,91 @@ object MfQueries {
       .orderBy("user_id", "rk")
   }
 
+  /** Exposure concentration of the co-occurrence recommender: Gini (plus
+    * top-item share) over how many users each item is recommended to, on
+    * a fixed 2000-user panel of q_user_recs_cf's top-3 recs — the
+    * popularity-bias governance readout (q_pop_bias measures the
+    * CATALOG's skew; this measures what the RECOMMENDER amplifies, the
+    * number a diversity re-ranker like q_mmr_select is deployed to
+    * lower). Exposure counts are exact integers; the Gini rank pass is
+    * GlobalRank over the bounded exposed-item panel (never an
+    * unpartitioned data-sized window); G = (2Σi·eᵢ − (n+1)Σe)/(n·Σe)
+    * from exact DECIMAL(38)/HUGEINT sums with one final division. */
+  val qRecGini = Q(
+    "q_rec_gini",
+    """WITH ui AS (
+      |  SELECT DISTINCT o_custkey AS u, l_partkey AS item
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |co AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT ui.u, co.pb AS item, CAST(sum(co.w) AS BIGINT) AS score
+      |  FROM ui JOIN co ON ui.item = co.pa
+      |  WHERE ui.u <= 2000
+      |  GROUP BY ui.u, co.pb),
+      |fresh AS (
+      |  SELECT c.u, c.item, c.score FROM cand c
+      |  LEFT JOIN ui o ON c.u = o.u AND c.item = o.item
+      |  WHERE o.item IS NULL),
+      |recs AS (
+      |  SELECT u, item FROM (
+      |    SELECT u, item,
+      |      row_number() OVER (PARTITION BY u ORDER BY score DESC, item)
+      |        AS rk
+      |    FROM fresh) r WHERE rk <= 3),
+      |expo AS (SELECT item, count(*) AS e FROM recs GROUP BY item),
+      |rk AS (
+      |  SELECT e, row_number() OVER (ORDER BY e, item) AS i,
+      |    count(*) OVER () AS n
+      |  FROM expo),
+      |g AS (
+      |  SELECT max(n) AS n, sum(CAST(e AS HUGEINT)) AS te,
+      |    sum(CAST(i AS HUGEINT) * e) AS ie, max(e) AS mx
+      |  FROM rk)
+      |SELECT CAST(n AS BIGINT) AS n_items, CAST(te AS BIGINT) AS n_slots,
+      |  ROUND((2 * CAST(ie AS DOUBLE) - (CAST(n AS DOUBLE) + 1)
+      |      * CAST(te AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(te AS DOUBLE)), 6) AS gini,
+      |  ROUND(CAST(mx AS DOUBLE) / CAST(te AS DOUBLE), 6) AS top1_share
+      |FROM g""".stripMargin) { (s, d) =>
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+    val ui = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("u"), col("l_partkey").as("item"))
+      .distinct()
+    val co = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey").as("ok2"),
+          col("l_partkey").as("pb")),
+        col("l_orderkey") === col("ok2") && col("pa") =!= col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+    val cand = ui.filter(col("u") <= 2000)
+      .join(co, col("item") === col("pa"))
+      .groupBy(col("u"), col("pb").as("item"))
+      .agg(sum(col("w")).cast(LongType).as("score"))
+    val fresh = cand.join(ui, Seq("u", "item"), "left_anti")
+    val w = Window.partitionBy("u").orderBy(col("score").desc, col("item"))
+    val expo = fresh.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy("item").agg(count(lit(1)).as("e"))
+    val (rk, nItems) = graft.plans.GlobalRank.withGlobalRowNumber(
+      expo, "i", 8, col("e"), col("item"))
+    val big38 = DecimalType(38, 0)
+    val g = rk.agg(sum(col("e").cast(big38)).as("te"),
+      sum((col("i").cast(big38) * col("e")).cast(big38)).as("ie"),
+      max(col("e")).as("mx"))
+    val nD = nItems.toDouble
+    g.select(lit(nItems).as("n_items"),
+      col("te").cast(LongType).as("n_slots"),
+      round((lit(2) * col("ie").cast(DoubleType)
+          - (lit(nD) + 1) * col("te").cast(DoubleType))
+        / (lit(nD) * col("te").cast(DoubleType)), 6).as("gini"),
+      round(col("mx").cast(DoubleType) / col("te").cast(DoubleType), 6)
+        .as("top1_share"))
+  }
+
   /** Bias-baseline recommender (the classic μ + b_u + b_i predictor the
     * MF literature reports against): global mean, per-item bias, then
     * per-user residual bias, clamped predictions, train RMSE — the
@@ -1022,5 +1107,5 @@ object MfQueries {
     qMetricGrpUnfairness, qMetricRmseHoldout, qRecCoverage,
     qAntidoteInit, qAntidoteStep, qAntidoteEval,
     qSourceDelimited, qMfCompactTrain, qAntidoteSweepAls, qAntidoteFigure,
-    qAntidoteTrace, qNegativeSample)
+    qAntidoteTrace, qNegativeSample, qRecGini)
 }

@@ -426,6 +426,103 @@ object RankQueries {
       when(a2 > 2.492, 1).otherwise(0).as("reject_5pct"))
   }
 
+  /** Jonckheere–Terpstra test for an ORDERED alternative across the 5
+    * market segments (alphabetical order as the hypothesized direction —
+    * the harness shape; a real deployment orders groups by dose/tier):
+    * JT = Σ_{i<j} U_ij counted EXACTLY from per-value group histograms
+    * and their global running sums (`GlobalRank.withGlobalRunningSums` —
+    * one pass, five cumulative counts, never an unpartitioned data-sized
+    * window). Ties contribute ½ (doubled arithmetic keeps integers);
+    * the z uses the standard no-tie null moments (documented — the tie
+    * correction is negligible at continuous-price tie rates). */
+  val qJonckheere = Q(
+    "q_jonckheere",
+    """WITH x AS (
+      |  SELECT c_mktsegment AS grp,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |gv AS (
+      |  SELECT cents,
+      |    sum(CASE WHEN grp = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS c1,
+      |    sum(CASE WHEN grp = 'BUILDING' THEN 1 ELSE 0 END) AS c2,
+      |    sum(CASE WHEN grp = 'FURNITURE' THEN 1 ELSE 0 END) AS c3,
+      |    sum(CASE WHEN grp = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS c4,
+      |    sum(CASE WHEN grp = 'MACHINERY' THEN 1 ELSE 0 END) AS c5
+      |  FROM x GROUP BY cents),
+      |cum AS (
+      |  SELECT c1, c2, c3, c4, c5,
+      |    sum(c1) OVER w AS m1, sum(c2) OVER w AS m2,
+      |    sum(c3) OVER w AS m3, sum(c4) OVER w AS m4
+      |  FROM gv WINDOW w AS (ORDER BY cents)),
+      |jt AS (
+      |  SELECT
+      |    sum(CAST(c2 AS HUGEINT) * (2 * (m1 - c1) + c1)
+      |      + CAST(c3 AS HUGEINT) * (2 * (m1 - c1) + c1
+      |        + 2 * (m2 - c2) + c2)
+      |      + CAST(c4 AS HUGEINT) * (2 * (m1 - c1) + c1
+      |        + 2 * (m2 - c2) + c2 + 2 * (m3 - c3) + c3)
+      |      + CAST(c5 AS HUGEINT) * (2 * (m1 - c1) + c1
+      |        + 2 * (m2 - c2) + c2 + 2 * (m3 - c3) + c3
+      |        + 2 * (m4 - c4) + c4)) AS jt2
+      |  FROM cum),
+      |ns AS (
+      |  SELECT CAST(sum(c1) AS HUGEINT) AS n1,
+      |    CAST(sum(c2) AS HUGEINT) AS n2, CAST(sum(c3) AS HUGEINT) AS n3,
+      |    CAST(sum(c4) AS HUGEINT) AS n4, CAST(sum(c5) AS HUGEINT) AS n5
+      |  FROM gv),
+      |t AS (
+      |  SELECT jt2, n1 + n2 + n3 + n4 + n5 AS n,
+      |    n1 * n1 + n2 * n2 + n3 * n3 + n4 * n4 + n5 * n5 AS sq,
+      |    n1 * n1 * (2 * n1 + 3) + n2 * n2 * (2 * n2 + 3)
+      |      + n3 * n3 * (2 * n3 + 3) + n4 * n4 * (2 * n4 + 3)
+      |      + n5 * n5 * (2 * n5 + 3) AS sq3
+      |  FROM jt, ns)
+      |SELECT CAST(jt2 AS BIGINT) AS jt_x2, CAST(n AS BIGINT) AS n,
+      |  ROUND((CAST(jt2 AS DOUBLE) / 2
+      |      - (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |        - CAST(sq AS DOUBLE)) / 4)
+      |    / sqrt((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |        * (2 * CAST(n AS DOUBLE) + 3) - CAST(sq3 AS DOUBLE)) / 72),
+      |    6) AS z
+      |FROM t""".stripMargin) { (s, d) =>
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+      "MACHINERY")
+    val x = t(s, d, "orders").select("o_custkey", "o_totalprice")
+      .join(broadcast(t(s, d, "customer")
+          .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("grp"),
+        (dec2(col("o_totalprice")) * 100).cast(LongType).as("cents"))
+    val gv = x.groupBy("cents").agg(
+      segs.zipWithIndex.map { case (g, i) =>
+        sum(when(col("grp") === g, 1L).otherwise(0L)).as(s"c${i + 1}")
+      }.head,
+      segs.zipWithIndex.tail.map { case (g, i) =>
+        sum(when(col("grp") === g, 1L).otherwise(0L)).as(s"c${i + 1}")
+      }: _*)
+    // m5 is unused by the pair terms (group 5 has no higher group) but
+    // riding it along returns ALL five grand totals from the one pass
+    val (cum, totals) = graft.plans.GlobalRank.withGlobalRunningSums(
+      gv, (1 to 5).map(i => (col(s"c$i"), s"m$i")), 32, col("cents"))
+    // per-value exclusive "strictly below" count for group i: mᵢ − cᵢ;
+    // doubled-U row term: Σ_{i<j} cⱼ·(2·(mᵢ−cᵢ) + cᵢ)
+    def below(i: Int) = lit(2) * (col(s"m$i") - col(s"c$i")) + col(s"c$i")
+    val rowTerm = (2 to 5).map { j =>
+      col(s"c$j").cast(big38) * (1 until j).map(below).reduce(_ + _)
+    }.reduce(_ + _)
+    val jt = cum.agg(sum(rowTerm).as("jt2"))
+    // exact-integer null moments, cast to double ONCE (matches the
+    // oracle's HUGEINT-sum-then-CAST at any scale)
+    val n = totals.sum.toDouble
+    val sq = totals.map(t0 => BigInt(t0) * t0).sum.toDouble
+    val sq3 = totals.map(t0 => BigInt(t0) * t0 * (2 * t0 + 3)).sum.toDouble
+    jt.select(col("jt2").cast(LongType).as("jt_x2"),
+      lit(totals.sum).as("n"),
+      round((col("jt2").cast(DoubleType) / 2 - (lit(n) * n - sq) / 4)
+        / sqrt((lit(n) * n * (2 * n + 3) - sq3) / 72), 6).as("z"))
+  }
+
   val all: Seq[Q] = Seq(qCliffsDelta, qDunnsTest, qBrunnerMunzel,
-    qPageTrend, qAndersonDarling)
+    qPageTrend, qAndersonDarling, qJonckheere)
 }
