@@ -47,6 +47,7 @@ object Bench {
       ml.Ratings.clearCache(); ml.AlsEngine.clearCache()
       ml.Baseline.clearCache(); llm.ShingleStore.clearCache()
       operators.MfQueries.clearSweepCache()
+      operators.MfQueries.clearCoCache()
       streaming.StreamOps.clearSliceCache()
     }
     val mfSelected = only.forall(_.exists(n => n.startsWith("q_mf") ||
@@ -99,8 +100,16 @@ object Bench {
       if (cold || !streamSelected) Seq.empty
       else Seq("warm:stream_slices" ->
         (() => { streaming.StreamOps.warmSlices(spark, sfDir); () }))
+    // Shared item co-occurrence memo (MfQueries.coPairs): the candidate
+    // backbone of the two CF-recommender queries, built once per run.
+    val coSelected = only.forall(o =>
+      o.contains("q_user_recs_cf") || o.contains("q_rec_gini"))
+    val coWarm: Seq[(String, () => Unit)] =
+      if (cold || !coSelected) Seq.empty
+      else Seq("warm:cooccur" ->
+        (() => { operators.MfQueries.warmCoPairs(spark, sfDir); () }))
     val warmups: Seq[(String, () => Unit)] =
-      tableWarm ++ shingleWarm ++ sliceWarm ++
+      tableWarm ++ shingleWarm ++ sliceWarm ++ coWarm ++
       (if (cold || !mfSelected) Seq.empty
       else Seq(
         "warm:ratings_view" ->

