@@ -161,16 +161,19 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
         val dt1 = (System.nanoTime() - t0) / 1e9
-        // Sub-5 s queries report best-of-2 (VERDICT r8 task 6): the
+        // Small queries report best-of-2 (VERDICT r8 task 6): the
         // single-JVM co-tenant noise floor swings small queries >2×
         // between runs, swallowing real regressions; min-of-2 estimates
         // the intrinsic cost (noise only ever ADDS time). Disabled in
         // cold mode — the second run would be memo-warm — and for
         // queries big enough that noise is relatively small.
-        // SPARK_GRAFT_BEST2=0 restores single-shot timing.
-        val best2 = !sys.env.get("SPARK_GRAFT_BEST2").contains("0")
+        // SPARK_GRAFT_BEST2 sets the threshold in seconds (0 = off;
+        // default 2.5 keeps the full-registry wall time inside any
+        // driver capture window; 5 is the stability-snapshot setting).
+        val best2Sec = sys.env.get("SPARK_GRAFT_BEST2")
+          .map(_.toDouble).getOrElse(2.5)
         val dt =
-          if (ok && !cold && best2 && dt1 < 5.0) {
+          if (ok && !cold && dt1 < best2Sec) {
             val t1 = System.nanoTime()
             val dt2 = try { fn(spark, sfDir).count()
               (System.nanoTime() - t1) / 1e9
