@@ -1346,13 +1346,19 @@ object LlmQueries {
       .orderBy("modality")
   }
 
+  /** Real-codec decode for the image arm: payloads are genuine PNG/BMP
+    * bytes (synthesized deterministically via JDK ImageIO) and
+    * width/height/checksum come out of `ImageIO.read` on those bytes;
+    * audio/video stay on the documented byte-level stand-in. Rows-only
+    * gate (codec output isn't ANSI-SQL-expressible); decoded dims and
+    * pixel checksums are pinned against an independent in-test decode in
+    * OutOfBandSpec. */
   val qMultimodalDecode = Q.noOracle("q_multimodal_decode") { (s, d) =>
-    import s.implicits._
-    val media = Multimodal.mediaTable(t(s, d, "documents"))
-      .as[Multimodal.MediaRecord]
-    Multimodal.decodeStub(media)
+    val media = Multimodal.mediaTableReal(t(s, d, "documents"))
+    Multimodal.decode(media)
       .select(col("doc_id"), col("modality"), col("byte_len"),
-        col("n_frames"), size(col("feature")).as("feature_dim"),
+        col("width"), col("height"), col("n_frames"), col("checksum"),
+        size(col("feature")).as("feature_dim"),
         round(element_at(col("feature"), 1).cast(DoubleType), 4).as("f0"))
       .orderBy("doc_id")
       .limit(100)
