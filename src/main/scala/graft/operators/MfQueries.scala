@@ -611,6 +611,36 @@ object MfQueries {
       .orderBy("iter")
   }
 
+  /** Alg. 1 over the paper's HEADLINE metric: T = 2 projected-GD
+    * iterations of the GROUP-unfairness antidote at α = 0.01 (market
+    * segments BUILDING vs MACHINERY as the groups), one row per iteration
+    * with (U_grp, rmse) — the trace behind the Figure readout, where
+    * `q_antidote_trace` covers the polarization objective. Shares the
+    * optimize loop's per-iteration model reuse (T+1 = 3 seeded ALS
+    * trains, each serving both its trace point and the next gradient
+    * linearization) and warm-starts from the §4.3 item-mean heuristic,
+    * matching the deployed sweep. ALS-dependent floats → rows-only; the
+    * non-increasing-objective property of this exact metric/optimize pair
+    * is pinned in MfSpec ("optimize decreases group unfairness"). */
+  val qAntidoteTraceGrp = Q.noOracle("q_antidote_trace_grp") { (s, d) =>
+    val spark = s
+    import spark.implicits._
+    val ratings = Ratings.viewCached(s, d)
+    val groups = t(s, d, "customer")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("grp"))
+    val (_, trace) = Antidote.optimize(s, ratings, 0.01, 2,
+      AlsEngine.Config(maxIter = 3), eta = 1e4,
+      metric = Metric.GroupUnfairness(groups, "BUILDING", "MACHINERY"),
+      initFn = Antidote.initHeuristic)
+    trace.zipWithIndex.map { case (p, i) =>
+      (i.toLong, p.objective, p.rmse)
+    }.toDF("iter", "objective", "rmse")
+      .select(col("iter"), round(col("objective"), 6).as("objective"),
+        round(col("rmse"), 6).as("rmse"))
+      .orderBy("iter")
+  }
+
   /** Deterministic negative sampling — the training-example generator
     * every implicit-feedback recommender (BPR, ALS-implicit, two-tower)
     * needs: for each purchasing customer, 4 items they did NOT buy, drawn
@@ -1156,5 +1186,5 @@ object MfQueries {
     qMetricGrpUnfairness, qMetricRmseHoldout, qRecCoverage,
     qAntidoteInit, qAntidoteStep, qAntidoteEval,
     qSourceDelimited, qMfCompactTrain, qAntidoteSweepAls, qAntidoteFigure,
-    qAntidoteTrace, qNegativeSample, qRecGini)
+    qAntidoteTrace, qAntidoteTraceGrp, qNegativeSample, qRecGini)
 }
