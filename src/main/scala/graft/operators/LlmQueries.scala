@@ -1498,8 +1498,11 @@ object LlmQueries {
     * aren't SQL-reproducible → rows-only; recall@10 vs exact top-k is
     * asserted in OutOfBandSpec. */
   val qSimTrainedIvf = Q.noOracle("q_sim_trained_ivf") { (s, d) =>
-    SimSearch.trainedIvfTopK(t(s, d, "embeddings"), probeId = 7L, k = 10,
-      nLists = 8, nProbe = 3, lloydIters = 2)
+    val embs = t(s, d, "embeddings")
+    val index = SimSearch.ivfIndexCached(embs, d, nLists = 8, lloydIters = 2)
+    val probe = embs.filter(col("vec_id") === 7L)
+      .select(col("embedding").as("probe_e"))
+    SimSearch.ivfTopK(index, probe, k = 10, nProbe = 3, exclude = Some(7L))
   }
 
   /** Product-quantization ANN: per-subspace Lloyd codebooks compress each
@@ -1508,8 +1511,10 @@ object LlmQueries {
     * SimSearch.PqIndex). Rows-only: Lloyd's double-mean codebooks are
     * not ANSI-expressible; recall is pinned in OutOfBandSpec. */
   val qSimPq = Q.noOracle("q_sim_pq") { (s, d) =>
-    SimSearch.pqSearch(t(s, d, "embeddings"), probeId = 7L, k = 10,
-      dims = 64, m = 16, codebookSize = 32, lloydIters = 2, rerank = 100)
+    val embs = t(s, d, "embeddings")
+    val pq = SimSearch.pqIndexCached(embs, d, dims = 64, m = 16,
+      codebookSize = 32, lloydIters = 2)
+    SimSearch.pqTopK(pq, embs, probeId = 7L, k = 10, rerank = 100)
   }
 
   /** IVF×PQ composed ANN (the billion-vector configuration: coarse list
@@ -1519,8 +1524,10 @@ object LlmQueries {
     * OutOfBandSpec. */
   val qSimIvfPq = Q.noOracle("q_sim_ivfpq") { (s, d) =>
     val embs = t(s, d, "embeddings")
-    val ivf = SimSearch.buildIvfIndex(embs, nLists = 8, lloydIters = 2)
-    val pq = SimSearch.buildPqIndex(embs, dims = 64, m = 16,
+    // both sub-indexes come from the shared memo — same embeddings and
+    // parameters as q_sim_trained_ivf / q_sim_pq, trained once per run
+    val ivf = SimSearch.ivfIndexCached(embs, d, nLists = 8, lloydIters = 2)
+    val pq = SimSearch.pqIndexCached(embs, d, dims = 64, m = 16,
       codebookSize = 32, lloydIters = 2)
     SimSearch.ivfPqTopK(ivf, pq, embs, probeId = 7L, k = 10,
       nProbe = 5, rerank = 100)

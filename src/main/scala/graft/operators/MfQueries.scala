@@ -977,13 +977,19 @@ object MfQueries {
       .select(col("o_custkey").as("u"), col("l_partkey").as("item"))
       .distinct()
     val co0 = coPairs(s, d)
-    val wn = Window.partitionBy("pa").orderBy(col("w").desc, col("pb"))
-    val co = co0.withColumn("nrk", row_number().over(wn))
-      .filter(col("nrk") <= 32).drop("nrk")
     // fence the PANEL-sized ownership frame: it feeds both the candidate
     // join and the anti-join, and without the fence each consumer replays
     // the fact-table join + distinct
     val uiP = ui.filter(col("u") <= 500).localCheckpoint()
+    // cap BELOW the panel restriction: the top-32 window partitions by
+    // pa, so semi-joining co to the panel's owned items first keeps every
+    // surviving pa-partition intact (identical ranks) while the window
+    // ranks only the panel's neighbor lists instead of the whole catalog
+    val paPanel = uiP.select(col("item").as("pa")).distinct()
+    val wn = Window.partitionBy("pa").orderBy(col("w").desc, col("pb"))
+    val co = co0.join(broadcast(paPanel), Seq("pa"), "left_semi")
+      .withColumn("nrk", row_number().over(wn))
+      .filter(col("nrk") <= 32).drop("nrk")
     val cand = uiP
       .join(co, col("item") === col("pa"))
       .groupBy(col("u"), col("pb").as("item"))
