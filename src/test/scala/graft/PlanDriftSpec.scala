@@ -10,25 +10,44 @@ import scala.jdk.CollectionConverters._
 /** Plan-drift regression guard (VERDICT r8 task 7): the registry's
   * per-query physical-plan posture — shuffle exchanges, sort-merge joins,
   * cartesian products — was hand-adjudicated in PLANS.md; this spec pins
-  * it. A committed snapshot (src/test/resources/plan_budget.tsv, counts
-  * from the PRE-AQE sparkPlan at sf0.001 so no job executes) is the
-  * budget; a code change that makes any query's plan worse (an extra
-  * exchange, a broadcast demoted to SMJ, a new cartesian) now fails
-  * `sbt test` instead of waiting for the next judge pass.
+  * it. Committed snapshots are the budget; a code change that makes any
+  * query's plan worse (an extra exchange, a broadcast demoted to SMJ, a
+  * new cartesian) now fails `sbt test` instead of waiting for the next
+  * judge pass.
   *
-  * Counts are pre-AQE and therefore deterministic for fixed code + data
-  * + confs (AQE's runtime demotions are audited separately by
-  * graft.PlanAudit, which executes). Getting BETTER (fewer counts) is
-  * always allowed; regen the snapshot to ratchet the budget down:
+  * TWO snapshots are asserted, because broadcast decisions are
+  * size-driven and drift differently per scale: the round-9 sf0.1 audit
+  * caught five broadcast demotions (two to CartesianProduct) that were
+  * invisible at sf0.001. `plan_budget.tsv` pins sf0.001;
+  * `plan_budget_sf01.tsv` pins sf0.1 (skippable for fast local loops via
+  * SPARK_GRAFT_PLAN_SF01=0 — CI/judge runs keep it on).
+  *
+  * Counts come from the PRE-EXECUTION initial plan — `executedPlan`
+  * unwrapped to AQE's `initialPlan`, i.e. AFTER EnsureRequirements
+  * inserted the shuffle exchanges but BEFORE any runtime re-plan — so
+  * the exchange budget is real (the bare `sparkPlan` predates
+  * EnsureRequirements and counts zero exchanges for everything) and the
+  * numbers are deterministic for fixed code + data + confs (AQE's
+  * runtime demotions are audited separately by graft.PlanAudit, which
+  * executes final plans). NOTE this
+  * does not make the sweep free: `q.run` itself executes real jobs for
+  * the eagerly-evaluated registry entries (streaming maintainers replay
+  * to completion, ALS/GlobalRank-backed queries collect or count during
+  * construction), and counts are taken with the memo state those earlier
+  * entries establish in registry order — deterministic, but not
+  * "plan-only". Getting BETTER (fewer counts) is always allowed; regen
+  * the snapshots to ratchet the budget down:
   *
   *   SPARK_GRAFT_PLAN_SNAPSHOT=regen sbt "testOnly graft.PlanDriftSpec"
   *
-  * A NEW query missing from the snapshot fails the sweep — regen (and
+  * A NEW query missing from a snapshot fails the sweep — regen (and
   * review the new row's counts) in the same commit that adds the query.
   */
 class PlanDriftSpec extends SparkTestBase {
 
-  private val snapshotPath = "src/test/resources/plan_budget.tsv"
+  private val snapshots = Seq(
+    sf -> "src/test/resources/plan_budget.tsv",
+    "/root/testdata/sf0.1" -> "src/test/resources/plan_budget_sf01.tsv")
 
   private def counts(p: SparkPlan): (Int, Int, Int) = {
     var ex = 0; var smj = 0; var cp = 0
@@ -41,19 +60,28 @@ class PlanDriftSpec extends SparkTestBase {
     (ex, smj, cp)
   }
 
-  private def liveCounts(): Seq[(String, (Int, Int, Int), String)] =
+  private def preparedPlan(
+      df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }
+
+  private def liveCounts(dataDir: String)
+      : Seq[(String, (Int, Int, Int), String)] =
     SparkEntry.registry.map { q =>
       try {
-        (q.name, counts(q.run(spark, sf).queryExecution.sparkPlan), "")
+        (q.name, counts(preparedPlan(q.run(spark, dataDir))), "")
       } catch {
         case e: Throwable =>
           (q.name, (-1, -1, -1), e.getClass.getSimpleName)
       }
     }
 
-  test("per-query plan counts do not exceed the committed budget") {
+  private def checkOrRegen(dataDir: String, snapshotPath: String): Unit = {
     val regen = sys.env.get("SPARK_GRAFT_PLAN_SNAPSHOT").contains("regen")
-    val live = liveCounts()
+    val live = liveCounts(dataDir)
     val errored = live.collect { case (n, _, err) if err.nonEmpty =>
       s"$n: $err" }
     assert(errored.isEmpty, s"plan sweep errors:\n${errored.mkString("\n")}")
@@ -89,17 +117,29 @@ class PlanDriftSpec extends SparkTestBase {
     }
   }
 
+  test("per-query plan counts do not exceed the committed budget (sf0.001)") {
+    checkOrRegen(snapshots.head._1, snapshots.head._2)
+  }
+
+  test("per-query plan counts do not exceed the committed budget (sf0.1)") {
+    assume(!sys.env.get("SPARK_GRAFT_PLAN_SF01").contains("0"),
+      "sf0.1 plan sweep disabled via SPARK_GRAFT_PLAN_SF01=0")
+    checkOrRegen(snapshots(1)._1, snapshots(1)._2)
+  }
+
   test("the guard actually catches a deliberately worsened plan") {
     import org.apache.spark.sql.functions._
     val good = Tables.load(spark, sf, "lineitem")
       .groupBy("l_returnflag").agg(sum(col("l_quantity")).as("s"))
-    val (gex, _, _) = counts(good.queryExecution.sparkPlan)
+    val (gex, _, _) = counts(preparedPlan(good))
+    assert(gex >= 1, // the aggregation's own EnsureRequirements exchange
+      s"initial plan shows no exchange for a groupBy — guard is vacuous")
     // the same query with a gratuitous repartition — one extra exchange,
     // exactly the drift class the budget must trip on
     val bad = Tables.load(spark, sf, "lineitem")
       .repartition(16, col("l_partkey"))
       .groupBy("l_returnflag").agg(sum(col("l_quantity")).as("s"))
-    val (bex, _, _) = counts(bad.queryExecution.sparkPlan)
+    val (bex, _, _) = counts(preparedPlan(bad))
     assert(bex > gex,
       s"planted repartition did not raise the exchange count ($bex vs $gex)")
   }
