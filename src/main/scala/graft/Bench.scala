@@ -169,6 +169,8 @@ object Bench {
     val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
     var sinceGc = 0
+    val best2Sec = sys.env.get("SPARK_GRAFT_BEST2")
+      .map(_.toDouble).getOrElse(2.5)
     val results = warmResults ++
       (1 to repeat).flatMap(i => selected.map {
         case (n, f) => (if (repeat > 1) s"$n#$i" else n) -> f
@@ -187,8 +189,6 @@ object Bench {
         // SPARK_GRAFT_BEST2 sets the threshold in seconds (0 = off;
         // default 2.5 keeps the full-registry wall time inside any
         // driver capture window; 5 is the stability-snapshot setting).
-        val best2Sec = sys.env.get("SPARK_GRAFT_BEST2")
-          .map(_.toDouble).getOrElse(2.5)
         val dt =
           if (ok && !cold && dt1 < best2Sec) {
             val t1 = System.nanoTime()
@@ -259,7 +259,13 @@ object Bench {
       .groupBy(_._1.takeWhile(_ != '#')).map { case (base, reps) => base -> reps.last._2 }
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val short = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"sf":"$sfDir","n_queries":${results.size},"queries_full":"target/bench_queries.json","errors":[${errors.mkString(",")}]}"""
-    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":[${errors.mkString(",")}]}"""
+    // Stamp the timing regime into the emitted JSON so ratio tooling can
+    // refuse to compare maps produced under different regimes (best-of-2
+    // threshold, cold vs warm memos, table caching, repeat count) —
+    // cross-regime diffs report spurious speedups/regressions.
+    val regime = s"""{"best2_sec":${r3(best2Sec)},"cold":$cold,""" +
+      s""""cache_tables":$cacheTables,"repeat":$repeat}"""
+    val full = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","regime":$regime,"errors":[${errors.mkString(",")}]}"""
     try {
       // Subset runs (SPARK_GRAFT_ONLY) go to a separate file so they can
       // never clobber the last full-registry map — round 6's full map was

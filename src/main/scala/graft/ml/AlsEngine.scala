@@ -21,14 +21,18 @@ object AlsEngine {
     * under sfDir; [[clearCache]] resets. Bench bills the first training
     * as its own `warm:` line (see Bench.scala). */
   private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Config), ALSModel]
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String, Config), ALSModel]
 
   def trainCachedOnRatingsView(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, cfg: Config = Config()): ALSModel =
     // synchronized: getOrElseUpdate may otherwise train twice under
-    // concurrent first access
+    // concurrent first access. Keyed by session as well as dir: the
+    // model's factor frames belong to the session that trained it, so a
+    // later session on the same dir must retrain, not inherit frames
+    // from a stopped context.
     modelCache.synchronized {
-      modelCache.getOrElseUpdate((sfDir, cfg),
+      modelCache.getOrElseUpdate((spark, sfDir, cfg),
         train(Ratings.view(spark, sfDir), cfg))
     }
 

@@ -841,8 +841,9 @@ object MfQueries {
     * sfDir) — the ShingleStore "build once, consume many" layout step.
     * Billed as the bench's warm:cooccur line; [[clearCoCache]] for cold
     * mode. */
-  private val coCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
+  private val coCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String),
+      org.apache.spark.sql.DataFrame]
 
   def clearCoCache(): Unit = coCache.synchronized(coCache.clear())
 
@@ -852,7 +853,11 @@ object MfQueries {
 
   private def coPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = coCache.synchronized {
-    coCache.getOrElseUpdate(d, {
+    // keyed by (session, sfDir): the memo hands out a
+    // localCheckpoint-backed frame whose blocks belong to the session
+    // that built it — a later session on the same data dir must rebuild,
+    // not inherit a frame checkpointed in a stopped context
+    coCache.getOrElseUpdate((s, d), {
       val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
       val frame = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
         .join(li.select(col("l_orderkey").as("ok2"),

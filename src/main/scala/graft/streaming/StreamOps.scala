@@ -919,8 +919,15 @@ object StreamOps {
   private def orderedSliceDir(spark: SparkSession, sfDir: String,
       nBatches: Int): String = sliceCache.synchronized {
     sliceCache.getOrElseUpdate((sfDir, nBatches), {
+      // the readable sanitized name alone can collide across distinct
+      // raw sfDirs (sanitization is lossy); a digest of the RAW path
+      // makes the slice dir injective, so one fixture's rebuild can
+      // never clobber a directory another fixture's memo still serves
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(sfDir.getBytes("UTF-8")).take(6)
+        .map(b => f"${b & 0xff}%02x").mkString
       val dir = "target/stream_slices/" +
-        sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + s"/n$nBatches"
+        sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + s"_$digest/n$nBatches"
       writeOrderedSlices(
         graft.Tables.tsAsTimestamp(
           spark.read.parquet(s"$sfDir/events.parquet")), dir, nBatches)

@@ -9,40 +9,44 @@ Usage: bench_ratio.py run1.json run2.json [--min-sec 0.2]
 Queries faster than --min-sec in BOTH runs are excluded from the >2x
 check (sub-200ms timings are scheduler noise, not plan behavior) but
 still counted in the median.
+
+If the two maps carry a "regime" stamp (best-of-2 threshold, cold mode,
+table caching, repeat count) and the stamps differ -- or only one map
+has a stamp -- a WARNING is printed: cross-regime ratios are not
+comparable and can report spurious speedups or regressions.
 """
+import argparse
 import json
 import statistics
-import sys
 
 
 def load(path):
     with open(path) as f:
         d = json.load(f)
-    return {k: v for k, v in d["queries"].items()
-            if v >= 0 and not k.startswith("warm:")}, d["value"]
+    qs = {k: v for k, v in d["queries"].items()
+          if v >= 0 and not k.startswith("warm:")}
+    return qs, d["value"], d.get("regime")
 
 
 def main():
-    argv = sys.argv[1:]
-    args = []
-    min_sec = 0.2
-    i = 0
-    while i < len(argv):
-        a = argv[i]
-        if a.startswith("--min-sec"):
-            if "=" in a:
-                min_sec = float(a.split("=", 1)[1])
-            else:
-                i += 1
-                min_sec = float(argv[i])
-        else:
-            args.append(a)
-        i += 1
-    q1, t1 = load(args[0])
-    q2, t2 = load(args[1])
+    ap = argparse.ArgumentParser(
+        description="Per-query ratio report between two bench maps")
+    ap.add_argument("run1", help="baseline bench_queries.json")
+    ap.add_argument("run2", help="candidate bench_queries.json")
+    ap.add_argument("--min-sec", type=float, default=0.2,
+                    help="exclude from the >2x check queries faster than "
+                         "this in both runs (default 0.2)")
+    args = ap.parse_args()
+    q1, t1, reg1 = load(args.run1)
+    q2, t2, reg2 = load(args.run2)
+    if reg1 != reg2:
+        print(f"WARNING: timing regimes differ between inputs -- ratios "
+              f"are not comparable\n  run1 regime: {reg1}\n"
+              f"  run2 regime: {reg2}")
     common = sorted(set(q1) & set(q2))
     ratios = {k: q2[k] / q1[k] for k in common if q1[k] > 0}
     med = statistics.median(ratios.values())
+    min_sec = args.min_sec
     big = [(k, q1[k], q2[k], ratios[k]) for k in ratios
            if (ratios[k] > 2.0 or ratios[k] < 0.5)
            and max(q1[k], q2[k]) >= min_sec]
