@@ -25,6 +25,29 @@ class ContractSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("installViews makes base tables and engine queries reachable " +
+      "from spark.sql, matching the Scala API result") {
+    import org.apache.spark.sql.functions._
+    val subset = Set("q_agg_groupby", "q_join_inner", "q_window_rank",
+      "q_dedup_exact", "q_text_langid")
+    val installed = SparkEntry.installViews(spark, sf, Some(subset))
+    assert(Tables.all.forall(installed.contains))
+    assert(subset.forall(installed.contains))
+    // a base table is queryable
+    assert(spark.sql("SELECT count(*) AS n FROM lineitem")
+      .head().getLong(0) > 0)
+    // an engine query through SQL equals the Scala API result
+    val viaSql = spark.sql("SELECT * FROM q_agg_groupby")
+    val viaApi = SparkEntry.queries("q_agg_groupby")(spark, sf)
+    assert(viaSql.columns.toSeq == viaApi.columns.toSeq)
+    assert(viaSql.exceptAll(viaApi).isEmpty &&
+      viaApi.exceptAll(viaSql).isEmpty)
+    // views compose: SQL over an engine view
+    val top = spark.sql(
+      "SELECT * FROM q_window_rank WHERE rnk = 1 LIMIT 5")
+    assert(top.columns.contains("rnk"))
+  }
+
   test("every query name is declared in SURVEY.md §2") {
     val survey = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("SURVEY.md")))
