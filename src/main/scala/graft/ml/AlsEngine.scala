@@ -39,6 +39,19 @@ object AlsEngine {
   /** Drop memoized models (cold benchmarking / data changed). */
   def clearCache(): Unit = modelCache.synchronized(modelCache.clear())
 
+  /** Size ALS's block count to the input: MLlib's default of 10 blocks
+    * packs ~n/10 ratings into each in-block's primitive arrays, which at
+    * 300 M+ augmented ratings (the antidote's dense k̃×m matrix at sf1)
+    * overflows a single JVM during the java-serialized block shuffle —
+    * the round-10 scale-ladder's one measured OOM. ~2 M ratings per
+    * block bounds per-block state regardless of input size. Block count
+    * CHANGES the seeded factor initialization, so it must stay at the
+    * MLlib default for every fixture-scale input (≤ 20 M keeps all
+    * driver SFs at 10 blocks) or the oracle-pinned model hashes would
+    * drift. */
+  private def sizedBlocks(n: Long): Int =
+    math.max(10, math.min(256, (n / 2000000L).toInt))
+
   /** Train on ratings(user_id BIGINT, item_id BIGINT, rating DOUBLE).
     * ALS wants int ids; ids outside Int range FAIL LOUDLY here (the cast
     * would otherwise wrap silently) — route big id spaces through
@@ -46,11 +59,13 @@ object AlsEngine {
   def train(ratings: DataFrame, cfg: Config = Config()): ALSModel = {
     val bounds = ratings.agg(
       max(abs(col("user_id").cast(LongType))),
-      max(abs(col("item_id").cast(LongType)))).head()
+      max(abs(col("item_id").cast(LongType))),
+      count(lit(1))).head()
     require(bounds.getLong(0) <= Int.MaxValue &&
       bounds.getLong(1) <= Int.MaxValue,
       s"ids exceed Int range (user ${bounds.getLong(0)}, item " +
         s"${bounds.getLong(1)}) — use AlsEngine.trainCompacted")
+    val blocks = sizedBlocks(bounds.getLong(2))
     // ALS's iterative lineage needs periodic checkpoints (checkpointInterval
     // is silently a no-op without a checkpoint dir) — without this, deep
     // iteration counts overflow task stacks on serialization.
@@ -65,6 +80,7 @@ object AlsEngine {
       .setRegParam(cfg.regParam)
       .setMaxIter(cfg.maxIter)
       .setSeed(cfg.seed)
+      .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
       .setColdStartStrategy("drop")
       .fit(prepared)
@@ -83,6 +99,7 @@ object AlsEngine {
       col("user_id").cast(IntegerType).as("user"),
       col("item_id").cast(IntegerType).as("item"),
       col("rating").cast(FloatType).as("rating"))
+    val blocks = sizedBlocks(prepared.count())
     new ALS()
       .setRank(cfg.rank)
       .setRegParam(cfg.regParam)
@@ -90,6 +107,7 @@ object AlsEngine {
       .setSeed(cfg.seed)
       .setImplicitPrefs(true)
       .setAlpha(alpha)
+      .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
       .setColdStartStrategy("drop")
       .fit(prepared)
