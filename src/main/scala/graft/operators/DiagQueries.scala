@@ -922,7 +922,11 @@ object DiagQueries {
     val (zDf, _) = standardizedMonthly(s, d)
     val kDf = zDf.filter(col("tt") + 1 <= expr("n DIV 2"))
       .select((col("tt") + 1).as("k"))
-    val sp = kDf.crossJoin(zDf)
+    // broadcast the months-bounded panel explicitly: at sf1 the
+    // estimator-driven broadcast of this post-agg frame silently
+    // demoted to CartesianProduct (the round-9 regression class,
+    // one decade up) -- the panel is <= n_months rows by construction
+    val sp = kDf.crossJoin(broadcast(zDf))
       .groupBy("k")
       .agg(
         sum(col("z6") * round(cos(lit(2) * lit(math.Pi) * col("k")
@@ -1014,7 +1018,11 @@ object DiagQueries {
     val (zDf, _) = standardizedMonthly(s, d)
     val kDf = zDf.filter(col("tt") + 1 <= expr("n DIV 2"))
       .select((col("tt") + 1).as("k"))
-    val sp = kDf.crossJoin(zDf)
+    // broadcast the months-bounded panel explicitly: at sf1 the
+    // estimator-driven broadcast of this post-agg frame silently
+    // demoted to CartesianProduct (the round-9 regression class,
+    // one decade up) -- the panel is <= n_months rows by construction
+    val sp = kDf.crossJoin(broadcast(zDf))
       .groupBy("k")
       .agg(
         sum(col("z6") * round(cos(lit(2) * lit(math.Pi) * col("k")
