@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale gate for exact-percentile aggregates (sf1-ladder fix, VERDICT
+  * r10 task 1b).
+  *
+  * Spark's exact `percentile` buffers every distinct value per group in
+  * one reducer's value map — fine for the DuckDB-checked oracle scales,
+  * a single-node scale-killer on a data-sized group (q_quantile_buckets
+  * measured 51x at the 10x sf0.1→sf1 step). `approx_percentile` is the
+  * 100 TB form: a mergeable t-digest-style sketch that combines
+  * map-side, so the aggregation stays one shuffle of constant-size
+  * state per group.
+  *
+  * The gate picks the path from the BASE table's row count (a
+  * metadata-cheap parquet count — deciding from a derived frame would
+  * run real work just to choose a plan) so the oracle scales
+  * (≤ ~1.5 M rows at sf0.1) keep the exact branch the DuckDB comparison
+  * requires, and the ladder scales (sf1+) get the sketch. Overridable
+  * for tests and ladder experiments via SPARK_GRAFT_APPROX_PCT=1 (force
+  * sketch) / =0 (force exact).
+  */
+object ApproxGate {
+  /** Base-table rows above which exact percentile switches to the
+    * sketch: comfortably above every oracle-checked scale (orders at
+    * sf0.1 is 150 k, events 1.5 M would still be exact at 2 M — the
+    * largest gated base at an oracle scale stays exact) and below the
+    * first ladder scale where exact measurably breaks (orders at sf1 is
+    * 1.5 M → 56 s). */
+  val pctRowThreshold: Long = 2000000L
+
+  /** Sketch accuracy: 1/accuracy relative-rank error bound. 10 000 keeps
+    * the cut values within ~0.01 % rank of exact while the per-group
+    * state stays a few KB — the broadcast-the-cuts consumers are
+    * insensitive at that resolution. */
+  val pctAccuracy: Int = 10000
+
+  /** Decide ONCE per query from the base table; callers thread the
+    * result through every percentile column so one query never mixes
+    * paths. */
+  def useApprox(base: DataFrame): Boolean =
+    sys.env.get("SPARK_GRAFT_APPROX_PCT") match {
+      case Some("1") => true
+      case Some("0") => false
+      case _        => base.count() > pctRowThreshold
+    }
+
+  /** `percentile(c, p)` on the exact branch, `approx_percentile(c, p,
+    * accuracy)` on the scaled branch. Exact `percentile` always yields
+    * DOUBLE while the sketch yields the input type — the approx branch
+    * casts to double so the query's schema is identical either way. */
+  def pct(c: Column, p: Double, approx: Boolean): Column =
+    if (approx) percentile_approx(c, lit(p), lit(pctAccuracy)).cast("double")
+    else percentile(c, lit(p))
+}

@@ -14,6 +14,11 @@ object MemoKeep {
 
   def protect(rddIds: Set[Int]): Unit = synchronized { ids ++= rddIds }
 
+  /** Release protection for a memo's blocks when the memo itself is
+    * evicted — the owner must also unpersist the blocks, or they stay
+    * resident (merely unprotected) until the context dies. */
+  def unprotect(rddIds: Set[Int]): Unit = synchronized { ids --= rddIds }
+
   def isProtected(rddId: Int): Boolean = synchronized { ids.contains(rddId) }
 
   def clear(): Unit = synchronized { ids.clear() }

@@ -108,39 +108,63 @@ object SimSearch {
     * it, and a later session reusing the same dir must rebuild, not
     * inherit a frame whose blocks died with the old context. Checkpoint
     * block ids are MemoKeep-protected so the bench's per-query release
-    * pass cannot free a shared index mid-run. */
+    * pass cannot free a shared index mid-run; each cache entry records
+    * the ids it protected so eviction can hand the storage back.
+    *
+    * Cache-key contract: entries key on (session, dataKey, params) and
+    * do NOT fingerprint the `embs` frame itself — `embs` MUST be exactly
+    * `Tables.load(session, dataKey, "embeddings")` (the full table for
+    * that dir). Passing a filtered or otherwise derived frame under the
+    * same dataKey would silently return an index built from different
+    * data; build un-memoized via buildIvfIndex/buildPqIndex for that. */
+  private final case class Memo[A](idx: A, rddIds: Set[Int])
   private val ivfCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), IvfIndex]
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int),
+      Memo[IvfIndex]]
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, Int, Int, Int, Int),
-      PqIndex]
+      Memo[PqIndex]]
 
+  /** Evict the index memos AND release their storage: unprotect the
+    * recorded checkpoint block ids and unpersist the blocks, so a
+    * rebuild (tests, data rewritten under the same dir) doesn't pin a
+    * second permanently-protected copy on top of the first. */
   def clearIndexCache(): Unit = synchronized {
+    val memos = ivfCache.values.map(m => (m.idx.centroids.sparkSession, m.rddIds)) ++
+      pqCache.values.map(m => (m.idx.codebooks.sparkSession, m.rddIds))
+    memos.foreach { case (session, rddIds) =>
+      graft.MemoKeep.unprotect(rddIds)
+      val sc = session.sparkContext
+      if (!sc.isStopped)
+        rddIds.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    }
     ivfCache.clear(); pqCache.clear()
+  }
+
+  private def memoized[K, A](cache: scala.collection.concurrent.TrieMap[K, Memo[A]],
+      key: K, session: org.apache.spark.sql.SparkSession)(build: => A): A = {
+    cache.getOrElseUpdate(key, {
+      val sc = session.sparkContext
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val idx = build
+      val ids = sc.getPersistentRDDs.keySet.toSet -- before
+      graft.MemoKeep.protect(ids)
+      Memo(idx, ids)
+    }).idx
   }
 
   def ivfIndexCached(embs: DataFrame, dataKey: String, nLists: Int,
       lloydIters: Int): IvfIndex = synchronized {
-    ivfCache.getOrElseUpdate(
-      (embs.sparkSession, dataKey, nLists, lloydIters), {
-        val sc = embs.sparkSession.sparkContext
-        val before = sc.getPersistentRDDs.keySet.toSet
-        val idx = buildIvfIndex(embs, nLists, lloydIters)
-        graft.MemoKeep.protect(sc.getPersistentRDDs.keySet.toSet -- before)
-        idx
-      })
+    memoized(ivfCache, (embs.sparkSession, dataKey, nLists, lloydIters),
+      embs.sparkSession)(buildIvfIndex(embs, nLists, lloydIters))
   }
 
   def pqIndexCached(embs: DataFrame, dataKey: String, dims: Int, m: Int,
       codebookSize: Int, lloydIters: Int): PqIndex = synchronized {
-    pqCache.getOrElseUpdate(
-      (embs.sparkSession, dataKey, dims, m, codebookSize, lloydIters), {
-        val sc = embs.sparkSession.sparkContext
-        val before = sc.getPersistentRDDs.keySet.toSet
-        val idx = buildPqIndex(embs, dims, m, codebookSize, lloydIters)
-        graft.MemoKeep.protect(sc.getPersistentRDDs.keySet.toSet -- before)
-        idx
-      })
+    memoized(pqCache,
+      (embs.sparkSession, dataKey, dims, m, codebookSize, lloydIters),
+      embs.sparkSession)(buildPqIndex(embs, dims, m, codebookSize, lloydIters))
   }
 
   /** Index build: Lloyd centroids as the coarse quantizer + one

@@ -93,13 +93,23 @@ object AlsEngine {
     * id contract and determinism (fixed seed) as `train`. */
   def trainImplicit(ratings: DataFrame, cfg: Config = Config(),
       alpha: Double = 1.0): ALSModel = {
+    // One bounds+count aggregate (same shape as train): id-range check and
+    // block sizing share a single pass instead of a separate count().
+    val bounds = ratings.agg(
+      max(abs(col("user_id").cast(LongType))),
+      max(abs(col("item_id").cast(LongType))),
+      count(lit(1))).head()
+    require(bounds.getLong(0) <= Int.MaxValue &&
+      bounds.getLong(1) <= Int.MaxValue,
+      s"ids exceed Int range (user ${bounds.getLong(0)}, item " +
+        s"${bounds.getLong(1)}) — use AlsEngine.trainCompacted")
+    val blocks = sizedBlocks(bounds.getLong(2))
     val sc = ratings.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir("target/checkpoints")
     val prepared = ratings.select(
       col("user_id").cast(IntegerType).as("user"),
       col("item_id").cast(IntegerType).as("item"),
       col("rating").cast(FloatType).as("rating"))
-    val blocks = sizedBlocks(prepared.count())
     new ALS()
       .setRank(cfg.rank)
       .setRegParam(cfg.regParam)

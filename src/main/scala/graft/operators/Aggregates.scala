@@ -250,13 +250,22 @@ object Aggregates {
       |  ROUND(quantile_cont(c_acctbal, 0.5), 6) AS p50_bal,
       |  ROUND(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
-    (s, d) =>
-      t(s, d, "customer")
+    (s, d) => {
+      // Segment groups are data-sized → the exact value-map percentile is
+      // scale-gated (graft.ApproxGate): exact at oracle scales, sketch
+      // past the threshold. median ≡ percentile 0.5, so it gates too.
+      val cust = t(s, d, "customer")
+      val ap = graft.ApproxGate.useApprox(cust)
+      cust
         .groupBy("c_mktsegment")
-        .agg(round(median(col("c_acctbal")), 6).as("med_bal"),
-          round(percentile(col("c_acctbal"), lit(0.5)), 6).as("p50_bal"),
-          round(percentile(col("c_acctbal"), lit(0.9)), 6).as("p90_bal"))
+        .agg(round(graft.ApproxGate.pct(col("c_acctbal"), 0.5, ap), 6)
+            .as("med_bal"),
+          round(graft.ApproxGate.pct(col("c_acctbal"), 0.5, ap), 6)
+            .as("p50_bal"),
+          round(graft.ApproxGate.pct(col("c_acctbal"), 0.9, ap), 6)
+            .as("p90_bal"))
         .orderBy("c_mktsegment")
+    }
   }
 
   /** GROUPING SETS (beyond rollup/cube): SQL-only surface in Spark, same

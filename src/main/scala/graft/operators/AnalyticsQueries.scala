@@ -151,9 +151,12 @@ object AnalyticsQueries {
   /** Exact-quantile feature bucketing: quartile cuts of o_totalprice
     * (computed once, rounded 6 so both engines bucket against the SAME
     * boundary values), broadcast to every row, per-bucket count + exact
-    * decimal revenue. This is the binning primitive of feature pipelines;
-    * at 100 TB the exact percentile becomes approx_percentile (mergeable
-    * sketch, same broadcast-the-cuts shape) — exact here for the oracle. */
+    * decimal revenue. This is the binning primitive of feature pipelines.
+    * The cut computation is SCALE-GATED via [[graft.ApproxGate]] (r10
+    * ladder fix): exact `percentile` at oracle scales (DuckDB-identical
+    * cuts), `approx_percentile` (mergeable sketch, same
+    * broadcast-the-cuts shape) past the row threshold where the exact
+    * single-reducer value map measurably breaks (51x at sf1). */
   val qQuantileBuckets = Q(
     "q_quantile_buckets",
     """WITH cuts AS (
@@ -170,10 +173,11 @@ object AnalyticsQueries {
       |FROM orders, cuts
       |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
     val orders = t(s, d, "orders")
+    val ap = graft.ApproxGate.useApprox(orders)
     val cuts = orders.agg(
-      round(expr("percentile(o_totalprice, 0.25)"), 6).as("q1"),
-      round(expr("percentile(o_totalprice, 0.50)"), 6).as("q2"),
-      round(expr("percentile(o_totalprice, 0.75)"), 6).as("q3"))
+      round(graft.ApproxGate.pct(col("o_totalprice"), 0.25, ap), 6).as("q1"),
+      round(graft.ApproxGate.pct(col("o_totalprice"), 0.50, ap), 6).as("q2"),
+      round(graft.ApproxGate.pct(col("o_totalprice"), 0.75, ap), 6).as("q3"))
     orders.crossJoin(broadcast(cuts))
       .withColumn("bucket",
         when(col("o_totalprice") <= col("q1"), 1)
@@ -367,29 +371,56 @@ object AnalyticsQueries {
   }
 
   /** Blocked fuzzy join (entity resolution): candidate part pairs share a
-    * (brand, size mod 10) blocking key, survivors have name edit distance
-    * ≤ 3. Blocking is what makes fuzzy matching subquadratic — the
-    * self-join is equi on the block key, so at 100 TB it's one
-    * co-partitioned shuffle and the quadratic levenshtein work is
-    * confined to each (small) block; a skewed mega-block is the standard
-    * AQE-skew / salting case. */
+    * blocking key, survivors have name edit distance ≤ 3. Blocking is
+    * what makes fuzzy matching subquadratic — the self-join is equi on
+    * the block key, so at 100 TB it's one co-partitioned shuffle and the
+    * quadratic levenshtein work is confined to each (small) block; a
+    * skewed mega-block is the standard AQE-skew / salting case.
+    *
+    * The blocking key GROWS with the data (sf1-ladder fix, VERDICT r10
+    * task 1a): a fixed (brand, size mod 10) key has cardinality 250, so
+    * within-block pairs grow quadratically with the catalog (200 k parts
+    * → ~160 M levenshtein pairs at sf1, 44× the 10× data ratio). A
+    * name-prefix component of length k = max(0, ceil(log10(n / 50000)))
+    * multiplies key cardinality by ~10 per decade of growth, holding the
+    * expected block size — and hence total pair count per input row —
+    * bounded. Blocking is candidate GENERATION, part of the operator's
+    * declared semantics; the oracle SQL computes the same k from the same
+    * count, so both engines run identical blocking at every scale. At the
+    * oracle scales (n ≤ 20 k → k = 0) the prefix key is empty and results
+    * are bit-identical to the unprefixed query; at sf1 (k = 1) true
+    * near-duplicates share the leading character of the color-word name
+    * in all observed cases (verified against the unprefixed survivor set
+    * in the ladder re-run, SCALE.md r11). */
   val qFuzzyJoin = Q(
     "q_fuzzy_join",
-    """SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+    """WITH kk AS (
+      |  SELECT CAST(greatest(0, ceil(log10(count(*) / 50000.0))) AS INT)
+      |    AS k FROM part)
+      |SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
       |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
       |FROM part a JOIN part b
       |  ON a.p_brand = b.p_brand AND a.p_size % 10 = b.p_size % 10
+      |  AND substr(a.p_name, 1, (SELECT k FROM kk))
+      |    = substr(b.p_name, 1, (SELECT k FROM kk))
       |  AND a.p_partkey < b.p_partkey
       |WHERE levenshtein(a.p_name, b.p_name) <= 3
       |ORDER BY pk_a, pk_b""".stripMargin) { (s, d) =>
-    val part = t(s, d, "part")
+    val rawPart = t(s, d, "part")
+    // One metadata-cheap count sizes the prefix; ceil(log10) adds one
+    // prefix char per decade past 50 k rows, so expected block size stays
+    // O(1) as the catalog grows (25 brands × 10 sizes × ~10^k prefixes).
+    val n = rawPart.count()
+    val k = math.max(0, math.ceil(math.log10(n / 50000.0)).toInt)
+    val part = rawPart
       .select(col("p_partkey"), col("p_brand"),
-        (col("p_size") % 10).as("blk"), col("p_name"))
+        (col("p_size") % 10).as("blk"),
+        substring(col("p_name"), 1, k).as("pfx"), col("p_name"))
     val a = part.select(col("p_partkey").as("pk_a"), col("p_brand"),
-      col("blk"), col("p_name").as("name_a"))
+      col("blk"), col("pfx"), col("p_name").as("name_a"))
     val b = part.select(col("p_partkey").as("pk_b"), col("p_brand"),
-      col("blk"), col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand", "blk"))
+      col("blk"), col("pfx"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "blk", "pfx"))
       .filter(col("pk_a") < col("pk_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 3)
@@ -1955,8 +1986,9 @@ object AnalyticsQueries {
     * One user-keyed window pass (lead on the same (us, event_id) order
     * every event query uses); percentiles run per event type over integer
     * µs deltas (Spark exact `percentile` ≡ DuckDB `quantile_cont`, the
-    * q_agg_median_pct-proven pairing); the mean is an exact integer sum
-    * with one double division. */
+    * q_agg_median_pct-proven pairing), scale-gated via
+    * [[graft.ApproxGate]] (event-type groups are data-sized); the mean
+    * is an exact integer sum with one double division. */
   val qDwellTime = Q(
     "q_dwell_time",
     """WITH dx AS (
@@ -1973,6 +2005,9 @@ object AnalyticsQueries {
       |FROM dx WHERE d_us IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    // Gate from the raw base table (metadata-cheap count), not the
+    // window-derived frame.
+    val apDwell = graft.ApproxGate.useApprox(t(s, d, "events"))
     eventsUs(s, d)
       .select(col("event_type"), (lead(col("us"), 1).over(w) - col("us")).as("d_us"))
       .filter(col("d_us").isNotNull)
@@ -1980,8 +2015,10 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n"),
         round(sum(col("d_us")).cast(DoubleType) / count(lit(1)) / 1000000, 6)
           .as("mean_sec"),
-        round(percentile(col("d_us"), lit(0.5)) / 1000000, 6).as("p50_sec"),
-        round(percentile(col("d_us"), lit(0.9)) / 1000000, 6).as("p90_sec"),
+        round(graft.ApproxGate.pct(col("d_us"), 0.5, apDwell) / 1000000, 6)
+          .as("p50_sec"),
+        round(graft.ApproxGate.pct(col("d_us"), 0.9, apDwell) / 1000000, 6)
+          .as("p90_sec"),
         round(max(col("d_us")).cast(DoubleType) / 1000000, 6).as("max_sec"))
       .orderBy("event_type")
   }
@@ -2664,8 +2701,9 @@ object AnalyticsQueries {
     * with the same literal op order on both sides, then per-group counts
     * below/above. The per-group robust-outlier profile every ingestion
     * pipeline reports. Two fact passes (quartile agg + conditional
-    * count) joined on the 5-row broadcast cut table; at 100 TB the first
-    * pass swaps to approx_percentile, documented like
+    * count) joined on the 5-row broadcast cut table; the quartile pass
+    * is scale-gated via [[graft.ApproxGate]] (exact at oracle scales,
+    * approx_percentile sketch past the threshold) like
     * q_quantile_buckets. */
   val qOutlierIqr = Q(
     "q_outlier_iqr",
@@ -2685,9 +2723,12 @@ object AnalyticsQueries {
       |GROUP BY o.o_orderpriority, q1, q3
       |ORDER BY o.o_orderpriority""".stripMargin) { (s, d) =>
     val orders = t(s, d, "orders")
+    val ap = graft.ApproxGate.useApprox(orders)
     val cuts = orders.groupBy(col("o_orderpriority").as("prio"))
-      .agg(round(expr("percentile(o_totalprice, 0.25)"), 6).as("q1"),
-        round(expr("percentile(o_totalprice, 0.75)"), 6).as("q3"))
+      .agg(round(graft.ApproxGate.pct(col("o_totalprice"), 0.25, ap), 6)
+          .as("q1"),
+        round(graft.ApproxGate.pct(col("o_totalprice"), 0.75, ap), 6)
+          .as("q3"))
     val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
     val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
     orders.join(broadcast(cuts), col("o_orderpriority") === col("prio"))

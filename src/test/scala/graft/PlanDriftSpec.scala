@@ -18,9 +18,10 @@ import scala.jdk.CollectionConverters._
   * TWO snapshots are asserted, because broadcast decisions are
   * size-driven and drift differently per scale: the round-9 sf0.1 audit
   * caught five broadcast demotions (two to CartesianProduct) that were
-  * invisible at sf0.001. `plan_budget.tsv` pins sf0.001;
-  * `plan_budget_sf01.tsv` pins sf0.1 (skippable for fast local loops via
-  * SPARK_GRAFT_PLAN_SF01=0 — CI/judge runs keep it on).
+  * invisible at sf0.001. `plan_budget.tsv` pins sf0.001 and always runs;
+  * `plan_budget_sf01.tsv` pins sf0.1, opt-in via SPARK_GRAFT_PLAN_SF01=1
+  * (it executes the registry against 10x data — judge/CI runs enable it,
+  * fast local loops skip it by default).
   *
   * Counts come from the PRE-EXECUTION initial plan — `executedPlan`
   * unwrapped to AQE's `initialPlan`, i.e. AFTER EnsureRequirements
@@ -122,8 +123,11 @@ class PlanDriftSpec extends SparkTestBase {
   }
 
   test("per-query plan counts do not exceed the committed budget (sf0.1)") {
-    assume(!sys.env.get("SPARK_GRAFT_PLAN_SF01").contains("0"),
-      "sf0.1 plan sweep disabled via SPARK_GRAFT_PLAN_SF01=0")
+    // Opt-in (ADVICE r10): the sweep executes the whole registry against
+    // 10x data and dominates default `sbt test` wall time. Judge/CI runs
+    // enable it; the sf0.001 leg above always runs.
+    assume(sys.env.get("SPARK_GRAFT_PLAN_SF01").contains("1"),
+      "sf0.1 plan sweep is opt-in: set SPARK_GRAFT_PLAN_SF01=1")
     checkOrRegen(snapshots(1)._1, snapshots(1)._2)
   }
 

@@ -48,7 +48,10 @@ def main():
         r = b / s if s > 0 else float("inf")
         flagged = r > a.flag_ratio and max(s, b) >= a.min_sec
         rows.append((k, s, b, r, flagged))
-    ratios_big = [r for _, s, b, r, _ in rows if max(s, b) >= a.min_sec]
+    # s == 0 (sub-ms timing rounded to 0.0) would yield ratio inf and
+    # corrupt the median/at-or-below stats — exclude, as bench_ratio does.
+    ratios_big = [r for _, s, b, r, _ in rows
+                  if max(s, b) >= a.min_sec and s > 0]
     flagged = [x for x in rows if x[4]]
     lines = []
     w = lines.append
