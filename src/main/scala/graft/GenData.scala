@@ -5,10 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Deterministic sf1 fixture generator for the scale-ladder run
-  * (VERDICT r9 task 1): 10× the sf0.1 row counts, same schemas, same
-  * categorical vocabularies and value ranges, zero randomness — every
-  * column is a pure function of the row key via xxhash64, so repeated
-  * generation is byte-stable and results are partitioning-independent.
+  * (VERDICT r9 task 1): 10× the sf0.1 row counts, same schemas and value
+  * ranges, zero randomness — every column is a pure function of the row
+  * key via xxhash64, so repeated generation is byte-stable and results
+  * are partitioning-independent. Two deliberate departures from the
+  * driver fixture's content (r10 tasks 3/8): documents draw from a
+  * 10 000-word Zipf vocabulary (natural shingle/simhash candidate
+  * densities) and embeddings carry planted 32-cluster structure
+  * (meaningful ANN recall) — see the per-table comments.
   *
   * The driver's own fixtures are read-only and stop at sf0.1; this
   * writes under target/ (never /root/testdata) so the engine can be
@@ -36,11 +40,6 @@ object GenData {
     "4-NOT SPECIFIED", "5-LOW")
   private val EvType = Seq("view", "click", "purchase", "signup", "error")
   private val Langs = Seq("en", "de", "fr", "es", "zh")
-  private val Vocab = Seq("a", "agg", "batch", "big", "column", "customer",
-    "data", "dup", "fast", "filter", "group", "hash", "join", "key",
-    "line", "merge", "order", "part", "query", "row", "scan", "slow",
-    "small", "sort", "spark", "stream", "table", "the", "value",
-    "vector", "window")
 
   /** Deterministic value in [0, n) from the key column and a stream id. */
   private def h(key: org.apache.spark.sql.Column, stream: Int, n: Long) =
@@ -166,35 +165,76 @@ object GenData {
     fs.rename(partFile, dst)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
 
-    // documents: 8–110 words from the fixture's 31-word vocabulary
-    val vocabCol = array(Vocab.map(lit): _*)
-    val docs = spark.range(nDoc)
+    // documents: 8–110 words drawn Zipf(1)-ish from a 10 000-word
+    // synthetic vocabulary (VERDICT r10 task 8 — the old 31-word vocab
+    // made sf1 shingle/simhash candidate densities adversarial). Each
+    // slot draws u ~ U[0,1) from the row hash and inverts the Zipf CDF
+    // via rank = floor(10000^u) ∈ [1, 9999] (P(rank=k) ≈ 1/(k·ln 10⁴)),
+    // then spells the rank as a unique 3-syllable pseudo-word, so word
+    // frequencies follow a natural long-tail law while generation stays
+    // a pure per-row expression (no dictionary shuffle, no driver data).
+    save(documentsDf(spark, nDoc), "documents", 4)
+
+    // embeddings: 32 hash-seeded centroids (coordinates uniform in
+    // [-1, 1)) plus bounded per-dim jitter in [-0.2, 0.2] (VERDICT r10
+    // task 3 — planted cluster structure so sign-LSH / IVF recall
+    // numbers mean something: a probe's true top-k neighbours sit inside
+    // its own cluster, and an index that prunes to the wrong lists pays
+    // in measured recall, not noise). label keeps its [0, 10) range
+    // (centroid mod 10) so label-conditioned queries (knn, kmeans,
+    // centroids) now see geometry consistent with the label.
+    save(embeddingsDf(spark, nEmb), "embeddings", 2)
+  }
+
+  /** The documents builder, public so specs can pin the vocabulary
+    * statistics without generating the full fixture. */
+  def documentsDf(spark: SparkSession, nDoc: Long): DataFrame =
+    spark.range(nDoc)
       .withColumn("n_words", (h(col("id"), 31, 103) + 8).cast(IntegerType))
       .select(
         col("id").as("doc_id"),
-        array_join(transform(sequence(lit(1), col("n_words")),
-          j => element_at(vocabCol,
-            (pmod(xxhash64(col("id") * 1000 + j, lit(32)), lit(31)) + 1)
-              .cast(IntegerType))), " ").as("text"),
+        array_join(transform(sequence(lit(1), col("n_words")), j => {
+          val u = pmod(xxhash64(col("id") * 1000 + j, lit(32)),
+            lit(1000000L)) / 1000000.0
+          val rank = floor(pow(lit(10000.0), u)).cast(IntegerType)
+          zipfWord(rank)
+        }), " ").as("text"),
         pick(col("id"), 33, Langs).as("lang"),
         concat(lit("src"), h(col("id"), 34, 20)).as("source"))
       .withColumn("n_chars", length(col("text")))
-    save(docs, "documents", 4)
 
-    // embeddings: 64-dim floats in [-1, 1) with a small per-label offset
-    // on dims [6·label, 6·label+5] so label-conditioned queries (knn,
-    // kmeans, centroids) see the same weak structure the fixture has
-    val emb = spark.range(nEmb)
-      .withColumn("label", h(col("id"), 35, 10).cast(IntegerType))
+  /** The embeddings builder, public so specs can pin ANN recall on the
+    * planted-cluster geometry without generating the full fixture. */
+  def embeddingsDf(spark: SparkSession, nEmb: Long): DataFrame =
+    spark.range(nEmb)
+      .withColumn("cluster", h(col("id"), 35, 32).cast(IntegerType))
       .select(
         col("id").as("vec_id"),
         transform(sequence(lit(0), lit(63)), j =>
-          (pmod(xxhash64(col("id") * 64 + j, lit(36)), lit(2000001))
-            / 1000000.0 - 1.0
-            + when(j >= col("label") * 6 && j < col("label") * 6 + 6,
-                lit(0.25)).otherwise(lit(0.0)))
+          ((pmod(xxhash64(col("cluster") * 64 + j, lit(41)), lit(2000001))
+            / 1000000.0 - 1.0)
+            + (pmod(xxhash64(col("id") * 64 + j, lit(36)), lit(400001))
+              / 1000000.0 - 0.2))
             .cast(FloatType)).as("embedding"),
-        col("label"))
-    save(emb, "embeddings", 2)
+        (col("cluster") % 10).as("label"))
+
+  private val SylA = Seq("ba", "ce", "di", "fo", "gu", "ha", "je", "ki",
+    "lo", "mu", "na", "pe", "qi", "ro", "su", "ta", "ve", "wi", "yo", "zu")
+  private val SylB = Seq("bel", "cor", "dan", "fir", "gol", "hem", "jun",
+    "kan", "lim", "mor", "nev", "pol", "qua", "rus", "sel", "tor", "vin",
+    "wex", "yar", "zem")
+  private val SylC = Seq("ad", "eb", "ic", "od", "uf", "ag", "eh", "ij",
+    "ok", "ul", "am", "en", "ip", "oq", "ur", "as", "et", "iv", "ow",
+    "ux", "az", "ey", "ib", "oc", "ud")
+
+  /** Bijective rank → pseudo-word spelling: rank ∈ [0, 9999] maps to
+    * syllables (rank mod 20, rank/20 mod 20, rank/400 mod 25) — 10 000
+    * unique 6-char words, no dictionary broadcast needed. */
+  private def zipfWord(rank: org.apache.spark.sql.Column) = {
+    def at(vs: Seq[String], i: org.apache.spark.sql.Column) =
+      element_at(array(vs.map(lit): _*), (i + 1).cast(IntegerType))
+    concat(at(SylA, pmod(rank, lit(20))),
+      at(SylB, pmod((rank / 20).cast(IntegerType), lit(20))),
+      at(SylC, pmod((rank / 400).cast(IntegerType), lit(25))))
   }
 }
