@@ -35,15 +35,54 @@ object Antidote {
     (row.getLong(0), row.getLong(1))
   }
 
+  /** Item-support cap (paper §4.3 / SCALE.md sf10 forecast): restrict
+    * each synthetic user's support to the `m` MOST-RATED items (ties
+    * broken by item_id for determinism). The paper's X is dense k̃×m —
+    * α·n·m cells, QUADRATIC in the catalog (306 M augmented rows at sf1
+    * α = 0.05, 30 B at sf10 α = 0.01) — and the ONLY data-sized consumer
+    * of X is the ALS re-train (the gradient/metric algebra is
+    * closed-form over k-dim moments). Capping the support to the
+    * highest-support items keeps the antidote rows where they touch the
+    * most real users' ridge solves, which is where the per-item
+    * linearization ∂v_j/∂X_aj = M_j⁻¹ u_a has the most leverage per
+    * cell. TakeOrderedAndProject top-M — no global sort. */
+  def topSupportItems(ratings: DataFrame, m: Int): DataFrame =
+    ratings.groupBy("item_id").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("item_id"))
+      .limit(m).select("item_id")
+
+  /** Auto-size the cap so the antidote block contributes at most
+    * `maxCells` rows to the ALS train input: None (dense X, the paper's
+    * exact form) while k̃·m fits, top-⌊maxCells/k̃⌋ items beyond. The
+    * default keeps the fixture scales exactly dense (sf0.1: k̃·m ≈ 55 k)
+    * and bounds sf1 α = 0.05 (k̃ ≈ 7.5 k) to ~2 M antidote cells. */
+  def autoCap(ratings: DataFrame, alpha: Double,
+      maxCells: Long = 2000000L): Option[Int] = {
+    val row = ratings.agg(countDistinct(col("user_id")),
+      countDistinct(col("item_id"))).head()
+    val kTilde = math.ceil(alpha * row.getLong(0)).toLong
+    val m = row.getLong(1)
+    if (kTilde <= 0 || kTilde * m <= maxCells) None
+    else Some(math.max(1L, maxCells / kTilde).toInt)
+  }
+
   /** k̃ = ⌈α·n_users⌉ synthetic users (ids above max real id) × all items. */
   def init(spark: SparkSession, ratings: DataFrame, alpha: Double): DataFrame =
     init(spark, ratings, alpha, userStats(ratings))
 
   def init(spark: SparkSession, ratings: DataFrame, alpha: Double,
-      stats: (Long, Long)): DataFrame = {
+      stats: (Long, Long)): DataFrame =
+    initCapped(spark, ratings, alpha, stats, None)
+
+  /** [[init]] with the §4.3 item-support cap: synthetic users rate only
+    * the top-`itemCap` items by support (None = dense, the paper's exact
+    * X). */
+  def initCapped(spark: SparkSession, ratings: DataFrame, alpha: Double,
+      stats: (Long, Long), itemCap: Option[Int]): DataFrame = {
     val (n, mx) = stats
     val k = math.ceil(alpha * n).toLong
-    val items = ratings.select("item_id").distinct()
+    val items = itemCap.map(topSupportItems(ratings, _))
+      .getOrElse(ratings.select("item_id").distinct())
     spark.range(1, k + 1)
       .select((lit(mx) + col("id")).as("user_id"))
       .crossJoin(broadcast(items))
@@ -61,12 +100,24 @@ object Antidote {
     * of ONE item-mean aggregate. Use it as the warm start for
     * [[optimize]] via `initFn = Antidote.initHeuristic`. */
   def initHeuristic(spark: SparkSession, ratings: DataFrame,
-      alpha: Double): DataFrame = {
+      alpha: Double): DataFrame =
+    initHeuristicCapped(spark, ratings, alpha, None)
+
+  /** [[initHeuristic]] with the §4.3 item-support cap (see
+    * [[topSupportItems]] / [[autoCap]]): the synthetic users rate only
+    * the top-`itemCap` items by support, at those items' mean rating —
+    * X becomes k̃×M instead of k̃×m, bounding the ALS re-train input
+    * (the only data-sized consumer of X) at any scale. */
+  def initHeuristicCapped(spark: SparkSession, ratings: DataFrame,
+      alpha: Double, itemCap: Option[Int]): DataFrame = {
     val (n, mx) = userStats(ratings)
     val k = math.ceil(alpha * n).toLong
-    val itemMeans = ratings.groupBy("item_id")
+    val means = ratings.groupBy("item_id")
       .agg(round(least(lit(5.0), greatest(lit(1.0), avg(col("rating")))), 6)
         .as("rating"))
+    val itemMeans = itemCap
+      .map(m => means.join(topSupportItems(ratings, m), "item_id"))
+      .getOrElse(means)
     spark.range(1, k + 1)
       .select((lit(mx) + col("id")).as("user_id"))
       .crossJoin(broadcast(itemMeans))

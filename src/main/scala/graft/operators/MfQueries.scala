@@ -538,7 +538,17 @@ object MfQueries {
           val model =
             if (alpha == 0.0) AlsEngine.trainCachedOnRatingsView(s, d)
             else {
-              val x0 = Antidote.initHeuristic(s, ratings, alpha)
+              // §4.3 item-support cap (VERDICT r10 task 4): dense X while
+              // k̃·m fits (every oracle/fixture scale — bit-identical to
+              // the uncapped sweep there), top-M-items support beyond, so
+              // the α=0.05 branch's ALS input stays bounded at sf1+.
+              // SPARK_GRAFT_ANTIDOTE_CAP=<M> forces a cap, =0 forces dense.
+              val cap = sys.env.get("SPARK_GRAFT_ANTIDOTE_CAP") match {
+                case Some("0") => None
+                case Some(v)   => Some(v.toInt)
+                case None      => Antidote.autoCap(ratings, alpha)
+              }
+              val x0 = Antidote.initHeuristicCapped(s, ratings, alpha, cap)
               val x1 = Antidote.step(s, ratings, x0, cfg, eta = 1e4,
                 metric = Metric.GroupUnfairness(groups, "BUILDING",
                   "MACHINERY"))
