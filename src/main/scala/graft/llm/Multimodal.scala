@@ -7,14 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque binary columns
   * with typed metadata, processed per-partition in batches.
   *
-  * The IMAGE arm is a REAL codec path: [[mediaTableReal]] synthesizes
-  * deterministic PNG/BMP payloads (javax.imageio, part of the JDK — no
-  * external dependency) and [[decode]] runs `ImageIO.read` on the actual
-  * bytes, so width/height/checksum come out of the codec, not out of
-  * arithmetic on byte length. Audio/video codecs are NOT in this
-  * environment, so those arms remain a clearly-marked deterministic
-  * byte-level stand-in — but the Spark-side contract is identical for
-  * all three: binary payload column, typed metadata struct, mapPartitions
+  * The IMAGE and AUDIO arms are REAL codec paths: [[mediaTableReal]]
+  * synthesizes deterministic PNG/BMP payloads (javax.imageio) and PCM
+  * WAV payloads (javax.sound.sampled) — both JDK, no external
+  * dependency — and [[decode]] runs `ImageIO.read` / an
+  * `AudioInputStream` decode on the actual bytes, so
+  * width/height/rate/frames/checksum come out of the codecs, not out of
+  * arithmetic on byte length. A VIDEO codec is NOT in this environment,
+  * so that arm remains a clearly-marked deterministic byte-level
+  * stand-in — but the Spark-side contract is identical for all three: binary payload column, typed metadata struct, mapPartitions
   * batch processing (the Scala analog of mapInPandas: one iterator per
   * partition, amortized per-batch setup), and a schema that survives
   * column pruning (metadata reads never touch payload bytes).
@@ -70,6 +71,15 @@ object Multimodal {
     (p.length >= 8 && p.take(8).sameElements(PngMagic)) ||
       (p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte)
 
+  /** RIFF/WAVE container magic — routes a payload to the real audio
+    * codec without trusting the modality tag. */
+  private def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+      p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
+      p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
+      p(10) == 'V'.toByte && p(11) == 'E'.toByte
+
   /** Deterministic synthetic image: dimensions and pixel pattern are pure
     * functions of doc_id, encoded through the REAL JDK codec (PNG for
     * even ids, BMP for odd — both lossless for TYPE_INT_RGB, so a decode
@@ -98,10 +108,46 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Media table with REAL image payloads: image-modality rows
+  /** Deterministic synthetic audio: 16-bit little-endian mono PCM whose
+    * sample rate, length, and waveform are pure functions of doc_id,
+    * wrapped in a REAL WAV container by `javax.sound.sampled` (JDK — no
+    * external dependency). A decode recovers the exact samples (PCM is
+    * lossless), so rate/frames/checksum can be pinned against the
+    * generating formula. Kept short (≤ 767 frames) so per-row encode
+    * cost stays microseconds at bench scale. */
+  def encodeAudioPayload(docId: Long): Array[Byte] = {
+    val rates = Array(8000, 11025, 16000, 22050)
+    val rate = rates((docId % 4).toInt)
+    val n = 256 + (docId % 512).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = audioSample(docId, i)
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The PCM sample formula (public so the spec can recompute the
+    * expected checksum independently of the codec round-trip). */
+  def audioSample(docId: Long, i: Int): Int =
+    (((i * (3 + docId % 7) + docId * 31) % 65536) - 32768).toInt
+
+  /** Media table with REAL image and audio payloads: image-modality rows
     * (doc_id % 3 == 0) carry actual PNG/BMP bytes from
-    * [[encodeImagePayload]]; audio/video rows keep the UTF-8 stand-in.
-    * Built as a typed map (codec work is per-row JVM code, not SQL). */
+    * [[encodeImagePayload]], audio rows (doc_id % 3 == 1) carry actual
+    * PCM WAV bytes from [[encodeAudioPayload]]; video rows keep the
+    * UTF-8 stand-in (no video codec in this environment). Built as a
+    * typed map (codec work is per-row JVM code, not SQL). */
   def mediaTableReal(docs: DataFrame): Dataset[MediaRecord] = {
     import docs.sparkSession.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -110,9 +156,12 @@ object Multimodal {
           val modality = (id % 3) match {
             case 0 => "image"; case 1 => "audio"; case _ => "video"
           }
-          val payload =
-            if (modality == "image") encodeImagePayload(id)
-            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val payload = modality match {
+            case "image" => encodeImagePayload(id)
+            case "audio" => encodeAudioPayload(id)
+            case _ =>
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
           MediaRecord(id, modality, payload)
         }
       }
@@ -125,7 +174,11 @@ object Multimodal {
     * RGB pixel values, and the 8-dim feature is the mean luminance of 8
     * horizontal bands (all derived from real decoded pixels).
     *
-    * AUDIO/VIDEO: no codec in this environment — deterministic
+    * AUDIO: a genuine `javax.sound.sampled` WAV decode — sample rate /
+    * bits / frame count are the codec's, checksum is the sum of decoded
+    * 16-bit samples, feature is per-band mean |amplitude|.
+    *
+    * VIDEO: no codec in this environment — deterministic
     * byte-level stand-in (documented stub): dims/frames from byte-length
     * arithmetic, checksum = sum of unsigned bytes, feature = per-slice
     * mean byte value. The batch/partition plumbing is identical either
@@ -159,8 +212,42 @@ object Multimodal {
         else (bandLum(i) / (255.0 * bandCnt(i))).toFloat
       }
       DecodedMedia(r.doc_id, r.modality, len, w, h, 1, checksum, feature)
+    } else if (r.modality == "audio" && looksLikeWav(r.payload)) {
+      // AUDIO: a genuine javax.sound.sampled decode of the WAV container
+      // — sample rate and frame count are the codec's, checksum is the
+      // sum of decoded 16-bit samples, and the 8-dim feature is the mean
+      // normalized |amplitude| of 8 time bands. Column mapping: width =
+      // sample rate (Hz), height = bits per sample, n_frames = PCM frame
+      // count.
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = ais.getFormat
+      val nFrames = ais.getFrameLength.toInt
+      val pcm = ais.readAllBytes()
+      ais.close()
+      val n = pcm.length / 2
+      var checksum = 0L
+      val bandAmp = new Array[Double](8)
+      val bandCnt = new Array[Long](8)
+      var i = 0
+      while (i < n) {
+        // 16-bit little-endian signed, as encoded
+        val s = (((pcm(2 * i + 1) & 0xFF) << 8) | (pcm(2 * i) & 0xFF))
+          .toShort.toInt
+        checksum += s
+        val band = math.min(i * 8 / math.max(n, 1), 7)
+        bandAmp(band) += math.abs(s)
+        bandCnt(band) += 1
+        i += 1
+      }
+      val feature = Array.tabulate(8) { b =>
+        if (bandCnt(b) == 0) 0f
+        else (bandAmp(b) / (32768.0 * bandCnt(b))).toFloat
+      }
+      DecodedMedia(r.doc_id, r.modality, len, fmt.getSampleRate.toInt,
+        fmt.getSampleSizeInBits, nFrames, checksum, feature)
     } else {
-      // >>> audio/video codec would run here; stand-in below <<<
+      // >>> video codec would run here; stand-in below <<<
       var checksum = 0L
       var i = 0
       while (i < len) { checksum += (r.payload(i) & 0xFF); i += 1 }
