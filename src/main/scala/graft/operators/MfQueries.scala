@@ -651,6 +651,31 @@ object MfQueries {
       .orderBy("iter")
   }
 
+  /** Alg. 1 over INDIVIDUAL unfairness — the last library Alg-1
+    * metric/trace pairing (q_antidote_trace: polarization,
+    * q_antidote_trace_grp: U_grp): T = 2 projected-GD iterations of the
+    * U_ind antidote at α = 0.01, one row per iteration with (U_ind =
+    * Var_u[ℓ_u], rmse). Same shared-model optimize loop (T+1 = 3 seeded
+    * ALS trains) and §4.3 heuristic warm start as the grp trace.
+    * ALS-dependent floats → rows-only; the non-increasing-objective
+    * property of this exact metric/optimize pair is pinned in MfSpec
+    * ("U_ind antidote: objective non-increasing"). */
+  val qAntidoteTraceInd = Q.noOracle("q_antidote_trace_ind") { (s, d) =>
+    val spark = s
+    import spark.implicits._
+    val ratings = Ratings.viewCached(s, d)
+    val (_, trace) = Antidote.optimize(s, ratings, 0.01, 2,
+      AlsEngine.Config(maxIter = 3), eta = 1e4,
+      metric = Metric.IndividualUnfairness,
+      initFn = Antidote.initHeuristic)
+    trace.zipWithIndex.map { case (p, i) =>
+      (i.toLong, p.objective, p.rmse)
+    }.toDF("iter", "objective", "rmse")
+      .select(col("iter"), round(col("objective"), 6).as("objective"),
+        round(col("rmse"), 6).as("rmse"))
+      .orderBy("iter")
+  }
+
   /** Deterministic negative sampling — the training-example generator
     * every implicit-feedback recommender (BPR, ALS-implicit, two-tower)
     * needs: for each purchasing customer, 4 items they did NOT buy, drawn
@@ -1207,5 +1232,6 @@ object MfQueries {
     qMetricGrpUnfairness, qMetricRmseHoldout, qRecCoverage,
     qAntidoteInit, qAntidoteStep, qAntidoteEval,
     qSourceDelimited, qMfCompactTrain, qAntidoteSweepAls, qAntidoteFigure,
-    qAntidoteTrace, qAntidoteTraceGrp, qNegativeSample, qRecGini)
+    qAntidoteTrace, qAntidoteTraceGrp, qAntidoteTraceInd, qNegativeSample,
+    qRecGini)
 }

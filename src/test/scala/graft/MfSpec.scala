@@ -218,6 +218,20 @@ class MfSpec extends SparkTestBase {
       s"no net U_grp improvement: $trace")
   }
 
+  test("q_antidote_trace_ind: T+1 rows, non-increasing U_ind, finite rmse") {
+    val rows = operators.MfQueries.qAntidoteTraceInd.run(spark, sf)
+      .orderBy("iter").collect()
+    info(rows.map(_.toString).mkString("trace rows: ", " | ", ""))
+    assert(rows.length == 3) // T = 2 steps -> init + 2 trace points
+    val objs = rows.map(_.getDouble(1))
+    objs.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a * 1.05, s"U_ind rose: ${objs.mkString(",")}")
+    }
+    assert(objs.last <= objs.head,
+      s"no net U_ind improvement: ${objs.mkString(",")}")
+    assert(rows.map(_.getDouble(2)).forall(r => r > 0 && r < 2.0))
+  }
+
   test("delimited ratings loader parses ::-separated MovieLens lines") {
     val dir = "target/tmp/ratings_dat"
     new java.io.File(dir).mkdirs()

@@ -15,13 +15,15 @@ import scala.jdk.CollectionConverters._
   * new cartesian) now fails `sbt test` instead of waiting for the next
   * judge pass.
   *
-  * TWO snapshots are asserted, because broadcast decisions are
+  * THREE snapshots are asserted, because broadcast decisions are
   * size-driven and drift differently per scale: the round-9 sf0.1 audit
   * caught five broadcast demotions (two to CartesianProduct) that were
-  * invisible at sf0.001. `plan_budget.tsv` pins sf0.001 and always runs;
-  * `plan_budget_sf01.tsv` pins sf0.1, opt-in via SPARK_GRAFT_PLAN_SF01=1
-  * (it executes the registry against 10x data — judge/CI runs enable it,
-  * fast local loops skip it by default).
+  * invisible at sf0.001, and the round-10 sf1 ladder caught two more
+  * visible only at sf1. `plan_budget.tsv` pins sf0.001 and always runs;
+  * `plan_budget_sf01.tsv` pins sf0.1, opt-in via SPARK_GRAFT_PLAN_SF01=1;
+  * `plan_budget_sf1.tsv` pins the GenData sf1 fixture, opt-in via
+  * SPARK_GRAFT_PLAN_SF1=1 (each executes the registry against 10x/100x
+  * data — judge/CI runs enable them, fast local loops skip by default).
   *
   * Counts come from the PRE-EXECUTION initial plan — `executedPlan`
   * unwrapped to AQE's `initialPlan`, i.e. AFTER EnsureRequirements
@@ -48,7 +50,8 @@ class PlanDriftSpec extends SparkTestBase {
 
   private val snapshots = Seq(
     sf -> "src/test/resources/plan_budget.tsv",
-    "/root/testdata/sf0.1" -> "src/test/resources/plan_budget_sf01.tsv")
+    "/root/testdata/sf0.1" -> "src/test/resources/plan_budget_sf01.tsv",
+    "target/sf1" -> "src/test/resources/plan_budget_sf1.tsv")
 
   private def counts(p: SparkPlan): (Int, Int, Int) = {
     var ex = 0; var smj = 0; var cp = 0
@@ -129,6 +132,22 @@ class PlanDriftSpec extends SparkTestBase {
     assume(sys.env.get("SPARK_GRAFT_PLAN_SF01").contains("1"),
       "sf0.1 plan sweep is opt-in: set SPARK_GRAFT_PLAN_SF01=1")
     checkOrRegen(snapshots(1)._1, snapshots(1)._2)
+  }
+
+  test("per-query plan counts do not exceed the committed budget (sf1)") {
+    // Opt-in (VERDICT r10 task 7): the r10 ladder caught two
+    // broadcast→cartesian demotions that were invisible below sf1
+    // (estimator-driven, the q_periodogram class); this leg makes that
+    // class fail a gated test instead of waiting for the next manual
+    // ladder. The GenData fixture is (re)generated on demand — ~10x
+    // sf0.1 data, so the sweep takes tens of minutes; enable it for
+    // judge/CI ladder sessions only.
+    assume(sys.env.get("SPARK_GRAFT_PLAN_SF1").contains("1"),
+      "sf1 plan sweep is opt-in: set SPARK_GRAFT_PLAN_SF1=1")
+    val dir = snapshots(2)._1
+    if (!Files.exists(Paths.get(s"$dir/lineitem.parquet")))
+      GenData.write(spark, dir, 10)
+    checkOrRegen(dir, snapshots(2)._2)
   }
 
   test("the guard actually catches a deliberately worsened plan") {
