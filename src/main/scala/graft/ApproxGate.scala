@@ -24,12 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object ApproxGate {
   /** Base-table rows above which exact percentile switches to the
-    * sketch: comfortably above every oracle-checked scale (orders at
-    * sf0.1 is 150 k, events 1.5 M would still be exact at 2 M — the
-    * largest gated base at an oracle scale stays exact) and below the
-    * first ladder scale where exact measurably breaks (orders at sf1 is
-    * 1.5 M → 56 s). */
-  val pctRowThreshold: Long = 2000000L
+    * sketch: comfortably above every oracle-checked scale (the largest
+    * gated base is events at the driver's sf0.1 = 100 k rows; Verify
+    * runs at sf0.01 and below) and at-or-below the first ladder scale
+    * where exact measurably hurts (orders at sf1 is 1.5 M → 56 s exact;
+    * events at sf1 is 1.0 M → q_dwell_time measured 14× with the
+    * original 2 M threshold, the r11 ladder's one actionable find). */
+  val pctRowThreshold: Long = 500000L
 
   /** Sketch accuracy: 1/accuracy relative-rank error bound. 10 000 keeps
     * the cut values within ~0.01 % rank of exact while the per-group

@@ -380,51 +380,70 @@ object AnalyticsQueries {
     * The blocking key GROWS with the data (sf1-ladder fix, VERDICT r10
     * task 1a): a fixed (brand, size mod 10) key has cardinality 250, so
     * within-block pairs grow quadratically with the catalog (200 k parts
-    * → ~160 M levenshtein pairs at sf1, 44× the 10× data ratio). A
-    * name-prefix component of length k = max(0, ceil(log10(n / 50000)))
-    * multiplies key cardinality by ~10 per decade of growth, holding the
-    * expected block size — and hence total pair count per input row —
-    * bounded. Blocking is candidate GENERATION, part of the operator's
-    * declared semantics; the oracle SQL computes the same k from the same
-    * count, so both engines run identical blocking at every scale. At the
-    * oracle scales (n ≤ 20 k → k = 0) the prefix key is empty and results
-    * are bit-identical to the unprefixed query; at sf1 (k = 1) true
-    * near-duplicates share the leading character of the color-word name
-    * in all observed cases (verified against the unprefixed survivor set
-    * in the ladder re-run, SCALE.md r11). */
+    * → ~160 M levenshtein pairs at sf1, 44× the 10× data ratio). The fix
+    * is MULTI-PASS blocking (the standard ER design for bounded blocks
+    * without losing matches): candidates are the UNION of a
+    * name-PREFIX-keyed pass and a name-SUFFIX-keyed pass, each of length
+    * k = max(0, ceil(log10(n / 50000))) — each pass multiplies key
+    * cardinality ~10× per decade of growth, holding expected block size
+    * (and hence pairs per input row) bounded, while a near-duplicate
+    * that differs at one end of the name is still caught by the other
+    * end's pass. Prefix-ONLY blocking measurably loses pairs on this
+    * catalog (627 941 of 2 503 354 sf1 survivors differ in the first
+    * character — e.g. "cold bolt"/"hot bolt"); the union is EXACTLY
+    * lossless at sf1 (DuckDB cross-check: 2 503 354 = 2 503 354, 0
+    * lost, SCALE.md r11). The oracle SQL computes the same k from the
+    * same count, so both engines block identically at every scale; at
+    * oracle scales (n ≤ 20 k → k = 0) both keys are empty and results
+    * are bit-identical to the single-key query. */
   val qFuzzyJoin = Q(
     "q_fuzzy_join",
     """WITH kk AS (
       |  SELECT CAST(greatest(0, ceil(log10(count(*) / 50000.0))) AS INT)
       |    AS k FROM part)
-      |SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
-      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-      |FROM part a JOIN part b
-      |  ON a.p_brand = b.p_brand AND a.p_size % 10 = b.p_size % 10
-      |  AND substr(a.p_name, 1, (SELECT k FROM kk))
-      |    = substr(b.p_name, 1, (SELECT k FROM kk))
-      |  AND a.p_partkey < b.p_partkey
-      |WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |SELECT pk_a, pk_b, dist FROM (
+      |  SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+      |    CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_size % 10 = b.p_size % 10
+      |    AND substr(a.p_name, 1, (SELECT k FROM kk))
+      |      = substr(b.p_name, 1, (SELECT k FROM kk))
+      |    AND a.p_partkey < b.p_partkey
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 3
+      |  UNION
+      |  SELECT a.p_partkey, b.p_partkey,
+      |    CAST(levenshtein(a.p_name, b.p_name) AS INT)
+      |  FROM part a JOIN part b
+      |    ON a.p_brand = b.p_brand AND a.p_size % 10 = b.p_size % 10
+      |    AND right(a.p_name, (SELECT k FROM kk))
+      |      = right(b.p_name, (SELECT k FROM kk))
+      |    AND a.p_partkey < b.p_partkey
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 3)
       |ORDER BY pk_a, pk_b""".stripMargin) { (s, d) =>
     val rawPart = t(s, d, "part")
-    // One metadata-cheap count sizes the prefix; ceil(log10) adds one
-    // prefix char per decade past 50 k rows, so expected block size stays
-    // O(1) as the catalog grows (25 brands × 10 sizes × ~10^k prefixes).
+    // One metadata-cheap count sizes the blocking keys; ceil(log10) adds
+    // one char per decade past 50 k rows, so expected block size stays
+    // O(1) as the catalog grows (25 brands × 10 sizes × ~10^k keys/pass).
     val n = rawPart.count()
     val k = math.max(0, math.ceil(math.log10(n / 50000.0)).toInt)
     val part = rawPart
       .select(col("p_partkey"), col("p_brand"),
         (col("p_size") % 10).as("blk"),
-        substring(col("p_name"), 1, k).as("pfx"), col("p_name"))
-    val a = part.select(col("p_partkey").as("pk_a"), col("p_brand"),
-      col("blk"), col("pfx"), col("p_name").as("name_a"))
-    val b = part.select(col("p_partkey").as("pk_b"), col("p_brand"),
-      col("blk"), col("pfx"), col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand", "blk", "pfx"))
-      .filter(col("pk_a") < col("pk_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 3)
-      .select("pk_a", "pk_b", "dist")
+        substring(col("p_name"), 1, k).as("pfx"),
+        expr(s"right(p_name, $k)").as("sfx"), col("p_name"))
+    def pass(key: String): DataFrame = {
+      val a = part.select(col("p_partkey").as("pk_a"), col("p_brand"),
+        col("blk"), col(key), col("p_name").as("name_a"))
+      val b = part.select(col("p_partkey").as("pk_b"), col("p_brand"),
+        col("blk"), col(key), col("p_name").as("name_b"))
+      a.join(b, Seq("p_brand", "blk", key))
+        .filter(col("pk_a") < col("pk_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 3)
+        .select("pk_a", "pk_b", "dist")
+    }
+    // dist is a pure function of the pair, so pair-dedup ≡ row-distinct
+    pass("pfx").unionByName(pass("sfx")).distinct()
       .orderBy("pk_a", "pk_b")
   }
 

@@ -6,13 +6,17 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One shared local session for the whole suite (same config surface as
   * Verify/Bench: UTC, ns-as-long parquet, small shuffle parallelism). */
 object SparkTestSession {
+  // Default 4 threads keeps unit tests light; the opt-in big-data sweeps
+  // (PlanDriftSpec sf0.1/sf1 legs) can bump it via SPARK_GRAFT_TEST_CPUS
+  // — plan COUNTS are parallelism-independent, so snapshots stay valid.
+  private val cpus = sys.env.getOrElse("SPARK_GRAFT_TEST_CPUS", "4")
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[$cpus]")
       .appName("graft-test")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir", "target/warehouse")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
