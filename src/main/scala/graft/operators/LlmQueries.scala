@@ -1354,14 +1354,20 @@ object LlmQueries {
     * pixel checksums are pinned against an independent in-test decode in
     * OutOfBandSpec. */
   val qMultimodalDecode = Q.noOracle("q_multimodal_decode") { (s, d) =>
-    val media = Multimodal.mediaTableReal(t(s, d, "documents"))
+    // Prune BEFORE decode (the sampleFrameOffsets lesson applied to the
+    // row dimension): the panel is the first 100 doc_ids and encode/
+    // decode is 1:1 per doc, so limiting the document scan first yields
+    // identical rows while the codec touches 100 payloads, not the
+    // corpus — at 100 TB this is the difference between a metadata-cheap
+    // panel readout and a full-corpus decode.
+    val docs = t(s, d, "documents").orderBy("doc_id").limit(100)
+    val media = Multimodal.mediaTableReal(docs)
     Multimodal.decode(media)
       .select(col("doc_id"), col("modality"), col("byte_len"),
         col("width"), col("height"), col("n_frames"), col("checksum"),
         size(col("feature")).as("feature_dim"),
         round(element_at(col("feature"), 1).cast(DoubleType), 4).as("f0"))
       .orderBy("doc_id")
-      .limit(100)
   }
 
   /** End-to-end near-dup pipeline: simhash-banded candidate pairs →
