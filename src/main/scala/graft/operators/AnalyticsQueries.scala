@@ -3828,7 +3828,10 @@ object AnalyticsQueries {
     * customers outranks one bought as often by narrow ones). Every score
     * is an exact integer path count (no fp until the final normalize);
     * each iteration is one edge-keyed equi-join of the bounded degree /
-    * score tables. */
+    * score tables. The distinct edge list is consumed by FOUR passes
+    * (degree + three score joins) — it is localCheckpoint'ed (the
+    * LabelProp iterative idiom) so the orders⋈lineitem join + distinct
+    * runs once, not once per pass (sf1: 62 s → the edge build once). */
   val qHitsRank = Q(
     "q_hits_rank",
     """WITH ui AS (
@@ -3853,6 +3856,7 @@ object AnalyticsQueries {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("u"), col("l_partkey").as("i"))
       .distinct()
+      .localCheckpoint()
     val h1 = ui.groupBy("u").agg(count(lit(1)).as("h"))
     val a1 = ui.join(h1, Seq("u"))
       .groupBy("i").agg(sum(col("h")).cast(LongType).as("a"))
