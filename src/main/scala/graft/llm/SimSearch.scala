@@ -142,13 +142,22 @@ object SimSearch {
     ivfCache.clear(); pqCache.clear()
   }
 
+  /** The persisted RDD ids a localCheckpoint-backed frame OWNS: a
+    * checkpointed Dataset's plan is exactly one LogicalRDD over the
+    * materialized internal RDD, so collecting those ids records precisely
+    * what the builder persisted — never an unrelated frame that happened
+    * to be cached during the build window (which a getPersistentRDDs
+    * set-diff would claim, and eviction would then wrongly free). */
+  private def checkpointedIds(frames: DataFrame*): Set[Int] =
+    frames.flatMap(_.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }).toSet
+
   private def memoized[K, A](cache: scala.collection.concurrent.TrieMap[K, Memo[A]],
-      key: K, session: org.apache.spark.sql.SparkSession)(build: => A): A = {
+      key: K)(build: => A)(owned: A => Set[Int]): A = {
     cache.getOrElseUpdate(key, {
-      val sc = session.sparkContext
-      val before = sc.getPersistentRDDs.keySet.toSet
       val idx = build
-      val ids = sc.getPersistentRDDs.keySet.toSet -- before
+      val ids = owned(idx)
       graft.MemoKeep.protect(ids)
       Memo(idx, ids)
     }).idx
@@ -156,15 +165,17 @@ object SimSearch {
 
   def ivfIndexCached(embs: DataFrame, dataKey: String, nLists: Int,
       lloydIters: Int): IvfIndex = synchronized {
-    memoized(ivfCache, (embs.sparkSession, dataKey, nLists, lloydIters),
-      embs.sparkSession)(buildIvfIndex(embs, nLists, lloydIters))
+    memoized(ivfCache, (embs.sparkSession, dataKey, nLists, lloydIters))(
+      buildIvfIndex(embs, nLists, lloydIters))(
+      idx => checkpointedIds(idx.centroids, idx.assigned))
   }
 
   def pqIndexCached(embs: DataFrame, dataKey: String, dims: Int, m: Int,
       codebookSize: Int, lloydIters: Int): PqIndex = synchronized {
     memoized(pqCache,
-      (embs.sparkSession, dataKey, dims, m, codebookSize, lloydIters),
-      embs.sparkSession)(buildPqIndex(embs, dims, m, codebookSize, lloydIters))
+      (embs.sparkSession, dataKey, dims, m, codebookSize, lloydIters))(
+      buildPqIndex(embs, dims, m, codebookSize, lloydIters))(
+      idx => checkpointedIds(idx.codebooks, idx.codes))
   }
 
   /** Index build: Lloyd centroids as the coarse quantizer + one

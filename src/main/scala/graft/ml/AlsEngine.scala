@@ -61,6 +61,9 @@ object AlsEngine {
       max(abs(col("user_id").cast(LongType))),
       max(abs(col("item_id").cast(LongType))),
       count(lit(1))).head()
+    // max over zero rows is SQL NULL — getLong(0) would NPE with a
+    // message pointing nowhere; fail with the actual problem instead.
+    require(bounds.getLong(2) > 0, "AlsEngine.train: empty ratings input")
     require(bounds.getLong(0) <= Int.MaxValue &&
       bounds.getLong(1) <= Int.MaxValue,
       s"ids exceed Int range (user ${bounds.getLong(0)}, item " +
@@ -99,6 +102,9 @@ object AlsEngine {
       max(abs(col("user_id").cast(LongType))),
       max(abs(col("item_id").cast(LongType))),
       count(lit(1))).head()
+    // same empty-input guard as train: max over zero rows is NULL
+    require(bounds.getLong(2) > 0,
+      "AlsEngine.trainImplicit: empty ratings input")
     require(bounds.getLong(0) <= Int.MaxValue &&
       bounds.getLong(1) <= Int.MaxValue,
       s"ids exceed Int range (user ${bounds.getLong(0)}, item " +

@@ -544,9 +544,14 @@ object MfQueries {
               // the α=0.05 branch's ALS input stays bounded at sf1+.
               // SPARK_GRAFT_ANTIDOTE_CAP=<M> forces a cap, =0 forces dense.
               val cap = sys.env.get("SPARK_GRAFT_ANTIDOTE_CAP") match {
-                case Some("0") => None
-                case Some(v)   => Some(v.toInt)
-                case None      => Antidote.autoCap(ratings, alpha)
+                case Some(v) => v.toIntOption match {
+                  case Some(0)            => None // force dense
+                  case Some(m) if m > 0   => Some(m)
+                  case _ => throw new IllegalArgumentException(
+                    "SPARK_GRAFT_ANTIDOTE_CAP must be a non-negative " +
+                      s"integer (0 = force dense), got '$v'")
+                }
+                case None => Antidote.autoCap(ratings, alpha)
               }
               val x0 = Antidote.initHeuristicCapped(s, ratings, alpha, cap)
               val x1 = Antidote.step(s, ratings, x0, cfg, eta = 1e4,

@@ -257,6 +257,20 @@ class MfSpec extends SparkTestBase {
     assert(e.getMessage.contains("trainCompacted"), e.getMessage)
   }
 
+  test("train and trainImplicit fail loudly on empty ratings input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Double)]
+      .toDF("user_id", "item_id", "rating")
+    val e1 = intercept[IllegalArgumentException] {
+      AlsEngine.train(empty, AlsEngine.Config(rank = 2, maxIter = 1))
+    }
+    assert(e1.getMessage.contains("empty ratings"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      AlsEngine.trainImplicit(empty, AlsEngine.Config(rank = 2, maxIter = 1))
+    }
+    assert(e2.getMessage.contains("empty ratings"), e2.getMessage)
+  }
+
   test("id compaction trains ALS over Long ids beyond Int range") {
     import spark.implicits._
     val big = 5000000000L // > 2^31: the plain Int cast would corrupt these

@@ -404,6 +404,41 @@ class OutOfBandSpec extends SparkTestBase {
     } finally { index.assigned.unpersist(); () }
   }
 
+  test("index memo owns exactly its checkpoints: eviction spares frames " +
+      "co-cached during the build window") {
+    graft.llm.SimSearch.clearIndexCache()
+    // A shared table cache that first MATERIALIZES inside the index-build
+    // window (the build scans this very frame) — the ownership bug was
+    // recording it via a persistent-set diff and then freeing it on
+    // clearIndexCache.
+    val embs = Tables.load(spark, sf, "embeddings")
+    embs.cache()
+    try {
+      val preBuild = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val idx = graft.llm.SimSearch.ivfIndexCached(embs, sf + "#ownership",
+        nLists = 4, lloydIters = 1)
+      embs.count() // ensure the bystander cache is materialized
+      val idxIds = Seq(idx.centroids, idx.assigned)
+        .flatMap(_.queryExecution.analyzed.collect {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+        }).toSet
+      val afterBuild = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      assert(idxIds.nonEmpty && idxIds.subsetOf(afterBuild),
+        s"index checkpoints $idxIds not persisted ($afterBuild)")
+      val bystanders = afterBuild -- preBuild -- idxIds
+      assert(bystanders.nonEmpty, "expected the embeddings cache to " +
+        "materialize inside the build window")
+      graft.llm.SimSearch.clearIndexCache()
+      val after = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      assert((idxIds & after).isEmpty, "eviction must free the index blocks")
+      assert(idxIds.forall(!MemoKeep.isProtected(_)),
+        "eviction must unprotect the index blocks")
+      assert(bystanders.subsetOf(after),
+        s"eviction freed co-cached frames it never owned: " +
+          s"${bystanders -- after}")
+    } finally { embs.unpersist(); () }
+  }
+
   test("multi-probe IVF search surfaces the planted nearest neighbor") {
     val embs = Tables.load(spark, sf, "embeddings")
     val all = withPlantedDups(embs).cache()
