@@ -246,7 +246,10 @@ object Aggregates {
 
   val qAggMedianPct = Q(
     "q_agg_median_pct",
-    """SELECT c_mktsegment, ROUND(median(c_acctbal), 6) AS med_bal,
+    """-- ORACLE-SCALE SEMANTICS ONLY: past ApproxGate.pctRowThreshold base
+      |-- rows the Spark side switches to a mergeable approx_percentile
+      |-- sketch; this exact form is what's compared at oracle scales.
+      |SELECT c_mktsegment, ROUND(median(c_acctbal), 6) AS med_bal,
       |  ROUND(quantile_cont(c_acctbal, 0.5), 6) AS p50_bal,
       |  ROUND(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) {
@@ -255,7 +258,7 @@ object Aggregates {
       // scale-gated (graft.ApproxGate): exact at oracle scales, sketch
       // past the threshold. median ≡ percentile 0.5, so it gates too.
       val cust = t(s, d, "customer")
-      val ap = graft.ApproxGate.useApprox(cust)
+      val ap = graft.ApproxGate.useApprox(s, d, "customer")
       cust
         .groupBy("c_mktsegment")
         .agg(round(graft.ApproxGate.pct(col("c_acctbal"), 0.5, ap), 6)

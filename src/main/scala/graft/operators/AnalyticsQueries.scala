@@ -159,7 +159,10 @@ object AnalyticsQueries {
     * single-reducer value map measurably breaks (51x at sf1). */
   val qQuantileBuckets = Q(
     "q_quantile_buckets",
-    """WITH cuts AS (
+    """-- ORACLE-SCALE SEMANTICS ONLY: past ApproxGate.pctRowThreshold base
+      |-- rows the Spark side switches to a mergeable approx_percentile
+      |-- sketch; this exact form is what's compared at oracle scales.
+      |WITH cuts AS (
       |  SELECT ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q1,
       |         ROUND(quantile_cont(o_totalprice, 0.50), 6) AS q2,
       |         ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q3
@@ -173,7 +176,7 @@ object AnalyticsQueries {
       |FROM orders, cuts
       |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
     val orders = t(s, d, "orders")
-    val ap = graft.ApproxGate.useApprox(orders)
+    val ap = graft.ApproxGate.useApprox(s, d, "orders")
     val cuts = orders.agg(
       round(graft.ApproxGate.pct(col("o_totalprice"), 0.25, ap), 6).as("q1"),
       round(graft.ApproxGate.pct(col("o_totalprice"), 0.50, ap), 6).as("q2"),
@@ -2010,7 +2013,10 @@ object AnalyticsQueries {
     * is an exact integer sum with one double division. */
   val qDwellTime = Q(
     "q_dwell_time",
-    """WITH dx AS (
+    """-- ORACLE-SCALE SEMANTICS ONLY: past ApproxGate.pctRowThreshold base
+      |-- rows the Spark side switches to a mergeable approx_percentile
+      |-- sketch; this exact form is what's compared at oracle scales.
+      |WITH dx AS (
       |  SELECT event_type,
       |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
       |      ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS d_us
@@ -2026,7 +2032,7 @@ object AnalyticsQueries {
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     // Gate from the raw base table (metadata-cheap count), not the
     // window-derived frame.
-    val apDwell = graft.ApproxGate.useApprox(t(s, d, "events"))
+    val apDwell = graft.ApproxGate.useApprox(s, d, "events")
     eventsUs(s, d)
       .select(col("event_type"), (lead(col("us"), 1).over(w) - col("us")).as("d_us"))
       .filter(col("d_us").isNotNull)
@@ -2726,7 +2732,10 @@ object AnalyticsQueries {
     * q_quantile_buckets. */
   val qOutlierIqr = Q(
     "q_outlier_iqr",
-    """WITH cuts AS (
+    """-- ORACLE-SCALE SEMANTICS ONLY: past ApproxGate.pctRowThreshold base
+      |-- rows the Spark side switches to a mergeable approx_percentile
+      |-- sketch; this exact form is what's compared at oracle scales.
+      |WITH cuts AS (
       |  SELECT o_orderpriority,
       |    ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q1,
       |    ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q3
@@ -2742,7 +2751,7 @@ object AnalyticsQueries {
       |GROUP BY o.o_orderpriority, q1, q3
       |ORDER BY o.o_orderpriority""".stripMargin) { (s, d) =>
     val orders = t(s, d, "orders")
-    val ap = graft.ApproxGate.useApprox(orders)
+    val ap = graft.ApproxGate.useApprox(s, d, "orders")
     val cuts = orders.groupBy(col("o_orderpriority").as("prio"))
       .agg(round(graft.ApproxGate.pct(col("o_totalprice"), 0.25, ap), 6)
           .as("q1"),

@@ -90,12 +90,16 @@ object PipelineQueries {
     * deviation) per event_type, flagging |x − med| > 3·MAD. Unlike
     * mean/stddev, the median/MAD pair doesn't let outliers move their own
     * threshold. Two grouped medians + two broadcast joins on a 5-value
-    * key — nothing data-sized moves twice. At 100 TB swap the exact
-    * medians for approx_percentile (same shape, sketch-mergeable); exact
-    * here because the oracle demands it. */
+    * key — nothing data-sized moves twice. Event-type groups are
+    * data-sized, so BOTH medians are scale-gated via
+    * [[graft.ApproxGate]]: exact (what the oracle compares) at oracle
+    * scales, mergeable approx_percentile sketch past the threshold. */
   val qAnomalyMad = Q(
     "q_anomaly_mad",
-    """WITH med AS (
+    """-- ORACLE-SCALE SEMANTICS ONLY: past ApproxGate.pctRowThreshold base
+      |-- rows the Spark side switches to a mergeable approx_percentile
+      |-- sketch; this exact form is what's compared at oracle scales.
+      |WITH med AS (
       |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
       |dev AS (
       |  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
@@ -108,10 +112,13 @@ object PipelineQueries {
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin) { (s, d) =>
     val ev = t(s, d, "events").select("event_type", "value")
-    val med = ev.groupBy("event_type").agg(median(col("value")).as("med"))
+    val ap = graft.ApproxGate.useApprox(s, d, "events")
+    val med = ev.groupBy("event_type")
+      .agg(graft.ApproxGate.pct(col("value"), 0.5, ap).as("med"))
     val dev = ev.join(broadcast(med), "event_type")
       .withColumn("ad", abs(col("value") - col("med")))
-    val mad = dev.groupBy("event_type").agg(median(col("ad")).as("mad"))
+    val mad = dev.groupBy("event_type")
+      .agg(graft.ApproxGate.pct(col("ad"), 0.5, ap).as("mad"))
     dev.join(broadcast(mad), "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -1208,11 +1215,18 @@ object PipelineQueries {
     * the pre-join screen that decides whether a 100 TB join needs AQE
     * skew handling or plans.SkewJoin salting (the > 4–5× rule of thumb).
     * Each key's profile is the SAME shuffle the join itself would do,
-    * reduced to one row; medians use the exact percentile ≡ quantile_cont
-    * pairing over integer counts. */
+    * reduced to one row; the median-rows-per-key percentile runs over the
+    * rows-per-key profile — ONE group per audited key whose cardinality
+    * is data-sized (distinct partkeys/custkeys) — so it is scale-gated
+    * via [[graft.ApproxGate]] on the largest base (lineitem): the exact
+    * percentile ≡ quantile_cont pairing at oracle scales, the mergeable
+    * approx_percentile sketch past the threshold. */
   val qSkewAudit = Q(
     "q_skew_audit",
-    """WITH prof AS (
+    """-- ORACLE-SCALE SEMANTICS ONLY: past ApproxGate.pctRowThreshold base
+      |-- rows the Spark side switches to a mergeable approx_percentile
+      |-- sketch; this exact form is what's compared at oracle scales.
+      |WITH prof AS (
       |  SELECT 'lineitem.l_partkey' AS key_name, count(*) AS rows_per_key
       |  FROM lineitem GROUP BY l_partkey
       |  UNION ALL
@@ -1230,13 +1244,15 @@ object PipelineQueries {
       df.select(key).groupBy(col(key))
         .agg(count(lit(1)).as("rows_per_key"))
         .select(lit(name).as("key_name"), col("rows_per_key"))
+    val ap = graft.ApproxGate.useApprox(s, d, "lineitem")
     prof("lineitem.l_partkey", t(s, d, "lineitem"), "l_partkey")
       .unionByName(prof("lineitem.l_suppkey", t(s, d, "lineitem"), "l_suppkey"))
       .unionByName(prof("orders.o_custkey", t(s, d, "orders"), "o_custkey"))
       .groupBy("key_name")
       .agg(count(lit(1)).as("n_keys"),
         max(col("rows_per_key")).cast(LongType).as("max_rows"),
-        round(percentile(col("rows_per_key"), lit(0.5)), 6).as("median_rows"),
+        round(graft.ApproxGate.pct(col("rows_per_key").cast(DoubleType),
+          0.5, ap), 6).as("median_rows"),
         round(sum(col("rows_per_key")).cast(DoubleType) / count(lit(1)), 6)
           .as("mean_rows"),
         round(max(col("rows_per_key")).cast(DoubleType)

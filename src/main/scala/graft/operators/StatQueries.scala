@@ -112,8 +112,9 @@ object StatQueries {
   }
 
   /** Brown–Forsythe variance-homogeneity test across order priorities:
-    * absolute deviations from the per-group MEDIAN (median(double) is
-    * cross-engine-stable — the q_anomaly_mad precedent), quantized to
+    * absolute deviations from the per-group MEDIAN (scale-gated via
+    * [[graft.ApproxGate]]: exact — cross-engine-stable — at oracle
+    * scales, mergeable sketch past the threshold), quantized to
     * whole cents (the deviation of 2-dp money is cent-integral, so
     * round() only strips float noise), then the q_anova assembly on the
     * integer deviations: per-group exact HUGEINT sums, per-group double
@@ -122,7 +123,10 @@ object StatQueries {
     * runs before trusting its own F-tests. */
   val qLevene = Q(
     "q_levene",
-    """WITH x AS (
+    """-- ORACLE-SCALE SEMANTICS ONLY: past ApproxGate.pctRowThreshold base
+      |-- rows the Spark side switches to a mergeable approx_percentile
+      |-- sketch; this exact form is what's compared at oracle scales.
+      |WITH x AS (
       |  SELECT o_orderpriority AS prio, o_totalprice AS v FROM orders),
       |med AS (SELECT prio, median(v) AS med FROM x GROUP BY prio),
       |z AS (
@@ -153,7 +157,13 @@ object StatQueries {
       |FROM f""".stripMargin) { (s, d) =>
     val x = t(s, d, "orders")
       .select(col("o_orderpriority").as("prio"), col("o_totalprice").as("v"))
-    val med = x.groupBy("prio").agg(median(col("v")).as("med"))
+    // priority groups are data-sized → the centering median is
+    // scale-gated (graft.ApproxGate): exact at oracle scales, sketch
+    // past the threshold (the deviations it centers are robust to the
+    // sketch's ~0.01%-rank error)
+    val ap = graft.ApproxGate.useApprox(s, d, "orders")
+    val med = x.groupBy("prio")
+      .agg(graft.ApproxGate.pct(col("v"), 0.5, ap).as("med"))
     val z = x.join(broadcast(med), "prio")
       .select(col("prio"),
         round(abs(col("v") - col("med")) * 100).cast(LongType).as("z"))
@@ -2269,13 +2279,17 @@ object StatQueries {
   /** Mood's median test across order priorities: does any priority's
     * order-value DISTRIBUTION sit above/below the grand median (the
     * rank-free, outlier-immune cousin of q_anova / q_kruskal_wallis)?
-    * Grand median(double) is cross-engine-stable (the q_levene
-    * precedent); the 2×k contingency table is exact integer counts;
+    * The grand median is scale-gated via [[graft.ApproxGate]] (exact —
+    * cross-engine-stable — at oracle scales, mergeable sketch past the
+    * threshold); the 2×k contingency table is exact integer counts;
     * each cell's (obs−exp)²/exp is quantized ·10⁶ on its own cell row
     * before the bounded cross-cell sum. */
   val qMoodsMedian = Q(
     "q_moods_median",
-    """WITH x AS (
+    """-- ORACLE-SCALE SEMANTICS ONLY: past ApproxGate.pctRowThreshold base
+      |-- rows the Spark side switches to a mergeable approx_percentile
+      |-- sketch; this exact form is what's compared at oracle scales.
+      |WITH x AS (
       |  SELECT o_orderpriority AS prio, o_totalprice AS v FROM orders),
       |med AS (SELECT median(v) AS med FROM x),
       |g AS (
@@ -2310,7 +2324,12 @@ object StatQueries {
       |FROM c, chi ORDER BY prio""".stripMargin) { (s, d) =>
     val x = t(s, d, "orders").select(col("o_orderpriority").as("prio"),
       col("o_totalprice").as("v"))
-    val med = x.agg(expr("median(v)").as("med"))
+    // the grand median buffers every value in ONE reducer — scale-gated
+    // (graft.ApproxGate): exact at oracle scales, sketch past the
+    // threshold (above/below counts shift only within the sketch's
+    // ~0.01%-rank band around the true median)
+    val ap = graft.ApproxGate.useApprox(s, d, "orders")
+    val med = x.agg(graft.ApproxGate.pct(col("v"), 0.5, ap).as("med"))
     val g = x.crossJoin(broadcast(med))
       .groupBy("prio")
       .agg(sum(when(col("v") > col("med"), 1).otherwise(0))

@@ -493,7 +493,11 @@ object Windows {
     * q_quantile_buckets idiom), so both engines scale against identical
     * constants. Constant-valued users (IQR 0) scale to 0. Per-user cut
     * table is |users|-bounded — broadcast side; the fact scan stays one
-    * pass. */
+    * pass. Exact-percentile adjudication (no ApproxGate): each group
+    * buffers ONE user's event history, which stays O(1) as users scale —
+    * the data-sized dimension here is the NUMBER of groups, which a
+    * grouped aggregate distributes; only a pathological single-user
+    * history would need the sketch. */
   val qRobustScale = Q(
     "q_robust_scale",
     """WITH cuts AS (
