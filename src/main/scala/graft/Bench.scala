@@ -114,7 +114,8 @@ object Bench {
     // and PQ codebooks; one build serves all of them per run, billed here
     // so no query's number hides (or double-pays) the training.
     val annSelected = only.forall(o => o.contains("q_sim_trained_ivf") ||
-      o.contains("q_sim_pq") || o.contains("q_sim_ivfpq"))
+      o.contains("q_sim_pq") || o.contains("q_sim_ivfpq") ||
+      o.contains("q_map_at_k_ann"))
     val annWarm: Seq[(String, () => Unit)] =
       if (cold || !annSelected) Seq.empty
       else Seq("warm:ann_indexes" -> (() => {
@@ -135,6 +136,12 @@ object Bench {
           (() => { ml.AlsEngine.trainCachedOnRatingsView(spark, sfDir); () }),
         "warm:baseline_pol_rmse" ->
           (() => { ml.Baseline.polRmseCached(spark, sfDir); () }))) ++
+      // Trained-IVF index over the ALS item factors — the ANN recs
+      // query's "build once, serve many" half. Placed after warm:als_model
+      // so this line bills the Lloyd build, not the ALS training.
+      (if (cold || !only.forall(_.contains("q_mf_topk_recs_ann"))) Seq.empty
+      else Seq("warm:item_ivf" ->
+        (() => { operators.MfQueries.warmItemIvf(spark, sfDir); () }))) ++
       (if (cold || !sweepSelected) Seq.empty
       else Seq(
         "warm:antidote_sweep" ->
@@ -252,7 +259,10 @@ object Bench {
       "q_stream_watermark", "q_hapax_ratio",
       // round 9: the Alg-1 multi-iteration trace (4 ALS refits) and the
       // reworked single-fact-pass antidote evaluation
-      "q_antidote_trace", "q_antidote_eval")
+      "q_antidote_trace", "q_antidote_eval",
+      // round 12: the ANN escapes for the registry's one cartesian and
+      // the panel×corpus evaluation cross
+      "q_mf_topk_recs_ann", "q_map_at_k_ann")
     // In repeat mode every headline query matches `repeat` keys; keep only
     // the last repeat (warm steady-state) so the short line stays bounded.
     val headQs = results.filter { case (k, _) => headline.contains(k.takeWhile(_ != '#')) }

@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.functions.VectorFunctions.dot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -214,6 +215,72 @@ object SimSearch {
         round(Dedup.cosine(col("embedding"), col("probe_e")), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Batch IVF search: top-k for EVERY probe row in one distributed
+    * plan — the all-users serving pass of a recommender / retrieval
+    * panel, where the one-probe [[ivfTopK]]'s per-query driver collect
+    * would become a driver-side loop (the D4 anti-pattern).
+    *
+    * Distributed shape, stage by stage:
+    *   1. Probe-list selection is a NARROW map: the centroid table is
+    *      bounded (nLists × dim — the same posture as ivfTopK's collect),
+    *      so it is inlined as literal vectors and each probe row ranks
+    *      them with one array_sort, no shuffle, no window.
+    *   2. Candidate generation is one equi-join on the list id —
+    *      `broadcastCorpus` picks which side broadcasts (the indexed
+    *      corpus for all-users × small-catalog MIPS; the probe panel for
+    *      small-panel × big-corpus retrieval), so the data-sized side
+    *      never shuffles.
+    *   3. Per-probe top-k is [[graft.functions.TopKPairs]] — map-side
+    *      partial aggregation keeps k survivors per probe per partition,
+    *      so the only exchange carries |probes| × k rows, never the
+    *      probes × candidates stream a window would shuffle.
+    *
+    * `mips = true` ranks lists by MAXIMUM centroid dot product (the
+    * standard IVF-for-inner-product probe heuristic — recommendation
+    * scores are dots, not distances); `false` ranks by squared L2 like
+    * [[ivfTopK]]. `scoreOf` computes the final candidate score (raw dot
+    * for MIPS re-rank; rounded cosine for retrieval panels).
+    *
+    * Returns (probe_id, rk 1..k, score, vec_id), deterministically
+    * ordered per probe by (score DESC, vec_id ASC). */
+  def ivfTopKAll(index: IvfIndex, probes: DataFrame, k: Int, nProbe: Int,
+      mips: Boolean, scoreOf: (Column, Column) => Column,
+      excludeSelf: Boolean = false, broadcastCorpus: Boolean = true)
+      : DataFrame = {
+    val cents = index.centroids.select(col("cid"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val listStructs = cents.map { case (cid, v) =>
+      val c = typedLit(v)
+      // negate dots so ascending array_sort yields best-first in both modes
+      val d = if (mips) -dot(col("probe_e"), c)
+              else Clustering.sqDist(col("probe_e"), c)
+      struct(d.as("d"), lit(cid).as("cid"))
+    }
+    val probed = probes.select(col("probe_id"), col("probe_e"))
+      .withColumn("graft_cid",
+        explode(transform(
+          slice(array_sort(array(listStructs.toIndexedSeq: _*)), 1, nProbe),
+          e => e.getField("cid"))))
+    val corpus = index.assigned
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+    val cand =
+      if (broadcastCorpus)
+        probed.join(broadcast(corpus), col("graft_cid") === col("cluster"))
+      else broadcast(probed).join(corpus, col("graft_cid") === col("cluster"))
+    val scored = (if (excludeSelf)
+        cand.filter(col("vec_id") =!= col("probe_id"))
+      else cand)
+      .select(col("probe_id"), col("vec_id"),
+        scoreOf(col("probe_e"), col("embedding")).as("score"))
+    val topk = udaf(new graft.functions.TopKPairs(k))
+    scored.groupBy("probe_id")
+      .agg(topk(col("score"), col("vec_id")).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("probe_id"), (col("i") + 1).as("rk"),
+        col("p").getField("_1").as("score"),
+        col("p").getField("_2").as("vec_id"))
   }
 
   /** A built product-quantization index: the grouped codebook table

@@ -421,6 +421,60 @@ object EvalQueries {
         / count(lit(1)) / 1000000000L, 6).as("recall_at_10"))
   }
 
+  /** MAP / precision / recall at k=10 over the SAME retrieval panel as
+    * q_map_at_k, but with the candidate scan pruned through the shared
+    * trained-IVF index (`warm:ann_indexes` — identical build params to
+    * q_sim_trained_ivf): each panel query scores only nProbe of the
+    * index's lists instead of the full corpus, which is what turns the
+    * panel × corpus evaluation cross (42× at the sf0.1→sf1 decade) into
+    * a fixed-fraction scan. The small probe panel broadcasts; the
+    * corpus side never shuffles; per-query top-10 is map-side
+    * ([[graft.functions.TopKPairs]]). The metric denominators (per-label
+    * relevant counts) stay EXACT over the full corpus, so the readout is
+    * "ANN retrieval quality measured against the true relevance sets" —
+    * the honest eval — and its delta vs the exhaustive q_map_at_k is
+    * pinned in PipelineSpec. Seeded-Lloyd index → rows-only. */
+  val qMapAtKAnn = Q.noOracle("q_map_at_k_ann") { (s, d) =>
+    val embs = t(s, d, "embeddings")
+    val index = graft.llm.SimSearch.ivfIndexCached(embs, d, nLists = 8,
+      lloydIters = 2)
+    val probes = embs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_e"))
+    val top10 = graft.llm.SimSearch.ivfTopKAll(index, probes, k = 10,
+      nProbe = 3, mips = false,
+      scoreOf = (a, b) => round(graft.llm.Dedup.cosine(a, b), 4),
+      excludeSelf = true, broadcastCorpus = false)
+    // relevance/label joins run on the |panel|×10 survivor rows
+    val labels = embs.select(col("vec_id"), col("label"))
+    val nl = embs.groupBy("label").agg(count(lit(1)).as("n_label"))
+    val cum = Window.partitionBy("qid").orderBy("rk")
+    val ranked = top10
+      .join(labels.withColumnRenamed("vec_id", "probe_id")
+        .withColumnRenamed("label", "q_label"), "probe_id")
+      .join(labels, "vec_id")
+      .select(col("probe_id").as("qid"), col("q_label"),
+        col("rk").cast(LongType).as("rk"),
+        when(col("label") === col("q_label"), 1).otherwise(0).as("is_rel"))
+      .withColumn("hits", sum(col("is_rel")).over(cum))
+    val perq = ranked
+      .join(broadcast(nl.withColumnRenamed("label", "nl_label")),
+        col("q_label") === col("nl_label"))
+      .groupBy("qid")
+      .agg(
+        sum(when(col("is_rel") === 1,
+          expr("(hits * 1000000000) DIV rk")).otherwise(0L)).as("ap9_num"),
+        max(col("hits")).as("hits10"),
+        least(max(col("n_label")) - 1, lit(10)).as("r10"))
+    perq.agg(
+      count(lit(1)).as("n_queries"),
+      round(sum(expr("ap9_num DIV r10")).cast(DoubleType)
+        / count(lit(1)) / 1000000000L, 6).as("map_at_10"),
+      round(sum(col("hits10")).cast(DoubleType) / count(lit(1)) / 10, 6)
+        .as("precision_at_10"),
+      round(sum(expr("(hits10 * 1000000000) DIV r10")).cast(DoubleType)
+        / count(lit(1)) / 1000000000L, 6).as("recall_at_10"))
+  }
+
   /** Feature screening: point-biserial correlation of each candidate
     * numeric feature (order value, line count, total quantity) with the
     * urgent-priority label — the one-pass filter ranking features before
@@ -1717,7 +1771,8 @@ object EvalQueries {
   }
 
   val all: Seq[Q] = Seq(qIsotonic, qAuc, qLiftDeciles, qConfusionMatrix,
-    qCalibration, qMrr, qIpsEstimate, qMapAtK, qFeatureCorrTarget,
+    qCalibration, qMrr, qIpsEstimate, qMapAtK, qMapAtKAnn,
+    qFeatureCorrTarget,
     qAucByGroup, qPrCurve, qKsModel, qBrierDecomp, qRegressionMetrics,
     qChi2FeatureSelect, qInfoGain, qDecisionStump, qCramersMatrix, qVif,
     qFairnessClf, qOddsRatioCi, qHosmerLemeshow, qUpliftDeciles)

@@ -16,8 +16,12 @@ class ContractSpec extends SparkTestBase {
     val qk = SparkEntry.queries.keySet
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(qk.contains(k), s"oracle without query: $k")
-      assert(sql.trim.toUpperCase.startsWith("SELECT") ||
-        sql.trim.toUpperCase.startsWith("WITH"), s"odd oracle for $k")
+      // leading `--` lines are legal SQL (the ApproxGate-gated queries
+      // open with an oracle-scale-semantics note); the body must follow
+      val body = sql.trim.linesIterator
+        .dropWhile(_.trim.startsWith("--")).mkString("\n").trim
+      assert(body.toUpperCase.startsWith("SELECT") ||
+        body.toUpperCase.startsWith("WITH"), s"odd oracle for $k")
     }
   }
 

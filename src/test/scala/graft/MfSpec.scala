@@ -344,6 +344,30 @@ class MfSpec extends SparkTestBase {
     assert(d1.dropDuplicates("user_id", "event_type").count() == d1.count())
   }
 
+  test("q_mf_topk_recs_ann agrees with recommendForAllUsers at fixture scale") {
+    // At fixture scale the adaptive index has 4 lists and nProbe covers
+    // all of them, so the ANN path scores the full catalog with exact
+    // double dots — agreement with MLlib's float-BLAS cartesian should
+    // be near-total (measured 1.0/1.0; the margin absorbs float-vs-
+    // double near-ties, not a recall shortfall).
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "rank", "item_id").collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).intValue, r.getLong(2)))
+    val e = rows(operators.MfQueries.qMfTopkRecs.run(spark, sf))
+    val a = rows(operators.MfQueries.qMfTopkRecsAnn.run(spark, sf))
+    assert(e.map(_._1).toSet == a.map(_._1).toSet,
+      "ANN path must cover exactly the users the exact path covers")
+    val eTop = e.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    val aTop = a.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    val agree = eTop.count { case (u, i) => aTop.get(u).contains(i) }
+      .toDouble / eTop.size
+    assert(agree >= 0.95, s"top-1 agreement $agree")
+    val eSet = e.map(t => (t._1, t._3)).toSet
+    val aSet = a.map(t => (t._1, t._3)).toSet
+    val recall = (eSet & aSet).size.toDouble / eSet.size
+    assert(recall >= 0.9, s"recall@3 $recall")
+  }
+
   test("q_mf_item_sim: 5 ranked similar items per seed, scores in [-1,1]") {
     val rows = operators.MfQueries.qMfItemSim.run(spark, sf).collect()
     assert(rows.length == 25)
