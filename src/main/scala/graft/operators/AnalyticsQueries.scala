@@ -429,6 +429,24 @@ object AnalyticsQueries {
     // O(1) as the catalog grows (25 brands × 10 sizes × ~10^k keys/pass).
     val n = rawPart.count()
     val k = math.max(0, math.ceil(math.log10(n / 50000.0)).toInt)
+    fuzzyBlockedPairs(rawPart, k).orderBy("pk_a", "pk_b")
+  }
+
+  /** Multi-pass (prefix-k ∪ suffix-k) blocked edit-distance pairs —
+    * q_fuzzy_join's candidate generator, parameterized by the blocking
+    * width so its recall contract is testable directly.
+    *
+    * KNOWN RECALL BOUND (k ≥ 1): a pair within edit distance 3 that
+    * changes BOTH its first k and its last k characters matches neither
+    * pass and is dropped — e.g. k = 1, "aqua bolt x" vs "zqua bolt z"
+    * (distance 2, edits at both ends). AnalyticsSpec pins this class
+    * with a planted pair; the blocking is measured lossless on the sf1
+    * catalog (0 of 2,503,354 survivors lost — its edits concentrate at
+    * one end), and at every oracle scale k = 0 makes both keys empty,
+    * i.e. exact. The oracle SQL computes the same k from the same
+    * count, so both engines block identically at every scale. */
+  private[graft] def fuzzyBlockedPairs(rawPart: DataFrame,
+      k: Int): DataFrame = {
     val part = rawPart
       .select(col("p_partkey"), col("p_brand"),
         (col("p_size") % 10).as("blk"),
@@ -447,7 +465,6 @@ object AnalyticsQueries {
     }
     // dist is a pure function of the pair, so pair-dedup ≡ row-distinct
     pass("pfx").unionByName(pass("sfx")).distinct()
-      .orderBy("pk_a", "pk_b")
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic between the value

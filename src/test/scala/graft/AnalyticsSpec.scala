@@ -139,6 +139,40 @@ class AnalyticsSpec extends SparkTestBase {
     assert(got.nonEmpty)
   }
 
+  test("fuzzy blocking at k>=1: catches middle edits, provably drops the " +
+      "both-ends miss class (the documented recall bound)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val parts = Seq(
+      // middle-edit pair: prefix 'a' and suffix 'z' agree -> caught
+      (1L, "Brand#11", 3, "aqua Xolt z"),
+      (2L, "Brand#11", 3, "aqua Yolt z"),
+      // both-ends pair: distance 2 (<=3) but first AND last char edited
+      // -> neither the prefix-1 nor the suffix-1 pass can block it
+      (3L, "Brand#11", 3, "aqua bolt x"),
+      (4L, "Brand#11", 3, "zqua bolt z"),
+      // control far pair in the same block
+      (5L, "Brand#11", 3, "chartreuse sprocket q")
+    ).toDF("p_partkey", "p_brand", "p_size", "p_name")
+    val got = operators.AnalyticsQueries.fuzzyBlockedPairs(parts, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), "middle-edit pair must be caught")
+    assert(!got.contains((3L, 4L)),
+      "the both-ends pair is the DOCUMENTED miss class — if a third " +
+        "pass ever closes it, update the recall-bound Scaladoc and SCALE.md")
+    // sanity: dist(3,4) really is within the radius, so the miss is the
+    // blocking's doing, not the distance filter's
+    val d34 = parts.as("a").crossJoin(parts.as("b"))
+      .filter($"a.p_partkey" === 3 && $"b.p_partkey" === 4)
+      .select(levenshtein($"a.p_name", $"b.p_name")).head().getInt(0)
+    assert(d34 <= 3, s"planted pair distance $d34")
+    // and at k = 0 (every oracle scale) the same pair IS found: k = 0 is
+    // exact blocking by construction
+    val k0 = operators.AnalyticsQueries.fuzzyBlockedPairs(parts, k = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k0.contains((3L, 4L)) && k0.contains((1L, 2L)))
+  }
+
   test("q_ks_test equals the brute-force two-sample KS statistic") {
     val row = AnalyticsQueries.qKsTest.run(spark, sf).collect().head
     val ev = Tables.load(spark, sf, "events")
