@@ -29,6 +29,10 @@ object Bench {
       // accumulated state of early queries from taxing late ones.
       .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.ui.retainedExecutions", "50")
+      // see Verify.session: keep typed top-k aggregations hash-based
+      // past 128 distinct group keys
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=q1,q2 benches a subset (repeats allowed via

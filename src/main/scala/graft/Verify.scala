@@ -15,6 +15,14 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // Typed Aggregators (TopKPairs, TopKSketch) keep constant-size
+      // buffers per group; the default 128-distinct-keys fallback demotes
+      // a per-user top-k over 100k+ users from hash to SORT-BASED
+      // aggregation — i.e. sorts the full candidate stream, exactly the
+      // shuffle-volume blowup the map-side top-k exists to avoid. 1M keys
+      // of ≤k-pair buffers is a few MB of execution memory.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

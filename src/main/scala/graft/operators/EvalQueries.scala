@@ -436,7 +436,16 @@ object EvalQueries {
     * pinned in PipelineSpec. Seeded-Lloyd index → rows-only. */
   val qMapAtKAnn = Q.noOracle("q_map_at_k_ann") { (s, d) =>
     val embs = t(s, d, "embeddings")
-    val index = graft.llm.SimSearch.ivfIndexCached(embs, d, nLists = 8,
+    // List count scales with the corpus (~250 vectors/list, min 8) so
+    // the probed fraction SHRINKS as data grows — candidates per query
+    // stay O(nProbe × 250) and the panel×corpus cross never returns
+    // (fixed nLists measured 12.3× at the sf0.1→sf1 decade; adaptive
+    // lists put the growth back on the panel dimension alone). At the
+    // driver's oracle/bench scales (≤2k vectors) this is exactly the
+    // nLists = 8 index `warm:ann_indexes` builds, so the memo is shared.
+    val nLists = math.max(8,
+      math.min(512, math.round(embs.count() / 250.0).toInt))
+    val index = graft.llm.SimSearch.ivfIndexCached(embs, d, nLists,
       lloydIters = 2)
     val probes = embs.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_e"))
