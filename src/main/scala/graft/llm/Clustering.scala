@@ -126,6 +126,85 @@ object Clustering {
     cents
   }
 
+  /** Nearest-centroid assignment for LARGE k: the [[assign]] crossJoin
+    * materializes points × k distance ROWS (8 G rows at 2 M points ×
+    * 4096 lists — the flat-IVF build wall), while the same math is a
+    * points × k matrix product. This form broadcasts the centroid
+    * matrix (k × dim doubles — ≤4096 × 8 ≈ 256 KB, bounded by the
+    * caller's list cap) and runs the argmin as ONE narrow mapPartitions
+    * pass of tight double loops: no join, no shuffle, no per-candidate
+    * row. The documented mapPartitions exception class (dense numeric
+    * block work, like the fold-in ridge solves).
+    *
+    * Determinism: same (d2, cid) argmin order as [[assign]] with d2
+    * rounded at 1e-6; the rounding is math.rint (half-even) rather than
+    * Spark round's half-up — they differ only for d2 landing EXACTLY on
+    * a .5 × 1e-6 boundary, and the cid tie-break keeps even that case
+    * deterministic. Returns (`idCol`, cluster, d2). */
+  def assignGemm(points: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cents = centroids.select(col("cid"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    points.select(col(idCol).cast(LongType),
+        col(vecCol).cast(org.apache.spark.sql.types.ArrayType(DoubleType)))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var best = Long.MaxValue; var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < cs.length) {
+            val c = cs(ci)._2
+            var d = 0.0; var j = 0
+            while (j < v.length) {
+              val diff = v(j) - c(j); d += diff * diff; j += 1
+            }
+            val d6 = math.rint(d * 1e6) / 1e6
+            if (d6 < bestD) { bestD = d6; best = cs(ci)._1 }
+            ci += 1
+          }
+          (id, best, bestD)
+        }
+      }
+      .toDF(idCol, "cluster", "d2")
+  }
+
+  /** Lloyd k-means for LARGE k: centroids trained on a deterministic
+    * hash-sample (≈ `samplePerList` points per centroid — the standard
+    * IVF practice: the quantizer needs the distribution, not the
+    * corpus), every assignment pass through [[assignGemm]]. Build cost
+    * is O(sample × k) matrix math plus one final full-corpus gemm
+    * assign by the caller — never a points × k row materialization.
+    * Same lowest-id seeding and mean update as [[lloyd]]. */
+  def lloydGemm(points: DataFrame, idCol: String, vecCol: String, k: Int,
+      iterations: Int, samplePerList: Int = 200): DataFrame = {
+    val pts = points.select(col(idCol), col(vecCol))
+    val n = pts.count()
+    val target = k.toLong * samplePerList
+    val sample = if (n <= target) pts
+      else pts.filter(pmod(xxhash64(col(idCol)), lit(math.max(1L, n / target)))
+        === 0)
+    var cents = seedCentroids(sample, idCol, vecCol, k)
+    var i = 0
+    while (i < iterations) {
+      cents = assignGemm(sample, idCol, vecCol, cents)
+        .join(sample, idCol)
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(avg(col("x").cast(DoubleType)).as("m"))
+        .groupBy(col("cluster").as("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("cvec"))
+      i += 1
+    }
+    cents
+  }
+
   /** Within-cluster sum of squared distances (the Lloyd objective). */
   def wcss(points: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): Double =

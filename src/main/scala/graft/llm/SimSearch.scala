@@ -283,6 +283,168 @@ object SimSearch {
         col("p").getField("_2").as("vec_id"))
   }
 
+  /** IVF index build for LARGE list counts: centroids from the sampled
+    * [[Clustering.lloydGemm]], full-corpus assignment through
+    * [[Clustering.assignGemm]] — the whole build is O(corpus × dim × k)
+    * matrix math in narrow passes, never the corpus × k candidate-ROW
+    * materialization that walls the crossJoin build past ~512 lists
+    * (2 M items × 4096 lists = 8 G rows). Same IvfIndex contract. */
+  def buildIvfIndexGemm(embs: DataFrame, nLists: Int,
+      lloydIters: Int = 2): IvfIndex = {
+    val pts = embs.select(col("vec_id"), col("embedding"))
+    val cents = Clustering.lloydGemm(pts, "vec_id", "embedding", nLists,
+      lloydIters).localCheckpoint()
+    val assigned = Clustering.assignGemm(pts, "vec_id", "embedding", cents)
+      .join(pts, "vec_id").localCheckpoint()
+    IvfIndex(cents, assigned)
+  }
+
+  /** Memoized [[buildIvfIndexGemm]] (same cache/eviction semantics as
+    * [[ivfIndexCached]]; key space disjoint via the #gemm suffix). */
+  def ivfIndexGemmCached(embs: DataFrame, dataKey: String, nLists: Int,
+      lloydIters: Int): IvfIndex = synchronized {
+    memoized(ivfCache,
+      (embs.sparkSession, dataKey + "#gemm", nLists, lloydIters))(
+      buildIvfIndexGemm(embs, nLists, lloydIters))(
+      idx => checkpointedIds(idx.centroids, idx.assigned))
+  }
+
+  /** All-probes MIPS top-k as BLOCKED MATRIX WORK — the serving shape
+    * that survives the scale where [[ivfTopKAll]]'s row-per-candidate
+    * form stops being runnable. At 2 M items / 4096 lists / 1 M+ users,
+    * the row form materializes ~10¹⁰ scored join rows; this form moves
+    * only factors: probe factors shuffle once on their probed list id
+    * (|probes| × nProbe small rows), each list's item block is
+    * assembled once, and the scoring is a users × items × dim
+    * triple loop per (list) cogroup — the same blocked-GEMM design
+    * MLlib's recommendForAllUsers uses, restricted to the nProbe probed
+    * lists per user. RDD cogroup is deliberate (the documented
+    * exception class: dense numeric block work); everything around it
+    * stays DataFrame.
+    *
+    * Stages: (1) one narrow mapPartitions ranks the broadcast centroid
+    * matrix per probe (k × dim ≤ 4096 × dim doubles — bounded) and
+    * emits (list, probe, factor); (2) cogroup by list id scores each
+    * list's user block against its item block with an insertion top-k
+    * per user (items iterated in ascending id order — deterministic);
+    * (3) reduceByKey merges the ≤ nProbe per-list top-ks per user
+    * (map-side combine: only |users| × k survivors shuffle).
+    *
+    * Determinism: double dots in fixed item order, ties broken by
+    * ascending item id at every stage. Returns (probe_id, rk, score,
+    * vec_id) like [[ivfTopKAll]]. */
+  def mipsGemmTopKAll(index: IvfIndex, probes: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val spark = probes.sparkSession
+    import spark.implicits._
+    val cents = index.centroids.select(col("cid"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val probeRdd = probes
+      .select(col("probe_id").cast(LongType),
+        col("probe_e").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+      .as[(Long, Array[Double])].rdd
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        val np = math.min(nProbe, cs.length)
+        it.flatMap { case (uid, uf) =>
+          // top-nProbe lists by centroid dot (IVF-for-MIPS ranking)
+          val best = new Array[(Double, Long)](np)
+          var filled = 0
+          var ci = 0
+          while (ci < cs.length) {
+            val c = cs(ci)._2
+            var d = 0.0; var j = 0
+            while (j < uf.length) { d += uf(j) * c(j); j += 1 }
+            val cand = (d, cs(ci)._1)
+            if (filled < np) {
+              best(filled) = cand; filled += 1
+              var b = filled - 1 // keep sorted desc by (d, then asc cid)
+              while (b > 0 && (best(b)._1 > best(b - 1)._1 ||
+                  (best(b)._1 == best(b - 1)._1 &&
+                    best(b)._2 < best(b - 1)._2))) {
+                val t = best(b); best(b) = best(b - 1); best(b - 1) = t
+                b -= 1
+              }
+            } else if (cand._1 > best(np - 1)._1 ||
+                (cand._1 == best(np - 1)._1 &&
+                  cand._2 < best(np - 1)._2)) {
+              best(np - 1) = cand
+              var b = np - 1
+              while (b > 0 && (best(b)._1 > best(b - 1)._1 ||
+                  (best(b)._1 == best(b - 1)._1 &&
+                    best(b)._2 < best(b - 1)._2))) {
+                val t = best(b); best(b) = best(b - 1); best(b - 1) = t
+                b -= 1
+              }
+            }
+            ci += 1
+          }
+          (0 until filled).iterator.map(i => (best(i)._2, (uid, uf)))
+        }
+      }
+    val itemRdd = index.assigned
+      .select(col("cluster").cast(LongType),
+        col("vec_id").cast(LongType),
+        col("embedding").cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+      .as[(Long, Long, Array[Double])].rdd
+      .map { case (cid, iid, f) => (cid, (iid, f)) }
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    def mergeTopK(a: Array[(Double, Long)],
+        b: Array[(Double, Long)]): Array[(Double, Long)] = {
+      val out = new Array[(Double, Long)](math.min(k, a.length + b.length))
+      var (i, j, n) = (0, 0, 0)
+      while (n < out.length) {
+        val takeA = j >= b.length || (i < a.length &&
+          (a(i)._1 > b(j)._1 ||
+            (a(i)._1 == b(j)._1 && a(i)._2 < b(j)._2)))
+        if (takeA) { out(n) = a(i); i += 1 } else { out(n) = b(j); j += 1 }
+        n += 1
+      }
+      out
+    }
+    val top = probeRdd.cogroup(itemRdd, parts).flatMap {
+      case (_, (us, is)) =>
+        val items = is.toArray.sortBy(_._1) // ascending id: fixed order
+        if (items.isEmpty) Iterator.empty
+        else us.iterator.map { case (uid, uf) =>
+          val kk = math.min(k, items.length)
+          val best = new Array[(Double, Long)](kk)
+          var filled = 0
+          var ii = 0
+          while (ii < items.length) {
+            val (iid, f) = items(ii)
+            var d = 0.0; var j = 0
+            while (j < uf.length) { d += uf(j) * f(j); j += 1 }
+            if (filled < kk ||
+                d > best(kk - 1)._1 ||
+                (d == best(kk - 1)._1 && iid < best(kk - 1)._2)) {
+              val at = if (filled < kk) { filled += 1; filled - 1 }
+                       else kk - 1
+              best(at) = (d, iid)
+              var b = at
+              while (b > 0 && (best(b)._1 > best(b - 1)._1 ||
+                  (best(b)._1 == best(b - 1)._1 &&
+                    best(b)._2 < best(b - 1)._2))) {
+                val t = best(b); best(b) = best(b - 1); best(b - 1) = t
+                b -= 1
+              }
+            }
+            ii += 1
+          }
+          (uid, best.take(filled))
+        }
+    }.reduceByKey(mergeTopK(_, _), parts)
+    top.flatMap { case (uid, recs) =>
+      recs.iterator.zipWithIndex.map { case ((score, iid), i) =>
+        (uid, i + 1, score, iid)
+      }
+    }.toDF("probe_id", "rk", "score", "vec_id")
+  }
+
   /** A built product-quantization index: the grouped codebook table
     * (s, cid, cvec — m × `codebookSize` × `subDim`, tiny) plus the code
     * table storing every vector as `m` small codes. The code table is

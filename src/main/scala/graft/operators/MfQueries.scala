@@ -101,13 +101,13 @@ object MfQueries {
         transform(col("features"), x => x.cast("double")).as("embedding"))
 
   private def itemIvfLists(nItems: Long): Int =
-    math.max(4, math.min(512, math.round(nItems / 500.0).toInt))
+    math.max(4, math.min(4096, math.round(nItems / 500.0).toInt))
 
   private[graft] def itemIvf(s: org.apache.spark.sql.SparkSession,
       d: String): (graft.llm.SimSearch.IvfIndex, Int) = {
     val items = itemFactorFrame(s, d)
     val nLists = itemIvfLists(items.count())
-    (graft.llm.SimSearch.ivfIndexCached(items, d + "#item_factors",
+    (graft.llm.SimSearch.ivfIndexGemmCached(items, d + "#item_factors",
       nLists, lloydIters = 2), nLists)
   }
 
@@ -119,26 +119,26 @@ object MfQueries {
     * `q_mf_topk_recs`: MLlib's `recommendForAllUsers` scores every
     * user against every item (a blocked cartesian — the registry's one
     * remaining cartesian, 94× at the sf0.1→sf1 decade), while this path
-    * probes a trained-IVF index over the item factors (built once,
-    * `warm:item_ivf`) so each user scores only nProbe lists of ~500
-    * candidates: probe lists ranked by max centroid dot (the
-    * IVF-for-MIPS heuristic), exact double-dot re-rank inside the
-    * probed lists, map-side top-k ([[graft.functions.TopKPairs]]) so
-    * the only shuffle carries |users| × k rows. At fixture scales
-    * nProbe covers every list, so the candidate set is the full catalog
-    * and the ranking is exhaustive; MfSpec pins agreement vs
-    * `recommendForAllUsers` there and GenData ladder rows bound the
-    * scaling. ALS-dependent floats → rows-only; the exact
+    * probes a trained-IVF index over the item factors (sampled-Lloyd
+    * training + gemm assignment, built once as `warm:item_ivf`) so each
+    * user scores only nProbe lists of ~500 candidates. Scoring is
+    * [[graft.llm.SimSearch.mipsGemmTopKAll]]: probe lists ranked by max
+    * centroid dot against the broadcast centroid matrix (narrow), then
+    * blocked matrix work per probed list (the recommendForAllUsers
+    * design restricted to nProbe lists), merged map-side so the only
+    * data-sized shuffle carries factor rows, never scored candidates.
+    * At fixture scales nProbe covers every list, so the candidate set
+    * is the full catalog and the ranking is exhaustive; MfSpec pins
+    * agreement vs `recommendForAllUsers` there and GenData ladder rows
+    * bound the scaling. ALS-dependent floats → rows-only; the exact
     * `q_mf_topk_recs` stays registered as the paper-fidelity variant. */
   val qMfTopkRecsAnn = Q.noOracle("q_mf_topk_recs_ann") { (s, d) =>
     val (index, nLists) = itemIvf(s, d)
     val probes = AlsEngine.trainCachedOnRatingsView(s, d).userFactors
       .select(col("id").cast(LongType).as("probe_id"),
         transform(col("features"), x => x.cast("double")).as("probe_e"))
-    graft.llm.SimSearch.ivfTopKAll(index, probes, k = 3,
-      nProbe = math.min(nLists, 8), mips = true,
-      scoreOf = graft.functions.VectorFunctions.dot,
-      excludeSelf = false, broadcastCorpus = true)
+    graft.llm.SimSearch.mipsGemmTopKAll(index, probes, k = 3,
+      nProbe = math.min(nLists, 8))
       .select(col("probe_id").as("user_id"), col("rk").as("rank"),
         col("vec_id").as("item_id"))
       .orderBy("user_id", "rank")

@@ -712,4 +712,107 @@ class StreamingSpec extends SparkTestBase {
         sum(col("v6").cast(big38) * col("v6")).cast(big38).as("svv"))
     assert(r4.exceptAll(direct).isEmpty && direct.exceptAll(r4).isEmpty)
   }
+
+  /** The sf1 streaming ladder leg (VERDICT r11 task 5), opt-in via
+    * SPARK_GRAFT_STREAM_SF1=1 like PlanDriftSpec's big legs: replay the
+    * three real incremental maintainers plus the state-store-backed
+    * tumbling aggregation against the 1 M-event GenData fixture under
+    * RocksDB, assert every final state equals its batch recompute (the
+    * oracle semantics, now proven one decade past the driver's scale),
+    * and report per-batch trigger latencies from the engine's own
+    * StreamingQueryProgress plus the on-disk state size per maintainer. */
+  test("sf1 streaming ladder leg: 1M-event replays under RocksDB match " +
+      "their batch recomputes (opt-in)") {
+    assume(sys.env.get("SPARK_GRAFT_STREAM_SF1").contains("1"),
+      "set SPARK_GRAFT_STREAM_SF1=1 (and generate target/sf1) to run")
+    val sf1 = "target/sf1"
+    assume(new java.io.File(s"$sf1/events.parquet").exists,
+      "target/sf1 not generated")
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val batches = collection.mutable.ArrayBuffer[(Long, Long)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        batches.synchronized {
+          batches += ((e.progress.batchId,
+            Option(e.progress.durationMs.get("triggerExecution"))
+              .map(_.longValue).getOrElse(-1L)))
+        }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    def dirMb(p: String): Double = {
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(root)) 0.0
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum / 1e6
+        finally s.close()
+      }
+    }
+    def stamp(name: String, stateDir: Option[String])(
+        body: => org.apache.spark.sql.DataFrame)
+        (oracle: => org.apache.spark.sql.DataFrame): Unit = {
+      batches.synchronized(batches.clear())
+      val t0 = System.nanoTime()
+      val out = body.cache()
+      val n = out.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val perBatch = batches.synchronized(
+        batches.sortBy(_._1).map(_._2).mkString("[", ",", "]"))
+      val state = stateDir.map(d => f"${dirMb(d)}%.1f MB state").getOrElse("")
+      info(f"$name: $dt%.1f s, $n rows, per-batch trigger ms $perBatch $state")
+      val want = oracle
+      assert(out.exceptAll(want).isEmpty && want.exceptAll(out).isEmpty,
+        s"$name final state diverged from the batch recompute at sf1")
+      out.unpersist(); ()
+    }
+    val work = java.nio.file.Files
+      .createTempDirectory("stream_sf1_ladder").toString
+    val ev = Tables.tsAsTimestamp(Tables.load(spark, sf1, "events"))
+    spark.streams.addListener(listener)
+    try underRocksDb {
+      stamp("tumbling_counts(state-store)", None) {
+        StreamOps.runToCompletion(StreamOps.tumblingCounts(
+          StreamOps.replayEvents(spark, sf1), "1 hour", "10 minutes"))
+          .select(col("window_start"), col("event_type"), col("cnt"))
+      } {
+        ev.groupBy(window(col("ts"), "1 hour").getField("start")
+            .as("window_start"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      stamp("incr_daily_counts", Some(s"$work/incr")) {
+        StreamOps.incrementalDailyCounts(spark, sf1, s"$work/incr")
+      } {
+        ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+      stamp("incr_checksum", Some(s"$work/cksum")) {
+        StreamOps.incrementalChecksum(spark, sf1, s"$work/cksum")
+      } {
+        val mod = 1099511627776L
+        ev.select(col("event_type"),
+            conv(substring(md5(concat_ws("|", col("event_id"),
+              col("user_id"), col("event_type"), unix_micros(col("ts")))),
+              1, 15), 16, 10).cast("long").as("h"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            (sum(col("h") % mod) % mod).cast("long").as("sum_hash"),
+            bit_xor(col("h")).as("xor_hash"))
+      }
+      stamp("incr_upsert", Some(s"$work/upsert")) {
+        StreamOps.incrementalUpsert(spark, sf1, s"$work/upsert")
+      } {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("us").desc, col("event_id").desc)
+        ev.select(col("user_id"), col("event_type").as("state"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .select("user_id", "state", "us")
+      }
+    } finally spark.streams.removeListener(listener)
+  }
 }
