@@ -128,6 +128,11 @@ object Bench {
           lloydIters = 2)
         llm.SimSearch.pqIndexCached(embs, sfDir, dims = 64, m = 16,
           codebookSize = 32, lloydIters = 2)
+        // q_map_at_k_ann's corpus-adaptive gemm index (= 8 lists at
+        // every driver scale; bigger corpora size it ~250 vectors/list)
+        val nl = math.max(8,
+          math.min(4096, math.round(embs.count() / 250.0).toInt))
+        llm.SimSearch.ivfIndexGemmCached(embs, sfDir, nl, lloydIters = 2)
         ()
       }))
     val warmups: Seq[(String, () => Unit)] =

@@ -182,7 +182,11 @@ object Clustering {
     * Same lowest-id seeding and mean update as [[lloyd]]. */
   def lloydGemm(points: DataFrame, idCol: String, vecCol: String, k: Int,
       iterations: Int, samplePerList: Int = 200): DataFrame = {
-    val pts = points.select(col(idCol), col(vecCol))
+    // double vectors throughout: float inputs (e.g. the embeddings
+    // table) would otherwise surface as float cvec from the seed pass
+    // and break the collected-centroid math
+    val pts = points.select(col(idCol),
+      col(vecCol).cast(ArrayType(DoubleType)).as(vecCol))
     val n = pts.count()
     val target = k.toLong * samplePerList
     val sample = if (n <= target) pts

@@ -334,7 +334,25 @@ object SimSearch {
     * ascending item id at every stage. Returns (probe_id, rk, score,
     * vec_id) like [[ivfTopKAll]]. */
   def mipsGemmTopKAll(index: IvfIndex, probes: DataFrame, k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int): DataFrame =
+    gemmTopKAll(index, probes, k, nProbe, cosine = false,
+      excludeSelf = false)
+
+  /** Cosine-retrieval twin of [[mipsGemmTopKAll]] — the same blocked
+    * per-list matrix scoring, with probe lists ranked by squared-L2 to
+    * the centroid (the [[ivfTopK]] ranking) and candidates scored by
+    * cosine rounded at 1e-4 (the [[cosineTopK]] ranking resolution).
+    * For retrieval panels too big for the literal-centroid row form —
+    * at 512 lists × 64 dims the inlined-centroid expression leaves
+    * whole-stage codegen and the crossJoin index build materializes
+    * corpus × nLists rows (q_map_at_k_ann measured 203 s at sf10;
+    * this form measures the same panel in seconds). */
+  def cosineGemmTopKAll(index: IvfIndex, probes: DataFrame, k: Int,
+      nProbe: Int, excludeSelf: Boolean = true): DataFrame =
+    gemmTopKAll(index, probes, k, nProbe, cosine = true, excludeSelf)
+
+  private def gemmTopKAll(index: IvfIndex, probes: DataFrame, k: Int,
+      nProbe: Int, cosine: Boolean, excludeSelf: Boolean): DataFrame = {
     val spark = probes.sparkSession
     import spark.implicits._
     val cents = index.centroids.select(col("cid"), col("cvec")).collect()
@@ -350,14 +368,21 @@ object SimSearch {
         val cs = bcCents.value
         val np = math.min(nProbe, cs.length)
         it.flatMap { case (uid, uf) =>
-          // top-nProbe lists by centroid dot (IVF-for-MIPS ranking)
+          // list ranking: max dot for MIPS, min squared-L2 for cosine
+          // retrieval (negated so both maximize)
           val best = new Array[(Double, Long)](np)
           var filled = 0
           var ci = 0
           while (ci < cs.length) {
             val c = cs(ci)._2
             var d = 0.0; var j = 0
-            while (j < uf.length) { d += uf(j) * c(j); j += 1 }
+            if (cosine) {
+              while (j < uf.length) {
+                val diff = uf(j) - c(j); d -= diff * diff; j += 1
+              }
+            } else {
+              while (j < uf.length) { d += uf(j) * c(j); j += 1 }
+            }
             val cand = (d, cs(ci)._1)
             if (filled < np) {
               best(filled) = cand; filled += 1
@@ -409,19 +434,38 @@ object SimSearch {
     val top = probeRdd.cogroup(itemRdd, parts).flatMap {
       case (_, (us, is)) =>
         val items = is.toArray.sortBy(_._1) // ascending id: fixed order
+        // per-block item norms, computed once (cosine mode only)
+        val norms = if (!cosine) null else items.map { case (_, f) =>
+          var s = 0.0; var j = 0
+          while (j < f.length) { s += f(j) * f(j); j += 1 }
+          math.sqrt(s)
+        }
         if (items.isEmpty) Iterator.empty
         else us.iterator.map { case (uid, uf) =>
+          val un = if (!cosine) 0.0 else {
+            var s = 0.0; var j = 0
+            while (j < uf.length) { s += uf(j) * uf(j); j += 1 }
+            math.sqrt(s)
+          }
           val kk = math.min(k, items.length)
           val best = new Array[(Double, Long)](kk)
           var filled = 0
           var ii = 0
           while (ii < items.length) {
             val (iid, f) = items(ii)
-            var d = 0.0; var j = 0
-            while (j < uf.length) { d += uf(j) * f(j); j += 1 }
-            if (filled < kk ||
+            var d = 0.0
+            if (!excludeSelf || iid != uid) {
+              var j = 0
+              while (j < uf.length) { d += uf(j) * f(j); j += 1 }
+              if (cosine) {
+                val den = un * norms(ii)
+                d = if (den == 0.0) 0.0
+                    else math.rint(d / den * 1e4) / 1e4
+              }
+            } else d = Double.NegativeInfinity // self: never selected
+            if (d != Double.NegativeInfinity && (filled < kk ||
                 d > best(kk - 1)._1 ||
-                (d == best(kk - 1)._1 && iid < best(kk - 1)._2)) {
+                (d == best(kk - 1)._1 && iid < best(kk - 1)._2))) {
               val at = if (filled < kk) { filled += 1; filled - 1 }
                        else kk - 1
               best(at) = (d, iid)

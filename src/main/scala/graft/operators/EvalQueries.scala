@@ -436,23 +436,24 @@ object EvalQueries {
     * pinned in PipelineSpec. Seeded-Lloyd index → rows-only. */
   val qMapAtKAnn = Q.noOracle("q_map_at_k_ann") { (s, d) =>
     val embs = t(s, d, "embeddings")
-    // List count scales with the corpus (~250 vectors/list, min 8) so
-    // the probed fraction SHRINKS as data grows — candidates per query
-    // stay O(nProbe × 250) and the panel×corpus cross never returns
-    // (fixed nLists measured 12.3× at the sf0.1→sf1 decade; adaptive
-    // lists put the growth back on the panel dimension alone). At the
-    // driver's oracle/bench scales (≤2k vectors) this is exactly the
-    // nLists = 8 index `warm:ann_indexes` builds, so the memo is shared.
+    // List count scales with the corpus (~250 vectors/list, min 8,
+    // gemm build) so the probed fraction SHRINKS as data grows —
+    // candidates per query stay O(nProbe × 250) and the panel×corpus
+    // cross never returns (fixed nLists measured 12.3× at the
+    // sf0.1→sf1 decade; the literal-centroid row form then measured
+    // 203 s at sf10 — 512 inlined 64-dim centroids leave codegen and
+    // the crossJoin build materializes corpus × nLists rows — so both
+    // halves run the gemm path). At the driver's oracle/bench scales
+    // (≤2k vectors) this is the nLists = 8 gemm index
+    // `warm:ann_indexes` builds, so the memo is shared.
     val nLists = math.max(8,
-      math.min(512, math.round(embs.count() / 250.0).toInt))
-    val index = graft.llm.SimSearch.ivfIndexCached(embs, d, nLists,
+      math.min(4096, math.round(embs.count() / 250.0).toInt))
+    val index = graft.llm.SimSearch.ivfIndexGemmCached(embs, d, nLists,
       lloydIters = 2)
     val probes = embs.filter(col("vec_id") % 25 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_e"))
-    val top10 = graft.llm.SimSearch.ivfTopKAll(index, probes, k = 10,
-      nProbe = 3, mips = false,
-      scoreOf = (a, b) => round(graft.llm.Dedup.cosine(a, b), 4),
-      excludeSelf = true, broadcastCorpus = false)
+    val top10 = graft.llm.SimSearch.cosineGemmTopKAll(index, probes,
+      k = 10, nProbe = 3)
     // relevance/label joins run on the |panel|×10 survivor rows
     val labels = embs.select(col("vec_id"), col("label"))
     val nl = embs.groupBy("label").agg(count(lit(1)).as("n_label"))
