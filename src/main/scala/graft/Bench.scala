@@ -33,6 +33,12 @@ object Bench {
       // past 128 distinct group keys
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1000000")
+      // Single-JVM big-heap runs (the sf10 rung at 64 g) can pause >2 min
+      // in full GC while materializing a checkpoint; the default 120 s
+      // network timeout then REMOVES the local executor, which in local
+      // mode is unrecoverable (every later query fails on the lost
+      // scheduler endpoint — measured in the r12 sf10 dedup batch).
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=q1,q2 benches a subset (repeats allowed via
