@@ -122,6 +122,26 @@ object Dedup {
     toks.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Data-growing MinHash banding parameters (k, bandSize) for a corpus
+    * of `n` docs: (12, 3) at the base — 4 bands × 3 rows — then +2 rows
+    * per band and +1 band per decade past 100 k docs. Per-band collision
+    * probability for a pair at Jaccard J is J^bandSize, so each added
+    * row divides background-J candidate mass multiplicatively (J = 0.2
+    * → ÷25 per decade) while the extra band holds planted-duplicate
+    * recall up (J ≈ 0.95 → P[≥1 band] ≥ 0.99 through bandSize 7). The
+    * oracle SQL computes the same (k, bandSize) from the same corpus
+    * count, so both engines band identically at every scale; at oracle
+    * fixture scales d = 0 reproduces the historic 12/3 exactly. */
+  def minhashParamsFor(n: Long): (Int, Int) = {
+    // d capped at 6 (10^11 docs → k = 150) so the oracle's constant
+    // generate_series(1, 200) hash-family domain always covers k
+    val d = math.min(6,
+      math.max(0, math.ceil(math.log10(n / 100000.0)).toInt))
+    val bandSize = 3 + 2 * d
+    val nBands = 4 + d
+    (nBands * bandSize, bandSize)
+  }
+
   /** Deterministic MinHash near-dup pairs: band the k-hash signature into
     * k/bandSize bands, equi-join on (band index, band value) — candidates
     * are pairs agreeing on at least one full band — then estimate Jaccard
@@ -256,13 +276,63 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "cont_a", "cont_b")
   }
 
-  /** Simhash near-dup pairs: banded candidate join (4×8-bit bands — any
-    * pair within hamming ≤ 3 shares at least one band by pigeonhole) then
-    * an exact popcount filter. Subquadratic; collisions bound the join. */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Simhash block count for a corpus of `n` docs: 4 at the base
+    * (equivalent to the classic 4×8-bit banding), +2 blocks per decade
+    * past 100 k docs, capped at 8. Candidate keys are the B−3 blocks
+    * left standing in each combination table, so key WIDTH grows with
+    * the corpus (8 → ~16 → 20 bits) — bucket occupancy, and with it the
+    * quadratic within-bucket pair count, shrinks faster than the data
+    * grows (measured 62×/decade at the fixed 4×8 width, sf10 ladder
+    * r12). Past ~10 M docs the 32-bit signature itself saturates
+    * (birthday collisions on the FULL signature); the next scale rung
+    * is a wider signature, not more blocks — hence the cap. */
+  def simhashBlocksFor(n: Long): Int = {
+    val d = math.max(0, math.ceil(math.log10(n / 100000.0)).toInt)
+    math.min(4 + 2 * d, 8)
+  }
+
+  /** Keep-masks of the C(B,3) combination tables over the 32-bit
+    * signature (Manku et al., WWW'07 block-permutation scheme, mask
+    * form): block i spans bits [32i/B, 32(i+1)/B); each table keys on
+    * `simhash & keep` where `keep` drops one 3-element block subset. A
+    * pair within hamming ≤ 3 differs in at most 3 blocks, so the table
+    * dropping a superset of those blocks keys both docs identically —
+    * candidates are a SUPERSET of every hamming ≤ 3 pair for EVERY B,
+    * which is what makes the ≤ 3-filtered result banding-invariant
+    * (and the oracle SQL scale-independent). At B = 4 the keep-masks
+    * are the four single-block masks — the candidate set is exactly
+    * the classic 4×8-bit banding's. */
+  def simhashKeepMasks(nBlocks: Int): Seq[Long] = {
+    val bm = (0 until nBlocks).map { i =>
+      val o = 32 * i / nBlocks
+      val w = 32 * (i + 1) / nBlocks - o
+      ((1L << w) - 1) << o
+    }
+    for {
+      i <- 0 until nBlocks
+      j <- i + 1 until nBlocks
+      l <- j + 1 until nBlocks
+    } yield 0xFFFFFFFFL ^ bm(i) ^ bm(j) ^ bm(l)
+  }
+
+  /** Simhash near-dup pairs: combination-table banded candidate join
+    * (see [[simhashKeepMasks]] — every hamming ≤ 3 pair shares a table
+    * by pigeonhole) then an exact popcount filter. Subquadratic, and the
+    * table key width GROWS with the corpus so within-bucket candidate
+    * pairs stay near-linear per decade. `nBlocks` ≤ 0 derives the block
+    * count from one corpus count (a production pipeline takes it from
+    * catalog stats); the ≤ 3-filtered RESULT is provably the same for
+    * every block count — only candidate volume changes. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      nBlocks: Int = 0): DataFrame = {
+    val b = if (nBlocks > 0) nBlocks else simhashBlocksFor(docs.count())
+    val keeps = simhashKeepMasks(b)
+    // bidx = the keep-mask itself (masks are pairwise distinct), so the
+    // equi-join key is (table, masked signature) with no ordinal bookkeeping
     val bands = simhash(docs).select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("bidx"))
-      .withColumn("bval", expr("shiftright(simhash, bidx * 8) & 255"))
+        explode(array(keeps.map(lit(_)): _*)).as("keep"))
+      .select(col("doc_id"), col("simhash"), col("keep").as("bidx"),
+        col("simhash").bitwiseAND(col("keep")).as("bval"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.bidx") === col("b.bidx") && col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))

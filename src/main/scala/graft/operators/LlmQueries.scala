@@ -111,7 +111,12 @@ object LlmQueries {
   }
 
   /** Simhash LSH pairs over docs ∪ planted copies: banded candidates +
-    * exact hamming ≤ 3 — the linear-ish simhash dedup path end-to-end. */
+    * exact hamming ≤ 3 — the linear-ish simhash dedup path end-to-end.
+    * The engine's combination-table banding grows with the corpus
+    * (Dedup.simhashBlocksFor — r12's fixed 4×8 banding was 62×/decade
+    * at sf10); the hamming ≤ 3 RESULT is banding-invariant (pigeonhole
+    * superset + exact filter), so this oracle keeps the fixed-band SQL
+    * and still matches at every scale. */
   val qDedupSimhashPairs = Q(
     "q_dedup_simhash_pairs",
     s"""WITH $ngramDocs2,
@@ -146,31 +151,50 @@ object LlmQueries {
     Dedup.simhashNearDups(withDups).orderBy("doc_a", "doc_b")
   }
 
-  private val minhashSigSql = Dedup.minhashCoeffs(12).zipWithIndex
-    .map { case ((a, b), i) => s"min(($a * h + $b) % 2147483647) AS m$i" }
-    .mkString(",\n    ")
-  private val minhashMCols = (0 until 12).map(i => s"m$i").mkString(", ")
-  private val minhashBandSql = (0 until 4)
-    .map { bIdx =>
-      val parts = (0 until 3).map(j => s"m${bIdx * 3 + j}")
-        .mkString(", '_', ")
-      s"WHEN $bIdx THEN concat($parts)"
-    }.mkString(" ")
-  private val minhashEqSql = (0 until 12)
-    .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
-    .mkString(" + ")
+  /** Count-parameterized simhash combination-table CTEs (the SQL mirror
+    * of `Dedup.simhashBlocksFor` + `Dedup.simhashKeepMasks`): block
+    * count from the corpus count, per-block masks from integer bit
+    * arithmetic, keep-masks from the 3-block-subset complement. Spliced
+    * into every oracle whose OUTPUT depends on which candidates the
+    * banding surfaces (the hamming ≤ 3-filtered queries are
+    * banding-invariant by pigeonhole and keep their fixed-band SQL). */
+  private val simhashMaskCtes =
+    """nb AS (
+      |  SELECT least(4 + 2 * greatest(0,
+      |    CAST(ceil(log10(count(*) / 100000.0)) AS INT)), 8) AS b
+      |  FROM docs2),
+      |blk AS (
+      |  SELECT i,
+      |    ((CAST(1 AS BIGINT) << ((32 * (i + 1)) // b - (32 * i) // b))
+      |      - 1) << ((32 * i) // b) AS m
+      |  FROM nb, generate_series(0, 7) t(i) WHERE i < b),
+      |masks AS (
+      |  SELECT 4294967295 - x.m - y.m - z.m AS keep
+      |  FROM blk x, blk y, blk z WHERE x.i < y.i AND y.i < z.i)""".stripMargin
 
   /** Deterministic MinHash near-dup pairs under the oracle gate: the
     * affine-hash family (fixed constants mod 2^31−1) over 3-word-shingle
     * hashes is exact int64 arithmetic both engines compute identically,
     * so — unlike the seeded MLlib variant below — banding, candidate
-    * generation and the Jaccard estimate all hash-match DuckDB. 12
-    * hashes, 4 bands × 3 rows; shingle positions capped at 2000 per doc
-    * as the oracle determinism/cost bound (the library default is
-    * uncapped — see Dedup.minhashSignature). */
+    * generation and the Jaccard estimate all hash-match DuckDB. The
+    * banding GROWS with the corpus (r12 sf10 finding: fixed 12-hash /
+    * 4×3 banding is candidate-quadratic — 23×/decade): both engines
+    * derive (k, bandSize) = `Dedup.minhashParamsFor(count)` from the
+    * SAME corpus count — the oracle computes the hash family, bands and
+    * agreement in LONG form from a generate_series over its own
+    * count-derived k, so they band identically at every scale, and at
+    * fixture scales d = 0 reproduces the historic 12/3 bit-exactly.
+    * Shingle positions capped at 2000 per doc as the oracle
+    * determinism/cost bound (the library default is uncapped — see
+    * Dedup.minhashSignature). */
   val qDedupMinhashDet = Q(
     "q_dedup_minhash_det",
     s"""WITH $ngramDocs2,
+       |pp AS (
+       |  SELECT CAST(3 + 2 * dd AS INT) AS bs,
+       |    CAST((4 + dd) * (3 + 2 * dd) AS INT) AS k
+       |  FROM (SELECT greatest(0, CAST(ceil(log10(count(*) / 100000.0))
+       |                             AS INT)) AS dd FROM docs2)),
        |toks AS (
        |  SELECT DISTINCT doc_id,
        |    (CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)
@@ -181,28 +205,42 @@ object LlmQueries {
        |        list_slice(string_split(text, ' '), s, s + 2), ' ') AS sh
        |    FROM docs2, generate_series(1, 2000) t(s)
        |    WHERE s <= greatest(len(string_split(text, ' ')) - 2, 1)) u),
+       |hf AS (
+       |  SELECT i,
+       |    CASE WHEN (1103515245 * i + 12345) % 2147483647 = 0 THEN 1
+       |         ELSE (1103515245 * i + 12345) % 2147483647 END AS a,
+       |    (69069 * i + 1013904223) % 2147483647 AS b
+       |  FROM generate_series(1, 200) t(i)
+       |  WHERE i <= (SELECT k FROM pp)),
        |sigs AS (
-       |  SELECT doc_id,
-       |    $minhashSigSql
-       |  FROM toks GROUP BY doc_id),
+       |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+       |  FROM toks, hf GROUP BY doc_id, i),
        |bands AS (
-       |  SELECT doc_id, $minhashMCols, b AS bidx,
-       |    CASE b $minhashBandSql END AS bval
-       |  FROM sigs, generate_series(0, 3) t(b)),
+       |  SELECT doc_id, (i - 1) // bs AS bidx,
+       |    string_agg(CAST(m AS VARCHAR), '_' ORDER BY i) AS bval
+       |  FROM sigs, pp GROUP BY doc_id, bidx),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    ($minhashEqSql) AS neq
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, round(neq / 12.0, 4) AS est_jaccard
-       |FROM cand WHERE neq >= 6
+       |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |agree AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS neq
+       |  FROM cand c
+       |  JOIN sigs sa ON sa.doc_id = c.doc_a
+       |  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(neq / CAST(k AS DOUBLE), 4) AS est_jaccard
+       |FROM agree, pp WHERE 2 * neq >= k
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
     val withDups = docs.select("doc_id", "text").unionByName(
       docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           expr("substr(text, 11)").as("text")))
-    Dedup.minhashDetPairs(withDups, maxShingles = 2000)
+    val (k, bandSize) = Dedup.minhashParamsFor(withDups.count())
+    Dedup.minhashDetPairs(withDups, k, bandSize, maxShingles = 2000)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -1406,7 +1444,11 @@ object LlmQueries {
     * because every stage — signature, banding, candidate join, label
     * sweeps, survivor selection — is ANSI-expressible, so the WHOLE
     * dedup pipeline hash-matches DuckDB instead of stopping at pair
-    * generation. The fixed-sweep labels are a deterministic REFINEMENT
+    * generation. (Pair generation uses the data-growing combination
+    * tables — Dedup.simhashBlocksFor — but the hamming ≤ 3-filtered
+    * pair set is banding-invariant, so the oracle's fixed-band SQL
+    * stays correct at every scale.) The fixed-sweep labels are a
+    * deterministic REFINEMENT
     * of the true components (each label group is a subset of a
     * component; the banded fixture graph chains deeper than 3 hops, so
     * this keeps MORE survivors than full convergence — measured 201 vs
@@ -2565,11 +2607,16 @@ object LlmQueries {
     * reads before fixing the threshold (q_near_dup_eval evaluates ONE
     * point; this is the whole curve from the SAME single candidate
     * generation, no re-run per threshold). Cumulative counts over the
-    * bounded 9-row threshold domain. Candidates come from the 4×8-bit
-    * banding, which pigeonhole-guarantees every pair with hamming ≤ 3 —
-    * curve points above 3 count only banded collisions (documented
+    * bounded 9-row threshold domain. Candidates come from the
+    * data-growing combination-table banding (Dedup.simhashKeepMasks),
+    * which pigeonhole-guarantees every pair with hamming ≤ 3 — curve
+    * points above 3 count only banded collisions (documented
     * banding-limited recall: exactly what the production pipeline would
-    * see at that cutoff without adding bands). */
+    * see at that cutoff without adding tables). Because those upper
+    * bins DEPEND on the banding, this oracle mirrors the mask derivation
+    * from its own corpus count (simhashMaskCtes) — both engines band
+    * identically at every scale; at fixture scales B = 4 reproduces the
+    * historic 4×8-bit curve bit-exactly. */
   val qDedupThresholdSweep = Q(
     "q_dedup_threshold_sweep",
     s"""WITH $ngramDocs2,
@@ -2584,10 +2631,10 @@ object LlmQueries {
        |  FROM toks GROUP BY doc_id),
        |sigs AS (
        |  SELECT doc_id, CAST($simhashSumSql AS BIGINT) AS simhash FROM bits),
+       |$simhashMaskCtes,
        |bands AS (
-       |  SELECT doc_id, simhash, b AS bidx,
-       |    (simhash >> (8 * b)) & 255 AS bval
-       |  FROM sigs, generate_series(0, 3) t(b)),
+       |  SELECT doc_id, simhash, keep AS bidx, simhash & keep AS bval
+       |  FROM sigs, masks),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming

@@ -103,6 +103,65 @@ class OutOfBandSpec extends SparkTestBase {
     assert(row.getLong(3) == det.sum)
   }
 
+  test("simhash combination-table banding is result-invariant across block counts") {
+    // the hamming <= 3 result is a pigeonhole superset + exact filter at
+    // EVERY block count — the scale knob may only change candidate
+    // volume, never the answer (this is what licenses the fixed-band
+    // oracle SQL for the <= 3-filtered queries)
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val withDups = docs.unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substr(text, 11)").as("text")))
+    def pairs(b: Int) = Dedup.simhashNearDups(withDups, nBlocks = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p4 = pairs(4)
+    assert(p4.nonEmpty)
+    assert(pairs(6) == p4, "B=6 must equal the classic 4x8 result")
+    assert(pairs(8) == p4, "B=8 must equal the classic 4x8 result")
+  }
+
+  test("data-growing banding parameters step per decade past 100k docs") {
+    assert(Dedup.simhashBlocksFor(6120) == 4)
+    assert(Dedup.simhashBlocksFor(100000) == 4)
+    assert(Dedup.simhashBlocksFor(510000) == 6)
+    assert(Dedup.simhashBlocksFor(5100000) == 8)
+    assert(Dedup.simhashBlocksFor(51000000) == 8) // capped: widen the sig next
+    assert(Dedup.minhashParamsFor(6120) == ((12, 3)))
+    assert(Dedup.minhashParamsFor(510000) == ((25, 5)))
+    assert(Dedup.minhashParamsFor(5100000) == ((42, 7)))
+    // keep-masks: pairwise distinct, each 32 - (3-block widths) bits wide
+    (4 to 8).foreach { b =>
+      val masks = Dedup.simhashKeepMasks(b)
+      assert(masks.size == b * (b - 1) * (b - 2) / 6)
+      assert(masks.distinct.size == masks.size)
+      assert(masks.forall(m => (m & ~0xFFFFFFFFL) == 0L))
+    }
+  }
+
+  test("grown minhash banding (sf10 shape k=25/b=5) keeps planted recall >= 0.9") {
+    // wider bands push the S-curve knee right: a planted copy of a SHORT
+    // doc (prefix drop = larger Jaccard dent) can fall below a 5-row
+    // band's collision knee — the family gate is recall >= 0.9, and the
+    // corpora that trigger k=25 (>100k docs) are GenData-length docs
+    // where the planted Jaccard sits well above the knee
+    val docs = Tables.load(spark, sf, "documents")
+    val planted = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val withDups = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substr(text, 11)").as("text")))
+    val found = Dedup.minhashDetPairs(withDups, k = 25, bandSize = 5,
+        maxShingles = 2000)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recovered = planted.count(id => found.contains((id, id + 1000000)))
+    assert(planted.nonEmpty)
+    assert(recovered.toDouble / planted.size >= 0.9,
+      s"recovered $recovered of ${planted.size}")
+  }
+
   test("simhash of identical text collides; mutated copy stays close") {
     import spark.implicits._
     val docs = Seq(
