@@ -12,10 +12,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Rung-scaled shuffle width (VERDICT r12 task 8): cpus-many shuffle
+    // partitions is right for the sf0.1 driver rung, but a big-rung run
+    // (60 M-row shuffles through a shared heap) wants partitions sized
+    // so each fits comfortably in memory — the ladder runbook sets
+    // SPARK_GRAFT_SHUFFLE_PARTITIONS (e.g. 128 at sf10); AQE coalesces
+    // small ones back, so oversizing costs little.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -56,6 +64,7 @@ object Bench {
     def clearMemos(): Unit = {
       ml.Ratings.clearCache(); ml.AlsEngine.clearCache()
       ml.Baseline.clearCache(); llm.ShingleStore.clearCache()
+      ApproxGate.clearCache(); Tables.clearCountCache()
       operators.MfQueries.clearSweepCache()
       operators.MfQueries.clearCoCache()
       streaming.StreamOps.clearSliceCache()
@@ -79,11 +88,11 @@ object Bench {
         Tables.all.foreach { n =>
           Tables.load(spark, sfDir, n).cache().count(); ()
         }))
-    // Shared shingle store (ShingleStore.scala): five raw-document
-    // shingle consumers split two explode configs; each is billed as its
-    // own warm line so no consumer's number hides the corpus explode.
-    // Cold mode clears the memo per query, billing the full explode to
-    // every consumer.
+    // Shared shingle store (ShingleStore.scala): the raw-document
+    // shingle consumers split two explode configs; each config's
+    // bucketed-table WRITE is billed as its own warm line so no
+    // consumer's number hides the corpus explode. Cold mode clears the
+    // memo per query, billing the full explode to every consumer.
     val shingleSelected = only.forall(_.exists(Set(
       "q_tfidf_cosine_pairs", "q_boilerplate", "q_shingle_df_profile",
       "q_text_repetition", "q_decontaminate",

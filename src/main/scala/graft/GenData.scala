@@ -93,10 +93,22 @@ object GenData {
       (lit(1000.0) + h(col("id"), 5, 900000) / 100.0).as("s_acctbal"))
     save(supp, "supplier", 2)
 
+    // The part-name space GROWS with the catalog (r12 sf10 finding:
+    // 8 adj × 8 noun = 64 names over 2 M parts made every same-name
+    // group ~30 k rows, so edit-distance survivor sets — q_fuzzy_join —
+    // were output-quadratic, 676 s at sf10, the same degeneracy the
+    // 31-word doc vocabulary caused in r10). A third Zipf-spelled word
+    // whose domain scales ~nPart/300 (clamped to the 10 000-word
+    // bijective spelling space) holds expected same-name group size
+    // O(1) per decade, so near-duplicate pair counts grow with the
+    // data, not its square — names stay realistic (brand-word word
+    // catalog-code) and DuckDB recomputes the identical column.
+    val nameSuffixes = math.max(1L, math.min(10000L, nPart / 300L))
     val part = spark.range(nPart).select(
       col("id").as("p_partkey"),
       concat(pick(col("id"), 6, PAdj), lit(" "),
-        pick(col("id"), 7, PNoun)).as("p_name"),
+        pick(col("id"), 7, PNoun), lit(" "),
+        zipfWord(h(col("id"), 27, nameSuffixes))).as("p_name"),
       concat(lit("Brand#"), (h(col("id"), 8, 25) + 1)).as("p_brand"),
       pick(col("id"), 9, PType).as("p_type"),
       (h(col("id"), 10, 50) + 1).cast(IntegerType).as("p_size"),

@@ -57,9 +57,10 @@ object Verify {
     def releaseNew(): Unit =
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) =>
-          // MemoKeep: memoized localCheckpoints (shingle store) built
-          // mid-run — lineage is truncated, so releasing them breaks
-          // every later consumer instead of slowing it
+          // MemoKeep: memoized localCheckpoints (SimSearch index cache,
+          // co-occurrence memo) built mid-run — lineage is truncated, so
+          // releasing them breaks every later consumer instead of
+          // slowing it
           keep.contains(id) || MemoKeep.isProtected(id) }
         .values.foreach(r => try r.unpersist(blocking = false)
           catch { case _: Throwable => () })

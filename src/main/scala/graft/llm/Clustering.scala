@@ -79,19 +79,57 @@ object Clustering {
     cents
   }
 
-  /** Grouped nearest-centroid assignment: many independent k-means
-    * problems (one per value of `gCol`) assigned in ONE broadcast join —
-    * `centroids` carries (`gCol`, cid, cvec) and is groups × k × dim,
-    * still tiny. Same struct-min argmin determinism as [[assign]]. */
-  def assignGrouped(points: DataFrame, gCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    val keep = points.columns.filterNot(_ == vecCol).map(col)
-    points.join(broadcast(centroids), gCol)
-      .withColumn("graft_d2", sqDist(col(vecCol), col("cvec")))
-      .groupBy(keep.toSeq: _*)
-      .agg(min(struct(col("graft_d2"), col("cid"))).as("m"))
-      .select(keep.toSeq :+ col("m").getField("cid").as("cluster") :+
-        col("m").getField("graft_d2").as("d2"): _*)
+  /** Grouped nearest-centroid assignment for many independent k-means
+    * problems (one per value of `gCol` — e.g. a product quantizer's m
+    * subspace codebooks), the [[assignGemm]] treatment applied to the
+    * grouped form: the codebooks are m tiny matrices (groups × k × dim
+    * doubles), so broadcast them ONCE and score every (group, subvector)
+    * row in one narrow mapPartitions pass of tight double loops. The
+    * broadcast-join form this replaces materialized corpus × k candidate
+    * ROWS per iteration — the measured dominant cost of the sf10 PQ
+    * build (219 s warm, r12 ladder) — where the same math is a bounded
+    * matrix product. Same determinism contract as [[assignGemm]]:
+    * rint-half-even rounding at 1e-6 vs the Column form's half-up (they
+    * differ only for d2 exactly on a .5 × 1e-6 boundary) and ties keep
+    * the lowest centroid id. `points` must carry exactly (`idCol`,
+    * `gCol`, `vecCol`); returns (`idCol`, `gCol`, cluster, d2). */
+  def assignGroupedGemm(points: DataFrame, idCol: String, gCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val books = centroids
+      .select(col(gCol).cast(IntegerType), col("cid"),
+        col("cvec").cast(ArrayType(DoubleType))).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1)
+      .map { case (g, rows) =>
+        g -> rows.map(t => (t._2, t._3)).sortBy(_._1)
+      }
+    val bc = spark.sparkContext.broadcast(books)
+    points
+      .select(col(idCol).cast(LongType), col(gCol).cast(IntegerType),
+        col(vecCol).cast(ArrayType(DoubleType)))
+      .as[(Long, Int, Array[Double])]
+      .mapPartitions { it =>
+        val bks = bc.value
+        it.map { case (id, g, v) =>
+          val cs = bks(g)
+          var best = Long.MaxValue; var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < cs.length) {
+            val c = cs(ci)._2
+            var d = 0.0; var j = 0
+            while (j < v.length) {
+              val diff = v(j) - c(j); d += diff * diff; j += 1
+            }
+            val d6 = math.rint(d * 1e6) / 1e6
+            if (d6 < bestD) { bestD = d6; best = cs(ci)._1 }
+            ci += 1
+          }
+          (id, g, best, bestD)
+        }
+      }
+      .toDF(idCol, gCol, "cluster", "d2")
   }
 
   /** Grouped Lloyd: the independent k-means of every group train
@@ -99,7 +137,9 @@ object Clustering {
     * quantizer's m subspace codebooks, where a per-subspace driver loop
     * would pay m× the job-scheduling overhead (measured 23 s → 3 s on
     * the PQ build at sf0.1). Seeding is the grouped analog of
-    * [[seedCentroids]] (k lowest ids per group); the update shuffle is
+    * [[seedCentroids]] (k lowest ids per group); assignment is the
+    * broadcast-codebook gemm pass ([[assignGroupedGemm]] — never a
+    * corpus × codewords row materialization); the update shuffle is
     * bounded by groups × k × dim. Returns (`gCol`, cid, cvec). */
   def lloydGrouped(points: DataFrame, idCol: String, gCol: String,
       vecCol: String, k: Int, iterations: Int): DataFrame = {
@@ -110,7 +150,8 @@ object Clustering {
       .select(col(gCol), col(idCol).as("cid"), col(vecCol).as("cvec"))
     var i = 0
     while (i < iterations) {
-      cents = assignGrouped(points, gCol, vecCol, cents)
+      cents = assignGroupedGemm(points.select(col(idCol), col(gCol),
+          col(vecCol)), idCol, gCol, vecCol, cents)
         .join(points.select(col(idCol), col(gCol), col(vecCol)),
           Seq(idCol, gCol))
         .select(col(gCol), col("cluster"),

@@ -536,7 +536,8 @@ object SimSearch {
       codebookSize, lloydIters).localCheckpoint()
     val codeCols = (0 until m).map(j =>
       max(when(col("s") === j, col("cluster"))).as(s"c$j"))
-    val codes = Clustering.assignGrouped(subpts, "s", "sub", books)
+    val codes = Clustering.assignGroupedGemm(subpts, "vec_id", "s", "sub",
+        books)
       .groupBy("vec_id")
       .agg(codeCols.head, codeCols.tail: _*)
       .localCheckpoint()

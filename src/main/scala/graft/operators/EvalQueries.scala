@@ -346,8 +346,12 @@ object EvalQueries {
     * relevant-corpus size; every per-position term is the exact integer
     * (hits·10⁹) DIV i, and the per-query normalization is another integer
     * DIV, so the panel mean is a reduction-order-proof integer sum with
-    * one final division. The panel is bounded (broadcast) and candidate
-    * scoring is ONE corpus scan — same eval-harness shape as q_mrr. */
+    * one final division. R is guarded to ≥ 1: a singleton-label probe
+    * (no possible relevant neighbors) contributes an explicit 0 to
+    * MAP/recall instead of a non-ANSI NULL that would silently vanish
+    * from the sums while still counting in n_queries. The panel is
+    * bounded (broadcast) and candidate scoring is ONE corpus scan —
+    * same eval-harness shape as q_mrr. */
   val qMapAtK = Q(
     "q_map_at_k",
     """WITH e AS (
@@ -373,7 +377,7 @@ object EvalQueries {
       |    sum(CASE WHEN t.is_rel = 1
       |        THEN (t.hits * 1000000000) // t.rk ELSE 0 END) AS ap9_num,
       |    max(t.hits) AS hits10,
-      |    LEAST(max(n.n_label) - 1, 10) AS r10
+      |    LEAST(GREATEST(max(n.n_label) - 1, 1), 10) AS r10
       |  FROM top10 t JOIN nl n ON t.q_label = n.label
       |  GROUP BY t.qid)
       |SELECT count(*) AS n_queries,
@@ -410,7 +414,8 @@ object EvalQueries {
         sum(when(col("is_rel") === 1,
           expr("(hits * 1000000000) DIV rk")).otherwise(0L)).as("ap9_num"),
         max(col("hits")).as("hits10"),
-        least(max(col("n_label")) - 1, lit(10)).as("r10"))
+        least(greatest(max(col("n_label")) - 1, lit(1)), lit(10))
+          .as("r10"))
     perq.agg(
       count(lit(1)).as("n_queries"),
       round(sum(expr("ap9_num DIV r10")).cast(DoubleType)
@@ -428,8 +433,10 @@ object EvalQueries {
     * index's lists instead of the full corpus, which is what turns the
     * panel × corpus evaluation cross (42× at the sf0.1→sf1 decade) into
     * a fixed-fraction scan. The small probe panel broadcasts; the
-    * corpus side never shuffles; per-query top-10 is map-side
-    * ([[graft.functions.TopKPairs]]). The metric denominators (per-label
+    * corpus side never shuffles; per-query top-10 comes out of the
+    * blocked-GEMM per-list scoring with its bounded insertion top-k
+    * merge on the list-id cogroup ([[graft.llm.SimSearch
+    * .cosineGemmTopKAll]]). The metric denominators (per-label
     * relevant counts) stay EXACT over the full corpus, so the readout is
     * "ANN retrieval quality measured against the true relevance sets" —
     * the honest eval — and its delta vs the exhaustive q_map_at_k is
@@ -446,8 +453,9 @@ object EvalQueries {
     // halves run the gemm path). At the driver's oracle/bench scales
     // (≤2k vectors) this is the nLists = 8 gemm index
     // `warm:ann_indexes` builds, so the memo is shared.
-    val nLists = math.max(8,
-      math.min(4096, math.round(embs.count() / 250.0).toInt))
+    val nLists = math.max(8, math.min(4096,
+      math.round(graft.Tables.countCached(s, d, "embeddings") / 250.0)
+        .toInt))
     val index = graft.llm.SimSearch.ivfIndexGemmCached(embs, d, nLists,
       lloydIters = 2)
     val probes = embs.filter(col("vec_id") % 25 === 0)
@@ -474,7 +482,8 @@ object EvalQueries {
         sum(when(col("is_rel") === 1,
           expr("(hits * 1000000000) DIV rk")).otherwise(0L)).as("ap9_num"),
         max(col("hits")).as("hits10"),
-        least(max(col("n_label")) - 1, lit(10)).as("r10"))
+        least(greatest(max(col("n_label")) - 1, lit(1)), lit(10))
+          .as("r10"))
     perq.agg(
       count(lit(1)).as("n_queries"),
       round(sum(expr("ap9_num DIV r10")).cast(DoubleType)

@@ -89,7 +89,7 @@ object MfQueries {
     * (session, dir) via SimSearch's index cache (dataKey suffixed so it
     * can never collide with the embeddings-table indexes; the cache
     * handles MemoKeep protection and eviction). List count scales with
-    * the catalog — ~500 items per list, clamped [4, 512] — so the
+    * the catalog — ~500 items per list, clamped [4, 4096] — so the
     * per-user candidate scan stays O(nProbe × 500) items as the catalog
     * grows: the property that turns the dense user×item cross into a
     * linear-in-users serving pass. Billed as the bench's

@@ -285,6 +285,7 @@ class DeterminismSpec extends SparkTestBase {
         graft.ml.Ratings.clearCache()
         graft.ml.AlsEngine.clearCache()
         graft.ml.Baseline.clearCache()
+        graft.ApproxGate.clearCache()
       }
       sensitive.foreach { q =>
         conf.set("spark.sql.shuffle.partitions", "5")

@@ -25,6 +25,62 @@ class PipelineSpec extends SparkTestBase {
     assert(ap >= 0.5 * ep, s"ANN precision@10 $ap vs exact $ep")
   }
 
+  test("TopKPairs keeps the k best in (score DESC, id ASC) order under any split") {
+    // direct pin of the merge math gemm/row-form serving rides on:
+    // the same total order at every buffer size and reduction order
+    val agg = new graft.functions.TopKPairs(3)
+    val xs = Seq((1.0, 5L), (2.0, 9L), (2.0, 3L), (0.5, 1L), (3.0, 7L),
+      (2.0, 4L))
+    val expected = Seq((3.0, 7L), (2.0, 3L), (2.0, 4L))
+    val seqBuf = xs.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(seqBuf) == expected)
+    (1 until xs.size).foreach { cut =>
+      val (l, r) = xs.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(m) == expected, s"cut at $cut")
+      val m2 = agg.merge(r.foldLeft(agg.zero)(agg.reduce),
+        l.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(m2) == expected, s"swapped cut at $cut")
+    }
+  }
+
+  test("row-form ivfTopKAll agrees with the gemm batch-search twin") {
+    // the row form (TopKPairs map-side top-k over DataFrame candidates)
+    // is the codegen-friendly alternative to the RDD gemm path; same
+    // index, same probes, same ranking contract — pin agreement like
+    // MfSpec pins the ANN/exact pair (rounding halves differ: SQL round
+    // is HALF_UP, the gemm loop rints HALF_EVEN, so pin overlap not
+    // bit-equality)
+    val embs = Tables.load(spark, sf, "embeddings")
+    val index = graft.llm.SimSearch.ivfIndexGemmCached(embs, sf,
+      nLists = 8, lloydIters = 2)
+    val probes = embs.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_e"))
+    val row = graft.llm.SimSearch.ivfTopKAll(index, probes, k = 10,
+        nProbe = 3, mips = false,
+        scoreOf = (p, e) => round(graft.llm.Dedup.cosine(p, e), 4),
+        excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    val gemm = graft.llm.SimSearch.cosineGemmTopKAll(index, probes,
+        k = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    val rowTop = row.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val gemmTop = gemm.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(rowTop.keySet == gemmTop.keySet)
+    val overlaps = rowTop.keySet.toSeq.map { q =>
+      val (a, b) = (rowTop(q), gemmTop(q))
+      (a intersect b).size.toDouble / math.max(a.size, b.size)
+    }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.9, s"mean top-10 overlap $mean")
+    val top1Row = row.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    val top1Gemm = gemm.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    val agree = top1Row.keys.count(q => top1Gemm(q) == top1Row(q))
+    assert(agree.toDouble / top1Row.size >= 0.95,
+      s"top-1 agreement $agree/${top1Row.size}")
+  }
+
   test("q_source_cap keeps at most 10 docs per source and is deterministic") {
     val out = PipelineQueries.qSourceCap.run(spark, sf).cache()
     val perSource = out.groupBy("source").count().collect()
