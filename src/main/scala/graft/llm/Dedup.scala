@@ -28,16 +28,20 @@ object Dedup {
       .select("n_docs", "n_unique", "keeper_sum")
   }
 
-  /** 32-bit simhash per doc from 60-bit md5 token hashes: bit b of the
-    * signature is the sign of Σ_tokens (±1 by token-hash bit b). */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** Simhash per doc from 60-bit md5 token hashes: bit b of the
+    * signature is the sign of Σ_tokens (±1 by token-hash bit b). `bits`
+    * ≤ 60 (the hash60 width); 32 is the base readout width
+    * (q_dedup_simhash pins it), the near-dup detector widens with the
+    * corpus (see [[simhashParamsFor]]). */
+  def simhash(docs: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"bits must be in [1, 60], got $bits")
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), TextOps.hash60(col("tok")).as("h"))
-    val bitSums = (0 until 32).map { b =>
+    val bitSums = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"b$b")
     }
-    val sig = (0 until 32).map { b =>
+    val sig = (0 until bits).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -276,60 +280,82 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "cont_a", "cont_b")
   }
 
-  /** Simhash block count for a corpus of `n` docs: 4 at the base
-    * (equivalent to the classic 4×8-bit banding), +2 blocks per decade
-    * past 100 k docs, capped at 8. Candidate keys are the B−3 blocks
-    * left standing in each combination table, so key WIDTH grows with
-    * the corpus (8 → ~16 → 20 bits) — bucket occupancy, and with it the
-    * quadratic within-bucket pair count, shrinks faster than the data
-    * grows (measured 62×/decade at the fixed 4×8 width, sf10 ladder
-    * r12). Past ~10 M docs the 32-bit signature itself saturates
-    * (birthday collisions on the FULL signature); the next scale rung
-    * is a wider signature, not more blocks — hence the cap. */
-  def simhashBlocksFor(n: Long): Int = {
+  /** Data-growing simhash detector parameters (signatureBits,
+    * hammingThreshold, nBlocks) for a corpus of `n` docs.
+    *
+    * Base (≤ 100 k docs): the classic (32 bits, hamming ≤ 3, 4 blocks)
+    * — bit-identical to every committed oracle at fixture scales.
+    *
+    * Past 100 k docs the 32-bit signature SATURATES semantically, not
+    * just computationally: measured on the 510 k-doc sf10 corpus, the
+    * 32-bit/≤3 detector emits 196 M pairs at precision 3.9e-5 (the
+    * shared Zipf vocabulary head biases every doc's bits the same way),
+    * so the OUTPUT itself is quadratic and the detector is useless.
+    * The scale form is the one production simhash dedup settled on
+    * (Manku et al., WWW'07, used 64-bit/≤3 for 8 B pages): widen the
+    * signature — 60 bits, the full hash60 width, keeping the signature
+    * one int64 for both engines — and scale the threshold with the
+    * width (3/32 ≈ 6/60), which MEASURED on the planted sf10 set holds
+    * recall at 0.788 (vs 0.755 for 32/≤3) while cutting incidental
+    * pairs ~8× (26 M est.). 9 blocks of ~6–7 bits give the
+    * combination-table banding ~20-bit keys (keepBlocks = nBlocks −
+    * thr = 3). Past ~5 M docs 60 bits saturates too; the next rung is
+    * a multi-word signature (two hash60 lanes), not a parameter here. */
+  def simhashParamsFor(n: Long): (Int, Int, Int) = {
     val d = math.max(0, math.ceil(math.log10(n / 100000.0)).toInt)
-    math.min(4 + 2 * d, 8)
+    if (d == 0) (32, 3, 4) else (60, 6, 9)
   }
 
-  /** Keep-masks of the C(B,3) combination tables over the 32-bit
-    * signature (Manku et al., WWW'07 block-permutation scheme, mask
-    * form): block i spans bits [32i/B, 32(i+1)/B); each table keys on
-    * `simhash & keep` where `keep` drops one 3-element block subset. A
-    * pair within hamming ≤ 3 differs in at most 3 blocks, so the table
-    * dropping a superset of those blocks keys both docs identically —
-    * candidates are a SUPERSET of every hamming ≤ 3 pair for EVERY B,
-    * which is what makes the ≤ 3-filtered result banding-invariant
-    * (and the oracle SQL scale-independent). At B = 4 the keep-masks
-    * are the four single-block masks — the candidate set is exactly
-    * the classic 4×8-bit banding's. */
-  def simhashKeepMasks(nBlocks: Int): Seq[Long] = {
+  /** Keep-masks of the C(B, keepBlocks) combination tables over an
+    * `nBits`-wide signature (Manku et al., WWW'07 block-permutation
+    * scheme, mask form): block i spans bits [nBits·i/B, nBits·(i+1)/B);
+    * each table keys on `simhash & keep` where `keep` retains one
+    * keepBlocks-element block subset. A pair within hamming ≤
+    * (B − keepBlocks) differs in at most that many blocks, so some
+    * retained subset avoids them all — candidates are a SUPERSET of
+    * every pair within the guarantee for ANY valid (B, keepBlocks),
+    * which is what makes the threshold-filtered result banding-invariant
+    * (and lets the oracle SQL band differently at tiny scales). At
+    * (32, 4, 1) the keep-masks are the four single-block masks — the
+    * candidate set is exactly the classic 4×8-bit banding's. */
+  def simhashKeepMasks(nBits: Int, nBlocks: Int,
+      keepBlocks: Int): Seq[Long] = {
+    require(keepBlocks >= 1 && keepBlocks <= nBlocks)
     val bm = (0 until nBlocks).map { i =>
-      val o = 32 * i / nBlocks
-      val w = 32 * (i + 1) / nBlocks - o
+      val o = nBits * i / nBlocks
+      val w = nBits * (i + 1) / nBlocks - o
       ((1L << w) - 1) << o
     }
-    for {
-      i <- 0 until nBlocks
-      j <- i + 1 until nBlocks
-      l <- j + 1 until nBlocks
-    } yield 0xFFFFFFFFL ^ bm(i) ^ bm(j) ^ bm(l)
+    (0 until (1 << nBlocks))
+      .filter(m => java.lang.Integer.bitCount(m) == keepBlocks)
+      .map(m => (0 until nBlocks)
+        .filter(i => ((m >> i) & 1) == 1)
+        .map(bm)
+        .reduce(_ | _))
   }
 
-  /** Simhash near-dup pairs: combination-table banded candidate join
-    * (see [[simhashKeepMasks]] — every hamming ≤ 3 pair shares a table
-    * by pigeonhole) then an exact popcount filter. Subquadratic, and the
-    * table key width GROWS with the corpus so within-bucket candidate
-    * pairs stay near-linear per decade. `nBlocks` ≤ 0 derives the block
-    * count from one corpus count (a production pipeline takes it from
-    * catalog stats); the ≤ 3-filtered RESULT is provably the same for
-    * every block count — only candidate volume changes. */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
-      nBlocks: Int = 0): DataFrame = {
-    val b = if (nBlocks > 0) nBlocks else simhashBlocksFor(docs.count())
-    val keeps = simhashKeepMasks(b)
+  /** Simhash near-dup pairs with corpus-derived detector parameters
+    * ([[simhashParamsFor]] from one corpus count — a production pipeline
+    * takes it from catalog stats): combination-table banded candidate
+    * join, exact popcount filter at the derived threshold. Subquadratic
+    * in candidates AND near-linear in OUTPUT per decade (the widened
+    * signature is what keeps the pair set itself from going quadratic
+    * — see simhashParamsFor). Pass `maxHamming` > 0 to widen the
+    * reported filter past the banding guarantee (threshold sweeps —
+    * bins above the guarantee count banded collisions only). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 0): DataFrame = {
+    val (bits, thr, blocks) = simhashParamsFor(docs.count())
+    simhashNearDupsWith(docs, bits,
+      if (maxHamming > 0) maxHamming else thr, blocks, blocks - thr)
+  }
+
+  /** Explicit-parameter form of [[simhashNearDups]] (tests, sweeps). */
+  def simhashNearDupsWith(docs: DataFrame, bits: Int, maxHamming: Int,
+      nBlocks: Int, keepBlocks: Int): DataFrame = {
+    val keeps = simhashKeepMasks(bits, nBlocks, keepBlocks)
     // bidx = the keep-mask itself (masks are pairwise distinct), so the
     // equi-join key is (table, masked signature) with no ordinal bookkeeping
-    val bands = simhash(docs).select(col("doc_id"), col("simhash"),
+    val bands = simhash(docs, bits).select(col("doc_id"), col("simhash"),
         explode(array(keeps.map(lit(_)): _*)).as("keep"))
       .select(col("doc_id"), col("simhash"), col("keep").as("bidx"),
         col("simhash").bitwiseAND(col("keep")).as("bval"))

@@ -33,6 +33,43 @@ object LlmQueries {
     .map(b => s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)")
     .mkString(" + ")
 
+  /** Count-parameterized simhash detector mirror (SQL side of
+    * `Dedup.simhashParamsFor`): signature width, hamming threshold and
+    * block count derived from the SAME corpus count as the engine, so
+    * both compute the identical detector at every scale (32/3/4 at
+    * fixture scales — bit-identical to the historic oracles; 60/6/9
+    * past 100 k docs, where the 32-bit signature saturates). The bit
+    * sums are always computed 60 wide; terms past bit 31 are gated on
+    * nbits so the d = 0 signature is exactly the historic 32-bit one. */
+  private val simhashParCte =
+    """par AS (
+      |  SELECT CASE WHEN dd = 0 THEN 32 ELSE 60 END AS nbits,
+      |    CASE WHEN dd = 0 THEN 3 ELSE 6 END AS thr,
+      |    CASE WHEN dd = 0 THEN 4 ELSE 9 END AS nblocks
+      |  FROM (SELECT greatest(0, CAST(ceil(log10(count(*) / 100000.0))
+      |                             AS INT)) AS dd FROM docs2))""".stripMargin
+  private val simhashBitsSql60 = (0 until 60)
+    .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+    .mkString(",\n    ")
+  private val simhashSumSql60 = (0 until 60).map { b =>
+    val t = s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)"
+    if (b < 32) t else s"(CASE WHEN nbits > $b THEN $t ELSE 0 END)"
+  }.mkString("\n    + ")
+
+  /** Single-block banding for the threshold-FILTERED oracles: any pair
+    * within hamming <= nblocks - 1 >= thr shares a block, so candidates
+    * are a superset of the result for every scale; the engine's
+    * combination tables and this simpler banding may differ in
+    * CANDIDATES but provably not in the filtered result. At d = 0
+    * (32/4) this is exactly the historic (simhash >> 8b) & 255. */
+  private val simhashBandsCte =
+    """bands AS (
+      |  SELECT doc_id, simhash, b AS bidx,
+      |    (simhash >> ((nbits * b) // nblocks)) &
+      |      ((CAST(1 AS BIGINT) << ((nbits * (b + 1)) // nblocks
+      |         - (nbits * b) // nblocks)) - 1) AS bval
+      |  FROM sigs, generate_series(0, 8) t(b), par WHERE b < nblocks)""".stripMargin
+
   val qDedupSimhash = Q(
     "q_dedup_simhash",
     s"""WITH toks AS (
@@ -111,15 +148,19 @@ object LlmQueries {
   }
 
   /** Simhash LSH pairs over docs ∪ planted copies: banded candidates +
-    * exact hamming ≤ 3 — the linear-ish simhash dedup path end-to-end.
-    * The engine's combination-table banding grows with the corpus
-    * (Dedup.simhashBlocksFor — r12's fixed 4×8 banding was 62×/decade
-    * at sf10); the hamming ≤ 3 RESULT is banding-invariant (pigeonhole
-    * superset + exact filter), so this oracle keeps the fixed-band SQL
-    * and still matches at every scale. */
+    * exact hamming filter — the linear-ish simhash dedup path
+    * end-to-end. The DETECTOR grows with the corpus
+    * (Dedup.simhashParamsFor, mirrored in simhashParCte: 32-bit/≤3 at
+    * fixture scales bit-identically, 60-bit/≤6 past 100 k docs — r12's
+    * fixed 32/≤3 form was not just slow at sf10, it was SATURATED:
+    * 196 M pairs at precision 4e-5). The threshold-filtered RESULT is
+    * banding-invariant (pigeonhole superset + exact filter), so the
+    * engine's combination tables and the oracle's single-block bands
+    * may differ in candidates yet provably agree on the answer. */
   val qDedupSimhashPairs = Q(
     "q_dedup_simhash_pairs",
     s"""WITH $ngramDocs2,
+       |$simhashParCte,
        |toks AS (
        |  SELECT doc_id,
        |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
@@ -127,21 +168,19 @@ object LlmQueries {
        |        FROM docs2) u),
        |bits AS (
        |  SELECT doc_id,
-       |    $simhashBitsSql
+       |    $simhashBitsSql60
        |  FROM toks GROUP BY doc_id),
        |sigs AS (
-       |  SELECT doc_id, CAST($simhashSumSql AS BIGINT) AS simhash FROM bits),
-       |bands AS (
-       |  SELECT doc_id, simhash, b AS bidx,
-       |    (simhash >> (8 * b)) & 255 AS bval
-       |  FROM sigs, generate_series(0, 3) t(b)),
+       |  SELECT doc_id, CAST($simhashSumSql60 AS BIGINT) AS simhash
+       |  FROM bits, par),
+       |$simhashBandsCte,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
        |    b.doc_id AS doc_b, b.simhash AS sb
        |  FROM bands a JOIN bands b
        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= (SELECT thr FROM par)
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
     val withDups = docs.select("doc_id", "text").unionByName(
@@ -151,26 +190,29 @@ object LlmQueries {
     Dedup.simhashNearDups(withDups).orderBy("doc_a", "doc_b")
   }
 
-  /** Count-parameterized simhash combination-table CTEs (the SQL mirror
-    * of `Dedup.simhashBlocksFor` + `Dedup.simhashKeepMasks`): block
-    * count from the corpus count, per-block masks from integer bit
-    * arithmetic, keep-masks from the 3-block-subset complement. Spliced
-    * into every oracle whose OUTPUT depends on which candidates the
-    * banding surfaces (the hamming ≤ 3-filtered queries are
-    * banding-invariant by pigeonhole and keep their fixed-band SQL). */
+  /** Combination-table keep-mask CTEs (the SQL mirror of
+    * `Dedup.simhashKeepMasks` over the `par`-derived detector): per-block
+    * masks from integer bit arithmetic, keep-masks enumerated as the
+    * (nblocks − thr)-element block subsets via popcount-filtered
+    * bitmask integers. Spliced only into the oracle whose OUTPUT
+    * depends on which candidates the banding surfaces (the threshold
+    * sweep's bins above thr); the threshold-FILTERED queries are
+    * banding-invariant by pigeonhole and use `simhashBandsCte`. */
   private val simhashMaskCtes =
-    """nb AS (
-      |  SELECT least(4 + 2 * greatest(0,
-      |    CAST(ceil(log10(count(*) / 100000.0)) AS INT)), 8) AS b
-      |  FROM docs2),
-      |blk AS (
+    """blk AS (
       |  SELECT i,
-      |    ((CAST(1 AS BIGINT) << ((32 * (i + 1)) // b - (32 * i) // b))
-      |      - 1) << ((32 * i) // b) AS m
-      |  FROM nb, generate_series(0, 7) t(i) WHERE i < b),
+      |    ((CAST(1 AS BIGINT) << ((nbits * (i + 1)) // nblocks
+      |       - (nbits * i) // nblocks)) - 1)
+      |      << ((nbits * i) // nblocks) AS m
+      |  FROM par, generate_series(0, 8) t(i) WHERE i < nblocks),
       |masks AS (
-      |  SELECT 4294967295 - x.m - y.m - z.m AS keep
-      |  FROM blk x, blk y, blk z WHERE x.i < y.i AND y.i < z.i)""".stripMargin
+      |  SELECT s.m AS mid,
+      |    CAST(sum(CASE WHEN (s.m >> b.i) % 2 = 1 THEN b.m ELSE 0 END)
+      |      AS BIGINT) AS keep
+      |  FROM generate_series(0, 511) s(m), blk b, par
+      |  WHERE s.m < (1 << nblocks)
+      |    AND bit_count(CAST(s.m AS BIGINT)) = nblocks - thr
+      |  GROUP BY s.m)""".stripMargin
 
   /** Deterministic MinHash near-dup pairs under the oracle gate: the
     * affine-hash family (fixed constants mod 2^31−1) over 3-word-shingle
@@ -475,6 +517,7 @@ object LlmQueries {
        |      min(doc_id) OVER (PARTITION BY md5(substr(text, 1, 64))) AS k
        |    FROM docs2) x
        |  WHERE doc_id <> k),
+       |$simhashParCte,
        |toks AS (
        |  SELECT doc_id,
        |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
@@ -482,19 +525,17 @@ object LlmQueries {
        |        FROM docs2) u),
        |bits AS (
        |  SELECT doc_id,
-       |    $simhashBitsSql
+       |    $simhashBitsSql60
        |  FROM toks GROUP BY doc_id),
        |sigs AS (
-       |  SELECT doc_id, CAST($simhashSumSql AS BIGINT) AS simhash FROM bits),
-       |bands AS (
-       |  SELECT doc_id, simhash, b AS bidx,
-       |    (simhash >> (8 * b)) & 255 AS bval
-       |  FROM sigs, generate_series(0, 3) t(b)),
+       |  SELECT doc_id, CAST($simhashSumSql60 AS BIGINT) AS simhash
+       |  FROM bits, par),
+       |$simhashBandsCte,
        |sh AS (
        |  SELECT DISTINCT b.doc_id
        |  FROM bands a JOIN bands b
        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= (SELECT thr FROM par)),
        |sets AS (
        |  SELECT 'prefix' AS det, doc_id FROM pf
        |  UNION ALL SELECT 'simhash', doc_id FROM sh
@@ -1444,10 +1485,11 @@ object LlmQueries {
     * because every stage — signature, banding, candidate join, label
     * sweeps, survivor selection — is ANSI-expressible, so the WHOLE
     * dedup pipeline hash-matches DuckDB instead of stopping at pair
-    * generation. (Pair generation uses the data-growing combination
-    * tables — Dedup.simhashBlocksFor — but the hamming ≤ 3-filtered
-    * pair set is banding-invariant, so the oracle's fixed-band SQL
-    * stays correct at every scale.) The fixed-sweep labels are a
+    * generation. (Pair generation uses the corpus-grown detector and
+    * combination tables — Dedup.simhashParamsFor — but the
+    * threshold-filtered pair set is banding-invariant, so the oracle's
+    * single-block bands over the same count-derived signature stay
+    * correct at every scale.) The fixed-sweep labels are a
     * deterministic REFINEMENT
     * of the true components (each label group is a subset of a
     * component; the banded fixture graph chains deeper than 3 hops, so
@@ -1459,6 +1501,7 @@ object LlmQueries {
   val qDedupClustersDet = Q(
     "q_dedup_clusters_det",
     s"""WITH $ngramDocs2,
+       |$simhashParCte,
        |toks AS (
        |  SELECT doc_id,
        |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
@@ -1466,19 +1509,17 @@ object LlmQueries {
        |        FROM docs2) u),
        |bits AS (
        |  SELECT doc_id,
-       |    $simhashBitsSql
+       |    $simhashBitsSql60
        |  FROM toks GROUP BY doc_id),
        |sigs AS (
-       |  SELECT doc_id, CAST($simhashSumSql AS BIGINT) AS simhash FROM bits),
-       |bands AS (
-       |  SELECT doc_id, simhash, b AS bidx,
-       |    (simhash >> (8 * b)) & 255 AS bval
-       |  FROM sigs, generate_series(0, 3) t(b)),
+       |  SELECT doc_id, CAST($simhashSumSql60 AS BIGINT) AS simhash
+       |  FROM bits, par),
+       |$simhashBandsCte,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= (SELECT thr FROM par)),
        |sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
        |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
        |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym),
@@ -2315,6 +2356,7 @@ object LlmQueries {
   val qDedupRateBySource = Q(
     "q_dedup_rate_by_source",
     s"""WITH $ngramDocs2,
+       |$simhashParCte,
        |toks AS (
        |  SELECT doc_id,
        |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
@@ -2322,14 +2364,12 @@ object LlmQueries {
        |        FROM docs2) u),
        |bits AS (
        |  SELECT doc_id,
-       |    $simhashBitsSql
+       |    $simhashBitsSql60
        |  FROM toks GROUP BY doc_id),
        |sigs AS (
-       |  SELECT doc_id, CAST($simhashSumSql AS BIGINT) AS simhash FROM bits),
-       |bands AS (
-       |  SELECT doc_id, simhash, b AS bidx,
-       |    (simhash >> (8 * b)) & 255 AS bval
-       |  FROM sigs, generate_series(0, 3) t(b)),
+       |  SELECT doc_id, CAST($simhashSumSql60 AS BIGINT) AS simhash
+       |  FROM bits, par),
+       |$simhashBandsCte,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
        |    b.doc_id AS doc_b, b.simhash AS sb
@@ -2338,9 +2378,9 @@ object LlmQueries {
        |dup AS (
        |  SELECT DISTINCT doc_id FROM (
        |    SELECT doc_a AS doc_id FROM cand
-       |    WHERE bit_count(xor(sa, sb)) <= 3
+       |    WHERE bit_count(xor(sa, sb)) <= (SELECT thr FROM par)
        |    UNION ALL SELECT doc_b FROM cand
-       |    WHERE bit_count(xor(sa, sb)) <= 3) u),
+       |    WHERE bit_count(xor(sa, sb)) <= (SELECT thr FROM par)) u),
        |attributed AS (
        |  SELECT CASE WHEN d2.doc_id >= 1000000 THEN d2.doc_id - 1000000
        |    ELSE d2.doc_id END AS orig_id, d2.doc_id IN (SELECT doc_id
@@ -2545,6 +2585,7 @@ object LlmQueries {
   val qNearDupEval = Q(
     "q_near_dup_eval",
     s"""WITH $ngramDocs2,
+       |$simhashParCte,
        |toks AS (
        |  SELECT doc_id,
        |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
@@ -2552,19 +2593,17 @@ object LlmQueries {
        |        FROM docs2) u),
        |bits AS (
        |  SELECT doc_id,
-       |    $simhashBitsSql
+       |    $simhashBitsSql60
        |  FROM toks GROUP BY doc_id),
        |sigs AS (
-       |  SELECT doc_id, CAST($simhashSumSql AS BIGINT) AS simhash FROM bits),
-       |bands AS (
-       |  SELECT doc_id, simhash, b AS bidx,
-       |    (simhash >> (8 * b)) & 255 AS bval
-       |  FROM sigs, generate_series(0, 3) t(b)),
+       |  SELECT doc_id, CAST($simhashSumSql60 AS BIGINT) AS simhash
+       |  FROM bits, par),
+       |$simhashBandsCte,
        |found AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= (SELECT thr FROM par)),
        |truth AS (
        |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
        |  FROM documents WHERE doc_id % 50 = 0),
@@ -2620,6 +2659,7 @@ object LlmQueries {
   val qDedupThresholdSweep = Q(
     "q_dedup_threshold_sweep",
     s"""WITH $ngramDocs2,
+       |$simhashParCte,
        |toks AS (
        |  SELECT doc_id,
        |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
@@ -2627,10 +2667,11 @@ object LlmQueries {
        |        FROM docs2) u),
        |bits AS (
        |  SELECT doc_id,
-       |    $simhashBitsSql
+       |    $simhashBitsSql60
        |  FROM toks GROUP BY doc_id),
        |sigs AS (
-       |  SELECT doc_id, CAST($simhashSumSql AS BIGINT) AS simhash FROM bits),
+       |  SELECT doc_id, CAST($simhashSumSql60 AS BIGINT) AS simhash
+       |  FROM bits, par),
        |$simhashMaskCtes,
        |bands AS (
        |  SELECT doc_id, simhash, keep AS bidx, simhash & keep AS bval

@@ -113,29 +113,42 @@ class OutOfBandSpec extends SparkTestBase {
       docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           expr("substr(text, 11)").as("text")))
-    def pairs(b: Int) = Dedup.simhashNearDups(withDups, nBlocks = b)
+    def pairs(b: Int) = Dedup.simhashNearDupsWith(withDups, bits = 32,
+        maxHamming = 3, nBlocks = b, keepBlocks = b - 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val p4 = pairs(4)
     assert(p4.nonEmpty)
     assert(pairs(6) == p4, "B=6 must equal the classic 4x8 result")
     assert(pairs(8) == p4, "B=8 must equal the classic 4x8 result")
+    // and the 60-bit/thr-6 detector's combination tables equal ITS
+    // single-block banding (the oracle's form) — same invariance, the
+    // scale detector's two banding shapes agree on the filtered result
+    def pairs60(nb: Int, kb: Int) = Dedup.simhashNearDupsWith(withDups,
+        bits = 60, maxHamming = 6, nBlocks = nb, keepBlocks = kb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs60(9, 3) == pairs60(9, 1),
+      "combination tables must equal single-block bands at 60/6")
   }
 
-  test("data-growing banding parameters step per decade past 100k docs") {
-    assert(Dedup.simhashBlocksFor(6120) == 4)
-    assert(Dedup.simhashBlocksFor(100000) == 4)
-    assert(Dedup.simhashBlocksFor(510000) == 6)
-    assert(Dedup.simhashBlocksFor(5100000) == 8)
-    assert(Dedup.simhashBlocksFor(51000000) == 8) // capped: widen the sig next
+  test("data-growing detector parameters step per decade past 100k docs") {
+    assert(Dedup.simhashParamsFor(6120) == ((32, 3, 4)))
+    assert(Dedup.simhashParamsFor(100000) == ((32, 3, 4)))
+    assert(Dedup.simhashParamsFor(510000) == ((60, 6, 9)))
+    assert(Dedup.simhashParamsFor(51000000) == ((60, 6, 9)))
     assert(Dedup.minhashParamsFor(6120) == ((12, 3)))
     assert(Dedup.minhashParamsFor(510000) == ((25, 5)))
     assert(Dedup.minhashParamsFor(5100000) == ((42, 7)))
-    // keep-masks: pairwise distinct, each 32 - (3-block widths) bits wide
-    (4 to 8).foreach { b =>
-      val masks = Dedup.simhashKeepMasks(b)
-      assert(masks.size == b * (b - 1) * (b - 2) / 6)
+    // keep-masks: C(B, kb) pairwise-distinct masks within the signature
+    for ((bits, b, kb) <- Seq((32, 4, 1), (32, 6, 3), (32, 8, 5),
+        (60, 9, 3), (60, 9, 1))) {
+      val masks = Dedup.simhashKeepMasks(bits, b, kb)
+      def choose(n: Int, k: Int): Long =
+        (1 to k).map(i => (n - k + i).toLong).product /
+          (1 to k).map(_.toLong).product
+      assert(masks.size == choose(b, kb), s"($bits,$b,$kb)")
       assert(masks.distinct.size == masks.size)
-      assert(masks.forall(m => (m & ~0xFFFFFFFFL) == 0L))
+      val full = if (bits == 64) -1L else (1L << bits) - 1
+      assert(masks.forall(m => (m & ~full) == 0L))
     }
   }
 
