@@ -613,15 +613,28 @@ object MfQueries {
                 case None => Antidote.autoCap(ratings, alpha)
               }
               val x0 = Antidote.initHeuristicCapped(s, ratings, alpha, cap)
+              // localCheckpoint fences the GD step's lineage (which holds
+              // a whole ALS train) out of the FINAL train's — without it
+              // both trains' shuffle files stay referenced simultaneously.
+              // x1 is budget-sized (k̃ × m, support-capped), so the fence
+              // materializes a bounded frame. Part of the sf10 finding:
+              // the sweep died on single-box scratch (> 64 GB) because
+              // consumed shuffles of earlier trains stayed live.
               val x1 = Antidote.step(s, ratings, x0, cfg, eta = 1e4,
                 metric = Metric.GroupUnfairness(groups, "BUILDING",
-                  "MACHINERY"))
+                  "MACHINERY")).localCheckpoint()
               AlsEngine.train(ratings.unionByName(x1), cfg)
             }
-          Antidote.evaluateAll(model, ratings, groups,
+          val rows = Antidote.evaluateAll(model, ratings, groups,
               "BUILDING", "MACHINERY")
             .toSeq.map { case (name, tp) =>
               (alpha, name, tp.objective, tp.rmse) }
+          // this α's model and trains are now dead references; a GC here
+          // lets ContextCleaner reclaim their shuffle files before the
+          // next α trains (Spark's own periodicGC fires only every 2 min
+          // — too slow to keep peak scratch at one train's footprint)
+          if (alpha != 0.0) System.gc()
+          rows
         }
       })
     }
