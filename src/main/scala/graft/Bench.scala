@@ -65,6 +65,7 @@ object Bench {
       ml.Ratings.clearCache(); ml.AlsEngine.clearCache()
       ml.Baseline.clearCache(); llm.ShingleStore.clearCache()
       ApproxGate.clearCache(); Tables.clearCountCache()
+      operators.LlmQueries.clearCountCache()
       operators.MfQueries.clearSweepCache()
       operators.MfQueries.clearCoCache()
       streaming.StreamOps.clearSliceCache()

@@ -108,7 +108,10 @@ object GenData {
       col("id").as("p_partkey"),
       concat(pick(col("id"), 6, PAdj), lit(" "),
         pick(col("id"), 7, PNoun), lit(" "),
-        zipfWord(h(col("id"), 27, nameSuffixes))).as("p_name"),
+        // stream 42: unused anywhere else — 27 was events.user_id's
+        // stream, which correlated p_name's third word with it via the
+        // same base hash under two moduli (ADVICE r13)
+        zipfWord(h(col("id"), 42, nameSuffixes))).as("p_name"),
       concat(lit("Brand#"), (h(col("id"), 8, 25) + 1)).as("p_brand"),
       pick(col("id"), 9, PType).as("p_type"),
       (h(col("id"), 10, 50) + 1).cast(IntegerType).as("p_size"),

@@ -7,8 +7,9 @@ import org.apache.spark.sql.types._
 
 /** Deduplication operators, ordered by cost/recall trade-off:
   *  - exact: hash-groupBy, one shuffle on the digest (100 TB-safe).
-  *  - simhash: 64→32-bit sign-aggregated token-hash signature; near-dups
-  *    collide on the signature — linear, one shuffle.
+  *  - simhash: sign-aggregated token-hash signature (1 lane × 32 bits at
+  *    fixture scales, 2 lanes × 60 bits past 100 k docs); near-dups
+  *    collide on banded signature blocks — linear, one shuffle.
   *  - minhash LSH: MLlib MinHashLSH banding, subquadratic candidate join.
   *  - n-gram Jaccard: exact similarity on candidates that share a RARE
   *    shingle (df-bounded blocking keeps the self-join linear-ish; common
@@ -33,19 +34,40 @@ object Dedup {
     * ≤ 60 (the hash60 width); 32 is the base readout width
     * (q_dedup_simhash pins it), the near-dup detector widens with the
     * corpus (see [[simhashParamsFor]]). */
-  def simhash(docs: DataFrame, bits: Int = 32): DataFrame = {
+  def simhash(docs: DataFrame, bits: Int = 32): DataFrame =
+    simhashLanes(docs, bits, 1)
+      .select(col("doc_id"), col("sh0").as("simhash"))
+
+  /** Per-token hash for signature lane `lane`: 60-bit slices of one md5
+    * (lane 0 = hex chars 1–15 = [[TextOps.hash60]] exactly; lane 1 =
+    * chars 16–30). Two lanes exhaust the md5; a third would need a
+    * salted hash. */
+  private def laneHash(c: Column, lane: Int): Column =
+    conv(substring(md5(c), 1 + 15 * lane, 15), 16, 10).cast(LongType)
+
+  /** Multi-lane simhash: one token explode + ONE aggregation carrying
+    * lanes × bits sign-sums, emitting signature columns sh0..sh{L−1}
+    * (each lane an int64, bit b of lane l = sign of Σ_tokens ±1 by bit
+    * b of that lane's 60-bit token hash). Linear, one shuffle on
+    * doc_id regardless of corpus size or lane count. */
+  def simhashLanes(docs: DataFrame, bits: Int, lanes: Int): DataFrame = {
     require(bits >= 1 && bits <= 60, s"bits must be in [1, 60], got $bits")
+    require(lanes >= 1 && lanes <= 2,
+      s"lanes must be 1 or 2 (md5 yields two 60-bit lanes), got $lanes")
     val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), TextOps.hash60(col("tok")).as("h"))
-    val bitSums = (0 until bits).map { b =>
-      sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1)).as(s"b$b")
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id") +:
+        (0 until lanes).map(l => laneHash(col("tok"), l).as(s"h$l")): _*)
+    val bitSums = for { l <- 0 until lanes; b <- 0 until bits } yield
+      sum(when(shiftright(col(s"h$l"), b) % 2 === 1, 1).otherwise(-1))
+        .as(s"l${l}b$b")
+    val sigs = (0 until lanes).map { l =>
+      (0 until bits).map { b =>
+        when(col(s"l${l}b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"sh$l")
     }
-    val sig = (0 until bits).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
     toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
+      .select(col("doc_id") +: sigs: _*)
   }
 
   /** MinHash-LSH near-dup candidate pairs at the given max Jaccard
@@ -280,30 +302,38 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "cont_a", "cont_b")
   }
 
-  /** Data-growing simhash detector parameters (signatureBits,
-    * hammingThreshold, nBlocks) for a corpus of `n` docs.
+  /** Data-growing simhash detector parameters (lanes, bitsPerLane,
+    * hammingThreshold, blocksPerLane) for a corpus of `n` docs.
     *
-    * Base (≤ 100 k docs): the classic (32 bits, hamming ≤ 3, 4 blocks)
-    * — bit-identical to every committed oracle at fixture scales.
+    * Base (≤ 100 k docs): the classic (1 lane, 32 bits, hamming ≤ 3,
+    * 4 blocks) — bit-identical to every committed oracle at fixture
+    * scales.
     *
-    * Past 100 k docs the 32-bit signature SATURATES semantically, not
+    * Past 100 k docs a 32-bit signature SATURATES semantically, not
     * just computationally: measured on the 510 k-doc sf10 corpus, the
     * 32-bit/≤3 detector emits 196 M pairs at precision 3.9e-5 (the
     * shared Zipf vocabulary head biases every doc's bits the same way),
     * so the OUTPUT itself is quadratic and the detector is useless.
-    * The scale form is the one production simhash dedup settled on
-    * (Manku et al., WWW'07, used 64-bit/≤3 for 8 B pages): widen the
-    * signature — 60 bits, the full hash60 width, keeping the signature
-    * one int64 for both engines — and scale the threshold with the
-    * width (3/32 ≈ 6/60), which MEASURED on the planted sf10 set holds
-    * recall at 0.788 (vs 0.755 for 32/≤3) while cutting incidental
-    * pairs ~8× (26 M est.). 9 blocks of ~6–7 bits give the
-    * combination-table banding ~20-bit keys (keepBlocks = nBlocks −
-    * thr = 3). Past ~5 M docs 60 bits saturates too; the next rung is
-    * a multi-word signature (two hash60 lanes), not a parameter here. */
-  def simhashParamsFor(n: Long): (Int, Int, Int) = {
+    * r13's single-lane 60-bit/≤6 step (Manku et al., WWW'07, used
+    * 64-bit/≤3 for 8 B pages) measured recall 0.788 at sf10 but still
+    * emitted ~29.6 M incidental pairs (precision 2.7e-4) — enough Zipf-
+    * head mass to keep the cluster stage edge-bound at ~20×/decade. The
+    * scale form is therefore a MULTI-WORD signature: 2 lanes × 60 bits
+    * (both halves of one md5 — each lane stays one int64 for both
+    * engines), total hamming threshold 12 over 120 bits. Doubling width
+    * at the same relative threshold squares the background tail
+    * (large-deviation rate doubles) while planted-pair recall RISES
+    * (relative variance of the binomial shrinks: P[≤12 of 120] >
+    * P[≤6 of 60] at the planted per-bit agreement ~0.92), so the pair
+    * set collapses toward the planted truth. Banding stays per-lane:
+    * a pair within total hamming ≤ 12 has ≤ 6 in SOME lane
+    * (pigeonhole), and that lane's C(9,3) combination tables guarantee
+    * it — candidates are the union of the two lanes' tables. Past
+    * ~100 M docs the next rung is a third lane from a SALTED token hash
+    * (md5 yields only two 60-bit lanes), not a parameter here. */
+  def simhashParamsFor(n: Long): (Int, Int, Int, Int) = {
     val d = math.max(0, math.ceil(math.log10(n / 100000.0)).toInt)
-    if (d == 0) (32, 3, 4) else (60, 6, 9)
+    if (d == 0) (1, 32, 3, 4) else (2, 60, 12, 9)
   }
 
   /** Keep-masks of the C(B, keepBlocks) combination tables over an
@@ -336,37 +366,61 @@ object Dedup {
 
   /** Simhash near-dup pairs with corpus-derived detector parameters
     * ([[simhashParamsFor]] from one corpus count — a production pipeline
-    * takes it from catalog stats): combination-table banded candidate
-    * join, exact popcount filter at the derived threshold. Subquadratic
-    * in candidates AND near-linear in OUTPUT per decade (the widened
-    * signature is what keeps the pair set itself from going quadratic
-    * — see simhashParamsFor). Pass `maxHamming` > 0 to widen the
-    * reported filter past the banding guarantee (threshold sweeps —
-    * bins above the guarantee count banded collisions only). */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 0): DataFrame = {
-    val (bits, thr, blocks) = simhashParamsFor(docs.count())
+    * takes it from catalog stats): per-lane combination-table banded
+    * candidate join, exact popcount filter (summed across lanes) at the
+    * derived threshold. Subquadratic in candidates AND near-linear in
+    * OUTPUT per decade (the widened multi-lane signature is what keeps
+    * the pair set itself from going quadratic — see simhashParamsFor).
+    * Pass `maxHamming` > 0 to override the reported filter (threshold
+    * sweeps; bins above the per-lane banding guarantee × lanes count
+    * banded collisions only). Pass `nDocs` ≥ 0 to supply the corpus
+    * count (callers that know it from catalog stats / a shared memo —
+    * otherwise every invocation pays a full count scan to derive the
+    * detector). */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 0,
+      nDocs: Long = -1L): DataFrame = {
+    val n = if (nDocs >= 0L) nDocs else docs.count()
+    val (lanes, bits, thr, blocks) = simhashParamsFor(n)
     simhashNearDupsWith(docs, bits,
-      if (maxHamming > 0) maxHamming else thr, blocks, blocks - thr)
+      if (maxHamming > 0) maxHamming else thr, blocks,
+      blocks - thr / lanes, lanes)
   }
 
-  /** Explicit-parameter form of [[simhashNearDups]] (tests, sweeps). */
+  /** Explicit-parameter form of [[simhashNearDups]] (tests, sweeps).
+    * The banding guarantee is per lane: every pair with hamming ≤
+    * (nBlocks − keepBlocks) IN SOME LANE is a candidate; by pigeonhole
+    * a pair within total hamming ≤ lanes·(nBlocks − keepBlocks) always
+    * has such a lane, so the threshold-filtered result at thr ≤
+    * lanes·(nBlocks − keepBlocks) is banding-invariant. */
   def simhashNearDupsWith(docs: DataFrame, bits: Int, maxHamming: Int,
-      nBlocks: Int, keepBlocks: Int): DataFrame = {
+      nBlocks: Int, keepBlocks: Int, lanes: Int = 1): DataFrame = {
     val keeps = simhashKeepMasks(bits, nBlocks, keepBlocks)
-    // bidx = the keep-mask itself (masks are pairwise distinct), so the
-    // equi-join key is (table, masked signature) with no ordinal bookkeeping
-    val bands = simhash(docs, bits).select(col("doc_id"), col("simhash"),
-        explode(array(keeps.map(lit(_)): _*)).as("keep"))
-      .select(col("doc_id"), col("simhash"), col("keep").as("bidx"),
-        col("simhash").bitwiseAND(col("keep")).as("bval"))
+    val sigCols = (0 until lanes).map(l => col(s"sh$l"))
+    // band key = (lane, keep-mask, masked signature): masks are pairwise
+    // distinct, so (lane, mask) identifies the table with no ordinal
+    // bookkeeping
+    val laneKeeps = for { l <- 0 until lanes; k <- keeps } yield
+      struct(lit(l).as("lane"), lit(k).as("keep"))
+    val bval = (0 until lanes).map { l =>
+      when(col("lk.lane") === l, col(s"sh$l").bitwiseAND(col("lk.keep")))
+    }.reduce(coalesce(_, _))
+    val bands = simhashLanes(docs, bits, lanes)
+      .select(col("doc_id") +: sigCols :+
+        explode(array(laneKeeps: _*)).as("lk"): _*)
+      .select(col("doc_id") +: sigCols :+ col("lk.lane").as("lane") :+
+        col("lk.keep").as("keep") :+ bval.as("bval"): _*)
     val cand = bands.as("a").join(bands.as("b"),
-        col("a.bidx") === col("b.bidx") && col("a.bval") === col("b.bval") &&
+        col("a.lane") === col("b.lane") && col("a.keep") === col("b.keep") &&
+          col("a.bval") === col("b.bval") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sa"),
-        col("b.doc_id").as("doc_b"), col("b.simhash").as("sb"))
+      .select(col("a.doc_id").as("doc_a") +: col("b.doc_id").as("doc_b") +:
+        ((0 until lanes).map(l => col(s"a.sh$l").as(s"sa$l")) ++
+         (0 until lanes).map(l => col(s"b.sh$l").as(s"sb$l"))): _*)
       .distinct()
-    cand.withColumn("hamming",
-        bit_count(col("sa").bitwiseXOR(col("sb"))).cast(IntegerType))
+    val hamming = (0 until lanes).map { l =>
+      bit_count(col(s"sa$l").bitwiseXOR(col(s"sb$l")))
+    }.reduce(_ + _).cast(IntegerType)
+    cand.withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }

@@ -54,10 +54,15 @@ object CurationQueries {
       |    AS boiler_occ_share
       |FROM m ORDER BY source""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
+    // doc → source is a broadcast map (one row per doc, two thin
+    // columns), so tagging the store scan never shuffles it
     val sh = graft.llm.ShingleStore.distinct(s, d, k = 5, maxPos = 2000)
-      .join(docs.select("doc_id", "source"), "doc_id")
-    val nd = sh.groupBy("source")
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .join(broadcast(docs.select("doc_id", "source")), "doc_id")
+    // per-source doc counts from the documents table itself — every doc
+    // yields ≥ 1 shingle row (the explode floor is greatest(len−4, 1)),
+    // so this equals the oracle's count(DISTINCT doc_id) over sh without
+    // a distinct-aggregation pass over the corpus-sized store
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
     val df = sh.groupBy("source", "shingle").agg(count(lit(1)).as("df"))
     df.join(broadcast(nd), "source")
       .groupBy("source")

@@ -16,6 +16,26 @@ import org.apache.spark.sql.types._
   */
 object LlmQueries {
 
+  /** Memoized count of the planted-copy slice (doc_id % 50 = 0) per
+    * (session, sfDir). The six simhash near-dup queries all derive
+    * their detector from the SAME augmented-corpus cardinality
+    * |documents| + |planted|; deriving it here from Tables.countCached
+    * plus this one extra filtered count means one scan per session
+    * instead of a full corpus count per query invocation (ADVICE r13).
+    * Exactness matters: the oracle computes its detector from the
+    * exact augmented count, so an approximation could band differently
+    * at a decade boundary. */
+  private val plantedCountCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Long]
+
+  private def augDocCount(s: SparkSession, d: String): Long =
+    graft.Tables.countCached(s, d, "documents") +
+      plantedCountCache.getOrElseUpdate((s, d),
+        t(s, d, "documents").filter(col("doc_id") % 50 === 0).count())
+
+  /** Drop the planted-count memo (cold benchmarking / data rewrites). */
+  def clearCountCache(): Unit = plantedCountCache.clear()
+
   val qDedupExact = Q(
     "q_dedup_exact",
     """SELECT n_docs, n_unique, keeper_sum FROM
@@ -34,17 +54,21 @@ object LlmQueries {
     .mkString(" + ")
 
   /** Count-parameterized simhash detector mirror (SQL side of
-    * `Dedup.simhashParamsFor`): signature width, hamming threshold and
-    * block count derived from the SAME corpus count as the engine, so
-    * both compute the identical detector at every scale (32/3/4 at
-    * fixture scales — bit-identical to the historic oracles; 60/6/9
-    * past 100 k docs, where the 32-bit signature saturates). The bit
-    * sums are always computed 60 wide; terms past bit 31 are gated on
-    * nbits so the d = 0 signature is exactly the historic 32-bit one. */
+    * `Dedup.simhashParamsFor`): lane count, per-lane signature width,
+    * total hamming threshold and per-lane block count derived from the
+    * SAME corpus count as the engine, so both compute the identical
+    * detector at every scale (1 lane × 32 bits / ≤3 / 4 blocks at
+    * fixture scales — bit-identical to the historic oracles; 2 lanes ×
+    * 60 bits / ≤12 / 9 blocks past 100 k docs, where narrower
+    * signatures saturate on the Zipf vocabulary head). The lane-0 bit
+    * sums are always computed 60 wide with terms past bit 31 gated on
+    * nbits (so the d = 0 signature is exactly the historic 32-bit one);
+    * the lane-1 signature is gated whole on lanes = 2. */
   private val simhashParCte =
     """par AS (
-      |  SELECT CASE WHEN dd = 0 THEN 32 ELSE 60 END AS nbits,
-      |    CASE WHEN dd = 0 THEN 3 ELSE 6 END AS thr,
+      |  SELECT CASE WHEN dd = 0 THEN 1 ELSE 2 END AS lanes,
+      |    CASE WHEN dd = 0 THEN 32 ELSE 60 END AS nbits,
+      |    CASE WHEN dd = 0 THEN 3 ELSE 12 END AS thr,
       |    CASE WHEN dd = 0 THEN 4 ELSE 9 END AS nblocks
       |  FROM (SELECT greatest(0, CAST(ceil(log10(count(*) / 100000.0))
       |                             AS INT)) AS dd FROM docs2))""".stripMargin
@@ -55,20 +79,62 @@ object LlmQueries {
     val t = s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)"
     if (b < 32) t else s"(CASE WHEN nbits > $b THEN $t ELSE 0 END)"
   }.mkString("\n    + ")
+  private val simhashBitsSql60L1 = (0 until 60)
+    .map(b => s"SUM(CASE WHEN (h1 >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b")
+    .mkString(",\n    ")
+  private val simhashSumSql60L1 = (0 until 60)
+    .map(b => s"(CASE WHEN c$b > 0 THEN ${1L << b} ELSE 0 END)")
+    .mkString("\n    + ")
 
-  /** Single-block banding for the threshold-FILTERED oracles: any pair
-    * within hamming <= nblocks - 1 >= thr shares a block, so candidates
-    * are a superset of the result for every scale; the engine's
-    * combination tables and this simpler banding may differ in
-    * CANDIDATES but provably not in the filtered result. At d = 0
-    * (32/4) this is exactly the historic (simhash >> 8b) & 255. */
+  /** Shared signature CTEs (toks → bits → sigs) for every
+    * count-parameterized simhash oracle: per-token 60-bit lane hashes
+    * from the two halves of one md5 (lane 0 = hex chars 1–15 — the
+    * engine's TextOps.hash60 — lane 1 = chars 16–30), one grouped
+    * aggregation carrying both lanes' sign-sums, and the two int64
+    * signatures (simhash, simhash1; lane 1 is 0 when lanes = 1, so
+    * its xor contributes 0 hamming). */
+  private val simhashSigCtes =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h,
+       |    CAST(concat('0x', substr(md5(tok), 16, 15)) AS BIGINT) AS h1
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM docs2) u),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $simhashBitsSql60,
+       |    $simhashBitsSql60L1
+       |  FROM toks GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id, CAST($simhashSumSql60 AS BIGINT) AS simhash,
+       |    CAST(CASE WHEN lanes = 2 THEN $simhashSumSql60L1
+       |         ELSE 0 END AS BIGINT) AS simhash1
+       |  FROM bits, par)""".stripMargin
+
+  /** Total hamming distance between two (simhash, simhash1) signature
+    * pairs — lane 1 is all-zero at lanes = 1, contributing 0. */
+  private def simhashHamSql(a: String, b: String): String =
+    s"(bit_count(xor($a.simhash, $b.simhash))" +
+      s" + bit_count(xor($a.simhash1, $b.simhash1)))"
+
+  /** Per-lane single-block banding for the threshold-FILTERED oracles:
+    * a pair within total hamming <= thr has hamming <= thr / lanes in
+    * SOME lane (pigeonhole), and thr / lanes <= nblocks - 1, so that
+    * lane's bands surface it — candidates are a superset of the result
+    * for every scale; the engine's per-lane combination tables and this
+    * simpler banding may differ in CANDIDATES but provably not in the
+    * filtered result. At d = 0 (1 lane, 32/4) this is exactly the
+    * historic (simhash >> 8b) & 255. */
   private val simhashBandsCte =
     """bands AS (
-      |  SELECT doc_id, simhash, b AS bidx,
-      |    (simhash >> ((nbits * b) // nblocks)) &
+      |  SELECT doc_id, simhash, simhash1, l * 16 + b AS bidx,
+      |    ((CASE WHEN l = 0 THEN simhash ELSE simhash1 END)
+      |       >> ((nbits * b) // nblocks)) &
       |      ((CAST(1 AS BIGINT) << ((nbits * (b + 1)) // nblocks
       |         - (nbits * b) // nblocks)) - 1) AS bval
-      |  FROM sigs, generate_series(0, 8) t(b), par WHERE b < nblocks)""".stripMargin
+      |  FROM sigs, generate_series(0, 8) t(b), generate_series(0, 1) tl(l),
+      |    par
+      |  WHERE b < nblocks AND l < lanes)""".stripMargin
 
   val qDedupSimhash = Q(
     "q_dedup_simhash",
@@ -150,54 +216,52 @@ object LlmQueries {
   /** Simhash LSH pairs over docs ∪ planted copies: banded candidates +
     * exact hamming filter — the linear-ish simhash dedup path
     * end-to-end. The DETECTOR grows with the corpus
-    * (Dedup.simhashParamsFor, mirrored in simhashParCte: 32-bit/≤3 at
-    * fixture scales bit-identically, 60-bit/≤6 past 100 k docs — r12's
-    * fixed 32/≤3 form was not just slow at sf10, it was SATURATED:
-    * 196 M pairs at precision 4e-5). The threshold-filtered RESULT is
-    * banding-invariant (pigeonhole superset + exact filter), so the
-    * engine's combination tables and the oracle's single-block bands
+    * (Dedup.simhashParamsFor, mirrored in simhashParCte: 1 lane ×
+    * 32-bit/≤3 at fixture scales bit-identically, 2 lanes × 60-bit/≤12
+    * past 100 k docs — r12's fixed 32/≤3 form was not just slow at
+    * sf10, it was SATURATED: 196 M pairs at precision 4e-5, and r13's
+    * single-lane 60/≤6 still carried ~29.6 M incidental pairs). The
+    * threshold-filtered RESULT is banding-invariant (per-lane
+    * pigeonhole superset + exact filter), so the engine's per-lane
+    * combination tables and the oracle's per-lane single-block bands
     * may differ in candidates yet provably agree on the answer. */
   val qDedupSimhashPairs = Q(
     "q_dedup_simhash_pairs",
     s"""WITH $ngramDocs2,
        |$simhashParCte,
-       |toks AS (
-       |  SELECT doc_id,
-       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-       |        FROM docs2) u),
-       |bits AS (
-       |  SELECT doc_id,
-       |    $simhashBitsSql60
-       |  FROM toks GROUP BY doc_id),
-       |sigs AS (
-       |  SELECT doc_id, CAST($simhashSumSql60 AS BIGINT) AS simhash
-       |  FROM bits, par),
+       |$simhashSigCtes,
        |$simhashBandsCte,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
-       |    b.doc_id AS doc_b, b.simhash AS sb
+       |    a.simhash1 AS sa1,
+       |    b.doc_id AS doc_b, b.simhash AS sb, b.simhash1 AS sb1
        |  FROM bands a JOIN bands b
        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-       |FROM cand WHERE bit_count(xor(sa, sb)) <= (SELECT thr FROM par)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(sa, sb)) + bit_count(xor(sa1, sb1)) AS INT)
+       |    AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sa, sb)) + bit_count(xor(sa1, sb1))
+       |  <= (SELECT thr FROM par)
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
     val withDups = docs.select("doc_id", "text").unionByName(
       docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           expr("substr(text, 11)").as("text")))
-    Dedup.simhashNearDups(withDups).orderBy("doc_a", "doc_b")
+    Dedup.simhashNearDups(withDups, nDocs = augDocCount(s, d))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Combination-table keep-mask CTEs (the SQL mirror of
     * `Dedup.simhashKeepMasks` over the `par`-derived detector): per-block
     * masks from integer bit arithmetic, keep-masks enumerated as the
-    * (nblocks − thr)-element block subsets via popcount-filtered
-    * bitmask integers. Spliced only into the oracle whose OUTPUT
-    * depends on which candidates the banding surfaces (the threshold
-    * sweep's bins above thr); the threshold-FILTERED queries are
-    * banding-invariant by pigeonhole and use `simhashBandsCte`. */
+    * (nblocks − thr/lanes)-element block subsets via popcount-filtered
+    * bitmask integers (the per-LANE tables — each lane bands its own
+    * signature with the same mask set). Spliced only into the oracle
+    * whose OUTPUT depends on which candidates the banding surfaces (the
+    * threshold sweep's bins above thr); the threshold-FILTERED queries
+    * are banding-invariant by pigeonhole and use `simhashBandsCte`. */
   private val simhashMaskCtes =
     """blk AS (
       |  SELECT i,
@@ -211,7 +275,7 @@ object LlmQueries {
       |      AS BIGINT) AS keep
       |  FROM generate_series(0, 511) s(m), blk b, par
       |  WHERE s.m < (1 << nblocks)
-      |    AND bit_count(CAST(s.m AS BIGINT)) = nblocks - thr
+      |    AND bit_count(CAST(s.m AS BIGINT)) = nblocks - thr // lanes
       |  GROUP BY s.m)""".stripMargin
 
   /** Deterministic MinHash near-dup pairs under the oracle gate: the
@@ -235,8 +299,9 @@ object LlmQueries {
        |pp AS (
        |  SELECT CAST(3 + 2 * dd AS INT) AS bs,
        |    CAST((4 + dd) * (3 + 2 * dd) AS INT) AS k
-       |  FROM (SELECT greatest(0, CAST(ceil(log10(count(*) / 100000.0))
-       |                             AS INT)) AS dd FROM docs2)),
+       |  FROM (SELECT least(6, greatest(0,
+       |                  CAST(ceil(log10(count(*) / 100000.0)) AS INT)))
+       |          AS dd FROM docs2)),
        |toks AS (
        |  SELECT DISTINCT doc_id,
        |    (CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT)
@@ -518,24 +583,13 @@ object LlmQueries {
        |    FROM docs2) x
        |  WHERE doc_id <> k),
        |$simhashParCte,
-       |toks AS (
-       |  SELECT doc_id,
-       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-       |        FROM docs2) u),
-       |bits AS (
-       |  SELECT doc_id,
-       |    $simhashBitsSql60
-       |  FROM toks GROUP BY doc_id),
-       |sigs AS (
-       |  SELECT doc_id, CAST($simhashSumSql60 AS BIGINT) AS simhash
-       |  FROM bits, par),
+       |$simhashSigCtes,
        |$simhashBandsCte,
        |sh AS (
        |  SELECT DISTINCT b.doc_id
        |  FROM bands a JOIN bands b
        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= (SELECT thr FROM par)),
+       |  WHERE ${simhashHamSql("a", "b")} <= (SELECT thr FROM par)),
        |sets AS (
        |  SELECT 'prefix' AS det, doc_id FROM pf
        |  UNION ALL SELECT 'simhash', doc_id FROM sh
@@ -571,7 +625,7 @@ object LlmQueries {
     }
     val sx = removable(md5(expr("right(text, 16)")))
     val pf = removable(md5(substring(col("text"), 1, 64)))
-    val sh = Dedup.simhashNearDups(docs2)
+    val sh = Dedup.simhashNearDups(docs2, nDocs = augDocCount(s, d))
       .select(col("doc_b").as("doc_id")).distinct()
     val sets = pf.withColumn("det", lit("prefix"))
       .unionByName(sh.withColumn("det", lit("simhash")))
@@ -770,7 +824,13 @@ object LlmQueries {
     // Shingling is per-row, so filtering the SHARED raw-corpus k=20
     // shingle frame is identical to shingling the filtered corpora —
     // and the 20-gram explode is paid once per session, not per query.
-    val sh = graft.llm.ShingleStore.distinct(s, d, k = 20, maxPos = 2000)
+    // df >= 2 prunes the store scan losslessly: a df = 1 shingle lives
+    // in exactly ONE doc — either the eval or the train side, never
+    // both — so it can't witness an overlap; 20-grams are mostly
+    // unique, so this drops the bulk of the scanned rows at the
+    // parquet filter before either side of the join materializes.
+    val sh = graft.llm.ShingleStore.counted(s, d, k = 20, maxPos = 2000)
+      .filter(col("df") >= 2).select("doc_id", "shingle")
     val ev = sh.filter(col("doc_id") % 97 === 0).select("shingle").distinct()
     sh.filter(col("doc_id") % 97 =!= 0)
       .join(ev, "shingle")
@@ -1459,7 +1519,7 @@ object LlmQueries {
     val withDups = docs.unionByName(
       docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-    val pairs = Dedup.simhashNearDups(withDups)
+    val pairs = Dedup.simhashNearDups(withDups, nDocs = augDocCount(s, d))
     val clusters = Dedup.nearDupClusters(pairs)
     val survivors = Dedup.survivors(withDups, clusters)
     val spark = s
@@ -1502,24 +1562,13 @@ object LlmQueries {
     "q_dedup_clusters_det",
     s"""WITH $ngramDocs2,
        |$simhashParCte,
-       |toks AS (
-       |  SELECT doc_id,
-       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-       |        FROM docs2) u),
-       |bits AS (
-       |  SELECT doc_id,
-       |    $simhashBitsSql60
-       |  FROM toks GROUP BY doc_id),
-       |sigs AS (
-       |  SELECT doc_id, CAST($simhashSumSql60 AS BIGINT) AS simhash
-       |  FROM bits, par),
+       |$simhashSigCtes,
        |$simhashBandsCte,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= (SELECT thr FROM par)),
+       |  WHERE ${simhashHamSql("a", "b")} <= (SELECT thr FROM par)),
        |sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
        |        UNION ALL SELECT doc_b AS src, doc_a AS dst FROM cand),
        |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym),
@@ -1541,7 +1590,7 @@ object LlmQueries {
       docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           expr("substr(text, 11)").as("text")))
-    val pairs = Dedup.simhashNearDups(withDups)
+    val pairs = Dedup.simhashNearDups(withDups, nDocs = augDocCount(s, d))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val labels = graft.plans.LabelProp.iterate(pairs, 3)
     val survivors = Dedup.survivors(withDups,
@@ -2357,30 +2406,22 @@ object LlmQueries {
     "q_dedup_rate_by_source",
     s"""WITH $ngramDocs2,
        |$simhashParCte,
-       |toks AS (
-       |  SELECT doc_id,
-       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-       |        FROM docs2) u),
-       |bits AS (
-       |  SELECT doc_id,
-       |    $simhashBitsSql60
-       |  FROM toks GROUP BY doc_id),
-       |sigs AS (
-       |  SELECT doc_id, CAST($simhashSumSql60 AS BIGINT) AS simhash
-       |  FROM bits, par),
+       |$simhashSigCtes,
        |$simhashBandsCte,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
-       |    b.doc_id AS doc_b, b.simhash AS sb
+       |    a.simhash1 AS sa1,
+       |    b.doc_id AS doc_b, b.simhash AS sb, b.simhash1 AS sb1
        |  FROM bands a JOIN bands b
        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id),
        |dup AS (
        |  SELECT DISTINCT doc_id FROM (
        |    SELECT doc_a AS doc_id FROM cand
-       |    WHERE bit_count(xor(sa, sb)) <= (SELECT thr FROM par)
+       |    WHERE bit_count(xor(sa, sb)) + bit_count(xor(sa1, sb1))
+       |      <= (SELECT thr FROM par)
        |    UNION ALL SELECT doc_b FROM cand
-       |    WHERE bit_count(xor(sa, sb)) <= (SELECT thr FROM par)) u),
+       |    WHERE bit_count(xor(sa, sb)) + bit_count(xor(sa1, sb1))
+       |      <= (SELECT thr FROM par)) u),
        |attributed AS (
        |  SELECT CASE WHEN d2.doc_id >= 1000000 THEN d2.doc_id - 1000000
        |    ELSE d2.doc_id END AS orig_id, d2.doc_id IN (SELECT doc_id
@@ -2398,7 +2439,7 @@ object LlmQueries {
       docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           expr("substr(text, 11)").as("text")))
-    val pairs = Dedup.simhashNearDups(withDups)
+    val pairs = Dedup.simhashNearDups(withDups, nDocs = augDocCount(s, d))
     val dupIds = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val attributed = withDups
@@ -2586,24 +2627,13 @@ object LlmQueries {
     "q_near_dup_eval",
     s"""WITH $ngramDocs2,
        |$simhashParCte,
-       |toks AS (
-       |  SELECT doc_id,
-       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-       |        FROM docs2) u),
-       |bits AS (
-       |  SELECT doc_id,
-       |    $simhashBitsSql60
-       |  FROM toks GROUP BY doc_id),
-       |sigs AS (
-       |  SELECT doc_id, CAST($simhashSumSql60 AS BIGINT) AS simhash
-       |  FROM bits, par),
+       |$simhashSigCtes,
        |$simhashBandsCte,
        |found AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= (SELECT thr FROM par)),
+       |  WHERE ${simhashHamSql("a", "b")} <= (SELECT thr FROM par)),
        |truth AS (
        |  SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
        |  FROM documents WHERE doc_id % 50 = 0),
@@ -2623,7 +2653,8 @@ object LlmQueries {
       docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           expr("substr(text, 11)").as("text")))
-    val found = Dedup.simhashNearDups(withDups).select("doc_a", "doc_b")
+    val found = Dedup.simhashNearDups(withDups, nDocs = augDocCount(s, d))
+      .select("doc_a", "doc_b")
     val truth = docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("t_a"), (col("doc_id") + 1000000).as("t_b"))
     val nFound = found.agg(count(lit(1)).as("n_found"))
@@ -2646,47 +2677,43 @@ object LlmQueries {
     * reads before fixing the threshold (q_near_dup_eval evaluates ONE
     * point; this is the whole curve from the SAME single candidate
     * generation, no re-run per threshold). Cumulative counts over the
-    * bounded 9-row threshold domain. Candidates come from the
-    * data-growing combination-table banding (Dedup.simhashKeepMasks),
-    * which pigeonhole-guarantees every pair with hamming ≤ 3 — curve
-    * points above 3 count only banded collisions (documented
-    * banding-limited recall: exactly what the production pipeline would
-    * see at that cutoff without adding tables). Because those upper
-    * bins DEPEND on the banding, this oracle mirrors the mask derivation
-    * from its own corpus count (simhashMaskCtes) — both engines band
-    * identically at every scale; at fixture scales B = 4 reproduces the
-    * historic 4×8-bit curve bit-exactly. */
+    * bounded threshold domain (0..max(8, thr+2), grown with the
+    * detector so the curve always brackets the operating point).
+    * Candidates come from the data-growing per-lane combination-table
+    * banding (Dedup.simhashKeepMasks), which pigeonhole-guarantees
+    * every pair within the derived threshold — curve points above it
+    * count only banded collisions (documented banding-limited recall:
+    * exactly what the production pipeline would see at that cutoff
+    * without adding tables). Because those upper bins DEPEND on the
+    * banding, this oracle mirrors the mask derivation from its own
+    * corpus count (simhashMaskCtes, keepBlocks = nblocks − thr/lanes)
+    * — both engines band identically at every scale; at fixture scales
+    * B = 4 reproduces the historic 4×8-bit curve bit-exactly. */
   val qDedupThresholdSweep = Q(
     "q_dedup_threshold_sweep",
     s"""WITH $ngramDocs2,
        |$simhashParCte,
-       |toks AS (
-       |  SELECT doc_id,
-       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-       |        FROM docs2) u),
-       |bits AS (
-       |  SELECT doc_id,
-       |    $simhashBitsSql60
-       |  FROM toks GROUP BY doc_id),
-       |sigs AS (
-       |  SELECT doc_id, CAST($simhashSumSql60 AS BIGINT) AS simhash
-       |  FROM bits, par),
+       |$simhashSigCtes,
        |$simhashMaskCtes,
        |bands AS (
-       |  SELECT doc_id, simhash, keep AS bidx, simhash & keep AS bval
-       |  FROM sigs, masks),
+       |  SELECT doc_id, simhash, simhash1, l AS lane, keep AS bidx,
+       |    (CASE WHEN l = 0 THEN simhash ELSE simhash1 END) & keep AS bval
+       |  FROM sigs, masks, generate_series(0, 1) tl(l), par
+       |  WHERE l < lanes),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |    CAST(${simhashHamSql("a", "b")} AS INT) AS hamming
        |  FROM bands a JOIN bands b
-       |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |    ON a.lane = b.lane AND a.bidx = b.bidx AND a.bval = b.bval
+       |      AND a.doc_id < b.doc_id),
        |hist AS (
        |  SELECT hamming, count(*) AS n_pairs,
        |    CAST(sum(CASE WHEN doc_b - doc_a = 1000000
        |      AND doc_a % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_planted
        |  FROM cand GROUP BY hamming),
-       |grid AS (SELECT unnest(generate_series(0, 8)) AS thr),
+       |grid AS (
+       |  SELECT g AS thr FROM generate_series(0, 20) t(g), par
+       |  WHERE g <= greatest(8, par.thr + 2)),
        |tot AS (SELECT count(*) AS n_truth FROM documents
        |        WHERE doc_id % 50 = 0)
        |SELECT CAST(thr AS INT) AS thr,
@@ -2701,14 +2728,21 @@ object LlmQueries {
       docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           expr("substr(text, 11)").as("text")))
-    // all candidates at the loosest cutoff ONCE; the sweep is arithmetic
-    val cand = Dedup.simhashNearDups(withDups, maxHamming = 8)
+    // all candidates at the loosest cutoff ONCE; the sweep is arithmetic.
+    // The grid tracks the detector: 0..8 at fixture scales (historic
+    // curve bit-identical), 0..thr+2 once the grown threshold passes 6,
+    // so the curve always brackets the operating point.
+    val nAug = augDocCount(s, d)
+    val (_, _, thr, _) = Dedup.simhashParamsFor(nAug)
+    val gridMax = math.max(8, thr + 2)
+    val cand = Dedup.simhashNearDups(withDups, maxHamming = gridMax,
+      nDocs = nAug)
     val hist = cand.groupBy("hamming")
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("doc_b") - col("doc_a") === 1000000 &&
           col("doc_a") % 50 === 0, 1).otherwise(0)).cast(LongType)
           .as("n_planted"))
-    val grid = (0 to 8).toDF("thr")
+    val grid = (0 to gridMax).toDF("thr")
     val tot = docs.filter(col("doc_id") % 50 === 0)
       .agg(count(lit(1)).as("n_truth"))
     grid.join(hist, col("hamming") <= col("thr"), "left")
@@ -3152,40 +3186,51 @@ object LlmQueries {
       |ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""".stripMargin) {
     (s, d) =>
     val big38 = DecimalType(38, 0)
-    // the corpus explode+count comes from the shared per-session shingle
-    // store (paid once across the five raw-document shingle consumers)
+    // the corpus explode+count AND the per-term document frequency come
+    // straight from the shared bucketed store (df persisted at build),
+    // eliminating this query's df aggregation, its join back onto the
+    // full weight table, and the corpus-sized lineage fence that pushed
+    // ~10⁹ rows through one block manager at sf10
     val tok = graft.llm.ShingleStore.counted(s, d, k = 5, maxPos = 2000)
       .withColumnRenamed("shingle", "term")
-    val df = tok.groupBy("term").agg(count(lit(1)).as("df"))
-    val nd = tok.agg(countDistinct(col("doc_id")).as("n"))
-    val w = tok.join(df.withColumnRenamed("term", "dft"),
-        col("term") === col("dft"))
-      .crossJoin(broadcast(nd))
-      .select(col("doc_id"), col("term"),
-        round(col("c") * log(col("n").cast(DoubleType) / col("df"))
-          * 10000L).cast(LongType).as("w4"))
-    // The (doc, shingle, w4) table feeds FOUR consumers (norms, both
-    // sides of the candidate join, both sides of the dot join) — without
-    // a lineage barrier each consumer replays the df-join over the whole
-    // shingle table (and, pre-ShingleStore, the corpus explode itself:
-    // 75 s at sf0.1 vs ~3 s checkpointed).
-    val wm = w.localCheckpoint()
-    val norms = wm.groupBy("doc_id")
-      .agg(sum(col("w4").cast(big38) * col("w4").cast(big38)).as("n2"))
-    val rare = df.filter(col("df").between(2, 10)).select("term")
-    // restrict to rare shingles BEFORE the self-join: candidates need a
-    // shared RARE shingle, so joining the full weight table on term
-    // first would blow up on high-df shingles (df² pairs per term)
-    val wr = wm.join(broadcast(rare.withColumnRenamed("term", "rt")),
-      col("term") === col("rt")).select("doc_id", "term")
+    // |docs with ≥1 shingle| = |documents| — every doc yields at least
+    // one position (the explode floor is greatest(len−4, 1)) — so the
+    // idf numerator is the memoized table count, not a countDistinct
+    // pass over the store
+    val n = graft.Tables.countCached(s, d, "documents")
+    def w4(cc: Column, dfc: Column): Column =
+      round(cc * log(lit(n.toDouble) / dfc) * 10000L).cast(LongType)
+    // rare-blocked candidates from the PRUNED slice: the 2 ≤ df ≤ 10
+    // block is now a parquet-scan filter, not a derived join (candidates
+    // need a shared RARE shingle, so the full-table self-join on term
+    // would blow up on high-df shingles — df² pairs per term)
+    val wr = tok.filter(col("df").between(2, 10)).select("doc_id", "term")
+    // fence the PAIR-ID set (2 int64s per candidate — bounded, nothing
+    // corpus-sized): three consumers (candDocs, both dot-join probes)
+    // would otherwise each replay the rare-slice self-join. The corpus-
+    // sized weight table stays UNfenced — its consumers re-scan the
+    // bucketed store (columnar, pruned) instead of pushing ~10⁹ rows
+    // through one block manager, which was this query's sf10 wall.
     val cand = wr.select(col("doc_id").as("da"), col("term"))
       .join(wr.select(col("doc_id").as("db"), col("term").as("tb")),
         col("term") === col("tb") && col("da") < col("db"))
       .select("da", "db").distinct()
+      .localCheckpoint()
+    // full term vectors of exactly the docs that appear in a candidate
+    // pair: doc ids are a bounded broadcast (≤ |documents| int64s), so
+    // each use is a store scan + broadcast semi-join — never a shuffle
+    // of the corpus-sized weight table. Norms over these docs equal the
+    // oracle's full-corpus norms for every doc the output touches.
+    val candDocs = cand.select(col("da").as("doc_id"))
+      .unionByName(cand.select(col("db").as("doc_id"))).distinct()
+    val wc = tok.join(broadcast(candDocs), "doc_id")
+      .select(col("doc_id"), col("term"), w4(col("c"), col("df")).as("w4"))
+    val norms = wc.groupBy("doc_id")
+      .agg(sum(col("w4").cast(big38) * col("w4").cast(big38)).as("n2"))
     val dots = cand
-      .join(wm.select(col("doc_id").as("da"), col("term"),
+      .join(wc.select(col("doc_id").as("da"), col("term"),
         col("w4").as("w4a")), Seq("da"))
-      .join(wm.select(col("doc_id").as("db2"), col("term").as("termb"),
+      .join(wc.select(col("doc_id").as("db2"), col("term").as("termb"),
         col("w4").as("w4b")),
         col("db") === col("db2") && col("term") === col("termb"))
       .groupBy("da", "db")

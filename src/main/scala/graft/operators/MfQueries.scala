@@ -623,6 +623,14 @@ object MfQueries {
               val x1 = Antidote.step(s, ratings, x0, cfg, eta = 1e4,
                 metric = Metric.GroupUnfairness(groups, "BUILDING",
                   "MACHINERY")).localCheckpoint()
+              // x1 is materialized, so the heuristic-init and GD-step
+              // trains behind it are now dead references — reclaim
+              // their shuffle files BEFORE the final train writes its
+              // own. Without this mid-α GC the within-budget peak is
+              // ~3 trains' scratch, which is exactly the r14-measured
+              // sf10 wall (44.8 GB against ~50 GB free): the end-of-α
+              // GC below fires too late to bound the peak.
+              System.gc()
               AlsEngine.train(ratings.unionByName(x1), cfg)
             }
           val rows = Antidote.evaluateAll(model, ratings, groups,

@@ -128,13 +128,25 @@ class OutOfBandSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs60(9, 3) == pairs60(9, 1),
       "combination tables must equal single-block bands at 60/6")
+    // and at the two-lane scale point (2 × 60 bits, thr 12): per-lane
+    // C(9,3) tables vs per-lane single-block bands (keepBlocks = 1) —
+    // a pair within total hamming <= 12 has <= 6 in some lane, so both
+    // bandings surface it and the filtered result is identical
+    def pairs120(kb: Int) = Dedup.simhashNearDupsWith(withDups,
+        bits = 60, maxHamming = 12, nBlocks = 9, keepBlocks = kb,
+        lanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p120 = pairs120(3)
+    assert(p120.nonEmpty)
+    assert(p120 == pairs120(1),
+      "per-lane combination tables must equal single-block bands at 120/12")
   }
 
   test("data-growing detector parameters step per decade past 100k docs") {
-    assert(Dedup.simhashParamsFor(6120) == ((32, 3, 4)))
-    assert(Dedup.simhashParamsFor(100000) == ((32, 3, 4)))
-    assert(Dedup.simhashParamsFor(510000) == ((60, 6, 9)))
-    assert(Dedup.simhashParamsFor(51000000) == ((60, 6, 9)))
+    assert(Dedup.simhashParamsFor(6120) == ((1, 32, 3, 4)))
+    assert(Dedup.simhashParamsFor(100000) == ((1, 32, 3, 4)))
+    assert(Dedup.simhashParamsFor(510000) == ((2, 60, 12, 9)))
+    assert(Dedup.simhashParamsFor(51000000) == ((2, 60, 12, 9)))
     assert(Dedup.minhashParamsFor(6120) == ((12, 3)))
     assert(Dedup.minhashParamsFor(510000) == ((25, 5)))
     assert(Dedup.minhashParamsFor(5100000) == ((42, 7)))
