@@ -19,10 +19,21 @@ object AlsEngine {
     * need the identical deterministic model — retraining per query would
     * triple the ALS cost in a bench run. Assumes immutable fixture data
     * under sfDir; [[clearCache]] resets. Bench bills the first training
-    * as its own `warm:` line (see Bench.scala). */
+    * as its own `warm:` line (see Bench.scala).
+    *
+    * The memoized model is lineage-FENCED
+    * ([[org.apache.spark.ml.recommendation.GraftAlsLineage.fence]]):
+    * factor values are bit-identical, but the factors are re-rooted on
+    * localCheckpoints so the memo stops pinning the training job's
+    * shuffle files for the whole session (~15–20 GB at sf10 — the r14
+    * sweep-wall finding). The checkpoint block ids are MemoKeep-
+    * protected so the bench's per-query release pass cannot free a
+    * truncated-lineage frame mid-run. */
+  private final case class Memo(model: ALSModel, rddIds: Set[Int])
+
   private val modelCache =
     scala.collection.concurrent.TrieMap
-      .empty[(org.apache.spark.sql.SparkSession, String, Config), ALSModel]
+      .empty[(org.apache.spark.sql.SparkSession, String, Config), Memo]
 
   def trainCachedOnRatingsView(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, cfg: Config = Config()): ALSModel =
@@ -32,12 +43,32 @@ object AlsEngine {
     // later session on the same dir must retrain, not inherit frames
     // from a stopped context.
     modelCache.synchronized {
-      modelCache.getOrElseUpdate((spark, sfDir, cfg),
-        train(Ratings.view(spark, sfDir), cfg))
+      modelCache.getOrElseUpdate((spark, sfDir, cfg), {
+        val (m, ids) = org.apache.spark.ml.recommendation.GraftAlsLineage
+          .fence(train(Ratings.view(spark, sfDir), cfg))
+        graft.MemoKeep.protect(ids)
+        // the unfenced model and its train shuffles are now dead
+        // references — reclaim the scratch before the next consumer
+        // piles its own on top
+        System.gc()
+        Memo(m, ids)
+      }).model
     }
 
-  /** Drop memoized models (cold benchmarking / data changed). */
-  def clearCache(): Unit = modelCache.synchronized(modelCache.clear())
+  /** Drop memoized models (cold benchmarking / data changed) and hand
+    * their checkpoint blocks back to the storage layer. */
+  def clearCache(): Unit = modelCache.synchronized {
+    modelCache.values.foreach { memo =>
+      graft.MemoKeep.unprotect(memo.rddIds)
+      // best-effort: the owning session may already be stopped
+      try {
+        val sc = memo.model.userFactors.sparkSession.sparkContext
+        memo.rddIds.foreach(id =>
+          sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      } catch { case _: Throwable => () }
+    }
+    modelCache.clear()
+  }
 
   /** Size ALS's block count to the input: MLlib's default of 10 blocks
     * packs ~n/10 ratings into each in-block's primitive arrays, which at

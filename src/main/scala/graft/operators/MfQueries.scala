@@ -631,7 +631,15 @@ object MfQueries {
               // sf10 wall (44.8 GB against ~50 GB free): the end-of-α
               // GC below fires too late to bound the peak.
               System.gc()
-              AlsEngine.train(ratings.unionByName(x1), cfg)
+              // fence the final model too (GraftAlsLineage): evaluation
+              // then runs against MB-sized checkpointed factors while
+              // this train's shuffles are already reclaimable — peak
+              // scratch stays "one live train", never train + eval
+              val (m, _) = org.apache.spark.ml.recommendation
+                .GraftAlsLineage
+                .fence(AlsEngine.train(ratings.unionByName(x1), cfg))
+              System.gc()
+              m
             }
           val rows = Antidote.evaluateAll(model, ratings, groups,
               "BUILDING", "MACHINERY")
