@@ -68,6 +68,8 @@ object Bench {
       operators.LlmQueries.clearCountCache()
       operators.MfQueries.clearSweepCache()
       operators.MfQueries.clearCoCache()
+      operators.PairStore.clearCache()
+      operators.TradeGraph.clearCache()
       streaming.StreamOps.clearSliceCache()
       llm.SimSearch.clearIndexCache()
     }
@@ -129,6 +131,31 @@ object Bench {
       if (cold || !coSelected) Seq.empty
       else Seq("warm:cooccur" ->
         (() => { operators.MfQueries.warmCoPairs(spark, sfDir); () }))
+    // Shared co-purchase pair store (PairStore): the part-graph family's
+    // edge backbone — one blocked fact self-join serves ~16 queries that
+    // each re-ran it privately before r14. Billed up front like every
+    // shared build; coPairs derives from it, so this warm line precedes
+    // warm:cooccur in the ledger.
+    val pairSelected = only.forall(_.exists(Set(
+      "q_item_cooccur", "q_assoc_rules", "q_cc_labelprop",
+      "q_triangle_count", "q_degree_hist", "q_graph_2hop",
+      "q_clustering_coeff", "q_kcore", "q_assortativity", "q_rich_club",
+      "q_jaccard_neighbors", "q_adamic_adar", "q_pref_attach",
+      "q_avg_nbr_degree", "q_user_recs_cf", "q_rec_gini")))
+    val pairWarm: Seq[(String, () => Unit)] =
+      if (cold || !pairSelected) Seq.empty
+      else Seq("warm:basket_pairs" ->
+        (() => { operators.PairStore.warm(spark, sfDir); () }))
+    // Shared nation-trade edge list (TradeGraph): ≤625-row local
+    // relation consumed by q_pagerank/q_ppr and the five centralities.
+    val tradeSelected = only.forall(_.exists(Set(
+      "q_pagerank", "q_ppr", "q_closeness_centrality",
+      "q_eigenvector_centrality", "q_katz_centrality",
+      "q_modularity_regions", "q_reciprocity")))
+    val tradeWarm: Seq[(String, () => Unit)] =
+      if (cold || !tradeSelected) Seq.empty
+      else Seq("warm:trade_edges" ->
+        (() => { operators.TradeGraph.warm(spark, sfDir); () }))
     // Shared ANN index memos (SimSearch.ivfIndexCached/pqIndexCached):
     // three registered ANN queries train the same Lloyd coarse quantizer
     // and PQ codebooks; one build serves all of them per run, billed here
@@ -152,7 +179,8 @@ object Bench {
         ()
       }))
     val warmups: Seq[(String, () => Unit)] =
-      tableWarm ++ shingleWarm ++ sliceWarm ++ coWarm ++ annWarm ++
+      tableWarm ++ shingleWarm ++ sliceWarm ++ pairWarm ++ coWarm ++
+      tradeWarm ++ annWarm ++
       (if (cold || !mfSelected) Seq.empty
       else Seq(
         "warm:ratings_view" ->

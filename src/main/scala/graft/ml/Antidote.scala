@@ -177,15 +177,25 @@ object Antidote {
 
   /** The chosen metric evaluated on the ALS model, plus RMSE over the real
     * ratings — all distributed (driver sees two scalars). */
-  def evaluate(model: ALSModel, ratings: DataFrame, metric: Metric): TracePoint = {
-    val rmse = AlsEngine.rmse(model, ratings).head().getDouble(0)
+  def evaluate(model: ALSModel, ratings: DataFrame, metric: Metric): TracePoint =
+    evaluateOn(AlsEngine.predictKnown(model, ratings), model, metric)
+
+  /** [[evaluate]] over a precomputed (typically cached) predictKnown
+    * frame — the optimize loop shares ONE cached prediction pass per
+    * model between the trace evaluation's rmse + metric reads and the
+    * next gradient step, instead of re-deriving predictKnown up to four
+    * times per iteration (r14; expressions are identical, only the
+    * source frame is reused, so every scalar is unchanged). */
+  private def evaluateOn(pred: DataFrame, model: ALSModel,
+      metric: Metric): TracePoint = {
+    val rmse = pred.agg(round(sqrt(avg((col("rating") - col("p")) *
+      (col("rating") - col("p")))), 6).as("rmse")).head().getDouble(0)
     val obj = metric match {
       case Metric.Polarization => polarization(model)
       case Metric.IndividualUnfairness =>
-        userLosses(model, ratings)
-          .agg(var_pop(col("l_u"))).head().getDouble(0)
+        lossesOf(pred).agg(var_pop(col("l_u"))).head().getDouble(0)
       case Metric.GroupUnfairness(groups, a, b) =>
-        userLosses(model, ratings).join(groups, Seq("user_id"), "left")
+        lossesOf(pred).join(groups, Seq("user_id"), "left")
           .agg(abs(avg(when(col("grp") === a, col("l_u"))) -
             avg(when(col("grp") === b, col("l_u"))))).head().getDouble(0)
     }
@@ -220,9 +230,8 @@ object Antidote {
 
   /** Per-user ALS loss ℓ_u = mean squared error over the user's known
     * cells, with the cell count (needed by the gradient chain rule). */
-  private def userLosses(model: ALSModel, ratings: DataFrame): DataFrame =
-    AlsEngine.predictKnown(model, ratings)
-      .groupBy("user_id")
+  private def lossesOf(pred: DataFrame): DataFrame =
+    pred.groupBy("user_id")
       .agg(avg((col("p") - col("rating")) * (col("p") - col("rating")))
         .as("l_u"), count(lit(1)).as("n_u"))
 
@@ -242,17 +251,27 @@ object Antidote {
       : (DataFrame, Seq[TracePoint]) = {
     var x = initFn(spark, ratings, alpha).cache()
     var model = AlsEngine.train(ratings.unionByName(x), cfg)
+    // One cached prediction pass per model, shared by this iteration's
+    // trace point (rmse + metric) and the next step's loss/cell frames —
+    // the same rows were previously re-derived up to four times per
+    // iteration (r14). Unpersisted only after the step consuming it has
+    // materialized its output.
+    var pred = AlsEngine.predictKnown(model, ratings).cache()
     val trace = Seq.newBuilder[TracePoint]
-    trace += evaluate(model, ratings, metric)
+    trace += evaluateOn(pred, model, metric)
     for (_ <- 1 to steps) {
-      val next = step(spark, ratings, x, cfg, eta, metric, Some(model))
+      val next = step(spark, ratings, x, cfg, eta, metric, Some(model),
+          Some(pred))
         .cache()
       next.count() // materialize before unpersisting the predecessor
       x.unpersist()
       x = next
+      pred.unpersist()
       model = AlsEngine.train(ratings.unionByName(x), cfg)
-      trace += evaluate(model, ratings, metric)
+      pred = AlsEngine.predictKnown(model, ratings).cache()
+      trace += evaluateOn(pred, model, metric)
     }
+    pred.unpersist()
     (x, trace.result())
   }
 
@@ -263,10 +282,11 @@ object Antidote {
   def step(spark: SparkSession, ratings: DataFrame, x: DataFrame,
       cfg: AlsEngine.Config = AlsEngine.Config(), eta: Double = 1.0,
       metric: Metric = Metric.Polarization,
-      model: Option[ALSModel] = None): DataFrame = metric match {
+      model: Option[ALSModel] = None,
+      pred: Option[DataFrame] = None): DataFrame = metric match {
     case Metric.Polarization =>
       polarizationStep(spark, ratings, x, cfg, eta, model)
-    case m => unfairnessStep(spark, ratings, x, cfg, eta, m, model)
+    case m => unfairnessStep(spark, ratings, x, cfg, eta, m, model, pred)
   }
 
   /** Polarization step: descend through the ridge closed form
@@ -365,11 +385,17 @@ object Antidote {
     * independent of n, m, and |ratings|. */
   private def unfairnessStep(spark: SparkSession, ratings: DataFrame,
       x: DataFrame, cfg: AlsEngine.Config, eta: Double,
-      metric: Metric, pretrained: Option[ALSModel] = None): DataFrame = {
+      metric: Metric, pretrained: Option[ALSModel] = None,
+      predIn: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val aug =
       if (pretrained.isEmpty) Some(ratings.unionByName(x).cache()) else None
     val model = pretrained.getOrElse(AlsEngine.train(aug.get, cfg))
+    // Known-cell predictions feed BOTH the per-user loss weights and the
+    // per-item gradient cells; when the optimize loop supplies its cached
+    // pass, neither is re-derived (standalone calls keep the lazy
+    // two-pass shape — the caller controls no cache lifecycle here).
+    val pred = predIn.getOrElse(AlsEngine.predictKnown(model, ratings))
     val k = cfg.rank
 
     // Antidote factor block U_a (k̃×k — budget-sized driver state).
@@ -383,7 +409,7 @@ object Antidote {
     }
 
     // Per-user metric weight d_i = ∂U/∂ℓ_i (constant-size driver scalars).
-    val lu = userLosses(model, ratings)
+    val lu = lossesOf(pred)
     val dDf = metric match {
       case Metric.IndividualUnfairness =>
         val g = lu.agg(avg(col("l_u")), count(lit(1))).head()
@@ -414,7 +440,7 @@ object Antidote {
     // Cells with error, weight, and the rating user's factor vector.
     val uf = model.userFactors
       .select(col("id").cast(LongType).as("user_id"), col("features").as("u"))
-    val cells = AlsEngine.predictKnown(model, ratings)
+    val cells = pred
       .join(dDf, "user_id")
       .join(uf, "user_id")
       .select(col("item_id"),

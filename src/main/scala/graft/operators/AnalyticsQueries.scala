@@ -300,23 +300,13 @@ object AnalyticsQueries {
       |  LEFT JOIN c2 ON c2.dst = nt.n_nationkey)
       |SELECT id AS nation_id, ROUND(pr, 6) AS pagerank
       |FROM r2 ORDER BY nation_id""".stripMargin) { (s, d) =>
-    val edgesDist = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_nationkey")),
-        col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg(count(lit(1)).cast(DoubleType).as("w"))
     // The aggregated edge list is bounded by nations² (≤625 rows) but is
-    // re-read every PageRank iteration; materialize it to a local relation
-    // once instead of persist() (which would leak a CacheManager entry —
-    // the query result is consumed by callers we don't control, so there
-    // is no safe unpersist point).
-    val edges = s.createDataFrame(
-      s.sparkContext.parallelize(edgesDist.collect().toIndexedSeq, 1),
-      edgesDist.schema)
+    // re-read every PageRank iteration; the shared TradeGraph local
+    // relation (one fact join per run, collected once — the former
+    // per-query materialization, hoisted) serves it here and in q_ppr
+    // and the five GraphQueries centralities.
+    val edges = TradeGraph.edges(s, d)
+      .select(col("src"), col("dst"), col("w").cast(DoubleType).as("w"))
     val nodes = t(s, d, "nation").select(col("n_nationkey").as("id"))
     graft.plans.PageRank.iterate(nodes, edges, iters = 2, damping = 0.85)
       .select(col("id").as("nation_id"), round(col("rank"), 6).as("pagerank"))
@@ -755,12 +745,9 @@ object AnalyticsQueries {
        |${ccSweepSql("l2", "l3")}
        |SELECT v, CAST(lbl AS BIGINT) AS lbl FROM l3 ORDER BY v""".stripMargin) {
     (s, d) =>
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val edges = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-        .distinct()
+      // distinct co-purchase pairs = the shared PairStore's key set (the
+      // store's groupBy emits each src < dst pair once)
+      val edges = PairStore.pairStats(s, d).select("src", "dst")
         .filter(conv(substring(md5(concat(col("src").cast(StringType),
           lit("_"), col("dst").cast(StringType))), 1, 15), 16, 10)
           .cast(LongType) % 20 === 0)
@@ -793,14 +780,13 @@ object AnalyticsQueries {
       |SELECT pa, pb, n_co, jaccard FROM j
       |ORDER BY n_co DESC, jaccard DESC, pa, pb LIMIT 100""".stripMargin) {
     (s, d) =>
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val n = li.groupBy("pk").agg(count(lit(1)).as("n_ok"))
-      val co = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-        .agg(count(lit(1)).as("n_co"))
+      // n_co over distinct (ok, pk) cells = the store's n_dist; per-part
+      // order support = one count over the store's deduped basket table
+      val n = PairStore.liCounts(s, d).groupBy("pk")
+        .agg(count(lit(1)).as("n_ok"))
+      val co = PairStore.pairStats(s, d)
+        .select(col("src").as("pa"), col("dst").as("pb"),
+          col("n_dist").as("n_co"))
         .filter(col("n_co") >= 2)
       co.join(n.select(col("pk").as("pa"), col("n_ok").as("na")), Seq("pa"))
         .join(n.select(col("pk").as("pb"), col("n_ok").as("nb")), Seq("pb"))
@@ -873,16 +859,13 @@ object AnalyticsQueries {
       |FROM pern, (SELECT CAST(sum(n_tri) / 3 AS BIGINT)
       |            AS total_triangles FROM pern) tot
       |ORDER BY n_tri DESC, v LIMIT 20""".stripMargin) { (s, d) =>
-    val li = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .agg(count(lit(1)).as("n_co"))
-      .filter(col("n_co") >= 2)
+    // support ≥ 2 edges off the shared PairStore (n_dist = the distinct
+    // co-occurrence count this query's CTE derives); the store frame is
+    // already checkpoint-backed, so the triple self-reference below
+    // re-reads blocks, not the fact join
+    val e = PairStore.pairStats(s, d)
+      .filter(col("n_dist") >= 2)
       .select("src", "dst")
-      .localCheckpoint()
     val tri = e.select(col("src").as("a"), col("dst").as("b"))
       .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
       .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
@@ -1020,15 +1003,14 @@ object AnalyticsQueries {
       |SELECT ante, cons, n_co, confidence, lift FROM rules
       |ORDER BY lift DESC, confidence DESC, ante, cons LIMIT 50""".stripMargin) {
     (s, d) =>
-      val li = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+      // basket count, per-part support and co-occurrence all off the
+      // shared PairStore (n_dist = this CTE's distinct count)
+      val li = PairStore.liCounts(s, d)
       val nBaskets = li.agg(countDistinct(col("ok")).as("n"))
       val sup = li.groupBy("pk").agg(count(lit(1)).as("n_ok"))
-      val co = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
-        .agg(count(lit(1)).as("n_co"))
+      val co = PairStore.pairStats(s, d)
+        .select(col("src").as("pa"), col("dst").as("pb"),
+          col("n_dist").as("n_co"))
         .filter(col("n_co") >= 2)
       val dir = co.select(col("pa").as("ante"), col("pb").as("cons"), col("n_co"))
         .unionByName(co.select(col("pb").as("ante"), col("pa").as("cons"),
@@ -1173,14 +1155,10 @@ object AnalyticsQueries {
       |SELECT degree, n_nodes,
       |  CAST(sum(n_nodes) OVER (ORDER BY degree) AS BIGINT) AS cum_nodes
       |FROM hist ORDER BY degree""".stripMargin) { (s, d) =>
-    val li = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .agg(count(lit(1)).as("n_co"))
-      .filter(col("n_co") >= 2)
+    // support ≥ 2 edges off the shared PairStore (n_dist = this CTE's
+    // distinct co-occurrence count)
+    val e = PairStore.pairStats(s, d)
+      .filter(col("n_dist") >= 2)
       .select("src", "dst")
     val deg = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))
@@ -2092,16 +2070,12 @@ object AnalyticsQueries {
       |SELECT a, b, n_via FROM hop2
       |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = hop2.a AND e.dst = hop2.b)
       |ORDER BY n_via DESC, a, b LIMIT 20""".stripMargin) { (s, d) =>
-    val li = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .agg(count(lit(1)).as("n_co"))
-      .filter(col("n_co") >= 2)
+    // support ≥ 2 edges off the shared PairStore; the store frame is
+    // checkpoint-backed, so the three references below (two wedge sides
+    // + anti) re-read blocks, not the fact join
+    val e = PairStore.pairStats(s, d)
+      .filter(col("n_dist") >= 2)
       .select("src", "dst")
-      .localCheckpoint() // referenced three times (two wedge sides + anti)
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
     val hop2 = sym.as("s1").join(sym.as("s2"),
         col("s1.dst") === col("s2.src") && col("s1.src") < col("s2.dst"))
@@ -2940,15 +2914,12 @@ object AnalyticsQueries {
       |    / CAST(da.d + db.d - common AS DOUBLE), 6) AS jaccard
       |FROM wedge JOIN deg da ON a = da.node JOIN deg db ON b = db.node
       |ORDER BY jaccard DESC, a, b LIMIT 50""".stripMargin) { (s, d) =>
-    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
-        col("l_orderkey") === col("ok2") && col("pa") < col("pb"))
-    // fence the thresholded edge list once — its consumers otherwise
-    // re-run the lineitem self-join each (q_tfidf_cosine_pairs lesson)
-    val edges = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2).select("pa", "pb")
-      .localCheckpoint()
+    // raw line-pair-multiplicity ≥ 2 edges off the shared PairStore
+    // (n_raw = this query's non-distinct self-join count); the store is
+    // checkpoint-backed, so every consumer below re-reads blocks
+    val edges = PairStore.pairStats(s, d)
+      .filter(col("n_raw") >= 2)
+      .select(col("src").as("pa"), col("dst").as("pb"))
     val adj = edges.select(col("pa").as("node"), col("pb").as("nbr"))
       .unionByName(edges.select(col("pb").as("node"), col("pa").as("nbr")))
     val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
@@ -3238,15 +3209,12 @@ object AnalyticsQueries {
       |  ROUND(CAST(aa9 AS DOUBLE) / 1000000000, 6) AS adamic_adar
       |FROM aa ORDER BY adamic_adar DESC, a, b LIMIT 50""".stripMargin) {
     (s, d) =>
-    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
-        col("l_orderkey") === col("ok2") && col("pa") < col("pb"))
-    // fence the thresholded edge list once — its consumers otherwise
-    // re-run the lineitem self-join each (q_tfidf_cosine_pairs lesson)
-    val edges = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2).select("pa", "pb")
-      .localCheckpoint()
+    // raw line-pair-multiplicity ≥ 2 edges off the shared PairStore
+    // (n_raw = this query's non-distinct self-join count); the store is
+    // checkpoint-backed, so every consumer below re-reads blocks
+    val edges = PairStore.pairStats(s, d)
+      .filter(col("n_raw") >= 2)
+      .select(col("src").as("pa"), col("dst").as("pb"))
     val adj = edges.select(col("pa").as("node"), col("pb").as("nbr"))
       .unionByName(edges.select(col("pb").as("node"), col("pa").as("nbr")))
     val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
@@ -3437,16 +3405,10 @@ object AnalyticsQueries {
       |FROM pern p JOIN deg g ON p.v = g.node
       |WHERE g.d >= 2
       |ORDER BY coeff DESC, p.v LIMIT 25""".stripMargin) { (s, d) =>
-    val li = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .agg(count(lit(1)).as("n_co"))
-      .filter(col("n_co") >= 2)
+    // support ≥ 2 edges off the shared, checkpoint-backed PairStore
+    val e = PairStore.pairStats(s, d)
+      .filter(col("n_dist") >= 2)
       .select("src", "dst")
-      .localCheckpoint()
     val adj = e.select(col("src").as("node"), col("dst").as("nbr"))
       .unionByName(e.select(col("dst").as("node"), col("src").as("nbr")))
     val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
@@ -4706,17 +4668,10 @@ object AnalyticsQueries {
       |  CAST(tot.n_edges AS BIGINT) AS n_edges
       |FROM df, tot
       |ORDER BY core_deg DESC, node LIMIT 50""".stripMargin) { (s, d) =>
-    val li = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    var e = li.as("a")
-      .join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .agg(count(lit(1)).as("n_co"))
-      .filter(col("n_co") >= 2)
+    // support ≥ 2 edges off the shared, checkpoint-backed PairStore
+    var e = PairStore.pairStats(s, d)
+      .filter(col("n_dist") >= 2)
       .select("src", "dst")
-      .localCheckpoint()
     var i = 0
     while (i < 3) {
       val deg = e.select(col("src").as("v"))
@@ -5078,22 +5033,10 @@ object AnalyticsQueries {
       |  FROM r1 LEFT JOIN c2 ON c2.dst = r1.id)
       |SELECT id AS nation_id, ROUND(pr, 6) AS ppr
       |FROM r2 ORDER BY nation_id""".stripMargin) { (s, d) =>
-    val edgesDist = t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, d, "customer")
-          .select("c_custkey", "c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, d, "supplier")
-          .select("s_suppkey", "s_nationkey")),
-        col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg(count(lit(1)).cast(DoubleType).as("w"))
-    // bounded nations² edge table, re-read per iteration (q_pagerank's
-    // local-relation materialization, same rationale)
-    val edges = s.createDataFrame(
-      s.sparkContext.parallelize(edgesDist.collect().toIndexedSeq, 1),
-      edgesDist.schema)
+    // bounded nations² edge table, re-read per iteration — the shared
+    // TradeGraph local relation (q_pagerank's materialization, hoisted)
+    val edges = TradeGraph.edges(s, d)
+      .select(col("src"), col("dst"), col("w").cast(DoubleType).as("w"))
     val nodes = t(s, d, "nation").select(col("n_nationkey").as("id"))
     val b = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
     val nb = b.count().toDouble
@@ -5357,15 +5300,12 @@ object AnalyticsQueries {
       |FROM cand JOIN deg da ON cand.a = da.node
       |          JOIN deg db ON cand.b = db.node
       |ORDER BY pa_score DESC, a, b LIMIT 30""".stripMargin) { (s, d) =>
-    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
-        col("l_orderkey") === col("ok2") && col("pa") < col("pb"))
-    // fence the thresholded edge list once — its consumers otherwise
-    // re-run the lineitem self-join each (q_tfidf_cosine_pairs lesson)
-    val edges = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2).select("pa", "pb")
-      .localCheckpoint()
+    // raw line-pair-multiplicity ≥ 2 edges off the shared PairStore
+    // (n_raw = this query's non-distinct self-join count); the store is
+    // checkpoint-backed, so every consumer below re-reads blocks
+    val edges = PairStore.pairStats(s, d)
+      .filter(col("n_raw") >= 2)
+      .select(col("src").as("pa"), col("dst").as("pb"))
     val adj = edges.select(col("pa").as("node"), col("pb").as("nbr"))
       .unionByName(edges.select(col("pb").as("node"), col("pa").as("nbr")))
     val deg = adj.groupBy("node").agg(count(lit(1)).cast(LongType).as("d"))
@@ -5414,15 +5354,12 @@ object AnalyticsQueries {
       |    AS knn
       |FROM nbrdeg GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
     val big38 = DecimalType(38, 0)
-    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
-        col("l_orderkey") === col("ok2") && col("pa") < col("pb"))
-    // fence the thresholded edge list once — its consumers otherwise
-    // re-run the lineitem self-join each (q_tfidf_cosine_pairs lesson)
-    val edges = pairs.groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2).select("pa", "pb")
-      .localCheckpoint()
+    // raw line-pair-multiplicity ≥ 2 edges off the shared PairStore
+    // (n_raw = this query's non-distinct self-join count); the store is
+    // checkpoint-backed, so every consumer below re-reads blocks
+    val edges = PairStore.pairStats(s, d)
+      .filter(col("n_raw") >= 2)
+      .select(col("src").as("pa"), col("dst").as("pb"))
     val adj = edges.select(col("pa").as("node"), col("pb").as("nbr"))
       .unionByName(edges.select(col("pb").as("node"), col("pa").as("nbr")))
     val deg = adj.groupBy("node").agg(count(lit(1)).cast(LongType).as("d"))

@@ -26,19 +26,11 @@ object GraphQueries {
 
   private val big38 = DecimalType(38, 0)
 
-  /** Weighted nation→nation trade edges (src, dst, w = lineitem count). */
+  /** Weighted nation→nation trade edges (src, dst, w = lineitem count) —
+    * the shared [[TradeGraph]] local relation (one 4-table fact join per
+    * run instead of one per centrality query). */
   private def tradeEdges(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem").select("l_orderkey", "l_suppkey")
-      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(s, d, "customer")
-        .select("c_custkey", "c_nationkey")),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, d, "supplier")
-        .select("s_suppkey", "s_nationkey")),
-        col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg(count(lit(1)).as("w"))
+    TradeGraph.edges(s, d)
 
   private val tradeEdgesSql =
     """e AS (

@@ -985,19 +985,12 @@ object MfQueries {
     // localCheckpoint-backed frame whose blocks belong to the session
     // that built it — a later session on the same data dir must rebuild,
     // not inherit a frame checkpointed in a stopped context
-    coCache.getOrElseUpdate((s, d), {
-      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-      val frame = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-        .join(li.select(col("l_orderkey").as("ok2"),
-            col("l_partkey").as("pb")),
-          col("l_orderkey") === col("ok2") && col("pa") =!= col("pb"))
-        .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-      val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val cp = frame.localCheckpoint()
-      graft.MemoKeep.protect(
-        s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
-      cp
-    })
+    // r14: derived from the shared PairStore — the raw pa ≠ pb pair
+    // count is symmetric, so it is the symmetric closure of the store's
+    // src < dst n_raw half. The store frame is already checkpointed;
+    // the closure is a projection+union over its blocks, so no second
+    // checkpoint is spent here.
+    coCache.getOrElseUpdate((s, d), PairStore.coPairsSym(s, d))
   }
 
   val qUserRecsCf = Q(

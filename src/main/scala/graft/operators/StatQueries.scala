@@ -483,18 +483,12 @@ object StatQueries {
       |    / sqrt(CAST(n * sj2 - sj * sj AS DOUBLE)
       |      * CAST(n * sk2 - sk * sk AS DOUBLE)), 6) AS assortativity
       |FROM m""".stripMargin) { (s, d) =>
-    val li = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    // e feeds deg (×2) and de (×2) — fence the thresholded edge list or
-    // the co-purchase self-join re-runs for each consumer
-    val e = li.as("a")
-      .join(li.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .agg(count(lit(1)).as("n_co"))
-      .filter(col("n_co") >= 2)
+    // support ≥ 2 edges off the shared, checkpoint-backed PairStore
+    // (n_dist = this query's distinct co-occurrence count); e feeds deg
+    // (×2) and de (×2), each re-reading store blocks, not the fact join
+    val e = graft.operators.PairStore.pairStats(s, d)
+      .filter(col("n_dist") >= 2)
       .select("src", "dst")
-      .localCheckpoint()
     val deg = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -2037,15 +2031,9 @@ object StatQueries {
       |    AS phi
       |FROM nk LEFT JOIN ek ON nk.k = ek.k
       |ORDER BY nk.k""".stripMargin) { (s, d) =>
-    val li = t(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-    val e = li.as("a")
-      .join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .agg(count(lit(1)).as("n_co"))
-      .filter(col("n_co") >= 2)
+    // support ≥ 2 edges off the shared, checkpoint-backed PairStore
+    val e = PairStore.pairStats(s, d)
+      .filter(col("n_dist") >= 2)
       .select("src", "dst")
     val deg = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v")))

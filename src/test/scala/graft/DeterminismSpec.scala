@@ -286,6 +286,12 @@ class DeterminismSpec extends SparkTestBase {
         graft.ml.AlsEngine.clearCache()
         graft.ml.Baseline.clearCache()
         graft.ApproxGate.clearCache()
+        // r14 shared edge stores: clear so the invariance sweep derives
+        // the store itself under each conf (a memoized store would
+        // silently exempt every graph consumer from the test)
+        graft.operators.PairStore.clearCache()
+        graft.operators.TradeGraph.clearCache()
+        graft.operators.MfQueries.clearCoCache()
       }
       sensitive.foreach { q =>
         conf.set("spark.sql.shuffle.partitions", "5")
