@@ -87,10 +87,23 @@ object Bench {
       !sys.env.get("SPARK_GRAFT_CACHE_TABLES").contains("0")
     val tableWarm: Seq[(String, () => Unit)] =
       if (!cacheTables) Seq.empty
-      else Seq("warm:tables" -> (() =>
-        Tables.all.foreach { n =>
-          Tables.load(spark, sfDir, n).cache().count(); ()
-        }))
+      else Seq("warm:tables" -> (() => {
+        // Independent scans as concurrent jobs (guide §2.6): each table's
+        // cache+count is its own job; running them sequentially leaves
+        // the cores idle through every scan's tail. 4 in flight fills
+        // the tail without the jobs fighting for executors. CacheManager
+        // registration is thread-safe; per-table results are unchanged.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        try {
+          Tables.all.map { n =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = {
+                Tables.load(spark, sfDir, n).cache().count(); ()
+              }
+            })
+          }.foreach(_.get())
+        } finally pool.shutdown()
+      }))
     // Shared shingle store (ShingleStore.scala): the raw-document
     // shingle consumers split two explode configs; each config's
     // bucketed-table WRITE is billed as its own warm line so no
@@ -126,7 +139,8 @@ object Bench {
     // Shared item co-occurrence memo (MfQueries.coPairs): the candidate
     // backbone of the two CF-recommender queries, built once per run.
     val coSelected = only.forall(o =>
-      o.contains("q_user_recs_cf") || o.contains("q_rec_gini"))
+      o.contains("q_user_recs_cf") || o.contains("q_rec_gini") ||
+      o.contains("q_pop_bias") || o.contains("q_novelty_recs"))
     val coWarm: Seq[(String, () => Unit)] =
       if (cold || !coSelected) Seq.empty
       else Seq("warm:cooccur" ->
@@ -141,7 +155,8 @@ object Bench {
       "q_triangle_count", "q_degree_hist", "q_graph_2hop",
       "q_clustering_coeff", "q_kcore", "q_assortativity", "q_rich_club",
       "q_jaccard_neighbors", "q_adamic_adar", "q_pref_attach",
-      "q_avg_nbr_degree", "q_user_recs_cf", "q_rec_gini")))
+      "q_avg_nbr_degree", "q_user_recs_cf", "q_rec_gini",
+      "q_pop_bias", "q_novelty_recs")))
     val pairWarm: Seq[(String, () => Unit)] =
       if (cold || !pairSelected) Seq.empty
       else Seq("warm:basket_pairs" ->
@@ -167,16 +182,28 @@ object Bench {
       if (cold || !annSelected) Seq.empty
       else Seq("warm:ann_indexes" -> (() => {
         val embs = Tables.load(spark, sfDir, "embeddings")
-        llm.SimSearch.ivfIndexCached(embs, sfDir, nLists = 8,
-          lloydIters = 2)
-        llm.SimSearch.pqIndexCached(embs, sfDir, dims = 64, m = 16,
-          codebookSize = 32, lloydIters = 2)
         // q_map_at_k_ann's corpus-adaptive gemm index (= 8 lists at
         // every driver scale; bigger corpora size it ~250 vectors/list)
         val nl = math.max(8,
           math.min(4096, math.round(embs.count() / 250.0).toInt))
-        llm.SimSearch.ivfIndexGemmCached(embs, sfDir, nl, lloydIters = 2)
-        ()
+        // Three independent index builds (disjoint memo keys) as
+        // concurrent jobs (guide §2.6): each build is a chain of small
+        // Lloyd/assignment jobs that leaves most cores idle, so
+        // overlapping them cuts the warm line's wall without touching
+        // any build's math.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        try {
+          Seq[() => Unit](
+            () => { llm.SimSearch.ivfIndexCached(embs, sfDir, nLists = 8,
+              lloydIters = 2); () },
+            () => { llm.SimSearch.pqIndexCached(embs, sfDir, dims = 64,
+              m = 16, codebookSize = 32, lloydIters = 2); () },
+            () => { llm.SimSearch.ivfIndexGemmCached(embs, sfDir, nl,
+              lloydIters = 2); () })
+            .map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = f()
+            })).foreach(_.get())
+        } finally pool.shutdown()
       }))
     val warmups: Seq[(String, () => Unit)] =
       tableWarm ++ shingleWarm ++ sliceWarm ++ pairWarm ++ coWarm ++

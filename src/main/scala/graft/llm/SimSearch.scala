@@ -154,30 +154,55 @@ object SimSearch {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }).toSet
 
+  /** Per-key build guard (optimization r14): builds used to serialize on
+    * the SimSearch object lock, so the bench's three INDEPENDENT index
+    * builds (IVF, PQ, gemm-IVF — disjoint keys) could never overlap
+    * (guide §2.6). A per-key latch keeps the memo's
+    * build-exactly-once-per-key contract while letting different keys
+    * build concurrently; a second caller of the SAME key awaits the
+    * first build instead of duplicating it. */
+  private val inFlight =
+    scala.collection.concurrent.TrieMap
+      .empty[Any, java.util.concurrent.CountDownLatch]
+
   private def memoized[K, A](cache: scala.collection.concurrent.TrieMap[K, Memo[A]],
-      key: K)(build: => A)(owned: A => Set[Int]): A = {
-    cache.getOrElseUpdate(key, {
-      val idx = build
-      val ids = owned(idx)
-      graft.MemoKeep.protect(ids)
-      Memo(idx, ids)
-    }).idx
-  }
+      key: K)(build: => A)(owned: A => Set[Int]): A =
+    cache.get(key) match {
+      case Some(m) => m.idx
+      case None =>
+        val latch = new java.util.concurrent.CountDownLatch(1)
+        inFlight.putIfAbsent(key, latch) match {
+          case Some(other) =>
+            other.await()
+            // builder either populated the cache or failed — retry reads
+            // the cache (or rebuilds after a failure)
+            memoized(cache, key)(build)(owned)
+          case None =>
+            try {
+              val idx = build
+              val ids = owned(idx)
+              graft.MemoKeep.protect(ids)
+              cache.put(key, Memo(idx, ids))
+              idx
+            } finally {
+              inFlight.remove(key)
+              latch.countDown()
+            }
+        }
+    }
 
   def ivfIndexCached(embs: DataFrame, dataKey: String, nLists: Int,
-      lloydIters: Int): IvfIndex = synchronized {
+      lloydIters: Int): IvfIndex =
     memoized(ivfCache, (embs.sparkSession, dataKey, nLists, lloydIters))(
       buildIvfIndex(embs, nLists, lloydIters))(
       idx => checkpointedIds(idx.centroids, idx.assigned))
-  }
 
   def pqIndexCached(embs: DataFrame, dataKey: String, dims: Int, m: Int,
-      codebookSize: Int, lloydIters: Int): PqIndex = synchronized {
+      codebookSize: Int, lloydIters: Int): PqIndex =
     memoized(pqCache,
       (embs.sparkSession, dataKey, dims, m, codebookSize, lloydIters))(
       buildPqIndex(embs, dims, m, codebookSize, lloydIters))(
       idx => checkpointedIds(idx.codebooks, idx.codes))
-  }
 
   /** Index build: Lloyd centroids as the coarse quantizer + one
     * nearest-centroid assignment pass over the corpus. */
@@ -302,12 +327,11 @@ object SimSearch {
   /** Memoized [[buildIvfIndexGemm]] (same cache/eviction semantics as
     * [[ivfIndexCached]]; key space disjoint via the #gemm suffix). */
   def ivfIndexGemmCached(embs: DataFrame, dataKey: String, nLists: Int,
-      lloydIters: Int): IvfIndex = synchronized {
+      lloydIters: Int): IvfIndex =
     memoized(ivfCache,
       (embs.sparkSession, dataKey + "#gemm", nLists, lloydIters))(
       buildIvfIndexGemm(embs, nLists, lloydIters))(
       idx => checkpointedIds(idx.centroids, idx.assigned))
-  }
 
   /** All-probes MIPS top-k as BLOCKED MATRIX WORK — the serving shape
     * that survives the scale where [[ivfTopKAll]]'s row-per-candidate

@@ -44,13 +44,15 @@ object AlsEngine {
     // from a stopped context.
     modelCache.synchronized {
       modelCache.getOrElseUpdate((spark, sfDir, cfg), {
+        val view = Ratings.viewCached(spark, sfDir)
         val (m, ids) = org.apache.spark.ml.recommendation.GraftAlsLineage
-          .fence(train(Ratings.view(spark, sfDir), cfg))
+          .fence(train(view, cfg))
         graft.MemoKeep.protect(ids)
         // the unfenced model and its train shuffles are now dead
         // references — reclaim the scratch before the next consumer
-        // piles its own on top
-        System.gc()
+        // piles its own on top (scale-gated: at bench rungs the scratch
+        // is MBs and the forced full GC costs more than it frees)
+        graft.ScratchGc.maybe(view.count())
         Memo(m, ids)
       }).model
     }
@@ -63,7 +65,10 @@ object AlsEngine {
       modelCache.clear()
     }
     trainMemo.synchronized {
-      trainMemo.values.foreach(releaseMemo)
+      // release the completed entries; an in-flight build's blocks are
+      // owned by its waiters and get dropped with the session
+      trainMemo.values.flatMap(_.value).flatMap(_.toOption)
+        .foreach(releaseMemo)
       trainMemo.clear()
       trainMemoOrder.clear()
     }
@@ -98,30 +103,62 @@ object AlsEngine {
   private val trainMemoCap: Int =
     sys.env.get("SPARK_GRAFT_ALS_MEMO").flatMap(_.toIntOption).getOrElse(16)
 
+  /** Whether the content-digest train memo is active — callers that add
+    * their own lineage fence for scratch bounding can skip it when the
+    * memo (which fences internally) is on. */
+  def memoEnabled: Boolean = trainMemoCap > 0
+
   private type TrainKey = (org.apache.spark.sql.SparkSession, String,
     Long, Long, Long, java.math.BigDecimal, java.math.BigDecimal, Config)
 
-  private val trainMemo =
-    scala.collection.mutable.LinkedHashMap.empty[TrainKey, Memo]
+  /** Memo entries hold a Future so the map lock is only held for
+    * bookkeeping, never across a train: two DIFFERENT keys can train
+    * CONCURRENTLY (the sweep's independent budgets overlap under guide
+    * §2.6's independent-jobs rule), while a second caller of the SAME key
+    * blocks on the first build's future instead of training twice. */
+  private val trainMemo = scala.collection.mutable
+    .LinkedHashMap.empty[TrainKey, scala.concurrent.Future[Memo]]
   private val trainMemoOrder = scala.collection.mutable.Queue.empty[TrainKey]
 
-  private def trainMemoized(key: TrainKey)(doTrain: => ALSModel): ALSModel =
-    trainMemo.synchronized {
+  private def trainMemoized(key: TrainKey)(doTrain: => ALSModel): ALSModel = {
+    val slot = trainMemo.synchronized {
       trainMemo.get(key) match {
-        case Some(m) => m.model
+        case Some(f) => Left(f)
         case None =>
+          val pr = scala.concurrent.Promise[Memo]()
+          trainMemo.put(key, pr.future)
+          trainMemoOrder.enqueue(key)
+          // Evict only COMPLETED entries past the cap — an in-flight
+          // build's future must stay reachable for its waiters.
+          while (trainMemoOrder.size > trainMemoCap &&
+              trainMemoOrder.headOption.exists(k =>
+                trainMemo.get(k).forall(_.isCompleted))) {
+            val old = trainMemoOrder.dequeue()
+            trainMemo.remove(old)
+              .flatMap(_.value).flatMap(_.toOption).foreach(releaseMemo)
+          }
+          Right(pr)
+      }
+    }
+    slot match {
+      case Left(f) =>
+        scala.concurrent.Await
+          .result(f, scala.concurrent.duration.Duration.Inf).model
+      case Right(pr) =>
+        try {
           val (m, ids) = org.apache.spark.ml.recommendation.GraftAlsLineage
             .fence(doTrain)
           graft.MemoKeep.protect(ids)
-          trainMemo.put(key, Memo(m, ids))
-          trainMemoOrder.enqueue(key)
-          while (trainMemoOrder.size > trainMemoCap) {
-            val old = trainMemoOrder.dequeue()
-            trainMemo.remove(old).foreach(releaseMemo)
-          }
+          pr.success(Memo(m, ids))
           m
-      }
+        } catch {
+          case t: Throwable =>
+            trainMemo.synchronized { trainMemo.remove(key) }
+            pr.failure(t)
+            throw t
+        }
     }
+  }
 
   /** Size ALS's block count to the input: MLlib's default of 10 blocks
     * packs ~n/10 ratings into each in-block's primitive arrays, which at

@@ -124,9 +124,34 @@ object Antidote {
       .select(col("user_id"), col("item_id"), col("rating"))
   }
 
+  /** Per-model memo of [[factorMoments]] (optimization r14): one Alg-1
+    * polarization iteration computes the SAME model's moments twice —
+    * the trace point's `polarization(model)` and the next
+    * `polarizationStep(model)` — and the baseline/metric queries re-read
+    * the memoized base model's moments per query. The moments are one
+    * deterministic k+k² reduction per model; keying weakly on the model
+    * instance (models are themselves memoized) dedupes the recomputation
+    * without pinning models the trainers have dropped. */
+  private val momentsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[ALSModel,
+      (DenseVector[Double], DenseMatrix[Double])]())
+
   /** Mean user factor ū and mean outer-product second moment S = E[u uᵀ],
-    * computed distributedly (k and k² cells — constant-size reductions). */
-  def factorMoments(model: ALSModel): (DenseVector[Double], DenseMatrix[Double]) = {
+    * computed distributedly (k and k² cells — constant-size reductions),
+    * memoized per model instance. */
+  def factorMoments(model: ALSModel)
+      : (DenseVector[Double], DenseMatrix[Double]) = {
+    val hit = momentsCache.get(model)
+    if (hit != null) hit
+    else {
+      val computed = factorMomentsUncached(model)
+      momentsCache.put(model, computed)
+      computed
+    }
+  }
+
+  private def factorMomentsUncached(model: ALSModel)
+      : (DenseVector[Double], DenseMatrix[Double]) = {
     val k = model.rank
     val uf = model.userFactors // (id INT, features ARRAY<FLOAT>)
     val sums = uf.select(
@@ -177,25 +202,29 @@ object Antidote {
 
   /** The chosen metric evaluated on the ALS model, plus RMSE over the real
     * ratings — all distributed (driver sees two scalars). */
-  def evaluate(model: ALSModel, ratings: DataFrame, metric: Metric): TracePoint =
-    evaluateOn(AlsEngine.predictKnown(model, ratings), model, metric)
+  def evaluate(model: ALSModel, ratings: DataFrame, metric: Metric): TracePoint = {
+    val pred = AlsEngine.predictKnown(model, ratings)
+    evaluateOn(pred, lossesOf(pred), model, metric)
+  }
 
   /** [[evaluate]] over a precomputed (typically cached) predictKnown
-    * frame — the optimize loop shares ONE cached prediction pass per
-    * model between the trace evaluation's rmse + metric reads and the
-    * next gradient step, instead of re-deriving predictKnown up to four
-    * times per iteration (r14; expressions are identical, only the
-    * source frame is reused, so every scalar is unchanged). */
-  private def evaluateOn(pred: DataFrame, model: ALSModel,
+    * frame and its per-user loss frame — the optimize loop shares ONE
+    * cached prediction pass and ONE per-user-loss pass per model between
+    * the trace evaluation's rmse + metric reads and the next gradient
+    * step, instead of re-deriving predictKnown up to four times and
+    * lossesOf up to three times per iteration (r14; expressions are
+    * identical, only the source frames are reused, so every scalar is
+    * unchanged). */
+  private def evaluateOn(pred: DataFrame, lu: DataFrame, model: ALSModel,
       metric: Metric): TracePoint = {
     val rmse = pred.agg(round(sqrt(avg((col("rating") - col("p")) *
       (col("rating") - col("p")))), 6).as("rmse")).head().getDouble(0)
     val obj = metric match {
       case Metric.Polarization => polarization(model)
       case Metric.IndividualUnfairness =>
-        lossesOf(pred).agg(var_pop(col("l_u"))).head().getDouble(0)
+        lu.agg(var_pop(col("l_u"))).head().getDouble(0)
       case Metric.GroupUnfairness(groups, a, b) =>
-        lossesOf(pred).join(groups, Seq("user_id"), "left")
+        lu.join(groups, Seq("user_id"), "left")
           .agg(abs(avg(when(col("grp") === a, col("l_u"))) -
             avg(when(col("grp") === b, col("l_u"))))).head().getDouble(0)
     }
@@ -228,6 +257,11 @@ object Antidote {
       "grp_unfairness" -> TracePoint(grp, rmse))
   }
 
+  /** [[lossesOf]] for callers that manage their own cache lifecycle (the
+    * sweep shares one cached loss pass between its step's weight and
+    * gradient consumers, like the optimize loop). */
+  def lossesWithCounts(pred: DataFrame): DataFrame = lossesOf(pred)
+
   /** Per-user ALS loss ℓ_u = mean squared error over the user's known
     * cells, with the cell count (needed by the gradient chain rule). */
   private def lossesOf(pred: DataFrame): DataFrame =
@@ -251,27 +285,33 @@ object Antidote {
       : (DataFrame, Seq[TracePoint]) = {
     var x = initFn(spark, ratings, alpha).cache()
     var model = AlsEngine.train(ratings.unionByName(x), cfg)
-    // One cached prediction pass per model, shared by this iteration's
-    // trace point (rmse + metric) and the next step's loss/cell frames —
-    // the same rows were previously re-derived up to four times per
-    // iteration (r14). Unpersisted only after the step consuming it has
-    // materialized its output.
+    // One cached prediction pass and one cached per-user-loss pass per
+    // model, shared by this iteration's trace point (rmse + metric) and
+    // the next step's loss/cell frames — the same rows were previously
+    // re-derived up to four (pred) / three (losses) times per iteration
+    // (r14). The loss cache is lazy: the polarization trace never touches
+    // it, so it costs nothing there. Unpersisted only after the step
+    // consuming them has materialized its output.
     var pred = AlsEngine.predictKnown(model, ratings).cache()
+    var lu = lossesOf(pred).cache()
     val trace = Seq.newBuilder[TracePoint]
-    trace += evaluateOn(pred, model, metric)
+    trace += evaluateOn(pred, lu, model, metric)
     for (_ <- 1 to steps) {
       val next = step(spark, ratings, x, cfg, eta, metric, Some(model),
-          Some(pred))
+          Some(pred), Some(lu))
         .cache()
       next.count() // materialize before unpersisting the predecessor
       x.unpersist()
       x = next
       pred.unpersist()
+      lu.unpersist()
       model = AlsEngine.train(ratings.unionByName(x), cfg)
       pred = AlsEngine.predictKnown(model, ratings).cache()
-      trace += evaluateOn(pred, model, metric)
+      lu = lossesOf(pred).cache()
+      trace += evaluateOn(pred, lu, model, metric)
     }
     pred.unpersist()
+    lu.unpersist()
     (x, trace.result())
   }
 
@@ -283,10 +323,11 @@ object Antidote {
       cfg: AlsEngine.Config = AlsEngine.Config(), eta: Double = 1.0,
       metric: Metric = Metric.Polarization,
       model: Option[ALSModel] = None,
-      pred: Option[DataFrame] = None): DataFrame = metric match {
+      pred: Option[DataFrame] = None,
+      lu: Option[DataFrame] = None): DataFrame = metric match {
     case Metric.Polarization =>
       polarizationStep(spark, ratings, x, cfg, eta, model)
-    case m => unfairnessStep(spark, ratings, x, cfg, eta, m, model, pred)
+    case m => unfairnessStep(spark, ratings, x, cfg, eta, m, model, pred, lu)
   }
 
   /** Polarization step: descend through the ridge closed form
@@ -386,7 +427,8 @@ object Antidote {
   private def unfairnessStep(spark: SparkSession, ratings: DataFrame,
       x: DataFrame, cfg: AlsEngine.Config, eta: Double,
       metric: Metric, pretrained: Option[ALSModel] = None,
-      predIn: Option[DataFrame] = None): DataFrame = {
+      predIn: Option[DataFrame] = None,
+      luIn: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val aug =
       if (pretrained.isEmpty) Some(ratings.unionByName(x).cache()) else None
@@ -409,7 +451,9 @@ object Antidote {
     }
 
     // Per-user metric weight d_i = ∂U/∂ℓ_i (constant-size driver scalars).
-    val lu = lossesOf(pred)
+    // The optimize loop / sweep pass their cached per-user loss frame;
+    // standalone calls derive it lazily (same expressions either way).
+    val lu = luIn.getOrElse(lossesOf(pred))
     val dDf = metric match {
       case Metric.IndividualUnfairness =>
         val g = lu.agg(avg(col("l_u")), count(lit(1))).head()

@@ -120,15 +120,16 @@ object CurationQueries {
       |  ROUND(CAST(max(c.cb9) AS DOUBLE) / max(c.np) / 1000000000, 6)
       |    AS catalog_novelty_bits
       |FROM bits CROSS JOIN cat c""".stripMargin) { (s, d) =>
-    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(li.select(col("l_orderkey").as("ok2"),
-        col("l_partkey").as("pb")),
-        col("l_orderkey") === col("ok2") && col("pa") =!= col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-    val pop = li.groupBy("l_partkey")
-      .agg(countDistinct(col("l_orderkey")).as("p"))
-    val no = li.agg(countDistinct(col("l_orderkey")).as("n_ord"))
+    // r14: pairs, popularity and the order count all derive from the
+    // shared PairStore (the q_pop_bias conversion) — coPairs IS the
+    // pa ≠ pb raw pair-count matrix, and the store's deduped (ok, pk)
+    // cells give per-part distinct-order counts and the distinct-order
+    // total without another fact scan. Exact integers, same values.
+    val cells = PairStore.liCounts(s, d)
+    val pairs = MfQueries.coPairs(s, d)
+    val pop = cells.groupBy(col("pk").as("l_partkey"))
+      .agg(count(lit(1)).as("p"))
+    val no = cells.agg(countDistinct(col("ok")).as("n_ord"))
     val w = Window.partitionBy("pa").orderBy(col("w").desc, col("pb"))
     val top5 = pairs.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5).select("pa", "pb")

@@ -585,7 +585,16 @@ object MfQueries {
         val groups = t(s, d, "customer")
           .select(col("c_custkey").as("user_id"),
             col("c_mktsegment").as("grp"))
-        Seq(0.0, 0.01, 0.05).flatMap { alpha =>
+        // Scratch policy is scale-derived from the same threshold both
+        // ways (ScratchGc): at big rungs each train's shuffle scratch is
+        // tens of GB, so budgets run SEQUENTIALLY with eager GC between
+        // trains (peak scratch = one live train — the r14 sf10 wall fix);
+        // at bench rungs scratch is MBs, the GCs are pure pause, and the
+        // three INDEPENDENT budgets overlap as concurrent jobs (guide
+        // §2.6 — a 10-block ALS leaves most of local[32] idle).
+        val nRatings = ratings.count()
+        val sequentialBudgets = nRatings >= graft.ScratchGc.minRows
+        def budgetRows(alpha: Double): Seq[(Double, String, Double, Double)] = {
           // α = 0 is the un-augmented baseline — share the memoized model
           // with the other MF queries instead of re-training it. Nonzero
           // budgets deploy the paper's OPTIMIZED antidote: §4.3 heuristic
@@ -613,6 +622,15 @@ object MfQueries {
                 case None => Antidote.autoCap(ratings, alpha)
               }
               val x0 = Antidote.initHeuristicCapped(s, ratings, alpha, cap)
+              // Train [R; X0] explicitly (content-digest memoized +
+              // lineage-fenced inside AlsEngine.train) and hand the step
+              // ONE cached prediction pass, mirroring optimize's
+              // iteration shape — the bare step call re-derived
+              // predictKnown twice (loss weights + gradient cells) per
+              // budget (r14).
+              val model0 = AlsEngine.train(ratings.unionByName(x0), cfg)
+              val pred0 = AlsEngine.predictKnown(model0, ratings).cache()
+              val lu0 = Antidote.lossesWithCounts(pred0).cache()
               // localCheckpoint fences the GD step's lineage (which holds
               // a whole ALS train) out of the FINAL train's — without it
               // both trains' shuffle files stay referenced simultaneously.
@@ -622,23 +640,33 @@ object MfQueries {
               // consumed shuffles of earlier trains stayed live.
               val x1 = Antidote.step(s, ratings, x0, cfg, eta = 1e4,
                 metric = Metric.GroupUnfairness(groups, "BUILDING",
-                  "MACHINERY")).localCheckpoint()
+                  "MACHINERY"), model = Some(model0), pred = Some(pred0),
+                lu = Some(lu0))
+                .localCheckpoint()
+              pred0.unpersist()
+              lu0.unpersist()
               // x1 is materialized, so the heuristic-init and GD-step
               // trains behind it are now dead references — reclaim
               // their shuffle files BEFORE the final train writes its
               // own. Without this mid-α GC the within-budget peak is
               // ~3 trains' scratch, which is exactly the r14-measured
               // sf10 wall (44.8 GB against ~50 GB free): the end-of-α
-              // GC below fires too late to bound the peak.
-              System.gc()
-              // fence the final model too (GraftAlsLineage): evaluation
-              // then runs against MB-sized checkpointed factors while
-              // this train's shuffles are already reclaimable — peak
-              // scratch stays "one live train", never train + eval
-              val (m, _) = org.apache.spark.ml.recommendation
-                .GraftAlsLineage
-                .fence(AlsEngine.train(ratings.unionByName(x1), cfg))
-              System.gc()
+              // GC below fires too late to bound the peak. Scale-gated
+              // (ScratchGc): at bench rungs the pause costs more than
+              // the MBs it frees.
+              graft.ScratchGc.maybe(nRatings)
+              // The final train memoizes + fences inside AlsEngine.train
+              // (evaluation then runs against MB-sized checkpointed
+              // factors while the train's shuffles are already
+              // reclaimable — peak scratch stays "one live train").
+              // Only the memo-off path (DeterminismSpec sweeps, cold
+              // mode) needs the explicit fence the pre-memo code had.
+              val trained = AlsEngine.train(ratings.unionByName(x1), cfg)
+              val m =
+                if (AlsEngine.memoEnabled) trained
+                else org.apache.spark.ml.recommendation.GraftAlsLineage
+                  .fence(trained)._1
+              graft.ScratchGc.maybe(nRatings)
               m
             }
           val rows = Antidote.evaluateAll(model, ratings, groups,
@@ -648,9 +676,31 @@ object MfQueries {
           // this α's model and trains are now dead references; a GC here
           // lets ContextCleaner reclaim their shuffle files before the
           // next α trains (Spark's own periodicGC fires only every 2 min
-          // — too slow to keep peak scratch at one train's footprint)
-          if (alpha != 0.0) System.gc()
+          // — too slow to keep peak scratch at one train's footprint).
+          // Scale-gated like the mid-α GC above.
+          if (alpha != 0.0) graft.ScratchGc.maybe(nRatings)
           rows
+        }
+        val budgets = Seq(0.0, 0.01, 0.05)
+        if (sequentialBudgets) budgets.flatMap(budgetRows)
+        else {
+          // Independent budgets as concurrent jobs (guide §2.6): each
+          // budget's chain is internally sequential, the three chains
+          // share no state beyond memoized immutable inputs, and every
+          // value is a seeded/deterministic computation — overlap changes
+          // wall-clock, never results. Output order is pinned by mapping
+          // over the ordered budget list.
+          val pool = java.util.concurrent.Executors
+            .newFixedThreadPool(budgets.size)
+          try {
+            val tasks = budgets.map(a => pool.submit(
+              new java.util.concurrent.Callable[
+                  Seq[(Double, String, Double, Double)]] {
+                def call(): Seq[(Double, String, Double, Double)] =
+                  budgetRows(a)
+              }))
+            tasks.flatMap(_.get())
+          } finally pool.shutdown()
         }
       })
     }
@@ -926,13 +976,14 @@ object MfQueries {
       |    / (CAST(max(c.sp) AS DOUBLE) / max(c.np)), 6) AS pop_lift
       |FROM top5 t JOIN pop pp ON t.pb = pp.l_partkey
       |CROSS JOIN cat c""".stripMargin) { (s, d) =>
-    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
-    val pairs = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(li.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb")),
-        col("l_orderkey") === col("ok2") && col("pa") =!= col("pb"))
-      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-    val pop = li.groupBy("l_partkey")
-      .agg(countDistinct(col("l_orderkey")).as("p"))
+    // r14: pairs and popularity both derive from the shared PairStore —
+    // the private fact self-join + distinct this query re-ran is the
+    // store's build. coPairs IS the pa ≠ pb raw pair-count matrix, and
+    // per-part distinct-order counts are a groupBy over the store's
+    // deduped (ok, pk) cells — exact integers both ways, same values.
+    val pairs = coPairs(s, d)
+    val pop = PairStore.liCounts(s, d)
+      .groupBy(col("pk").as("l_partkey")).agg(count(lit(1)).as("p"))
     val w = Window.partitionBy("pa").orderBy(col("w").desc, col("pb"))
     val top5 = pairs.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5).select("pa", "pb")
@@ -979,7 +1030,7 @@ object MfQueries {
     coPairs(s, d); ()
   }
 
-  private def coPairs(s: org.apache.spark.sql.SparkSession,
+  private[operators] def coPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = coCache.synchronized {
     // keyed by (session, sfDir): the memo hands out a
     // localCheckpoint-backed frame whose blocks belong to the session
