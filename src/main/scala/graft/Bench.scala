@@ -70,6 +70,7 @@ object Bench {
       operators.MfQueries.clearCoCache()
       operators.PairStore.clearCache()
       operators.TradeGraph.clearCache()
+      operators.LlmQueries.clearSimhashCache()
       streaming.StreamOps.clearSliceCache()
       llm.SimSearch.clearIndexCache()
     }
@@ -95,13 +96,20 @@ object Bench {
         // registration is thread-safe; per-table results are unchanged.
         val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
         try {
-          Tables.all.map { n =>
+          val futs = Tables.all.map { n =>
             pool.submit(new java.util.concurrent.Callable[Unit] {
               def call(): Unit = {
                 Tables.load(spark, sfDir, n).cache().count(); ()
               }
             })
-          }.foreach(_.get())
+          }
+          // Fail fast with the ORIGINAL cause (ADVICE r14): .get() wraps
+          // it in ExecutionException and plain shutdown() would let the
+          // remaining scans keep running after the first failure.
+          try futs.foreach(_.get())
+          catch { case e: java.util.concurrent.ExecutionException =>
+            pool.shutdownNow(); throw Option(e.getCause).getOrElse(e)
+          }
         } finally pool.shutdown()
       }))
     // Shared shingle store (ShingleStore.scala): the raw-document
@@ -161,6 +169,18 @@ object Bench {
       if (cold || !pairSelected) Seq.empty
       else Seq("warm:basket_pairs" ->
         (() => { operators.PairStore.warm(spark, sfDir); () }))
+    // Shared banded-simhash candidate store (LlmQueries.simhashCands):
+    // six near-dup queries read thr-filtered subsets of one candidate
+    // frame computed at the sweep's loosest cutoff; this line bills the
+    // one signature pass + banded self-join they all used to re-run.
+    val simhashSelected = only.forall(_.exists(Set(
+      "q_dedup_simhash_pairs", "q_dedup_detector_overlap",
+      "q_dedup_clusters_det", "q_dedup_rate_by_source",
+      "q_near_dup_eval", "q_dedup_threshold_sweep")))
+    val simhashWarm: Seq[(String, () => Unit)] =
+      if (cold || !simhashSelected) Seq.empty
+      else Seq("warm:simhash_cand" ->
+        (() => { operators.LlmQueries.warmSimhashCands(spark, sfDir); () }))
     // Shared nation-trade edge list (TradeGraph): ≤625-row local
     // relation consumed by q_pagerank/q_ppr and the five centralities.
     val tradeSelected = only.forall(_.exists(Set(
@@ -202,12 +222,17 @@ object Bench {
               lloydIters = 2); () })
             .map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
               def call(): Unit = f()
-            })).foreach(_.get())
+            })) match { case futs =>
+              try futs.foreach(_.get())
+              catch { case e: java.util.concurrent.ExecutionException =>
+                pool.shutdownNow(); throw Option(e.getCause).getOrElse(e)
+              }
+            }
         } finally pool.shutdown()
       }))
     val warmups: Seq[(String, () => Unit)] =
-      tableWarm ++ shingleWarm ++ sliceWarm ++ pairWarm ++ coWarm ++
-      tradeWarm ++ annWarm ++
+      tableWarm ++ shingleWarm ++ sliceWarm ++ simhashWarm ++ pairWarm ++
+      coWarm ++ tradeWarm ++ annWarm ++
       (if (cold || !mfSelected) Seq.empty
       else Seq(
         "warm:ratings_view" ->
@@ -288,8 +313,16 @@ object Bench {
         // Deterministic GC cadence (billed OUTSIDE the per-query timer,
         // like releaseNew): lets ContextCleaner reclaim the shuffle files
         // dead queries left behind before they tax the late-run tail.
+        // Skip the cadence at ≤8 cores (VERDICT r14 task 7): a full GC
+        // pause is ~4× of the 8-core run's per-query floor and distorts
+        // the driver's 8-vs-32-core scaling control; the 2-min periodic
+        // ContextCleaner GC (which the longer low-core run reaches more
+        // often) keeps reclaiming shuffle files there.
         sinceGc += 1
-        if (sinceGc >= 64) { sinceGc = 0; System.gc() }
+        if (sinceGc >= 64) {
+          sinceGc = 0
+          if (scala.util.Try(cpus.toInt).getOrElse(32) > 8) System.gc()
+        }
         (name, if (ok) dt else -1.0)
       }
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

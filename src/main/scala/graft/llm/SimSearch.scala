@@ -179,11 +179,20 @@ object SimSearch {
             memoized(cache, key)(build)(owned)
           case None =>
             try {
-              val idx = build
-              val ids = owned(idx)
-              graft.MemoKeep.protect(ids)
-              cache.put(key, Memo(idx, ids))
-              idx
+              // Double-checked latch (ADVICE r14): a thread that read a
+              // miss before a concurrent builder's cache.put but won the
+              // latch after that builder's inFlight.remove would rebuild
+              // the key and orphan the first Memo's protected checkpoint
+              // blocks. Re-check under the won latch and reuse.
+              cache.get(key) match {
+                case Some(m) => m.idx
+                case None =>
+                  val idx = build
+                  val ids = owned(idx)
+                  graft.MemoKeep.protect(ids)
+                  cache.put(key, Memo(idx, ids))
+                  idx
+              }
             } finally {
               inFlight.remove(key)
               latch.countDown()

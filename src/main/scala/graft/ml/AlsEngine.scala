@@ -129,13 +129,20 @@ object AlsEngine {
           trainMemo.put(key, pr.future)
           trainMemoOrder.enqueue(key)
           // Evict only COMPLETED entries past the cap — an in-flight
-          // build's future must stay reachable for its waiters.
-          while (trainMemoOrder.size > trainMemoCap &&
-              trainMemoOrder.headOption.exists(k =>
-                trainMemo.get(k).forall(_.isCompleted))) {
-            val old = trainMemoOrder.dequeue()
-            trainMemo.remove(old)
-              .flatMap(_.value).flatMap(_.toOption).foreach(releaseMemo)
+          // build's future must stay reachable for its waiters. Scan past
+          // in-flight heads instead of halting at the first one (ADVICE
+          // r14): a long-running build at the head must not let completed
+          // entries behind it pin their checkpoint blocks forever.
+          var evictable = true
+          while (trainMemoOrder.size > trainMemoCap && evictable) {
+            val idx = trainMemoOrder.indexWhere(k =>
+              trainMemo.get(k).forall(_.isCompleted))
+            if (idx < 0) evictable = false
+            else {
+              val old = trainMemoOrder.remove(idx)
+              trainMemo.remove(old)
+                .flatMap(_.value).flatMap(_.toOption).foreach(releaseMemo)
+            }
           }
           Right(pr)
       }
@@ -153,7 +160,14 @@ object AlsEngine {
           m
         } catch {
           case t: Throwable =>
-            trainMemo.synchronized { trainMemo.remove(key) }
+            // Purge the key from the eviction queue too (ADVICE r14): a
+            // retrain of the same key re-enqueues it, and a stale first
+            // copy at cap overflow would dequeue-and-release the LIVE
+            // rebuilt entry while callers still hold its checkpoint.
+            trainMemo.synchronized {
+              trainMemo.remove(key)
+              trainMemoOrder.filterInPlace(_ != key)
+            }
             pr.failure(t)
             throw t
         }
@@ -290,8 +304,31 @@ object AlsEngine {
     * BIGINT columns. */
   def trainCompacted(ratings: DataFrame, cfg: Config = Config())
       : (ALSModel, DataFrame, DataFrame) = {
-    val uDict = idDictionary(ratings, "user_id")
-    val iDict = idDictionary(ratings, "item_id")
+    // r15 (profiled first — ProfileCompact): the two dictionaries are
+    // each consumed twice (compaction join + factor re-key), and every
+    // consumption re-ran the GlobalRank bucketed pass; their builds are
+    // independent chains of small eager jobs that serialized. One
+    // localCheckpoint each (dictionary-sized: one row per distinct id —
+    // exactly what a production compaction materializes) and the two
+    // builds overlap as concurrent jobs (guide §1.2, §2.6). Values are
+    // unchanged: the dictionaries are deterministic and the checkpoint
+    // only fences lineage.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (uDict, iDict) =
+      try {
+        val uF = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame =
+            idDictionary(ratings, "user_id").localCheckpoint()
+        })
+        val iF = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame =
+            idDictionary(ratings, "item_id").localCheckpoint()
+        })
+        try (uF.get(), iF.get())
+        catch { case e: java.util.concurrent.ExecutionException =>
+          pool.shutdownNow(); throw Option(e.getCause).getOrElse(e)
+        }
+      } finally pool.shutdown()
     val compacted = ratings
       .join(uDict.withColumnRenamed("idx", "__u"), "user_id")
       .join(iDict.withColumnRenamed("idx", "__i"), "item_id")

@@ -36,6 +36,74 @@ object LlmQueries {
   /** Drop the planted-count memo (cold benchmarking / data rewrites). */
   def clearCountCache(): Unit = plantedCountCache.clear()
 
+  /** Shared banded-simhash candidate store (optimization r15, guide §2.4
+    * "two operations keyed the same way share one exchange"): six
+    * oracle-checked near-dup queries — q_dedup_simhash_pairs,
+    * q_dedup_detector_overlap, q_dedup_clusters_det,
+    * q_dedup_rate_by_source, q_near_dup_eval, q_dedup_threshold_sweep —
+    * build the IDENTICAL augmented corpus (documents ∪ planted truncated
+    * copies at doc_id+1e6) and each privately re-ran the identical
+    * signature pass (token explode + lanes×bits sign aggregation over
+    * the whole corpus) plus the banded candidate self-join. One frame,
+    * computed at the sweep's loosest cutoff (max(8, thr+2) ≥ thr),
+    * serves all six: banding is cutoff-INDEPENDENT (keep-masks derive
+    * from the reported thr alone — see Dedup.simhashNearDups), so every
+    * other consumer's `filter(hamming ≤ thr)` composes to exactly the
+    * rows its private call produced. localCheckpoint-backed per
+    * (session, sfDir), MemoKeep-protected, billed as the bench's
+    * `warm:simhash_cand` line; [[clearSimhashCache]] restores cold mode. */
+  private val simhashCandCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def clearSimhashCache(): Unit =
+    simhashCandCache.synchronized(simhashCandCache.clear())
+
+  def warmSimhashCands(s: SparkSession, d: String): Unit = {
+    simhashCands(s, d); ()
+  }
+
+  /** The six consumers' common planted-copy corpus (same construction in
+    * each query's oracle SQL — doc_id is int64, so the int/long literal
+    * variants at the old call sites produced this same schema). */
+  private[graft] def simhashAugDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substr(text, 11)").as("text")))
+  }
+
+  /** (reported detector threshold, sweep grid max) for the corpus. */
+  private def simhashThrGrid(s: SparkSession, d: String): (Int, Int) = {
+    val (_, _, thr, _) = Dedup.simhashParamsFor(augDocCount(s, d))
+    (thr, math.max(8, thr + 2))
+  }
+
+  /** (doc_a, doc_b, hamming ≤ gridMax) candidates — the store frame. */
+  private[graft] def simhashCands(s: SparkSession, d: String): DataFrame =
+    simhashCandCache.synchronized {
+      // keyed by (session, sfDir): checkpointed blocks belong to the
+      // session that built them (PairStore/coPairs idiom)
+      simhashCandCache.getOrElseUpdate((s, d), {
+        val before = s.sparkContext.getPersistentRDDs.keySet.toSet
+        val nAug = augDocCount(s, d)
+        val (_, gridMax) = simhashThrGrid(s, d)
+        val f = Dedup.simhashNearDups(simhashAugDocs(s, d),
+          maxHamming = gridMax, nDocs = nAug).localCheckpoint()
+        graft.MemoKeep.protect(
+          s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
+        f
+      })
+    }
+
+  /** The default-detector pair set (hamming ≤ thr) from the store —
+    * row-identical to `Dedup.simhashNearDups(simhashAugDocs(s, d))` by
+    * filter composition over the shared superset. */
+  private[graft] def simhashPairsThr(s: SparkSession, d: String): DataFrame = {
+    val (thr, _) = simhashThrGrid(s, d)
+    simhashCands(s, d).filter(col("hamming") <= thr)
+  }
+
   val qDedupExact = Q(
     "q_dedup_exact",
     """SELECT n_docs, n_unique, keeper_sum FROM
@@ -244,13 +312,9 @@ object LlmQueries {
        |WHERE bit_count(xor(sa, sb)) + bit_count(xor(sa1, sb1))
        |  <= (SELECT thr FROM par)
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val docs = t(s, d, "documents")
-    val withDups = docs.select("doc_id", "text").unionByName(
-      docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          expr("substr(text, 11)").as("text")))
-    Dedup.simhashNearDups(withDups, nDocs = augDocCount(s, d))
-      .orderBy("doc_a", "doc_b")
+    // r15: reads the shared candidate store (same corpus, same detector,
+    // row-identical by filter composition — see simhashCandCache).
+    simhashPairsThr(s, d).orderBy("doc_a", "doc_b")
   }
 
   /** Combination-table keep-mask CTEs (the SQL mirror of
@@ -625,7 +689,7 @@ object LlmQueries {
     }
     val sx = removable(md5(expr("right(text, 16)")))
     val pf = removable(md5(substring(col("text"), 1, 64)))
-    val sh = Dedup.simhashNearDups(docs2, nDocs = augDocCount(s, d))
+    val sh = simhashPairsThr(s, d)
       .select(col("doc_b").as("doc_id")).distinct()
     val sets = pf.withColumn("det", lit("prefix"))
       .unionByName(sh.withColumn("det", lit("simhash")))
@@ -1590,7 +1654,7 @@ object LlmQueries {
       docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           expr("substr(text, 11)").as("text")))
-    val pairs = Dedup.simhashNearDups(withDups, nDocs = augDocCount(s, d))
+    val pairs = simhashPairsThr(s, d)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val labels = graft.plans.LabelProp.iterate(pairs, 3)
     val survivors = Dedup.survivors(withDups,
@@ -2439,7 +2503,7 @@ object LlmQueries {
       docs.filter(col("doc_id") % 50 === 0)
         .select((col("doc_id") + 1000000).as("doc_id"),
           expr("substr(text, 11)").as("text")))
-    val pairs = Dedup.simhashNearDups(withDups, nDocs = augDocCount(s, d))
+    val pairs = simhashPairsThr(s, d)
     val dupIds = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val attributed = withDups
@@ -2649,11 +2713,7 @@ object LlmQueries {
        |  ROUND(CAST(n_hit AS DOUBLE) / nullif(n_truth, 0), 6) AS recall
        |FROM m""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
-    val withDups = docs.select("doc_id", "text").unionByName(
-      docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          expr("substr(text, 11)").as("text")))
-    val found = Dedup.simhashNearDups(withDups, nDocs = augDocCount(s, d))
+    val found = simhashPairsThr(s, d)
       .select("doc_a", "doc_b")
     val truth = docs.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("t_a"), (col("doc_id") + 1000000).as("t_b"))
@@ -2724,19 +2784,15 @@ object LlmQueries {
        |GROUP BY thr, n_truth ORDER BY thr""".stripMargin) { (s, d) =>
     import s.implicits._
     val docs = t(s, d, "documents")
-    val withDups = docs.select("doc_id", "text").unionByName(
-      docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          expr("substr(text, 11)").as("text")))
     // all candidates at the loosest cutoff ONCE; the sweep is arithmetic.
     // The grid tracks the detector: 0..8 at fixture scales (historic
     // curve bit-identical), 0..thr+2 once the grown threshold passes 6,
-    // so the curve always brackets the operating point.
-    val nAug = augDocCount(s, d)
-    val (_, _, thr, _) = Dedup.simhashParamsFor(nAug)
-    val gridMax = math.max(8, thr + 2)
-    val cand = Dedup.simhashNearDups(withDups, maxHamming = gridMax,
-      nDocs = nAug)
+    // so the curve always brackets the operating point. r15: the
+    // candidate frame IS the shared store (computed at this query's
+    // loosest cutoff), so the five thr-filtered siblings read a subset
+    // of the same build instead of re-running the pipeline.
+    val (_, gridMax) = simhashThrGrid(s, d)
+    val cand = simhashCands(s, d)
     val hist = cand.groupBy("hamming")
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("doc_b") - col("doc_a") === 1000000 &&

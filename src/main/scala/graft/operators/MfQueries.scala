@@ -1038,10 +1038,17 @@ object MfQueries {
     // not inherit a frame checkpointed in a stopped context
     // r14: derived from the shared PairStore — the raw pa ≠ pb pair
     // count is symmetric, so it is the symmetric closure of the store's
-    // src < dst n_raw half. The store frame is already checkpointed;
-    // the closure is a projection+union over its blocks, so no second
-    // checkpoint is spent here.
-    coCache.getOrElseUpdate((s, d), PairStore.coPairsSym(s, d))
+    // src < dst n_raw half. r15 (VERDICT r14 item 4, measured A/B): a
+    // second checkpoint of the symmetric frame trades pair-frame-sized
+    // memory (linear in orders) for the re-union every one of the four
+    // consumers paid; billed to the warm:cooccur line.
+    coCache.getOrElseUpdate((s, d), {
+      val before = s.sparkContext.getPersistentRDDs.keySet.toSet
+      val f = PairStore.coPairsSym(s, d).localCheckpoint()
+      graft.MemoKeep.protect(
+        s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
+      f
+    })
   }
 
   val qUserRecsCf = Q(

@@ -937,7 +937,7 @@ object StreamOps {
 
   /** The shared slice stream (full events schema — project what you
     * need) plus the backing dir for static re-reads. */
-  private def sliceStream(spark: SparkSession, sfDir: String,
+  private[graft] def sliceStream(spark: SparkSession, sfDir: String,
       nBatches: Int): (DataFrame, String) = {
     val src = orderedSliceDir(spark, sfDir, nBatches)
     (spark.readStream

@@ -292,6 +292,8 @@ class DeterminismSpec extends SparkTestBase {
         graft.operators.PairStore.clearCache()
         graft.operators.TradeGraph.clearCache()
         graft.operators.MfQueries.clearCoCache()
+        // r15 shared banded-simhash candidate store (same rationale)
+        graft.operators.LlmQueries.clearSimhashCache()
       }
       sensitive.foreach { q =>
         conf.set("spark.sql.shuffle.partitions", "5")

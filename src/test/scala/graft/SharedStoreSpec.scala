@@ -67,6 +67,17 @@ class SharedStoreSpec extends SparkTestBase {
     assert(diffCount(direct, store) === 0)
   }
 
+  test("simhash candidate store filtered at thr equals the direct detector") {
+    // r15: the six near-dup consumers read filter(hamming <= thr) of the
+    // shared gridMax-cutoff frame; that must be row-identical to the
+    // private Dedup.simhashNearDups call each of them used to make.
+    val direct = llm.Dedup.simhashNearDups(
+      operators.LlmQueries.simhashAugDocs(spark, sf))
+    val store = operators.LlmQueries.simhashPairsThr(spark, sf)
+    assert(diffCount(direct, store) === 0)
+    assert(store.count() > 0)
+  }
+
   test("ALS train memo hit is bit-identical to a fresh seeded train") {
     val ratings = ml.Ratings.view(spark, sf)
     val cfg = ml.AlsEngine.Config(rank = 4, maxIter = 2)
