@@ -169,14 +169,16 @@ object Bench {
       if (cold || !pairSelected) Seq.empty
       else Seq("warm:basket_pairs" ->
         (() => { operators.PairStore.warm(spark, sfDir); () }))
-    // Shared banded-simhash candidate store (LlmQueries.simhashCands):
-    // six near-dup queries read thr-filtered subsets of one candidate
-    // frame computed at the sweep's loosest cutoff; this line bills the
-    // one signature pass + banded self-join they all used to re-run.
+    // Shared banded-simhash store (LlmQueries.simhashCands): five
+    // near-dup queries read one thr-cutoff pair frame built from one
+    // shared signature pass; this line bills the signature pass + banded
+    // self-join they all used to re-run. The threshold sweep shares the
+    // SIGNATURE memo (built transitively here) but aggregates its own
+    // gridMax stream, so it does not gate the store build.
     val simhashSelected = only.forall(_.exists(Set(
       "q_dedup_simhash_pairs", "q_dedup_detector_overlap",
       "q_dedup_clusters_det", "q_dedup_rate_by_source",
-      "q_near_dup_eval", "q_dedup_threshold_sweep")))
+      "q_near_dup_eval")))
     val simhashWarm: Seq[(String, () => Unit)] =
       if (cold || !simhashSelected) Seq.empty
       else Seq("warm:simhash_cand" ->

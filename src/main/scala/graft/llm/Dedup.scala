@@ -393,6 +393,18 @@ object Dedup {
     * has such a lane, so the threshold-filtered result at thr ≤
     * lanes·(nBlocks − keepBlocks) is banding-invariant. */
   def simhashNearDupsWith(docs: DataFrame, bits: Int, maxHamming: Int,
+      nBlocks: Int, keepBlocks: Int, lanes: Int = 1): DataFrame =
+    simhashNearDupsFromSigs(simhashLanes(docs, bits, lanes), bits,
+      maxHamming, nBlocks, keepBlocks, lanes)
+
+  /** Banded candidate join + exact popcount filter over a PRECOMPUTED
+    * signature frame (`simhashLanes` output: doc_id, sh0[, sh1]) —
+    * callers that evaluate several cutoffs over one corpus compute the
+    * signatures once (the full-corpus token explode + sign aggregation)
+    * and run only this join per cutoff. Identical rows to
+    * [[simhashNearDupsWith]] by construction (the signature frame is
+    * deterministic and this IS its tail). */
+  def simhashNearDupsFromSigs(sigs: DataFrame, bits: Int, maxHamming: Int,
       nBlocks: Int, keepBlocks: Int, lanes: Int = 1): DataFrame = {
     val keeps = simhashKeepMasks(bits, nBlocks, keepBlocks)
     val sigCols = (0 until lanes).map(l => col(s"sh$l"))
@@ -404,7 +416,7 @@ object Dedup {
     val bval = (0 until lanes).map { l =>
       when(col("lk.lane") === l, col(s"sh$l").bitwiseAND(col("lk.keep")))
     }.reduce(coalesce(_, _))
-    val bands = simhashLanes(docs, bits, lanes)
+    val bands = sigs
       .select(col("doc_id") +: sigCols :+
         explode(array(laneKeeps: _*)).as("lk"): _*)
       .select(col("doc_id") +: sigCols :+ col("lk.lane").as("lane") :+

@@ -44,19 +44,33 @@ object LlmQueries {
     * build the IDENTICAL augmented corpus (documents ∪ planted truncated
     * copies at doc_id+1e6) and each privately re-ran the identical
     * signature pass (token explode + lanes×bits sign aggregation over
-    * the whole corpus) plus the banded candidate self-join. One frame,
-    * computed at the sweep's loosest cutoff (max(8, thr+2) ≥ thr),
-    * serves all six: banding is cutoff-INDEPENDENT (keep-masks derive
-    * from the reported thr alone — see Dedup.simhashNearDups), so every
-    * other consumer's `filter(hamming ≤ thr)` composes to exactly the
-    * rows its private call produced. localCheckpoint-backed per
-    * (session, sfDir), MemoKeep-protected, billed as the bench's
-    * `warm:simhash_cand` line; [[clearSimhashCache]] restores cold mode. */
+    * the whole corpus) plus the banded candidate self-join. r15.2 split:
+    * ONE signature memo serves all six, and ONE pair frame materialized
+    * at the DETECTOR threshold serves the five pair-consumers; the sweep
+    * aggregates its own ≤ gridMax stream from the shared signatures
+    * without materializing it (the first r15 cut checkpointed the
+    * gridMax superset — measured 24×/decade at sf1, because the loose
+    * bins are banded-collision mass only the sweep's histogram ever
+    * reads). Banding is cutoff-INDEPENDENT (keep-masks derive from the
+    * reported thr alone — see Dedup.simhashNearDups), so both frames are
+    * row-identical to the private calls they replace (SharedStoreSpec).
+    * localCheckpoint-backed per (session, sfDir), MemoKeep-protected,
+    * billed as the bench's `warm:simhash_cand` line;
+    * [[clearSimhashCache]] restores cold mode. */
   private val simhashCandCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  def clearSimhashCache(): Unit =
+  /** Shared signature frame (doc_id, sh0[, sh1]; one row per augmented
+    * doc): the full-corpus token explode + sign aggregation that BOTH the
+    * thr-pair store and the sweep's gridMax histogram consume — computed
+    * once, checkpointed (dictionary-sized at any scale). */
+  private val simhashSigCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def clearSimhashCache(): Unit = {
     simhashCandCache.synchronized(simhashCandCache.clear())
+    simhashSigCache.synchronized(simhashSigCache.clear())
+  }
 
   def warmSimhashCands(s: SparkSession, d: String): Unit = {
     simhashCands(s, d); ()
@@ -79,7 +93,28 @@ object LlmQueries {
     (thr, math.max(8, thr + 2))
   }
 
-  /** (doc_a, doc_b, hamming ≤ gridMax) candidates — the store frame. */
+  /** The checkpointed signature frame for the augmented corpus. */
+  private[graft] def simhashSigs(s: SparkSession, d: String): DataFrame =
+    simhashSigCache.synchronized {
+      simhashSigCache.getOrElseUpdate((s, d), {
+        val before = s.sparkContext.getPersistentRDDs.keySet.toSet
+        val (lanes, bits, _, _) =
+          Dedup.simhashParamsFor(augDocCount(s, d))
+        val f = Dedup.simhashLanes(simhashAugDocs(s, d), bits, lanes)
+          .localCheckpoint()
+        graft.MemoKeep.protect(
+          s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
+        f
+      })
+    }
+
+  /** (doc_a, doc_b, hamming ≤ thr) — the store frame, materialized at the
+    * DETECTOR threshold (the set the five pair-consumers read; near-dup
+    * output, linear-ish per decade). The sweep's gridMax superset is NOT
+    * materialized — its histogram aggregates the banded-join stream
+    * directly (r15.2: checkpointing the ≤ gridMax superset was measured
+    * at sf1 as 24×/decade — the loose bins are banded-collision mass that
+    * only ever feeds one aggregation). */
   private[graft] def simhashCands(s: SparkSession, d: String): DataFrame =
     simhashCandCache.synchronized {
       // keyed by (session, sfDir): checkpointed blocks belong to the
@@ -87,22 +122,21 @@ object LlmQueries {
       simhashCandCache.getOrElseUpdate((s, d), {
         val before = s.sparkContext.getPersistentRDDs.keySet.toSet
         val nAug = augDocCount(s, d)
-        val (_, gridMax) = simhashThrGrid(s, d)
-        val f = Dedup.simhashNearDups(simhashAugDocs(s, d),
-          maxHamming = gridMax, nDocs = nAug).localCheckpoint()
+        val (lanes, bits, thr, blocks) = Dedup.simhashParamsFor(nAug)
+        val f = Dedup.simhashNearDupsFromSigs(simhashSigs(s, d), bits,
+          thr, blocks, blocks - thr / lanes, lanes).localCheckpoint()
         graft.MemoKeep.protect(
           s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
         f
       })
     }
 
-  /** The default-detector pair set (hamming ≤ thr) from the store —
-    * row-identical to `Dedup.simhashNearDups(simhashAugDocs(s, d))` by
-    * filter composition over the shared superset. */
-  private[graft] def simhashPairsThr(s: SparkSession, d: String): DataFrame = {
-    val (thr, _) = simhashThrGrid(s, d)
-    simhashCands(s, d).filter(col("hamming") <= thr)
-  }
+  /** The default-detector pair set (hamming ≤ thr) — the store itself,
+    * row-identical to `Dedup.simhashNearDups(simhashAugDocs(s, d))`
+    * (same signatures, same banding, same filter; SharedStoreSpec pins
+    * the equality). */
+  private[graft] def simhashPairsThr(s: SparkSession, d: String): DataFrame =
+    simhashCands(s, d)
 
   val qDedupExact = Q(
     "q_dedup_exact",
@@ -2787,12 +2821,16 @@ object LlmQueries {
     // all candidates at the loosest cutoff ONCE; the sweep is arithmetic.
     // The grid tracks the detector: 0..8 at fixture scales (historic
     // curve bit-identical), 0..thr+2 once the grown threshold passes 6,
-    // so the curve always brackets the operating point. r15: the
-    // candidate frame IS the shared store (computed at this query's
-    // loosest cutoff), so the five thr-filtered siblings read a subset
-    // of the same build instead of re-running the pipeline.
+    // so the curve always brackets the operating point. r15.2: the
+    // signature pass comes from the shared memo, but the ≤ gridMax
+    // candidate stream feeds this histogram UNMATERIALIZED — the loose
+    // bins are banded-collision mass whose only consumer is this one
+    // aggregation (checkpointing them was a measured 24×/decade wall).
+    val nAug = augDocCount(s, d)
+    val (lanes, bits, thr, blocks) = Dedup.simhashParamsFor(nAug)
     val (_, gridMax) = simhashThrGrid(s, d)
-    val cand = simhashCands(s, d)
+    val cand = Dedup.simhashNearDupsFromSigs(simhashSigs(s, d), bits,
+      gridMax, blocks, blocks - thr / lanes, lanes)
     val hist = cand.groupBy("hamming")
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("doc_b") - col("doc_a") === 1000000 &&

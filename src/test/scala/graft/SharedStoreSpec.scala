@@ -68,14 +68,30 @@ class SharedStoreSpec extends SparkTestBase {
   }
 
   test("simhash candidate store filtered at thr equals the direct detector") {
-    // r15: the six near-dup consumers read filter(hamming <= thr) of the
-    // shared gridMax-cutoff frame; that must be row-identical to the
-    // private Dedup.simhashNearDups call each of them used to make.
+    // r15.2: the store is materialized AT the detector threshold from the
+    // shared signature memo; it must be row-identical to the private
+    // Dedup.simhashNearDups call each pair-consumer used to make.
     val direct = llm.Dedup.simhashNearDups(
       operators.LlmQueries.simhashAugDocs(spark, sf))
     val store = operators.LlmQueries.simhashPairsThr(spark, sf)
     assert(diffCount(direct, store) === 0)
     assert(store.count() > 0)
+  }
+
+  test("sweep's gridMax candidates from the shared sigs equal the direct run") {
+    // r15.2: the sweep aggregates the <= gridMax banded stream built from
+    // the shared signature memo; same rows as a private full-pipeline run
+    // at the same cutoff (the histogram is an aggregation of this frame).
+    val nAug = operators.LlmQueries.simhashAugDocs(spark, sf).count()
+    val (lanes, bits, thr, blocks) = llm.Dedup.simhashParamsFor(nAug)
+    val gridMax = math.max(8, thr + 2)
+    val direct = llm.Dedup.simhashNearDups(
+      operators.LlmQueries.simhashAugDocs(spark, sf),
+      maxHamming = gridMax, nDocs = nAug)
+    val shared = llm.Dedup.simhashNearDupsFromSigs(
+      operators.LlmQueries.simhashSigs(spark, sf), bits, gridMax,
+      blocks, blocks - thr / lanes, lanes)
+    assert(diffCount(direct, shared) === 0)
   }
 
   test("ALS train memo hit is bit-identical to a fresh seeded train") {
