@@ -1042,13 +1042,7 @@ object MfQueries {
     // second checkpoint of the symmetric frame trades pair-frame-sized
     // memory (linear in orders) for the re-union every one of the four
     // consumers paid; billed to the warm:cooccur line.
-    coCache.getOrElseUpdate((s, d), {
-      val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val f = PairStore.coPairsSym(s, d).localCheckpoint()
-      graft.MemoKeep.protect(
-        s.sparkContext.getPersistentRDDs.keySet.toSet -- before)
-      f
-    })
+    coCache.getOrElseUpdate((s, d), PairStore.coPairsSym(s, d))
   }
 
   val qUserRecsCf = Q(
